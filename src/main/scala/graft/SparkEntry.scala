@@ -1,13 +1,325 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.cdc.Cdc
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Conventions keeping the Spark ↔ DuckDB hash-compare stable:
+  *  - every aggregate/computed column aliased identically on both sides;
+  *  - doubles produced by aggregation are round()ed (2dp money, 4dp ratios)
+  *    to absorb FP summation-order differences;
+  *  - event timestamps (nanos in parquet) only ever cross as epoch-µs
+  *    BIGINTs (`ts DIV 1000` == DuckDB `epoch_us(ts)`);
+  *  - integer-typed outputs cast to BIGINT on both sides.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Tpch.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CDC core (SURVEY §2 #1-12)
+    "cdc_log" -> ((s, d) => Cdc.log(s, d)),
+    "cdc_parse_props" -> ((s, d) => Cdc.parseProps(s, d)),
+    "cdc_current_scd1" -> ((s, d) => Cdc.currentScd1(s, d)),
+    "cdc_scd2_history" -> ((s, d) => Cdc.scd2History(s, d)),
+    "cdc_change_summary" -> ((s, d) => Cdc.changeSummary(s, d)),
+    "cdc_quality_metrics" -> ((s, d) => Cdc.qualityMetrics(s, d)),
+    "cdc_throughput" -> ((s, d) => Cdc.throughput(s, d)),
+    "cdc_error_dlq" -> ((s, d) => Cdc.errorDlq(s, d)),
+    "cdc_table_stats" -> ((s, d) => Cdc.tableStats(s, d)),
+    "cdc_enrich" -> ((s, d) => Cdc.enrich(s, d)),
+    "cdc_dedup_once" -> ((s, d) => Cdc.dedupExactlyOnce(s, d)),
+    "cdc_snapshot_merge" -> ((s, d) => Cdc.snapshotMerge(s, d)),
+    // TPC-H analytics (#13-24)
+    "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(s, d)),
+    "q3_shipping_priority" -> ((s, d) => Tpch.q3ShippingPriority(s, d)),
+    "q5_region_revenue" -> ((s, d) => Tpch.q5RegionRevenue(s, d)),
+    "q10_returned_revenue" -> ((s, d) => Tpch.q10ReturnedRevenue(s, d)),
+    "q_brand_revenue" -> ((s, d) => Tpch.qBrandRevenue(s, d)),
+    "q_top_parts_per_brand" -> ((s, d) => Tpch.qTopPartsPerBrand(s, d)),
+    "q_rollup_revenue" -> ((s, d) => Tpch.qRollupRevenue(s, d)),
+    "q_cust_with_orders_semi" -> ((s, d) => Tpch.qCustWithOrdersSemi(s, d)),
+    "q_cust_no_orders_anti" -> ((s, d) => Tpch.qCustNoOrdersAnti(s, d)),
+    "q_order_priority" -> ((s, d) => Tpch.qOrderPriority(s, d)),
+    "q_distinct_counts" -> ((s, d) => Tpch.qDistinctCounts(s, d)),
+    "q_approx_distinct" -> ((s, d) => Tpch.qApproxDistinct(s, d)),
+    // Event-stream analytics (#25-28)
+    "ev_sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
+    "ev_user_stats" -> ((s, d) => Events.userStats(s, d)),
+    "ev_windowed_counts" -> ((s, d) => Events.windowedCounts(s, d)),
+    // Text / LLM-pipeline ops (#29-41)
+    "doc_tokens" -> ((s, d) => Text.docTokens(s, d)),
+    "doc_quality" -> ((s, d) => Text.docQuality(s, d)),
+    "doc_langid" -> ((s, d) => Text.docLangId(s, d)),
+    "dedup_exact" -> ((s, d) => Text.dedupExact(s, d)),
+    "doc_fingerprint" -> ((s, d) => Text.docFingerprint(s, d)),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "ann_cosine_topk" -> ((s, d) => Similarity.annCosineTopK(s, d)),
+    "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(s, d)),
+    "mm_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "mm_decode_stub" -> ((s, d) => Multimodal.decodeStub(s, d).toDF())
+  )
+
+  /** Shared DuckDB CTE: the normalized CDC log (mirror of Cdc.log). */
+  private val logCte =
+    """WITH log AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN event_type = 'signup' THEN 'INSERT'
+      |         WHEN event_type = 'error' THEN 'DELETE'
+      |         ELSE 'UPDATE' END AS operation,
+      |    epoch_us(ts) AS seq_us, event_type, value, props
+      |  FROM events)""".stripMargin
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the same
+    * parquet tables. Omitted keys (approx/LSH/hash-seeded ops) get the
+    * driver's rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "cdc_log" ->
+      s"""$logCte
+         |SELECT event_id, user_id, operation, seq_us, event_type, value, props FROM log""".stripMargin,
+    "cdc_parse_props" ->
+      s"""$logCte
+         |SELECT event_id, user_id, operation,
+         |  TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+         |FROM log""".stripMargin,
+    "cdc_current_scd1" ->
+      s"""$logCte,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq_us DESC, event_id DESC) AS rn FROM log)
+         |SELECT user_id, operation AS last_op, event_id AS last_event_id,
+         |  round(value, 2) AS last_value
+         |FROM r WHERE rn = 1 AND operation <> 'DELETE'""".stripMargin,
+    "cdc_scd2_history" ->
+      s"""$logCte,
+         |h AS (SELECT user_id, event_id, operation, round(value, 2) AS value,
+         |        seq_us AS valid_from_us,
+         |        lead(seq_us) OVER (PARTITION BY user_id ORDER BY seq_us, event_id) AS vt
+         |      FROM log)
+         |SELECT user_id, event_id, operation, value, valid_from_us,
+         |  coalesce(vt, 9223372036854775807) AS valid_to_us,
+         |  (vt IS NULL) AS is_current
+         |FROM h""".stripMargin,
+    "cdc_change_summary" ->
+      s"""$logCte
+         |SELECT event_type, operation, count(*) AS total_changes,
+         |  min(seq_us) AS first_change_us, max(seq_us) AS last_change_us
+         |FROM log GROUP BY event_type, operation""".stripMargin,
+    "cdc_quality_metrics" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))) AS window_start_us,
+        |  event_type, count(*) AS event_count, count(DISTINCT user_id) AS n_users,
+        |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_value,
+        |  round(max(value), 2) AS max_value,
+        |  (count(*) < 10) AS low_volume_flag
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "cdc_throughput" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP))) AS minute_start_us,
+        |  count(*) AS events_per_minute, round(count(*) / 60.0, 4) AS events_per_second
+        |FROM events GROUP BY 1""".stripMargin,
+    "cdc_error_dlq" ->
+      """SELECT event_id, user_id, event_type,
+        |  'SOURCE_OR_PARSE_ERROR' AS error_type, round(value, 2) AS value
+        |FROM events
+        |WHERE event_type = 'error' OR props IS NULL OR length(props) = 0""".stripMargin,
+    "cdc_table_stats" ->
+      """SELECT event_type, count(*) AS total_events,
+        |  count(DISTINCT user_id) AS unique_users,
+        |  min(epoch_us(ts)) AS first_event_us, max(epoch_us(ts)) AS last_event_us
+        |FROM events GROUP BY event_type""".stripMargin,
+    "cdc_enrich" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(EXTRACT(year FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS y,
+        |  CAST(EXTRACT(month FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS m,
+        |  CAST(EXTRACT(day FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS d,
+        |  CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS h,
+        |  (dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6)) AS is_weekend
+        |FROM events""".stripMargin,
+    "cdc_dedup_once" ->
+      """WITH delivered AS (
+        |  SELECT * FROM events
+        |  UNION ALL SELECT * FROM events WHERE event_id % 10 < 3)
+        |SELECT event_id, min(user_id) AS user_id, min(event_type) AS event_type,
+        |  round(min(value), 2) AS value, count(*) AS deliveries
+        |FROM delivered GROUP BY event_id""".stripMargin,
+    "cdc_snapshot_merge" ->
+      s"""$logCte,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq_us DESC, event_id DESC) AS rn FROM log),
+         |cur AS (SELECT user_id AS cu, operation, value AS cv FROM r WHERE rn = 1),
+         |snap AS (SELECT c_custkey AS user_id, c_acctbal AS value FROM customer)
+         |SELECT coalesce(s.user_id, c.cu) AS user_id,
+         |  CASE WHEN c.cu IS NOT NULL THEN 'CDC' ELSE 'SNAPSHOT' END AS src,
+         |  round(CASE WHEN c.cu IS NOT NULL THEN c.cv ELSE s.value END, 2) AS value
+         |FROM snap s FULL OUTER JOIN cur c ON s.user_id = c.cu
+         |WHERE coalesce(c.operation, '') <> 'DELETE'""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        |FROM customer c, orders o, lineitem l
+        |WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+        |  AND c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n.n_name, CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem l, orders o, customer c, nation n, region r
+        |WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        |  AND c.c_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n.n_name""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+        |  round(max(c.c_acctbal), 2) AS c_acctbal
+        |FROM lineitem l, orders o, customer c, nation n
+        |WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        |  AND c.c_nationkey = n.n_nationkey AND l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_brand_revenue" ->
+      """SELECT p.p_brand, p.p_type,
+        |  CAST(round(sum(CAST(l.l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l, part p
+        |WHERE l.l_partkey = p.p_partkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_top_parts_per_brand" ->
+      """WITH pr AS (
+        |  SELECT p.p_brand, p.p_partkey,
+        |    CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        |  FROM lineitem l, part p WHERE l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS INT) AS rnk FROM pr)
+        |SELECT p_brand, p_partkey, revenue, rnk FROM rk WHERE rnk <= 3""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cust_with_orders_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)""".stripMargin,
+    "q_cust_no_orders_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+    "q_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_distinct_counts" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "ev_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+        |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS session_value,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "ev_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup_us,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+        |  FROM events GROUP BY 1)
+        |SELECT count(*) AS n_users, count(first_signup_us) AS n_signed_up,
+        |  count(CASE WHEN first_purchase_us > first_signup_us THEN 1 END) AS n_converted
+        |FROM u""".stripMargin,
+    "ev_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  count(DISTINCT event_type) AS n_event_types,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        |  CAST(round(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(12,2))), 2) AS DOUBLE) AS purchase_value,
+        |  min(epoch_us(ts)) AS first_seen_us, max(epoch_us(ts)) AS last_seen_us
+        |FROM events GROUP BY user_id""".stripMargin,
+    "ev_windowed_counts" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))) AS window_start_us,
+        |  event_type, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "doc_tokens" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+    "doc_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    (length(text) - length(replace(text, 'the', ''))) / 3.0 AS the_cnt
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens,
+        |  round((n_chars - n_tokens + 1.0) / n_tokens, 4) AS avg_token_len,
+        |  round(the_cnt / n_tokens, 4) AS the_ratio,
+        |  round(least(1.0, n_tokens / 100.0) * (1.0 - the_cnt / n_tokens), 4) AS quality_score
+        |FROM b""".stripMargin,
+    "doc_langid" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN ((length(text) - length(replace(text, 'the', ''))) / 3.0)
+        |           / (CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) >= 0.03
+        |         THEN 'en' ELSE 'und' END AS lang_pred
+        |  FROM documents)
+        |SELECT doc_id, lang, lang_pred, (lang_pred = lang) AS agree FROM p""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "doc_fingerprint" ->
+      "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents",
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.4""".stripMargin,
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |p AS (SELECT qid, nid, list_cosine_similarity(qe, ce) AS cosr FROM q, c WHERE nid <> qid),
+        |r AS (SELECT qid, nid, cosr, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, nid) AS INT) AS rnk FROM p)
+        |SELECT qid, nid, round(cosr, 4) AS cos, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "mm_media_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS media_bytes,
+        |  hex(substring(text, 1, 4)) AS magic,
+        |  64 + doc_id % 1024 AS fake_width,
+        |  64 + (doc_id * 7) % 1024 AS fake_height,
+        |  1 + CAST(floor(strlen(text) / 256.0) AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,191 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** CDC envelope + apply-changes operators, re-expressed Spark-first.
+  *
+  * The reference maintains a unified CDC event envelope (reference:
+  * src/aurora_cdc/datasource/aurora_cdc_datasource_v2.py:55-90) and applies
+  * it to target tables as SCD1 / SCD2 with DLT `apply_changes` (reference:
+  * debezium-approach/notebooks/dlt_cdc_pipeline.py:264-329). Here the
+  * `events` table plays the role of the change stream: key = user_id,
+  * sequence = (ts, event_id), operation derived from event_type the same
+  * way Debezium op-codes are mapped to readable operations (reference:
+  * dlt_cdc_pipeline.py:190-197).
+  *
+  * Everything is a declarative DataFrame plan: single shuffle on the entity
+  * key for the window-based apply-changes (no self-joins, no collect), so
+  * each operator scales to arbitrarily many keys/rows.
+  */
+object Cdc {
+
+  /** #1 Normalized CDC log: op mapping + microsecond sequence number.
+    * `ts` is raw nanos (see Tables.eventsSchema); `ts DIV 1000` == DuckDB
+    * epoch_us truncation.
+    */
+  def log(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      when(col("event_type") === "signup", "INSERT")
+        .when(col("event_type") === "error", "DELETE")
+        .otherwise("UPDATE").as("operation"),
+      expr("ts DIV 1000").as("seq_us"),
+      col("event_type"), col("value"), col("props"))
+
+  /** #2 Envelope payload parsing (reference parses the Debezium JSON value,
+    * dlt_cdc_pipeline.py:166-187). regexp_extract rather than get_json_object
+    * so the DuckDB oracle can evaluate the identical expression.
+    */
+  def parseProps(spark: SparkSession, dir: String): DataFrame =
+    log(spark, dir).select(
+      col("event_id"), col("user_id"), col("operation"),
+      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"))
+
+  /** #3 SCD Type 1 current state: latest event per key wins; DELETE drops
+    * the key (reference: dlt_cdc_pipeline.py:264-303, stored_as_scd_type=1).
+    */
+  def currentScd1(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("seq_us").desc, col("event_id").desc)
+    log(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("operation") =!= "DELETE")
+      .select(col("user_id"), col("operation").as("last_op"),
+        col("event_id").as("last_event_id"), round(col("value"), 2).as("last_value"))
+  }
+
+  /** #4 SCD Type 2 history: valid_from/valid_to intervals per key
+    * (reference: dlt_cdc_pipeline.py:312-329, stored_as_scd_type=2).
+    * Open intervals use Long.MaxValue; is_current flags the live row.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("seq_us"), col("event_id"))
+    log(spark, dir)
+      .withColumn("valid_to_raw", lead(col("seq_us"), 1).over(w))
+      .select(
+        col("user_id"), col("event_id"), col("operation"),
+        round(col("value"), 2).as("value"),
+        col("seq_us").as("valid_from_us"),
+        coalesce(col("valid_to_raw"), lit(Long.MaxValue)).as("valid_to_us"),
+        col("valid_to_raw").isNull.as("is_current"))
+  }
+
+  /** #5 Change summary by entity + operation (reference:
+    * dlt_cdc_pipeline.py:440-458, v_table_change_summary).
+    */
+  def changeSummary(spark: SparkSession, dir: String): DataFrame =
+    log(spark, dir)
+      .groupBy("event_type", "operation")
+      .agg(count(lit(1)).as("total_changes"),
+        min(col("seq_us")).as("first_change_us"),
+        max(col("seq_us")).as("last_change_us"))
+
+  /** #6 Quality metrics over 5-minute event-time windows (reference:
+    * dlt_cdc_pipeline.py:338-372). `value` plays the role of the reference's
+    * processing-delay metric; low_volume flag identical in spirit.
+    */
+  def qualityMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
+      // window_start emitted as epoch µs (BIGINT): timestamp columns never
+      // cross the engine boundary, dodging tz-awareness mismatches.
+      .groupBy(unix_micros(window(col("tsx"), "5 minutes").getField("start"))
+          .as("window_start_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        countDistinct(col("user_id")).as("n_users"),
+        // exact decimal sum / count: deterministic mean across engines
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double") / count(lit(1)), 4).as("avg_value"),
+        round(max(col("value")), 2).as("max_value"))
+      .withColumn("low_volume_flag", col("event_count") < 10)
+
+  /** #7 Throughput: events/min + events/sec over 1-minute windows
+    * (reference: dlt_cdc_pipeline.py:413-438, v_cdc_throughput).
+    */
+  def throughput(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(unix_micros(window(col("tsx"), "1 minute").getField("start"))
+        .as("minute_start_us"))
+      .agg(count(lit(1)).as("events_per_minute"))
+      .withColumn("events_per_second", round(col("events_per_minute") / 60.0, 4))
+
+  /** #8 Error dead-letter queue (reference: dlt_cdc_pipeline.py:381-404 +
+    * error_flag rows in the datasource, aurora_cdc_datasource_v2.py:468-477).
+    */
+  def errorDlq(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "error" || col("props").isNull || length(col("props")) === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        lit("SOURCE_OR_PARSE_ERROR").as("error_type"),
+        round(col("value"), 2).as("value"))
+
+  /** #9 Per-entity stream statistics (reference:
+    * src/notebooks/demo/cdc_500_tables_streaming.py:394-408).
+    */
+  def tableStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("total_events"),
+        countDistinct(col("user_id")).as("unique_users"),
+        min(expr("ts DIV 1000")).as("first_event_us"),
+        max(expr("ts DIV 1000")).as("last_event_us"))
+
+  /** #10 Ingestion enrichment: date parts for partitioning (reference:
+    * cdc_500_tables_streaming.py:127-134 adds year/month/day/hour columns).
+    * is_weekend shown via dow — Spark dayofweek is 1=Sunday.
+    */
+  def enrich(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        year(col("tsx")).cast("long").as("y"), month(col("tsx")).cast("long").as("m"),
+        dayofmonth(col("tsx")).cast("long").as("d"), hour(col("tsx")).cast("long").as("h"),
+        dayofweek(col("tsx")).isin(1, 7).as("is_weekend"))
+
+  /** #11 Exactly-once dedup: duplicate deliveries (simulated re-delivery of
+    * ~30% of the stream) collapsed to one row per event_id (reference
+    * guarantees this via offset checkpointing,
+    * aurora_cdc_datasource_v2.py:479-489; at 100 TB this is a hash
+    * aggregation on the offset key — one shuffle, map-side partial).
+    */
+  def dedupExactlyOnce(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val redelivered = ev.unionAll(ev.filter(col("event_id") % 10 < 3))
+    redelivered.groupBy("event_id")
+      // min() not first(): duplicates are identical rows, but min keeps the
+      // aggregation deterministic for the cross-engine hash compare.
+      .agg(min(col("user_id")).as("user_id"),
+        min(col("event_type")).as("event_type"),
+        round(min(col("value")), 2).as("value"),
+        count(lit(1)).as("deliveries"))
+  }
+
+  /** #12 Snapshot + change-log merge: initial load rows (reference does the
+    * one-time JDBC snapshot, notebooks/demo/unity_catalog_cdc_demo.py:218-269)
+    * overridden by CDC current state; CDC DELETE suppresses the snapshot row
+    * — batch MERGE semantics (unity_catalog_cdc_demo.py:300-447).
+    * customer plays the snapshot: c_custkey == user_id domain.
+    */
+  def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("seq_us").desc, col("event_id").desc)
+    val cur = log(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("operation"), col("value"))
+    val snap = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_acctbal").as("value"))
+    // snapshot side is a table scan; change side is small relative to it at
+    // scale — broadcast the current-state side on a real cluster.
+    snap.join(cur.withColumnRenamed("user_id", "cu").withColumnRenamed("value", "cv"),
+        col("user_id") === col("cu"), "full_outer")
+      .filter(coalesce(col("operation"), lit("")) =!= "DELETE")
+      .select(
+        coalesce(col("user_id"), col("cu")).as("user_id"),
+        when(col("cu").isNotNull, "CDC").otherwise("SNAPSHOT").as("src"),
+        round(when(col("cu").isNotNull, col("cv")).otherwise(col("value")), 2).as("value"))
+  }
+}

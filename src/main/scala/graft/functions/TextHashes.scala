@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static hash kernels invoked from both interpreted eval and generated code
+  * (a static call keeps the enclosing operator inside whole-stage codegen).
+  *
+  * Used by the near-duplicate detection operators — the reference's dedup
+  * surface is exactly-once offset dedup (reference:
+  * src/aurora_cdc/datasource/aurora_cdc_datasource_v2.py:479-489); the
+  * content-hash family here is the LLM-pipeline extension.
+  */
+object TextHashes {
+
+  /** FNV-1a 64-bit over a byte slice. */
+  def fnv1a64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** SimHash-64: whitespace-tokenize, hash each token (FNV-1a 64), bit-vote.
+    * One pass, zero allocation beyond the byte array — row-local, so the
+    * signature computation scales linearly and shuffles nothing.
+    */
+  def simhash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && bytes(i) == ' '.toByte) i += 1
+      val start = i
+      while (i < n && bytes(i) != ' '.toByte) i += 1
+      if (i > start) {
+        val h = fnv1a64(bytes, start, i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Polynomial (Rabin-Karp style) rolling hash fingerprint: the minimum of
+    * all `window`-byte substring hashes (a 1-fingerprint winnowing sketch).
+    * Robust to block reordering, unlike a whole-string hash.
+    */
+  def rollingMinHash(s: UTF8String, window: Int): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return 0L
+    val w = math.min(window, n)
+    val base = 1099511628211L
+    // precompute base^(w-1)
+    var pow = 1L
+    var k = 0
+    while (k < w - 1) { pow *= base; k += 1 }
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * base + (bytes(i) & 0xffL); i += 1 }
+    var minH = h
+    i = w
+    while (i < n) {
+      h = (h - (bytes(i - w) & 0xffL) * pow) * base + (bytes(i) & 0xffL)
+      if (java.lang.Long.compareUnsigned(h, minH) < 0) minH = h
+      i += 1
+    }
+    minH
+  }
+
+  /** Cosine similarity of two float vectors, accumulated in double
+    * (sequential order — bit-identical to DuckDB's double-cast
+    * list_cosine_similarity, which the oracle uses).
+    */
+  def cosineF(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.{GraftSqlBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for operators Spark's function library lacks.
+  * All of them generate a static method call in `doGenCode`, so they stay
+  * inside whole-stage codegen (no CodegenFallback in the hot path) — at
+  * 100 TB these run once per row and must not break pipelining.
+  */
+
+/** 64-bit SimHash of a whitespace-tokenized string. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** Winnowing-style document fingerprint: min rolling polynomial hash over
+  * `window`-byte substrings.
+  */
+case class RollingMinHash(child: Expression, window: Int) extends UnaryExpression
+    {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.rollingMinHash(input.asInstanceOf[UTF8String], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.rollingMinHash($c, $window)")
+  override protected def withNewChildInternal(newChild: Expression): RollingMinHash =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_min_hash"
+}
+
+/** Cosine similarity between two ARRAY<FLOAT> columns, accumulated in double
+  * precision (bit-compatible with the DuckDB oracle's double-cast
+  * list_cosine_similarity).
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.cosineF(
+      a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData].toFloatArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashes.cosineF($a.toFloatArray(), $b.toFloatArray())")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+object GraftFunctions {
+  def simhash64(c: Column): Column = ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
+  def rollingMinHash(c: Column, window: Int): Column =
+    ExpressionUtils.column(RollingMinHash(ExpressionUtils.expression(c), window))
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Idempotent SQL registration so `spark.sql("... simhash64(x) ...")` works. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("rolling_min_hash",
+      es => RollingMinHash(es.head, es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es.head, es(1)), "built-in")
+  }
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Near-duplicate detection for LLM training-data curation.
+  *
+  * Scale shape shared by all variants: signatures are computed row-local
+  * (codegen'd expressions / higher-order functions), candidate generation is
+  * a shuffle on a SMALL band/bucket key (the LSH trick that replaces the
+  * O(n²) self-join), and the exact verify runs only on candidate pairs.
+  * That is the plan that survives 100 TB; nothing here is quadratic in the
+  * corpus except the final verify on (rare) candidates.
+  *
+  * The test corpus has no planted near-dups, so each operator unions in a
+  * deterministic perturbation of every 20th document (last token dropped,
+  * doc_id + 1_000_000) — the operator must find exactly those pairs, which
+  * the ScalaTest specs assert.
+  */
+object Dedup {
+
+  private val PerturbOffset = 1000000L
+
+  /** Corpus ∪ deterministically-perturbed subset (near-dup planting). */
+  private[operators] def corpusWithPlants(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val perturbed = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + PerturbOffset).as("doc_id"),
+        // drop the last token: same prefix, one shingle boundary changed
+        expr("array_join(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 1)), ' ')")
+          .as("text"))
+    docs.unionAll(perturbed)
+  }
+
+  /** #34 MinHash + LSH banding near-dup detection.
+    * k=16 hash functions, 4 bands × 4 rows; 3-token shingles.
+    * Candidates from band-bucket equi-join; exact Jaccard verified on the
+    * shingle sets of candidate pairs only.
+    */
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val k = 16; val bands = 4; val rows = k / bands
+    val shingled = corpusWithPlants(spark, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(1, greatest(size(tokens) - 2, 1))," +
+          " i -> array_join(slice(tokens, i, 3), ' ')))"))
+      .withColumn("sig", expr(
+        s"transform(sequence(0, ${k - 1}), h -> array_min(transform(shingles, s -> xxhash64(s, h))))"))
+      .select("doc_id", "shingles", "sig")
+    val banded = shingled.select(col("doc_id"), col("shingles"),
+      explode(expr(
+        s"transform(sequence(0, ${bands - 1})," +
+          s" b -> struct(b AS band, xxhash64(array_join(slice(sig, b * $rows + 1, $rows), ','), b) AS bh))"))
+        .as("bk"))
+      .select(col("doc_id"), col("shingles"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** #35 SimHash near-dup: 64-bit signature (custom codegen'd Catalyst
+    * expression), banded into 4×16-bit keys for candidate generation,
+    * verified with bit_count(xor) hamming distance ≤ 6. Also carries the
+    * rolling-hash winnowing fingerprint (graft.functions.RollingMinHash).
+    */
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+    val signed = corpusWithPlants(spark, dir)
+      .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("sig"),
+        GraftFunctions.rollingMinHash(col("text"), 32).as("rfp"))
+    val banded = signed.select(col("doc_id"), col("sig"), col("rfp"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b * 16) & 65535 AS bh))"))
+        .as("bk"))
+      .select(col("doc_id"), col("sig"), col("rfp"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("rfp").as("rfp_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("rfp").as("rfp_b"))
+    a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b", "rfp_a", "rfp_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("same_rolling_fp", col("rfp_a") === col("rfp_b"))
+      .select("doc_a", "doc_b", "hamming", "same_rolling_fp")
+  }
+
+  /** #36 N-gram Jaccard verify: exact character-4-gram Jaccard on candidate
+    * pairs blocked by (token-count bucket, first token) — a cheap blocking
+    * key standing in for whatever candidate generator ran upstream.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val grams = corpusWithPlants(spark, dir)
+      .withColumn("block", expr("concat(substring(text, 1, 8), '|', CAST(length(text) DIV 64 AS STRING))"))
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(1, greatest(length(text) - 3, 1)), i -> substring(text, i, 4)))"))
+      .select("doc_id", "block", "grams")
+    val a = grams.select(col("block"), col("doc_id").as("doc_a"), col("grams").as("g_a"))
+    val b = grams.select(col("block"), col("doc_id").as("doc_b"), col("grams").as("g_b"))
+    a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** #37 Embedding-cosine near-dup pairs. Exact all-pairs above a threshold
+    * — the oracle-checkable baseline; Similarity.annLshTopK is the
+    * LSH-bucketed variant that scales past all-pairs. Accumulates in double
+    * (bit-compatible with DuckDB's list_cosine_similarity on DOUBLE[]).
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("cos") > tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+}

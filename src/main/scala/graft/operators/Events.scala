@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Event-stream analytics: batch analogs of the reference's monitoring /
+  * windowed streaming queries (reference:
+  * src/notebooks/demo/cdc_500_tables_streaming.py:366-425). Each is a
+  * single-shuffle declarative plan (window functions partitioned by
+  * user_id, or one groupBy) — the same code shape Structured Streaming
+  * runs incrementally in graft.streaming.CdcStreams.
+  */
+object Events {
+
+  private val GapUs = 30L * 60 * 1000 * 1000 // 30-minute session gap
+
+  private def withTs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).withColumn("ts_us", expr("ts DIV 1000"))
+
+  /** #25 Gap-based sessionization: lag + running-sum-of-new-session-flags,
+    * then one aggregate per (user, session). Two window passes over the
+    * same (user_id, ts) partitioning — Catalyst reuses the single sort.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    withTs(spark, dir)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > GapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        // exact decimal sum (2-dp inputs) -> cross-engine-stable rounding
+        round(sum(col("value").cast(DecimalType(12, 2))), 2).cast("double").as("session_value"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+  }
+
+  /** #26 Signup → purchase conversion funnel (single-row summary). */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    withTs(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts_us"))).as("first_signup_us"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("first_purchase_us"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("first_signup_us")).as("n_signed_up"),
+        count(when(col("first_purchase_us") > col("first_signup_us"), lit(1))).as("n_converted"))
+
+  /** #27 Per-user activity profile / lifetime value. */
+  def userStats(spark: SparkSession, dir: String): DataFrame =
+    withTs(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"),
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)).cast(DecimalType(12, 2))), 2).cast("double").as("purchase_value"),
+        min(col("ts_us")).as("first_seen_us"),
+        max(col("ts_us")).as("last_seen_us"))
+
+  /** #28 5-minute tumbling window counts per event type — the batch shape of
+    * the streaming monitoring query (reference:
+    * cdc_500_tables_streaming.py:373-392).
+    */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame =
+    withTs(spark, dir)
+      .withColumn("tsx", timestamp_micros(col("ts_us")))
+      .groupBy(unix_micros(window(col("tsx"), "5 minutes").getField("start"))
+          .as("window_start_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(12, 2))), 2).cast("double").as("sum_value"))
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: media treated as opaque `binary` payloads
+  * with typed metadata, decoded/feature-extracted in partition-sized
+  * batches.
+  *
+  * The decode kernel is a STUB (no image/audio codecs in this
+  * environment): `fakeDecode` derives deterministic pseudo-features from
+  * the bytes. The Spark-side shape — schema, binary column, partition
+  * batching, feature-vector output — is real and tested; swapping
+  * `fakeDecode` for a JNI/codec call is the only change a real deployment
+  * needs.
+  */
+object Multimodal {
+
+  /** #40 Typed metadata extraction over the binary payload — pure codegen'd
+    * column arithmetic, SQL-oracle-checkable.
+    */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).selectExpr(
+      "doc_id",
+      "CAST(octet_length(text) AS BIGINT) AS media_bytes",
+      "hex(substring(text, 1, 4)) AS magic",
+      "64 + doc_id % 1024 AS fake_width",
+      "64 + (doc_id * 7) % 1024 AS fake_height",
+      "1 + CAST(floor(octet_length(text) / 256.0) AS BIGINT) AS n_frames")
+
+  case class MediaIn(doc_id: Long, payload: Array[Byte])
+  case class MediaFeat(doc_id: Long, n_bytes: Int, mean_byte: Double, feat: Array[Float])
+
+  /** STUB decode kernel — deterministic byte-histogram "features".
+    * A real implementation decodes the payload (JPEG/WAV/...) here, once
+    * per batch, amortizing codec setup across the partition.
+    */
+  private def fakeDecode(m: MediaIn): MediaFeat = {
+    val hist = new Array[Float](8)
+    var sum = 0L
+    var i = 0
+    while (i < m.payload.length) {
+      val b = m.payload(i) & 0xff
+      hist(b >>> 5) += 1f
+      sum += b
+      i += 1
+    }
+    val n = math.max(m.payload.length, 1)
+    var j = 0
+    while (j < 8) { hist(j) /= n.toFloat; j += 1 }
+    MediaFeat(m.doc_id, m.payload.length, sum.toDouble / n, hist)
+  }
+
+  /** #41 Partition-batched decode/feature-extract pipeline (the Scala analog
+    * of a mapInPandas batch UDF): one iterator pass per partition, codec
+    * state amortized, output is a typed Dataset with the feature vector.
+    */
+  def decodeStub(spark: SparkSession, dir: String): Dataset[MediaFeat] = {
+    implicit val inEnc = Encoders.product[MediaIn]
+    implicit val outEnc = Encoders.product[MediaFeat]
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        // per-partition setup (codec init in a real impl) happens here
+        it.map(fakeDecode)
+      }
+  }
+}

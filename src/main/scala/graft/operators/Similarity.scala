@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{GraftFunctions, TextHashes}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Scale shape: the query set is small and BROADCAST; the corpus is scanned
+  * linearly, partition-local, with per-partition top-k before the final
+  * (tiny) shuffle on qid. No corpus-side self-shuffle — at 100 TB the scan
+  * is embarrassingly parallel. The LSH variant prunes the scan to matching
+  * buckets first.
+  */
+object Similarity {
+
+  val DefaultK = 5
+  val NQueries = 8 // queries = vec_id < 8
+
+  /** #38 Brute-force cosine top-k per query vector — the exact baseline. */
+  def annCosineTopK(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    e.select(col("vec_id").as("nid"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
+  /** Deterministic random-hyperplane bucket id (sign bits of `nPlanes`
+    * projections; plane weights from an LCG keyed by (plane, dim)).
+    * Computed with a UDF over the float array — row-local.
+    */
+  private val lshBucketUdf = udf((emb: Array[Float], nPlanes: Int) => {
+    var bucket = 0
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var j = 0
+      while (j < emb.length) {
+        // LCG-derived pseudo-weight in [-0.5, 0.5), deterministic everywhere
+        var s = (p.toLong * 1048573L + j.toLong * 31L + 42L) * 6364136223846793005L + 1442695040888963407L
+        s ^= (s >>> 33)
+        dot += emb(j) * (((s & 0xffffL).toDouble / 65536.0) - 0.5)
+        j += 1
+      }
+      if (dot > 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  })
+
+  /** #39 LSH-bucketed ANN: random-hyperplane signatures shrink each query's
+    * candidate set to its bucket (8 planes → 256 buckets). Recall traded for
+    * a ~256× scan cut; the scale path past brute force.
+    */
+  def annLshTopK(spark: SparkSession, dir: String, k: Int = DefaultK, planes: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", lshBucketUdf(col("embedding"), lit(planes)))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    e.select(col("vec_id").as("nid"), col("embedding"), col("bucket"))
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+}

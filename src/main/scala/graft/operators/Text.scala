@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for LLM training-data curation over `documents`.
+  * Pure `functions._` / SQL-expression arithmetic — fully codegen'd, and
+  * every formula is written so the DuckDB oracle can evaluate the identical
+  * expression (no engine-specific tokenizers).
+  *
+  * All row-local: zero shuffles except dedupExact's hash groupBy.
+  */
+object Text {
+
+  // token count for single-space-separated text: chars - non-space chars + 1
+  private val nTokens = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+  // occurrences of the (English-marker) trigram 'the'
+  private val theCnt = "(length(text) - length(replace(text, 'the', ''))) / 3.0"
+
+  /** #29 Token counting (whitespace tokens + regex word tokens). */
+  def docTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).selectExpr(
+      "doc_id",
+      "CAST(length(text) AS BIGINT) AS n_chars_calc",
+      s"$nTokens AS n_tokens")
+
+  /** #30 Quality scoring: length/stopword ratios composed into one score. */
+  def docQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS n_chars",
+        s"$nTokens AS n_tokens", s"$theCnt AS the_cnt")
+      .selectExpr("doc_id", "n_chars", "n_tokens",
+        "round((n_chars - n_tokens + 1.0) / n_tokens, 4) AS avg_token_len",
+        "round(the_cnt / n_tokens, 4) AS the_ratio",
+        "round(least(1.0, n_tokens / 100.0) * (1.0 - the_cnt / n_tokens), 4) AS quality_score")
+
+  /** #31 Language-ID heuristic: marker-trigram density (the n-gram
+    * profile degenerates to an English-marker test on this corpus).
+    */
+  def docLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lang",
+        s"CASE WHEN $theCnt / $nTokens >= 0.03 THEN 'en' ELSE 'und' END AS lang_pred")
+      .withColumn("agree", col("lang_pred") === col("lang"))
+
+  /** #32 Exact deduplication: md5 content hash groupBy — at 100 TB this is
+    * the canonical single-shuffle dedup (hash is computed map-side; the
+    * shuffle key is the 128-bit digest, not the document body).
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+
+  /** #33 Document fingerprint: 64-bit md5 prefix (the SQL-checkable variant;
+    * the rolling-hash winnowing fingerprint rides with Dedup.simhash).
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("fp"))
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Analytics over the TPC-H star schema — the reference's query substrate
+  * (reference: scripts/setup_tpch_database.py:84-245 creates these tables;
+  * the demo's Delta gold layer serves the same queries).
+  *
+  * Scale design: dimension tables (region/nation/supplier/part/customer)
+  * are broadcast; only fact-side shuffles remain and each query shuffles at
+  * most once on its grouping key. Filters are plain column predicates so
+  * they reach the parquet scan (PushedFilters).
+  *
+  * Date constants adapted to the driver-generated data range (orderdate
+  * 1995-01-01..2001-08-01).
+  */
+object Tpch {
+
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s + " 00:00:00"))
+
+  // Money aggregation runs on exact DECIMALs: the source columns are 2-dp
+  // values stored as doubles, so the casts are unambiguous and the sums are
+  // bit-identical across engines/partitionings (FP summation order flipped a
+  // rounding boundary at sf0.01 otherwise). Final outputs go back to DOUBLE.
+  import org.apache.spark.sql.types.DecimalType
+  private val PRICE = DecimalType(12, 2)
+  private val PCT = DecimalType(4, 2)
+  private def dm(c: Column): Column = c.cast(PRICE)
+  private def one = lit(1).cast(PCT)
+  private def revenue = dm(col("l_extendedprice")) * (one - col("l_discount").cast(PCT))
+  private def charge = revenue * (one + col("l_tax").cast(PCT))
+  /** exact decimal sum -> rounded double */
+  private def sum2(c: Column): Column = round(sum(c), 2).cast("double")
+  /** exact decimal sum / count -> double mean (deterministic division) */
+  private def avg4(c: Column): Column = round(sum(c).cast("double") / count(lit(1)), 4)
+
+  /** #13 TPC-H Q1 pricing summary. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= ts("2000-12-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum2(dm(col("l_quantity"))).as("sum_qty"),
+        sum2(dm(col("l_extendedprice"))).as("sum_base_price"),
+        sum2(revenue).as("sum_disc_price"),
+        sum2(charge).as("sum_charge"),
+        avg4(dm(col("l_quantity"))).as("avg_qty"),
+        avg4(dm(col("l_extendedprice"))).as("avg_price"),
+        avg4(col("l_discount").cast(PCT)).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** #14 Q3 shipping priority: revenue of not-yet-shipped orders in the
+    * BUILDING segment. customer is broadcast; one shuffle on o_orderkey.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < ts("1997-03-15"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > ts("1997-03-15"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+      .agg(sum2(revenue).as("revenue"))
+  }
+
+  /** #15 Q5-style regional revenue: 5-way join, dims broadcast.
+    * (Classic Q5's c_nationkey = s_nationkey colocation constraint dropped —
+    * the generated supplier table is tiny — revenue grouped by the
+    * customer's nation inside ASIA.)
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum2(revenue).as("revenue"))
+  }
+
+  /** #16 Q10-style returned-item revenue per customer. */
+  def q10ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-10-01") && col("o_orderdate") < ts("1997-01-01"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum2(revenue).as("revenue"),
+        round(max(col("c_acctbal")), 2).as("c_acctbal"))
+  }
+
+  /** #17 Revenue by part brand/type (part broadcast). */
+  def qBrandRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type")
+      .agg(sum2(dm(col("l_quantity"))).as("sum_qty"),
+        sum2(revenue).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** #18 Top-3 parts per brand by revenue — window top-k: one shuffle on the
+    * aggregation key, one on p_brand; rank ordered on the rounded revenue
+    * (cross-engine deterministic) with p_partkey tiebreak.
+    */
+  def qTopPartsPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(sum2(revenue).as("revenue"))
+    val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))
+    perPart.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+  }
+
+  /** #19 ROLLUP hierarchical aggregate. */
+  def qRollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum2(revenue).as("revenue"), count(lit(1)).as("n_items"))
+
+  /** #20 Left-semi (EXISTS): customers having an order above 100k. */
+  def qCustWithOrdersSemi(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 100000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
+  /** #21 Left-anti (NOT EXISTS): customers with no order above 400k. */
+  def qCustNoOrdersAnti(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** #22 Q4-style order-priority count with a correlated EXISTS re-expressed
+    * as a semi join with a non-equi condition (shipped after order date).
+    */
+  def qOrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-07-01") && col("o_orderdate") < ts("1996-10-01"))
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** #23 Exact multi-column distinct counts. */
+  def qDistinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** #24 HLL sketch distinct (rows-only check — approx by construction).
+    * The scale answer to #23: constant memory per group, no expand.
+    */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+}

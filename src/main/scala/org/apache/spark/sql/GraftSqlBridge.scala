@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column ↔ Expression converters, the standard
+  * pattern for Spark extension libraries that define custom Catalyst
+  * expressions (Spark 4 moved the classic converters behind
+  * org.apache.spark.sql.classic.ExpressionUtils).
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

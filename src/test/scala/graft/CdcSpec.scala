@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cdc.Cdc
+
+/** Semantic checks of the CDC apply-changes operators. */
+class CdcSpec extends SparkSpec {
+
+  test("scd1 keeps one row per live user and drops deleted users") {
+    val cur = Cdc.currentScd1(spark, sf).cache()
+    assert(cur.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    // users whose latest event is a DELETE must be absent
+    val log = Cdc.log(spark, sf)
+    val latest = log.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("seq_us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+    val deleted = latest.filter(col("operation") === "DELETE").select("user_id")
+    assert(cur.join(deleted, "user_id").count() == 0)
+    // live users all present
+    val live = latest.filter(col("operation") =!= "DELETE").count()
+    assert(cur.count() == live)
+  }
+
+  test("scd2 history: exactly one current row per user, contiguous intervals") {
+    val h = Cdc.scd2History(spark, sf).cache()
+    val perUser = h.groupBy("user_id")
+      .agg(count(when(col("is_current"), 1)).as("n_current"),
+        count(lit(1)).as("n_rows"))
+    assert(perUser.filter(col("n_current") =!= 1).count() == 0)
+    // each non-current row's valid_to equals the next row's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from_us")
+    val gaps = h.withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+      .filter(col("next_from").isNotNull && col("valid_to_us") =!= col("next_from"))
+    assert(gaps.count() == 0)
+  }
+
+  test("exactly-once dedup restores original cardinality") {
+    val deduped = Cdc.dedupExactlyOnce(spark, sf).cache()
+    val original = Tables.events(spark, sf).count()
+    assert(deduped.count() == original)
+    assert(deduped.filter(col("deliveries") > 2 || col("deliveries") < 1).count() == 0)
+  }
+
+  test("snapshot merge: CDC rows win, deleted users absent") {
+    val merged = Cdc.snapshotMerge(spark, sf).cache()
+    assert(merged.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    val cdcUsers = merged.filter(col("src") === "CDC").count()
+    assert(cdcUsers > 0)
+    assert(merged.filter(col("src") === "SNAPSHOT").count() > 0)
+  }
+
+  test("throughput windows sum to total events") {
+    val total = Cdc.throughput(spark, sf).agg(sum("events_per_minute")).first().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+}

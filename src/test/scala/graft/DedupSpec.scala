@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.functions.{GraftFunctions, TextHashes}
+
+/** The near-dup operators must find the deterministically planted
+  * perturbed copies (doc_id + 1,000,000 = original with last token dropped).
+  */
+class DedupSpec extends SparkSpec {
+
+  private val planted = Tables.documents(spark, sf)
+    .filter(col("doc_id") % 20 === 0).select("doc_id")
+    .collect().map(_.getLong(0)).toSet
+
+  test("minhash+LSH finds planted near-dup pairs") {
+    val pairs = Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = planted.count(id => pairs.contains((id, id + 1000000L)))
+    assert(found >= (planted.size * 0.8).toInt,
+      s"minhash found $found of ${planted.size} planted pairs")
+  }
+
+  test("simhash banding finds planted near-dup pairs") {
+    val pairs = Dedup.simhash(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = planted.count(id => pairs.contains((id, id + 1000000L)))
+    assert(found >= (planted.size * 0.6).toInt,
+      s"simhash found $found of ${planted.size} planted pairs")
+  }
+
+  test("ngram jaccard verifies planted pairs above threshold") {
+    val rows = Dedup.ngramJaccard(spark, sf).cache()
+    assert(rows.filter(col("jaccard") < 0.4).count() == 0)
+    val pairs = rows.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = planted.count(id => pairs.contains((id, id + 1000000L)))
+    assert(found >= (planted.size * 0.5).toInt)
+  }
+
+  test("brute-force ANN matches a locally computed top-k") {
+    val embs = Tables.embeddings(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val got = Similarity.annCosineTopK(spark, sf)
+      .filter(col("qid") === 0).orderBy("rnk")
+      .select("nid").collect().map(_.getLong(0)).toSeq
+    val q = embs(0L)
+    val expected = embs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, TextHashes.cosineF(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(got == expected)
+  }
+
+  test("LSH ANN returns plausible neighbors (subset of bucket, ranked)") {
+    val df = Similarity.annLshTopK(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("cos") > 1.0 || col("cos") < -1.0).count() == 0)
+    assert(df.filter(col("rnk") > Similarity.DefaultK).count() == 0)
+  }
+
+  test("custom expressions match their kernels (codegen path)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val df = Tables.documents(spark, sf).limit(50)
+      .select(col("text"),
+        GraftFunctions.simhash64(col("text")).as("sh"),
+        GraftFunctions.rollingMinHash(col("text"), 32).as("rh"))
+    df.collect().foreach { r =>
+      val t = UTF8String.fromString(r.getString(0))
+      assert(r.getLong(1) == TextHashes.simhash64(t))
+      assert(r.getLong(2) == TextHashes.rollingMinHash(t, 32))
+    }
+    // SQL registration path
+    GraftFunctions.register(spark)
+    Tables.documents(spark, sf).limit(1).createOrReplaceTempView("t_docs")
+    val viaSql = spark.sql(
+      "SELECT simhash64(text) AS a, rolling_min_hash(text, 32) AS b, " +
+        "cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c FROM t_docs").first()
+    assert(math.abs(viaSql.getDouble(2) - 1.0) < 1e-12)
+  }
+}

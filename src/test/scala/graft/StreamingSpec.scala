@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.CdcStreams
+import graft.streaming.CdcStreams.Ev
+
+/** Structured Streaming pipeline behavior (SURVEY §2 #42-45). */
+class StreamingSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def evRow(id: Long, tsUs: Long, uid: Long, typ: String, v: Double) =
+    Ev(id, tsUs, uid, typ, v)
+
+  test("windowed counts aggregate a memory stream with watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val normalized = ms.toDF()
+      .withColumnRenamed("event_type", "event_type_raw")
+      .select(col("event_id"), col("user_id"),
+        col("event_type_raw").as("event_type"), col("ts_us"), col("value"))
+    val agg = CdcStreams.windowedCounts(normalized)
+    val q = agg.writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val base = 1704067200L * 1000000L
+      ms.addData(
+        evRow(1, base + 10L * 1000000, 1, "click", 1.0),
+        evRow(2, base + 20L * 1000000, 1, "click", 2.0),
+        evRow(3, base + 400L * 1000000, 2, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+      assert(rows.map(_.getAs[Long]("n_events")).sum == 3)
+      assert(spark.table("wc").select("event_type").distinct().count() == 2)
+    } finally q.stop()
+  }
+
+  test("stateful latest-state tracks SCD1 across micro-batches") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val normalized = ms.toDF().select(col("event_id"), col("user_id"),
+      col("event_type").as("operation"), col("ts_us"), col("value"))
+    val st = CdcStreams.latestState(normalized)
+    val q = st.toDF().writeStream.format("memory").queryName("scd1s")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ms.addData(evRow(1, 1000, 7, "INSERT", 10.0))
+      q.processAllAvailable()
+      ms.addData(evRow(2, 2000, 7, "UPDATE", 20.0), evRow(3, 1500, 8, "INSERT", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("scd1s")
+        .groupBy("user_id").agg(max_by(col("last_value"), col("n_events")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows(7L) == 20.0)
+      assert(rows(8L) == 5.0)
+    } finally q.stop()
+  }
+
+  test("file-source CDC pipeline upserts into target across batches") {
+    val inDir = tmpDir("cdc_in")
+    val target = tmpDir("cdc_target") + "/tbl"
+    val ckpt = tmpDir("cdc_ckpt")
+    import spark.implicits._
+
+    // batch 1: two users
+    Seq((1L, 1000000L * 1000, 1L, "signup", 1.0), (2L, 2000000L * 1000, 2L, "signup", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{\"k\": 1}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(inDir)
+    val q = CdcStreams.fileStreamPipeline(spark, inDir, target, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(target).count() == 2)
+
+      // batch 2: user 1 updated, user 2 deleted (error event)
+      Seq((3L, 3000000L * 1000, 1L, "purchase", 9.0), (4L, 4000000L * 1000, 2L, "error", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{\"k\": 2}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val fin = spark.read.parquet(target).collect()
+      assert(fin.length == 1)
+      assert(fin.head.getAs[Long]("user_id") == 1L)
+      assert(fin.head.getAs[String]("operation") == "UPDATE")
+    } finally q.stop()
+  }
+
+  test("session windows emit gap-based sessions") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val normalized = ms.toDF().select(col("event_id"), col("user_id"),
+      col("event_type").as("operation"), col("ts_us"), col("value"))
+    val sess = CdcStreams.sessionWindows(normalized)
+    // session windows only support Append mode: sessions emit once the
+    // watermark (1h delay) passes their close; push it with late dummy events
+    val q = sess.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val base = 1704067200L * 1000000L
+      ms.addData(
+        evRow(1, base, 1, "UPDATE", 1.0),
+        evRow(2, base + 60L * 1000000, 1, "UPDATE", 1.0), // same session
+        evRow(3, base + 7200L * 1000000, 1, "UPDATE", 1.0)) // new session (2h later)
+      q.processAllAvailable()
+      // watermark pusher: user 99 far in the future finalizes user 1 sessions
+      ms.addData(evRow(4, base + 24L * 3600 * 1000000, 99, "UPDATE", 0.0))
+      q.processAllAvailable()
+      ms.addData(evRow(5, base + 48L * 3600 * 1000000, 99, "UPDATE", 0.0))
+      q.processAllAvailable()
+      val n = spark.table("sess").filter(col("user_id") === 1).count()
+      assert(n == 2, s"expected 2 sessions for user 1, got $n")
+    } finally q.stop()
+  }
+}
