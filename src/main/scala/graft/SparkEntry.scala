@@ -35,6 +35,8 @@ object SparkEntry {
     "cdc_enrich" -> ((s, d) => Cdc.enrich(s, d)),
     "cdc_dedup_once" -> ((s, d) => Cdc.dedupExactlyOnce(s, d)),
     "cdc_snapshot_merge" -> ((s, d) => Cdc.snapshotMerge(s, d)),
+    "cdc_time_travel" -> ((s, d) => Cdc.timeTravel(s, d)),
+    "cdc_asof_join" -> ((s, d) => Cdc.asofJoin(s, d)),
     // TPC-H analytics (#13-24)
     "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Tpch.q3ShippingPriority(s, d)),
@@ -159,6 +161,26 @@ object SparkEntry {
          |  round(CASE WHEN c.cu IS NOT NULL THEN c.cv ELSE s.value END, 2) AS value
          |FROM snap s FULL OUTER JOIN cur c ON s.user_id = c.cu
          |WHERE coalesce(c.operation, '') <> 'DELETE'""".stripMargin,
+    "cdc_time_travel" ->
+      s"""$logCte,
+         |h AS (SELECT user_id, event_id, operation, round(value, 2) AS value,
+         |        seq_us AS valid_from_us,
+         |        lead(seq_us) OVER (PARTITION BY user_id ORDER BY seq_us, event_id) AS vt
+         |      FROM log)
+         |SELECT user_id, event_id, operation, value FROM h
+         |WHERE valid_from_us <= 1705276800000000
+         |  AND (vt IS NULL OR vt > 1705276800000000)
+         |  AND operation <> 'DELETE'""".stripMargin,
+    "cdc_asof_join" ->
+      """WITH lg AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |p AS (SELECT * FROM lg WHERE event_type = 'purchase'),
+        |o AS (SELECT * FROM lg WHERE event_type <> 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  o.event_id AS prior_event_id, o.ts_us AS prior_ts_us,
+        |  round(o.value, 2) AS prior_value,
+        |  p.ts_us - o.ts_us AS wait_us
+        |FROM p ASOF LEFT JOIN o
+        |  ON p.user_id = o.user_id AND p.ts_us >= o.ts_us""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,

@@ -146,6 +146,54 @@ object Cdc {
         dayofmonth(col("tsx")).cast("long").as("d"), hour(col("tsx")).cast("long").as("h"),
         dayofweek(col("tsx")).isin(1, 7).as("is_weekend"))
 
+  /** #46 Time travel: the state of every entity as of a fixed point in time,
+    * reconstructed from the SCD2 interval table (reference queries Delta
+    * tables with timestampAsOf, notebooks/demo/unity_catalog_cdc_demo.py:
+    * 573-592 — here the history itself answers point-in-time queries, no
+    * table format needed). T = 2024-01-15T00:00:00Z.
+    */
+  val TimeTravelUs: Long = 1705276800000000L
+
+  def timeTravel(spark: SparkSession, dir: String): DataFrame =
+    scd2History(spark, dir)
+      .filter(col("valid_from_us") <= TimeTravelUs &&
+        col("valid_to_us") > TimeTravelUs &&
+        col("operation") =!= "DELETE")
+      .select("user_id", "event_id", "operation", "value")
+
+  /** #47 As-of join: each purchase event matched to the user's latest prior
+    * (or simultaneous) non-purchase event — the point-in-time dimension
+    * lookup every CDC consumer needs. Spark-first via the union+window
+    * trick: tag both sides, one sort per user, carry the last right-side
+    * row forward — a single shuffle, no range self-join blowup. The right
+    * side sorts before the left at equal timestamps to match ASOF's
+    * inclusive (>=) semantics.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val lg = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_type"), col("value"))
+    val left = lg.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"), lit(1).as("side"))
+    val right = lg.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"), lit(0).as("side"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    right.unionByName(left)
+      .withColumn("prior_event_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("prior_ts_us",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .withColumn("prior_value",
+        last(when(col("side") === 0, col("value")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("prior_event_id"), col("prior_ts_us"),
+        round(col("prior_value"), 2).as("prior_value"),
+        (col("ts_us") - col("prior_ts_us")).as("wait_us"))
+  }
+
   /** #11 Exactly-once dedup: duplicate deliveries (simulated re-delivery of
     * ~30% of the stream) collapsed to one row per event_id (reference
     * guarantees this via offset checkpointing,

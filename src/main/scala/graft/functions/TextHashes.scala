@@ -82,6 +82,43 @@ object TextHashes {
     minH
   }
 
+  /** MinHash signature over 3-token shingles, one pass: each shingle is
+    * FNV-hashed once, then mixed per hash-function with an xorshift-style
+    * finalizer — O(shingles × k) cheap ops instead of k tokenization passes.
+    */
+  def minhashSig(s: UTF8String, k: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val sig = Array.fill(k)(Long.MaxValue)
+    // starts of the current token (t0), previous (t1), two-ago (t2)
+    var t0 = 0; var t1 = -1; var t2 = -1
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' '.toByte) {
+        // token ended at i; shingle = [t2 .. i) covers 3 tokens when t2 >= 0
+        if (t2 >= 0) {
+          val h = fnv1a64(bytes, t2, i)
+          var j = 0
+          while (j < k) {
+            // splitmix64-style per-function mix
+            var z = h + (j + 1) * 0x9e3779b97f4a7c15L
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            z ^= (z >>> 31)
+            if (z < sig(j)) sig(j) = z
+            j += 1
+          }
+        }
+        // advance token window
+        t2 = t1; t1 = t0; t0 = i + 1
+        // skip consecutive spaces
+        while (i + 1 < n && bytes(i + 1) == ' '.toByte) { i += 1; t0 = i + 1 }
+      }
+      i += 1
+    }
+    sig
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double
     * (sequential order — bit-identical to DuckDB's double-cast
     * list_cosine_similarity, which the oracle uses).

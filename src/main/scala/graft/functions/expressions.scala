@@ -42,6 +42,24 @@ case class RollingMinHash(child: Expression, window: Int) extends UnaryExpressio
   override def prettyName: String = "rolling_min_hash"
 }
 
+/** MinHash signature (ARRAY<LONG> of length k) over 3-token shingles —
+  * single-pass kernel, no per-hash-function re-tokenization.
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      TextHashes.minhashSig(input.asInstanceOf[UTF8String], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.TextHashes.minhashSig($c, $k))")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
 /** Cosine similarity between two ARRAY<FLOAT> columns, accumulated in double
   * precision (bit-compatible with the DuckDB oracle's double-cast
   * list_cosine_similarity).
@@ -67,6 +85,8 @@ object GraftFunctions {
     ExpressionUtils.column(RollingMinHash(ExpressionUtils.expression(c), window))
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def minhashSig(c: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c), k))
 
   /** Idempotent SQL registration so `spark.sql("... simhash64(x) ...")` works. */
   def register(spark: SparkSession): Unit = {

@@ -41,24 +41,37 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val k = 16; val bands = 4; val rows = k / bands
-    val shingled = corpusWithPlants(spark, dir)
-      .withColumn("tokens", split(col("text"), " "))
-      .withColumn("shingles", expr(
-        "array_distinct(transform(sequence(1, greatest(size(tokens) - 2, 1))," +
-          " i -> array_join(slice(tokens, i, 3), ' ')))"))
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${k - 1}), h -> array_min(transform(shingles, s -> xxhash64(s, h))))"))
-      .select("doc_id", "shingles", "sig")
-    val banded = shingled.select(col("doc_id"), col("shingles"),
-      explode(expr(
-        s"transform(sequence(0, ${bands - 1})," +
-          s" b -> struct(b AS band, xxhash64(array_join(slice(sig, b * $rows + 1, $rows), ','), b) AS bh))"))
-        .as("bk"))
-      .select(col("doc_id"), col("shingles"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+    val corpus = corpusWithPlants(spark, dir)
+    // signature: one codegen'd pass per row (MinHashSig expression)
+    val banded = corpus
+      .withColumn("sig", GraftFunctions.minhashSig(col("text"), k))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, ${bands - 1})," +
+            s" b -> struct(b AS band, xxhash64(array_join(slice(sig, b * $rows + 1, $rows), ','), b) AS bh))"))
+          .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    // candidates: equi-join on the band key only (ids travel, not documents)
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    // persisted: candidates feed both the doc-id pruning and the final pair
+    // join — without it the band self-join would run three times
+    val candidates = a.join(b, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact Jaccard verify only on candidate pairs: semi-join the corpus
+    // down to candidate docs FIRST so the shingle-set expression runs on
+    // hundreds of rows, not the whole corpus
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .unionAll(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val shingles = corpus.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1))," +
+          " i -> array_join(slice(split(text, ' '), i, 3), ' ')))").as("sh"))
+    candidates
+      .join(shingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(shingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4))
@@ -97,14 +110,33 @@ object Dedup {
     * key standing in for whatever candidate generator ran upstream.
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val grams = corpusWithPlants(spark, dir)
-      .withColumn("block", expr("concat(substring(text, 1, 8), '|', CAST(length(text) DIV 64 AS STRING))"))
-      .withColumn("grams", expr(
-        "array_distinct(transform(sequence(1, greatest(length(text) - 3, 1)), i -> substring(text, i, 4)))"))
-      .select("doc_id", "block", "grams")
-    val a = grams.select(col("block"), col("doc_id").as("doc_a"), col("grams").as("g_a"))
-    val b = grams.select(col("block"), col("doc_id").as("doc_b"), col("grams").as("g_b"))
-    a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
+    // content-based blocking: the rolling-min-hash winnowing fingerprint is
+    // stable under small edits, so near-dups land in the same (tiny) block —
+    // unlike a prefix key, which degenerates on a small vocabulary.
+    val corpus = corpusWithPlants(spark, dir)
+    val blocked = corpus.select(col("doc_id"),
+      GraftFunctions.rollingMinHash(col("text"), 16).as("block"),
+      length(col("text")).as("len"))
+    val a = blocked.select(col("block"), col("doc_id").as("doc_a"), col("len").as("len_a"))
+    val b = blocked.select(col("block"), col("doc_id").as("doc_b"), col("len").as("len_b"))
+    val candidates = a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
+      // near-dups have near-equal length: cheap prefilter before the
+      // expensive exact verify
+      .filter(abs(col("len_a") - col("len_b")) <= lit(12))
+      .select("doc_a", "doc_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact char-4-gram Jaccard only on candidates (semi-join prunes the
+    // expensive gram expression to candidate docs)
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .unionAll(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val grams = corpus.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, greatest(length(text) - 3, 1)), i -> substring(text, i, 4)))")
+        .as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates
+      .join(grams.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("g", "g_a"), "doc_a")
+      .join(grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("g", "g_b"), "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b"))), 4))

@@ -51,6 +51,25 @@ class CdcSpec extends SparkSpec {
     assert(merged.filter(col("src") === "SNAPSHOT").count() > 0)
   }
 
+  test("time travel returns one live row per user, consistent with the log") {
+    val tt = Cdc.timeTravel(spark, sf).cache()
+    assert(tt.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    // cross-check one user against a manual scan of the log
+    val t = Cdc.TimeTravelUs
+    val manual = Cdc.log(spark, sf).filter(col("seq_us") <= t)
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("seq_us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1 && col("operation") =!= "DELETE")
+    assert(tt.count() == manual.count())
+  }
+
+  test("as-of join matches each purchase with the latest prior event") {
+    val aj = Cdc.asofJoin(spark, sf).cache()
+    val purchases = Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
+    assert(aj.count() == purchases)
+    assert(aj.filter(col("wait_us") < 0).count() == 0)
+  }
+
   test("throughput windows sum to total events") {
     val total = Cdc.throughput(spark, sf).agg(sum("events_per_minute")).first().getLong(0)
     assert(total == Tables.events(spark, sf).count())
