@@ -68,7 +68,14 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, d) => Similarity.annCosineTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "mm_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
-    "mm_decode_stub" -> ((s, d) => Multimodal.decodeStub(s, d).toDF())
+    "mm_decode_stub" -> ((s, d) => Multimodal.decodeStub(s, d).toDF()),
+    // custom DataSource V2 (rows-only: synthetic, no oracle table)
+    "src_cdcgen_stats" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("cdcgen").option("rows", 10000).option("partitions", 8).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    })
   )
 
   /** Shared DuckDB CTE: the normalized CDC log (mirror of Cdc.log). */

@@ -71,6 +71,10 @@ class DedupSpec extends SparkSpec {
       assert(r.getLong(1) == TextHashes.simhash64(t))
       assert(r.getLong(2) == TextHashes.rollingMinHash(t, 32))
     }
+    // extensions-injected minhash_sig length check via the wrapper
+    val sig = Tables.documents(spark, sf).limit(5)
+      .select(GraftFunctions.minhashSig(col("text"), 16).as("sig"))
+    sig.collect().foreach(r => assert(r.getSeq[Long](0).length == 16))
     // SQL registration path
     GraftFunctions.register(spark)
     Tables.documents(spark, sf).limit(1).createOrReplaceTempView("t_docs")
