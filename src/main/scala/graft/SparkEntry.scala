@@ -44,6 +44,8 @@ object SparkEntry {
     "q10_returned_revenue" -> ((s, d) => Tpch.q10ReturnedRevenue(s, d)),
     "q_brand_revenue" -> ((s, d) => Tpch.qBrandRevenue(s, d)),
     "q_top_parts_per_brand" -> ((s, d) => Tpch.qTopPartsPerBrand(s, d)),
+    // same semantics via the custom TopKPerGroup physical operator
+    "q_topk_custom" -> ((s, d) => Tpch.qTopPartsPerBrandCustom(s, d)),
     "q_rollup_revenue" -> ((s, d) => Tpch.qRollupRevenue(s, d)),
     "q_cust_with_orders_semi" -> ((s, d) => Tpch.qCustWithOrdersSemi(s, d)),
     "q_cust_no_orders_anti" -> ((s, d) => Tpch.qCustNoOrdersAnti(s, d)),
@@ -238,6 +240,22 @@ object SparkEntry {
         |WHERE l.l_partkey = p.p_partkey
         |GROUP BY 1, 2""".stripMargin,
     "q_top_parts_per_brand" ->
+      """WITH pr AS (
+        |  SELECT p.p_brand, p.p_partkey,
+        |    CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        |  FROM lineitem l, part p WHERE l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS INT) AS rnk FROM pr)
+        |SELECT p_brand, p_partkey, revenue, rnk FROM rk WHERE rnk <= 3""".stripMargin,
+    "q_topk_custom" ->
+      """WITH pr AS (
+        |  SELECT p.p_brand, p.p_partkey,
+        |    CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        |  FROM lineitem l, part p WHERE l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS INT) AS rnk FROM pr)
+        |SELECT p_brand, p_partkey, revenue, rnk FROM rk WHERE rnk <= 3""".stripMargin,
+    "q_topk_custom" ->
       """WITH pr AS (
         |  SELECT p.p_brand, p.p_partkey,
         |    CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue

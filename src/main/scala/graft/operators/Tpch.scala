@@ -122,6 +122,20 @@ object Tpch {
     perPart.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
   }
 
+  /** #49 Same query through the custom TopKPerGroup physical operator
+    * (graft.plans.TopKPerGroupExec): bounded per-group heaps instead of a
+    * full window sort — identical output, hash-checked against the same
+    * DuckDB oracle as the window version.
+    */
+  def qTopPartsPerBrandCustom(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(sum2(revenue).as("revenue"))
+    graft.plans.TopK.topKPerGroup(perPart, Seq("p_brand"),
+      Seq(("revenue", true), ("p_partkey", false)), 3)
+  }
+
   /** #19 ROLLUP hierarchical aggregate. */
   def qRollupRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
