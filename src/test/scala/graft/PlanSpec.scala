@@ -1,0 +1,61 @@
+package graft
+
+/** Plan-quality regression tests: the properties that make these operators
+  * survive 100 TB — filter pushdown to the parquet scan, column pruning,
+  * broadcast joins for dims, minimal shuffle counts — asserted on the
+  * executed plan so a refactor can't silently regress them.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q1: shipdate filter reaches the parquet scan; schema pruned") {
+    val f = formatted("q1_pricing_summary")
+    assert(f.contains("PushedFilters") && f.contains("LessThanOrEqual(l_shipdate"),
+      "shipdate predicate not pushed to scan")
+    assert(!f.contains("l_orderkey"), "reads columns the query never uses")
+  }
+
+  test("q3/q5: dimension joins broadcast, no sort-merge join") {
+    for (q <- Seq("q3_shipping_priority", "q5_region_revenue")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast joins")
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to sort-merge join")
+    }
+    // q5's region/segment equality predicates also pushed
+    val f = formatted("q5_region_revenue")
+    assert(f.contains("EqualTo(r_name,ASIA)"))
+  }
+
+  test("sessionize: exactly one exchange (both windows + agg share it)") {
+    val p = planOf("ev_sessionize")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle, plan has $exchanges:\n$p")
+  }
+
+  test("scd1 rank: partial WindowGroupLimit before the shuffle") {
+    val p = planOf("cdc_current_scd1")
+    assert(p.contains("WindowGroupLimit"), "rank<=1 not group-limited before shuffle")
+  }
+
+  test("ann: query set broadcast against linear corpus scan") {
+    val p = planOf("ann_cosine_topk")
+    assert(p.contains("BroadcastExchange"), "query set should broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("cosine_sim"), "custom expression missing from plan")
+  }
+
+  test("aggregations are partial (map-side combine) for the monitoring queries") {
+    for (q <- Seq("cdc_table_stats", "ev_windowed_counts", "q_brand_revenue")) {
+      val p = planOf(q)
+      // partial + final pairs: two HashAggregates around the exchange
+      val aggs = "HashAggregate".r.findAllIn(p).length
+      assert(aggs >= 2, s"$q lacks partial aggregation:\n$p")
+    }
+  }
+}
