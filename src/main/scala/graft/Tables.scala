@@ -45,4 +45,29 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** CDC envelopes arrive as JSON lines off the wire in the reference's
+    * Debezium variant (debezium-approach/notebooks/dlt_cdc_pipeline.py:
+    * 112-140) — same schema contract, different container. `multiLine`
+    * stays off so the reader splits files by line and scales per-block.
+    */
+  def eventsFromJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventsSchema).json(path)
+
+  /** CSV flavor of the same envelope (header, explicit schema — never
+    * inferSchema on a 100 TB directory).
+    */
+  def eventsFromCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventsSchema).option("header", "true").csv(path)
+
+  /** Date-partitioned parquet write (reference partitions its Delta targets
+    * by date parts, cdc_500_tables_streaming.py:285). Partition column count
+    * stays low-cardinality (day precision) so the file count scales with
+    * days, not keys.
+    */
+  def writeDatePartitioned(df: DataFrame, tsUsCol: String, outPath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("__d", to_date(timestamp_micros(col(tsUsCol))))
+      .write.mode("overwrite").partitionBy("__d").parquet(outPath)
+  }
 }

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities.
+  *
+  * At 100 TB a handful of hot keys (one table producing most CDC traffic —
+  * the reference's priority tables, table_manager.py:172-204) can pin a
+  * single reducer. `saltedSumCount` runs the classic two-stage aggregation:
+  * stage 1 groups on (key, salt) spreading each hot key over `salts`
+  * reducers with map-side partial aggregation; stage 2 merges the per-salt
+  * partials. AQE's skew handling covers joins; this covers aggregations.
+  */
+object Skew {
+
+  /** Two-stage salted sum/count for the named numeric column. Returns
+    * (keyCols..., sum_<col>, cnt) — identical to a direct groupBy, but no
+    * reducer sees more than ~1/salts of any key's rows.
+    */
+  def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      salts: Int = 16): DataFrame = {
+    val keys: Seq[Column] = keyCols.map(col)
+    val salted = df.withColumn("__salt", pmod(crc32(col(valueCol).cast("string")), lit(salts)))
+    val partial = salted
+      .groupBy((keys :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+    partial
+      .groupBy(keys: _*)
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"), sum(col("__pcnt")).as("cnt"))
+  }
+}

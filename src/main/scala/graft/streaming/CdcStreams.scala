@@ -87,6 +87,71 @@ object CdcStreams {
       }
   }
 
+  /** Stream-static enrichment: join the CDC stream against a broadcast
+    * dimension snapshot (the reference resolves table/PK metadata per event
+    * the same way, aurora_cdc_datasource_v2.py:387-399). Stream-static
+    * joins never shuffle the stream side when the static side broadcasts.
+    */
+  def enriched(normalized: DataFrame, dim: DataFrame, dimKey: String): DataFrame =
+    normalized.join(broadcast(dim), normalized("user_id") === dim(dimKey), "left")
+
+  case class SessionOut(user_id: Long, n_events: Long, session_value: Double,
+      start_us: Long, end_us: Long)
+  case class SessState(n: Long, value: Double, startUs: Long, lastUs: Long)
+
+  /** Custom gap-session tracking with flatMapGroupsWithState: emits a
+    * session row when the 30-minute gap elapses in EVENT time (watermark-
+    * driven EventTimeTimeout — no busy polling), keeping one small state
+    * record per active user — the hand-rolled equivalent of session_window
+    * for semantics it can't express (per-event state updates, custom
+    * emission).
+    */
+  case class EvW(event_id: Long, ts_us: Long, user_id: Long, value: Double,
+      tsx: java.sql.Timestamp)
+
+  def sessionState(normalized: DataFrame)(implicit spark: SparkSession): Dataset[SessionOut] = {
+    implicit val evEnc = Encoders.product[EvW]
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val stEnc = Encoders.product[SessState]
+    val gapUs = 30L * 60 * 1000000
+    normalized
+      .withColumn("tsx", timestamp_micros(col("ts_us")))
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("value"), col("tsx"))
+      .withWatermark("tsx", "10 minutes")
+      .as[EvW]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[EvW], state: GroupState[SessState]) =>
+          var closed = List.empty[SessionOut]
+          var cur = state.getOption
+          if (state.hasTimedOut) {
+            cur.foreach(s => closed ::= SessionOut(uid, s.n, s.value, s.startUs, s.lastUs))
+            state.remove()
+            closed.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+                  cur = Some(SessState(s.n + 1, s.value + e.value, s.startUs, e.ts_us))
+                case Some(s) =>
+                  closed ::= SessionOut(uid, s.n, s.value, s.startUs, s.lastUs)
+                  cur = Some(SessState(1, e.value, e.ts_us, e.ts_us))
+                case None =>
+                  cur = Some(SessState(1, e.value, e.ts_us, e.ts_us))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes last event + gap
+              state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Batch MERGE used from foreachBatch: apply a micro-batch of CDC events
     * onto a parquet target — latest-per-key wins, DELETE drops the key
     * (reference: unity_catalog_cdc_demo.py:300-447 does the same with Delta

@@ -94,6 +94,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState closes sessions on gap") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val normalized = ms.toDF().select(col("event_id"), col("user_id"),
+      col("event_type").as("operation"), col("ts_us"), col("value"))
+    val sess = CdcStreams.sessionState(normalized)
+    val q = sess.toDF().writeStream.format("memory").queryName("fsess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val base = 1704067200L * 1000000L
+      ms.addData(
+        evRow(1, base, 5, "UPDATE", 1.0),
+        evRow(2, base + 60L * 1000000, 5, "UPDATE", 2.0))
+      q.processAllAvailable()
+      // watermark pushers (other user, far future) let the event-time
+      // timeout fire and flush user 5's session
+      ms.addData(evRow(3, base + 24L * 3600 * 1000000, 99, "UPDATE", 0.0))
+      q.processAllAvailable()
+      ms.addData(evRow(4, base + 48L * 3600 * 1000000, 99, "UPDATE", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("fsess").filter(col("user_id") === 5).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("n_events") == 2)
+      assert(rows.head.getAs[Double]("session_value") == 3.0)
+    } finally q.stop()
+  }
+
   test("session windows emit gap-based sessions") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Skew-salted aggregation, JSON/CSV envelope ingestion, partitioned write. */
+class UtilSpec extends SparkSpec {
+
+  test("salted aggregation equals direct aggregation") {
+    val ev = Tables.events(spark, sf)
+    val direct = ev.groupBy("event_type")
+      .agg(sum("value").as("s"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2))).toSet
+    val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value", salts = 8)
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("json and csv envelope round-trip through the same schema") {
+    val ev = Tables.events(spark, sf).limit(200)
+    val dir = Files.createTempDirectory("env").toString
+    ev.write.mode("overwrite").json(s"$dir/j")
+    ev.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+    val j = Tables.eventsFromJson(spark, s"$dir/j")
+    val c = Tables.eventsFromCsv(spark, s"$dir/c")
+    assert(j.count() == 200 && c.count() == 200)
+    assert(j.exceptAll(ev).count() == 0)
+    assert(c.select("event_id", "ts", "user_id", "event_type")
+      .exceptAll(ev.select("event_id", "ts", "user_id", "event_type")).count() == 0)
+  }
+
+  test("date-partitioned write produces day directories") {
+    val out = Files.createTempDirectory("part").toString + "/t"
+    Tables.writeDatePartitioned(
+      Tables.events(spark, sf).withColumn("ts_us", expr("ts DIV 1000")),
+      "ts_us", out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("__d=")))
+    assert(dirs.length > 5) // events span a month of days
+    assert(spark.read.parquet(out).count() == Tables.events(spark, sf).count())
+  }
+
+  test("stream-static broadcast enrichment joins without shuffling the stream") {
+    val normalized = graft.streaming.CdcStreams.normalize(Tables.events(spark, sf))
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    val out = graft.streaming.CdcStreams.enriched(normalized, dim, "k")
+    assert(out.count() == normalized.count())
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+}
