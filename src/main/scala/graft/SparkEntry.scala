@@ -52,6 +52,8 @@ object SparkEntry {
     "q_order_priority" -> ((s, d) => Tpch.qOrderPriority(s, d)),
     "q_distinct_counts" -> ((s, d) => Tpch.qDistinctCounts(s, d)),
     "q_approx_distinct" -> ((s, d) => Tpch.qApproxDistinct(s, d)),
+    "q_percentiles" -> ((s, d) => Tpch.qPercentiles(s, d)),
+    "q_stats_corr" -> ((s, d) => Tpch.qStatsCorr(s, d)),
     // Event-stream analytics (#25-28)
     "ev_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
@@ -289,6 +291,19 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_stats_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "ev_sessionize" ->
       """WITH l AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,

@@ -119,6 +119,59 @@ object TextHashes {
     sig
   }
 
+  /** Exact character-n-gram Jaccard between two strings, no array
+    * materialization: distinct gram hashes of `a` into an open-addressed
+    * int-hash set, then probe with `b`'s grams. One pass per string.
+    */
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val ha = gramSet(a.getBytes, n)
+    val hb = gramSet(b.getBytes, n)
+    jaccardOf(ha, hb)
+  }
+
+  /** Exact token-3-shingle Jaccard (the MinHash verify metric), same
+    * hash-set approach over shingle hashes.
+    */
+  def shingleJaccard(a: UTF8String, b: UTF8String): Double =
+    jaccardOf(shingleSet(a.getBytes), shingleSet(b.getBytes))
+
+  private def jaccardOf(ha: java.util.HashSet[Long], hb: java.util.HashSet[Long]): Double = {
+    if (ha.isEmpty && hb.isEmpty) return 1.0
+    var inter = 0
+    val it = hb.iterator()
+    while (it.hasNext) if (ha.contains(it.next())) inter += 1
+    val union = ha.size + hb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  private def gramSet(bytes: Array[Byte], n: Int): java.util.HashSet[Long] = {
+    val s = new java.util.HashSet[Long]()
+    var i = 0
+    val end = math.max(bytes.length - n + 1, if (bytes.length > 0) 1 else 0)
+    while (i < end) {
+      s.add(fnv1a64(bytes, i, math.min(i + n, bytes.length)))
+      i += 1
+    }
+    s
+  }
+
+  private def shingleSet(bytes: Array[Byte]): java.util.HashSet[Long] = {
+    val s = new java.util.HashSet[Long]()
+    val n = bytes.length
+    var t0 = 0; var t1 = -1; var t2 = -1
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' '.toByte) {
+        if (t2 >= 0) s.add(fnv1a64(bytes, t2, i))
+        t2 = t1; t1 = t0; t0 = i + 1
+        while (i + 1 < n && bytes(i + 1) == ' '.toByte) { i += 1; t0 = i + 1 }
+      }
+      i += 1
+    }
+    if (s.isEmpty && n > 0) s.add(fnv1a64(bytes, 0, n)) // <3-token doc
+    s
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double
     * (sequential order — bit-identical to DuckDB's double-cast
     * list_cosine_similarity, which the oracle uses).

@@ -79,6 +79,35 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "cosine_sim"
 }
 
+/** Exact char-n-gram Jaccard similarity of two strings (hash-set kernel,
+  * zero array materialization — the verify stage of near-dup detection).
+  */
+case class NgramJaccard(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.ngramJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashes.ngramJaccard($a, $b, $n)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NgramJaccard =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "ngram_jaccard"
+}
+
+/** Exact token-3-shingle Jaccard of two strings (MinHash verify metric). */
+case class ShingleJaccard(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.shingleJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashes.shingleJaccard($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ShingleJaccard =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "shingle_jaccard"
+}
+
 object GraftFunctions {
   def simhash64(c: Column): Column = ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
   def rollingMinHash(c: Column, window: Int): Column =
@@ -87,6 +116,10 @@ object GraftFunctions {
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def minhashSig(c: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c), k))
+  def ngramJaccard(a: Column, b: Column, n: Int): Column =
+    ExpressionUtils.column(NgramJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b), n))
+  def shingleJaccard(a: Column, b: Column): Column =
+    ExpressionUtils.column(ShingleJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Idempotent SQL registration so `spark.sql("... simhash64(x) ...")` works. */
   def register(spark: SparkSession): Unit = {

@@ -60,21 +60,14 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // exact Jaccard verify only on candidate pairs: semi-join the corpus
-    // down to candidate docs FIRST so the shingle-set expression runs on
-    // hundreds of rows, not the whole corpus
-    val candDocs = candidates.select(col("doc_a").as("doc_id"))
-      .unionAll(candidates.select(col("doc_b").as("doc_id"))).distinct()
-    val shingles = corpus.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1))," +
-          " i -> array_join(slice(split(text, ' '), i, 3), ' ')))").as("sh"))
+    // exact Jaccard verify only on candidate pairs: join the pair ids back
+    // to the raw text and run the hash-set ShingleJaccard kernel — no
+    // shingle-array materialization, no set-op expressions
+    val texts = corpus.select(col("doc_id"), col("text"))
     candidates
-      .join(shingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(shingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("t_a")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("t_b")), "doc_b")
+      .withColumn("jaccard", round(GraftFunctions.shingleJaccard(col("t_a"), col("t_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -125,21 +118,13 @@ object Dedup {
       .filter(abs(col("len_a") - col("len_b")) <= lit(12))
       .select("doc_a", "doc_b").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // exact char-4-gram Jaccard only on candidates (semi-join prunes the
-    // expensive gram expression to candidate docs)
-    val candDocs = candidates.select(col("doc_a").as("doc_id"))
-      .unionAll(candidates.select(col("doc_b").as("doc_id"))).distinct()
-    val grams = corpus.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(1, greatest(length(text) - 3, 1)), i -> substring(text, i, 4)))")
-        .as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact char-4-gram Jaccard only on candidates: hash-set kernel over
+    // the raw texts, no gram-array materialization
+    val texts = corpus.select(col("doc_id"), col("text"))
     candidates
-      .join(grams.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("g", "g_a"), "doc_a")
-      .join(grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("g", "g_b"), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))), 4))
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("t_a")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("t_b")), "doc_b")
+      .withColumn("jaccard", round(GraftFunctions.ngramJaccard(col("t_a"), col("t_b"), 4), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

@@ -176,6 +176,30 @@ object Tpch {
       countDistinct(col("l_suppkey")).as("n_supps"),
       countDistinct(col("l_orderkey")).as("n_orders"))
 
+  /** #50 Exact interpolated percentiles of order value per priority
+    * (Spark `percentile` == DuckDB `quantile_cont`, both 1-based linear
+    * interpolation).
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("round(percentile(o_totalprice, 0.5D), 4)").as("p50"),
+        expr("round(percentile(o_totalprice, 0.95D), 4)").as("p95"),
+        count(lit(1)).as("n"))
+
+  /** #51 Correlation / dispersion statistics (sample semantics both
+    * engines).
+    */
+  def qStatsCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("n"))
+
   /** #24 HLL sketch distinct (rows-only check — approx by construction).
     * The scale answer to #23: constant memory per group, no expand.
     */
