@@ -34,6 +34,43 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** #52 IVF (inverted-file) ANN: k-means centroids partition the corpus;
+    * each query scans only the `nProbe` nearest clusters. MLlib KMeans with
+    * a fixed seed keeps it deterministic. At 100 TB the corpus is stored
+    * cluster-partitioned, so a query touches nProbe/k of the data — the
+    * standard trade of recall for a ~k/nProbe scan cut.
+    */
+  def annIvfTopK(spark: SparkSession, dir: String, k: Int = DefaultK,
+      nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cluster")
+      .fit(e.select("fv"))
+    val assigned = model.transform(e).select(col("vec_id"), col("embedding"), col("cluster"))
+    // query → its nProbe nearest centroids (driver-side: centroids are tiny)
+    val centroids: Array[Array[Float]] =
+      model.clusterCenters.map((v: Vector) => v.toArray.map(_.toFloat))
+    val probeUdf = udf((emb: Array[Float]) =>
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, TextHashes.cosineF(emb, c)) }
+        .sortBy(-_._2).take(nProbe).map(_._1))
+    val q = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(probeUdf(col("embedding"))).as("cluster"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    assigned.select(col("vec_id").as("nid"), col("embedding"), col("cluster"))
+      .join(broadcast(q), Seq("cluster"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
   /** Deterministic random-hyperplane bucket id (sign bits of `nPlanes`
     * projections; plane weights from an LCG keyed by (plane, dim)).
     * Computed with a UDF over the float array — row-local.

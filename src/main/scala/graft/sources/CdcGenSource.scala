@@ -134,16 +134,27 @@ case class CdcGenOffset(count: Long) extends Offset {
 }
 
 class CdcGenMicroBatchStream(rowsPerBatch: Long, maxRows: Long, partitions: Int,
-    seed: Long, baseTsNs: Long, users: Int) extends MicroBatchStream {
+    seed: Long, baseTsNs: Long, users: Int)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
-  // advance from the last PLANNED end, not the commit callback — commit
-  // timing is asynchronous to latestOffset polling and gating on it stalls
-  // the stream after the first micro-batch
-  @volatile private var plannedEnd = 0L
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   override def initialOffset(): Offset = CdcGenOffset(0L)
+
+  /** SupportsAdmissionControl: the engine hands us the true start offset —
+    * essential on checkpoint restart, where the bare latestOffset() has no
+    * way to know where the previous run stopped and would plan backwards
+    * (re-delivering rows).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CdcGenOffset].count
+    CdcGenOffset(math.min(s + rowsPerBatch, maxRows))
+  }
   override def latestOffset(): Offset =
-    CdcGenOffset(math.min(plannedEnd + rowsPerBatch, maxRows))
+    throw new UnsupportedOperationException("latestOffset(start, limit) is used")
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
   override def deserializeOffset(json: String): Offset =
     CdcGenOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(0L))
   override def commit(end: Offset): Unit = ()
@@ -151,7 +162,6 @@ class CdcGenMicroBatchStream(rowsPerBatch: Long, maxRows: Long, partitions: Int,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CdcGenOffset].count
     val e = end.asInstanceOf[CdcGenOffset].count
-    plannedEnd = math.max(plannedEnd, e)
     val total = e - s
     if (total <= 0) return Array.empty
     val per = (total + partitions - 1) / partitions

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bucketing, Similarity}
+
+/** Scale-path operators: IVF ANN recall, bucketed shuffle-free joins. */
+class ScaleSpec extends SparkSpec {
+
+  test("IVF ANN reaches high recall against brute force") {
+    val brute = Similarity.annCosineTopK(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvfTopK(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (4/16 clusters probed)")
+    assert(ivf.size <= brute.size)
+  }
+
+  test("bucketed join plans without exchanges") {
+    val wh = java.nio.file.Files.createTempDirectory("wh").toString
+    Bucketing.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+      "b_orders", "o_orderkey", 8, Some(s"$wh/b_orders"))
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sf).select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "b_lineitem", "o_orderkey", 8, Some(s"$wh/b_lineitem"))
+    val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(exchanges == 0, s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() == Tables.lineitem(spark, sf).count())
+  }
+}
