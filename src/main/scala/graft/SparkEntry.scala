@@ -54,6 +54,11 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Tpch.qApproxDistinct(s, d)),
     "q_percentiles" -> ((s, d) => Tpch.qPercentiles(s, d)),
     "q_stats_corr" -> ((s, d) => Tpch.qStatsCorr(s, d)),
+    "q6_forecast" -> ((s, d) => Tpch.q6Forecast(s, d)),
+    "q14_promo_share" -> ((s, d) => Tpch.q14PromoShare(s, d)),
+    "q18_large_orders" -> ((s, d) => Tpch.q18LargeOrders(s, d)),
+    "q19_disjunction" -> ((s, d) => Tpch.q19Disjunction(s, d)),
+    "q7_nation_volume" -> ((s, d) => Tpch.q7NationVolume(s, d)),
     // Event-stream analytics (#25-28)
     "ev_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
@@ -72,6 +77,7 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, d) => Similarity.annCosineTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "mm_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_decode_stub" -> ((s, d) => Multimodal.decodeStub(s, d).toDF()),
     // custom DataSource V2 (rows-only: synthetic, no oracle table)
     "src_cdcgen_stats" -> ((s, _) => {
@@ -291,6 +297,43 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT round(100.0 *
+        |    CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS promo_share_pct,
+        |  count(*) AS n_items
+        |FROM lineitem l, part p
+        |WHERE l.l_partkey = p.p_partkey
+        |  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT l_orderkey,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey
+        |HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) > 150.0""".stripMargin,
+    "q19_disjunction" ->
+      """SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue, count(*) AS n_items
+        |FROM lineitem l, part p
+        |WHERE l.l_partkey = p.p_partkey AND (
+        |  (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 21) OR
+        |  (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30) OR
+        |  (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40))""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue, count(*) AS n_items
+        |FROM lineitem l, orders o, customer c, supplier s, nation n1, nation n2
+        |WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        |  AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = n1.n_nationkey
+        |  AND s.s_nationkey = n2.n_nationkey AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -376,6 +419,12 @@ object SparkEntry {
         |p AS (SELECT qid, nid, list_cosine_similarity(qe, ce) AS cosr FROM q, c WHERE nid <> qid),
         |r AS (SELECT qid, nid, cosr, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, nid) AS INT) AS rnk FROM p)
         |SELECT qid, nid, round(cosr, 4) AS cos, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, f AS frame_no,
+        |  CAST(least(256, strlen(text) - f * 256) AS BIGINT) AS frame_bytes,
+        |  substr(md5(concat(CAST(doc_id AS VARCHAR), '_', CAST(f AS VARCHAR))), 1, 12) AS frame_key
+        |FROM documents,
+        |  UNNEST(range(0, CAST(floor(strlen(text) / 256.0) AS BIGINT) + 1)) AS t(f)""".stripMargin,
     "mm_media_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS media_bytes,
         |  hex(substring(text, 1, 4)) AS magic,

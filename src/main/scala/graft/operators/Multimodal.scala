@@ -29,6 +29,22 @@ object Multimodal {
       "64 + (doc_id * 7) % 1024 AS fake_height",
       "1 + CAST(floor(octet_length(text) / 256.0) AS BIGINT) AS n_frames")
 
+  /** #54 Frame sampling: fan each payload out into fixed-size frame rows
+    * (video-frame / audio-chunk shape). The explode happens executor-side
+    * on a `sequence` column — no driver involvement, output rows ∝ total
+    * bytes / frame size. Frame ids are content-addressable (md5-derived)
+    * so downstream dedup can run per frame.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).selectExpr(
+      "doc_id",
+      "CAST(octet_length(text) AS BIGINT) AS media_bytes",
+      "explode(sequence(0, CAST(floor(octet_length(text) / 256.0) AS BIGINT))) AS frame_no")
+      .selectExpr(
+        "doc_id", "frame_no",
+        "CAST(least(256, media_bytes - frame_no * 256) AS BIGINT) AS frame_bytes",
+        "substr(md5(concat(CAST(doc_id AS STRING), '_', CAST(frame_no AS STRING))), 1, 12) AS frame_key")
+
   case class MediaIn(doc_id: Long, payload: Array[Byte])
   case class MediaFeat(doc_id: Long, n_bytes: Int, mean_byte: Double, feat: Array[Float])
 

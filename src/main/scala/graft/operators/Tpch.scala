@@ -176,6 +176,65 @@ object Tpch {
       countDistinct(col("l_suppkey")).as("n_supps"),
       countDistinct(col("l_orderkey")).as("n_orders"))
 
+  /** #55 Q6 forecast-revenue: pure filter + scalar aggregate — the pushdown
+    * showcase (every predicate reaches the scan).
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(sum2(dm(col("l_extendedprice")) * col("l_discount").cast(PCT)).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** #56 Q14-style promo revenue share: conditional aggregate ratio. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = revenue
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1997-07-01"))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(PRICE))).cast("double") /
+          sum(rev).cast("double"), 4).as("promo_share_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** #57 Q18-style large orders: aggregate + HAVING. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum2(dm(col("l_quantity"))).as("total_qty"), count(lit(1)).as("n_lines"))
+      .filter(col("total_qty") > 150.0)
+
+  /** #58 Q19-style disjunctive predicate pushdown: OR across brand/size/
+    * quantity bands — Catalyst must keep the disjunction scan-side.
+    */
+  def q19Disjunction(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity") >= 1 && col("l_quantity") <= 21) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) && col("l_quantity") >= 10 && col("l_quantity") <= 30) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity") >= 20 && col("l_quantity") <= 40))
+      .agg(sum2(revenue).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  /** #59 Q7-style volume by (customer nation, supplier nation) pair. */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir).select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    val n2 = Tables.nation(spark, dir).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("ck"))
+      .join(broadcast(n2), col("s_nationkey") === col("sk"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy("cust_nation", "supp_nation")
+      .agg(sum2(revenue).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
   /** #50 Exact interpolated percentiles of order value per priority
     * (Spark `percentile` == DuckDB `quantile_cont`, both 1-based linear
     * interpolation).
