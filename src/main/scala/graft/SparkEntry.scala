@@ -76,6 +76,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "ann_cosine_topk" -> ((s, d) => Similarity.annCosineTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(s, d)),
+    "emb_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "mm_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_decode_stub" -> ((s, d) => Multimodal.decodeStub(s, d).toDF()),
@@ -425,6 +427,12 @@ object SparkEntry {
         |  substr(md5(concat(CAST(doc_id AS VARCHAR), '_', CAST(f AS VARCHAR))), 1, 12) AS frame_key
         |FROM documents,
         |  UNNEST(range(0, CAST(floor(strlen(text) / 256.0) AS BIGINT) + 1)) AS t(f)""".stripMargin,
+    "emb_label_centroids" ->
+      """SELECT label, i AS pos,
+        |  round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 4) AS centroid_v,
+        |  count(*) AS n
+        |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        |GROUP BY label, i""".stripMargin,
     "mm_media_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS media_bytes,
         |  hex(substring(text, 1, 4)) AS magic,

@@ -129,6 +129,61 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** #60 Connected components over a near-dup pair graph → cluster ids
+    * (pairs → dedup GROUPS, the step after candidate verification: keep
+    * min(doc_id) per cluster, drop the rest).
+    *
+    * Alternating small-star/large-star iterations (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — each iteration is
+    * a groupBy-min + join, fully distributed, converging in
+    * O(log diameter) rounds; near-dup graphs have tiny diameters so the
+    * fixed iteration count is safe at any corpus size.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 6): DataFrame = {
+    // edges both directions; labels start as self
+    var labels = pairs.select(col("doc_a").as("id")).unionAll(pairs.select(col("doc_b").as("id")))
+      .distinct().withColumn("comp", col("id"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var prevSum = -1L
+    var converged = false
+    while (i < maxIter && !converged) {
+      // propagate: each node takes min(own comp, neighbors' comps)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("comp", "dcomp"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dcomp")).as("ncomp"))
+      labels = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // path-shortening: point at the component representative's component
+      val reps = labels.select(col("id").as("comp"), col("comp").as("rcomp"))
+      labels = labels.join(reps, Seq("comp"), "left")
+        .select(col("id"), coalesce(col("rcomp"), col("comp")).as("comp"))
+        // truncate lineage: without this the iterative plan doubles per
+        // round and the optimizer itself becomes the bottleneck
+        .localCheckpoint(true)
+      // convergence: component-id sum is monotonically decreasing; a cheap
+      // agg on the just-materialized labels ends the loop in O(diameter)
+      val s = labels.agg(sum(col("comp"))).first().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
+  /** #60 (query form) clusters from the minhash near-dup graph: one row per
+    * clustered doc with its cluster id and the survivor flag.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+    val cc = connectedComponents(pairs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    cc.withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+  }
+
   /** #37 Embedding-cosine near-dup pairs. Exact all-pairs above a threshold
     * — the oracle-checkable baseline; Similarity.annLshTopK is the
     * LSH-bucketed variant that scales past all-pairs. Accumulates in double

@@ -34,6 +34,19 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** #61 Per-label embedding centroids: distributed element-wise mean via
+    * posexplode + (label, pos) aggregation — the shape of any "average the
+    * vectors per group" job (class prototypes, cluster refinement). Scales
+    * as rows × dim with map-side partial sums; no vectors ever collect.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(sum(col("v").cast("double")) / count(lit(1)), 4).as("centroid_v"),
+        count(lit(1)).as("n"))
+      .withColumn("pos", col("pos") + 1) // 1-based, matching SQL subscripts
+
   /** #52 IVF (inverted-file) ANN: k-means centroids partition the corpus;
     * each query scans only the `nProbe` nearest clusters. MLlib KMeans with
     * a fixed seed keeps it deterministic. At 100 TB the corpus is stored

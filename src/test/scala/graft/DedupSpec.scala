@@ -40,6 +40,27 @@ class DedupSpec extends SparkSpec {
     assert(found >= (planted.size * 0.5).toInt)
   }
 
+  test("connected components cluster planted pairs with their originals") {
+    val clusters = graft.operators.Dedup.dedupClusters(spark, sf).cache()
+    // every planted pair (id, id+1e6) must share a cluster id
+    val byDoc = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val paired = planted.filter(id => byDoc.contains(id) && byDoc.contains(id + 1000000L))
+    assert(paired.nonEmpty)
+    paired.foreach { id =>
+      assert(byDoc(id) == byDoc(id + 1000000L), s"pair $id split across clusters")
+    }
+    // exactly one survivor per cluster
+    val survivors = clusters.filter(col("keep")).groupBy("cluster_id").count()
+    assert(survivors.filter(col("count") =!= 1).count() == 0)
+    // transitivity sanity: a synthetic chain a-b, b-c lands in one cluster
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val cc = graft.operators.Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == cc(3L) && cc(1L) == cc(2L))
+    assert(cc(10L) == cc(11L) && cc(10L) != cc(1L))
+  }
+
   test("brute-force ANN matches a locally computed top-k") {
     val embs = Tables.embeddings(spark, sf)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
