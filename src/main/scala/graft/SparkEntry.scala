@@ -383,7 +383,8 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "doc_tokens" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
-        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS BIGINT) AS n_tokens_re
         |FROM documents""".stripMargin,
     "doc_quality" ->
       """WITH b AS (

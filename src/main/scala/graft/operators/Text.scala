@@ -23,7 +23,10 @@ object Text {
     Tables.documents(spark, dir).selectExpr(
       "doc_id",
       "CAST(length(text) AS BIGINT) AS n_chars_calc",
-      s"$nTokens AS n_tokens")
+      s"$nTokens AS n_tokens",
+      // BPE-ish regex pieces: letter runs and digit runs (escape-free
+      // pattern: Spark and DuckDB string literals escape differently)
+      "CAST(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+', 0)) AS BIGINT) AS n_tokens_re")
 
   /** #30 Quality scoring: length/stopword ratios composed into one score. */
   def docQuality(spark: SparkSession, dir: String): DataFrame =
