@@ -64,6 +64,8 @@ object SparkEntry {
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
     "ev_user_stats" -> ((s, d) => Events.userStats(s, d)),
     "ev_windowed_counts" -> ((s, d) => Events.windowedCounts(s, d)),
+    "ev_retention_cohorts" -> ((s, d) => Events.retentionCohorts(s, d)),
+    "q_status_pivot" -> ((s, d) => Tpch.qStatusPivot(s, d)),
     // Text / LLM-pipeline ops (#29-41)
     "doc_tokens" -> ((s, d) => Text.docTokens(s, d)),
     "doc_quality" -> ((s, d) => Text.docQuality(s, d)),
@@ -381,6 +383,20 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+        |s AS (SELECT user_id, min(day) AS cohort_day FROM e WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT s.cohort_day, e.day - s.cohort_day AS day_offset,
+        |  count(DISTINCT e.user_id) AS active_users, count(*) AS n_events
+        |FROM e JOIN s ON e.user_id = s.user_id
+        |WHERE e.day - s.cohort_day >= 0
+        |GROUP BY 1, 2""".stripMargin,
+    "q_status_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "doc_tokens" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,

@@ -64,6 +64,23 @@ object Events {
         min(col("ts_us")).as("first_seen_us"),
         max(col("ts_us")).as("last_seen_us"))
 
+  /** #63 Retention cohorts: users bucketed by signup day, activity counted
+    * per days-since-signup offset. Two aggregations, both partial-agg
+    * friendly; the cohort key keeps cardinality ≈ days × days.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withTs(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(expr("ts_us DIV 86400000000")).as("cohort_day"))
+    ev.join(signups, "user_id")
+      .withColumn("day_offset", expr("ts_us DIV 86400000000") - col("cohort_day"))
+      .filter(col("day_offset") >= 0)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** #28 5-minute tumbling window counts per event type — the batch shape of
     * the streaming monitoring query (reference:
     * cdc_500_tables_streaming.py:373-392).

@@ -259,6 +259,19 @@ object Tpch {
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("n"))
 
+  /** #62 Pivot / crosstab: order counts + revenue per priority pivoted over
+    * order status — groupBy().pivot() reshapes in one aggregation pass
+    * (values enumerated, so the plan stays a single shuffle).
+    */
+  def qStatusPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+      .withColumnRenamed("P", "n_p")
+
   /** #24 HLL sketch distinct (rows-only check — approx by construction).
     * The scale answer to #23: constant memory per group, no expand.
     */
