@@ -79,6 +79,8 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, d) => Similarity.annCosineTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "emb_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    // sketch aggregate (rows-only: hash-seeded signature)
+    "sim_supplier_assortment" -> ((s, d) => Similarity.supplierAssortmentSim(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "mm_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),

@@ -34,6 +34,23 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** #64 Supplier-assortment similarity via the MinHashAgg sketch
+    * aggregate: each supplier's set of shipped part keys collapses to a
+    * k=64 signature (map-side partial agg, O(k) state), then pairwise
+    * estimated Jaccard — no set join ever materializes.
+    */
+  def supplierAssortmentSim(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import graft.functions.MinHashAgg
+    val sigs = Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey")
+      .agg(MinHashAgg.minhashAgg(col("l_partkey"), k).as("sig"))
+    val a = sigs.select(col("l_suppkey").as("supp_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("l_suppkey").as("supp_b"), col("sig").as("sig_b"))
+    a.crossJoin(b).filter(col("supp_a") < col("supp_b"))
+      .select(col("supp_a"), col("supp_b"),
+        MinHashAgg.sigJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+  }
+
   /** #61 Per-label embedding centroids: distributed element-wise mean via
     * posexplode + (label, pos) aggregation — the shape of any "average the
     * vectors per group" job (class prototypes, cluster refinement). Scales

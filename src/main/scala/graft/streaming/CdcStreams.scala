@@ -152,6 +152,28 @@ object CdcStreams {
       }
   }
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * signup within the preceding 7 days. Both sides watermarked, so join
+    * state is bounded by watermark + interval — the streaming analog of
+    * the as-of lookup (Cdc.asofJoin) when BOTH sides move.
+    */
+  def purchaseAttribution(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        timestamp_micros(col("ts_us")).as("ptime"))
+      .withWatermark("ptime", "1 hour")
+    val s = signups
+      .select(col("event_id").as("s_event_id"), col("user_id").as("s_user"),
+        timestamp_micros(col("ts_us")).as("stime"))
+      .withWatermark("stime", "1 hour")
+    p.join(s,
+      col("p_user") === col("s_user") &&
+        col("ptime") >= col("stime") &&
+        col("ptime") <= col("stime") + expr("INTERVAL 7 DAYS"))
+      .select(col("p_user").as("user_id"), col("p_event_id"), col("s_event_id"),
+        col("stime"), col("ptime"))
+  }
+
   /** Batch MERGE used from foreachBatch: apply a micro-batch of CDC events
     * onto a parquet target — latest-per-key wins, DELETE drops the key
     * (reference: unity_catalog_cdc_demo.py:300-447 does the same with Delta

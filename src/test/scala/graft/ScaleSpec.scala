@@ -16,6 +16,21 @@ class ScaleSpec extends SparkSpec {
     assert(ivf.size <= brute.size)
   }
 
+  test("MinHashAgg signatures estimate set Jaccard within sketch error") {
+    val est = Similarity.supplierAssortmentSim(spark, sf, k = 128)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // exact Jaccard from the (small at this SF) real sets
+    val sets = Tables.lineitem(spark, sf).select("l_suppkey", "l_partkey")
+      .collect().groupBy(_.getLong(0)).map { case (s, rs) => s -> rs.map(_.getLong(1)).toSet }
+    val pairs = sets.keys.toSeq.sorted.combinations(2).toSeq
+    assert(est.size == pairs.size)
+    pairs.foreach { case Seq(x, y) =>
+      val exact = sets(x).intersect(sets(y)).size.toDouble / sets(x).union(sets(y)).size
+      val e = est((x, y))
+      assert(math.abs(e - exact) < 0.2, s"pair ($x,$y): est $e vs exact $exact")
+    }
+  }
+
   test("bucketed join plans without exchanges") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     Bucketing.writeBucketed(

@@ -123,6 +123,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to signups") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val pms = MemoryStream[Ev]
+    val sms = MemoryStream[Ev]
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("user_id"), col("ts_us"))
+    val joined = CdcStreams.purchaseAttribution(norm(pms.toDF()), norm(sms.toDF()))
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val base = 1704067200L * 1000000L
+      sms.addData(evRow(1, base, 1, "signup", 0.0))
+      pms.addData(
+        evRow(2, base + 3600L * 1000000, 1, "purchase", 5.0), // 1h later: match
+        evRow(3, base + 30L * 86400 * 1000000, 1, "purchase", 5.0)) // 30d later: no
+      q.processAllAvailable()
+      val rows = spark.table("attr").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("p_event_id") == 2L)
+    } finally q.stop()
+  }
+
   test("session windows emit gap-based sessions") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
