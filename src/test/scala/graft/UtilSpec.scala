@@ -41,6 +41,15 @@ class UtilSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == Tables.events(spark, sf).count())
   }
 
+  test("GraftExtensions injects all custom functions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; registration exercised
+    // the attach() path registers the same functions on a live session
+    GraftSession.attach(spark)
+    val r = spark.sql("SELECT simhash64('a b c') AS s, cosine_sim(array(1.0F), array(1.0F)) AS c").first()
+    assert(r.getLong(0) != 0L && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("stream-static broadcast enrichment joins without shuffling the stream") {
     val normalized = graft.streaming.CdcStreams.normalize(Tables.events(spark, sf))
     val dim = Tables.customer(spark, sf)
