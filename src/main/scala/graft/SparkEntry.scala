@@ -47,6 +47,7 @@ object SparkEntry {
     // same semantics via the custom TopKPerGroup physical operator
     "q_topk_custom" -> ((s, d) => Tpch.qTopPartsPerBrandCustom(s, d)),
     "q_rollup_revenue" -> ((s, d) => Tpch.qRollupRevenue(s, d)),
+    "q_cube_revenue" -> ((s, d) => Tpch.qCubeRevenue(s, d)),
     "q_cust_with_orders_semi" -> ((s, d) => Tpch.qCustWithOrdersSemi(s, d)),
     "q_cust_no_orders_anti" -> ((s, d) => Tpch.qCustNoOrdersAnti(s, d)),
     "q_order_priority" -> ((s, d) => Tpch.qOrderPriority(s, d)),
@@ -282,6 +283,11 @@ object SparkEntry {
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q_cust_with_orders_semi" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

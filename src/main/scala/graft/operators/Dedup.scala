@@ -178,7 +178,11 @@ object Dedup {
     * clustered doc with its cluster id and the survivor flag.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the CC loop reads the pair graph three ways (labels init
+    // from both endpoints + edges); without it the whole minhash pipeline
+    // including the verify joins re-executes each time
     val pairs = minhashLsh(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cc = connectedComponents(pairs)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     cc.withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))

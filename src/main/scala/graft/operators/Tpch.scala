@@ -142,6 +142,12 @@ object Tpch {
       .rollup("l_returnflag", "l_linestatus")
       .agg(sum2(revenue).as("revenue"), count(lit(1)).as("n_items"))
 
+  /** #66 CUBE: all grouping-set margins over (returnflag, linestatus). */
+  def qCubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum2(revenue).as("revenue"), count(lit(1)).as("n_items"))
+
   /** #20 Left-semi (EXISTS): customers having an order above 100k. */
   def qCustWithOrdersSemi(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
