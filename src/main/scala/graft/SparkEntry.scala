@@ -86,6 +86,7 @@ object SparkEntry {
     "mm_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_decode_stub" -> ((s, d) => Multimodal.decodeStub(s, d).toDF()),
+    "mm_resize_stub" -> ((s, d) => Multimodal.resizeStub(s, d).toDF()),
     // custom DataSource V2 (rows-only: synthetic, no oracle table)
     "src_cdcgen_stats" -> ((s, _) => {
       import org.apache.spark.sql.functions._

@@ -68,6 +68,36 @@ object Multimodal {
     MediaFeat(m.doc_id, m.payload.length, sum.toDouble / n, hist)
   }
 
+  case class MediaResized(doc_id: Long, n_bytes: Int, out_w: Int, out_h: Int,
+      resized: Array[Float])
+
+  /** #77 Resize stage STUB chained after decode: pools the 8-bucket feature
+    * map down to out_w × out_h (mean pooling — the plumbing a real
+    * image-resize kernel slots into). Demonstrates multi-stage typed media
+    * pipelines: decode → resize runs as ONE partition pass, no
+    * intermediate materialization.
+    */
+  def resizeStub(spark: SparkSession, dir: String, outW: Int = 2, outH: Int = 2): Dataset[MediaResized] = {
+    implicit val enc = Encoders.product[MediaResized]
+    decodeStub(spark, dir).mapPartitions { it =>
+      it.map { m =>
+        val n = outW * outH
+        val pooled = new Array[Float](n)
+        val src = m.feat
+        val stride = math.max(src.length / n, 1)
+        var i = 0
+        while (i < n) {
+          var s = 0f; var c = 0
+          var j = i * stride
+          while (j < math.min((i + 1) * stride, src.length)) { s += src(j); c += 1; j += 1 }
+          pooled(i) = if (c == 0) 0f else s / c
+          i += 1
+        }
+        MediaResized(m.doc_id, m.n_bytes, outW, outH, pooled)
+      }
+    }
+  }
+
   /** #41 Partition-batched decode/feature-extract pipeline (the Scala analog
     * of a mapInPandas batch UDF): one iterator pass per partition, codec
     * state amortized, output is a typed Dataset with the feature vector.
