@@ -66,6 +66,10 @@ object SparkEntry {
     "ev_user_stats" -> ((s, d) => Events.userStats(s, d)),
     "ev_windowed_counts" -> ((s, d) => Events.windowedCounts(s, d)),
     "ev_retention_cohorts" -> ((s, d) => Events.retentionCohorts(s, d)),
+    "ev_running_totals" -> ((s, d) => Events.runningTotals(s, d)),
+    "ev_value_quartiles" -> ((s, d) => Events.valueQuartiles(s, d)),
+    "q_setops" -> ((s, d) => Tpch.qSetOps(s, d)),
+    "doc_normalize" -> ((s, d) => Text.docNormalize(s, d)),
     "q_status_pivot" -> ((s, d) => Tpch.qStatusPivot(s, d)),
     // Text / LLM-pipeline ops (#29-41)
     "doc_tokens" -> ((s, d) => Text.docTokens(s, d)),
@@ -406,6 +410,39 @@ object SparkEntry {
         |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
         |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "ev_running_totals" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_value,
+        |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |    count(*) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg7
+        |FROM e""".stripMargin,
+    "ev_value_quartiles" ->
+      """WITH q AS (
+        |  SELECT event_type, value,
+        |    CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS INT) AS quartile
+        |  FROM events)
+        |SELECT event_type, quartile, count(*) AS n,
+        |  round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
+        |FROM q GROUP BY 1, 2""".stripMargin,
+    "q_setops" ->
+      """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |big AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000),
+        |both_c AS (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM big),
+        |only_b AS (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM big)
+        |SELECT c_custkey, 'building_and_big' AS cohort FROM both_c
+        |UNION ALL
+        |SELECT c_custkey, 'building_only' AS cohort FROM only_b""".stripMargin,
+    "doc_normalize" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '  +', ' ', 'g')) AS norm_hash,
+        |  CAST(length(regexp_replace(trim(lower(text)), '  +', ' ', 'g')) AS BIGINT) AS norm_len
+        |FROM documents""".stripMargin,
     "doc_tokens" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,

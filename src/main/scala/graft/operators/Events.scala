@@ -64,6 +64,36 @@ object Events {
         min(col("ts_us")).as("first_seen_us"),
         max(col("ts_us")).as("last_seen_us"))
 
+  /** #80 Window frames: per-user running cumulative value + 7-event moving
+    * average ordered by time (ROWS BETWEEN frames — one shuffle, one sort).
+    */
+  def runningTotals(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    withTs(spark, dir)
+      .withColumn("cum_value",
+        round(sum(col("value").cast(DecimalType(12, 2)))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .cast("double"))
+      .withColumn("moving_avg7",
+        round(sum(col("value").cast(DecimalType(12, 2)))
+          .over(byUser.rowsBetween(-6, Window.currentRow)).cast("double") /
+          count(lit(1)).over(byUser.rowsBetween(-6, Window.currentRow)), 4))
+      .select("event_id", "user_id", "ts_us", "cum_value", "moving_avg7")
+  }
+
+  /** #81 NTILE quartiles of event value per type (deterministic: ordered by
+    * (value, event_id)).
+    */
+  def valueQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    withTs(spark, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("event_type", "quartile")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 2).as("min_v"),
+        round(max(col("value")), 2).as("max_v"))
+  }
+
   /** #63 Retention cohorts: users bucketed by signup day, activity counted
     * per days-since-signup offset. Two aggregations, both partial-agg
     * friendly; the cohort key keeps cardinality ≈ days × days.

@@ -47,6 +47,16 @@ object Text {
         s"CASE WHEN $theCnt / $nTokens >= 0.03 THEN 'en' ELSE 'und' END AS lang_pred")
       .withColumn("agree", col("lang_pred") === col("lang"))
 
+  /** #79 Text normalization for dedup prep: lowercase, trim, collapse
+    * whitespace — then the content hash of the NORMALIZED form (the hash
+    * two near-identical crawls share even when casing/spacing differ).
+    */
+  def docNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).selectExpr(
+      "doc_id",
+      "md5(regexp_replace(trim(lower(text)), '  +', ' ')) AS norm_hash",
+      "CAST(length(regexp_replace(trim(lower(text)), '  +', ' ')) AS BIGINT) AS norm_len")
+
   /** #32 Exact deduplication: md5 content hash groupBy — at 100 TB this is
     * the canonical single-shuffle dedup (hash is computed map-side; the
     * shuffle key is the 128-bit digest, not the document body).

@@ -278,6 +278,22 @@ object Tpch {
       .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
       .withColumnRenamed("P", "n_p")
 
+  /** #78 Set operations: INTERSECT / EXCEPT between customer cohorts
+    * (planned as semi/anti joins after distinct — no full materialization).
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val bigSpenders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val both = building.intersect(bigSpenders)
+      .withColumn("cohort", lit("building_and_big"))
+    val onlyBuilding = building.except(bigSpenders)
+      .withColumn("cohort", lit("building_only"))
+    both.unionAll(onlyBuilding)
+  }
+
   /** #24 HLL sketch distinct (rows-only check — approx by construction).
     * The scale answer to #23: constant memory per group, no expand.
     */
