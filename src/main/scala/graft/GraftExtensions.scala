@@ -27,5 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
       (es: Seq[Expression]) => MinHashSig(es.head,
         es(1).eval().asInstanceOf[Number].intValue())))
+    e.injectOptimizerRule(_ => graft.plans.RewriteTopK)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

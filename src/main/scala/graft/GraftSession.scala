@@ -34,10 +34,7 @@ object GraftSession {
     */
   def attach(spark: SparkSession): SparkSession = {
     GraftFunctions.register(spark)
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
-    }
+    graft.plans.RewriteTopK.enable(spark) // strategy + window-topk rewrite
     spark
   }
 }
