@@ -91,6 +91,17 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_decode_stub" -> ((s, d) => Multimodal.decodeStub(s, d).toDF()),
     "mm_resize_stub" -> ((s, d) => Multimodal.resizeStub(s, d).toDF()),
+    // multi-table unified envelope (rows-only: one side is the synthetic
+    // cdcgen source, which DuckDB cannot replay)
+    "cdc_multi_table_stats" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val synthetic = s.read.format("cdcgen")
+        .option("rows", 5000).option("partitions", 8).load()
+      graft.streaming.CdcStreams.multiSourceUnion(
+        Seq("events" -> Tables.events(s, d), "synthetic" -> synthetic))
+        .groupBy("src_table", "operation")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    }),
     // custom DataSource V2 (rows-only: synthetic, no oracle table)
     "src_cdcgen_stats" -> ((s, _) => {
       import org.apache.spark.sql.functions._

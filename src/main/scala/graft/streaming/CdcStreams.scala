@@ -87,6 +87,17 @@ object CdcStreams {
       }
   }
 
+  /** Multi-table CDC: tag + union envelopes from heterogeneous sources into
+    * ONE stream (the reference's core claim — 500+ tables through a single
+    * unified envelope, aurora_cdc_datasource_v2.py:55-90 + table registry).
+    * Downstream operators key on (src_table, entity) and the foreachBatch
+    * writer routes by partitionBy(src_table).
+    */
+  def multiSourceUnion(tagged: Seq[(String, DataFrame)]): DataFrame =
+    tagged.map { case (name, df) =>
+      normalize(df).withColumn("src_table", lit(name))
+    }.reduce(_ unionByName _)
+
   /** Stream-static enrichment: join the CDC stream against a broadcast
     * dimension snapshot (the reference resolves table/PK metadata per event
     * the same way, aurora_cdc_datasource_v2.py:387-399). Stream-static

@@ -41,6 +41,24 @@ class UtilSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == Tables.events(spark, sf).count())
   }
 
+  test("orc round-trip preserves the envelope") {
+    val dir = Files.createTempDirectory("orc").toString
+    val ev = Tables.events(spark, sf).limit(200)
+    ev.write.mode("overwrite").orc(s"$dir/o")
+    val back = spark.read.schema(Tables.eventsSchema).orc(s"$dir/o")
+    assert(back.count() == 200)
+    assert(back.exceptAll(ev).count() == 0)
+  }
+
+  test("multi-source union yields one envelope keyed by src_table") {
+    val synthetic = spark.read.format("cdcgen").option("rows", 300).load()
+    val unified = graft.streaming.CdcStreams.multiSourceUnion(
+      Seq("events" -> Tables.events(spark, sf), "synthetic" -> synthetic))
+    assert(unified.count() == Tables.events(spark, sf).count() + 300)
+    assert(unified.select("src_table").distinct().count() == 2)
+    assert(unified.columns.contains("operation") && unified.columns.contains("ts_us"))
+  }
+
   test("GraftExtensions injects all custom functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; registration exercised
