@@ -41,12 +41,22 @@ object Similarity {
     */
   def supplierAssortmentSim(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     import graft.functions.MinHashAgg
+    val bands = 8; val rows = k / bands
     val sigs = Tables.lineitem(spark, dir)
       .groupBy("l_suppkey")
       .agg(MinHashAgg.minhashAgg(col("l_partkey"), k).as("sig"))
-    val a = sigs.select(col("l_suppkey").as("supp_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("l_suppkey").as("supp_b"), col("sig").as("sig_b"))
-    a.crossJoin(b).filter(col("supp_a") < col("supp_b"))
+    // band the signatures so only likely-similar suppliers pair up — an
+    // all-pairs crossJoin over entities is quadratic and dies at scale
+    val banded = sigs.select(col("l_suppkey"), col("sig"),
+      explode(expr(
+        s"transform(sequence(0, ${bands - 1})," +
+          s" b -> struct(b AS band, xxhash64(array_join(slice(sig, b * $rows + 1, $rows), ','), b) AS bh))"))
+        .as("bk"))
+      .select(col("l_suppkey"), col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val a = banded.select(col("band"), col("bh"), col("l_suppkey").as("supp_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bh"), col("l_suppkey").as("supp_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bh")).filter(col("supp_a") < col("supp_b"))
+      .select("supp_a", "supp_b", "sig_a", "sig_b").distinct()
       .select(col("supp_a"), col("supp_b"),
         MinHashAgg.sigJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
   }
