@@ -87,6 +87,18 @@ object CdcStreams {
       }
   }
 
+  /** Streaming exactly-once dedup: duplicate deliveries dropped by event_id
+    * with state bounded by the watermark (the streaming analog of
+    * Cdc.dedupExactlyOnce; covers at-least-once upstreams like Kafka
+    * redeliveries — reference handles this with binlog offsets,
+    * aurora_cdc_datasource_v2.py:479-489).
+    */
+  def streamingDedup(normalized: DataFrame): DataFrame =
+    normalized
+      .withColumn("tsx", timestamp_micros(col("ts_us")))
+      .withWatermark("tsx", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Multi-table CDC: tag + union envelopes from heterogeneous sources into
     * ONE stream (the reference's core claim — 500+ tables through a single
     * unified envelope, aurora_cdc_datasource_v2.py:55-90 + table registry).

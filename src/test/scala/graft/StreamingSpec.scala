@@ -123,6 +123,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops redelivered event ids within the watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val normalized = ms.toDF().select(col("event_id"), col("user_id"),
+      col("event_type").as("operation"), col("ts_us"), col("value"))
+    val deduped = CdcStreams.streamingDedup(normalized)
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val base = 1704067200L * 1000000L
+      ms.addData(evRow(1, base, 1, "UPDATE", 1.0), evRow(2, base + 1000000, 2, "UPDATE", 2.0))
+      q.processAllAvailable()
+      // redelivery of event 1 in a later micro-batch
+      ms.addData(evRow(1, base, 1, "UPDATE", 1.0), evRow(3, base + 2000000, 3, "UPDATE", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to signups") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
