@@ -37,6 +37,7 @@ object SparkEntry {
     "cdc_snapshot_merge" -> ((s, d) => Cdc.snapshotMerge(s, d)),
     "cdc_time_travel" -> ((s, d) => Cdc.timeTravel(s, d)),
     "cdc_asof_join" -> ((s, d) => Cdc.asofJoin(s, d)),
+    "cdc_before_after" -> ((s, d) => Cdc.beforeAfter(s, d)),
     // TPC-H analytics (#13-24)
     "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Tpch.q3ShippingPriority(s, d)),
@@ -221,6 +222,16 @@ object SparkEntry {
         |  p.ts_us - o.ts_us AS wait_us
         |FROM p ASOF LEFT JOIN o
         |  ON p.user_id = o.user_id AND p.ts_us >= o.ts_us""".stripMargin,
+    "cdc_before_after" ->
+      s"""$logCte,
+         |b AS (SELECT event_id, user_id, operation, seq_us,
+         |        lag(value) OVER (PARTITION BY user_id ORDER BY seq_us, event_id) AS bv,
+         |        value AS av
+         |      FROM log)
+         |SELECT event_id, user_id, operation, seq_us,
+         |  round(bv, 2) AS before_value, round(av, 2) AS after_value,
+         |  (bv IS NULL) AS is_first_image
+         |FROM b""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,

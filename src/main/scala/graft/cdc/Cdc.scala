@@ -146,6 +146,21 @@ object Cdc {
         dayofmonth(col("tsx")).cast("long").as("d"), hour(col("tsx")).cast("long").as("h"),
         dayofweek(col("tsx")).isin(1, 7).as("is_weekend"))
 
+  /** #86 Before/after images: each change event paired with the entity's
+    * previous value (the envelope's `before`/`after` fields, reference:
+    * aurora_cdc_datasource_v2.py:73-75 — derived here by a lag over the
+    * key-ordered log instead of being captured at source).
+    */
+  def beforeAfter(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("seq_us"), col("event_id"))
+    log(spark, dir)
+      .withColumn("before_value", lag(col("value"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("operation"), col("seq_us"),
+        round(col("before_value"), 2).as("before_value"),
+        round(col("value"), 2).as("after_value"),
+        col("before_value").isNull.as("is_first_image"))
+  }
+
   /** #46 Time travel: the state of every entity as of a fixed point in time,
     * reconstructed from the SCD2 interval table (reference queries Delta
     * tables with timestampAsOf, notebooks/demo/unity_catalog_cdc_demo.py:
