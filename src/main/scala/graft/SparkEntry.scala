@@ -38,6 +38,7 @@ object SparkEntry {
     "cdc_time_travel" -> ((s, d) => Cdc.timeTravel(s, d)),
     "cdc_asof_join" -> ((s, d) => Cdc.asofJoin(s, d)),
     "cdc_before_after" -> ((s, d) => Cdc.beforeAfter(s, d)),
+    "cdc_gap_check" -> ((s, d) => Cdc.gapCheck(s, d)),
     // TPC-H analytics (#13-24)
     "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Tpch.q3ShippingPriority(s, d)),
@@ -232,6 +233,15 @@ object SparkEntry {
          |  round(bv, 2) AS before_value, round(av, 2) AS after_value,
          |  (bv IS NULL) AS is_first_image
          |FROM b""".stripMargin,
+    "cdc_gap_check" ->
+      """WITH b AS (SELECT min(event_id) AS min_id, max(event_id) AS max_id, count(*) AS n_rows FROM events),
+        |m AS (SELECT count(*) AS n_gaps FROM events e, b
+        |      WHERE NOT EXISTS (SELECT 1 FROM events x WHERE x.event_id = e.event_id + 1)
+        |        AND e.event_id + 1 <= b.max_id)
+        |SELECT b.min_id, b.max_id, b.n_rows,
+        |  b.max_id - b.min_id + 1 AS expected_rows, m.n_gaps,
+        |  (m.n_gaps = 0) AS is_contiguous
+        |FROM b, m""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,

@@ -146,6 +146,28 @@ object Cdc {
         dayofmonth(col("tsx")).cast("long").as("d"), hour(col("tsx")).cast("long").as("h"),
         dayofweek(col("tsx")).isin(1, 7).as("is_weekend"))
 
+  /** #87 Offset-continuity check: event_ids whose successor is missing —
+    * lost deliveries in a dense sequence (the binlog-position continuity
+    * guarantee the reference gets from offset checkpointing). Expressed as
+    * an anti join (scales; a global-ORDER window would single-partition),
+    * plus a one-row summary with the expected-vs-actual count.
+    */
+  def gapCheck(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id")
+    val successors = ev.select((col("event_id") + 1).as("event_id"))
+    val bounds = ev.agg(min("event_id").as("min_id"), max("event_id").as("max_id"),
+      count(lit(1)).as("n_rows"))
+    val missing = successors
+      .join(ev, Seq("event_id"), "left_anti")
+      .crossJoin(broadcast(bounds.select("max_id")))
+      .filter(col("event_id") <= col("max_id"))
+      .agg(count(lit(1)).as("n_gaps"))
+    bounds.crossJoin(missing)
+      .select(col("min_id"), col("max_id"), col("n_rows"),
+        (col("max_id") - col("min_id") + 1).as("expected_rows"), col("n_gaps"),
+        (col("n_gaps") === 0).as("is_contiguous"))
+  }
+
   /** #86 Before/after images: each change event paired with the entity's
     * previous value (the envelope's `before`/`after` fields, reference:
     * aurora_cdc_datasource_v2.py:73-75 — derived here by a lag over the
