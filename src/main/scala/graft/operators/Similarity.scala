@@ -41,7 +41,10 @@ object Similarity {
     */
   def supplierAssortmentSim(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     import graft.functions.MinHashAgg
-    val bands = 8; val rows = k / bands
+    // 32 bands × 2 slots: per-band collision ≈ j², so moderately similar
+    // assortments (j ≈ 0.1-0.3) still surface while the candidate count
+    // stays ~j²·32 per pair instead of all-pairs
+    val bands = 32; val rows = k / bands
     val sigs = Tables.lineitem(spark, dir)
       .groupBy("l_suppkey")
       .agg(MinHashAgg.minhashAgg(col("l_partkey"), k).as("sig"))
