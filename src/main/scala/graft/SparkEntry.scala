@@ -91,8 +91,14 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "mm_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
-    "mm_decode_stub" -> ((s, d) => Multimodal.decodeStub(s, d).toDF()),
-    "mm_resize_stub" -> ((s, d) => Multimodal.resizeStub(s, d).toDF()),
+    // arrays projected to a CSV digest: the driver's rows-only check sorts
+    // the frame in pandas, and raw Array[Float] columns are unhashable there
+    "mm_decode_stub" -> ((s, d) => Multimodal.decodeStub(s, d).toDF()
+      .selectExpr("doc_id", "n_bytes", "round(mean_byte, 4) AS mean_byte",
+        "concat_ws(',', transform(feat, x -> CAST(x AS STRING))) AS feat_csv")),
+    "mm_resize_stub" -> ((s, d) => Multimodal.resizeStub(s, d).toDF()
+      .selectExpr("doc_id", "n_bytes", "out_w", "out_h",
+        "concat_ws(',', transform(resized, x -> CAST(x AS STRING))) AS resized_csv")),
     // multi-table unified envelope (rows-only: one side is the synthetic
     // cdcgen source, which DuckDB cannot replay)
     "cdc_multi_table_stats" -> ((s, d) => {
@@ -307,14 +313,6 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS INT) AS rnk FROM pr)
         |SELECT p_brand, p_partkey, revenue, rnk FROM rk WHERE rnk <= 3""".stripMargin,
-    "q_topk_custom" ->
-      """WITH pr AS (
-        |  SELECT p.p_brand, p.p_partkey,
-        |    CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
-        |  FROM lineitem l, part p WHERE l.l_partkey = p.p_partkey
-        |  GROUP BY 1, 2),
-        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS INT) AS rnk FROM pr)
-        |SELECT p_brand, p_partkey, revenue, rnk FROM rk WHERE rnk <= 3""".stripMargin,
     "q_rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
@@ -484,12 +482,12 @@ object SparkEntry {
       """WITH b AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
-        |    (length(text) - length(replace(text, 'the', ''))) / 3.0 AS the_cnt
+        |    CAST(length(text) - length(replace(text, 'the', '')) AS BIGINT) // 3 AS the_cnt
         |  FROM documents)
-        |SELECT doc_id, n_chars, n_tokens,
-        |  round((n_chars - n_tokens + 1.0) / n_tokens, 4) AS avg_token_len,
-        |  round(the_cnt / n_tokens, 4) AS the_ratio,
-        |  round(least(1.0, n_tokens / 100.0) * (1.0 - the_cnt / n_tokens), 4) AS quality_score
+        |SELECT doc_id, n_chars, n_tokens, the_cnt,
+        |  CAST((n_chars - n_tokens + 1) * 10000 // n_tokens AS BIGINT) AS avg_token_len_e4,
+        |  CAST(the_cnt * 10000 // n_tokens AS BIGINT) AS the_ratio_e4,
+        |  CAST(least(100, n_tokens) * (n_tokens - the_cnt) * 100 // n_tokens AS BIGINT) AS quality_score_e4
         |FROM b""".stripMargin,
     "doc_langid" ->
       """WITH p AS (

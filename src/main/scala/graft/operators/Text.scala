@@ -28,15 +28,24 @@ object Text {
       // pattern: Spark and DuckDB string literals escape differently)
       "CAST(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+', 0)) AS BIGINT) AS n_tokens_re")
 
-  /** #30 Quality scoring: length/stopword ratios composed into one score. */
+  /** #30 Quality scoring: length/stopword ratios composed into one score.
+    *
+    * Ratios are emitted as exact ×10⁴ fixed-point BIGINTs (integer DIV) so
+    * the result is bit-identical across engines — double division rounded
+    * with `round(x, 4)` flips half-ulp boundaries between Spark and the
+    * DuckDB oracle. Callers wanting doubles divide by 1e4.
+    */
   def docQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS n_chars",
-        s"$nTokens AS n_tokens", s"$theCnt AS the_cnt")
-      .selectExpr("doc_id", "n_chars", "n_tokens",
-        "round((n_chars - n_tokens + 1.0) / n_tokens, 4) AS avg_token_len",
-        "round(the_cnt / n_tokens, 4) AS the_ratio",
-        "round(least(1.0, n_tokens / 100.0) * (1.0 - the_cnt / n_tokens), 4) AS quality_score")
+        s"$nTokens AS n_tokens",
+        // 'the' removal drops exactly 3 chars per occurrence → DIV is exact
+        "CAST(length(text) - length(replace(text, 'the', '')) AS BIGINT) DIV 3 AS the_cnt")
+      .selectExpr("doc_id", "n_chars", "n_tokens", "the_cnt",
+        "(n_chars - n_tokens + 1) * 10000 DIV n_tokens AS avg_token_len_e4",
+        "the_cnt * 10000 DIV n_tokens AS the_ratio_e4",
+        // least(1, n/100) * (1 - the/n) × 10⁴ = least(100,n) * (n-the) * 100 / n
+        "least(100, n_tokens) * (n_tokens - the_cnt) * 100 DIV n_tokens AS quality_score_e4")
 
   /** #31 Language-ID heuristic: marker-trigram density (the n-gram
     * profile degenerates to an English-marker test on this corpus).

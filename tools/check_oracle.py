@@ -38,9 +38,11 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
     for c in a.columns:
         av, bv = a[c], b[c]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            # exact compare — the driver hashes exact values, so any
+            # tolerance here would let local green hide a driver red
             bad = ~(
                 (av.isna() & bv.isna())
-                | (abs(av.astype(float) - bv.astype(float)) < 1e-9)
+                | (av.astype(float) == bv.astype(float))
             )
         else:
             try:
@@ -97,9 +99,12 @@ def main(sf_dir: str, out_dir: str) -> None:
         p = os.path.join(out_dir, name)
         if os.path.isdir(p) and name not in oracle:
             try:
-                n = sum(len(pd.read_parquet(os.path.join(p, f)))
-                        for f in os.listdir(p) if f.endswith(".parquet"))
-                print(f"[rows-only] {name}: {n} rows")
+                df = pd.concat(
+                    [pd.read_parquet(os.path.join(p, f))
+                     for f in os.listdir(p) if f.endswith(".parquet")],
+                    ignore_index=True)
+                norm(df)  # driver sorts rows-only outputs too: must be hashable
+                print(f"[rows-only] {name}: {len(df)} rows")
             except Exception as e:  # noqa
                 print(f"[rows-only] {name}: ERROR {e}")
 
