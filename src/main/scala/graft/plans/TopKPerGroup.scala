@@ -5,10 +5,10 @@ import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.IntegerType
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 /** Top-k-per-group as a first-class operator: logical node + planner
@@ -44,78 +44,102 @@ case class TopKPerGroupPlan(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: TopKPerGroupPlan =>
-      TopKPerGroupExec(p.groupCols, p.sortOrder, p.k, p.rankAttr, planLater(p.child)) :: Nil
+      // Two-phase, like hash aggregation: a partial top-k prunes each map
+      // partition to ≤ k rows per group BEFORE the exchange (the final
+      // per-group top-k is a subset of every partition's per-group top-k),
+      // so the shuffle moves O(partitions × groups × k) rows, not all rows.
+      val part = TopKPerGroupExec(p.groupCols, p.sortOrder, p.k, p.rankAttr,
+        planLater(p.child), partial = true)
+      TopKPerGroupExec(p.groupCols, p.sortOrder, p.k, p.rankAttr, part) :: Nil
     case _ => Nil
   }
 }
 
+/** Bounded-heap top-k per group. Runs twice per query (planned by
+  * TopKStrategy): a `partial` instance prunes every map partition to ≤ k
+  * rows per group with no distribution requirement, then the final
+  * instance (after the exchange EnsureRequirements inserts) merges and
+  * emits ranks. Memory is O(groups-per-partition × k) rows.
+  *
+  * Row comparison uses a generated `RowOrdering` over the child row — it
+  * honors direction AND nullOrdering for every orderable type, and rows
+  * are copied whole on enqueue, so no retained entry aliases the
+  * iterator's reused row buffer.
+  */
 case class TopKPerGroupExec(
     groupCols: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
-  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
+  override def producedAttributes: AttributeSet =
+    if (partial) AttributeSet.empty else AttributeSet(rankAttr)
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupCols) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupCols) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprs = groupCols.map(BindReferences.bindReference(_, child.output))
-    val sortExprs = sortOrder.map(so => BindReferences.bindReference(so.child, child.output))
-    // entryOrd convention: LARGER == better. A descending sort wants high
-    // values to compare larger (natural ordering); ascending needs reverse.
-    val orderings: Array[Ordering[Any]] = sortOrder.map { so =>
-      val base = TypeUtils.getInterpretedOrdering(so.child.dataType).asInstanceOf[Ordering[Any]]
-      if (so.direction == Descending) base else base.reverse
-    }.toArray
+    val order = sortOrder
+    val childOutput = child.output
     val outAttrs = output
+    val kk = k
+    val isPartial = partial
 
     child.execute().mapPartitions { it =>
-      // (sortKeyValues, arrivalSeq, rowCopy); heap head = worst retained
-      type Entry = (Array[Any], Long, InternalRow)
+      // codegen'd comparator (interpreted fallback): smaller == sorts
+      // earlier == better rank
+      val rowOrd = RowOrdering.create(order, childOutput)
+      type Entry = (InternalRow, Long) // (row copy, arrival seq)
       val entryOrd: Ordering[Entry] = new Ordering[Entry] {
         override def compare(a: Entry, b: Entry): Int = {
-          var i = 0
-          while (i < orderings.length) {
-            val c = orderings(i).compare(a._1(i), b._1(i))
-            if (c != 0) return c
-            i += 1
-          }
-          java.lang.Long.compare(b._2, a._2) // earlier arrival ranks better
+          val c = rowOrd.compare(a._1, b._1)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
         }
       }
       val groupProj = UnsafeProjection.create(groupExprs)
-      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
-      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[Entry]]()
+      // max-heap under entryOrd: head == worst retained entry
+      val heaps = new java.util.HashMap[UnsafeRow, mutable.PriorityQueue[Entry]]()
       var seq = 0L
       it.foreach { row =>
         val key = groupProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[Entry](entryOrd.reverse)
+          heap = mutable.PriorityQueue.empty[Entry](entryOrd)
           heaps.put(key.copy(), heap)
         }
-        val sortVals = sortExprs.map(_.eval(row)).toArray
-        if (heap.size < k) {
-          heap.enqueue((sortVals, seq, row.copy()))
-        } else if (entryOrd.compare((sortVals, seq, row), heap.head) > 0) {
+        if (heap.size < kk) {
+          heap.enqueue((row.copy(), seq))
+        } else if (rowOrd.compare(row, heap.head._1) < 0) {
+          // strictly better than the worst retained; on a sort-key tie the
+          // incumbent wins (earlier arrival ranks better)
           heap.dequeue()
-          heap.enqueue((sortVals, seq, row.copy()))
+          heap.enqueue((row.copy(), seq))
         }
         seq += 1L
       }
-      val joined = new JoinedRow
-      val rankRow = new GenericInternalRow(1)
       // lazy emission: outProj reuses its buffer; downstream copies if it
       // buffers (standard operator contract)
-      heaps.values().iterator().asScala.flatMap { heap =>
-        val ranked: Seq[Entry] = heap.dequeueAll.reverse
-        ranked.iterator.zipWithIndex.map { (e: (Entry, Int)) =>
-          rankRow.update(0, e._2 + 1)
-          outProj(joined(e._1._3, rankRow))
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      if (isPartial) {
+        heaps.values().iterator().asScala.flatMap(_.iterator.map(e => outProj(e._1)))
+      } else {
+        val joined = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        heaps.values().iterator().asScala.flatMap { heap =>
+          // dequeueAll yields worst-first; reverse for rank 1 == best
+          val ranked: Seq[Entry] = heap.dequeueAll.reverse
+          ranked.iterator.zipWithIndex.map { (e: (Entry, Int)) =>
+            rankRow.update(0, e._2 + 1)
+            outProj(joined(e._1._1, rankRow))
+          }
         }
       }
     }

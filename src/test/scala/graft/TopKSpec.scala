@@ -62,6 +62,30 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("partial map-side top-k runs below the exchange") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("g" + (i % 7), i)).toDF("g", "v").repartition(8)
+    val got = TopK.topKPerGroup(df, Seq("g"), Seq(("v", true)), 3)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupPartial"), s"no partial stage:\n$plan")
+    assert(plan.contains("Exchange"), s"expected an exchange between stages:\n$plan")
+    assert(got.count() == 21)
+  }
+
+  test("string sort keys with nulls match the window formulation") {
+    import spark.implicits._
+    val rows = Seq(("g1", "zz", 1), ("g1", "aa", 2), ("g1", null, 3), ("g2", "mm", 4)) ++
+      (5 to 300).map(i => ("g" + (i % 3), if (i % 41 == 0) null else "s" + (i * 37 % 97), i))
+    val df = rows.toDF("g", "s", "id").repartition(8)
+    val got = TopK.topKPerGroup(df, Seq("g"), Seq(("s", false), ("id", false)), 4)
+      .select("g", "s", "id", "rnk")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("s").asc, col("id").asc)
+    val ref = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 4)
+      .select("g", "s", "id", "rnk")
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+  }
+
   test("ascending sort and tie handling") {
     import spark.implicits._
     val df = Seq(("a", 3, 1), ("a", 1, 2), ("a", 2, 3), ("a", 1, 4), ("b", 5, 5))
