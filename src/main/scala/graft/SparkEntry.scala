@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.cdc.Cdc
+import graft.cdc.{Cdc, Debezium}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -39,6 +39,8 @@ object SparkEntry {
     "cdc_asof_join" -> ((s, d) => Cdc.asofJoin(s, d)),
     "cdc_before_after" -> ((s, d) => Cdc.beforeAfter(s, d)),
     "cdc_gap_check" -> ((s, d) => Cdc.gapCheck(s, d)),
+    "cdc_debezium_parse" -> ((s, d) => Debezium.silverParsed(s, d)),
+    "cdc_expect_audit" -> ((s, d) => Debezium.expectationAudit(s, d)),
     // TPC-H analytics (#13-24)
     "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Tpch.q3ShippingPriority(s, d)),
@@ -248,6 +250,59 @@ object SparkEntry {
         |  b.max_id - b.min_id + 1 AS expected_rows, m.n_gaps,
         |  (m.n_gaps = 0) AS is_contiguous
         |FROM b, m""".stripMargin,
+    // envelope string is constructed byte-identically on both sides, so the
+    // compare exercises both engines' JSON parsers on the same input
+    "cdc_debezium_parse" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' WHEN 'purchase' THEN 'r' ELSE 'u' END AS op_raw,
+        |    epoch_ms(ts) AS seq_ms
+        |  FROM events),
+        |env AS (
+        |  SELECT event_id,
+        |    '{"before":' ||
+        |    CASE WHEN op_raw = 'c' THEN 'null'
+        |         ELSE '{"user_id":' || CAST(user_id AS VARCHAR) || ',"event_id":' || CAST(event_id - 1 AS VARCHAR) || '}' END ||
+        |    ',"after":' ||
+        |    CASE WHEN op_raw = 'd' THEN 'null'
+        |         ELSE '{"user_id":' || CAST(user_id AS VARCHAR) || ',"event_id":' || CAST(event_id AS VARCHAR) || '}' END ||
+        |    ',"source":{"version":"2.4.0","connector":"mysql","name":"graft","ts_ms":' || CAST(seq_ms AS VARCHAR) ||
+        |    ',"snapshot":"' || CASE WHEN op_raw = 'r' THEN 'true' ELSE 'false' END ||
+        |    '","db":"graftdb","table":"events","server_id":1,"gtid":"0-1-' || CAST(event_id AS VARCHAR) ||
+        |    '","file":"binlog.000001","pos":' || CAST(event_id * 4 AS VARCHAR) ||
+        |    ',"row":0,"thread":7,"query":null},"op":"' || op_raw ||
+        |    '","ts_ms":' || CAST(seq_ms + 1 AS VARCHAR) ||
+        |    ',"transaction":{"id":"tx-' || CAST(user_id AS VARCHAR) ||
+        |    '","total_order":1,"data_collection_order":1}}' AS cdc_event
+        |  FROM e)
+        |SELECT event_id,
+        |  json_extract_string(cdc_event, '$.op') AS cdc_operation_raw,
+        |  CASE json_extract_string(cdc_event, '$.op')
+        |    WHEN 'c' THEN 'INSERT' WHEN 'u' THEN 'UPDATE' WHEN 'd' THEN 'DELETE' WHEN 'r' THEN 'SNAPSHOT'
+        |    ELSE 'UNKNOWN' END AS operation,
+        |  nullif(CAST(json_extract(cdc_event, '$.before') AS VARCHAR), 'null') AS before_image,
+        |  nullif(CAST(json_extract(cdc_event, '$.after') AS VARCHAR), 'null') AS after_image,
+        |  CAST(json_extract(cdc_event, '$.after.user_id') AS BIGINT) AS after_user_id,
+        |  json_extract_string(cdc_event, '$.source.db') AS database_name,
+        |  json_extract_string(cdc_event, '$.source.table') AS table_name,
+        |  CAST(json_extract(cdc_event, '$.source.ts_ms') AS BIGINT) AS source_ts_ms,
+        |  json_extract_string(cdc_event, '$.source.snapshot') AS snapshot_flag,
+        |  json_extract_string(cdc_event, '$.source.file') AS binlog_file,
+        |  CAST(json_extract(cdc_event, '$.source.pos') AS BIGINT) AS binlog_position,
+        |  json_extract_string(cdc_event, '$.source.gtid') AS gtid,
+        |  json_extract_string(cdc_event, '$.transaction.id') AS transaction_id,
+        |  CAST(json_extract(cdc_event, '$.ts_ms') AS BIGINT) AS event_ts_ms
+        |FROM env""".stripMargin,
+    "cdc_expect_audit" ->
+      """WITH f AS (
+        |  SELECT CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' WHEN 'purchase' THEN 'r' ELSE 'u' END AS op_raw,
+        |    epoch_ms(ts) AS seq_ms, user_id
+        |  FROM events),
+        |fails AS (
+        |  SELECT 'recent_event' AS rule FROM f WHERE NOT (seq_ms >= 1500000000000)
+        |  UNION ALL
+        |  SELECT 'small_user_id' AS rule FROM f WHERE NOT (op_raw = 'd' OR user_id < 100))
+        |SELECT rule, count(*) AS n_failed FROM fails GROUP BY rule""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,176 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Full Debezium envelope parsing — the reference's silver layer
+  * (reference: debezium-approach/notebooks/dlt_cdc_pipeline.py:59-206).
+  *
+  * The envelope is the standard Debezium MySQL shape: `before`/`after`
+  * record images (kept as raw JSON strings so one schema serves
+  * heterogeneous tables), a `source` struct carrying binlog coordinates
+  * (db, table, ts_ms, file, pos, gtid, server_id, ...), the one-letter
+  * `op` code, and the `transaction` block. Parsing is a single
+  * `from_json` against [[envelopeSchema]] — codegen'd, row-local, no
+  * shuffle — followed by scalar field extraction and the op-code map
+  * `c/u/d/r → INSERT/UPDATE/DELETE/SNAPSHOT` (dlt_cdc_pipeline.py:190-197;
+  * `r` is a snapshot read, distinct from a runtime insert).
+  *
+  * At 100 TB this is the hot path of CDC ingestion: everything here stays
+  * inside whole-stage codegen and the JSON is parsed exactly once per
+  * event (images stay as strings unless a consumer asks for fields).
+  */
+object Debezium {
+
+  /** The Debezium envelope schema (dlt_cdc_pipeline.py:59-86). `before`
+    * and `after` are StringType on purpose: `from_json` captures a nested
+    * object into a string field as its raw JSON text, which lets 500
+    * differently-shaped tables share one envelope schema.
+    */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("before", StringType),
+    StructField("after", StringType),
+    StructField("source", StructType(Seq(
+      StructField("version", StringType),
+      StructField("connector", StringType),
+      StructField("name", StringType),
+      StructField("ts_ms", LongType),
+      StructField("snapshot", StringType),
+      StructField("db", StringType),
+      StructField("table", StringType),
+      StructField("server_id", LongType),
+      StructField("gtid", StringType),
+      StructField("file", StringType),
+      StructField("pos", LongType),
+      StructField("row", IntegerType),
+      StructField("thread", LongType),
+      StructField("query", StringType)))),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType),
+    StructField("transaction", StructType(Seq(
+      StructField("id", StringType),
+      StructField("total_order", LongType),
+      StructField("data_collection_order", LongType))))))
+
+  /** Map the Debezium one-letter op code to a readable operation,
+    * including the snapshot-read arm (dlt_cdc_pipeline.py:190-197).
+    */
+  def readableOp(raw: Column): Column =
+    when(raw === "c", "INSERT")
+      .when(raw === "u", "UPDATE")
+      .when(raw === "d", "DELETE")
+      .when(raw === "r", "SNAPSHOT")
+      .otherwise("UNKNOWN")
+
+  /** Silver-layer parse: envelope JSON string column → extracted fields
+    * (dlt_cdc_pipeline.py:166-206). Keeps every passthrough column of
+    * `df`, adds the extracted scalars.
+    */
+  def parseEnvelope(df: DataFrame, eventCol: String): DataFrame =
+    df.withColumn("parsed", from_json(col(eventCol), envelopeSchema))
+      .withColumn("cdc_operation_raw", col("parsed.op"))
+      .withColumn("operation", readableOp(col("parsed.op")))
+      .withColumn("before_image", col("parsed.before"))
+      .withColumn("after_image", col("parsed.after"))
+      .withColumn("database_name", col("parsed.source.db"))
+      .withColumn("table_name", col("parsed.source.table"))
+      .withColumn("source_ts_ms", col("parsed.source.ts_ms"))
+      .withColumn("snapshot_flag", col("parsed.source.snapshot"))
+      .withColumn("binlog_file", col("parsed.source.file"))
+      .withColumn("binlog_position", col("parsed.source.pos"))
+      .withColumn("gtid", col("parsed.source.gtid"))
+      .withColumn("transaction_id", col("parsed.transaction.id"))
+      .withColumn("event_ts_ms", col("parsed.ts_ms"))
+      .drop("parsed")
+
+  /** Synthesizes a deterministic Debezium envelope per event row (the
+    * sandbox has no Kafka; this stands in for the bronze stream's
+    * `value.cast("string")`, dlt_cdc_pipeline.py:125-135). Built by string
+    * concatenation — not `to_json` — so the DuckDB oracle can construct
+    * the byte-identical envelope and the comparison exercises both
+    * engines' JSON parsers on the same input.
+    */
+  def synthEnvelope(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).selectExpr(
+      "event_id", "user_id",
+      "CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' WHEN 'purchase' THEN 'r' ELSE 'u' END AS op_raw",
+      "ts DIV 1000000 AS seq_ms")
+    .selectExpr("event_id",
+      """'{"before":' ||
+         CASE WHEN op_raw = 'c' THEN 'null'
+              ELSE '{"user_id":' || CAST(user_id AS STRING) || ',"event_id":' || CAST(event_id - 1 AS STRING) || '}' END ||
+         ',"after":' ||
+         CASE WHEN op_raw = 'd' THEN 'null'
+              ELSE '{"user_id":' || CAST(user_id AS STRING) || ',"event_id":' || CAST(event_id AS STRING) || '}' END ||
+         ',"source":{"version":"2.4.0","connector":"mysql","name":"graft","ts_ms":' || CAST(seq_ms AS STRING) ||
+         ',"snapshot":"' || CASE WHEN op_raw = 'r' THEN 'true' ELSE 'false' END ||
+         '","db":"graftdb","table":"events","server_id":1,"gtid":"0-1-' || CAST(event_id AS STRING) ||
+         '","file":"binlog.000001","pos":' || CAST(event_id * 4 AS STRING) ||
+         ',"row":0,"thread":7,"query":null},"op":"' || op_raw ||
+         '","ts_ms":' || CAST(seq_ms + 1 AS STRING) ||
+         ',"transaction":{"id":"tx-' || CAST(user_id AS STRING) ||
+         '","total_order":1,"data_collection_order":1}}' AS cdc_event""")
+
+  /** #88 The registered query: synth envelope → full silver parse, with a
+    * second-level extraction out of the captured `after` image (proving
+    * the image string is itself valid JSON).
+    */
+  def silverParsed(spark: SparkSession, dir: String): DataFrame =
+    parseEnvelope(synthEnvelope(spark, dir), "cdc_event")
+      .withColumn("after_user_id",
+        get_json_object(col("after_image"), "$.user_id").cast("long"))
+      .select("event_id", "cdc_operation_raw", "operation", "before_image",
+        "after_image", "after_user_id", "database_name", "table_name",
+        "source_ts_ms", "snapshot_flag", "binlog_file", "binlog_position",
+        "gtid", "transaction_id", "event_ts_ms")
+
+  /** Declarative expectation rules, DLT `expect_all` / `expect_or_drop`
+    * semantics (dlt_cdc_pipeline.py:157, :137-140): each rule is a SQL
+    * predicate; rows failing any rule are quarantined with the list of
+    * failed rule names. Row-local — no shuffle, expectation evaluation is
+    * codegen'd alongside the parse.
+    */
+  def withExpectations(df: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    val failArray = array(rules.map { case (name, pred) =>
+      when(!expr(pred), lit(name))
+    }: _*)
+    df.withColumn("failed_expectations", filter(failArray, c => c.isNotNull))
+  }
+
+  /** expect_all_or_drop: (passing rows, quarantined rows). */
+  def expectOrDrop(df: DataFrame, rules: Seq[(String, String)]): (DataFrame, DataFrame) = {
+    val flagged = withExpectations(df, rules)
+    (flagged.filter(size(col("failed_expectations")) === 0).drop("failed_expectations"),
+      flagged.filter(size(col("failed_expectations")) > 0))
+  }
+
+  /** Per-rule failure counts in ONE codegen'd aggregation pass — the DLT
+    * event-log style quality summary. Each rule becomes a 0/1 column
+    * summed map-side (sub-expression elimination parses the envelope once
+    * per row), then the single aggregate row unpivots via `stack`. This is
+    * the audit shape that survives 100 TB: no per-row array construction,
+    * no explode, shuffle carries one row per partition.
+    */
+  def auditCounts(df: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    val flags = df.select(rules.map { case (name, pred) =>
+      when(!expr(pred), 1L).otherwise(0L).as(name)
+    }: _*)
+    val sums = flags.agg(sum(col(rules.head._1)).as(rules.head._1),
+      rules.tail.map { case (name, _) => sum(col(name)).as(name) }: _*)
+    val stackArgs = rules.map { case (name, _) => s"'$name', `$name`" }.mkString(", ")
+    sums.selectExpr(s"stack(${rules.size}, $stackArgs) AS (rule, n_failed)")
+      .filter(col("n_failed") > 0)
+  }
+
+  /** #89 Expectation audit over the parsed silver stream. */
+  def expectationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Seq(
+      "valid_operation" -> "operation IN ('INSERT', 'UPDATE', 'DELETE', 'SNAPSHOT')",
+      "has_after_image" -> "after_image IS NOT NULL OR operation = 'DELETE'",
+      "recent_event" -> "source_ts_ms >= 1500000000000",
+      "small_user_id" -> "after_user_id IS NULL OR after_user_id < 100")
+    auditCounts(silverParsed(spark, dir), rules)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cdc.Debezium
+
+/** Debezium envelope parsing (SURVEY §2 #88-89): full nested schema,
+  * op-code map incl. SNAPSHOT, image capture as raw JSON, expectations.
+  */
+class DebeziumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val handwritten = Seq(
+    // update: both images, full source block
+    """{"before":{"id":1,"v":"old"},"after":{"id":1,"v":"new"},"source":{"version":"2.4.0","connector":"mysql","name":"srv","ts_ms":1700000000123,"snapshot":"false","db":"shop","table":"orders","server_id":17,"gtid":"0-1-99","file":"binlog.000042","pos":5588,"row":0,"thread":3,"query":null},"op":"u","ts_ms":1700000000456,"transaction":{"id":"tx-9","total_order":2,"data_collection_order":1}}""",
+    // snapshot read: no before image
+    """{"before":null,"after":{"id":2,"v":"x"},"source":{"version":"2.4.0","connector":"mysql","name":"srv","ts_ms":1700000001000,"snapshot":"true","db":"shop","table":"orders","server_id":17,"gtid":null,"file":"binlog.000001","pos":4,"row":0,"thread":null,"query":null},"op":"r","ts_ms":1700000001001,"transaction":null}""",
+    // delete: no after image
+    """{"before":{"id":3},"after":null,"source":{"version":"2.4.0","connector":"mysql","name":"srv","ts_ms":1700000002000,"snapshot":"false","db":"shop","table":"orders","server_id":17,"gtid":"0-1-100","file":"binlog.000042","pos":6000,"row":1,"thread":3,"query":null},"op":"d","ts_ms":1700000002002,"transaction":{"id":"tx-10","total_order":1,"data_collection_order":1}}""",
+    // unknown op code must map to UNKNOWN, not crash
+    """{"before":null,"after":null,"source":null,"op":"z","ts_ms":5,"transaction":null}""")
+
+  test("parseEnvelope extracts the full nested Debezium schema") {
+    val df = Debezium.parseEnvelope(handwritten.toDF("cdc_event"), "cdc_event")
+    val rows = df.collect()
+    assert(rows.length == 4)
+    val byOp = rows.map(r => r.getAs[String]("operation") -> r).toMap
+    val upd = byOp("UPDATE")
+    assert(upd.getAs[String]("operation") == "UPDATE")
+    assert(upd.getAs[String]("before_image") == """{"id":1,"v":"old"}""")
+    assert(upd.getAs[String]("after_image") == """{"id":1,"v":"new"}""")
+    assert(upd.getAs[String]("database_name") == "shop")
+    assert(upd.getAs[String]("table_name") == "orders")
+    assert(upd.getAs[Long]("source_ts_ms") == 1700000000123L)
+    assert(upd.getAs[String]("binlog_file") == "binlog.000042")
+    assert(upd.getAs[Long]("binlog_position") == 5588L)
+    assert(upd.getAs[String]("gtid") == "0-1-99")
+    assert(upd.getAs[String]("transaction_id") == "tx-9")
+    val snap = byOp("SNAPSHOT")
+    assert(snap.getAs[String]("before_image") == null)
+    assert(snap.getAs[String]("snapshot_flag") == "true")
+    assert(snap.getAs[String]("gtid") == null)
+    val del = byOp("DELETE")
+    assert(del.getAs[String]("after_image") == null)
+    val unk = byOp("UNKNOWN")
+    assert(unk.getAs[String]("database_name") == null)
+  }
+
+  test("silverParsed covers all four op codes on the events table") {
+    val df = Debezium.silverParsed(spark, sf).cache()
+    try {
+      val ops = df.select("operation").distinct().as[String].collect().toSet
+      assert(ops == Set("INSERT", "UPDATE", "DELETE", "SNAPSHOT"))
+      // DELETEs have no after image; INSERTs no before image
+      assert(df.filter(col("operation") === "DELETE" && col("after_image").isNotNull).count() == 0)
+      assert(df.filter(col("operation") === "INSERT" && col("before_image").isNotNull).count() == 0)
+      // the captured image string is itself parseable JSON
+      assert(df.filter(col("operation") =!= "DELETE")
+        .filter(col("after_user_id").isNull).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("expectOrDrop quarantines failing rows with rule names") {
+    val df = Seq(("INSERT", 5L), ("UPDATE", 500L), ("BOGUS", 5L)).toDF("operation", "uid")
+    val rules = Seq(
+      "valid_op" -> "operation IN ('INSERT', 'UPDATE', 'DELETE', 'SNAPSHOT')",
+      "small_uid" -> "uid < 100")
+    val (passed, quarantined) = Debezium.expectOrDrop(df, rules)
+    assert(passed.count() == 1)
+    val q = quarantined.orderBy("uid").collect()
+    assert(q.length == 2)
+    assert(q(0).getSeq[String](q(0).fieldIndex("failed_expectations")) == Seq("valid_op"))
+    assert(q(1).getSeq[String](q(1).fieldIndex("failed_expectations")) == Seq("small_uid"))
+  }
+}
