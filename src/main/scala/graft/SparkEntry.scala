@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.cdc.{Cdc, Debezium}
+import graft.cdc.{Cdc, Debezium, TableRegistry}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -41,6 +41,7 @@ object SparkEntry {
     "cdc_gap_check" -> ((s, d) => Cdc.gapCheck(s, d)),
     "cdc_debezium_parse" -> ((s, d) => Debezium.silverParsed(s, d)),
     "cdc_expect_audit" -> ((s, d) => Debezium.expectationAudit(s, d)),
+    "cdc_table_batch" -> ((s, d) => TableRegistry.tableBatch(s, d)),
     // TPC-H analytics (#13-24)
     "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Tpch.q3ShippingPriority(s, d)),
@@ -303,6 +304,55 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'small_user_id' AS rule FROM f WHERE NOT (op_raw = 'd' OR user_id < 100))
         |SELECT rule, count(*) AS n_failed FROM fails GROUP BY rule""".stripMargin,
+    "cdc_table_batch" ->
+      """WITH c AS (
+        |  SELECT 'region' AS name, count(*) AS row_count FROM region
+        |  UNION ALL SELECT 'nation', count(*) FROM nation
+        |  UNION ALL SELECT 'customer', count(*) FROM customer
+        |  UNION ALL SELECT 'supplier', count(*) FROM supplier
+        |  UNION ALL SELECT 'part', count(*) FROM part
+        |  UNION ALL SELECT 'orders', count(*) FROM orders
+        |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |  UNION ALL SELECT 'events', count(*) FROM events
+        |  UNION ALL SELECT 'documents', count(*) FROM documents
+        |  UNION ALL SELECT 'embeddings', count(*) FROM embeddings),
+        |m AS (
+        |  SELECT name, row_count,
+        |    CASE name
+        |      WHEN 'lineitem' THEN 120.0 WHEN 'orders' THEN 100.0
+        |      WHEN 'customer' THEN 180.0 WHEN 'part' THEN 140.0
+        |      WHEN 'supplier' THEN 160.0 WHEN 'events' THEN 80.0
+        |      WHEN 'documents' THEN 900.0 WHEN 'embeddings' THEN 600.0
+        |      ELSE 90.0 END AS avg_row_size,
+        |    CASE WHEN name IN ('lineitem', 'orders', 'events') THEN 100.0
+        |      WHEN name IN ('customer', 'part', 'supplier') THEN 10.0
+        |      WHEN name IN ('documents', 'embeddings') THEN 1.0
+        |      ELSE 0.1 END AS update_frequency,
+        |    CASE name
+        |      WHEN 'events' THEN CAST(NULL AS DOUBLE) WHEN 'lineitem' THEN 1.0
+        |      WHEN 'orders' THEN 0.5 WHEN 'customer' THEN 5.0
+        |      WHEN 'supplier' THEN 40.0 WHEN 'part' THEN 12.0
+        |      WHEN 'nation' THEN 200.0 WHEN 'region' THEN 300.0
+        |      WHEN 'documents' THEN 8.0 ELSE 16.0 END AS last_processed_hours,
+        |    CASE name WHEN 'supplier' THEN 3 WHEN 'part' THEN 1
+        |      WHEN 'embeddings' THEN 6 ELSE 0 END AS error_count,
+        |    name != 'region' AS cdc_enabled
+        |  FROM c),
+        |p AS (SELECT *, row_count * avg_row_size / (1024.0 * 1024.0) AS data_size_mb FROM m),
+        |s AS (
+        |  SELECT name, row_count, update_frequency, error_count, cdc_enabled, last_processed_hours,
+        |    greatest(0,
+        |      CAST(update_frequency * 40 AS BIGINT)
+        |      + CASE WHEN data_size_mb > 1000 THEN 20 WHEN data_size_mb > 100 THEN 15
+        |             WHEN data_size_mb > 10 THEN 10 ELSE 5 END
+        |      + CASE WHEN last_processed_hours IS NULL THEN 30
+        |             ELSE least(30, CAST(last_processed_hours * 2 AS BIGINT)) END
+        |      - least(10, error_count * 2)) AS priority
+        |  FROM p)
+        |SELECT name, row_count, priority, update_frequency, error_count
+        |FROM s
+        |WHERE cdc_enabled AND (last_processed_hours IS NULL OR last_processed_hours >= 1.0)
+        |ORDER BY priority DESC, name LIMIT 5""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,

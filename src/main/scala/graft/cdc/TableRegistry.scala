@@ -1,0 +1,119 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Config-driven multi-table CDC registry with priority scheduling — how
+  * the reference scales one pipeline to 500 tables (reference:
+  * src/aurora_cdc/config/table_manager.py:90-239: register_tables_from_
+  * database, _update_priority, get_next_batch).
+  *
+  * Re-expressed Spark-first: the registry IS a DataFrame of per-table
+  * metadata; priority scoring is column arithmetic (not a driver-side
+  * heap), and batch selection is an orderBy/limit over that tiny frame.
+  * The metadata table is O(tables) rows — hundreds, not billions — so the
+  * plan stays driver-light while the *selection logic* remains declarative
+  * and testable. Scoring mirrors table_manager.py:178-206:
+  *   priority = int(update_frequency × 40)             (40% weight)
+  *            + size bucket 20/15/10/5                 (20% weight)
+  *            + min(30, hours_since_processed × 2)     (30% weight; never
+  *              processed = 30)
+  *            - min(10, error_count × 2)               (10% penalty)
+  * floored at 0; `get_next_batch` keeps cdc_enabled tables not processed
+  * within the min batch interval, top `maxTables` by priority.
+  */
+object TableRegistry {
+
+  /** Per-table registry entry (table_manager.py TableMetadata). Times are
+    * hours-relative (deterministic under test) rather than wall-clock.
+    */
+  case class TableMeta(
+      name: String,
+      schema: String,
+      row_count: Long,
+      avg_row_size: Double,
+      update_frequency: Double,
+      last_processed_hours: Option[Double],
+      error_count: Int,
+      partition_key: Option[String],
+      cdc_enabled: Boolean)
+
+  /** Registry from explicit metadata — the `register_table` path. */
+  def fromMetadata(spark: SparkSession, metas: Seq[TableMeta]): DataFrame = {
+    import spark.implicits._
+    metas.toDF()
+  }
+
+  private val allTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Auto-discovery over a data directory — the
+    * `register_tables_from_database` path (table_manager.py:97-155), with
+    * parquet stats standing in for information_schema: real row counts,
+    * profile constants for the fields information_schema would supply.
+    */
+  def discover(spark: SparkSession, dir: String): DataFrame = {
+    val counts = allTables.map { t =>
+      val df = t match {
+        case "events" => Tables.events(spark, dir)
+        case other => spark.read.parquet(s"$dir/$other.parquet")
+      }
+      df.agg(count(lit(1)).as("row_count")).select(lit(t).as("name"), col("row_count"))
+    }.reduce(_ unionByName _)
+    counts.selectExpr("name", "row_count",
+      """CASE name
+        |  WHEN 'lineitem' THEN 120.0 WHEN 'orders' THEN 100.0
+        |  WHEN 'customer' THEN 180.0 WHEN 'part' THEN 140.0
+        |  WHEN 'supplier' THEN 160.0 WHEN 'events' THEN 80.0
+        |  WHEN 'documents' THEN 900.0 WHEN 'embeddings' THEN 600.0
+        |  ELSE 90.0 END AS avg_row_size""".stripMargin,
+      """CASE WHEN name IN ('lineitem', 'orders', 'events') THEN 100.0
+        |  WHEN name IN ('customer', 'part', 'supplier') THEN 10.0
+        |  WHEN name IN ('documents', 'embeddings') THEN 1.0
+        |  ELSE 0.1 END AS update_frequency""".stripMargin,
+      """CASE name
+        |  WHEN 'events' THEN CAST(NULL AS DOUBLE) WHEN 'lineitem' THEN 1.0
+        |  WHEN 'orders' THEN 0.5 WHEN 'customer' THEN 5.0
+        |  WHEN 'supplier' THEN 40.0 WHEN 'part' THEN 12.0
+        |  WHEN 'nation' THEN 200.0 WHEN 'region' THEN 300.0
+        |  WHEN 'documents' THEN 8.0 ELSE 16.0 END AS last_processed_hours""".stripMargin,
+      """CASE name WHEN 'supplier' THEN 3 WHEN 'part' THEN 1
+        |  WHEN 'embeddings' THEN 6 ELSE 0 END AS error_count""".stripMargin,
+      "name != 'region' AS cdc_enabled")
+  }
+
+  /** Priority scoring (table_manager.py:178-206) as pure column
+    * arithmetic; data_size_mb derives from row_count × avg_row_size.
+    */
+  def withPriorities(registry: DataFrame): DataFrame =
+    registry
+      .withColumn("data_size_mb", expr("row_count * avg_row_size / (1024.0 * 1024.0)"))
+      .withColumn("priority", expr(
+        """greatest(0,
+          |  CAST(update_frequency * 40 AS BIGINT)
+          |  + CASE WHEN data_size_mb > 1000 THEN 20
+          |         WHEN data_size_mb > 100 THEN 15
+          |         WHEN data_size_mb > 10 THEN 10 ELSE 5 END
+          |  + CASE WHEN last_processed_hours IS NULL THEN 30
+          |         ELSE least(30, CAST(last_processed_hours * 2 AS BIGINT)) END
+          |  - least(10, error_count * 2))""".stripMargin))
+
+  /** Next processing batch (table_manager.py:206-239): cdc_enabled, not
+    * processed within `minIntervalHours`, top `maxTables` by priority
+    * (name tiebreak for determinism).
+    */
+  def nextBatch(registry: DataFrame, maxTables: Int,
+      minIntervalHours: Double = 1.0): DataFrame =
+    withPriorities(registry)
+      .filter(col("cdc_enabled") &&
+        (col("last_processed_hours").isNull ||
+          col("last_processed_hours") >= minIntervalHours))
+      .orderBy(col("priority").desc, col("name"))
+      .limit(maxTables)
+      .select("name", "row_count", "priority", "update_frequency", "error_count")
+
+  /** #90 The registered query: discover → score → top-5 batch. */
+  def tableBatch(spark: SparkSession, dir: String): DataFrame =
+    nextBatch(discover(spark, dir), maxTables = 5)
+}

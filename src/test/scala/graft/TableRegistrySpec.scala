@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cdc.TableRegistry
+import graft.cdc.TableRegistry.TableMeta
+
+/** Multi-table registry + priority batch selection (SURVEY §2 #90). */
+class TableRegistrySpec extends SparkSpec {
+
+  private def meta(name: String, freq: Double, lastH: Option[Double],
+      errors: Int = 0, enabled: Boolean = true, rows: Long = 1000L) =
+    TableMeta(name, "db", rows, 100.0, freq, lastH, errors, Some("id"), enabled)
+
+  test("priority formula mirrors the reference weights") {
+    val reg = TableRegistry.fromMetadata(spark, Seq(
+      meta("hot_never_processed", 100.0, None),           // 4000 + 5 + 30 = 4035
+      meta("hot_recent", 100.0, Some(2.0)),               // 4000 + 5 + 4  = 4009
+      meta("cold_stale", 0.1, Some(500.0)),               // 4 + 5 + 30    = 39
+      meta("errory", 10.0, Some(10.0), errors = 7)))      // 400 + 5 + 20 - 10 = 415
+    val got = TableRegistry.withPriorities(reg)
+      .select("name", "priority").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("hot_never_processed" -> 4035L, "hot_recent" -> 4009L,
+      "cold_stale" -> 39L, "errory" -> 415L))
+  }
+
+  test("size buckets feed the priority") {
+    val reg = TableRegistry.fromMetadata(spark, Seq(
+      meta("tiny", 0.1, Some(500.0), rows = 1000L),              // ~0.1 MB -> +5
+      meta("mid", 0.1, Some(500.0), rows = 2_000_000L),          // ~190 MB -> +15
+      meta("big", 0.1, Some(500.0), rows = 20_000_000L)))        // ~1.9 GB -> +20
+    val got = TableRegistry.withPriorities(reg)
+      .select("name", "priority").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("tiny") == 39L && got("mid") == 49L && got("big") == 54L)
+  }
+
+  test("nextBatch drops disabled and recently-processed tables, keeps top-N") {
+    val reg = TableRegistry.fromMetadata(spark, Seq(
+      meta("a_hot", 100.0, None),
+      meta("b_disabled", 100.0, None, enabled = false),
+      meta("c_too_recent", 100.0, Some(0.2)),
+      meta("d_mid", 10.0, Some(10.0)),
+      meta("e_cold", 0.1, Some(500.0)),
+      meta("f_cold2", 0.1, Some(400.0))))
+    val batch = TableRegistry.nextBatch(reg, maxTables = 3)
+      .select("name").collect().map(_.getString(0))
+    assert(batch.toSeq == Seq("a_hot", "d_mid", "e_cold"))
+  }
+
+  test("discover registers every testdata table with real row counts") {
+    val reg = TableRegistry.discover(spark, sf)
+    assert(reg.count() == 10)
+    val ev = reg.filter(col("name") === "events").select("row_count").head().getLong(0)
+    assert(ev == Tables.events(spark, sf).count())
+    val batch = TableRegistry.tableBatch(spark, sf).collect()
+    assert(batch.length == 5)
+    // events (never processed) outranks everything; disabled region absent
+    assert(batch.head.getAs[String]("name") == "events")
+    assert(!batch.map(_.getAs[String]("name")).contains("region"))
+    assert(!batch.map(_.getAs[String]("name")).contains("orders")) // interval skip
+  }
+}
