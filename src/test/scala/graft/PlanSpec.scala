@@ -50,6 +50,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cosine_sim"), "custom expression missing from plan")
   }
 
+  test("quartiles: no low-cardinality ntile window; rank via range partitioning") {
+    val p = planOf("ev_value_quartiles")
+    assert(!p.contains("ntile"), s"ntile window is back — 5-reducer scale-killer:\n$p")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"expected distributed-sort rank via range repartition:\n$p")
+  }
+
+  test("topk custom: partial stage prunes before the exchange") {
+    val p = planOf("q_topk_custom")
+    assert(p.contains("TopKPerGroupPartial"), s"map-side top-k missing:\n$p")
+  }
+
   test("aggregations are partial (map-side combine) for the monitoring queries") {
     for (q <- Seq("cdc_table_stats", "ev_windowed_counts", "q_brand_revenue")) {
       val p = planOf(q)
