@@ -86,6 +86,9 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    // production path: LSH-blocked candidates + exact verify (rows-only:
+    // bucket fn not expressible in the oracle's SQL)
+    "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "ann_cosine_topk" -> ((s, d) => Similarity.annCosineTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "emb_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),

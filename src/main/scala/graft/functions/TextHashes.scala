@@ -176,6 +176,32 @@ object TextHashes {
     * (sequential order — bit-identical to DuckDB's double-cast
     * list_cosine_similarity, which the oracle uses).
     */
+  /** Random-hyperplane LSH bucket: sign bits of `planes` pseudo-random
+    * projections. Plane weights come from an LCG keyed by (plane, dim,
+    * salt) — deterministic on every JVM, no stored plane matrix. `salt`
+    * selects an independent plane set, so multi-table LSH (higher recall)
+    * reuses one kernel.
+    */
+  def hyperplaneBucket(emb: Array[Float], planes: Int, salt: Int): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var j = 0
+      while (j < emb.length) {
+        // LCG-derived pseudo-weight in [-0.5, 0.5)
+        var s = (p.toLong * 1048573L + j.toLong * 31L + 42L + salt.toLong * 7919L) *
+          6364136223846793005L + 1442695040888963407L
+        s ^= (s >>> 33)
+        dot += emb(j) * (((s & 0xffffL).toDouble / 65536.0) - 0.5)
+        j += 1
+      }
+      if (dot > 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
   def cosineF(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0

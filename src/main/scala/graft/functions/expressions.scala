@@ -95,6 +95,25 @@ case class NgramJaccard(left: Expression, right: Expression, n: Int)
   override def prettyName: String = "ngram_jaccard"
 }
 
+/** Random-hyperplane LSH bucket id of an ARRAY<FLOAT> embedding (sign bits
+  * of `planes` LCG-derived projections; `salt` picks an independent plane
+  * set). Codegen'd — the bucket assignment runs inside the scan's
+  * whole-stage pipeline, which a Scala UDF would break.
+  */
+case class HyperplaneBucket(child: Expression, planes: Int, salt: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.hyperplaneBucket(input.asInstanceOf[ArrayData].toFloatArray(), planes, salt)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.hyperplaneBucket($c.toFloatArray(), $planes, $salt)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_bucket"
+}
+
 /** Exact token-3-shingle Jaccard of two strings (MinHash verify metric). */
 case class ShingleJaccard(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -120,6 +139,8 @@ object GraftFunctions {
     ExpressionUtils.column(NgramJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b), n))
   def shingleJaccard(a: Column, b: Column): Column =
     ExpressionUtils.column(ShingleJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def hyperplaneBucket(c: Column, planes: Int, salt: Int = 0): Column =
+    ExpressionUtils.column(HyperplaneBucket(ExpressionUtils.expression(c), planes, salt))
 
   /** Idempotent SQL registration so `spark.sql("... simhash64(x) ...")` works. */
   def register(spark: SparkSession): Unit = {

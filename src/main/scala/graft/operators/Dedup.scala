@@ -202,4 +202,35 @@ object Dedup {
       .filter(col("cos") > tau)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
+
+  /** #91 Embedding near-dup at scale: multi-table hyperplane-LSH blocking
+    * instead of the all-pairs crossJoin above. Each vector lands in
+    * `tables` buckets (independent plane sets via the salt); candidate
+    * pairs are bucket-equi-joins carrying ONLY ids, deduplicated, then
+    * exact cosine verifies just the candidates after joining the vectors
+    * back by id. Candidate probability for a pair at angle θ is
+    * 1 − (1 − (1 − θ/π)^planes)^tables — near-identical vectors (the dedup
+    * target) are caught with ≥95% probability while ~orthogonal pairs
+    * survive blocking at ≪1%. This is the production path; the crossJoin
+    * variant above remains the oracle baseline.
+    */
+  def embeddingNearDupLsh(spark: SparkSession, dir: String, tau: Double = 0.4,
+      planes: Int = 8, tables: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val banded = e.select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          GraftFunctions.hyperplaneBucket(col("embedding"), planes, t).as("bucket"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+    val a = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+    val b = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
+    val cand = a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    cand.join(ea, "id_a").join(eb, "id_b")
+      .withColumn("cos", GraftFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("cos") > tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
 }

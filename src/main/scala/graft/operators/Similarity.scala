@@ -94,16 +94,20 @@ object Similarity {
       .setFeaturesCol("fv").setPredictionCol("cluster")
       .fit(e.select("fv"))
     val assigned = model.transform(e).select(col("vec_id"), col("embedding"), col("cluster"))
-    // query → its nProbe nearest centroids (driver-side: centroids are tiny)
-    val centroids: Array[Array[Float]] =
-      model.clusterCenters.map((v: Vector) => v.toArray.map(_.toFloat))
-    val probeUdf = udf((emb: Array[Float]) =>
-      centroids.zipWithIndex
-        .map { case (c, i) => (i, TextHashes.cosineF(emb, c)) }
-        .sortBy(-_._2).take(nProbe).map(_._1))
+    // query → its nProbe nearest centroids, fully declarative: the tiny
+    // centroid set becomes a broadcast frame and the probe ranking is a
+    // codegen'd cosine + row_number (queries × nClusters rows)
+    val centroids: Seq[(Int, Array[Float])] =
+      model.clusterCenters.toSeq.map((v: Vector) => v.toArray.map(_.toFloat)).zipWithIndex.map(_.swap)
+    val cdf = spark.createDataFrame(centroids).toDF("cluster", "centroid")
+    val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cluster"))
     val q = assigned.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(probeUdf(col("embedding"))).as("cluster"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("csim", GraftFunctions.cosineSim(col("qe"), col("centroid")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nProbe)
+      .select(col("qid"), col("qe"), col("cluster"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     assigned.select(col("vec_id").as("nid"), col("embedding"), col("cluster"))
       .join(broadcast(q), Seq("cluster"))
@@ -114,36 +118,15 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
-  /** Deterministic random-hyperplane bucket id (sign bits of `nPlanes`
-    * projections; plane weights from an LCG keyed by (plane, dim)).
-    * Computed with a UDF over the float array — row-local.
-    */
-  private val lshBucketUdf = udf((emb: Array[Float], nPlanes: Int) => {
-    var bucket = 0
-    var p = 0
-    while (p < nPlanes) {
-      var dot = 0.0
-      var j = 0
-      while (j < emb.length) {
-        // LCG-derived pseudo-weight in [-0.5, 0.5), deterministic everywhere
-        var s = (p.toLong * 1048573L + j.toLong * 31L + 42L) * 6364136223846793005L + 1442695040888963407L
-        s ^= (s >>> 33)
-        dot += emb(j) * (((s & 0xffffL).toDouble / 65536.0) - 0.5)
-        j += 1
-      }
-      if (dot > 0) bucket |= (1 << p)
-      p += 1
-    }
-    bucket
-  })
-
   /** #39 LSH-bucketed ANN: random-hyperplane signatures shrink each query's
     * candidate set to its bucket (8 planes → 256 buckets). Recall traded for
-    * a ~256× scan cut; the scale path past brute force.
+    * a ~256× scan cut; the scale path past brute force. The bucket id is a
+    * codegen'd expression (`HyperplaneBucket`), so the assignment pipelines
+    * inside the scan's whole-stage codegen.
     */
   def annLshTopK(spark: SparkSession, dir: String, k: Int = DefaultK, planes: Int = 8): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .withColumn("bucket", lshBucketUdf(col("embedding"), lit(planes)))
+      .withColumn("bucket", GraftFunctions.hyperplaneBucket(col("embedding"), planes))
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))

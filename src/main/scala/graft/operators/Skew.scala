@@ -15,13 +15,20 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Two-stage salted sum/count for the named numeric column. Returns
-    * (keyCols..., sum_<col>, cnt) — identical to a direct groupBy, but no
-    * reducer sees more than ~1/salts of any key's rows.
+    * (keyCols..., sum_<col>, cnt) — same groups and totals as a direct
+    * groupBy (double sums may differ in final ulps from summation order),
+    * but no reducer sees more than ~1/salts of any key's rows.
+    *
+    * The salt must NOT derive from data values: the archetypal skew case
+    * is a hot key with constant/low-cardinality values, which a
+    * value-derived salt would collapse back onto one bucket. A
+    * per-partition counter spreads rows evenly regardless of content.
     */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
       salts: Int = 16): DataFrame = {
     val keys: Seq[Column] = keyCols.map(col)
-    val salted = df.withColumn("__salt", pmod(crc32(col(valueCol).cast("string")), lit(salts)))
+    val salted = df.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val partial = salted
       .groupBy((keys :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))

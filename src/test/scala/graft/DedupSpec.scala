@@ -81,6 +81,39 @@ class DedupSpec extends SparkSpec {
     assert(df.filter(col("rnk") > Similarity.DefaultK).count() == 0)
   }
 
+  test("LSH-blocked embedding dedup recovers the exact near-dup pairs") {
+    // exact all-pairs baseline at the near-identical threshold
+    val exact = graft.operators.Dedup.embeddingNearDup(spark, sf, tau = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.operators.Dedup.embeddingNearDupLsh(spark, sf, tau = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact by construction (cosine verify on candidates)
+    assert(lsh.subsetOf(exact), s"LSH emitted non-near-dup pairs: ${lsh -- exact}")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall below 0.8 (${lsh.size}/${exact.size})")
+    }
+    // blocking must also prune: candidate pairs ≪ all pairs at tau=0.4
+    val n = Tables.embeddings(spark, sf).count()
+    val lshAll = graft.operators.Dedup.embeddingNearDupLsh(spark, sf).count()
+    assert(lshAll < n * (n - 1) / 2, "blocking did not prune the pair space")
+  }
+
+  test("hyperplane bucket expression matches its kernel and salts differ") {
+    val rows = Tables.embeddings(spark, sf).limit(50)
+      .select(col("embedding"),
+        GraftFunctions.hyperplaneBucket(col("embedding"), 8).as("b0"),
+        GraftFunctions.hyperplaneBucket(col("embedding"), 8, 3).as("b3"))
+      .collect()
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](0).toArray
+      assert(r.getInt(1) == TextHashes.hyperplaneBucket(emb, 8, 0))
+      assert(r.getInt(2) == TextHashes.hyperplaneBucket(emb, 8, 3))
+    }
+    // independent plane sets: the two bucketings disagree on some vectors
+    assert(rows.exists(r => r.getInt(1) != r.getInt(2)))
+  }
+
   test("custom expressions match their kernels (codegen path)") {
     import org.apache.spark.unsafe.types.UTF8String
     val df = Tables.documents(spark, sf).limit(50)
