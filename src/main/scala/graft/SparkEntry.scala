@@ -42,6 +42,18 @@ object SparkEntry {
     "cdc_debezium_parse" -> ((s, d) => Debezium.silverParsed(s, d)),
     "cdc_expect_audit" -> ((s, d) => Debezium.expectationAudit(s, d)),
     "cdc_table_batch" -> ((s, d) => TableRegistry.tableBatch(s, d)),
+    // partitioned JDBC initial load via embedded Derby (rows-only: the
+    // oracle has no JDBC endpoint)
+    "src_jdbc_snapshot" -> ((s, d) => graft.sources.JdbcSnapshot.snapshotStats(s, d)),
+    // two different-schema tables through ONE envelope
+    "cdc_hetero_union" -> ((s, d) => {
+      import graft.streaming.CdcStreams
+      CdcStreams.heterogeneousUnion(Seq(
+        ("orders", Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+          "o_orderkey", "o_orderkey"),
+        ("customer", Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey"),
+          "c_custkey", "c_custkey")))
+    }),
     // TPC-H analytics (#13-24)
     "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Tpch.q3ShippingPriority(s, d)),
@@ -307,6 +319,20 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'small_user_id' AS rule FROM f WHERE NOT (op_raw = 'd' OR user_id < 100))
         |SELECT rule, count(*) AS n_failed FROM fails GROUP BY rule""".stripMargin,
+    // payload JSON is concat-constructed to match Spark's to_json byte-for-
+    // byte (compact, struct field order, non-null int/string fields only)
+    "cdc_hetero_union" ->
+      """SELECT 'orders' AS src_table, CAST(o_orderkey AS VARCHAR) AS entity_key,
+        |  CAST(o_orderkey AS BIGINT) AS seq,
+        |  '{"o_custkey":' || CAST(o_custkey AS VARCHAR) || ',"o_orderstatus":"' || o_orderstatus ||
+        |    '","o_orderpriority":"' || o_orderpriority || '"}' AS payload,
+        |  'o_custkey BIGINT,o_orderstatus STRING,o_orderpriority STRING' AS payload_schema
+        |FROM orders
+        |UNION ALL
+        |SELECT 'customer', CAST(c_custkey AS VARCHAR), CAST(c_custkey AS BIGINT),
+        |  '{"c_name":"' || c_name || '","c_nationkey":' || CAST(c_nationkey AS VARCHAR) || '}',
+        |  'c_name STRING,c_nationkey INT'
+        |FROM customer""".stripMargin,
     "cdc_table_batch" ->
       """WITH c AS (
         |  SELECT 'region' AS name, count(*) AS row_count FROM region

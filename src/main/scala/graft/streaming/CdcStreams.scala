@@ -110,6 +110,39 @@ object CdcStreams {
       normalize(df).withColumn("src_table", lit(name))
     }.reduce(_ unionByName _)
 
+  /** Heterogeneous multi-table union — the 500-table reality: tables with
+    * DIFFERENT columns unify under one envelope (the reference's unified
+    * event schema keeps per-table payloads as serialized records,
+    * aurora_cdc_datasource_v2.py:55-90; Debezium does the same with
+    * string before/after images). Shared metadata columns stay typed
+    * (src_table, entity_key, seq); the per-table payload packs to a JSON
+    * string; `payload_schema` carries the DDL so consumers can
+    * `from_json` back — a self-describing schema registry riding with the
+    * data. All row-local, codegen'd, works identically on batch and
+    * streaming frames.
+    */
+  def heterogeneousUnion(tagged: Seq[(String, DataFrame, String, String)]): DataFrame =
+    tagged.map { case (name, df, keyCol, seqCol) =>
+      val payloadCols = df.columns.filterNot(c => c == keyCol || c == seqCol).toSeq
+      val payloadSchema = org.apache.spark.sql.types.StructType(
+        payloadCols.map(c => df.schema(c)))
+      df.select(
+        lit(name).as("src_table"),
+        col(keyCol).cast("string").as("entity_key"),
+        col(seqCol).cast("long").as("seq"),
+        to_json(struct(payloadCols.map(col): _*)).as("payload"),
+        lit(payloadSchema.toDDL).as("payload_schema"))
+    }.reduce(_ unionByName _)
+
+  /** Recover one table's typed columns from the unified envelope: filter
+    * by tag, `from_json` the payload with the registered DDL.
+    */
+  def decodePayload(env: DataFrame, srcTable: String, ddl: String): DataFrame =
+    env.filter(col("src_table") === srcTable)
+      .select(col("entity_key"), col("seq"),
+        from_json(col("payload"), org.apache.spark.sql.types.StructType.fromDDL(ddl)).as("p"))
+      .selectExpr("entity_key", "seq", "p.*")
+
   /** Stream-static enrichment: join the CDC stream against a broadcast
     * dimension snapshot (the reference resolves table/PK metadata per event
     * the same way, aurora_cdc_datasource_v2.py:387-399). Stream-static

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.DriverManager
+import java.util.Properties
+import org.apache.spark.sql.functions._
+import graft.sources.JdbcSnapshot
+
+/** Partitioned JDBC snapshot loader (SURVEY §2 #92) against embedded
+  * Derby — the same JDBC surface a MySQL/Aurora initial load hits.
+  */
+class JdbcSnapshotSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftspec;create=true"
+
+  private def seed(n: Int): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      try conn.createStatement().execute("DROP TABLE t")
+      catch { case _: java.sql.SQLException => () }
+      conn.createStatement().execute(
+        "CREATE TABLE t (id BIGINT PRIMARY KEY, payload VARCHAR(32))")
+      val ps = conn.prepareStatement("INSERT INTO t VALUES (?, ?)")
+      (1 to n).foreach { i =>
+        ps.setLong(1, i.toLong * 10) // sparse keys: ranges, not row counts
+        ps.setString(2, s"row_$i")
+        ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+  }
+
+  test("snapshot splits the key range into N parallel partitions") {
+    seed(1000)
+    val df = JdbcSnapshot.snapshot(spark, url, "t", "id", numPartitions = 8)
+    assert(df.rdd.getNumPartitions == 8, "expected 8 parallel JDBC range readers")
+    assert(df.count() == 1000)
+    // ranges are non-overlapping and exhaustive: no dupes, no loss
+    assert(df.select("id").distinct().count() == 1000)
+    // with a uniform key spread every range reader gets rows
+    val perPart = df.groupBy(spark_partition_id().as("p")).count().collect()
+    assert(perPart.length == 8, s"empty JDBC partitions: only ${perPart.length}/8 read rows")
+  }
+
+  test("explicit bounds narrow the snapshot window") {
+    seed(100)
+    val df = JdbcSnapshot.snapshot(spark, url, "t", "id", numPartitions = 4,
+      bounds = Some((1L, 500L)))
+    // spark jdbc bounds are a partitioning hint, not a filter: stride
+    // partitions cover (-inf, +inf); all rows still arrive
+    assert(df.count() == 100)
+    assert(df.rdd.getNumPartitions == 4)
+  }
+
+  test("snapshot rows enter the CDC envelope as SNAPSHOT ops") {
+    seed(50)
+    val snap = JdbcSnapshot.snapshot(spark, url, "t", "id", numPartitions = 2)
+    val env = JdbcSnapshot.asCdcEnvelope(snap, "id")
+    assert(env.filter(col("operation") =!= "SNAPSHOT").count() == 0)
+    assert(env.filter(col("cdc_operation_raw") =!= "r").count() == 0)
+    assert(env.select("seq_key").distinct().count() == 50)
+  }
+
+  test("snapshotStats round-trips events through Derby with 4 range readers") {
+    val stats = JdbcSnapshot.snapshotStats(spark, sf).collect()
+    assert(stats.length == 4)
+    assert(stats.map(_.getAs[Long]("n_rows")).sum == Tables.events(spark, sf).count())
+    assert(stats.forall(_.getAs[String]("operation") == "SNAPSHOT"))
+    // partitions carry disjoint id ranges
+    val ranges = stats.map(r => (r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, "overlapping JDBC ranges")
+      case _ =>
+    }
+  }
+}

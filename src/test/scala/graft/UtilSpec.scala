@@ -59,6 +59,32 @@ class UtilSpec extends SparkSpec {
     assert(unified.columns.contains("operation") && unified.columns.contains("ts_us"))
   }
 
+  test("heterogeneous-schema union round-trips through the envelope") {
+    import graft.streaming.CdcStreams
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val cust = Tables.customer(spark, sf).select("c_custkey", "c_name", "c_nationkey")
+    val env = CdcStreams.heterogeneousUnion(Seq(
+      ("orders", orders, "o_orderkey", "o_orderkey"),
+      ("customer", cust, "c_custkey", "c_custkey"))).cache()
+    try {
+      // one envelope schema, both tables present, no rows lost
+      assert(env.columns.toSeq ==
+        Seq("src_table", "entity_key", "seq", "payload", "payload_schema"))
+      assert(env.count() == orders.count() + cust.count())
+      // the embedded DDL decodes each payload back to its typed columns
+      val ddls = env.select("src_table", "payload_schema").distinct()
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val ordersBack = CdcStreams.decodePayload(env, "orders", ddls("orders"))
+        .select(col("seq").as("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"))
+      assert(ordersBack.exceptAll(orders).count() == 0)
+      assert(orders.exceptAll(ordersBack).count() == 0)
+      val custBack = CdcStreams.decodePayload(env, "customer", ddls("customer"))
+      assert(custBack.select("c_name", "c_nationkey")
+        .exceptAll(cust.select("c_name", "c_nationkey")).count() == 0)
+    } finally env.unpersist()
+  }
+
   test("GraftExtensions injects all custom functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; registration exercised
