@@ -317,7 +317,7 @@ object SparkEntry {
         |fails AS (
         |  SELECT 'recent_event' AS rule FROM f WHERE NOT (seq_ms >= 1500000000000)
         |  UNION ALL
-        |  SELECT 'small_user_id' AS rule FROM f WHERE NOT (op_raw = 'd' OR user_id < 100))
+        |  SELECT 'small_user_id' AS rule FROM f WHERE NOT (op_raw = 'd' OR user_id < 10))
         |SELECT rule, count(*) AS n_failed FROM fails GROUP BY rule""".stripMargin,
     // payload JSON is concat-constructed to match Spark's to_json byte-for-
     // byte (compact, struct field order, non-null int/string fields only)

@@ -170,7 +170,7 @@ object Debezium {
       "valid_operation" -> "operation IN ('INSERT', 'UPDATE', 'DELETE', 'SNAPSHOT')",
       "has_after_image" -> "after_image IS NOT NULL OR operation = 'DELETE'",
       "recent_event" -> "source_ts_ms >= 1500000000000",
-      "small_user_id" -> "after_user_id IS NULL OR after_user_id < 100")
+      "small_user_id" -> "after_user_id IS NULL OR after_user_id < 10")
     auditCounts(silverParsed(spark, dir), rules)
   }
 }
