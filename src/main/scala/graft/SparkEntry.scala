@@ -54,6 +54,12 @@ object SparkEntry {
         ("customer", Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey"),
           "c_custkey", "c_custkey")))
     }),
+    "cdc_net_effect" -> ((s, d) => Cdc.netEffect(s, d)),
+    "ev_blast_radius" -> ((s, d) => graft.operators.Ranges.errorBlastRadius(s, d)),
+    // sketch estimates not SQL-expressible → rows-only (deterministic seed)
+    "ev_heavy_hitters" -> ((s, d) => graft.operators.Sketches.heavyHitters(s, d)),
+    "doc_top_terms" -> ((s, d) => Text.docTopTerms(s, d)),
+    "doc_decontaminate" -> ((s, d) => Text.decontaminate(s, d)),
     // TPC-H analytics (#13-24)
     "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Tpch.q3ShippingPriority(s, d)),
@@ -319,6 +325,49 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'small_user_id' AS rule FROM f WHERE NOT (op_raw = 'd' OR user_id < 10))
         |SELECT rule, count(*) AS n_failed FROM fails GROUP BY rule""".stripMargin,
+    "cdc_net_effect" ->
+      s"""$logCte,
+         |b AS (SELECT event_type, operation,
+         |        lag(value) OVER (PARTITION BY user_id ORDER BY seq_us, event_id) AS before_value,
+         |        value
+         |      FROM log)
+         |SELECT event_type,
+         |  CAST(round(sum(CASE operation
+         |    WHEN 'INSERT' THEN CAST(value AS DECIMAL(12,2))
+         |    WHEN 'DELETE' THEN -coalesce(CAST(before_value AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))
+         |    ELSE CAST(value AS DECIMAL(12,2)) - coalesce(CAST(before_value AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))
+         |  END), 2) AS DOUBLE) AS net_value,
+         |  CAST(sum(CASE operation WHEN 'INSERT' THEN 1 WHEN 'DELETE' THEN -1 ELSE 0 END) AS BIGINT) AS net_rows,
+         |  count(*) AS n_changes
+         |FROM b GROUP BY event_type""".stripMargin,
+    "ev_blast_radius" ->
+      s"""$logCte,
+         |r AS (SELECT event_id AS err_event_id, user_id,
+         |        seq_us - 300000000 AS lo, seq_us + 300000000 AS hi
+         |      FROM log WHERE operation = 'DELETE')
+         |SELECT r.err_event_id, count(*) AS n_in_window,
+         |  CAST(round(sum(CAST(l.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS window_value
+         |FROM r JOIN log l
+         |  ON l.user_id = r.user_id AND l.seq_us >= r.lo AND l.seq_us <= r.hi
+         |GROUP BY 1""".stripMargin,
+    "doc_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term != '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |rk AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf DESC, df.df ASC, tf.term) AS INT) AS rnk
+        |       FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, rnk FROM rk WHERE rnk <= 3""".stripMargin,
+    "doc_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, md5(array_to_string(toks[i:i+4], ' ')) AS h
+        |       FROM tok, UNNEST(range(1, len(toks) - 3)) AS t(i)),
+        |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id < 10)
+        |SELECT s.doc_id, count(*) AS n_shared
+        |FROM sh s JOIN ev USING (h)
+        |WHERE s.doc_id >= 10
+        |GROUP BY 1""".stripMargin,
     // payload JSON is concat-constructed to match Spark's to_json byte-for-
     // byte (compact, struct field order, non-null int/string fields only)
     "cdc_hetero_union" ->

@@ -183,6 +183,32 @@ object Cdc {
         col("before_value").isNull.as("is_first_image"))
   }
 
+  /** #96 Incremental aggregate maintenance — the materialized-view delta:
+    * the net effect of the change log on SUM(value)/COUNT per event type,
+    * from before/after images. INSERT contributes the after image, DELETE
+    * retracts the value the state held (the before image), UPDATE applies
+    * (after − before). One window pass + one aggregation: the streaming
+    * alternative to recomputing a view, and the exact shape a foreachBatch
+    * MERGE applies per micro-batch at 100 TB. DECIMAL deltas keep the sum
+    * order-independent (cross-engine exact).
+    */
+  def netEffect(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("seq_us"), col("event_id"))
+    log(spark, dir)
+      .withColumn("before_value", lag(col("value"), 1).over(w))
+      .selectExpr("event_type", "operation",
+        """CASE operation
+          |  WHEN 'INSERT' THEN CAST(value AS DECIMAL(12,2))
+          |  WHEN 'DELETE' THEN -coalesce(CAST(before_value AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))
+          |  ELSE CAST(value AS DECIMAL(12,2)) - coalesce(CAST(before_value AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))
+          |END AS delta""".stripMargin,
+        "CASE operation WHEN 'INSERT' THEN 1 WHEN 'DELETE' THEN -1 ELSE 0 END AS drows")
+      .groupBy("event_type")
+      .agg(expr("CAST(round(sum(delta), 2) AS DOUBLE)").as("net_value"),
+        expr("CAST(sum(drows) AS BIGINT)").as("net_rows"),
+        count(lit(1)).as("n_changes"))
+  }
+
   /** #46 Time travel: the state of every entity as of a fixed point in time,
     * reconstructed from the SCD2 interval table (reference queries Delta
     * tables with timestampAsOf, notebooks/demo/unity_catalog_cdc_demo.py:

@@ -1,0 +1,52 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+import graft.Tables
+
+/** Mergeable-sketch monitoring operators.
+  *
+  * The CDC monitoring layer needs "who are the hot keys" answers without
+  * a full groupBy when key cardinality explodes (the reference's
+  * per-table throughput monitors, dlt_cdc_pipeline.py:413-438, at 500
+  * tables × millions of entities). `count_min_sketch` is Spark's built-in
+  * mergeable frequency sketch: map-side partial sketches merge
+  * associatively into O(w·d) state regardless of key count — the same
+  * update/merge shape as the custom MinHashAgg, via functions-not-UDFs.
+  */
+object Sketches {
+
+  val Eps = 0.001
+  val Confidence = 0.99
+  val Seed = 42
+
+  /** The corpus-wide Count-Min sketch of a key column (one binary row). */
+  def cmSketch(df: DataFrame, keyCol: String): CountMinSketch = {
+    val bytes = df.agg(
+      expr(s"count_min_sketch($keyCol, ${Eps}d, ${Confidence}d, $Seed)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+  }
+
+  /** #98 Heavy-hitter audit: sketch-estimated vs exact counts for the
+    * top-k talkers. Deterministic (fixed seed; merges commute), and the
+    * CM guarantee — exact ≤ estimate ≤ exact + ε·N — is asserted as
+    * columns so the driver check pins it at every scale factor.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sk = cmSketch(ev, "user_id")
+    val total = ev.count()
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = top.map { case (uid, exact) =>
+      val est = sk.estimateCount(uid)
+      (uid, exact, est, est >= exact && est <= exact + (Eps * total).toLong)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("user_id", "exact_cnt", "cm_estimate", "within_bound")
+  }
+}

@@ -66,6 +66,28 @@ object Text {
       "md5(regexp_replace(trim(lower(text)), '  +', ' ')) AS norm_hash",
       "CAST(length(regexp_replace(trim(lower(text)), '  +', ' ')) AS BIGINT) AS norm_len")
 
+  /** #94 Corpus term statistics: top-k terms per document ranked
+    * tf-idf-style — term frequency descending, document frequency
+    * ascending (rarer ≈ more informative), term for determinism. The
+    * ranking is FLOAT-FREE: (tf, −df) orders identically to tf·idf(df)
+    * for fixed tf and is bit-stable across engines, so the query
+    * hash-checks against the oracle with no log()/double parity risk.
+    *
+    * Scale shape: tokens explode map-side; tf is one shuffle on
+    * (doc, term); df reduces the tf frame by term; the top-k runs through
+    * the two-phase TopKPerGroupExec (map-side prune before the exchange).
+    */
+  def docTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    graft.plans.TopK.topKPerGroup(tf.join(df, "term"), Seq("doc_id"),
+      Seq(("tf", true), ("df", false), ("term", false)), k)
+      .select("doc_id", "term", "tf", "df", "rnk")
+  }
+
   /** #32 Exact deduplication: md5 content hash groupBy — at 100 TB this is
     * the canonical single-shuffle dedup (hash is computed map-side; the
     * shuffle key is the 128-bit digest, not the document body).
@@ -74,6 +96,28 @@ object Text {
     Tables.documents(spark, dir)
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+
+  /** #95 Benchmark decontamination: flag corpus documents sharing any
+    * `n`-token shingle with the eval set (doc_id < evalMax stands in for
+    * the benchmark corpus). The standard LLM training-data hygiene pass:
+    * eval shingles reduce to a DISTINCT hash set; the corpus joins on the
+    * shingle hash — ids and 128-bit digests travel, never document text.
+    * At 100 TB the eval side is small (benchmarks are ~10⁵ docs) so the
+    * join broadcasts; md5 here is the cross-engine-checkable digest a
+    * production run would swap for xxhash64.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 5,
+      evalMax: Long = 10): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(split(text, ' ')) - ${n - 1})," +
+          s" i -> md5(array_join(slice(split(text, ' '), i, $n), ' ')))")).as("h"))
+    val evalSet = sh.filter(col("doc_id") < evalMax).select("h").distinct()
+    sh.filter(col("doc_id") >= evalMax)
+      .join(evalSet, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
 
   /** #33 Document fingerprint: 64-bit md5 prefix (the SQL-checkable variant;
     * the rolling-hash winnowing fingerprint rides with Dedup.simhash).

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ranges, Sketches}
+
+/** Bucketized range join (#97) and Count-Min heavy hitters (#98). */
+class RangeSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketized range join equals the naive inequality join") {
+    val points = (1 to 500).map(i => (i % 7L, i.toLong * 10))
+      .toDF("k", "p")
+    val intervals = (1 to 40).map(i =>
+      (i.toLong, i % 7L, i.toLong * 100 - 35, i.toLong * 100 + 65))
+      .toDF("iv_id", "k", "lo", "hi")
+    val bucketed = Ranges.bucketedRangeJoin(points, intervals,
+      Seq("k"), "p", "lo", "hi", bucketWidth = 100L)
+      .select("iv_id", "k", "p")
+    val naive = points.as("p").join(intervals.as("i"),
+      $"p.k" === $"i.k" && $"p.p" >= $"i.lo" && $"p.p" <= $"i.hi")
+      .select($"i.iv_id", $"p.k", $"p.p")
+    assert(bucketed.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(bucketed).count() == 0)
+    // and it must be an equi-join plan, not a nested loop
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to nested loop:\n$plan")
+  }
+
+  test("blast radius windows contain their own error event") {
+    val df = Ranges.errorBlastRadius(spark, sf)
+    assert(df.count() > 0)
+    assert(df.filter(col("n_in_window") < 1).count() == 0)
+  }
+
+  test("count-min estimates bound exact counts on planted skew") {
+    val skewed = ((1 to 20000).map(_ => 1L) ++ (1 to 5000).map(i => (i % 100 + 2).toLong))
+      .toDF("user_id").withColumn("x", lit(1))
+    val sk = Sketches.cmSketch(skewed, "user_id")
+    val exact = skewed.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = 25000L
+    exact.foreach { case (k, cnt) =>
+      val est = sk.estimateCount(k)
+      assert(est >= cnt, s"CM underestimated key $k: $est < $cnt")
+      assert(est <= cnt + (Sketches.Eps * n).toLong + 1,
+        s"CM overestimated key $k beyond eps*N: $est vs $cnt")
+    }
+  }
+
+  test("heavy hitters query is deterministic and within bounds") {
+    val a = Sketches.heavyHitters(spark, sf).collect()
+    val b = Sketches.heavyHitters(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "sketch result not deterministic")
+    assert(a.forall(_.getAs[Boolean]("within_bound")))
+  }
+}
