@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, MinHashSig, RollingMinHash, SimHash64}
+import graft.functions.{CosineSim, HyperplaneBucket, MinHashSig, RollingMinHash, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the custom Catalyst
   * expressions as SQL functions for any session built with
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
       (es: Seq[Expression]) => MinHashSig(es.head,
         es(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("hyperplane_bucket"), info("hyperplane_bucket"),
+      (es: Seq[Expression]) => HyperplaneBucket(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        if (es.length > 2) es(2).eval().asInstanceOf[Number].intValue() else 0)))
     e.injectOptimizerRule(_ => graft.plans.RewriteTopK)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

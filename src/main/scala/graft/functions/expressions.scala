@@ -149,5 +149,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("rolling_min_hash",
       es => RollingMinHash(es.head, es(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_bucket",
+      es => HyperplaneBucket(es.head, es(1).eval().asInstanceOf[Number].intValue(),
+        if (es.length > 2) es(2).eval().asInstanceOf[Number].intValue() else 0), "built-in")
   }
 }

@@ -110,6 +110,18 @@ object CdcStreams {
       normalize(df).withColumn("src_table", lit(name))
     }.reduce(_ unionByName _)
 
+  /** Streaming Debezium silver + quarantine: raw envelope strings →
+    * full-schema parse → expectation split, both branches independently
+    * sinkable — the DLT silver/quarantine topology on plain Structured
+    * Streaming (dlt_cdc_pipeline.py:149-206 + expect_all_or_drop). Every
+    * stage is stateless column arithmetic, so the stream shuffles
+    * nothing and scales with input partitions.
+    */
+  def silverWithQuarantine(raw: DataFrame, eventCol: String,
+      rules: Seq[(String, String)]): (DataFrame, DataFrame) =
+    graft.cdc.Debezium.expectOrDrop(
+      graft.cdc.Debezium.parseEnvelope(raw, eventCol), rules)
+
   /** Heterogeneous multi-table union — the 500-table reality: tables with
     * DIFFERENT columns unify under one envelope (the reference's unified
     * event schema keeps per-table payloads as serialized records,

@@ -59,6 +59,46 @@ class DebeziumSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("streaming silver parse splits pass/quarantine across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[String]
+    val rules = Seq(
+      "valid_op" -> "operation IN ('INSERT', 'UPDATE', 'DELETE', 'SNAPSHOT')")
+    val (pass, quar) = graft.streaming.CdcStreams.silverWithQuarantine(
+      ms.toDF().withColumnRenamed("value", "cdc_event"), "cdc_event", rules)
+    val qp = pass.writeStream.format("memory").queryName("silver_pass").start()
+    val qq = quar.writeStream.format("memory").queryName("silver_quar").start()
+    try {
+      ms.addData(handwritten(0), handwritten(3)) // one good update, one bogus op
+      qp.processAllAvailable(); qq.processAllAvailable()
+      ms.addData(handwritten(1), handwritten(2)) // snapshot + delete
+      qp.processAllAvailable(); qq.processAllAvailable()
+      val passed = spark.table("silver_pass")
+      val quarantined = spark.table("silver_quar")
+      assert(passed.count() == 3)
+      assert(passed.select("operation").as[String].collect().toSet ==
+        Set("UPDATE", "SNAPSHOT", "DELETE"))
+      val q = quarantined.collect()
+      assert(q.length == 1 && q(0).getAs[String]("operation") == "UNKNOWN")
+      assert(q(0).getSeq[String](q(0).fieldIndex("failed_expectations")) == Seq("valid_op"))
+    } finally { qp.stop(); qq.stop() }
+  }
+
+  test("observe() exposes parse-quality metrics inline") {
+    val obs = new org.apache.spark.sql.Observation("silver_metrics")
+    val df = Debezium.silverParsed(spark, sf)
+      .observe(obs,
+        count(lit(1)).as("n_events"),
+        sum(when(col("operation") === "UNKNOWN", 1L).otherwise(0L)).as("n_unknown"),
+        sum(when(col("after_image").isNull, 1L).otherwise(0L)).as("n_no_after"))
+    val total = df.count()
+    val m = obs.get
+    assert(m("n_events") == total)
+    assert(m("n_unknown") == 0L)
+    assert(m("n_no_after").asInstanceOf[Long] > 0L) // DELETEs carry no after image
+  }
+
   test("expectOrDrop quarantines failing rows with rule names") {
     val df = Seq(("INSERT", 5L), ("UPDATE", 500L), ("BOGUS", 5L)).toDF("operation", "uid")
     val rules = Seq(

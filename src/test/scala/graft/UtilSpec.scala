@@ -90,8 +90,11 @@ class UtilSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // must not throw; registration exercised
     // the attach() path registers the same functions on a live session
     GraftSession.attach(spark)
-    val r = spark.sql("SELECT simhash64('a b c') AS s, cosine_sim(array(1.0F), array(1.0F)) AS c").first()
+    val r = spark.sql(
+      "SELECT simhash64('a b c') AS s, cosine_sim(array(1.0F), array(1.0F)) AS c, " +
+        "hyperplane_bucket(array(1.0F, -2.0F), 8) AS b").first()
     assert(r.getLong(0) != 0L && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getInt(2) >= 0 && r.getInt(2) < 256)
   }
 
   test("stream-static broadcast enrichment joins without shuffling the stream") {
