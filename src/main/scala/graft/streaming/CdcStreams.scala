@@ -268,6 +268,38 @@ object CdcStreams {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
+  /** Per-micro-batch pipeline metrics via StreamingQueryListener — the
+    * reference's `cdc_metrics` table (batch_id, event_count, processing
+    * rate; unity_catalog_cdc_demo.py:650-663) without a second write
+    * path: the listener taps the engine's own progress events, so
+    * metrics cost nothing on the data plane. `toDF` snapshots the
+    * collected batches for analysis/alerting.
+    */
+  case class BatchMetric(query_name: String, batch_id: Long, event_count: Long,
+      rows_per_sec: Double, duration_ms: Long)
+
+  final class MetricsListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[BatchMetric]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      buf.add(BatchMetric(Option(p.name).getOrElse(p.id.toString), p.batchId,
+        p.numInputRows, p.processedRowsPerSecond, p.durationMs.values().stream()
+          .mapToLong(l => l.longValue()).sum()))
+    }
+    def snapshot: Seq[BatchMetric] =
+      buf.toArray(Array.empty[BatchMetric]).toSeq
+  }
+
+  /** Snapshot a listener's collected metrics as a DataFrame. */
+  def metricsDF(spark: SparkSession, listener: MetricsListener): DataFrame = {
+    import spark.implicits._
+    listener.snapshot.toDF()
+  }
+
   /** End-to-end file-source CDC pipeline: stream parquet drops from `inDir`,
     * normalize, upsert into `targetPath` each micro-batch. Returns the
     * started query (caller stops it).

@@ -99,6 +99,32 @@ class DebeziumSpec extends SparkSpec {
     assert(m("n_no_after").asInstanceOf[Long] > 0L) // DELETEs carry no after image
   }
 
+  test("metrics listener captures per-batch counts from engine progress") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val listener = new graft.streaming.CdcStreams.MetricsListener
+    spark.streams.addListener(listener)
+    val ms = MemoryStream[String]
+    val q = ms.toDF().writeStream.format("memory").queryName("metrics_probe").start()
+    try {
+      ms.addData("a", "b", "c")
+      q.processAllAvailable()
+      ms.addData("d")
+      q.processAllAvailable()
+      // listener events are async; wait for them to drain
+      val deadline = System.currentTimeMillis() + 10000
+      def counted: Long = listener.snapshot
+        .filter(_.query_name == "metrics_probe").map(_.event_count).sum
+      var total = 0L
+      while ({ total = counted; total < 4 } &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(total == 4, s"listener captured $total/4 rows")
+      val df = graft.streaming.CdcStreams.metricsDF(spark, listener)
+      assert(df.filter(col("duration_ms") < 0).count() == 0)
+      assert(df.columns.contains("rows_per_sec"))
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+  }
+
   test("expectOrDrop quarantines failing rows with rule names") {
     val df = Seq(("INSERT", 5L), ("UPDATE", 500L), ("BOGUS", 5L)).toDF("operation", "uid")
     val rules = Seq(
