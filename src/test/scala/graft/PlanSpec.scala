@@ -62,6 +62,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerGroupPartial"), s"map-side top-k missing:\n$p")
   }
 
+  test("debezium parse is a pure map: zero exchanges, single json parse") {
+    val p = planOf("cdc_debezium_parse")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges == 0, s"envelope parse should not shuffle:\n$p")
+    assert(p.contains("from_json"), "nested-schema parse missing from plan")
+  }
+
+  test("top terms: partial top-k below the exchange, tokens never collect") {
+    val p = planOf("doc_top_terms")
+    assert(p.contains("TopKPerGroupPartial"), s"map-side top-k missing:\n$p")
+    assert(p.contains("Generate"), "token explode should be executor-side Generate")
+  }
+
+  test("range join plans as equi-join, never nested loop") {
+    val p = planOf("ev_blast_radius")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to nested loop:\n$p")
+  }
+
   test("aggregations are partial (map-side combine) for the monitoring queries") {
     for (q <- Seq("cdc_table_stats", "ev_windowed_counts", "q_brand_revenue")) {
       val p = planOf(q)
