@@ -60,6 +60,8 @@ object SparkEntry {
     "ev_heavy_hitters" -> ((s, d) => graft.operators.Sketches.heavyHitters(s, d)),
     "doc_top_terms" -> ((s, d) => Text.docTopTerms(s, d)),
     "doc_decontaminate" -> ((s, d) => Text.decontaminate(s, d)),
+    "doc_len_hist" -> ((s, d) => Text.docLenHist(s, d)),
+    "mm_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, d)),
     // TPC-H analytics (#13-24)
     "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Tpch.q3ShippingPriority(s, d)),
@@ -359,6 +361,26 @@ object SparkEntry {
         |           ORDER BY tf.tf DESC, df.df ASC, tf.term) AS INT) AS rnk
         |       FROM tf JOIN df USING (term))
         |SELECT doc_id, term, tf, df, rnk FROM rk WHERE rnk <= 3""".stripMargin,
+    "doc_len_hist" ->
+      """WITH t AS (
+        |  SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) // 10 AS bucket
+        |  FROM documents)
+        |SELECT bucket, bucket * 10 AS bucket_lo, bucket * 10 + 9 AS bucket_hi,
+        |  count(*) AS n_docs
+        |FROM t GROUP BY bucket""".stripMargin,
+    "mm_frame_dedup" ->
+      """WITH fr AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(floor(length(text) / 256.0) AS BIGINT) + 1)) AS frame_no,
+        |    text
+        |  FROM documents),
+        |k AS (SELECT doc_id, frame_no,
+        |        md5(substr(text, CAST(frame_no * 256 + 1 AS INT), 256)) AS content_key
+        |      FROM fr)
+        |SELECT content_key, count(*) AS n_copies,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  min(doc_id) AS keep_doc_id, min(frame_no) AS keep_frame_no
+        |FROM k GROUP BY content_key HAVING count(*) > 1""".stripMargin,
     "doc_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, md5(array_to_string(toks[i:i+4], ' ')) AS h

@@ -45,6 +45,30 @@ object Multimodal {
         "CAST(least(256, media_bytes - frame_no * 256) AS BIGINT) AS frame_bytes",
         "substr(md5(concat(CAST(doc_id AS STRING), '_', CAST(frame_no AS STRING))), 1, 12) AS frame_key")
 
+  /** #102 Frame-level dedup ACROSS media: frames hash by CONTENT (the
+    * payload slice, not the (doc, frame) position), then the canonical
+    * single-shuffle dedup groups identical frames wherever they appear —
+    * the cross-video near-duplicate-frame pass of a multimodal training
+    * pipeline (intros, logos, silence chunks collapse to one copy).
+    * Digest computed map-side; only (hash, ids) shuffle, never frame
+    * bytes.
+    */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).selectExpr(
+      "doc_id",
+      // length(): payloads are ASCII here and DuckDB's octet_length is
+      // BLOB-only — keeps the oracle expression identical
+      "explode(sequence(0, CAST(floor(length(text) / 256.0) AS BIGINT))) AS frame_no",
+      "text")
+      .selectExpr("doc_id", "frame_no",
+        "md5(substr(text, CAST(frame_no * 256 + 1 AS INT), 256)) AS content_key")
+      .groupBy("content_key")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keep_doc_id"),
+        min(col("frame_no")).as("keep_frame_no"))
+      .filter(col("n_copies") > 1)
+
   case class MediaIn(doc_id: Long, payload: Array[Byte])
   case class MediaFeat(doc_id: Long, n_bytes: Int, mean_byte: Double, feat: Array[Float])
 

@@ -66,6 +66,21 @@ object Text {
       "md5(regexp_replace(trim(lower(text)), '  +', ' ')) AS norm_hash",
       "CAST(length(regexp_replace(trim(lower(text)), '  +', ' ')) AS BIGINT) AS norm_len")
 
+  /** #103 Corpus length distribution: token-count histogram in width-10
+    * buckets — the "what does my corpus look like" pass before filtering.
+    * Exact integer bucketing (no percentile interpolation → no
+    * cross-engine float drift); one map-side-combined aggregation.
+    */
+  def docLenHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr(s"$nTokens AS n_tokens")
+      .selectExpr("n_tokens DIV 10 AS bucket")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("bucket_lo", col("bucket") * 10)
+      .withColumn("bucket_hi", col("bucket") * 10 + 9)
+      .select("bucket", "bucket_lo", "bucket_hi", "n_docs")
+
   /** #94 Corpus term statistics: top-k terms per document ranked
     * tf-idf-style — term frequency descending, document frequency
     * ascending (rarer ≈ more informative), term for determinism. The
