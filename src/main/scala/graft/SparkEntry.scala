@@ -111,6 +111,13 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "ann_cosine_topk" -> ((s, d) => Similarity.annCosineTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(s, d)),
+    // int8 quantization audit (rows-only: float-lambda arithmetic has no
+    // exact SQL-oracle analog); codes digested for the harness
+    "emb_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)
+      .selectExpr("vec_id", "round(scale, 6) AS scale_r",
+        "round(max_err, 6) AS max_err_r",
+        "xxhash64(concat_ws(',', transform(q, x -> CAST(x AS STRING)))) AS q_digest")),
+    "ann_quantized_topk" -> ((s, d) => Similarity.annQuantizedTopK(s, d)),
     "emb_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     // sketch aggregate (rows-only: hash-seeded signature)
     "sim_supplier_assortment" -> ((s, d) => Similarity.supplierAssortmentSim(s, d)),

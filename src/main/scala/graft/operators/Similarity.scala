@@ -118,6 +118,48 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** #104 Int8 scalar quantization of the embedding column — the 4×
+    * storage/bandwidth cut that makes a 100 TB vector corpus scannable.
+    * Per-vector max-abs scale (symmetric), codegen'd array lambdas, no
+    * UDFs; reconstruction error is bounded by scale/2 per component
+    * (asserted in ScaleSpec). The registered query reports per-vector
+    * scale + max reconstruction error + a digest of the quantized codes.
+    */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("max_abs",
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+      .withColumn("scale", expr("greatest(max_abs, 1e-12) / 127.0"))
+      .withColumn("q", expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS TINYINT))"))
+      .withColumn("max_err", expr(
+        "aggregate(zip_with(embedding, q, (x, qi) -> abs(CAST(x AS DOUBLE) - qi * scale))," +
+          " CAST(0.0 AS DOUBLE), (m, e) -> greatest(m, e))"))
+
+  /** Quantized brute-force top-k: the corpus scan runs on int8 codes
+    * (dot products de-scaled per vector) — recall vs the full-precision
+    * scan is the ScaleSpec bound. Queries stay full-precision.
+    */
+  def annQuantizedTopK(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
+    val e = quantizeEmbeddings(spark, dir).select(col("vec_id"), col("q"), col("scale"))
+    val qs = Tables.embeddings(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    e.select(col("vec_id").as("nid"), col("q"), col("scale"))
+      .crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      // cosine over de-quantized neighbor: dot/norms accumulated in double
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qe, q, (x, qi) -> CAST(x AS DOUBLE) * qi * scale), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+      .withColumn("nq", expr(
+        "sqrt(aggregate(q, CAST(0.0 AS DOUBLE), (a, qi) -> a + CAST(qi AS DOUBLE) * qi * scale * scale))"))
+      .withColumn("nqe", expr(
+        "sqrt(aggregate(qe, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * x))"))
+      .withColumn("cos", expr("CASE WHEN nq = 0.0 OR nqe = 0.0 THEN 0.0 ELSE dot / (nq * nqe) END"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
   /** #39 LSH-bucketed ANN: random-hyperplane signatures shrink each query's
     * candidate set to its bucket (8 planes → 256 buckets). Recall traded for
     * a ~256× scan cut; the scale path past brute force. The bucket id is a

@@ -16,6 +16,23 @@ class ScaleSpec extends SparkSpec {
     assert(ivf.size <= brute.size)
   }
 
+  test("int8 quantization bounds reconstruction error; quantized search keeps recall") {
+    val qd = Similarity.quantizeEmbeddings(spark, sf)
+      .select("vec_id", "scale", "max_err").collect()
+    assert(qd.nonEmpty)
+    qd.foreach { r =>
+      val (scale, err) = (r.getDouble(1), r.getDouble(2))
+      assert(err <= scale / 2 + 1e-9,
+        s"vec ${r.getLong(0)}: reconstruction error $err exceeds scale/2 ${scale / 2}")
+    }
+    val brute = Similarity.annCosineTopK(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.annQuantizedTopK(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = quant.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"quantized-scan recall $recall below 0.9")
+  }
+
   test("MinHashAgg signatures estimate set Jaccard within sketch error") {
     val est = Similarity.supplierAssortmentSim(spark, sf, k = 128)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
