@@ -173,7 +173,7 @@ object SparkEntry {
     "cdc_parse_props" ->
       s"""$logCte
          |SELECT event_id, user_id, operation,
-         |  TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+         |  CAST(json_extract(props, '$$.k') AS BIGINT) AS k
          |FROM log""".stripMargin,
     "cdc_current_scd1" ->
       s"""$logCte,

@@ -36,13 +36,15 @@ object Cdc {
       col("event_type"), col("value"), col("props"))
 
   /** #2 Envelope payload parsing (reference parses the Debezium JSON value,
-    * dlt_cdc_pipeline.py:166-187). regexp_extract rather than get_json_object
-    * so the DuckDB oracle can evaluate the identical expression.
+    * dlt_cdc_pipeline.py:166-187): real JSON-path extraction on both
+    * engines (get_json_object ↔ DuckDB json_extract). The full nested
+    * Debezium parse is [[Debezium.parseEnvelope]]; this is the scalar
+    * payload-field fast path.
     */
   def parseProps(spark: SparkSession, dir: String): DataFrame =
     log(spark, dir).select(
       col("event_id"), col("user_id"), col("operation"),
-      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"))
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
 
   /** #3 SCD Type 1 current state: latest event per key wins; DELETE drops
     * the key (reference: dlt_cdc_pipeline.py:264-303, stored_as_scd_type=1).
