@@ -33,6 +33,36 @@ class RangeSketchSpec extends SparkSpec {
     assert(df.filter(col("n_in_window") < 1).count() == 0)
   }
 
+  test("morton layout tightens per-partition ranges on both dimensions") {
+    val ev = Tables.events(spark, sf).select("user_id", "ts")
+    def spanScore(df: org.apache.spark.sql.DataFrame): Double = {
+      val stats = df.groupBy(spark_partition_id().as("p"))
+        .agg((max("user_id") - min("user_id")).cast("double").as("su"),
+          (max("ts") - min("ts")).cast("double").as("st"))
+        .collect()
+      stats.map(r => r.getDouble(1) * r.getDouble(2)).sum / stats.length
+    }
+    val random = spanScore(ev.repartition(16))
+    val morton = spanScore(graft.operators.Layout.mortonLayout(ev, "user_id", "ts", 16))
+    assert(morton < random / 2,
+      s"morton layout span $morton not tighter than random $random")
+  }
+
+  test("partition pruning fires on the date-partitioned layout") {
+    val dir = java.nio.file.Files.createTempDirectory("dp").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_us", expr("ts DIV 1000")).limit(5000)
+    Tables.writeDatePartitioned(ev, "ts_us", dir)
+    val day = spark.read.parquet(dir).select("__d").head().getDate(0)
+    val filtered = spark.read.parquet(dir).filter(col("__d") === lit(day))
+    val plan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters: [isnotnull(__d") ||
+      plan.contains("PartitionFilters: [(__d"),
+      s"date filter did not become a partition filter:\n$plan")
+    assert(filtered.count() > 0)
+  }
+
   test("count-min estimates bound exact counts on planted skew") {
     val skewed = ((1 to 20000).map(_ => 1L) ++ (1 to 5000).map(i => (i % 100 + 2).toLong))
       .toDF("user_id").withColumn("x", lit(1))
