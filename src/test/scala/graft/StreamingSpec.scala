@@ -40,6 +40,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed counts run on the RocksDB state store (production state backend)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val normalized = ms.toDF().select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts_us"), col("value"))
+    val q = CdcStreams.windowedCounts(normalized)
+      .writeStream.format("memory").queryName("wc_rocks")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val base = 1704067200L * 1000000L
+      ms.addData(evRow(1, base + 1000000, 1, "click", 1.0),
+        evRow(2, base + 2000000, 2, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("wc_rocks").agg(sum("n_events")).head().getLong(0) == 2)
+      // the state operator must actually be RocksDB-backed
+      val metrics = q.lastProgress.stateOperators.apply(0).customMetrics
+      assert(metrics.keySet().toArray.exists(_.toString.startsWith("rocksdb")),
+        s"no rocksdb metrics in ${metrics.keySet()}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful latest-state tracks SCD1 across micro-batches") {
     implicit val sq = spark.sqlContext
     implicit val sp = spark
