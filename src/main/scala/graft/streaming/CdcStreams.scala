@@ -242,6 +242,30 @@ object CdcStreams {
         col("stime"), col("ptime"))
   }
 
+  /** Stream-stream LEFT OUTER attribution: signups with NO purchase within
+    * the window still emit (null-joined) once the watermark passes the
+    * join window — the "who signed up but never converted" stream. State
+    * eviction is watermark-driven on both sides; unmatched left rows
+    * release exactly when no future right row could match them.
+    */
+  def signupConversion(signups: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = signups
+      .select(col("event_id").as("s_event_id"), col("user_id").as("s_user"),
+        timestamp_micros(col("ts_us")).as("stime"))
+      .withWatermark("stime", "10 seconds")
+    val p = purchases
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        timestamp_micros(col("ts_us")).as("ptime"))
+      .withWatermark("ptime", "10 seconds")
+    s.join(p,
+      col("s_user") === col("p_user") &&
+        col("ptime") >= col("stime") &&
+        col("ptime") <= col("stime") + expr("INTERVAL 1 MINUTE"),
+      "leftOuter")
+      .select(col("s_user").as("user_id"), col("s_event_id"), col("p_event_id"),
+        col("p_event_id").isNotNull.as("converted"))
+  }
+
   /** Batch MERGE used from foreachBatch: apply a micro-batch of CDC events
     * onto a parquet target — latest-per-key wins, DELETE drops the key
     * (reference: unity_catalog_cdc_demo.py:300-447 does the same with Delta

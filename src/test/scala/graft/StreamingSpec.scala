@@ -198,6 +198,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unconverted signups after watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val signups = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = CdcStreams.signupConversion(signups.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("conv")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val base = 1704067200L * 1000000L
+      // user 1 converts inside the window; user 2 never does
+      signups.addData(evRow(1, base, 1, "signup", 0.0),
+        evRow(2, base, 2, "signup", 0.0))
+      purchases.addData(evRow(10, base + 30L * 1000000, 1, "purchase", 9.0))
+      q.processAllAvailable()
+      // advance both watermarks far past signup + join window so the
+      // unmatched left row must release
+      signups.addData(evRow(3, base + 600L * 1000000, 9, "signup", 0.0))
+      purchases.addData(evRow(11, base + 600L * 1000000, 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("conv")
+        .filter(col("user_id").isin(1L, 2L))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("converted"))).toMap
+      assert(rows.get(1L).contains(true), s"user 1 should have converted: $rows")
+      assert(rows.get(2L).contains(false), s"user 2 should emit null-joined: $rows")
+    } finally q.stop()
+  }
+
   test("session windows emit gap-based sessions") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
