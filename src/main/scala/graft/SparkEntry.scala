@@ -378,9 +378,9 @@ object SparkEntry {
     "mm_frame_dedup" ->
       """WITH fr AS (
         |  SELECT doc_id,
-        |    unnest(range(0, CAST(floor(length(text) / 256.0) AS BIGINT) + 1)) AS frame_no,
+        |    unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS frame_no,
         |    text
-        |  FROM documents),
+        |  FROM documents WHERE length(text) > 0),
         |k AS (SELECT doc_id, frame_no,
         |        md5(substr(text, CAST(frame_no * 256 + 1 AS INT), 256)) AS content_key
         |      FROM fr)

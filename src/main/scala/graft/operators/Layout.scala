@@ -25,23 +25,27 @@ object Layout {
         .cast("long")
     }.reduce(_ + _)
 
-  /** Normalize a numeric column to a 0..65535 rank via min/max scaling
-    * (one tiny agg to get bounds; robust alternative at extreme skew is a
-    * quantile rank, same shape as Events.valueQuartiles).
+  /** Min/max scaling of `c` to a 0..65535 rank given precomputed bounds
+    * (robust alternative at extreme skew is a quantile rank, same shape
+    * as Events.valueQuartiles).
     */
-  def rank16(df: DataFrame, c: String): Column = {
-    val r = df.agg(min(col(c)).cast("double").as("lo"), max(col(c)).cast("double").as("hi")).head()
-    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+  private def rank16(c: String, lo: Double, hi: Double): Column = {
     val span = math.max(hi - lo, 1e-12)
     least(lit(65535), floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536).cast("long"))
   }
 
   /** Repartition+sort `df` by the Morton key of (cA, cB): `buckets` output
     * partitions, each locally sorted — write this and every partition file
-    * carries tight min/max ranges on BOTH columns.
+    * carries tight min/max ranges on BOTH columns. Bounds for both
+    * dimensions come from ONE pre-pass aggregate, not one scan per column.
     */
   def mortonLayout(df: DataFrame, cA: String, cB: String, buckets: Int): DataFrame = {
-    val keyed = df.withColumn("__m", morton16(rank16(df, cA), rank16(df, cB)))
+    val b = df.agg(
+      min(col(cA)).cast("double").as("loA"), max(col(cA)).cast("double").as("hiA"),
+      min(col(cB)).cast("double").as("loB"), max(col(cB)).cast("double").as("hiB")).head()
+    val keyed = df.withColumn("__m", morton16(
+      rank16(cA, b.getDouble(0), b.getDouble(1)),
+      rank16(cB, b.getDouble(2), b.getDouble(3))))
     keyed.repartitionByRange(buckets, col("__m"))
       .sortWithinPartitions("__m")
       .drop("__m")

@@ -54,12 +54,17 @@ object Multimodal {
     * bytes.
     */
   def frameDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).selectExpr(
-      "doc_id",
-      // length(): payloads are ASCII here and DuckDB's octet_length is
-      // BLOB-only — keeps the oracle expression identical
-      "explode(sequence(0, CAST(floor(length(text) / 256.0) AS BIGINT))) AS frame_no",
-      "text")
+    Tables.documents(spark, dir)
+      // ceil-based frame count: floor+1 would add a zero-length tail frame
+      // when length is an exact multiple of 256, and every such empty
+      // frame hashes to md5('') — a phantom cross-media duplicate group
+      .filter(length(col("text")) > 0)
+      .selectExpr(
+        "doc_id",
+        // length(): payloads are ASCII here and DuckDB's octet_length is
+        // BLOB-only — keeps the oracle expression identical
+        "explode(sequence(0, CAST(ceil(length(text) / 256.0) AS BIGINT) - 1)) AS frame_no",
+        "text")
       .selectExpr("doc_id", "frame_no",
         "md5(substr(text, CAST(frame_no * 256 + 1 AS INT), 256)) AS content_key")
       .groupBy("content_key")

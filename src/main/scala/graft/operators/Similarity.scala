@@ -140,20 +140,24 @@ object Similarity {
     * scan is the ScaleSpec bound. Queries stay full-precision.
     */
   def annQuantizedTopK(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
-    val e = quantizeEmbeddings(spark, dir).select(col("vec_id"), col("q"), col("scale"))
-    val qs = Tables.embeddings(spark, dir).filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    e.select(col("vec_id").as("nid"), col("q"), col("scale"))
-      .crossJoin(broadcast(qs))
-      .filter(col("nid") =!= col("qid"))
-      // cosine over de-quantized neighbor: dot/norms accumulated in double
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qe, q, (x, qi) -> CAST(x AS DOUBLE) * qi * scale), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+    // norms hoisted OUT of the pair loop: the neighbor norm is a per-vector
+    // column of the quantized corpus, the query norm a column of the tiny
+    // broadcast frame — the crossJoin computes one dot product per pair,
+    // not three array traversals
+    val e = quantizeEmbeddings(spark, dir)
+      .select(col("vec_id").as("nid"), col("q"), col("scale"))
       .withColumn("nq", expr(
         "sqrt(aggregate(q, CAST(0.0 AS DOUBLE), (a, qi) -> a + CAST(qi AS DOUBLE) * qi * scale * scale))"))
+    val qs = Tables.embeddings(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .withColumn("nqe", expr(
         "sqrt(aggregate(qe, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * x))"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    e.crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      // cosine over de-quantized neighbor: dot accumulated in double
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qe, q, (x, qi) -> CAST(x AS DOUBLE) * qi * scale), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
       .withColumn("cos", expr("CASE WHEN nq = 0.0 OR nqe = 0.0 THEN 0.0 ELSE dot / (nq * nqe) END"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

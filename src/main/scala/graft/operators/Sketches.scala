@@ -38,7 +38,7 @@ object Sketches {
   def heavyHitters(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val ev = Tables.events(spark, dir)
     val sk = cmSketch(ev, "user_id")
-    val total = ev.count()
+    val total = sk.totalCount // the sketch already carries exact N: no second scan
     val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("user_id")).limit(k)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -19,16 +19,19 @@ object Skew {
     * groupBy (double sums may differ in final ulps from summation order),
     * but no reducer sees more than ~1/salts of any key's rows.
     *
-    * The salt must NOT derive from data values: the archetypal skew case
-    * is a hot key with constant/low-cardinality values, which a
-    * value-derived salt would collapse back onto one bucket. A
-    * per-partition counter spreads rows evenly regardless of content.
+    * The salt must be DETERMINISTIC per row — a positional counter
+    * (monotonically_increasing_id / rand) changes on task retry after a
+    * fetch failure and silently corrupts the aggregate (the SPARK-23207
+    * round-robin-repartition bug class). Hashing the WHOLE row is both
+    * retry-stable and value-spread: a hot key with a constant aggregate
+    * value still fans out over its other columns. Only fully identical
+    * duplicate rows share a salt bucket.
     */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
       salts: Int = 16): DataFrame = {
     val keys: Seq[Column] = keyCols.map(col)
     val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      pmod(hash(df.columns.map(col): _*), lit(salts)))
     val partial = salted
       .groupBy((keys :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
