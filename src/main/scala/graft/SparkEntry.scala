@@ -61,6 +61,7 @@ object SparkEntry {
     "doc_top_terms" -> ((s, d) => Text.docTopTerms(s, d)),
     "doc_decontaminate" -> ((s, d) => Text.decontaminate(s, d)),
     "doc_len_hist" -> ((s, d) => Text.docLenHist(s, d)),
+    "doc_quality_gopher" -> ((s, d) => Text.docQualityGopher(s, d)),
     "mm_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, d)),
     // TPC-H analytics (#13-24)
     "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(s, d)),
@@ -388,6 +389,29 @@ object SparkEntry {
         |  count(DISTINCT doc_id) AS n_docs,
         |  min(doc_id) AS keep_doc_id, min(frame_no) AS keep_frame_no
         |FROM k GROUP BY content_key HAVING count(*) > 1""".stripMargin,
+    "doc_quality_gopher" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) // 5
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) // 4
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' to ', ''))) // 4
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' in ', ''))) // 4
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) // 4
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' for ', ''))) // 5
+        |      AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens AS n_words, stop_hits,
+        |    CAST((n_chars - n_tokens + 1) * 10000 // n_tokens AS BIGINT) AS mean_word_len_e4,
+        |    CAST(stop_hits * 10000 // n_tokens AS BIGINT) AS stop_ratio_e4
+        |  FROM b)
+        |SELECT doc_id, n_words, stop_hits, mean_word_len_e4, stop_ratio_e4,
+        |  (n_words >= 40 AND n_words <= 100000
+        |   AND mean_word_len_e4 >= 30000 AND mean_word_len_e4 <= 100000
+        |   AND stop_ratio_e4 >= 200) AS passes_gopher
+        |FROM r""".stripMargin,
     "doc_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, md5(array_to_string(toks[i:i+4], ' ')) AS h

@@ -66,6 +66,31 @@ object Text {
       "md5(regexp_replace(trim(lower(text)), '  +', ' ')) AS norm_hash",
       "CAST(length(regexp_replace(trim(lower(text)), '  +', ' ')) AS BIGINT) AS norm_len")
 
+  /** #109 Gopher-style quality filter (the published heuristic rules a
+    * pretraining pipeline applies before dedup): word-count bounds, mean
+    * word length bounds, minimum stopword density. All ratios are ×10⁴
+    * fixed-point integer arithmetic — exact in both engines — and the
+    * stopword counter is space-delimited substring removal, identical
+    * cross-engine. Row-local, fully codegen'd.
+    */
+  private val stopwords = Seq("the", "and", "of", "to", "in", "is", "for")
+
+  def docQualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    val stopHits = stopwords.map { w =>
+      s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) DIV ${w.length + 2}"
+    }.mkString(" + ")
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS n_chars",
+        s"$nTokens AS n_words", s"CAST($stopHits AS BIGINT) AS stop_hits")
+      .selectExpr("doc_id", "n_words", "stop_hits",
+        "(n_chars - n_words + 1) * 10000 DIV n_words AS mean_word_len_e4",
+        "stop_hits * 10000 DIV n_words AS stop_ratio_e4")
+      .selectExpr("doc_id", "n_words", "stop_hits", "mean_word_len_e4", "stop_ratio_e4",
+        """(n_words >= 40 AND n_words <= 100000
+          | AND mean_word_len_e4 >= 30000 AND mean_word_len_e4 <= 100000
+          | AND stop_ratio_e4 >= 200) AS passes_gopher""".stripMargin)
+  }
+
   /** #103 Corpus length distribution: token-count histogram in width-10
     * buckets — the "what does my corpus look like" pass before filtering.
     * Exact integer bucketing (no percentile interpolation → no
