@@ -95,6 +95,7 @@ object SparkEntry {
     "ev_running_totals" -> ((s, d) => Events.runningTotals(s, d)),
     "ev_value_quartiles" -> ((s, d) => Events.valueQuartiles(s, d)),
     "q_setops" -> ((s, d) => Tpch.qSetOps(s, d)),
+    "q_integrity_orphans" -> ((s, d) => Tpch.qIntegrityOrphans(s, d)),
     "doc_normalize" -> ((s, d) => Text.docNormalize(s, d)),
     "q_status_pivot" -> ((s, d) => Tpch.qStatusPivot(s, d)),
     // Text / LLM-pipeline ops (#29-41)
@@ -389,6 +390,18 @@ object SparkEntry {
         |  count(DISTINCT doc_id) AS n_docs,
         |  min(doc_id) AS keep_doc_id, min(frame_no) AS keep_frame_no
         |FROM k GROUP BY content_key HAVING count(*) > 1""".stripMargin,
+    "q_integrity_orphans" ->
+      """SELECT 'orders_customer' AS rel, count(*) AS n_orphans
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey IS NULL
+        |UNION ALL
+        |SELECT 'lineitem_orders', count(*)
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'lineitem_part', count(*)
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_partkey IS NULL""".stripMargin,
     "doc_quality_gopher" ->
       """WITH b AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

@@ -294,6 +294,27 @@ object Tpch {
     both.unionAll(onlyBuilding)
   }
 
+  /** #110 Referential-integrity audit: orphaned foreign-key rows per
+    * relationship (the reference's data-integrity suite,
+    * tests/test_cdc_integration.py:197-226 — 'should have no orphaned
+    * orders'). Each check is a LEFT ANTI join counted: the dimension side
+    * broadcasts, the fact side streams — one pass per relationship at any
+    * scale, and a CDC pipeline runs this after every backfill.
+    */
+  def qIntegrityOrphans(spark: SparkSession, dir: String): DataFrame = {
+    def orphans(rel: String, fact: DataFrame, factKey: String,
+        dim: DataFrame, dimKey: String): DataFrame =
+      fact.join(dim, fact(factKey) === dim(dimKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(rel).as("rel"), col("n_orphans"))
+    orphans("orders_customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey")
+      .unionAll(orphans("lineitem_orders", Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"))
+      .unionAll(orphans("lineitem_part", Tables.lineitem(spark, dir), "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+  }
+
   /** #24 HLL sketch distinct (rows-only check — approx by construction).
     * The scale answer to #23: constant memory per group, no expand.
     */
