@@ -126,6 +126,30 @@ object Debezium {
         "source_ts_ms", "snapshot_flag", "binlog_file", "binlog_position",
         "gtid", "transaction_id", "event_ts_ms")
 
+  /** Malformed-envelope DLQ split: `from_json` yields a null struct for
+    * unparseable input (PERMISSIVE mode), so broken messages — truncated
+    * producer writes, non-JSON bytes on the topic — divert to a dead
+    * letter frame with the RAW payload preserved for replay, while intact
+    * envelopes continue through the silver parse. Stateless; works on
+    * batch and streaming frames (the reference drops nulls at bronze,
+    * dlt_cdc_pipeline.py:137-140 — this keeps them routable instead).
+    */
+  def parseEnvelopeWithDlq(df: DataFrame, eventCol: String): (DataFrame, DataFrame) = {
+    // PERMISSIVE from_json yields a row of nulls (not a null struct) for
+    // broken input — the _corrupt_record channel is the reliable signal
+    val probeSchema = envelopeSchema.add(StructField("_corrupt_record", StringType))
+    val probed = df.withColumn("__parsed",
+      from_json(col(eventCol), probeSchema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+    val corrupt = col("__parsed").isNull ||
+      col("__parsed").getField("_corrupt_record").isNotNull
+    val dlq = probed.filter(corrupt && col(eventCol).isNotNull)
+      .drop("__parsed")
+      .withColumn("error_reason", lit("malformed_envelope"))
+    val silver = parseEnvelope(probed.filter(!corrupt).drop("__parsed"), eventCol)
+    (silver, dlq)
+  }
+
   /** Declarative expectation rules, DLT `expect_all` / `expect_or_drop`
     * semantics (dlt_cdc_pipeline.py:157, :137-140): each rule is a SQL
     * predicate; rows failing any rule are quarantined with the list of

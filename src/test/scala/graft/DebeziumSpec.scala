@@ -125,6 +125,21 @@ class DebeziumSpec extends SparkSpec {
     } finally { q.stop(); spark.streams.removeListener(listener) }
   }
 
+  test("malformed envelopes divert to the DLQ with the raw payload intact") {
+    val mixed = (handwritten.take(2) ++ Seq(
+      """{"before": {"id": 1}, "after":""",      // truncated mid-message
+      "not json at all",
+      """[1, 2, 3]""")).toDF("cdc_event")        // valid JSON, wrong shape
+    val (silver, dlq) = Debezium.parseEnvelopeWithDlq(mixed, "cdc_event")
+    assert(silver.count() == 2)
+    assert(silver.filter(col("operation").isin("UPDATE", "SNAPSHOT")).count() == 2)
+    val bad = dlq.collect()
+    assert(bad.length == 3)
+    assert(bad.forall(_.getAs[String]("error_reason") == "malformed_envelope"))
+    // raw payload survives for replay
+    assert(bad.map(_.getAs[String]("cdc_event")).toSet.contains("not json at all"))
+  }
+
   test("expectOrDrop quarantines failing rows with rule names") {
     val df = Seq(("INSERT", 5L), ("UPDATE", 500L), ("BOGUS", 5L)).toDF("operation", "uid")
     val rules = Seq(
