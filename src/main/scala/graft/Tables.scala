@@ -70,4 +70,25 @@ object Tables {
     df.withColumn("__d", to_date(timestamp_micros(col(tsUsCol))))
       .write.mode("overwrite").partitionBy("__d").parquet(outPath)
   }
+
+  /** Small-file compaction: rewrite `path` into ≈`targetFileMB` files —
+    * the maintenance job every micro-batch CDC sink needs (each trigger
+    * writes a handful of small files; a month later the table is a
+    * million of them and open/footers dominate scan time). File count
+    * derives from actual on-disk bytes; the rewrite stages to a temp dir
+    * and swaps, same pattern as the upsert sink. Returns the new file
+    * count.
+    */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 128): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    nFiles
+  }
 }

@@ -82,53 +82,21 @@ object Events {
   }
 
   /** #81 NTILE quartiles of event value per type (deterministic: ordered by
-    * (value, event_id)).
-    *
-    * NOT `ntile(4) over (partition by event_type)`: event_type has ~5
-    * distinct values, so that window funnels ALL rows through ≤5 reducers
-    * — a scale-killer at 100×. Instead the global rank per type is
-    * computed distributed-sort style: range-repartition on (type, value,
-    * id), count rows per (range-partition, type) — a tiny frame — turn
-    * those into cumulative offsets, then rank locally per range partition
-    * and add the offset. ntile's bucket assignment is a pure function of
-    * (rank, N), applied as row-local arithmetic. Every stage's work is
-    * bounded by rows/partitions, independent of event_type cardinality;
-    * the result is identical to the ntile window (and boundary-placement
-    * of the range sampler cannot affect it, since offsets come from the
-    * actual partition counts).
+    * (value, event_id)) — via [[Distributed.exactNtile]], NOT an
+    * `ntile(4) over (partition by event_type)` window: event_type has ~5
+    * distinct values and that window funnels all rows through ≤5
+    * reducers. The distributed-sort rank is bit-identical to the window
+    * at any key cardinality (see Distributed's scaladoc).
     */
-  def valueQuartiles(spark: SparkSession, dir: String): DataFrame = {
-    val base = withTs(spark, dir).select("event_type", "value", "event_id")
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val sorted = base
-      .repartitionByRange(parts, col("event_type"), col("value"), col("event_id"))
-      .withColumn("pid", spark_partition_id())
-    val counts = sorted.groupBy("pid", "event_type").agg(count(lit(1)).as("cnt"))
-    val wOff = Window.partitionBy("event_type").orderBy("pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("offset", coalesce(sum("cnt").over(wOff), lit(0L)))
-      .withColumn("n_total", sum("cnt").over(Window.partitionBy("event_type")))
-      .select("pid", "event_type", "offset", "n_total")
-    val wLocal = Window.partitionBy("pid", "event_type").orderBy(col("value"), col("event_id"))
-    sorted
-      .join(broadcast(offsets), Seq("pid", "event_type"))
-      .withColumn("rnk", row_number().over(wLocal) + col("offset"))
-      // SQL-standard ntile: first (N mod 4) buckets hold ceil(N/4) rows,
-      // the rest floor(N/4); bucket = f(rank, N) only
-      .withColumn("quartile", expr(
-        """CAST(CASE
-          |  WHEN rnk <= (n_total % 4) * (n_total DIV 4 + 1)
-          |  THEN (rnk + n_total DIV 4) DIV (n_total DIV 4 + 1)
-          |  ELSE n_total % 4
-          |    + (rnk - (n_total % 4) * (n_total DIV 4 + 1) + greatest(1, n_total DIV 4) - 1)
-          |      DIV greatest(1, n_total DIV 4)
-          |END AS INT)""".stripMargin))
+  def valueQuartiles(spark: SparkSession, dir: String): DataFrame =
+    Distributed.exactNtile(
+      withTs(spark, dir).select("event_type", "value", "event_id"),
+      keyCols = Seq("event_type"), orderCols = Seq("value", "event_id"),
+      n = 4, bucketCol = "quartile")
       .groupBy("event_type", "quartile")
       .agg(count(lit(1)).as("n"),
         round(min(col("value")), 2).as("min_v"),
         round(max(col("value")), 2).as("max_v"))
-  }
 
   /** #63 Retention cohorts: users bucketed by signup day, activity counted
     * per days-since-signup offset. Two aggregations, both partial-agg

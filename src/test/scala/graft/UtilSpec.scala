@@ -85,6 +85,33 @@ class UtilSpec extends SparkSpec {
     } finally env.unpersist()
   }
 
+  test("compaction collapses a small-file table without changing its rows") {
+    val dir = Files.createTempDirectory("cmp").toString + "/tbl"
+    val ev = Tables.events(spark, sf)
+    ev.repartition(40).write.parquet(dir)
+    def parquetFiles(): Int = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    assert(before >= 40)
+    val expected = ev.collect().toSet
+    val n = Tables.compact(spark, dir, targetFileMB = 128)
+    assert(parquetFiles() == n && n < before)
+    assert(spark.read.schema(Tables.eventsSchema).parquet(dir).collect().toSet == expected)
+  }
+
+  test("exactRank matches the window row_number at every key cardinality") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i % 3, i * 7 % 1000, i)).toDF("k", "v", "id")
+    val got = graft.operators.Distributed.exactRank(df, Seq("k"), Seq("v", "id"))
+      .select("k", "v", "id", "rnk", "n_total")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v", "id")
+    val ref = df.withColumn("rnk", row_number().over(w))
+      .withColumn("n_total", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")))
+      .select("k", "v", "id", "rnk", "n_total")
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+  }
+
   test("schema evolution: v1 and v2 payloads of one table decode under the merged DDL") {
     import spark.implicits._
     import graft.streaming.CdcStreams
