@@ -80,15 +80,28 @@ object Tables {
     * count.
     */
   def compact(spark: SparkSession, path: String, targetFileMB: Int = 128): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // normalize first: a trailing slash would make the staging dir a CHILD
+    // of the table and the swap would destroy the fresh copy
     val p = new org.apache.hadoop.fs.Path(path)
+    // the PATH's filesystem, not the default one — compacting an object
+    // store table from a cluster whose default FS is HDFS must hit the store
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitioned = fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+    require(!partitioned,
+      s"$path is hive-partitioned; compact would flatten the layout — compact per partition instead")
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    val staging = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compacting")
+    val retired = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__retired")
+    spark.read.parquet(p.toString).repartition(nFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    // swap old ASIDE first: a crash at any point leaves either the original
+    // or the compacted copy addressable, never neither
+    fs.delete(retired, true)
+    require(fs.rename(p, retired), s"could not retire $p")
+    require(fs.rename(staging, p), s"could not promote $staging to $p")
+    fs.delete(retired, true)
     nFiles
   }
 }

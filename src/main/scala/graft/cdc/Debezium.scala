@@ -69,8 +69,14 @@ object Debezium {
     * `df`, adds the extracted scalars.
     */
   def parseEnvelope(df: DataFrame, eventCol: String): DataFrame =
-    df.withColumn("parsed", from_json(col(eventCol), envelopeSchema))
-      .withColumn("cdc_operation_raw", col("parsed.op"))
+    extractFields(df.withColumn("parsed", from_json(col(eventCol), envelopeSchema)))
+
+  /** Field extraction from an already-parsed `parsed` struct column —
+    * shared by the plain and DLQ-splitting parse paths so envelopes are
+    * parsed exactly once per event either way.
+    */
+  private def extractFields(df: DataFrame): DataFrame =
+    df.withColumn("cdc_operation_raw", col("parsed.op"))
       .withColumn("operation", readableOp(col("parsed.op")))
       .withColumn("before_image", col("parsed.before"))
       .withColumn("after_image", col("parsed.after"))
@@ -138,15 +144,18 @@ object Debezium {
     // PERMISSIVE from_json yields a row of nulls (not a null struct) for
     // broken input — the _corrupt_record channel is the reliable signal
     val probeSchema = envelopeSchema.add(StructField("_corrupt_record", StringType))
-    val probed = df.withColumn("__parsed",
+    val probed = df.withColumn("parsed",
       from_json(col(eventCol), probeSchema,
         Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
-    val corrupt = col("__parsed").isNull ||
-      col("__parsed").getField("_corrupt_record").isNotNull
-    val dlq = probed.filter(corrupt && col(eventCol).isNotNull)
-      .drop("__parsed")
-      .withColumn("error_reason", lit("malformed_envelope"))
-    val silver = parseEnvelope(probed.filter(!corrupt).drop("__parsed"), eventCol)
+    val bad = col(eventCol).isNull || col("parsed").isNull ||
+      col("parsed").getField("_corrupt_record").isNotNull
+    // null payloads (Kafka tombstones) route too — nothing silently drops
+    val dlq = probed.filter(bad)
+      .drop("parsed")
+      .withColumn("error_reason",
+        when(col(eventCol).isNull, "null_payload").otherwise("malformed_envelope"))
+    // intact rows reuse the probe's parse: one from_json per event total
+    val silver = extractFields(probed.filter(!bad))
     (silver, dlq)
   }
 

@@ -18,30 +18,41 @@ import org.apache.spark.sql.functions._
   */
 object Distributed {
 
+  private val Pid = "__graft_pid"
+
   /** Adds exact `rankCol` (1-based, per keyCols group, ordered by
-    * orderCols) and `totalCol` (group size).
+    * orderCols) and `totalCol` (group size). Fails fast if the input
+    * already carries a column with one of those names.
     */
   def exactRank(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
       rankCol: String = "rnk", totalCol: String = "n_total"): DataFrame = {
+    Seq(rankCol, totalCol, Pid).foreach(c =>
+      require(!df.columns.contains(c), s"input already has a column named $c"))
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val sorted = df
       .repartitionByRange(parts, (keyCols ++ orderCols).map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-    val counts = sorted.groupBy(("__pid" +: keyCols).map(col): _*)
+      .withColumn(Pid, spark_partition_id())
+    val counts = sorted.groupBy((Pid +: keyCols).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
-    val wOff = Window.partitionBy(keyCols.map(col): _*).orderBy("__pid")
+    val wOff = Window.partitionBy(keyCols.map(col): _*).orderBy(Pid)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
       .withColumn("__offset", coalesce(sum("__cnt").over(wOff), lit(0L)))
       .withColumn(totalCol,
         sum("__cnt").over(Window.partitionBy(keyCols.map(col): _*)))
-      .select((("__pid" +: keyCols).map(col) :+ col("__offset") :+ col(totalCol)): _*)
-    val wLocal = Window.partitionBy(("__pid" +: keyCols).map(col): _*)
+      .select(((Pid +: keyCols).map(col) :+ col("__offset") :+ col(totalCol)): _*)
+    val wLocal = Window.partitionBy((Pid +: keyCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    sorted.join(broadcast(offsets), "__pid" +: keyCols)
-      .withColumn(rankCol, row_number().over(wLocal) + col("__offset"))
-      .drop("__pid", "__offset")
+    // null-SAFE join on the keys: a plain equi-join would silently drop
+    // every NULL-key row, where row_number ranks them as their own group
+    val o = offsets.columns.foldLeft(offsets)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
+    val cond = (Pid +: keyCols).map(c => sorted(c) <=> o(s"__o_$c")).reduce(_ && _)
+    sorted.join(broadcast(o), cond)
+      .withColumn(rankCol, row_number().over(wLocal) + col("__o___offset"))
+      .withColumn(totalCol, col(s"__o_$totalCol"))
+      .drop(o.columns.map(c => s"__o_$c").toIndexedSeq: _*)
+      .drop(Pid)
   }
 
   /** Adds `bucketCol` = SQL-standard NTILE(n) bucket (first N mod n
@@ -49,15 +60,19 @@ object Distributed {
     * row-locally on top of [[exactRank]].
     */
   def exactNtile(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
-      n: Int, bucketCol: String = "bucket"): DataFrame =
-    exactRank(df, keyCols, orderCols)
+      n: Int, bucketCol: String = "bucket"): DataFrame = {
+    require(!df.columns.contains(bucketCol), s"input already has a column named $bucketCol")
+    // internal rank/total names so caller columns can't collide
+    val (r, t) = ("__graft_rnk", "__graft_total")
+    exactRank(df, keyCols, orderCols, rankCol = r, totalCol = t)
       .withColumn(bucketCol, expr(
         s"""CAST(CASE
-           |  WHEN rnk <= (n_total % $n) * (n_total DIV $n + 1)
-           |  THEN (rnk + n_total DIV $n) DIV (n_total DIV $n + 1)
-           |  ELSE n_total % $n
-           |    + (rnk - (n_total % $n) * (n_total DIV $n + 1) + greatest(1, n_total DIV $n) - 1)
-           |      DIV greatest(1, n_total DIV $n)
+           |  WHEN $r <= ($t % $n) * ($t DIV $n + 1)
+           |  THEN ($r + $t DIV $n) DIV ($t DIV $n + 1)
+           |  ELSE $t % $n
+           |    + ($r - ($t % $n) * ($t DIV $n + 1) + greatest(1, $t DIV $n) - 1)
+           |      DIV greatest(1, $t DIV $n)
            |END AS INT)""".stripMargin))
-      .drop("rnk", "n_total")
+      .drop(r, t)
+  }
 }

@@ -129,15 +129,17 @@ class DebeziumSpec extends SparkSpec {
     val mixed = (handwritten.take(2) ++ Seq(
       """{"before": {"id": 1}, "after":""",      // truncated mid-message
       "not json at all",
-      """[1, 2, 3]""")).toDF("cdc_event")        // valid JSON, wrong shape
+      """[1, 2, 3]""",                           // valid JSON, wrong shape
+      null)).toDF("cdc_event")                   // Kafka tombstone
     val (silver, dlq) = Debezium.parseEnvelopeWithDlq(mixed, "cdc_event")
     assert(silver.count() == 2)
     assert(silver.filter(col("operation").isin("UPDATE", "SNAPSHOT")).count() == 2)
     val bad = dlq.collect()
-    assert(bad.length == 3)
-    assert(bad.forall(_.getAs[String]("error_reason") == "malformed_envelope"))
+    assert(bad.length == 4, "silver + dlq must account for every input row")
+    assert(bad.count(_.getAs[String]("error_reason") == "malformed_envelope") == 3)
+    assert(bad.count(_.getAs[String]("error_reason") == "null_payload") == 1)
     // raw payload survives for replay
-    assert(bad.map(_.getAs[String]("cdc_event")).toSet.contains("not json at all"))
+    assert(bad.map(_.getAs[String]("cdc_event")).contains("not json at all"))
   }
 
   test("expectOrDrop quarantines failing rows with rule names") {

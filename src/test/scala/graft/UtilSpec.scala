@@ -101,7 +101,11 @@ class UtilSpec extends SparkSpec {
 
   test("exactRank matches the window row_number at every key cardinality") {
     import spark.implicits._
-    val df = (1 to 2000).map(i => (i % 3, i * 7 % 1000, i)).toDF("k", "v", "id")
+    // include NULL keys: row_number treats them as their own partition and
+    // a plain equi-join against the offsets frame would drop them
+    val df = (1 to 2000).map(i =>
+      (if (i % 17 == 0) None else Some(i % 3), i * 7 % 1000, i))
+      .toDF("k", "v", "id")
     val got = graft.operators.Distributed.exactRank(df, Seq("k"), Seq("v", "id"))
       .select("k", "v", "id", "rnk", "n_total")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v", "id")
