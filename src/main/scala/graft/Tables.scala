@@ -104,4 +104,22 @@ object Tables {
     fs.delete(retired, true)
     nFiles
   }
+
+  /** Per-partition compaction of a hive-partitioned table: each
+    * `col=value` leaf directory compacts independently (so the layout —
+    * and partition pruning — survives), and a partition being swapped
+    * never blocks readers of the others. Returns (partition, newFiles)
+    * per leaf. Sequential over partitions here; a production run fans the
+    * per-partition jobs out, which is safe because they touch disjoint
+    * directories.
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+      targetFileMB: Int = 128): Seq[(String, Int)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(s => s.getPath.getName ->
+        compact(spark, s.getPath.toString, targetFileMB))
+  }
 }

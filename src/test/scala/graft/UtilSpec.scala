@@ -99,6 +99,21 @@ class UtilSpec extends SparkSpec {
     assert(spark.read.schema(Tables.eventsSchema).parquet(dir).collect().toSet == expected)
   }
 
+  test("partitioned compaction preserves the layout and the rows") {
+    val dir = Files.createTempDirectory("cmpp").toString + "/tbl"
+    val ev = Tables.events(spark, sf).withColumn("ts_us", expr("ts DIV 1000")).limit(4000)
+    Tables.writeDatePartitioned(ev.repartition(20), "ts_us", dir)
+    val expected = spark.read.parquet(dir).drop("__d").collect().toSet
+    // whole-table compact must refuse the partitioned layout
+    intercept[IllegalArgumentException](Tables.compact(spark, dir))
+    val results = Tables.compactPartitioned(spark, dir, targetFileMB = 128)
+    assert(results.nonEmpty && results.forall(_._2 >= 1))
+    // day directories intact, rows identical, pruning still possible
+    val back = spark.read.parquet(dir)
+    assert(back.columns.contains("__d"))
+    assert(back.drop("__d").collect().toSet == expected)
+  }
+
   test("exactRank matches the window row_number at every key cardinality") {
     import spark.implicits._
     // include NULL keys: row_number treats them as their own partition and
