@@ -30,3 +30,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 128 GiB — give the single-JVM driver room by default
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+scalacOptions += "-deprecation"

@@ -31,7 +31,7 @@ object Skew {
       salts: Int = 16): DataFrame = {
     val keys: Seq[Column] = keyCols.map(col)
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(salts)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val partial = salted
       .groupBy((keys :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
