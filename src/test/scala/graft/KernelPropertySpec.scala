@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.TextHashes
+
+/** Property-based tests over the pure hash/similarity kernels the custom
+  * Catalyst expressions call: these run per-row on 100 TB, so their
+  * invariants (determinism, bounds, symmetry) must hold for ARBITRARY
+  * input, not just the corpus the specs sample. Pure JVM — no Spark
+  * session. (ScalaCheck generators driven by a fixed seed — the
+  * scalatest bridge artifact is not in the offline cache.)
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def forAll[A](g: Gen[A], n: Int = 300)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var produced = 0
+    while (produced < n) {
+      g.apply(Gen.Parameters.default, seed).foreach { a => f(a); produced += 1 }
+      seed = seed.next
+    }
+  }
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 300)(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb), n) { case (a, b) => f(a, b) }
+
+  private def forAll3[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C], n: Int = 300)(
+      f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc), n) { case (a, b, c) => f(a, b, c) }
+
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  private val text: Gen[String] =
+    Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaNumChar, 2 -> Gen.const(' '))).map(_.mkString))
+
+  private val floats: Gen[Array[Float]] =
+    Gen.chooseNum(1, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100f, 100f)).map(_.toArray))
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("simhash64 and rollingMinHash are deterministic") {
+    forAll(text) { s =>
+      assert(TextHashes.simhash64(u(s)) == TextHashes.simhash64(u(s)))
+      assert(TextHashes.rollingMinHash(u(s), 16) == TextHashes.rollingMinHash(u(s), 16))
+    }
+  }
+
+  test("minhashSig has exactly k entries and is deterministic") {
+    forAll2(text, Gen.chooseNum(1, 64)) { (s, k) =>
+      val sig = TextHashes.minhashSig(u(s), k)
+      assert(sig.length == k)
+      assert(sig.sameElements(TextHashes.minhashSig(u(s), k)))
+    }
+  }
+
+  test("jaccard kernels are bounded, symmetric, and 1 on self") {
+    forAll2(text, text) { (a, b) =>
+      val j = TextHashes.ngramJaccard(u(a), u(b), 4)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(j == TextHashes.ngramJaccard(u(b), u(a), 4))
+      val sj = TextHashes.shingleJaccard(u(a), u(b))
+      assert(sj >= 0.0 && sj <= 1.0)
+      assert(sj == TextHashes.shingleJaccard(u(b), u(a)))
+    }
+    forAll(text) { a =>
+      whenever(a.length >= 4) {
+        assert(TextHashes.ngramJaccard(u(a), u(a), 4) == 1.0)
+      }
+    }
+  }
+
+  test("cosineF is bounded, symmetric, and 1 on self") {
+    forAll2(floats, floats) { (a, b) =>
+      val c = TextHashes.cosineF(a, b)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(c == TextHashes.cosineF(b, a))
+    }
+    forAll(floats) { a =>
+      whenever(a.exists(_ != 0f)) {
+        assert(math.abs(TextHashes.cosineF(a, a) - 1.0) < 1e-9)
+      }
+    }
+  }
+
+  test("hyperplaneBucket stays in [0, 2^planes) and depends on the salt") {
+    forAll3(floats, Gen.chooseNum(1, 12), Gen.chooseNum(0, 16)) { (emb, planes, salt) =>
+      val b = TextHashes.hyperplaneBucket(emb, planes, salt)
+      assert(b >= 0 && b < (1 << planes))
+      assert(b == TextHashes.hyperplaneBucket(emb, planes, salt))
+    }
+  }
+
+  test("near-identical strings keep higher shingle jaccard than unrelated ones") {
+    forAll(text) { s =>
+      whenever(s.split(" ").count(_.nonEmpty) >= 6) {
+        val tweaked = s + " zz"
+        val self = TextHashes.shingleJaccard(u(s), u(tweaked))
+        val other = TextHashes.shingleJaccard(u(s), u("completely different words here entirely"))
+        assert(self >= other)
+      }
+    }
+  }
+}
