@@ -22,10 +22,14 @@ object Bench {
     }
     val (p1, p2) = (pass(), pass())
     val results = p1.map { case (name, v) => name -> math.min(v, p2(name)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // full record to a file too: the driver's stdout tail capture truncates
+    // long lines, which dropped the first ~17 timings in earlier rounds
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json)
+    println(json)
     spark.stop()
   }
 }

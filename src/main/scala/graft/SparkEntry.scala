@@ -736,7 +736,7 @@ object SparkEntry {
         |SELECT doc_id, n_chars, n_tokens, the_cnt,
         |  CAST((n_chars - n_tokens + 1) * 10000 // n_tokens AS BIGINT) AS avg_token_len_e4,
         |  CAST(the_cnt * 10000 // n_tokens AS BIGINT) AS the_ratio_e4,
-        |  CAST(least(100, n_tokens) * (n_tokens - the_cnt) * 100 // n_tokens AS BIGINT) AS quality_score_e4
+        |  CAST(least(100, n_tokens) * greatest(0, n_tokens - the_cnt) * 100 // n_tokens AS BIGINT) AS quality_score_e4
         |FROM b""".stripMargin,
     "doc_langid" ->
       """WITH p AS (

@@ -185,14 +185,22 @@ object Cdc {
         col("before_value").isNull.as("is_first_image"))
   }
 
-  /** #96 Incremental aggregate maintenance — the materialized-view delta:
-    * the net effect of the change log on SUM(value)/COUNT per event type,
-    * from before/after images. INSERT contributes the after image, DELETE
-    * retracts the value the state held (the before image), UPDATE applies
-    * (after − before). One window pass + one aggregation: the streaming
-    * alternative to recomputing a view, and the exact shape a foreachBatch
-    * MERGE applies per micro-batch at 100 TB. DECIMAL deltas keep the sum
+  /** #96 Incremental aggregate maintenance — the PER-CHANGE-EVENT-TYPE net
+    * effect of the change log on SUM(value)/COUNT, from before/after
+    * images. INSERT contributes the after image, DELETE retracts the value
+    * the state held (the before image), UPDATE applies (after − before).
+    * One window pass + one aggregation: the streaming alternative to
+    * recomputing a view, and the exact shape a foreachBatch MERGE applies
+    * per micro-batch at 100 TB. DECIMAL deltas keep the sum
     * order-independent (cross-engine exact).
+    *
+    * Semantics note: lag(value) is per user_id across ALL event types, so
+    * each delta is attributed to the change event's OWN type; a retraction
+    * of a value contributed under a different type lands in the retracting
+    * event's group. That is the intended "net effect of each change kind"
+    * view — it is only a true per-group materialized-view delta when a
+    * user's events never change type. For the latter, partition the lag by
+    * (user_id, event_type).
     */
   def netEffect(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("seq_us"), col("event_id"))

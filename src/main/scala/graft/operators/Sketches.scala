@@ -34,6 +34,12 @@ object Sketches {
     * top-k talkers. Deterministic (fixed seed; merges commute), and the
     * CM guarantee — exact ≤ estimate ≤ exact + ε·N — is asserted as
     * columns so the driver check pins it at every scale factor.
+    *
+    * Cost note: the exact `groupBy(user_id)` full aggregation here is the
+    * AUDIT's cost, not the monitoring path's — it exists to verify the
+    * sketch bound and is exactly the computation the sketch avoids in
+    * production. A monitoring deployment keeps only the O(w·d) sketch and
+    * probes candidate keys against it.
     */
   def heavyHitters(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val ev = Tables.events(spark, dir)

@@ -24,8 +24,14 @@ object Skew {
     * fetch failure and silently corrupts the aggregate (the SPARK-23207
     * round-robin-repartition bug class). Hashing the WHOLE row is both
     * retry-stable and value-spread: a hot key with a constant aggregate
-    * value still fans out over its other columns. Only fully identical
-    * duplicate rows share a salt bucket.
+    * value still fans out over its other columns.
+    *
+    * Known limitation: fully identical duplicate rows share a salt bucket,
+    * so a hot key made of byte-identical duplicates degrades back to one
+    * reducer. For duplicate-heavy inputs mix a retry-stable positional
+    * disambiguator into the hash — e.g. `_metadata.file_path` +
+    * `_metadata.row_index` on file sources — which distinguishes physical
+    * rows without the retry-instability of monotonically_increasing_id.
     */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
       salts: Int = 16): DataFrame = {

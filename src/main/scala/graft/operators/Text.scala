@@ -44,8 +44,12 @@ object Text {
       .selectExpr("doc_id", "n_chars", "n_tokens", "the_cnt",
         "(n_chars - n_tokens + 1) * 10000 DIV n_tokens AS avg_token_len_e4",
         "the_cnt * 10000 DIV n_tokens AS the_ratio_e4",
-        // least(1, n/100) * (1 - the/n) × 10⁴ = least(100,n) * (n-the) * 100 / n
-        "least(100, n_tokens) * (n_tokens - the_cnt) * 100 DIV n_tokens AS quality_score_e4")
+        // least(1, n/100) * (1 - the/n) × 10⁴ = least(100,n) * (n-the) * 100 / n;
+        // the (n-the) factor is clamped at 0 ('the'-dense text can push
+        // the_cnt past n_tokens) keeping the score in [0,1] AND the numerator
+        // non-negative — Spark DIV truncates toward zero while DuckDB //
+        // floors, so a negative numerator could hash-mismatch the oracle
+        "least(100, n_tokens) * greatest(0, n_tokens - the_cnt) * 100 DIV n_tokens AS quality_score_e4")
 
   /** #31 Language-ID heuristic: marker-trigram density (the n-gram
     * profile degenerates to an English-marker test on this corpus).
@@ -72,6 +76,12 @@ object Text {
     * fixed-point integer arithmetic — exact in both engines — and the
     * stopword counter is space-delimited substring removal, identical
     * cross-engine. Row-local, fully codegen'd.
+    *
+    * Known undercount: replace(' w ') consumes the shared delimiter space,
+    * so consecutive stopwords ("the the") count once — the oracle mirrors
+    * the same bias, so parity holds, but stop_ratio_e4 understates true
+    * density. Exact counting needs split-based token equality (an
+    * explode+filter pass) if precise stopword density ever matters.
     */
   private val stopwords = Seq("the", "and", "of", "to", "in", "is", "for")
 

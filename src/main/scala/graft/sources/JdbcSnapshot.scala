@@ -2,8 +2,9 @@ package graft.sources
 
 import java.sql.DriverManager
 import java.util.Properties
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Partitioned JDBC snapshot loader — the initial-load / backfill path of
   * a CDC pipeline (reference: src/aurora_cdc/connection_pool_v2.py:26-140
@@ -21,18 +22,37 @@ import org.apache.spark.sql.functions._
   */
 object JdbcSnapshot {
 
+  /** SQL identifiers are interpolated into snapshot queries; accept only
+    * plain `word.word` chains or already-double-quoted identifiers so a
+    * caller-supplied string can't smuggle SQL (ADVICE r2).
+    */
+  private[sources] def validIdent(s: String): String = {
+    val plain = "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"
+    val quoted = "\"[^\"]+\"(\\.\"[^\"]+\")*"
+    require(s.matches(plain) || s.matches(quoted),
+      s"unsafe SQL identifier: '$s' (use plain or double-quoted names)")
+    s
+  }
+
   /** Min/max of the partition column via one tiny driver-side query (the
     * reference computes the same bounds before splitting,
-    * unity_catalog_cdc_demo.py:232-238).
+    * unity_catalog_cdc_demo.py:232-238). Fails fast with a clear error on
+    * an empty table (MIN/MAX are SQL NULL there — without the wasNull
+    * check they'd silently read as (0,0) and produce a degenerate split).
     */
   def keyBounds(url: String, table: String, partitionCol: String,
       props: Properties = new Properties): (Long, Long) = {
+    validIdent(table); validIdent(partitionCol)
     val conn = DriverManager.getConnection(url, props)
     try {
       val rs = conn.createStatement().executeQuery(
         s"SELECT MIN($partitionCol), MAX($partitionCol) FROM $table")
       rs.next()
-      (rs.getLong(1), rs.getLong(2))
+      val lo = rs.getLong(1)
+      if (rs.wasNull()) throw new IllegalStateException(
+        s"cannot derive snapshot bounds: table $table is empty")
+      val hi = rs.getLong(2)
+      (lo, hi)
     } finally conn.close()
   }
 
@@ -47,6 +67,123 @@ object JdbcSnapshot {
     val (lo, hi) = bounds.getOrElse(keyBounds(url, table, partitionCol, props))
     spark.read.jdbc(url, table, partitionCol, lo, hi, numPartitions, props)
   }
+
+  /** Resilient partitioned snapshot — the reference's pooled reader with
+    * retry-with-backoff and connection health checks
+    * (connection_pool_v2.py:78-140), re-expressed as per-partition
+    * imperative logic (the one place mapPartitions-style code is the right
+    * tool: retry semantics cannot be declared to Catalyst).
+    *
+    * Each of `numPartitions` tasks owns one non-overlapping key range and
+    * reads it with up to `maxAttempts` attempts, exponential backoff
+    * (`backoffMs · 2^attempt`), and a `Connection.isValid` health probe
+    * before each query. The whole range re-reads on retry — partition
+    * ranges are sized to fit executor memory anyway, and range re-read is
+    * the only granularity that stays exactly-once without server-side
+    * cursors. Every output row carries (`jdbc_partition`, `n_attempts`) so
+    * per-partition read health is a groupBy away ([[readStats]]).
+    *
+    * `injectFailures` makes the first N attempts of EVERY partition throw a
+    * synthetic transient SQLException — deterministic fault injection for
+    * tests; leave 0 in production.
+    */
+  def resilientSnapshot(spark: SparkSession, url: String, table: String,
+      partitionCol: String, numPartitions: Int,
+      maxAttempts: Int = 3, backoffMs: Long = 50,
+      bounds: Option[(Long, Long)] = None,
+      injectFailures: Int = 0,
+      props: Properties = new Properties): DataFrame = {
+    validIdent(table); validIdent(partitionCol)
+    require(numPartitions > 0 && maxAttempts > 0)
+    val (lo, hi) = bounds.getOrElse(keyBounds(url, table, partitionCol, props))
+    // schema discovery via the stock reader: lazy, issues only a
+    // WHERE-1=0 metadata query, no Spark job
+    val schema = spark.read.jdbc(url, table, props).schema
+    val outSchema = schema
+      .add(StructField("jdbc_partition", IntegerType, nullable = false))
+      .add(StructField("n_attempts", IntegerType, nullable = false))
+
+    // Spark-JDBC-style stride split: first/last ranges unbounded so rows
+    // outside the sampled [lo, hi] (concurrent inserts) still land somewhere
+    val stride = math.max(1L, (hi - lo) / numPartitions)
+    val ranges: Seq[(Int, Option[Long], Option[Long])] =
+      (0 until numPartitions).map { i =>
+        val rLo = if (i == 0) None else Some(lo + stride * i)
+        val rHi = if (i == numPartitions - 1) None else Some(lo + stride * (i + 1))
+        (i, rLo, rHi)
+      }
+
+    val fields = schema.fields // serialized to tasks once
+    val rowsRdd = spark.sparkContext.parallelize(ranges, numPartitions)
+      .flatMap { case (idx, rLo, rHi) =>
+        val pred = (rLo.map(v => s"$partitionCol >= $v") ++
+          rHi.map(v => s"$partitionCol < $v")) match {
+          case Nil => Seq("1=1")
+          case ps => ps.toSeq
+        }
+        val sql = s"SELECT * FROM $table WHERE ${pred.mkString(" AND ")}"
+        var attempt = 0
+        var out: scala.collection.mutable.ArrayBuffer[Row] = null
+        while (out == null) {
+          attempt += 1
+          try {
+            if (attempt <= injectFailures)
+              throw new java.sql.SQLTransientException(s"injected failure $attempt")
+            val conn = DriverManager.getConnection(url, props)
+            try {
+              if (!conn.isValid(5))
+                throw new java.sql.SQLTransientConnectionException("connection unhealthy")
+              val rs = conn.createStatement().executeQuery(sql)
+              val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+              while (rs.next()) {
+                val vals = new Array[Any](fields.length + 2)
+                var i = 0
+                while (i < fields.length) {
+                  val v: Any = fields(i).dataType match {
+                    case LongType => rs.getLong(i + 1)
+                    case IntegerType => rs.getInt(i + 1)
+                    case ShortType => rs.getShort(i + 1)
+                    case ByteType => rs.getByte(i + 1)
+                    case DoubleType => rs.getDouble(i + 1)
+                    case FloatType => rs.getFloat(i + 1)
+                    case BooleanType => rs.getBoolean(i + 1)
+                    case StringType => rs.getString(i + 1)
+                    case TimestampType => rs.getTimestamp(i + 1)
+                    case DateType => rs.getDate(i + 1)
+                    case BinaryType => rs.getBytes(i + 1)
+                    case _: DecimalType => rs.getBigDecimal(i + 1)
+                    case other => throw new IllegalArgumentException(
+                      s"unsupported JDBC snapshot type: $other")
+                  }
+                  vals(i) = if (rs.wasNull()) null else v
+                  i += 1
+                }
+                vals(fields.length) = idx
+                vals(fields.length + 1) = attempt
+                buf += Row.fromSeq(vals.toIndexedSeq)
+              }
+              out = buf
+            } finally conn.close()
+          } catch {
+            case e: java.sql.SQLException if attempt < maxAttempts =>
+              Thread.sleep(backoffMs << (attempt - 1))
+            // final attempt: propagate — the task (and query) fails loudly
+          }
+        }
+        out
+      }
+    spark.createDataFrame(rowsRdd, outSchema)
+  }
+
+  /** Per-partition read health for a [[resilientSnapshot]] frame: row
+    * count, key range, and the attempt count the partition needed — the
+    * reference's pool stats (connection_pool_v2.py:120-140) as a frame.
+    */
+  def readStats(snap: DataFrame, keyCol: String): DataFrame =
+    snap.groupBy(col("jdbc_partition"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        max(col("n_attempts")).as("n_attempts"))
 
   /** Snapshot rows → the unified CDC envelope: every row is a SNAPSHOT
     * read (Debezium op 'r'), sequenced by the key so a downstream merge

@@ -60,6 +60,64 @@ class JdbcSnapshotSpec extends SparkSpec {
     assert(env.select("seq_key").distinct().count() == 50)
   }
 
+  test("resilientSnapshot retries past injected transient failures and stays exact") {
+    seed(500)
+    val df = JdbcSnapshot.resilientSnapshot(spark, url, "T", "ID",
+      numPartitions = 4, maxAttempts = 3, backoffMs = 1, injectFailures = 2)
+    val rows = df.collect()
+    assert(rows.length == 500, "retry must deliver every row exactly once")
+    assert(rows.map(_.getAs[Long]("ID")).distinct.length == 500)
+    // every partition needed exactly injectFailures+1 attempts
+    val stats = JdbcSnapshot.readStats(df, "ID").collect()
+    assert(stats.length == 4)
+    assert(stats.forall(_.getAs[Int]("n_attempts") == 3),
+      s"expected 3 attempts per partition, got ${stats.map(_.getAs[Int]("n_attempts")).toSeq}")
+    // ranges disjoint and exhaustive
+    val ranges = stats.map(r => (r.getAs[Long]("min_key"), r.getAs[Long]("max_key"))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, "overlapping resilient ranges")
+      case _ =>
+    }
+  }
+
+  test("resilientSnapshot without faults reads in one attempt per partition") {
+    seed(200)
+    val df = JdbcSnapshot.resilientSnapshot(spark, url, "T", "ID", numPartitions = 3)
+    assert(df.count() == 200)
+    assert(JdbcSnapshot.readStats(df, "ID").collect()
+      .forall(_.getAs[Int]("n_attempts") == 1))
+  }
+
+  test("resilientSnapshot exhausts maxAttempts and fails loudly") {
+    seed(10)
+    val df = JdbcSnapshot.resilientSnapshot(spark, url, "T", "ID",
+      numPartitions = 2, maxAttempts = 2, backoffMs = 1, injectFailures = 5)
+    val e = intercept[Exception] { df.count() }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("injected"), s"unexpected failure chain: $messages")
+  }
+
+  test("keyBounds rejects unsafe identifiers and empty tables") {
+    seed(5)
+    intercept[IllegalArgumentException] {
+      JdbcSnapshot.keyBounds(url, "t; DROP TABLE t", "id")
+    }
+    intercept[IllegalArgumentException] {
+      JdbcSnapshot.keyBounds(url, "t", "id OR 1=1")
+    }
+    val conn = DriverManager.getConnection(url)
+    try {
+      try conn.createStatement().execute("DROP TABLE empty_t")
+      catch { case _: java.sql.SQLException => () }
+      conn.createStatement().execute("CREATE TABLE empty_t (id BIGINT)")
+    } finally conn.close()
+    val e = intercept[IllegalStateException] {
+      JdbcSnapshot.keyBounds(url, "empty_t", "id")
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("snapshotStats round-trips events through Derby with 4 range readers") {
     val stats = JdbcSnapshot.snapshotStats(spark, sf).collect()
     assert(stats.length == 4)
