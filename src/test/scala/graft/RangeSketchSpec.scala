@@ -48,6 +48,21 @@ class RangeSketchSpec extends SparkSpec {
       s"morton layout span $morton not tighter than random $random")
   }
 
+  test("quantile-rank morton layout survives an extreme outlier") {
+    // one 10^9 outlier in a 0..999 column: min/max scaling would collapse
+    // every regular row into rank-0 (one morton key → one partition);
+    // quantile ranks keep the mass spread by construction
+    val skewed = ((1 to 20000).map(i => ((i % 1000).toLong, i.toLong)) :+
+      (1000000000L, 20001L)).toDF("k", "v")
+    val laid = graft.operators.Layout.mortonLayout(skewed, "k", "v", 16)
+    val sizes = laid.groupBy(spark_partition_id()).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length >= 8, s"layout collapsed to ${sizes.length} partitions")
+    val avg = sizes.sum.toDouble / sizes.length
+    assert(sizes.max < 3 * avg,
+      s"outlier collapsed the key space: partition sizes ${sizes.toSeq}")
+  }
+
   test("partition pruning fires on the date-partitioned layout") {
     val dir = java.nio.file.Files.createTempDirectory("dp").toString
     val ev = Tables.events(spark, sf)

@@ -51,6 +51,9 @@ class TableRegistrySpec extends SparkSpec {
   test("discover registers every testdata table with real row counts") {
     val reg = TableRegistry.discover(spark, sf)
     assert(reg.count() == 10)
+    // footer counts must equal real counts for every table, not just events
+    val li = reg.filter(col("name") === "lineitem").select("row_count").head().getLong(0)
+    assert(li == spark.read.parquet(s"$sf/lineitem.parquet").count())
     val ev = reg.filter(col("name") === "events").select("row_count").head().getLong(0)
     assert(ev == Tables.events(spark, sf).count())
     val batch = TableRegistry.tableBatch(spark, sf).collect()
@@ -59,5 +62,21 @@ class TableRegistrySpec extends SparkSpec {
     assert(batch.head.getAs[String]("name") == "events")
     assert(!batch.map(_.getAs[String]("name")).contains("region"))
     assert(!batch.map(_.getAs[String]("name")).contains("orders")) // interval skip
+  }
+
+  test("discover is one metadata job, not one count job per table") {
+    val sc = spark.sparkContext
+    sc.setJobGroup("discover-jobs", "registry discover job count", false)
+    try {
+      // building the registry frame is fully lazy
+      val reg = TableRegistry.discover(spark, sf)
+      assert(sc.statusTracker.getJobIdsForGroup("discover-jobs").isEmpty,
+        "discover must not run eager per-table jobs")
+      reg.collect()
+      val jobs = sc.statusTracker.getJobIdsForGroup("discover-jobs").length
+      // footer job + final agg (AQE may materialize each exchange as a
+      // job) — must stay far below one-job-per-table
+      assert(jobs <= 4, s"discover ran $jobs jobs for 10 tables")
+    } finally sc.clearJobGroup()
   }
 }
