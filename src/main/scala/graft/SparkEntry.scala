@@ -41,6 +41,7 @@ object SparkEntry {
     "cdc_gap_check" -> ((s, d) => Cdc.gapCheck(s, d)),
     "cdc_debezium_parse" -> ((s, d) => Debezium.silverParsed(s, d)),
     "cdc_expect_audit" -> ((s, d) => Debezium.expectationAudit(s, d)),
+    "cdc_latency_metrics" -> ((s, d) => Debezium.latencyAudit(s, d)),
     "cdc_table_batch" -> ((s, d) => TableRegistry.tableBatch(s, d)),
     // partitioned JDBC initial load via embedded Derby (rows-only: the
     // oracle has no JDBC endpoint)
@@ -304,7 +305,7 @@ object SparkEntry {
         |    '","db":"graftdb","table":"events","server_id":1,"gtid":"0-1-' || CAST(event_id AS VARCHAR) ||
         |    '","file":"binlog.000001","pos":' || CAST(event_id * 4 AS VARCHAR) ||
         |    ',"row":0,"thread":7,"query":null},"op":"' || op_raw ||
-        |    '","ts_ms":' || CAST(seq_ms + 1 AS VARCHAR) ||
+        |    '","ts_ms":' || CAST(seq_ms + (event_id % 120) * 1000 + 1 AS VARCHAR) ||
         |    ',"transaction":{"id":"tx-' || CAST(user_id AS VARCHAR) ||
         |    '","total_order":1,"data_collection_order":1}}' AS cdc_event
         |  FROM e)
@@ -336,6 +337,24 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'small_user_id' AS rule FROM f WHERE NOT (op_raw = 'd' OR user_id < 10))
         |SELECT rule, count(*) AS n_failed FROM fails GROUP BY rule""".stripMargin,
+    "cdc_latency_metrics" ->
+      """WITH f AS (
+        |  SELECT CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' WHEN 'purchase' THEN 'r' ELSE 'u' END AS op_raw,
+        |    epoch_ms(ts) AS seq_ms, (event_id % 120) * 1000 + 1 AS delay_ms
+        |  FROM events),
+        |g AS (
+        |  SELECT seq_ms // 300000 * 300000 AS window_start_ms,
+        |    CASE op_raw WHEN 'c' THEN 'INSERT' WHEN 'u' THEN 'UPDATE' WHEN 'd' THEN 'DELETE' WHEN 'r' THEN 'SNAPSHOT'
+        |      ELSE 'UNKNOWN' END AS operation,
+        |    seq_ms, delay_ms
+        |  FROM f)
+        |SELECT window_start_ms, operation, count(*) AS event_count,
+        |  CAST(sum(delay_ms) * 10000 // count(*) AS BIGINT) AS avg_delay_ms_e4,
+        |  CAST(max(delay_ms) AS BIGINT) AS max_delay_ms,
+        |  min(seq_ms) AS min_event_ms, max(seq_ms) AS max_event_ms,
+        |  (max(delay_ms) > 60000) AS high_latency_flag,
+        |  (count(*) < 10) AS low_volume_flag
+        |FROM g GROUP BY 1, 2""".stripMargin,
     "cdc_net_effect" ->
       s"""$logCte,
          |b AS (SELECT event_type, operation,

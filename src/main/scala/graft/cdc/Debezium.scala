@@ -115,7 +115,7 @@ object Debezium {
          '","db":"graftdb","table":"events","server_id":1,"gtid":"0-1-' || CAST(event_id AS STRING) ||
          '","file":"binlog.000001","pos":' || CAST(event_id * 4 AS STRING) ||
          ',"row":0,"thread":7,"query":null},"op":"' || op_raw ||
-         '","ts_ms":' || CAST(seq_ms + 1 AS STRING) ||
+         '","ts_ms":' || CAST(seq_ms + (event_id % 120) * 1000 + 1 AS STRING) ||
          ',"transaction":{"id":"tx-' || CAST(user_id AS STRING) ||
          '","total_order":1,"data_collection_order":1}}' AS cdc_event""")
 
@@ -195,6 +195,51 @@ object Debezium {
     val stackArgs = rules.map { case (name, _) => s"'$name', `$name`" }.mkString(", ")
     sums.selectExpr(s"stack(${rules.size}, $stackArgs) AS (rule, n_failed)")
       .filter(col("n_failed") > 0)
+  }
+
+  /** Processing-delay latency metrics over a parsed silver frame — the
+    * reference's pipeline-health view (dlt_cdc_pipeline.py:338-372):
+    * delay = connector-processing time (`event_ts_ms`, the envelope-level
+    * `ts_ms` Debezium stamps at capture) − source commit time
+    * (`source_ts_ms`), aggregated per 5-minute source-time window ×
+    * operation with high-latency and low-volume flags.
+    *
+    * Everything is BIGINT arithmetic: the window start is integer
+    * bucketing of epoch-ms (no timestamp types cross engines) and the
+    * mean delay is ×10⁴ fixed-point — exact, order-independent, and
+    * hash-identical to the SQL oracle. One map-side-combined aggregation;
+    * works identically on batch frames and (with [[graft.streaming
+    * .CdcStreams.streamingLatency]]) on watermarked streams.
+    */
+  def latencyMetrics(silver: DataFrame): DataFrame =
+    silver
+      .withColumn("delay_ms", col("event_ts_ms") - col("source_ts_ms"))
+      .groupBy(expr("source_ts_ms DIV 300000 * 300000").as("window_start_ms"),
+        col("operation"))
+      .agg(count(lit(1)).as("event_count"),
+        expr("sum(delay_ms) * 10000 DIV count(1)").as("avg_delay_ms_e4"),
+        max(col("delay_ms")).as("max_delay_ms"),
+        min(col("source_ts_ms")).as("min_event_ms"),
+        max(col("source_ts_ms")).as("max_event_ms"))
+      .withColumn("high_latency_flag", col("max_delay_ms") > 60000L)
+      .withColumn("low_volume_flag", col("event_count") < 10)
+
+  /** #114 Registered latency-metrics query: synth envelope → pruned parse
+    * (only the 3 fields the metric needs — same hand-pruning rationale as
+    * [[expectationAudit]]) → [[latencyMetrics]].
+    */
+  def latencyAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pruned = StructType(Seq(
+      StructField("source", StructType(Seq(StructField("ts_ms", LongType)))),
+      StructField("op", StringType),
+      StructField("ts_ms", LongType)))
+    val lite = synthEnvelope(spark, dir)
+      .withColumn("parsed", from_json(col("cdc_event"), pruned))
+      .select(
+        readableOp(col("parsed.op")).as("operation"),
+        col("parsed.source.ts_ms").as("source_ts_ms"),
+        col("parsed.ts_ms").as("event_ts_ms"))
+    latencyMetrics(lite)
   }
 
   /** #89 Expectation audit over the parsed silver stream.

@@ -122,6 +122,25 @@ object CdcStreams {
     graft.cdc.Debezium.expectOrDrop(
       graft.cdc.Debezium.parseEnvelope(raw, eventCol), rules)
 
+  /** Streaming processing-delay latency metrics — the watermarked twin of
+    * [[graft.cdc.Debezium.latencyMetrics]] for the silver stream
+    * (dlt_cdc_pipeline.py:338-372): delay = capture time − source commit
+    * time per 5-minute event-time window × operation, with latency and
+    * volume flags. Watermark bounds the window state; everything before
+    * the aggregation is stateless column arithmetic.
+    */
+  def streamingLatency(silver: DataFrame): DataFrame =
+    silver
+      .withColumn("delay_ms", col("event_ts_ms") - col("source_ts_ms"))
+      .withColumn("src_ts", timestamp_millis(col("source_ts_ms")))
+      .withWatermark("src_ts", "30 minutes")
+      .groupBy(window(col("src_ts"), "5 minutes"), col("operation"))
+      .agg(count(lit(1)).as("event_count"),
+        expr("sum(delay_ms) * 10000 DIV count(1)").as("avg_delay_ms_e4"),
+        max(col("delay_ms")).as("max_delay_ms"))
+      .withColumn("high_latency_flag", col("max_delay_ms") > 60000L)
+      .withColumn("low_volume_flag", col("event_count") < 10)
+
   /** Heterogeneous multi-table union — the 500-table reality: tables with
     * DIFFERENT columns unify under one envelope (the reference's unified
     * event schema keeps per-table payloads as serialized records,

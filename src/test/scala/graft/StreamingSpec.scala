@@ -253,4 +253,31 @@ class StreamingSpec extends SparkSpec {
       assert(n == 2, s"expected 2 sessions for user 1, got $n")
     } finally q.stop()
   }
+
+  test("streaming latency metrics flag slow windows on the parsed silver stream") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    // real silver path: raw envelope strings → DLQ-splitting parse → latency
+    val (silver, _) = graft.cdc.Debezium.parseEnvelopeWithDlq(ms.toDF(), "value")
+    val q = CdcStreams.streamingLatency(silver)
+      .writeStream.format("memory").queryName("lat")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val base = 1704067200000L
+      def env(src: Long, ing: Long, op: String) =
+        s"""{"before":null,"after":null,"source":{"ts_ms":$src,"db":"d","table":"t"},"op":"$op","ts_ms":$ing}"""
+      ms.addData(
+        env(base, base + 1000, "c"), // 1s delay: fine
+        env(base + 60000, base + 130000, "u"), // 70s delay: high latency
+        "not json at all") // corrupt: routes to DLQ, must not break the agg
+      q.processAllAvailable()
+      val rows = spark.table("lat").collect()
+      assert(rows.map(_.getAs[Long]("event_count")).sum == 2,
+        "corrupt envelope leaked into the latency aggregation")
+      assert(rows.exists(_.getAs[Boolean]("high_latency_flag")),
+        "70s delay did not raise the high-latency flag")
+      assert(rows.forall(_.getAs[Boolean]("low_volume_flag")))
+    } finally q.stop()
+  }
 }
