@@ -81,6 +81,9 @@ object SparkEntry {
     "q_distinct_counts" -> ((s, d) => Tpch.qDistinctCounts(s, d)),
     "q_approx_distinct" -> ((s, d) => Tpch.qApproxDistinct(s, d)),
     "q_percentiles" -> ((s, d) => Tpch.qPercentiles(s, d)),
+    // mergeable KLL-style sketch (rows-only: deterministic but approximate;
+    // QuantileSketchSpec pins the rank-error bound vs the exact query)
+    "q_percentiles_sketch" -> ((s, d) => Tpch.qPercentilesSketch(s, d)),
     "q_stats_corr" -> ((s, d) => Tpch.qStatsCorr(s, d)),
     "q6_forecast" -> ((s, d) => Tpch.q6Forecast(s, d)),
     "q14_promo_share" -> ((s, d) => Tpch.q14PromoShare(s, d)),

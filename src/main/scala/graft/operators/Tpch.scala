@@ -253,6 +253,24 @@ object Tpch {
         expr("round(percentile(o_totalprice, 0.95D), 4)").as("p95"),
         count(lit(1)).as("n"))
 
+  /** #114 Sketched percentiles of order value per priority: the mergeable
+    * KLL-style quantile aggregate ([[graft.functions.QuantileSketchAgg]])
+    * — O(k log n) state per group, no distributed sort, map-side partial
+    * merge. The approximate twin of [[qPercentiles]]; QuantileSketchSpec
+    * pins the rank error against the exact answer.
+    */
+  def qPercentilesSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        graft.functions.QuantileSketchAgg
+          .quantileSketch(col("o_totalprice"), Seq(0.5, 0.95)).as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        round(element_at(col("qs"), 1), 4).as("p50_est"),
+        round(element_at(col("qs"), 2), 4).as("p95_est"),
+        col("n"))
+
   /** #51 Correlation / dispersion statistics (sample semantics both
     * engines).
     */
