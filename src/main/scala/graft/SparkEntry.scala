@@ -149,6 +149,11 @@ object SparkEntry {
         .groupBy("src_table", "operation")
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     }),
+    // per-table streaming lifecycle orchestration (rows-only: streaming
+    // runtime behavior, no SQL analog; OrchestratorSpec proves the
+    // start/monitor/stop contract)
+    "cdc_stream_orchestration" -> ((s, d) =>
+      graft.streaming.StreamOrchestrator.orchestrationDemo(s, d)),
     // custom DataSource V2 (rows-only: synthetic, no oracle table)
     "src_cdcgen_stats" -> ((s, _) => {
       import org.apache.spark.sql.functions._

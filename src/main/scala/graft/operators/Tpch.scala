@@ -253,7 +253,7 @@ object Tpch {
         expr("round(percentile(o_totalprice, 0.95D), 4)").as("p95"),
         count(lit(1)).as("n"))
 
-  /** #114 Sketched percentiles of order value per priority: the mergeable
+  /** #115 Sketched percentiles of order value per priority: the mergeable
     * KLL-style quantile aggregate ([[graft.functions.QuantileSketchAgg]])
     * — O(k log n) state per group, no distributed sort, map-side partial
     * merge. The approximate twin of [[qPercentiles]]; QuantileSketchSpec

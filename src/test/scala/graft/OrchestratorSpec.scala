@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.cdc.TableRegistry
+import graft.cdc.TableRegistry.TableMeta
+import graft.streaming.StreamOrchestrator
+
+/** Per-table streaming-query lifecycle (SURVEY §2 #116): registry batch →
+  * N independent checkpointed queries; stop isolation; restart from each
+  * table's own checkpoint with exactly-once delivery.
+  */
+class OrchestratorSpec extends SparkSpec {
+
+  private def meta(name: String, freq: Double) =
+    TableMeta(name, "db", 10000L, 100.0, freq, None, 0, Some("id"), cdc_enabled = true)
+
+  private def mkStream(maxRows: Long)(table: String): DataFrame =
+    spark.readStream.format("cdcgen")
+      .option("rowsperbatch", 100L)
+      .option("maxrows", maxRows)
+      .option("seed", math.abs(table.hashCode.toLong))
+      .load()
+
+  test("registry batch starts one checkpointed query per table; stopping one leaves the rest committing") {
+    val ck = Files.createTempDirectory("orch_ck").toString
+    val out = Files.createTempDirectory("orch_out").toString
+    val orch = new StreamOrchestrator(spark, ck, out)
+    val batch = TableRegistry.nextBatch(
+      TableRegistry.fromMetadata(spark, Seq(
+        meta("t_a", 100.0), meta("t_b", 50.0), meta("t_c", 10.0))), maxTables = 3)
+    try {
+      val started = orch.startBatch(batch, mkStream(maxRows = 100000L))
+      assert(started.sorted == Seq("t_a", "t_b", "t_c"))
+      assert(orch.activeTables == Seq("t_a", "t_b", "t_c"))
+      // each query owns its checkpoint directory
+      Seq("t_a", "t_b", "t_c").foreach { t =>
+        assert(new java.io.File(s"$ck/$t").exists(), s"no checkpoint dir for $t")
+      }
+
+      orch.stopTable("t_b")
+      assert(orch.activeTables == Seq("t_a", "t_c"))
+
+      // the survivors keep committing micro-batches after the stop
+      def batchId(t: String): Long = {
+        val row = orch.status.filter(col("table") === t).head()
+        row.getAs[Long]("last_batch_id")
+      }
+      val before = Seq("t_a", "t_c").map(batchId)
+      val deadline = System.currentTimeMillis() + 30000
+      var after = before
+      while (after.zip(before).exists { case (a, b) => a <= b } &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        after = Seq("t_a", "t_c").map(batchId)
+      }
+      assert(after.zip(before).forall { case (a, b) => a > b },
+        s"surviving queries stalled after stopping t_b: $before -> $after")
+
+      // status frame mirrors the registry incl. the stopped table
+      val st = orch.status.collect().map(r =>
+        r.getAs[String]("table") -> r.getAs[Boolean]("is_active")).toMap
+      assert(st == Map("t_a" -> true, "t_b" -> false, "t_c" -> true))
+    } finally orch.stopAll()
+  }
+
+  test("restart from the per-table checkpoint resumes exactly-once") {
+    val ck = Files.createTempDirectory("orch_ck2").toString
+    val out = Files.createTempDirectory("orch_out2").toString
+    val maxRows = 500L
+    val orch = new StreamOrchestrator(spark, ck, out)
+    try {
+      // phase 1: deliver everything, then stop (simulated shutdown)
+      orch.startTable("t_r", mkStream(maxRows))
+      orch.processAllAvailable()
+      orch.stopTable("t_r")
+      val afterFirst = spark.read.parquet(s"$out/t_r").count()
+      assert(afterFirst == maxRows)
+
+      // phase 2: restart against the same checkpoint — no re-delivery
+      val orch2 = new StreamOrchestrator(spark, ck, out)
+      try {
+        orch2.startTable("t_r", mkStream(maxRows))
+        orch2.processAllAvailable()
+      } finally orch2.stopAll()
+      val df = spark.read.parquet(s"$out/t_r")
+      assert(df.count() == maxRows, "restart re-delivered rows")
+      assert(df.select("event_id").distinct().count() == maxRows)
+    } finally orch.stopAll()
+  }
+
+  test("orchestration demo reports exactly-once delivery for the full registry batch") {
+    val demo = StreamOrchestrator.orchestrationDemo(spark, sf).collect()
+    assert(demo.length == 3)
+    assert(demo.forall(_.getAs[Boolean]("exactly_once")),
+      s"demo rows: ${demo.mkString(", ")}")
+  }
+}
