@@ -149,6 +149,11 @@ object SparkEntry {
         .groupBy("src_table", "operation")
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     }),
+    // composed bronze→silver→gold pipeline demo (rows-only: streaming
+    // runtime with planted corrupt/quarantine rows; MedallionSpec proves
+    // the kill/restart exactly-once contract)
+    "cdc_medallion_stats" -> ((s, d) =>
+      graft.streaming.Medallion.medallionStats(s, d)),
     // per-table streaming lifecycle orchestration (rows-only: streaming
     // runtime behavior, no SQL analog; OrchestratorSpec proves the
     // start/monitor/stop contract)

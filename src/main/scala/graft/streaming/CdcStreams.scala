@@ -308,7 +308,9 @@ object CdcStreams {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(targetPath)
     fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new java.io.IOException(
+        s"CDC merge swap failed: could not rename $tmp to $targetPath")
   }
 
   /** Per-micro-batch pipeline metrics via StreamingQueryListener — the
