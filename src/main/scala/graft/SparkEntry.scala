@@ -149,6 +149,36 @@ object SparkEntry {
         .groupBy("src_table", "operation")
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     }),
+    // multi-table gold merge: 2 tables, INSERT then UPDATE+DELETE batches,
+    // through ONE partitioned merge job per batch (rows-only: writes a
+    // temp target; UtilSpec proves merge semantics + replay idempotence)
+    "cdc_multi_table_merge" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.CdcStreams
+      val root = java.nio.file.Files.createTempDirectory("mtm").toString + "/gold"
+      val orders = Tables.orders(s, d).filter(col("o_orderkey") <= 500)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val cust = Tables.customer(s, d).filter(col("c_custkey") <= 200)
+        .select("c_custkey", "c_name", "c_nationkey")
+      val b1 = CdcStreams.heterogeneousUnion(Seq(
+        ("orders", orders, "o_orderkey", "o_orderkey"),
+        ("customer", cust, "c_custkey", "c_custkey")))
+        .withColumn("operation", lit("INSERT"))
+      CdcStreams.applyCdcBatchMultiTable(s, b1, root)
+      val upd = CdcStreams.heterogeneousUnion(Seq(
+        ("orders", orders.filter(col("o_orderkey") <= 100)
+          .withColumn("o_orderpriority", lit("9-UPDATED")), "o_orderkey", "o_orderkey")))
+        .withColumn("seq", col("seq") + 1000000L)
+        .withColumn("operation", lit("UPDATE"))
+      val del = CdcStreams.heterogeneousUnion(Seq(
+        ("customer", cust.filter(col("c_custkey") <= 50), "c_custkey", "c_custkey")))
+        .withColumn("seq", col("seq") + 1000000L)
+        .withColumn("operation", lit("DELETE"))
+      CdcStreams.applyCdcBatchMultiTable(s, upd.unionByName(del), root)
+      s.read.parquet(root).groupBy("src_table")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("payload").contains("9-UPDATED"), 1L).otherwise(0L)).as("n_updated"))
+    }),
     // composed bronze→silver→gold pipeline demo (rows-only: streaming
     // runtime with planted corrupt/quarantine rows; MedallionSpec proves
     // the kill/restart exactly-once contract)

@@ -313,6 +313,56 @@ object CdcStreams {
         s"CDC merge swap failed: could not rename $tmp to $targetPath")
   }
 
+  /** Multi-table MERGE in ONE job: apply a micro-batch of UNIFIED-envelope
+    * events ([[heterogeneousUnion]] shape: src_table, entity_key, seq,
+    * operation, payload) onto a src_table-partitioned parquet target.
+    *
+    * The reference fans a mixed batch out to a 10-thread pool running one
+    * Delta MERGE per table (cdc_500_tables_streaming.py:151-227 —
+    * process_cdc_batch / process_table_events). Spark-first that
+    * thread pool is unnecessary: latest-per-(table, key) is one window
+    * over the union of the affected partitions and the incoming batch,
+    * and dynamic partition overwrite rewrites exactly the touched
+    * `src_table=` partitions — 500 tables merge as ONE shuffle + ONE
+    * write, parallelism from partitioning instead of driver threads.
+    * Idempotent under batch replay (same merge result → same partition
+    * contents), so exactly-once composes with a checkpointed foreachBatch.
+    *
+    * Edge (documented, inherent to dynamic overwrite): a table whose keys
+    * were ALL deleted in a batch emits no rows, so its stale partition
+    * survives; route full-table truncations through an explicit partition
+    * delete.
+    */
+  def applyCdcBatchMultiTable(spark: SparkSession, batch: DataFrame,
+      targetRoot: String): Unit = {
+    val cols = Seq("src_table", "entity_key", "seq", "operation", "payload")
+    val incoming = batch.select(cols.map(col): _*)
+    // O(affected tables) driver rows — the routing decision, not a data read
+    val affected = incoming.select("src_table").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (affected.isEmpty) return
+    val existing =
+      try spark.read.parquet(targetRoot)
+        .filter(col("src_table").isin(affected: _*))
+        .select(cols.map(col): _*)
+      catch { case _: Exception => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
+    val w = Window.partitionBy("src_table", "entity_key")
+      .orderBy(col("seq").desc, col("operation"))
+    val merged = existing.unionByName(incoming)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("operation") =!= "DELETE")
+      .drop("rn")
+    // pin the merge result before writing: the overwrite must not read its
+    // own destination (Spark rejects self-overwriting scans), and the
+    // truncated lineage is what makes replay idempotent mid-write
+    merged.localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("src_table")
+      .parquet(targetRoot)
+  }
+
   /** Per-micro-batch pipeline metrics via StreamingQueryListener — the
     * reference's `cdc_metrics` table (batch_id, event_count, processing
     * rate; unity_catalog_cdc_demo.py:650-663) without a second write

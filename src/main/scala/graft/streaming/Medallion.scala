@@ -105,7 +105,7 @@ object Medallion {
     * envelopes + planted corrupt lines), the full pipeline run to
     * completion in two micro-batches, and a per-layer row-count summary —
     * the "is every layer populated and consistent" view. Bounded input
-    * (2000 envelopes), so cost is scale-factor-independent.
+    * (1000 envelopes), so cost is scale-factor-independent.
     */
   def medallionStats(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
@@ -113,7 +113,7 @@ object Medallion {
     val bronzeDir = s"$root/bronze"
     Files.createDirectories(Paths.get(bronzeDir))
     val envelopes = Debezium.synthEnvelope(spark, dir)
-      .filter(col("event_id") <= 2000)
+      .filter(col("event_id") <= 1000)
       .select("cdc_event").collect().map(_.getString(0))
     val (fileA, fileB) = envelopes.splitAt(envelopes.length / 2)
     Files.write(Paths.get(s"$bronzeDir/a.txt"),

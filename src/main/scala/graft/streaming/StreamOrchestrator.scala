@@ -124,7 +124,7 @@ object StreamOrchestrator {
       TableMeta("events_cdc", "db", 500000L, 80.0, 100.0, Some(2.0), 1, Some("id"), cdc_enabled = true),
       TableMeta("region_cdc", "db", 5L, 90.0, 0.1, Some(0.1), 0, None, cdc_enabled = true)))
     val batch = TableRegistry.nextBatch(registry, maxTables = 3)
-    val maxRows = 2000L
+    val maxRows = 1000L
     try {
       val started = orch.startBatch(batch, t =>
         spark.readStream.format("cdcgen")

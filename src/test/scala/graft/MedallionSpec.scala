@@ -95,7 +95,7 @@ class MedallionSpec extends SparkSpec {
     val a = Medallion.medallionStats(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val nEnvelopes = Tables.events(spark, sf)
-      .filter(col("event_id") <= 2000).count()
+      .filter(col("event_id") <= 1000).count()
     assert(a("bronze") == nEnvelopes + 3)
     assert(a("gold") > 0 && a("dlq") > 0)
     assert(a("bronze") > a("gold") + a("dlq"), "layers don't reconcile")

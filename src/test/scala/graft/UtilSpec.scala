@@ -181,6 +181,56 @@ class UtilSpec extends SparkSpec {
     assert(r.getInt(2) >= 0 && r.getInt(2) < 256)
   }
 
+  test("multi-table merge applies mixed-table batches in one partitioned write") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mtm_spec").toString + "/gold"
+    def env(tbl: String, key: Long, seq: Long, op: String, payload: String) =
+      (tbl, key.toString, seq, op, payload)
+    val cols = Seq("src_table", "entity_key", "seq", "operation", "payload")
+
+    // batch 1: inserts across two tables
+    val b1 = Seq(
+      env("orders", 1, 10, "INSERT", """{"v":1}"""),
+      env("orders", 2, 10, "INSERT", """{"v":2}"""),
+      env("customer", 7, 10, "INSERT", """{"n":"a"}""")).toDF(cols: _*)
+    graft.streaming.CdcStreams.applyCdcBatchMultiTable(spark, b1, root)
+    assert(spark.read.parquet(root).count() == 3)
+
+    // batch 2: update orders/1, delete orders/2, new customer — one call,
+    // three per-table outcomes
+    val b2 = Seq(
+      env("orders", 1, 20, "UPDATE", """{"v":11}"""),
+      env("orders", 2, 20, "DELETE", """{"v":2}"""),
+      env("customer", 8, 20, "INSERT", """{"n":"b"}""")).toDF(cols: _*)
+    graft.streaming.CdcStreams.applyCdcBatchMultiTable(spark, b2, root)
+    val state = spark.read.parquet(root)
+      .select("src_table", "entity_key", "seq", "payload").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(state == Set(
+      ("orders", "1", 20L, """{"v":11}"""),
+      ("customer", "7", 10L, """{"n":"a"}"""),
+      ("customer", "8", 20L, """{"n":"b"}""")), s"bad merged state: $state")
+
+    // crash-replay idempotence: re-applying batch 2 changes nothing
+    graft.streaming.CdcStreams.applyCdcBatchMultiTable(spark, b2, root)
+    val replayed = spark.read.parquet(root)
+      .select("src_table", "entity_key", "seq", "payload").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(replayed == state, "batch replay changed the multi-table state")
+
+    // a batch touching ONE table must leave other partitions' files alone
+    // (dynamic overwrite rewrites only the touched src_table partition)
+    val custFilesBefore = new java.io.File(s"$root/src_table=customer")
+      .listFiles().map(_.getName).toSet
+    val b3 = Seq(env("orders", 3, 30, "INSERT", """{"v":3}""")).toDF(cols: _*)
+    graft.streaming.CdcStreams.applyCdcBatchMultiTable(spark, b3, root)
+    val custFilesAfter = new java.io.File(s"$root/src_table=customer")
+      .listFiles().map(_.getName).toSet
+    assert(custFilesAfter == custFilesBefore,
+      "merge of an orders-only batch rewrote the customer partition")
+    assert(spark.read.parquet(root).count() == 4)
+  }
+
   test("stream-static broadcast enrichment joins without shuffling the stream") {
     val normalized = graft.streaming.CdcStreams.normalize(Tables.events(spark, sf))
     val dim = Tables.customer(spark, sf)
