@@ -81,6 +81,32 @@ class PlanSpec extends SparkSpec {
       s"range join fell back to nested loop:\n$p")
   }
 
+  test("latency metrics: pruned parse, one shuffle, partial aggregation") {
+    val p = planOf("cdc_latency_metrics")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"latency agg should shuffle once:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"latency metrics lack map-side partial aggregation:\n$p")
+  }
+
+  test("multi-table merge: one shuffle merges every table in the batch") {
+    import spark.implicits._
+    val incoming = Seq(("orders", "1", 10L, "INSERT", "{}"))
+      .toDF("src_table", "entity_key", "seq", "operation", "payload")
+    // the merge plan (before the write): union + one window partitioned by
+    // (src_table, entity_key) — a single exchange serves all 500 tables
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("src_table", "entity_key")
+      .orderBy(col("seq").desc, col("operation"))
+    val merged = incoming.unionByName(incoming)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("operation") =!= "DELETE").drop("rn")
+    val p = merged.queryExecution.executedPlan.toString
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"multi-table merge should shuffle once:\n$p")
+  }
+
   test("aggregations are partial (map-side combine) for the monitoring queries") {
     for (q <- Seq("cdc_table_stats", "ev_windowed_counts", "q_brand_revenue")) {
       val p = planOf(q)
