@@ -85,6 +85,7 @@ object SparkEntry {
     // QuantileSketchSpec pins the rank-error bound vs the exact query)
     "q_percentiles_sketch" -> ((s, d) => Tpch.qPercentilesSketch(s, d)),
     "q_stats_corr" -> ((s, d) => Tpch.qStatsCorr(s, d)),
+    "q_orders_by_month" -> ((s, d) => Tpch.qOrdersByMonth(s, d)),
     "q6_forecast" -> ((s, d) => Tpch.q6Forecast(s, d)),
     "q14_promo_share" -> ((s, d) => Tpch.q14PromoShare(s, d)),
     "q18_large_orders" -> ((s, d) => Tpch.q18LargeOrders(s, d)),
@@ -698,6 +699,12 @@ object SparkEntry {
         |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_orders_by_month" ->
+      """SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS TIMESTAMP)) * 100
+        |     + EXTRACT(month FROM CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ym,
+        |  count(*) AS order_count,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS month_value
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_stats_corr" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,

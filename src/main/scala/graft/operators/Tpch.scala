@@ -271,6 +271,21 @@ object Tpch {
         round(element_at(col("qs"), 2), 4).as("p95_est"),
         col("n"))
 
+  /** #119 Temporal distribution audit: orders per calendar month with
+    * month value — the reference's data-distribution integrity check
+    * (tests/test_cdc_integration.py:228-253) as a declarative aggregate.
+    * The month key is integer (y·100+m) so no date-format strings cross
+    * engines; one map-side-combined aggregation.
+    */
+  def qOrdersByMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("ym"))
+      .agg(count(lit(1)).as("order_count"),
+        round(sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2))).cast("double"), 2)
+          .as("month_value"))
+
   /** #51 Correlation / dispersion statistics (sample semantics both
     * engines).
     */
