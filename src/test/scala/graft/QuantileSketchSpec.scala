@@ -37,6 +37,10 @@ class QuantileSketchSpec extends SparkSpec {
     val back = QuantileSketch.deserialize(sk.serialize(), 200)
     assert(back.n == sk.n)
     Seq(0.5, 0.95).foreach(p => assert(back.quantile(p) == sk.quantile(p)))
+    // the O(k log(n/k)) state claim, in bytes: k=200 doubles per level,
+    // ~log2(100k/200)=9 levels — far under 64 KiB (vs 800 KB raw values)
+    assert(sk.serialize().length < 64 * 1024,
+      s"sketch state grew to ${sk.serialize().length} bytes")
   }
 
   test("merge of disjoint sketches bounds error like a single pass") {
