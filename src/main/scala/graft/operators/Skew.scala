@@ -14,10 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Two-stage salted sum/count for the named numeric column. Returns
-    * (keyCols..., sum_<col>, cnt) — same groups and totals as a direct
-    * groupBy (double sums may differ in final ulps from summation order),
-    * but no reducer sees more than ~1/salts of any key's rows.
+  /** Retry-stable salt in [0, salts): hash of every data column plus the
+    * caller's `disambiguators`.
     *
     * The salt must be DETERMINISTIC per row — a positional counter
     * (monotonically_increasing_id / rand) changes on task retry after a
@@ -26,18 +24,28 @@ object Skew {
     * retry-stable and value-spread: a hot key with a constant aggregate
     * value still fans out over its other columns.
     *
-    * Known limitation: fully identical duplicate rows share a salt bucket,
-    * so a hot key made of byte-identical duplicates degrades back to one
-    * reducer. For duplicate-heavy inputs mix a retry-stable positional
-    * disambiguator into the hash — e.g. `_metadata.file_path` +
-    * `_metadata.row_index` on file sources — which distinguishes physical
-    * rows without the retry-instability of monotonically_increasing_id.
+    * Fully identical duplicate rows, however, share a salt — a hot key
+    * made of byte-identical duplicates degrades back to one reducer. For
+    * duplicate-heavy file-source inputs pass retry-stable POSITIONAL
+    * disambiguators: `col("_metadata.file_path")` +
+    * `col("_metadata.row_index")` distinguish physical rows and are
+    * recomputed identically on retry (unlike a positional counter).
+    */
+  def retryStableSalt(df: DataFrame, salts: Int,
+      disambiguators: Seq[Column] = Nil): Column =
+    pmod(hash(df.columns.toIndexedSeq.map(col) ++ disambiguators: _*), lit(salts))
+
+  /** Two-stage salted sum/count for the named numeric column. Returns
+    * (keyCols..., sum_<col>, cnt) — same groups and totals as a direct
+    * groupBy (double sums may differ in final ulps from summation order),
+    * but no reducer sees more than ~1/salts of any key's rows. See
+    * [[retryStableSalt]] for salt semantics and when to supply
+    * `disambiguators` (duplicate-heavy inputs).
     */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
-      salts: Int = 16): DataFrame = {
+      salts: Int = 16, disambiguators: Seq[Column] = Nil): DataFrame = {
     val keys: Seq[Column] = keyCols.map(col)
-    val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salts)))
+    val salted = df.withColumn("__salt", retryStableSalt(df, salts, disambiguators))
     val partial = salted
       .groupBy((keys :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))

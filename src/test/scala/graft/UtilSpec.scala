@@ -17,6 +17,33 @@ class UtilSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("_metadata disambiguators spread byte-identical duplicate rows over salts") {
+    import spark.implicits._
+    // a hot key made entirely of identical duplicates: the worst case the
+    // whole-row hash cannot spread on its own
+    val dir = Files.createTempDirectory("dup").toString
+    Seq.fill(2000)(("hot", 1.0)).toDF("k", "v")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val dup = spark.read.parquet(dir)
+
+    val plain = dup.withColumn("__salt", Skew.retryStableSalt(dup, 16))
+      .select("__salt").distinct().count()
+    assert(plain == 1, "identical rows should collapse to one salt without disambiguators")
+
+    val meta = Seq(col("_metadata.file_path"), col("_metadata.row_index"))
+    val spread = dup.withColumn("__salt", Skew.retryStableSalt(dup, 16, meta))
+      .select("__salt").distinct().count()
+    assert(spread >= 8, s"positional disambiguators spread over only $spread/16 salts")
+
+    // and the disambiguated aggregate still equals the direct one
+    val direct = dup.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedSumCount(dup, Seq("k"), "v", salts = 16,
+        disambiguators = meta)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
   test("json and csv envelope round-trip through the same schema") {
     val ev = Tables.events(spark, sf).limit(200)
     val dir = Files.createTempDirectory("env").toString
