@@ -149,7 +149,12 @@ case class QuantileSketchAgg(
 
   override def update(buf: QuantileSketch, input: InternalRow): QuantileSketch = {
     val v = child.eval(input)
-    if (v != null) buf.insert(v.asInstanceOf[Number].doubleValue())
+    if (v != null) {
+      val d = v.asInstanceOf[Number].doubleValue()
+      // NaN has no rank — skip it like null (sorting with NaN present
+      // would corrupt every compaction below it)
+      if (!d.isNaN) buf.insert(d)
+    }
     buf
   }
 

@@ -106,4 +106,58 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val doubles: Gen[List[Double]] =
+    Gen.chooseNum(0, 3000).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.chooseNum(-1e6, 1e6),
+        Gen.chooseNum(-10.0, 10.0),
+        Gen.oneOf(0.0, 1.0, -1.0, 1e-9, 1e9)))) // duplicates + extremes
+
+  /** Tie-aware rank error: a value with duplicates covers a rank INTERVAL
+    * [count(<v)/n, count(<=v)/n]; the estimate is correct when p falls
+    * inside it, else the distance to the nearest end.
+    */
+  private def sketchRankError(values: List[Double], est: Double, p: Double): Double = {
+    val n = values.length.toDouble
+    val below = values.count(_ < est) / n
+    val upTo = values.count(_ <= est) / n
+    if (p >= below && p <= upTo) 0.0
+    else math.min(math.abs(p - below), math.abs(p - upTo))
+  }
+
+  test("quantile sketch rank error bounded for arbitrary inputs (k=100)") {
+    import graft.functions.QuantileSketch
+    forAll2(doubles, Gen.oneOf(0.1, 0.5, 0.9, 0.99), n = 120) { (vs, p) =>
+      whenever(vs.nonEmpty) {
+        val sk = new QuantileSketch(100)
+        vs.foreach(sk.insert)
+        assert(sk.n == vs.length)
+        val err = sketchRankError(vs, sk.quantile(p), p)
+        // 5% rank bound at k=100, plus the 1/n discretization floor (a
+        // step-quantile over n values can't rank finer than 1/n)
+        assert(err <= 0.05 + 1.0 / vs.length,
+          s"rank err $err at p=$p over ${vs.length} values")
+      }
+    }
+  }
+
+  test("quantile sketch merge equals bounded single-pass for arbitrary splits") {
+    import graft.functions.QuantileSketch
+    forAll2(doubles, Gen.chooseNum(0.0, 1.0), n = 80) { (vs, cut) =>
+      whenever(vs.length >= 2) {
+        val at = math.max(1, math.min(vs.length - 1, (vs.length * cut).toInt))
+        val (l, r) = vs.splitAt(at)
+        val a = new QuantileSketch(100); l.foreach(a.insert)
+        val b = new QuantileSketch(100); r.foreach(b.insert)
+        val m = a.merge(b)
+        assert(m.n == vs.length)
+        Seq(0.5, 0.95).foreach { p =>
+          val err = sketchRankError(vs, m.quantile(p), p)
+          assert(err <= 0.05 + 1.0 / vs.length,
+            s"post-merge rank err $err at p=$p, split $at/${vs.length}")
+        }
+      }
+    }
+  }
 }

@@ -96,12 +96,12 @@ class MedallionSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val nEnvelopes = Tables.events(spark, sf)
       .filter(col("event_id") <= 1000).count()
-    assert(a("bronze") == nEnvelopes + 3)
-    assert(a("gold") > 0 && a("dlq") > 0)
-    assert(a("bronze") > a("gold") + a("dlq"), "layers don't reconcile")
+    assert(a("bronze") == nEnvelopes + 3, s"layer counts: $a")
+    assert(a("gold") > 0 && a("dlq") > 0, s"layer counts: $a")
+    assert(a("bronze") > a("gold") + a("dlq"), s"layers don't reconcile: $a")
     // deterministic: a rerun lands on identical counts
     val b = Medallion.medallionStats(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(a == b)
+    assert(a == b, s"medallion reruns disagree: $a vs $b")
   }
 }
