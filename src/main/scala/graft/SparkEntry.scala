@@ -61,6 +61,10 @@ object SparkEntry {
     "ev_heavy_hitters" -> ((s, d) => graft.operators.Sketches.heavyHitters(s, d)),
     "doc_top_terms" -> ((s, d) => Text.docTopTerms(s, d)),
     "doc_decontaminate" -> ((s, d) => Text.decontaminate(s, d)),
+    "doc_repetition" -> ((s, d) => Text.docRepetition(s, d)),
+    "dedup_ngram_corpus" -> ((s, d) => Text.corpusDupNgrams(s, d)),
+    "doc_sample_stratified" -> ((s, d) => Text.stratifiedSample(s, d)),
+    "pii_redact" -> ((s, d) => Redact.piiRedact(s, d)),
     "doc_len_hist" -> ((s, d) => Text.docLenHist(s, d)),
     "doc_quality_gopher" -> ((s, d) => Text.docQualityGopher(s, d)),
     "mm_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, d)),
@@ -497,6 +501,52 @@ object SparkEntry {
         |FROM sh s JOIN ev USING (h)
         |WHERE s.doc_id >= 10
         |GROUP BY 1""".stripMargin,
+    "doc_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g2 AS (SELECT doc_id, CAST(2 AS BIGINT) AS gram_n, array_to_string(toks[i:i+1], ' ') AS g
+        |       FROM tok, UNNEST(range(1, len(toks))) AS t(i) WHERE len(toks) >= 2),
+        |g5 AS (SELECT doc_id, CAST(5 AS BIGINT) AS gram_n, array_to_string(toks[i:i+4], ' ') AS g
+        |       FROM tok, UNNEST(range(1, len(toks) - 3)) AS t(i) WHERE len(toks) >= 5),
+        |c AS (SELECT doc_id, gram_n, g, count(*) AS c
+        |      FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g5) GROUP BY 1, 2, 3)
+        |SELECT doc_id, gram_n, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(max(c) AS BIGINT) AS top_gram_cnt,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_gram_occ,
+        |  CAST(max(c) * 10000 // sum(c) AS BIGINT) AS top_gram_frac_e4,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 10000 // sum(c) AS BIGINT) AS dup_gram_frac_e4
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "dedup_ngram_corpus" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS h
+        |       FROM tok, UNNEST(range(1, len(toks) - 6)) AS t(i) WHERE len(toks) >= 8),
+        |dup AS (SELECT h, count(*) AS n_docs, min(doc_id) AS first_doc
+        |        FROM sh GROUP BY 1 HAVING count(*) > 1)
+        |SELECT s.doc_id, count(*) AS n_dup_grams,
+        |  CAST(sum(CASE WHEN s.doc_id <> d.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_nonoriginal
+        |FROM sh s JOIN dup d USING (h)
+        |GROUP BY 1""".stripMargin,
+    "doc_sample_stratified" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, CAST((doc_id * 131 + 7) % 100 AS BIGINT) AS bucket,
+        |    CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 40
+        |      WHEN 'de' THEN 30 WHEN 'es' THEN 30 ELSE 20 END AS keep_pct
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b WHERE bucket < keep_pct""".stripMargin,
+    "pii_redact" ->
+      """WITH raw AS (
+        |  SELECT c_custkey,
+        |    '555-' || lpad(CAST(c_custkey * 7 % 10000 AS VARCHAR), 4, '0') ||
+        |      '-' || lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0') AS phone,
+        |    replace(lower(c_name), '#', '.') || '@example.com' AS email
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(substr(phone, 1, length(phone) - 4), '[0-9]', '#', 'g')
+        |    || substr(phone, length(phone) - 3) AS phone_masked,
+        |  substr(email, 1, 1) || repeat('*', position('@' IN email) - 2)
+        |    || substr(email, position('@' IN email)) AS email_masked,
+        |  CAST(length(regexp_replace(substr(phone, 1, length(phone) - 4),
+        |    '[^0-9]', '', 'g')) AS BIGINT) AS n_digits_masked
+        |FROM raw""".stripMargin,
     // payload JSON is concat-constructed to match Spark's to_json byte-for-
     // byte (compact, struct field order, non-null int/string fields only)
     "cdc_hetero_union" ->

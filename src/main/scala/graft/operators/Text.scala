@@ -158,11 +158,16 @@ object Text {
     */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 5,
       evalMax: Long = 10): DataFrame = {
+    // split() is materialized ONCE per row before the lambda: Spark does not
+    // hoist loop-invariant subexpressions out of higher-order functions, so
+    // referencing split(text) inside transform() would re-tokenize the
+    // document per shingle — O(tokens²) work per row
     val sh = Tables.documents(spark, dir)
-      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(split(text, ' ')) - ${n - 1})," +
-          s" i -> md5(array_join(slice(split(text, ' '), i, $n), ' ')))")).as("h"))
+        s"transform(sequence(1, size(toks) - ${n - 1})," +
+          s" i -> md5(array_join(slice(toks, i, $n), ' ')))")).as("h"))
     val evalSet = sh.filter(col("doc_id") < evalMax).select("h").distinct()
     sh.filter(col("doc_id") >= evalMax)
       .join(evalSet, "h")
@@ -175,4 +180,86 @@ object Text {
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("fp"))
+
+  /** Gopher repetition signals: per-document n-gram repetition ratios — the
+    * published "repetitive text" filters a pretraining pipeline applies
+    * alongside the word-count/stopword rules in [[docQualityGopher]]. For
+    * each document and n ∈ {2, 5}: total n-grams, the most frequent
+    * n-gram's occurrence count (top-gram fraction ≈ "fraction of text in
+    * the most common n-gram"), and the count of occurrences whose gram
+    * appears more than once (duplicate-gram fraction). Ratios are exact
+    * ×10⁴ fixed-point so both engines agree bit-for-bit.
+    *
+    * Scale shape: grams explode map-side from one split() per row; the
+    * (doc_id, gram_n, gram) count partial-aggregates before its shuffle,
+    * and the per-document reduce then moves only one row per distinct gram.
+    * No windows, no driver state — safe at any corpus size.
+    */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    // tokenize once per row; see decontaminate for why the split is hoisted
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    def grams(n: Int): DataFrame = docs
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), lit(n.toLong).as("gram_n"),
+        explode(expr(
+          s"transform(sequence(1, size(toks) - ${n - 1})," +
+            s" i -> array_join(slice(toks, i, $n), ' '))")).as("g"))
+    grams(2).unionByName(grams(5))
+      .groupBy("doc_id", "gram_n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "gram_n")
+      .agg(sum("c").as("n_grams"), max("c").as("top_gram_cnt"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_gram_occ"))
+      .selectExpr("doc_id", "gram_n", "n_grams", "top_gram_cnt", "dup_gram_occ",
+        "top_gram_cnt * 10000 DIV n_grams AS top_gram_frac_e4",
+        "dup_gram_occ * 10000 DIV n_grams AS dup_gram_frac_e4")
+  }
+
+  /** Corpus-level duplicate n-gram audit — the bucketed approximation of
+    * exact-substring deduplication: an `n`-token shingle appearing in more
+    * than one document marks shared boilerplate/copied spans. Per flagged
+    * document: how many of its distinct shingles are corpus duplicates, and
+    * how many of those it is NOT the earliest holder of (the spans a
+    * keep-first dedup pass would drop).
+    *
+    * Scale shape: ids and 128-bit digests travel, never text. distinct on
+    * (doc_id, digest) is one shuffle; the duplicate-digest reduce and the
+    * join back both key on the digest, so the exchange is reused; the final
+    * per-document reduce moves only flagged (doc, digest) pairs — a tiny
+    * fraction of the corpus at any scale.
+    */
+  def corpusDupNgrams(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1})," +
+          s" i -> md5(array_join(slice(toks, i, $n), ' ')))")).as("h"))
+      .distinct()
+    val dup = sh.groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_docs") > 1)
+    sh.join(dup, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(when(col("doc_id") =!= col("first_doc"), 1L).otherwise(0L))
+          .as("n_nonoriginal"))
+  }
+
+  /** Deterministic stratified sampling by language: every document maps to
+    * a stable pseudo-random bucket from its id (no rand() — reruns, retries
+    * and both engines agree exactly) and survives iff its bucket clears the
+    * language's keep-rate. The language-rebalancing pass a multilingual
+    * pretraining mix needs, with reproducibility a seeded sample() cannot
+    * give across engines. Pure row-local filter: zero shuffles, fully
+    * codegen'd, and the predicate pushes to the scan.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lang",
+        "CAST((doc_id * 131 + 7) % 100 AS BIGINT) AS bucket",
+        """CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 40
+          | WHEN 'de' THEN 30 WHEN 'es' THEN 30 ELSE 20 END AS keep_pct""".stripMargin)
+      .filter(col("bucket") < col("keep_pct"))
+      .selectExpr("doc_id", "lang", "bucket")
 }

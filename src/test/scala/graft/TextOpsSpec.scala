@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Redact, Text}
+
+/** Semantic checks for the training-data curation operators added on top of
+  * the oracle hash-compare: repetition arithmetic on planted text, corpus
+  * n-gram dedup against the planted near-dup pairs, sampling determinism,
+  * and redaction shape.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  test("docRepetition computes exact gram counts on planted text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("textops").toString
+    Seq((1L, "a b a b a b", "en", "src0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Text.docRepetition(spark, dir)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // bigrams: "a b"×3, "b a"×2 → n=5, top=3, dup_occ=5
+    val bi = rows(2L)
+    assert(bi.getLong(2) == 5 && bi.getLong(3) == 3 && bi.getLong(4) == 5)
+    assert(bi.getLong(5) == 6000 && bi.getLong(6) == 10000)
+    // 5-grams: "a b a b a", "b a b a b" each once → no repetition
+    val five = rows(5L)
+    assert(five.getLong(2) == 2 && five.getLong(3) == 1 && five.getLong(4) == 0)
+  }
+
+  test("corpusDupNgrams flags shared spans and attributes originality") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("textops").toString
+    val shared = (1 to 9).map(i => s"w$i").mkString(" ") // 9 tokens → two 8-grams
+    Seq(
+      (1L, s"$shared tail one", "en", "src0", 0L),
+      (2L, s"other prefix $shared", "en", "src0", 0L),
+      (3L, (1 to 12).map(i => s"u$i").mkString(" "), "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val byDoc = Text.corpusDupNgrams(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // both holders of the shared span flagged, the unrelated doc not
+    assert(byDoc.keySet == Set(1L, 2L))
+    // doc 1 is the earliest holder of both shared 8-grams; doc 2 is not
+    assert(byDoc(1L) == ((2L, 0L)), s"doc 1 got ${byDoc(1L)}")
+    assert(byDoc(2L) == ((2L, 2L)), s"doc 2 got ${byDoc(2L)}")
+  }
+
+  test("stratifiedSample is deterministic and respects per-lang rates") {
+    val a = Text.stratifiedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val b = Text.stratifiedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(a.sameElements(b), "two runs must agree exactly")
+    val rates = Map("en" -> 50L, "zh" -> 40L, "de" -> 30L, "es" -> 30L)
+    a.foreach { case (id, lang, bucket) =>
+      assert(bucket == (id * 131 + 7) % 100)
+      assert(bucket < rates.getOrElse(lang, 20L), s"doc $id bucket $bucket over rate")
+    }
+    // no kept doc missing: recompute the predicate independently
+    val expected = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .count { case (id, lang) => (id * 131 + 7) % 100 < rates.getOrElse(lang, 20L) }
+    assert(a.length == expected)
+  }
+
+  test("piiRedact masks all but the phone's last 4 digits and the email tail") {
+    val rows = Redact.piiRedact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (phone, email, n) = (r.getString(1), r.getString(2), r.getLong(3))
+      assert(phone.matches("###-####-[0-9]{4}"), s"bad phone mask: $phone")
+      assert(email.matches("c\\*+@example\\.com"), s"bad email mask: $email")
+      assert(n == 7, s"expected 7 masked digits, got $n")
+    }
+  }
+}
