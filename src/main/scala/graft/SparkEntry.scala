@@ -95,6 +95,9 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) => Tpch.q18LargeOrders(s, d)),
     "q19_disjunction" -> ((s, d) => Tpch.q19Disjunction(s, d)),
     "q7_nation_volume" -> ((s, d) => Tpch.q7NationVolume(s, d)),
+    "q17_small_quantity" -> ((s, d) => Tpch.q17SmallQuantity(s, d)),
+    "q15_top_supplier" -> ((s, d) => Tpch.q15TopSupplier(s, d)),
+    "q22_prospects" -> ((s, d) => Tpch.q22Prospects(s, d)),
     // Event-stream analytics (#25-28)
     "ev_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
@@ -743,6 +746,43 @@ object SparkEntry {
         |  AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = n1.n_nationkey
         |  AND s.s_nationkey = n2.n_nationkey AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH li AS (
+        |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#2'),
+        |pp AS (SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+        |         count(*) AS cnt_qty
+        |       FROM li GROUP BY 1)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM li JOIN pp ON li.l_partkey = pp.pk
+        |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt_qty < sum_qty""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(total_revenue) AS mr FROM rev)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM rev r, mx, supplier s
+        |WHERE r.total_revenue = mx.mr AND s.s_suppkey = r.l_suppkey""".stripMargin,
+    "q22_prospects" ->
+      """WITH st AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS tot, count(*) AS cnt
+        |  FROM customer WHERE c_acctbal > 0),
+        |rich AS (
+        |  SELECT c.* FROM customer c, st
+        |  WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * st.cnt > st.tot)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_acctbal
+        |FROM rich r
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = r.c_custkey AND o.o_totalprice > 400000)
+        |GROUP BY 1""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -356,4 +356,68 @@ object Tpch {
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+
+  /** TPC-H Q17 shape: revenue from below-average-quantity orders of one
+    * brand — the classic CORRELATED SCALAR SUBQUERY (l_quantity < 0.2 ×
+    * per-part average), decorrelated into one per-part aggregate joined
+    * back to the fact rows. The threshold is compared in EXACT arithmetic
+    * (5 · qty · cnt < Σqty, all DECIMAL/BIGINT) so no float average can
+    * land rows on different sides of the boundary across engines.
+    *
+    * Scale shape: part prefilter broadcasts into the scan; the per-part
+    * aggregate and the join-back both key on l_partkey, so AQE reuses the
+    * exchange; everything after is one scalar agg.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#2").select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(dm(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(dm(col("l_quantity")) * lit(5) * col("cnt_qty") < col("sum_qty"))
+      .agg(round(sum(dm(col("l_extendedprice"))).cast("double") / 7.0, 2)
+        .as("avg_yearly"), count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q15 shape: the top-revenue supplier over one quarter — an
+    * aggregate-then-argmax without any single-partition window: revenue per
+    * supplier reduces once, the scalar max broadcasts back, equality on the
+    * exactly-rounded DECIMAL keeps ties (and both engines) honest.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum2(revenue).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mr"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mr"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q22 shape: "prospect" segments — customers with above-average
+    * positive balance and no large orders, aggregated per market segment.
+    * The average-balance scalar subquery decorrelates to one broadcast row
+    * and compares exactly (bal · cnt > Σbal in DECIMAL·BIGINT); the
+    * correlated NOT EXISTS is a left-anti join on the filtered fact table.
+    * (Q22 proper anti-joins ALL orders; this corpus leaves that empty, so
+    * the untapped-spend threshold keeps the result non-trivial.)
+    */
+  def q22Prospects(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val stats = c.filter(col("c_acctbal") > 0)
+      .agg(sum(dm(col("c_acctbal"))).as("tot"), count(lit(1)).as("cnt"))
+    c.crossJoin(broadcast(stats))
+      .filter(dm(col("c_acctbal")) * col("cnt") > col("tot"))
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        sum2(dm(col("c_acctbal"))).as("total_acctbal"))
+  }
 }
