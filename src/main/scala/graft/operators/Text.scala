@@ -222,11 +222,13 @@ object Text {
     * how many of those it is NOT the earliest holder of (the spans a
     * keep-first dedup pass would drop).
     *
-    * Scale shape: ids and 128-bit digests travel, never text. distinct on
-    * (doc_id, digest) is one shuffle; the duplicate-digest reduce and the
-    * join back both key on the digest, so the exchange is reused; the final
-    * per-document reduce moves only flagged (doc, digest) pairs — a tiny
-    * fraction of the corpus at any scale.
+    * Scale shape: ids and 128-bit digests travel, never text. The distinct
+    * (doc_id, digest) set is STAGED (persisted) — it feeds both the
+    * duplicate-digest reduce and the join-back probe, and without staging
+    * Spark re-scans and re-shingles the whole corpus for each consumer
+    * (verified in the physical plan: two parquet scans). At 100 TB this is
+    * the intermediate a production pipeline writes to a scratch table; the
+    * final per-document reduce moves only flagged (doc, digest) pairs.
     */
   def corpusDupNgrams(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val sh = Tables.documents(spark, dir)
@@ -236,6 +238,7 @@ object Text {
         s"transform(sequence(1, size(toks) - ${n - 1})," +
           s" i -> md5(array_join(slice(toks, i, $n), ' ')))")).as("h"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = sh.groupBy("h")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .filter(col("n_docs") > 1)

@@ -120,8 +120,11 @@ object Medallion {
       (fileA :+ "corrupt line one" :+ "{\"op\": 17}").mkString("\n").getBytes)
     Files.write(Paths.get(s"$bronzeDir/b.txt"),
       (fileB :+ "corrupt line two").mkString("\n").getBytes)
+    // both files in ONE micro-batch: the demo reports layer counts; the
+    // multi-batch + kill/restart contract is MedallionSpec's job, and a
+    // second trigger would only re-pay the stream-machinery fixed cost
     val q = pipeline(spark, bronzeDir, s"$root/gold", s"$root/dlq",
-      s"$root/quarantine", s"$root/ck", maxFilesPerTrigger = Some(1),
+      s"$root/quarantine", s"$root/ck", maxFilesPerTrigger = None,
       queryName = s"medallion_stats_${java.util.UUID.randomUUID()}")
     try { q.processAllAvailable() } finally q.stop()
     import spark.implicits._

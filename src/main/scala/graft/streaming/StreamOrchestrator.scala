@@ -126,9 +126,12 @@ object StreamOrchestrator {
     val batch = TableRegistry.nextBatch(registry, maxTables = 3)
     val maxRows = 1000L
     try {
+      // one micro-batch per table: lifecycle (start/monitor/stop, per-table
+      // sinks) is what the demo shows; multi-batch progress + stop isolation
+      // is OrchestratorSpec's job
       val started = orch.startBatch(batch, t =>
         spark.readStream.format("cdcgen")
-          .option("rowsperbatch", 500L)
+          .option("rowsperbatch", maxRows)
           .option("maxrows", maxRows)
           .option("seed", math.abs(t.hashCode.toLong))
           .load()
