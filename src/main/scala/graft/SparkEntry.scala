@@ -105,6 +105,7 @@ object SparkEntry {
     "ev_windowed_counts" -> ((s, d) => Events.windowedCounts(s, d)),
     "ev_retention_cohorts" -> ((s, d) => Events.retentionCohorts(s, d)),
     "ev_running_totals" -> ((s, d) => Events.runningTotals(s, d)),
+    "ev_trailing_window" -> ((s, d) => Events.trailingWindow(s, d)),
     "ev_value_quartiles" -> ((s, d) => Events.valueQuartiles(s, d)),
     "q_setops" -> ((s, d) => Tpch.qSetOps(s, d)),
     "q_integrity_orphans" -> ((s, d) => Tpch.qIntegrityOrphans(s, d)),
@@ -132,6 +133,10 @@ object SparkEntry {
         "round(max_err, 6) AS max_err_r",
         "xxhash64(concat_ws(',', transform(q, x -> CAST(x AS STRING)))) AS q_digest")),
     "ann_quantized_topk" -> ((s, d) => Similarity.annQuantizedTopK(s, d)),
+    // two-stage retrieve-then-rerank (rows-only: coarse stage rides the
+    // int8 codes; ScaleSpec pins recall vs the exact scan)
+    "ann_rerank_topk" -> ((s, d) => Similarity.annRerankTopK(s, d)),
+    "emb_norm_stats" -> ((s, d) => Similarity.embNormStats(s, d)),
     "emb_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     // sketch aggregate (rows-only: hash-seeded signature)
     "sim_supplier_assortment" -> ((s, d) => Similarity.supplierAssortmentSim(s, d)),
@@ -860,6 +865,14 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg7
         |FROM e""".stripMargin,
+    "ev_trailing_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |  count(*) OVER w AS trailing_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE) AS trailing_value
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "ev_value_quartiles" ->
       """WITH q AS (
         |  SELECT event_type, value,
@@ -928,6 +941,15 @@ object SparkEntry {
         |  substr(md5(concat(CAST(doc_id AS VARCHAR), '_', CAST(f AS VARCHAR))), 1, 12) AS frame_key
         |FROM documents,
         |  UNNEST(range(0, CAST(floor(strlen(text) / 256.0) AS BIGINT) + 1)) AS t(f)""".stripMargin,
+    "emb_norm_stats" ->
+      """WITH s AS (
+        |  SELECT vec_id, len(embedding) AS dim,
+        |    list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS sumsq
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(sqrt(sumsq), 4) AS l2_norm,
+        |  (sumsq = 0.0) AS is_zero,
+        |  (isnan(sumsq) OR isinf(sumsq)) AS is_degenerate
+        |FROM s""".stripMargin,
     "emb_label_centroids" ->
       """SELECT label, i AS pos,
         |  round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 4) AS centroid_v,

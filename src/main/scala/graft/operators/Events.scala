@@ -81,6 +81,29 @@ object Events {
       .select("event_id", "user_id", "ts_us", "cum_value", "moving_avg7")
   }
 
+  /** RANGE-frame window: per-user trailing 5-minute activity, keyed by the
+    * VALUE of the ordering column (RANGE BETWEEN 300s PRECEDING), not by
+    * row position — gaps and same-timestamp ties behave like a real
+    * sliding time window, which a ROWS frame cannot express. One shuffle
+    * on user_id, one sort; bounded by each user's own history.
+    *
+    * The frame orders by ts_us ALONE (RANGE requires a single ordering
+    * expression); same-timestamp peers aggregate together, so output rows
+    * for tied timestamps carry the identical trailing aggregate — safe for
+    * the hash-compare because the projected (event_id, trailing_*) pairs
+    * are still deterministic.
+    */
+  def trailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val frame = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-300000000L, Window.currentRow) // 5 min in µs
+    withTs(spark, dir)
+      .withColumn("trailing_events", count(lit(1)).over(frame))
+      .withColumn("trailing_value",
+        round(sum(col("value").cast(DecimalType(12, 2))).over(frame), 2)
+          .cast("double"))
+      .select("event_id", "user_id", "ts_us", "trailing_events", "trailing_value")
+  }
+
   /** #81 NTILE quartiles of event value per type (deterministic: ordered by
     * (value, event_id)) — via [[Distributed.exactNtile]], NOT an
     * `ntile(4) over (partition by event_type)` window: event_type has ~5

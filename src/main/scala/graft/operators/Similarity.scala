@@ -164,6 +164,47 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** Two-stage retrieve-then-rerank ANN — the production 100 TB shape: the
+    * cheap int8 scan over-fetches `cand` coarse candidates per query (4×k
+    * here), then ONLY those rows come back at full precision for an exact
+    * cosine re-rank to the final k. The expensive arithmetic runs on
+    * `queries × cand` rows instead of `queries × corpus`; the candidate
+    * frame is tiny and broadcasts into a semi-join shaped probe of the
+    * full-precision table. Quantization error can demote a true neighbor
+    * only out of the coarse list, never reorder the final k (ScaleSpec
+    * pins recall vs the exact scan above the single-stage quantized scan).
+    */
+  def annRerankTopK(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
+    val cand = 4 * k
+    val coarse = annQuantizedTopK(spark, dir, cand).select("qid", "nid")
+    val full = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val qs = Tables.embeddings(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    full.join(broadcast(coarse), "nid")
+      .join(broadcast(qs), "qid")
+      .withColumn("cos", GraftFunctions.cosineSim(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
+  /** Embedding hygiene audit: per-vector L2 norm (left-to-right double
+    * fold — the same evaluation order as the oracle's list_sum, so the
+    * rounded value is cross-engine stable), dimensionality, and flags for
+    * the degenerate vectors (zero / non-finite) an ingest pipeline must
+    * quarantine before cosine math divides by them.
+    */
+  def embNormStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("sumsq", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .selectExpr("vec_id", "CAST(size(embedding) AS BIGINT) AS dim",
+        "round(sqrt(sumsq), 4) AS l2_norm",
+        "(sumsq = 0.0) AS is_zero",
+        "(isnan(sumsq) OR sumsq = CAST('Infinity' AS DOUBLE)) AS is_degenerate")
+
   /** #39 LSH-bucketed ANN: random-hyperplane signatures shrink each query's
     * candidate set to its bucket (8 planes → 256 buckets). Recall traded for
     * a ~256× scan cut; the scale path past brute force. The bucket id is a

@@ -58,6 +58,43 @@ final class StreamOrchestrator(spark: SparkSession, checkpointRoot: String,
     names
   }
 
+  /** Catch-up/backfill start: run `table`'s stream under
+    * `Trigger.AvailableNow` — process every available input (still in
+    * admission-controlled micro-batches), then stop itself. Same per-table
+    * checkpoint as [[startTable]], so successive backfills are
+    * INCREMENTAL: a rerun picks up exactly the data that arrived since the
+    * last drain, and a drained table can later resume continuous
+    * streaming from the same offsets. The reference's "process the
+    * backlog then shut down" mode without a stop-polling loop.
+    */
+  def backfillTable(table: String, mkStream: String => DataFrame): StreamingQuery =
+    registry.get(table).filter(_.isActive).getOrElse {
+      val q = mkStream(table).writeStream
+        .queryName(s"cdc_backfill_$table")
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$checkpointRoot/$table")
+        .format("parquet")
+        .option("path", s"$outRoot/$table")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      registry.put(table, q)
+      q
+    }
+
+  /** Backfill every table in a registry batch and BLOCK until the drains
+    * self-terminate. Tables already streaming continuously are left
+    * untouched (never awaited — a continuous query would block forever).
+    */
+  def backfillBatch(batch: DataFrame, mkStream: String => DataFrame): Seq[String] = {
+    val names = batch.select("name").collect().map(_.getString(0)).toSeq
+    val started = names.flatMap { t =>
+      if (registry.get(t).exists(_.isActive)) None
+      else Some(backfillTable(t, mkStream))
+    }
+    started.foreach(_.awaitTermination())
+    names
+  }
+
   /** Stop `table`'s query if running; the registry keeps the entry so
     * [[status]] still reports it (as inactive), mirroring the reference's
     * dict of queries surviving shutdown.

@@ -96,4 +96,35 @@ class OrchestratorSpec extends SparkSpec {
     assert(demo.forall(_.getAs[Boolean]("exactly_once")),
       s"demo rows: ${demo.mkString(", ")}")
   }
+
+  test("AvailableNow backfill drains the backlog, stops itself, resumes incrementally") {
+    val root = Files.createTempDirectory("orch_bf").toString
+    val tables = Seq("t1", "t2")
+    def addFile(t: String, name: String, lines: Seq[String]): Unit = {
+      Files.createDirectories(java.nio.file.Paths.get(s"$root/in/$t"))
+      Files.write(java.nio.file.Paths.get(s"$root/in/$t/$name"),
+        lines.mkString("\n").getBytes)
+    }
+    tables.foreach(t => addFile(t, "a.txt", Seq(s"$t-1", s"$t-2", s"$t-3")))
+    val orch = new StreamOrchestrator(spark, s"$root/ck", s"$root/out")
+    import spark.implicits._
+    val batch = tables.toDF("name")
+    def mk(t: String): DataFrame = spark.readStream.text(s"$root/in/$t")
+    try {
+      // first drain: all existing files, then the queries stop themselves
+      orch.backfillBatch(batch, mk)
+      assert(orch.activeTables.isEmpty, "backfill queries must self-terminate")
+      tables.foreach { t =>
+        assert(spark.read.parquet(s"$root/out/$t").count() == 3, s"$t backlog")
+      }
+      // second drain after new data lands in ONE table: incremental, no
+      // re-delivery, untouched table stays untouched
+      addFile("t1", "b.txt", Seq("t1-4", "t1-5"))
+      orch.backfillBatch(batch, mk)
+      val t1 = spark.read.parquet(s"$root/out/t1").as[String].collect().sorted
+      assert(t1.sameElements(Array("t1-1", "t1-2", "t1-3", "t1-4", "t1-5")),
+        s"t1 after incremental drain: ${t1.mkString(",")}")
+      assert(spark.read.parquet(s"$root/out/t2").count() == 3)
+    } finally orch.stopAll()
+  }
 }

@@ -115,4 +115,24 @@ class PlanSpec extends SparkSpec {
       assert(aggs >= 2, s"$q lacks partial aggregation:\n$p")
     }
   }
+
+  test("decorrelated subqueries broadcast their scalar side, never loop") {
+    for (q <- Seq("q15_top_supplier", "q22_prospects", "q17_small_quantity")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastExchange"), s"$q lost its broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product")
+      assert(!p.contains("SortMergeJoin") || q == "q17_small_quantity",
+        s"$q fell back to sort-merge join")
+    }
+    // q17's brand prefilter reaches the part scan
+    val f = formatted("q17_small_quantity")
+    assert(f.contains("EqualTo(p_brand,Brand#2)"), "brand filter not pushed")
+  }
+
+  test("row-local curation ops keep zero exchanges and push their filters") {
+    for (q <- Seq("pii_redact", "doc_sample_stratified", "emb_norm_stats")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q should be shuffle-free:\n$p")
+    }
+  }
 }

@@ -33,6 +33,28 @@ class ScaleSpec extends SparkSpec {
     assert(recall >= 0.9, s"quantized-scan recall $recall below 0.9")
   }
 
+  test("two-stage rerank beats-or-matches single-stage quantized recall") {
+    val brute = Similarity.annCosineTopK(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerank = Similarity.annRerankTopK(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.annQuantizedTopK(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rRecall = rerank.count(brute.contains).toDouble / brute.size
+    val qRecall = quant.count(brute.contains).toDouble / brute.size
+    assert(rRecall >= qRecall, s"rerank recall $rRecall < quantized $qRecall")
+    assert(rRecall >= 0.9, s"rerank recall $rRecall below 0.9")
+    // a true neighbor inside the coarse list must be ranked exactly:
+    // rerank's cosine for shared pairs equals the exact scan's
+    val bruteCos = Similarity.annCosineTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.annRerankTopK(spark, sf).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteCos.get(key).foreach(c => assert(c == r.getDouble(2),
+        s"pair $key: rerank cos ${r.getDouble(2)} != exact $c"))
+    }
+  }
+
   test("MinHashAgg signatures estimate set Jaccard within sketch error") {
     val est = Similarity.supplierAssortmentSim(spark, sf, k = 128)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
