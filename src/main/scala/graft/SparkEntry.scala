@@ -43,6 +43,11 @@ object SparkEntry {
     "cdc_expect_audit" -> ((s, d) => Debezium.expectationAudit(s, d)),
     "cdc_latency_metrics" -> ((s, d) => Debezium.latencyAudit(s, d)),
     "cdc_table_batch" -> ((s, d) => TableRegistry.tableBatch(s, d)),
+    "cdc_table_groups" -> ((s, d) => TableRegistry.tableGroups(TableRegistry.discover(s, d))),
+    "cdc_registry_stats" -> ((s, d) => TableRegistry.registryStats(TableRegistry.discover(s, d))),
+    // incremental watermark poll against embedded Derby (rows-only: no
+    // JDBC endpoint in the oracle; spec proves non-overlap + idempotence)
+    "src_jdbc_incremental" -> ((s, d) => graft.sources.JdbcSnapshot.incrementalStats(s, d)),
     // partitioned JDBC initial load via embedded Derby (rows-only: the
     // oracle has no JDBC endpoint)
     "src_jdbc_snapshot" -> ((s, d) => graft.sources.JdbcSnapshot.snapshotStats(s, d)),
@@ -221,11 +226,69 @@ object SparkEntry {
       |    epoch_us(ts) AS seq_us, event_type, value, props
       |  FROM events)""".stripMargin
 
+  /** Shared DuckDB CTE: the table-registry metadata (mirror of
+    * TableRegistry.discover + the data_size_mb derivation) — reused by the
+    * batch/groups/stats oracles.
+    */
+  private val registryCte =
+    """WITH c AS (
+      |  SELECT 'region' AS name, count(*) AS row_count FROM region
+      |  UNION ALL SELECT 'nation', count(*) FROM nation
+      |  UNION ALL SELECT 'customer', count(*) FROM customer
+      |  UNION ALL SELECT 'supplier', count(*) FROM supplier
+      |  UNION ALL SELECT 'part', count(*) FROM part
+      |  UNION ALL SELECT 'orders', count(*) FROM orders
+      |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+      |  UNION ALL SELECT 'events', count(*) FROM events
+      |  UNION ALL SELECT 'documents', count(*) FROM documents
+      |  UNION ALL SELECT 'embeddings', count(*) FROM embeddings),
+      |m AS (
+      |  SELECT name, row_count,
+      |    CASE name
+      |      WHEN 'lineitem' THEN 120.0 WHEN 'orders' THEN 100.0
+      |      WHEN 'customer' THEN 180.0 WHEN 'part' THEN 140.0
+      |      WHEN 'supplier' THEN 160.0 WHEN 'events' THEN 80.0
+      |      WHEN 'documents' THEN 900.0 WHEN 'embeddings' THEN 600.0
+      |      ELSE 90.0 END AS avg_row_size,
+      |    CASE WHEN name IN ('lineitem', 'orders', 'events') THEN 100.0
+      |      WHEN name IN ('customer', 'part', 'supplier') THEN 10.0
+      |      WHEN name IN ('documents', 'embeddings') THEN 1.0
+      |      ELSE 0.1 END AS update_frequency,
+      |    CASE name
+      |      WHEN 'events' THEN CAST(NULL AS DOUBLE) WHEN 'lineitem' THEN 1.0
+      |      WHEN 'orders' THEN 0.5 WHEN 'customer' THEN 5.0
+      |      WHEN 'supplier' THEN 40.0 WHEN 'part' THEN 12.0
+      |      WHEN 'nation' THEN 200.0 WHEN 'region' THEN 300.0
+      |      WHEN 'documents' THEN 8.0 ELSE 16.0 END AS last_processed_hours,
+      |    CASE name WHEN 'supplier' THEN 3 WHEN 'part' THEN 1
+      |      WHEN 'embeddings' THEN 6 ELSE 0 END AS error_count,
+      |    name != 'region' AS cdc_enabled
+      |  FROM c),
+      |p AS (SELECT *, row_count * avg_row_size / (1024.0 * 1024.0) AS data_size_mb FROM m)""".stripMargin
+
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys (approx/LSH/hash-seeded ops) get the
     * driver's rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    "cdc_table_groups" ->
+      s"""$registryCte
+         |SELECT name,
+         |  CASE WHEN data_size_mb > 1000 THEN 'large'
+         |   WHEN data_size_mb > 100 THEN 'medium' ELSE 'small' END AS size_group,
+         |  CASE WHEN update_frequency > 50 THEN 'high_frequency'
+         |   WHEN update_frequency > 10 THEN 'medium_frequency'
+         |   ELSE 'low_frequency' END AS freq_group
+         |FROM p""".stripMargin,
+    "cdc_registry_stats" ->
+      s"""$registryCte
+         |SELECT count(*) AS n_tables,
+         |  CAST(sum(row_count) AS BIGINT) AS total_rows,
+         |  CAST(sum(CASE WHEN cdc_enabled THEN 1 ELSE 0 END) AS BIGINT) AS n_enabled,
+         |  CAST(sum(CASE WHEN cdc_enabled THEN 0 ELSE 1 END) AS BIGINT) AS n_disabled,
+         |  CAST(sum(CAST(row_count * avg_row_size AS BIGINT)) // (1024 * 1024) AS BIGINT) AS total_size_mb,
+         |  CAST(sum(CAST(update_frequency * 10 AS BIGINT)) * 1000 // count(*) AS BIGINT) AS avg_update_freq_e4
+         |FROM p""".stripMargin,
     "cdc_log" ->
       s"""$logCte
          |SELECT event_id, user_id, operation, seq_us, event_type, value, props FROM log""".stripMargin,
@@ -570,40 +633,7 @@ object SparkEntry {
         |  'c_name STRING,c_nationkey INT'
         |FROM customer""".stripMargin,
     "cdc_table_batch" ->
-      """WITH c AS (
-        |  SELECT 'region' AS name, count(*) AS row_count FROM region
-        |  UNION ALL SELECT 'nation', count(*) FROM nation
-        |  UNION ALL SELECT 'customer', count(*) FROM customer
-        |  UNION ALL SELECT 'supplier', count(*) FROM supplier
-        |  UNION ALL SELECT 'part', count(*) FROM part
-        |  UNION ALL SELECT 'orders', count(*) FROM orders
-        |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
-        |  UNION ALL SELECT 'events', count(*) FROM events
-        |  UNION ALL SELECT 'documents', count(*) FROM documents
-        |  UNION ALL SELECT 'embeddings', count(*) FROM embeddings),
-        |m AS (
-        |  SELECT name, row_count,
-        |    CASE name
-        |      WHEN 'lineitem' THEN 120.0 WHEN 'orders' THEN 100.0
-        |      WHEN 'customer' THEN 180.0 WHEN 'part' THEN 140.0
-        |      WHEN 'supplier' THEN 160.0 WHEN 'events' THEN 80.0
-        |      WHEN 'documents' THEN 900.0 WHEN 'embeddings' THEN 600.0
-        |      ELSE 90.0 END AS avg_row_size,
-        |    CASE WHEN name IN ('lineitem', 'orders', 'events') THEN 100.0
-        |      WHEN name IN ('customer', 'part', 'supplier') THEN 10.0
-        |      WHEN name IN ('documents', 'embeddings') THEN 1.0
-        |      ELSE 0.1 END AS update_frequency,
-        |    CASE name
-        |      WHEN 'events' THEN CAST(NULL AS DOUBLE) WHEN 'lineitem' THEN 1.0
-        |      WHEN 'orders' THEN 0.5 WHEN 'customer' THEN 5.0
-        |      WHEN 'supplier' THEN 40.0 WHEN 'part' THEN 12.0
-        |      WHEN 'nation' THEN 200.0 WHEN 'region' THEN 300.0
-        |      WHEN 'documents' THEN 8.0 ELSE 16.0 END AS last_processed_hours,
-        |    CASE name WHEN 'supplier' THEN 3 WHEN 'part' THEN 1
-        |      WHEN 'embeddings' THEN 6 ELSE 0 END AS error_count,
-        |    name != 'region' AS cdc_enabled
-        |  FROM c),
-        |p AS (SELECT *, row_count * avg_row_size / (1024.0 * 1024.0) AS data_size_mb FROM m),
+      s"""$registryCte,
         |s AS (
         |  SELECT name, row_count, update_frequency, error_count, cdc_enabled, last_processed_hours,
         |    greatest(0,

@@ -145,4 +145,59 @@ object TableRegistry {
   /** #90 The registered query: discover → score → top-5 batch. */
   def tableBatch(spark: SparkSession, dir: String): DataFrame =
     nextBatch(discover(spark, dir), maxTables = 5)
+
+  /** Post-run feedback (table_manager.py:241-262 mark_processed): success
+    * resets the error state and zeroes the staleness clock (dropping the
+    * table out of the next batch until the interval elapses); failure
+    * increments error_count — feeding the priority penalty — and records
+    * the message. Pure column arithmetic over the registry frame: no
+    * driver-side mutable state, so the updated registry is as replayable
+    * as any other DataFrame.
+    */
+  def markProcessed(registry: DataFrame, table: String, success: Boolean,
+      error: Option[String] = None): DataFrame = {
+    val hit = col("name") === table
+    val prevError =
+      if (registry.columns.contains("last_error")) col("last_error")
+      else lit(null).cast("string")
+    registry
+      .withColumn("last_processed_hours",
+        when(hit, lit(0.0)).otherwise(col("last_processed_hours")))
+      .withColumn("error_count",
+        when(hit, if (success) lit(0) else col("error_count") + 1)
+          .otherwise(col("error_count")))
+      .withColumn("last_error",
+        when(hit, if (success) lit(null).cast("string")
+          else lit(error.orNull).cast("string")).otherwise(prevError))
+  }
+
+  /** Logical table groups (table_manager.py:264-318): size and
+    * update-frequency categories for coordinated scheduling — the groups a
+    * scheduler uses to co-batch small tables and rate-limit hot ones.
+    */
+  def tableGroups(registry: DataFrame): DataFrame =
+    withPriorities(registry).selectExpr("name",
+      """CASE WHEN data_size_mb > 1000 THEN 'large'
+        | WHEN data_size_mb > 100 THEN 'medium' ELSE 'small' END AS size_group""".stripMargin,
+      """CASE WHEN update_frequency > 50 THEN 'high_frequency'
+        | WHEN update_frequency > 10 THEN 'medium_frequency'
+        | ELSE 'low_frequency' END AS freq_group""".stripMargin)
+
+  /** Registry rollup (table_manager.py:320-344 get_statistics): table and
+    * row totals, enabled/disabled split, mean update frequency. The mean
+    * is ×10⁴ fixed-point over a ×10 integer view of the frequencies (they
+    * carry one decimal place), so the rollup is bit-stable cross-engine —
+    * a double sum of 0.1s is not.
+    */
+  def registryStats(registry: DataFrame): DataFrame =
+    registry.agg(
+      count(lit(1)).as("n_tables"),
+      sum(col("row_count")).as("total_rows"),
+      sum(when(col("cdc_enabled"), 1L).otherwise(0L)).as("n_enabled"),
+      sum(when(col("cdc_enabled"), 0L).otherwise(1L)).as("n_disabled"),
+      sum(expr("CAST(row_count * avg_row_size AS BIGINT)")).as("total_bytes"),
+      sum(expr("CAST(update_frequency * 10 AS BIGINT)")).as("freq_x10"))
+      .selectExpr("n_tables", "total_rows", "n_enabled", "n_disabled",
+        "total_bytes DIV (1024 * 1024) AS total_size_mb",
+        "freq_x10 * 1000 DIV n_tables AS avg_update_freq_e4")
 }

@@ -118,6 +118,34 @@ class JdbcSnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("empty"))
   }
 
+  test("incremental pull reads only past the watermark; polls never overlap") {
+    seed(100) // versions = ids = 10,20,...,1000
+    val p1 = JdbcSnapshot.incrementalPull(spark, url, "t", "id", "id",
+      lastSeen = 0L)
+    assert(p1.count() == 100)
+    val wm1 = JdbcSnapshot.highWatermark(p1, "id")
+    assert(wm1 == 1000L)
+    // idempotent re-poll from the same watermark: identical result
+    assert(JdbcSnapshot.incrementalPull(spark, url, "t", "id", "id", 0L)
+      .count() == 100)
+    // late arrivals: only they appear past the committed watermark
+    val conn = DriverManager.getConnection(url)
+    try {
+      val ps = conn.prepareStatement("INSERT INTO t VALUES (?, ?)")
+      Seq(1010L, 1020L).foreach { v =>
+        ps.setLong(1, v); ps.setString(2, s"late_$v"); ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+    val p2 = JdbcSnapshot.incrementalPull(spark, url, "t", "id", "id", wm1)
+    val got = p2.select("id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(1010L, 1020L)), s"poll 2 read ${got.mkString(",")}")
+    assert(JdbcSnapshot.highWatermark(p2, "id") == 1020L)
+    // empty poll keeps the caller's watermark
+    val p3 = JdbcSnapshot.incrementalPull(spark, url, "t", "id", "id", 1020L)
+    assert(p3.count() == 0 && JdbcSnapshot.highWatermark(p3, "id") == -1L)
+  }
+
   test("snapshotStats round-trips events through Derby with 4 range readers") {
     val stats = JdbcSnapshot.snapshotStats(spark, sf).collect()
     assert(stats.length == 4)

@@ -64,6 +64,42 @@ class TableRegistrySpec extends SparkSpec {
     assert(!batch.map(_.getAs[String]("name")).contains("orders")) // interval skip
   }
 
+  test("markProcessed feeds the scheduling loop: success resets, failure penalizes") {
+    val reg = TableRegistry.fromMetadata(spark, Seq(
+      meta("a", 100.0, Some(10.0), errors = 2),
+      meta("b", 100.0, Some(10.0))))
+    // success: error state cleared, staleness zeroed → out of next batch
+    val ok = TableRegistry.markProcessed(reg, "a", success = true)
+    val aRow = ok.filter(col("name") === "a").head()
+    assert(aRow.getAs[Double]("last_processed_hours") == 0.0)
+    assert(aRow.getAs[Int]("error_count") == 0)
+    assert(aRow.getAs[String]("last_error") == null)
+    val next = TableRegistry.nextBatch(ok, maxTables = 5)
+      .collect().map(_.getAs[String]("name"))
+    assert(!next.contains("a") && next.contains("b"),
+      "freshly-processed table must sit out the min interval")
+    // failure: error count climbs (priority penalty), message recorded
+    val bad = TableRegistry.markProcessed(ok, "b", success = false,
+      error = Some("connection reset"))
+    val bRow = bad.filter(col("name") === "b").head()
+    assert(bRow.getAs[Int]("error_count") == 1)
+    assert(bRow.getAs[String]("last_error") == "connection reset")
+    // untouched rows keep their state through both updates
+    assert(bad.filter(col("name") === "a").head().getAs[Int]("error_count") == 0)
+  }
+
+  test("tableGroups and registryStats roll the registry up without a collect") {
+    val reg = TableRegistry.discover(spark, sf)
+    val groups = TableRegistry.tableGroups(reg).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(groups("lineitem")._2 == "high_frequency")
+    assert(groups("region") == (("small", "low_frequency")))
+    val st = TableRegistry.registryStats(reg).head()
+    assert(st.getAs[Long]("n_tables") == 10)
+    assert(st.getAs[Long]("n_enabled") == 9 && st.getAs[Long]("n_disabled") == 1)
+    assert(st.getAs[Long]("total_rows") > 0)
+  }
+
   test("discover is one metadata job, not one count job per table") {
     val sc = spark.sparkContext
     sc.setJobGroup("discover-jobs", "registry discover job count", false)
