@@ -69,6 +69,8 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => Text.docRepetition(s, d)),
     "dedup_ngram_corpus" -> ((s, d) => Text.corpusDupNgrams(s, d)),
     "doc_sample_stratified" -> ((s, d) => Text.stratifiedSample(s, d)),
+    "dedup_exact_apply" -> ((s, d) => Text.dedupExactApply(s, d)),
+    "doc_curation_pipeline" -> ((s, d) => Text.curationPipeline(s, d)),
     "pii_redact" -> ((s, d) => Redact.piiRedact(s, d)),
     "doc_len_hist" -> ((s, d) => Text.docLenHist(s, d)),
     "doc_quality_gopher" -> ((s, d) => Text.docQualityGopher(s, d)),
@@ -603,6 +605,42 @@ object SparkEntry {
         |      WHEN 'de' THEN 30 WHEN 'es' THEN 30 ELSE 20 END AS keep_pct
         |  FROM documents)
         |SELECT doc_id, lang, bucket FROM b WHERE bucket < keep_pct""".stripMargin,
+    "dedup_exact_apply" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_chars FROM r WHERE rn = 1""".stripMargin,
+    "doc_curation_pipeline" ->
+      """WITH kept AS (
+        |  SELECT doc_id, lang FROM (
+        |    SELECT doc_id, lang,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |q AS (
+        |  SELECT doc_id, n_tokens AS n_words FROM (
+        |    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |      CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |      CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5
+        |         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) // 5
+        |         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) // 4
+        |         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' to ', ''))) // 4
+        |         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' in ', ''))) // 4
+        |         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) // 4
+        |         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' for ', ''))) // 5
+        |        AS BIGINT) AS stop_hits
+        |    FROM documents)
+        |  WHERE n_tokens >= 40 AND n_tokens <= 100000
+        |    AND (n_chars - n_tokens + 1) * 10000 // n_tokens BETWEEN 30000 AND 100000
+        |    AND stop_hits * 10000 // n_tokens >= 200),
+        |sampled AS (
+        |  SELECT k.lang, q.n_words FROM kept k JOIN q USING (doc_id)
+        |  WHERE (doc_id * 131 + 7) % 100 <
+        |    CASE k.lang WHEN 'en' THEN 50 WHEN 'zh' THEN 40
+        |      WHEN 'de' THEN 30 WHEN 'es' THEN 30 ELSE 20 END)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_tokens
+        |FROM sampled GROUP BY 1""".stripMargin,
     "pii_redact" ->
       """WITH raw AS (
         |  SELECT c_custkey,

@@ -249,6 +249,46 @@ object Text {
           .as("n_nonoriginal"))
   }
 
+  /** Materialized exact dedup — the cleaned corpus itself, not just the
+    * duplicate report ([[dedupExact]]): keep-first by content hash via a
+    * rank-1 window over the md5 partition. Spark plans rank ≤ 1 as a
+    * WindowGroupLimit, so survivors are pruned map-side BEFORE the
+    * exchange — only one candidate row per (partition, digest) shuffles,
+    * which at 100 TB means the shuffle carries ~unique-documents rows, not
+    * the corpus.
+    */
+  def dedupExactApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** End-to-end curation pipeline — the composition a pretraining data
+    * run executes: exact dedup (keep-first window) → Gopher quality gate →
+    * deterministic stratified sample → per-language corpus accounting.
+    * Two document scans (the dedup pass and the row-local quality pass)
+    * joined on doc_id, then one rollup; every stage reuses the exact
+    * arithmetic of its standalone operator, so the composed result is as
+    * oracle-checkable as the pieces.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
+    dedupExactApply(spark, dir)
+      // the gopher gate needs text again: re-derive metrics from the kept
+      // rows by joining the per-doc quality frame (digest-keyed dedup and
+      // doc-keyed quality both broadcast-prune at this point)
+      .join(docQualityGopher(spark, dir).filter(col("passes_gopher"))
+        .select("doc_id", "n_words"), "doc_id")
+      .selectExpr("doc_id", "lang", "n_words",
+        "CAST((doc_id * 131 + 7) % 100 AS BIGINT) AS bucket",
+        """CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 40
+          | WHEN 'de' THEN 30 WHEN 'es' THEN 30 ELSE 20 END AS keep_pct""".stripMargin)
+      .filter(col("bucket") < col("keep_pct"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_tokens"))
+
   /** Deterministic stratified sampling by language: every document maps to
     * a stable pseudo-random bucket from its id (no rand() — reruns, retries
     * and both engines agree exactly) and survives iff its bucket clears the

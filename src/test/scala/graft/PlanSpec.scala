@@ -135,4 +135,12 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Exchange"), s"$q should be shuffle-free:\n$p")
     }
   }
+
+  test("materialized dedup prunes survivors map-side before the exchange") {
+    val p = planOf("dedup_exact_apply")
+    // either Spark's WindowGroupLimit or (with RewriteTopK attached) our
+    // TopKPerGroupPartial — both prune non-survivors below the exchange
+    assert(p.contains("WindowGroupLimit") || p.contains("TopKPerGroupPartial"),
+      s"keep-first rank not group-limited before shuffle:\n$p")
+  }
 }
