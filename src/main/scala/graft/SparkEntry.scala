@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_ngram_corpus" -> ((s, d) => Text.corpusDupNgrams(s, d)),
     "doc_sample_stratified" -> ((s, d) => Text.stratifiedSample(s, d)),
     "dedup_exact_apply" -> ((s, d) => Text.dedupExactApply(s, d)),
+    "doc_reservoir_sample" -> ((s, d) => Text.reservoirSample(s, d)),
     "doc_curation_pipeline" -> ((s, d) => Text.curationPipeline(s, d)),
     "pii_redact" -> ((s, d) => Redact.piiRedact(s, d)),
     "doc_len_hist" -> ((s, d) => Text.docLenHist(s, d)),
@@ -605,6 +606,15 @@ object SparkEntry {
         |      WHEN 'de' THEN 30 WHEN 'es' THEN 30 ELSE 20 END AS keep_pct
         |  FROM documents)
         |SELECT doc_id, lang, bucket FROM b WHERE bucket < keep_pct""".stripMargin,
+    "doc_reservoir_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    md5('sample' || '_' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, h,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS INT) AS rnk
+        |      FROM h)
+        |SELECT lang, doc_id, h, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "dedup_exact_apply" ->
       """WITH r AS (
         |  SELECT doc_id, lang, source, n_chars,

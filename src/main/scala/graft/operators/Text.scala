@@ -289,6 +289,22 @@ object Text {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_tokens"))
 
+  /** Deterministic per-group reservoir sample — k documents per language,
+    * chosen by smallest content-keyed digest (priority sampling: a stable
+    * uniform draw that every engine, retry, and rerun agrees on, unlike
+    * reservoir state or rand()). Rides the custom TopKPerGroup physical
+    * operator, so each partition keeps only k candidates per language
+    * BEFORE the exchange — the shuffle moves O(groups · k) rows at any
+    * corpus size.
+    */
+  def reservoirSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    graft.plans.TopK.topKPerGroup(
+      Tables.documents(spark, dir)
+        .select(col("lang"), col("doc_id"),
+          md5(concat_ws("_", lit("sample"), col("doc_id"))).as("h")),
+      Seq("lang"), Seq(("h", false), ("doc_id", false)), k)
+      .select("lang", "doc_id", "h", "rnk")
+
   /** Deterministic stratified sampling by language: every document maps to
     * a stable pseudo-random bucket from its id (no rand() — reruns, retries
     * and both engines agree exactly) and survives iff its bucket clears the
