@@ -129,6 +129,7 @@ final class StreamOrchestrator(spark: SparkSession, checkpointRoot: String,
       QueryStatus(t, q.id.toString, q.runId.toString, q.isActive,
         lp.map(_.batchId).getOrElse(-1L),
         lp.map(_.numInputRows).getOrElse(0L),
+        lp.map(_.processedRowsPerSecond).getOrElse(0.0),
         q.status.message)
     }.toDF()
   }
@@ -141,7 +142,7 @@ object StreamOrchestrator {
     */
   case class QueryStatus(table: String, query_id: String, run_id: String,
       is_active: Boolean, last_batch_id: Long, last_num_input_rows: Long,
-      status_message: String)
+      last_rows_per_second: Double, status_message: String)
 
   /** #116 Registered orchestration demo: a 3-table registry batch fans out
     * to 3 independent checkpointed cdcgen streams (bounded at `maxRows`
