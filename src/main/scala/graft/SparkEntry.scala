@@ -64,6 +64,9 @@ object SparkEntry {
     "ev_blast_radius" -> ((s, d) => graft.operators.Ranges.errorBlastRadius(s, d)),
     // sketch estimates not SQL-expressible → rows-only (deterministic seed)
     "ev_heavy_hitters" -> ((s, d) => graft.operators.Sketches.heavyHitters(s, d)),
+    // mergeable HLL rollup (rows-only: sketch estimates; RangeSketchSpec
+    // pins union==direct and the error window vs exact)
+    "q_hll_rollup" -> ((s, d) => graft.operators.Sketches.hllRollup(s, d)),
     "doc_top_terms" -> ((s, d) => Text.docTopTerms(s, d)),
     "doc_decontaminate" -> ((s, d) => Text.decontaminate(s, d)),
     "doc_repetition" -> ((s, d) => Text.docRepetition(s, d)),

@@ -55,4 +55,29 @@ object Sketches {
     import spark.implicits._
     rows.toSeq.toDF("user_id", "exact_cnt", "cm_estimate", "within_bound")
   }
+
+  /** Two-level HLL distinct-count rollup — incremental cardinality
+    * maintenance with Spark's built-in mergeable HyperLogLog sketches:
+    * fine-grained (returnflag, linestatus) sketches of the order keys
+    * union up to per-returnflag totals via `hll_union_agg`, WITHOUT
+    * re-scanning the fact table. The pattern a 100 TB deployment uses for
+    * "distinct users per hour, rolled up to day/week": persist the fine
+    * sketches once, merge upward forever. The audit emits the union
+    * estimate next to a direct per-returnflag sketch estimate (the two
+    * must agree exactly — HLL union is lossless over identical registers)
+    * plus the exact count for the error window.
+    */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val fine = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(expr("hll_sketch_agg(l_orderkey, 14)").as("sk"))
+    val unioned = fine.groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("union_estimate"))
+    val direct = li.groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 14))").as("direct_estimate"),
+        countDistinct(col("l_orderkey")).as("exact_distinct"))
+    unioned.join(direct, "l_returnflag")
+      .withColumn("union_matches_direct",
+        col("union_estimate") === col("direct_estimate"))
+  }
 }

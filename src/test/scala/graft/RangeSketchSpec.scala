@@ -99,4 +99,19 @@ class RangeSketchSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "sketch result not deterministic")
     assert(a.forall(_.getAs[Boolean]("within_bound")))
   }
+
+  test("HLL union of fine sketches equals the direct coarse sketch") {
+    val rows = Sketches.hllRollup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("union_matches_direct"),
+        s"${r.getAs[String]("l_returnflag")}: union ${r.getAs[Long]("union_estimate")} " +
+          s"!= direct ${r.getAs[Long]("direct_estimate")}")
+      // lgConfigK=14 → relative error ~1.04/sqrt(2^14) ≈ 0.8%; allow 3σ
+      val (est, exact) = (r.getAs[Long]("union_estimate").toDouble,
+        r.getAs[Long]("exact_distinct").toDouble)
+      assert(math.abs(est - exact) / exact <= 0.025,
+        s"estimate $est vs exact $exact drifts past 2.5%")
+    }
+  }
 }
