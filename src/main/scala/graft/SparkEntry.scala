@@ -37,6 +37,8 @@ object SparkEntry {
     "cdc_snapshot_merge" -> ((s, d) => Cdc.snapshotMerge(s, d)),
     "cdc_time_travel" -> ((s, d) => Cdc.timeTravel(s, d)),
     "cdc_asof_join" -> ((s, d) => Cdc.asofJoin(s, d)),
+    // same join with a 10-minute staleness guard: older matches null out
+    "cdc_asof_tolerance" -> ((s, d) => Cdc.asofJoin(s, d, tolerance = Some(600000000L))),
     "cdc_before_after" -> ((s, d) => Cdc.beforeAfter(s, d)),
     "cdc_gap_check" -> ((s, d) => Cdc.gapCheck(s, d)),
     "cdc_debezium_parse" -> ((s, d) => Debezium.silverParsed(s, d)),
@@ -390,6 +392,21 @@ object SparkEntry {
         |  p.ts_us - o.ts_us AS wait_us
         |FROM p ASOF LEFT JOIN o
         |  ON p.user_id = o.user_id AND p.ts_us >= o.ts_us""".stripMargin,
+    "cdc_asof_tolerance" ->
+      """WITH lg AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |p AS (SELECT * FROM lg WHERE event_type = 'purchase'),
+        |o AS (SELECT * FROM lg WHERE event_type <> 'purchase'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.ts_us,
+        |    o.event_id AS prior_event_id, o.ts_us AS prior_ts_us, o.value AS prior_value
+        |  FROM p ASOF LEFT JOIN o
+        |    ON p.user_id = o.user_id AND p.ts_us >= o.ts_us)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN ts_us - prior_ts_us > 600000000 THEN NULL ELSE prior_event_id END AS prior_event_id,
+        |  CASE WHEN ts_us - prior_ts_us > 600000000 THEN NULL ELSE prior_ts_us END AS prior_ts_us,
+        |  CASE WHEN ts_us - prior_ts_us > 600000000 THEN NULL ELSE round(prior_value, 2) END AS prior_value,
+        |  CASE WHEN ts_us - prior_ts_us > 600000000 THEN NULL ELSE ts_us - prior_ts_us END AS wait_us
+        |FROM j""".stripMargin,
     "cdc_before_after" ->
       s"""$logCte,
          |b AS (SELECT event_id, user_id, operation, seq_us,

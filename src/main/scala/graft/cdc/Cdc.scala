@@ -242,29 +242,27 @@ object Cdc {
     * side sorts before the left at equal timestamps to match ASOF's
     * inclusive (>=) semantics.
     */
-  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+  def asofJoin(spark: SparkSession, dir: String,
+      tolerance: Option[Long] = None): DataFrame = {
     val lg = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
         col("event_type"), col("value"))
     val left = lg.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"), lit(1).as("side"))
+      .select("event_id", "user_id", "ts_us", "value")
     val right = lg.filter(col("event_type") =!= "purchase")
-      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"), lit(0).as("side"))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_us"), col("side"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    right.unionByName(left)
-      .withColumn("prior_event_id",
-        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("prior_ts_us",
-        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
-      .withColumn("prior_value",
-        last(when(col("side") === 0, col("value")), ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
+      .select(col("event_id").as("r_event_id"), col("user_id"),
+        col("ts_us").as("r_ts_us"), col("value").as("r_value"))
+    graft.operators.AsOf.asofJoin(left, right, keyCols = Seq("user_id"),
+      leftTime = "ts_us", rightTime = "r_ts_us",
+      carryCols = Seq("r_event_id", "r_ts_us", "r_value"),
+      // side separates the frames, so each tiebreak column only has to
+      // order its own side: event_id for left rows, r_event_id for right
+      tiebreak = Seq("event_id", "r_event_id"), tolerance = tolerance)
       .select(col("event_id"), col("user_id"), col("ts_us"),
-        col("prior_event_id"), col("prior_ts_us"),
-        round(col("prior_value"), 2).as("prior_value"),
-        (col("ts_us") - col("prior_ts_us")).as("wait_us"))
+        col("asof_r_event_id").as("prior_event_id"),
+        col("asof_r_ts_us").as("prior_ts_us"),
+        round(col("asof_r_value"), 2).as("prior_value"),
+        (col("ts_us") - col("asof_r_ts_us")).as("wait_us"))
   }
 
   /** #11 Exactly-once dedup: duplicate deliveries (simulated re-delivery of
