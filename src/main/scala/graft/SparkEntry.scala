@@ -114,6 +114,7 @@ object SparkEntry {
     // Event-stream analytics (#25-28)
     "ev_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
+    "ev_funnel_steps" -> ((s, d) => Events.funnelSteps(s, d)),
     "ev_user_stats" -> ((s, d) => Events.userStats(s, d)),
     "ev_windowed_counts" -> ((s, d) => Events.windowedCounts(s, d)),
     "ev_retention_cohorts" -> ((s, d) => Events.retentionCohorts(s, d)),
@@ -925,6 +926,16 @@ object SparkEntry {
         |SELECT count(*) AS n_users, count(first_signup_us) AS n_signed_up,
         |  count(CASE WHEN first_purchase_us > first_signup_us THEN 1 END) AS n_converted
         |FROM u""".stripMargin,
+    "ev_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS d1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts_us) AS d2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts_us >= d1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts_us) AS d3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_us >= d2 GROUP BY 1)
+        |SELECT 1 AS step, 'signup' AS event_type, (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
     "ev_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
         |  count(DISTINCT event_type) AS n_event_types,

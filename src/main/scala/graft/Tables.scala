@@ -46,6 +46,18 @@ object Tables {
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Register every table as a temp view, making the whole surface
+    * available to `spark.sql` — combined with `GraftSession.attach` the
+    * custom functions compose with plain SQL over these views (the
+    * "switch from the reference" entry point for SQL-first users).
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => load(spark, dir, t).createOrReplaceTempView(t))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
+
   /** CDC envelopes arrive as JSON lines off the wire in the reference's
     * Debezium variant (debezium-approach/notebooks/dlt_cdc_pipeline.py:
     * 112-140) — same schema contract, different container. `multiLine`

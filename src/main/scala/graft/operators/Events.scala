@@ -51,6 +51,47 @@ object Events {
         count(col("first_signup_us")).as("n_signed_up"),
         count(when(col("first_purchase_us") > col("first_signup_us"), lit(1))).as("n_converted"))
 
+  /** N-step ordered funnel — the generalization of [[funnel]] to any step
+    * sequence, with the standard product-analytics semantics: a user's
+    * completion time for step i is the EARLIEST step-i event at or after
+    * their completion of step i−1 (chained min, inclusive ties). Each
+    * stage is one aggregation over only the users still in the funnel, so
+    * the N shuffles shrink monotonically; per-stage state is one (user,
+    * ts) row — no windows, no per-event state.
+    *
+    * The result is ONE lazy plan — a union of the per-stage count
+    * aggregates — so a single action runs the whole funnel and Spark's
+    * ReuseExchange de-duplicates the stage-i shuffle shared by every
+    * deeper branch (stage 1's aggregate appears in all N branches but is
+    * computed once).
+    *
+    * Emits one row per depth: step index, step name, users who reached it.
+    */
+  def funnelSteps(spark: SparkSession, dir: String,
+      steps: Seq[String] = Seq("signup", "view", "purchase")): DataFrame =
+    funnelStepsOn(withTs(spark, dir).select("user_id", "event_type", "ts_us"), steps)
+
+  /** Core of [[funnelSteps]] over any (user_id, event_type, ts_us) frame —
+    * the reusable API shape for callers bringing their own event source.
+    */
+  def funnelStepsOn(e: DataFrame, steps: Seq[String]): DataFrame = {
+    val stageDone: Seq[DataFrame] = steps
+      .foldLeft(List.empty[DataFrame]) { case (acc, s) =>
+        val cand = e.filter(col("event_type") === s)
+        val qualified = acc.headOption match {
+          case None => cand
+          case Some(prev) =>
+            cand.join(prev.select(col("user_id"), col("done").as("prev_done")), "user_id")
+              .filter(col("ts_us") >= col("prev_done"))
+        }
+        qualified.groupBy("user_id").agg(min(col("ts_us")).as("done")) :: acc
+      }.reverse
+    stageDone.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(steps(i)).as("event_type"), col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
   /** #27 Per-user activity profile / lifetime value. */
   def userStats(spark: SparkSession, dir: String): DataFrame =
     withTs(spark, dir)

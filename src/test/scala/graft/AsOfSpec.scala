@@ -56,6 +56,31 @@ class AsOfSpec extends SparkSpec {
     assert(m.size == 5, "tolerance must never drop left rows")
   }
 
+  test("randomized as-of equals the naive quadratic join") {
+    val rnd = new scala.util.Random(42)
+    val lrows = (1 to 200).map(i =>
+      (i.toLong, s"k${rnd.nextInt(8)}", rnd.nextInt(100).toLong))
+    val rrows = (1 to 300).map(i =>
+      (i.toLong + 1000, s"k${rnd.nextInt(8)}", rnd.nextInt(100).toLong, s"p$i"))
+    val got = AsOf.asofJoin(
+      lrows.toDF("l_id", "k", "t"), rrows.toDF("r_id", "k", "r_t", "payload"),
+      keyCols = Seq("k"), leftTime = "t", rightTime = "r_t",
+      carryCols = Seq("r_id", "payload"), tiebreak = Seq("l_id", "r_id"))
+      .collect()
+      .map(x => x.getAs[Long]("l_id") ->
+        Option(x.getAs[java.lang.Long]("asof_r_id")).map(_.toLong)).toMap
+    lrows.foreach { case (lid, k, t) =>
+      val cands = rrows.filter(r => r._2 == k && r._3 <= t)
+      val want =
+        if (cands.isEmpty) None
+        else {
+          val maxT = cands.map(_._3).max
+          Some(cands.filter(_._3 == maxT).map(_._1).max) // ties → largest r_id
+        }
+      assert(got(lid) == want, s"left $lid (k=$k, t=$t): got ${got(lid)}, want $want")
+    }
+  }
+
   test("carry-column collisions are rejected loudly") {
     val (l, r) = frames
     val e = intercept[IllegalArgumentException] {

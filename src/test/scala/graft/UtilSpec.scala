@@ -266,4 +266,41 @@ class UtilSpec extends SparkSpec {
     assert(out.count() == normalized.count())
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("funnel steps honor the at-or-after ordering, one plan, reused exchange") {
+    import spark.implicits._
+    val e = Seq(
+      // u1 completes all 3 in order
+      ("u1", "signup", 10L), ("u1", "view", 20L), ("u1", "purchase", 30L),
+      // u2 purchases BEFORE viewing -> stops at step 2
+      ("u2", "signup", 10L), ("u2", "purchase", 15L), ("u2", "view", 20L),
+      // u3 never signs up -> counts nowhere despite view+purchase
+      ("u3", "view", 5L), ("u3", "purchase", 6L),
+      // u4 ties are inclusive: same-ts signup+view, later purchase
+      ("u4", "signup", 50L), ("u4", "view", 50L), ("u4", "purchase", 51L)
+    ).toDF("user_id", "event_type", "ts_us")
+    val out = operators.Events.funnelStepsOn(e, Seq("signup", "view", "purchase"))
+    val m = out.collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(m == Map(1 -> 3L, 2 -> 3L, 3 -> 2L), s"got $m")
+    // the union is one plan; the shared stage-1 aggregate exchange is reused
+    assert(out.queryExecution.executedPlan.toString.contains("ReusedExchange"))
+  }
+
+  test("registered views expose the whole surface to plain spark.sql") {
+    GraftSession.attach(spark)
+    Tables.registerViews(spark, sf)
+    // custom function + view in one SQL statement
+    val sigs = spark.sql(
+      "SELECT doc_id, simhash64(text) AS sig FROM documents LIMIT 5").collect()
+    assert(sigs.length == 5 && sigs.forall(r => !r.isNullAt(1)))
+    // cross-view analytic joins work as plain SQL
+    val rev = spark.sql(
+      """SELECT c.c_mktsegment, count(*) AS n
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin).collect()
+    assert(rev.nonEmpty && rev.map(_.getAs[Long]("n")).sum ==
+      Tables.orders(spark, sf).count())
+    // the nanos-timestamp workaround holds through the view
+    assert(spark.sql("SELECT max(ts) FROM events").head().getLong(0) > 0L)
+  }
 }
