@@ -111,6 +111,15 @@ object SparkEntry {
     "q17_small_quantity" -> ((s, d) => Tpch.q17SmallQuantity(s, d)),
     "q15_top_supplier" -> ((s, d) => Tpch.q15TopSupplier(s, d)),
     "q22_prospects" -> ((s, d) => Tpch.q22Prospects(s, d)),
+    "q2_min_cost_supplier" -> ((s, d) => Tpch.q2MinCostSupplier(s, d)),
+    "q8_market_share" -> ((s, d) => Tpch.q8MarketShare(s, d)),
+    "q9_product_profit" -> ((s, d) => Tpch.q9ProductProfit(s, d)),
+    "q11_value_concentration" -> ((s, d) => Tpch.q11ValueConcentration(s, d)),
+    "q12_late_priority" -> ((s, d) => Tpch.q12LatePriority(s, d)),
+    "q13_cust_order_dist" -> ((s, d) => Tpch.q13CustDist(s, d)),
+    "q16_supplier_part_count" -> ((s, d) => Tpch.q16SupplierPartCount(s, d)),
+    "q20_excess_shippers" -> ((s, d) => Tpch.q20ExcessShippers(s, d)),
+    "q21_sole_returner" -> ((s, d) => Tpch.q21SoleReturner(s, d)),
     // Event-stream analytics (#25-28)
     "ev_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
@@ -224,6 +233,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     })
   )
+
+  /** Shared DuckDB fragment: exact-DECIMAL discounted revenue over a
+    * lineitem aliased `l` (mirror of Tpch.revenue).
+    */
+  private val revSql =
+    "CAST(l.l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))"
 
   /** Shared DuckDB CTE: the normalized CDC log (mirror of Cdc.log). */
   private val logCte =
@@ -887,6 +903,110 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = r.c_custkey AND o.o_totalprice > 400000)
         |GROUP BY 1""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH fp AS (SELECT p_partkey FROM part
+        |  WHERE p_size <= 10 AND p_type = 'STANDARD'),
+        |o AS (SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem JOIN fp ON l_partkey = p_partkey GROUP BY 1, 2),
+        |m AS (SELECT l_partkey AS pk, min(unit_cost) AS min_cost FROM o GROUP BY 1)
+        |SELECT o.l_partkey AS p_partkey, s.s_suppkey, s.s_name, n.n_name, o.unit_cost
+        |FROM o JOIN m ON o.l_partkey = m.pk AND o.unit_cost = m.min_cost
+        |JOIN supplier s ON o.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH asia_c AS (
+        |  SELECT c_custkey FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'ASIA'),
+        |sup AS (SELECT s_suppkey, n_name AS supp_nation
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        |SELECT CAST(EXTRACT(year FROM CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
+        |  round(CAST(sum(CASE WHEN sup.supp_nation = 'NATION_12'
+        |      THEN $revSql ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    / CAST(sum($revSql) AS DOUBLE), 4) AS mkt_share,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN sup ON l.l_suppkey = sup.s_suppkey
+        |WHERE o.o_custkey IN (SELECT c_custkey FROM asia_c)
+        |GROUP BY 1""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n.n_name AS nation,
+        |  CAST(EXTRACT(year FROM CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
+        |  CAST(round(sum($revSql
+        |    - CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(l.l_quantity AS DECIMAL(12,2))
+        |      * CAST(0.6 AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_profit,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q11_value_concentration" ->
+      s"""WITH pp AS (
+        |  SELECT l_partkey, sum($revSql) AS val_dec, count(*) AS n_items
+        |  FROM lineitem l GROUP BY 1),
+        |t AS (SELECT sum(val_dec) AS tot, count(*) AS n_parts FROM pp)
+        |SELECT pp.l_partkey, CAST(round(pp.val_dec, 2) AS DOUBLE) AS part_value,
+        |  pp.n_items
+        |FROM pp, t WHERE pp.val_dec * t.n_parts * 5 > t.tot * 6""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT CASE WHEN epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + 7776000000000
+        |    THEN 'late' ELSE 'ontime' END AS ship_bucket,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q13_cust_order_dist" ->
+      """WITH c_orders AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN
+        |    (SELECT o_custkey, o_orderkey FROM orders
+        |     WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+        |    ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM c_orders GROUP BY 1""".stripMargin,
+    "q16_supplier_part_count" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT p.p_brand, p.p_type, p.p_size, l.l_suppkey
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand <> 'Brand#1' AND p.p_size <= 25
+        |    AND l.l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2500))
+        |SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt
+        |FROM pairs GROUP BY 1, 2, 3""".stripMargin,
+    "q20_excess_shippers" ->
+      """WITH ps AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |    sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS supp_qty
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_name LIKE 'large%' GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey AS pk, sum(supp_qty) AS part_qty,
+        |    count(*) AS n_supp FROM ps GROUP BY 1),
+        |heavy AS (SELECT DISTINCT ps.l_suppkey FROM ps
+        |  JOIN pt ON ps.l_partkey = pt.pk
+        |  WHERE ps.supp_qty * 2 * pt.n_supp > pt.part_qty * 5)
+        |SELECT s.s_suppkey, s.s_name, n.n_name
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)""".stripMargin,
+    "q21_sole_returner" ->
+      """SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+        |FROM lineitem l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND l1.l_orderkey IN
+        |    (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY 1, 2""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -420,4 +420,209 @@ object Tpch {
       .agg(count(lit(1)).as("n_cust"),
         sum2(dm(col("c_acctbal"))).as("total_acctbal"))
   }
+
+  /** TPC-H Q2 shape: the cheapest supplier per part — the classic
+    * correlated MIN subquery, decorrelated into a per-part aggregate joined
+    * back on (part, exact min). This corpus has no partsupp table, so a
+    * supplier's "offer" for a part is its minimum observed unit price on
+    * shipped lines; the unit price is ONE IEEE-754 double division per row
+    * — bit-identical in any engine — so both the min and the equality
+    * join-back need no rounding step. Ties keep every minimal supplier
+    * (classic Q2 semantics).
+    *
+    * Scale shape: part prefilter broadcasts into the scan; offers and the
+    * per-part min key on the same l_partkey, so AQE reuses the exchange;
+    * supplier/nation broadcast.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+      .select("p_partkey")
+    val offers = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val cheapest = offers.groupBy(col("l_partkey").as("pk"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    offers
+      .join(cheapest, col("l_partkey") === col("pk") && col("unit_cost") === col("min_cost"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("unit_cost"))
+  }
+
+  /** TPC-H Q8 shape: one nation's market share per year inside a regional
+    * market — conditional-sum ratio over a 6-table join. NATION_12 is the
+    * only ASIA-region supplier nation in this corpus; the market is ASIA
+    * customers buying PROMO parts. Both sums reduce exactly in DECIMAL and
+    * cross to double only for the final division.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val asiaNations = nat
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val custAsia = Tables.customer(spark, dir)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("cnk"))
+      .select("c_custkey")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nat.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "PROMO")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_12", revenue)
+          .otherwise(lit(0).cast(PRICE))).cast("double") / sum(revenue).cast("double"), 4)
+          .as("mkt_share"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q9 shape: product-line profit by (supplier nation, order year).
+    * No partsupp supply cost in this corpus, so cost = 60% of retail —
+    * profit = revenue − 0.6 · p_retailprice · l_quantity, all exact
+    * DECIMAL until the final rounding. The part-name suffix filter mirrors
+    * Q9's LIKE '%green%'.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_name").endsWith("widget"))
+      .select("p_partkey", "p_retailprice")
+    val profit = revenue -
+      dm(col("p_retailprice")) * dm(col("l_quantity")) * lit(0.6).cast(PCT)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum2(profit).as("sum_profit"), count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q11 shape: value concentration — parts carrying outsized revenue
+    * share, i.e. the HAVING-over-scalar-subquery pattern. The threshold is
+    * scale-free (revenue > 1.2 × the per-part average) and compared in
+    * exact integer/DECIMAL arithmetic: 5 · value · n_parts > 6 · total.
+    */
+  def q11ValueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(sum(revenue).as("val_dec"), count(lit(1)).as("n_items"))
+    val total = perPart.agg(sum(col("val_dec")).as("tot"), count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("val_dec") * col("n_parts") * lit(5) > col("tot") * lit(6))
+      .select(col("l_partkey"), round(col("val_dec"), 2).cast("double").as("part_value"),
+        col("n_items"))
+  }
+
+  /** TPC-H Q12 shape: shipping-delay audit by order priority. No
+    * l_shipmode/l_receiptdate in this corpus: lines bucket into late /
+    * ontime on shipdate − orderdate > 90 days (epoch-µs arithmetic, exact
+    * both engines), counting urgent vs non-urgent lines per bucket — Q12's
+    * signature conditional-sum pair.
+    */
+  def q12LatePriority(spark: SparkSession, dir: String): DataFrame = {
+    val lateUs = 90L * 86400L * 1000000L
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ship_bucket",
+        when(unix_micros(col("l_shipdate").cast("timestamp")) >
+          unix_micros(col("o_orderdate").cast("timestamp")) + lateUs, "late")
+          .otherwise("ontime"))
+      .groupBy("ship_bucket")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+  }
+
+  /** TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+    * (zero-order customers must survive) under a double aggregation. The
+    * priority filter stands in for Q13's comment-pattern exclusion.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q16 shape: distinct supplier counts per part attribute triple,
+    * with an excluded-supplier NOT IN (re-expressed as a broadcast anti
+    * join; low-balance suppliers stand in for Q16's complaint filter). The
+    * distinct runs BEFORE the count so the aggregate state is exact.
+    */
+  def q16SupplierPartCount(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 2500).select("s_suppkey")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 25)
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .select("p_brand", "p_type", "p_size", "l_suppkey").distinct()
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count(lit(1)).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20 shape: suppliers holding an outsized share of a part line —
+    * the nested IN-subquery pair, decorrelated to per-(part,supplier) vs
+    * per-part quantity aggregates. The threshold is scale-free (share
+    * above 2.5× the part's fair share 1/n_suppliers, so it stays selective
+    * and non-empty at any SF) and compared exactly in DECIMAL·BIGINT:
+    * 2 · supp_qty · n_supp > 5 · part_qty. The per-part totals re-aggregate
+    * the pair-level rollup — lineitem is scanned ONCE.
+    */
+  def q20ExcessShippers(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("large")).select("p_partkey")
+    val perPS = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(dm(col("l_quantity"))).as("supp_qty"))
+    val perP = perPS.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("supp_qty")).as("part_qty"), count(lit(1)).as("n_supp"))
+    val heavy = perPS.join(perP, col("l_partkey") === col("pk"))
+      .filter(col("supp_qty") * lit(2) * col("n_supp") > col("part_qty") * lit(5))
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+  }
+
+  /** TPC-H Q21 shape: the sole supplier at fault on a multi-supplier order
+    * — correlated EXISTS (another supplier participated) plus correlated
+    * NOT EXISTS (no other supplier had returns), kept as semi/anti joins
+    * with a non-equi residual on the order key. Returned lines stand in
+    * for Q21's late-receipt predicate (no receipt/commit dates here).
+    */
+  def q21SoleReturner(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_returnflag")
+    val l1 = l.filter(col("l_returnflag") === "R")
+    val l2 = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = l1.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    l1
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("numwait"))
+  }
 }
