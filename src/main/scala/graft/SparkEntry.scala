@@ -74,6 +74,9 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => Text.docRepetition(s, d)),
     "dedup_ngram_corpus" -> ((s, d) => Text.corpusDupNgrams(s, d)),
     "doc_sample_stratified" -> ((s, d) => Text.stratifiedSample(s, d)),
+    "doc_chunk" -> ((s, d) => Text.docChunk(s, d)),
+    "doc_split_assign" -> ((s, d) => Text.docSplitAssign(s, d)),
+    "doc_mix_weights" -> ((s, d) => Text.docMixWeights(s, d)),
     "dedup_exact_apply" -> ((s, d) => Text.dedupExactApply(s, d)),
     "doc_reservoir_sample" -> ((s, d) => Text.reservoirSample(s, d)),
     "doc_curation_pipeline" -> ((s, d) => Text.curationPipeline(s, d)),
@@ -643,6 +646,34 @@ object SparkEntry {
         |      WHEN 'de' THEN 30 WHEN 'es' THEN 30 ELSE 20 END AS keep_pct
         |  FROM documents)
         |SELECT doc_id, lang, bucket FROM b WHERE bucket < keep_pct""".stripMargin,
+    "doc_chunk" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) <= 200 THEN CAST(1 AS BIGINT)
+        |         ELSE (length(text) - 200 + 149) // 150 + 1 END AS nc
+        |  FROM documents),
+        |ex AS (SELECT doc_id, text, unnest(range(0, nc)) AS chunk_id FROM base)
+        |SELECT doc_id, chunk_id,
+        |  substr(text, CAST(chunk_id * 150 + 1 AS BIGINT), 200) AS chunk_text,
+        |  CAST(length(substr(text, CAST(chunk_id * 150 + 1 AS BIGINT), 200)) AS BIGINT)
+        |    AS chunk_len
+        |FROM ex""".stripMargin,
+    "doc_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5(text), 1, 2) < 'e0' THEN 'train'
+        |       WHEN substr(md5(text), 1, 2) < 'f0' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "doc_mix_weights" ->
+      """WITH pl AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT))
+        |      AS BIGINT) AS lang_tokens
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT min(lang_tokens) AS min_tokens FROM pl)
+        |SELECT lang, n_docs, lang_tokens,
+        |  min_tokens * 10000 // lang_tokens AS weight_e4
+        |FROM pl, m""".stripMargin,
     "doc_reservoir_sample" ->
       """WITH h AS (
         |  SELECT lang, doc_id,

@@ -321,4 +321,58 @@ object Text {
           | WHEN 'de' THEN 30 WHEN 'es' THEN 30 ELSE 20 END AS keep_pct""".stripMargin)
       .filter(col("bucket") < col("keep_pct"))
       .selectExpr("doc_id", "lang", "bucket")
+
+  /** Overlapping fixed-width document chunking — the context-window
+    * splitter every pretraining/RAG pipeline runs before tokenization:
+    * char windows of `width` advancing by `stride` (width − stride
+    * overlap), last window allowed to run short. Chunk count is exact
+    * integer arithmetic; the windows explode from one `sequence()` per row
+    * (fully codegen'd, no UDF) so the fan-out happens map-side with zero
+    * shuffles and streams at any corpus size.
+    */
+  def docChunk(spark: SparkSession, dir: String,
+      width: Int = 200, stride: Int = 150): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text",
+        s"""CASE WHEN length(text) <= $width THEN CAST(1 AS BIGINT)
+           | ELSE (length(text) - $width + ${stride - 1}) DIV $stride + 1
+           | END AS nc""".stripMargin)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(CAST(0 AS BIGINT), nc - 1)")).as("chunk_id"))
+      .selectExpr("doc_id", "chunk_id",
+        s"substring(text, CAST(chunk_id * $stride + 1 AS INT), $width) AS chunk_text",
+        s"CAST(length(substring(text, CAST(chunk_id * $stride + 1 AS INT), $width)) AS BIGINT) AS chunk_len")
+
+  /** Deterministic content-addressed train/val/test split: the assignment
+    * hangs off md5(text), NOT doc_id — byte-identical duplicates land in
+    * the same split by construction, so the split can never leak a dup
+    * from train into test. Hex-prefix thresholds give 87.5 / 6.25 / 6.25%
+    * fractions with zero floating point; row-local, zero shuffles.
+    */
+  def docSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), substring(md5(col("text")), 1, 2).as("hh"))
+      .selectExpr("doc_id", "lang",
+        """CASE WHEN hh < 'e0' THEN 'train'
+          |     WHEN hh < 'f0' THEN 'val'
+          |     ELSE 'test' END AS split""".stripMargin)
+
+  /** Language-mixture rebalancing weights: the per-language sampling
+    * fraction that equalizes token share across languages (cap every
+    * language at the smallest language's token count — the "uniform
+    * mixture" target). Weight is exact ×10⁴ fixed-point BIGINT arithmetic
+    * (min_tokens·10⁴ DIV lang_tokens) so both engines agree bit-for-bit.
+    * One aggregate + one broadcast scalar: the planning pass a multilingual
+    * data mix runs before [[stratifiedSample]] applies the rates.
+    */
+  def docMixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(spark, dir)
+      .selectExpr("lang", s"$nTokens AS n_tokens")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+    val mn = perLang.agg(min(col("lang_tokens")).as("min_tokens"))
+    perLang.crossJoin(broadcast(mn))
+      .selectExpr("lang", "n_docs", "lang_tokens",
+        "min_tokens * 10000 DIV lang_tokens AS weight_e4")
+  }
 }

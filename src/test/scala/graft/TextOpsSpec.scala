@@ -64,6 +64,59 @@ class TextOpsSpec extends SparkSpec {
     assert(a.length == expected)
   }
 
+  test("docChunk windows reconstruct the document and honor width/stride") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("chunk").toString
+    val long = (1 to 120).map(i => ('a' + i % 26).toChar).mkString  // 120 chars
+    Seq((1L, long, "en", "s", 120L), (2L, "tiny", "en", "s", 4L),
+      (3L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Text.docChunk(spark, dir, width = 50, stride = 30)
+      .collect().groupBy(_.getLong(0))
+    // 120 chars, w=50, s=30 → ceil((120-50)/30)+1 = 4 chunks
+    val c1 = out(1L).sortBy(_.getLong(1)).map(_.getString(2))
+    assert(c1.length == 4)
+    assert(c1.take(3).forall(_.length == 50) && c1.last.length == 120 - 3 * 30)
+    // overlap-stripped concatenation reproduces the document
+    assert((c1.head + c1.tail.map(_.substring(50 - 30)).mkString) == long)
+    // short and empty docs emit exactly one chunk
+    assert(out(2L).map(_.getString(2)).toSeq == Seq("tiny"))
+    assert(out(3L).map(_.getString(2)).toSeq == Seq(""))
+  }
+
+  test("docSplitAssign sends byte-identical duplicates to the same split") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("split").toString
+    (1 to 200).map(i => (i.toLong, s"document body ${i % 50}", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Text.docSplitAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    assert(rows.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // every duplicate family (i % 50) got exactly one split
+    val families = rows.groupBy { case (id, _) => id % 50 }
+    families.foreach { case (fam, members) =>
+      assert(members.map(_._2).distinct.length == 1,
+        s"family $fam split across ${members.map(_._2).distinct.mkString(",")}")
+    }
+    // train dominates (87.5% expected of 50 distinct families)
+    val perFamily = families.values.map(_.head._2).toSeq
+    assert(perFamily.count(_ == "train") >= 35)
+  }
+
+  test("docMixWeights caps every language at the smallest token pool") {
+    val rows = Text.docMixWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    val minTok = rows.map(_._2).min
+    rows.foreach { case (lang, toks, w) =>
+      assert(w == minTok * 10000L / toks, s"$lang weight mismatch")
+      assert(w <= 10000L && w > 0L)
+    }
+    // the smallest language keeps everything
+    assert(rows.filter(_._2 == minTok).forall(_._3 == 10000L))
+  }
+
   test("piiRedact masks all but the phone's last 4 digits and the email tail") {
     val rows = Redact.piiRedact(spark, sf).collect()
     assert(rows.nonEmpty)
