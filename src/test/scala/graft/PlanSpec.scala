@@ -143,4 +143,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") || p.contains("TopKPerGroupPartial"),
       s"keep-first rank not group-limited before shuffle:\n$p")
   }
+
+  test("correlated-exists TPC-H shapes never plan nested-loop or cartesian") {
+    for (q <- Seq("q21_sole_returner", "q2_min_cost_supplier", "q20_excess_shippers",
+        "q16_supplier_part_count", "q8_market_share", "q13_cust_order_dist")) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested loop:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product:\n$p")
+    }
+    // q16's NOT IN runs as a broadcast anti join, never a full shuffle
+    val p16 = planOf("q16_supplier_part_count")
+    assert(p16.contains("BroadcastHashJoin") && p16.contains("LeftAnti"),
+      "q16 exclusion lost its broadcast anti join")
+    // q13's zero-order customers survive: the outer join must stay outer
+    assert(planOf("q13_cust_order_dist").contains("LeftOuter"),
+      "q13 left outer join rewritten away")
+  }
+
+  test("chunking fans out map-side: explode with zero exchanges") {
+    val p = planOf("doc_chunk")
+    assert(p.contains("Generate explode"), s"chunking lost its explode:\n$p")
+    assert(!p.contains("Exchange"), s"doc_chunk should be shuffle-free:\n$p")
+    // split assignment is likewise row-local
+    assert(!planOf("doc_split_assign").contains("Exchange"),
+      "doc_split_assign should be shuffle-free")
+  }
 }
