@@ -39,6 +39,7 @@ object SparkEntry {
     "cdc_asof_join" -> ((s, d) => Cdc.asofJoin(s, d)),
     // same join with a 10-minute staleness guard: older matches null out
     "cdc_asof_tolerance" -> ((s, d) => Cdc.asofJoin(s, d, tolerance = Some(600000000L))),
+    "cdc_asof_forward" -> ((s, d) => Cdc.asofForward(s, d)),
     "cdc_before_after" -> ((s, d) => Cdc.beforeAfter(s, d)),
     "cdc_gap_check" -> ((s, d) => Cdc.gapCheck(s, d)),
     "cdc_debezium_parse" -> ((s, d) => Debezium.silverParsed(s, d)),
@@ -427,6 +428,27 @@ object SparkEntry {
         |  CASE WHEN ts_us - prior_ts_us > 600000000 THEN NULL ELSE round(prior_value, 2) END AS prior_value,
         |  CASE WHEN ts_us - prior_ts_us > 600000000 THEN NULL ELSE ts_us - prior_ts_us END AS wait_us
         |FROM j""".stripMargin,
+    "cdc_asof_forward" ->
+      """WITH lg AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |u AS (
+        |  SELECT user_id, ts_us, 1 AS side, event_id,
+        |    CAST(NULL AS BIGINT) AS r_event_id, CAST(NULL AS BIGINT) AS r_ts_us,
+        |    CAST(NULL AS DOUBLE) AS r_value
+        |  FROM lg WHERE event_type <> 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 0, CAST(NULL AS BIGINT), event_id, ts_us, value
+        |  FROM lg WHERE event_type = 'purchase'),
+        |w AS (SELECT user_id, ts_us, side, event_id,
+        |    first_value(r_event_id IGNORE NULLS) OVER win AS next_event_id,
+        |    first_value(r_ts_us IGNORE NULLS) OVER win AS next_ts_us,
+        |    first_value(r_value IGNORE NULLS) OVER win AS next_value
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ts_us, side DESC, event_id, r_event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, ts_us, next_event_id, next_ts_us,
+        |  round(next_value, 2) AS next_value, next_ts_us - ts_us AS lead_us
+        |FROM w WHERE side = 1""".stripMargin,
     "cdc_before_after" ->
       s"""$logCte,
          |b AS (SELECT event_id, user_id, operation, seq_us,

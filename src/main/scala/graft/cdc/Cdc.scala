@@ -265,6 +265,32 @@ object Cdc {
         (col("ts_us") - col("asof_r_ts_us")).as("wait_us"))
   }
 
+  /** Forward as-of: each non-purchase event matched to the user's NEXT
+    * purchase at-or-after it — the time-to-conversion lookup, i.e.
+    * [[asofJoin]] mirrored ([[graft.operators.AsOf]] `direction =
+    * "forward"`). Same single sort-shuffle; ties keep the
+    * smallest-event-id purchase.
+    */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val lg = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_type"), col("value"))
+    val left = lg.filter(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val right = lg.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("r_event_id"), col("user_id"),
+        col("ts_us").as("r_ts_us"), col("value").as("r_value"))
+    graft.operators.AsOf.asofJoin(left, right, keyCols = Seq("user_id"),
+      leftTime = "ts_us", rightTime = "r_ts_us",
+      carryCols = Seq("r_event_id", "r_ts_us", "r_value"),
+      tiebreak = Seq("event_id", "r_event_id"), direction = "forward")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_r_event_id").as("next_event_id"),
+        col("asof_r_ts_us").as("next_ts_us"),
+        round(col("asof_r_value"), 2).as("next_value"),
+        (col("asof_r_ts_us") - col("ts_us")).as("lead_us"))
+  }
+
   /** #11 Exactly-once dedup: duplicate deliveries (simulated re-delivery of
     * ~30% of the stream) collapsed to one row per event_id (reference
     * guarantees this via offset checkpointing,

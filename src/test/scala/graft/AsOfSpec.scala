@@ -81,6 +81,44 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("randomized forward as-of equals the naive quadratic join") {
+    val rnd = new scala.util.Random(7)
+    val lrows = (1 to 200).map(i =>
+      (i.toLong, s"k${rnd.nextInt(8)}", rnd.nextInt(100).toLong))
+    val rrows = (1 to 300).map(i =>
+      (i.toLong + 1000, s"k${rnd.nextInt(8)}", rnd.nextInt(100).toLong, s"p$i"))
+    val got = AsOf.asofJoin(
+      lrows.toDF("l_id", "k", "t"), rrows.toDF("r_id", "k", "r_t", "payload"),
+      keyCols = Seq("k"), leftTime = "t", rightTime = "r_t",
+      carryCols = Seq("r_id", "payload"), tiebreak = Seq("l_id", "r_id"),
+      direction = "forward")
+      .collect()
+      .map(x => x.getAs[Long]("l_id") ->
+        Option(x.getAs[java.lang.Long]("asof_r_id")).map(_.toLong)).toMap
+    lrows.foreach { case (lid, k, t) =>
+      val cands = rrows.filter(r => r._2 == k && r._3 >= t)
+      val want =
+        if (cands.isEmpty) None
+        else {
+          val minT = cands.map(_._3).min
+          Some(cands.filter(_._3 == minT).map(_._1).min) // ties → smallest r_id
+        }
+      assert(got(lid) == want, s"left $lid (k=$k, t=$t): got ${got(lid)}, want $want")
+    }
+  }
+
+  test("forward tolerance nulls matches beyond the horizon") {
+    import spark.implicits._
+    val l = Seq((1L, "a", 100L), (2L, "a", 10L)).toDF("l_id", "k", "t")
+    val r = Seq((9L, "a", 105L), (8L, "a", 200L)).toDF("r_id", "k", "r_t")
+    val m = AsOf.asofJoin(l, r, Seq("k"), "t", "r_t", Seq("r_id"),
+      tiebreak = Seq("l_id", "r_id"), tolerance = Some(20L), direction = "forward")
+      .collect().map(x => x.getAs[Long]("l_id") ->
+        Option(x.getAs[java.lang.Long]("asof_r_id"))).toMap
+    assert(m(1L).contains(9L), "match inside tolerance kept")
+    assert(m(2L).isEmpty, "match 95us ahead must null at tolerance 20")
+  }
+
   test("carry-column collisions are rejected loudly") {
     val (l, r) = frames
     val e = intercept[IllegalArgumentException] {
