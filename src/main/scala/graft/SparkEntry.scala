@@ -235,6 +235,30 @@ object SparkEntry {
       s.read.format("cdcgen").option("rows", 10000).option("partitions", 8).load()
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    }),
+    // unigram-LM quality scoring (quantized-log2 surprise)
+    "doc_lm_score" -> ((s, d) => Text.docLmScore(s, d)),
+    // per-dimension embedding hygiene audit
+    "emb_dim_stats" -> ((s, d) => Similarity.embDimStats(s, d)),
+    // transaction reassembly from the Debezium envelope
+    "cdc_txn_summary" -> ((s, d) => Debezium.txnAudit(s, d)),
+    // retention curve via per-user activity bitmaps
+    "ev_retention_bitmap" -> ((s, d) => Events.retentionBitmap(s, d)),
+    // median/MAD robust outlier fences per event type
+    "ev_anomaly_mad" -> ((s, d) => Events.anomalyMad(s, d)),
+    // registered-vs-observed payload column reconciliation: the registry
+    // deliberately lags the data (o_orderpriority unregistered) and carries
+    // a dropped column (o_legacy_flag) to exercise both drift arms
+    "cdc_schema_drift" -> ((s, d) => {
+      import graft.streaming.CdcStreams
+      val env = CdcStreams.heterogeneousUnion(Seq(
+        ("orders", Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+          "o_orderkey", "o_orderkey"),
+        ("customer", Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey"),
+          "c_custkey", "c_custkey")))
+      CdcStreams.schemaDrift(env, Map(
+        "orders" -> Seq("o_custkey", "o_orderstatus", "o_legacy_flag"),
+        "customer" -> Seq("c_name", "c_nationkey")))
     })
   )
 
@@ -1244,6 +1268,110 @@ object SparkEntry {
         |  64 + doc_id % 1024 AS fake_width,
         |  64 + (doc_id * 7) % 1024 AS fake_height,
         |  1 + CAST(floor(strlen(text) / 256.0) AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "doc_lm_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM v),
+        |s AS (SELECT tok, CAST(length(bin(n_total // cnt)) - 1 AS BIGINT) AS surprise_lg2
+        |      FROM v, t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(surprise_lg2) AS BIGINT) AS sum_surprise,
+        |  CAST(sum(surprise_lg2) * 10000 // count(*) AS BIGINT) AS mean_surprise_e4
+        |FROM tok JOIN s USING (tok)
+        |GROUP BY 1""".stripMargin,
+    "emb_dim_stats" ->
+      """WITH x AS (
+        |  SELECT CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS v_e6
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i))
+        |SELECT dim, count(*) AS n,
+        |  CAST(sum(v_e6) AS BIGINT) AS sum_e6,
+        |  CAST(sum(abs(v_e6)) // count(*) AS BIGINT) AS mean_abs_e6,
+        |  min(v_e6) AS min_e6, max(v_e6) AS max_e6
+        |FROM x GROUP BY 1""".stripMargin,
+    "cdc_txn_summary" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' WHEN 'purchase' THEN 'r' ELSE 'u' END AS op_raw,
+        |    epoch_ms(ts) AS seq_ms
+        |  FROM events),
+        |env AS (
+        |  SELECT event_id,
+        |    '{"before":' ||
+        |    CASE WHEN op_raw = 'c' THEN 'null'
+        |         ELSE '{"user_id":' || CAST(user_id AS VARCHAR) || ',"event_id":' || CAST(event_id - 1 AS VARCHAR) || '}' END ||
+        |    ',"after":' ||
+        |    CASE WHEN op_raw = 'd' THEN 'null'
+        |         ELSE '{"user_id":' || CAST(user_id AS VARCHAR) || ',"event_id":' || CAST(event_id AS VARCHAR) || '}' END ||
+        |    ',"source":{"version":"2.4.0","connector":"mysql","name":"graft","ts_ms":' || CAST(seq_ms AS VARCHAR) ||
+        |    ',"snapshot":"' || CASE WHEN op_raw = 'r' THEN 'true' ELSE 'false' END ||
+        |    '","db":"graftdb","table":"events","server_id":1,"gtid":"0-1-' || CAST(event_id AS VARCHAR) ||
+        |    '","file":"binlog.000001","pos":' || CAST(event_id * 4 AS VARCHAR) ||
+        |    ',"row":0,"thread":7,"query":null},"op":"' || op_raw ||
+        |    '","ts_ms":' || CAST(seq_ms + (event_id % 120) * 1000 + 1 AS VARCHAR) ||
+        |    ',"transaction":{"id":"tx-' || CAST(user_id AS VARCHAR) ||
+        |    '","total_order":1,"data_collection_order":1}}' AS cdc_event
+        |  FROM e),
+        |p AS (
+        |  SELECT json_extract_string(cdc_event, '$.transaction.id') AS transaction_id,
+        |    CASE json_extract_string(cdc_event, '$.op')
+        |      WHEN 'c' THEN 'INSERT' WHEN 'u' THEN 'UPDATE' WHEN 'd' THEN 'DELETE' WHEN 'r' THEN 'SNAPSHOT'
+        |      ELSE 'UNKNOWN' END AS operation,
+        |    json_extract_string(cdc_event, '$.source.table') AS table_name,
+        |    CAST(json_extract(cdc_event, '$.source.ts_ms') AS BIGINT) AS source_ts_ms
+        |  FROM env)
+        |SELECT transaction_id, count(*) AS n_events,
+        |  CAST(count(DISTINCT table_name) AS BIGINT) AS n_tables,
+        |  CAST(sum(CASE WHEN operation = 'INSERT' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+        |  CAST(sum(CASE WHEN operation = 'UPDATE' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+        |  CAST(sum(CASE WHEN operation = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+        |  CAST(sum(CASE WHEN operation = 'SNAPSHOT' THEN 1 ELSE 0 END) AS BIGINT) AS n_snapshot_reads,
+        |  min(source_ts_ms) AS first_ms, max(source_ts_ms) AS last_ms,
+        |  max(source_ts_ms) - min(source_ts_ms) AS span_ms
+        |FROM p GROUP BY 1""".stripMargin,
+    "ev_retention_bitmap" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+        |s AS (SELECT user_id, min(day) AS cohort_day FROM e WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT e.day - s.cohort_day AS day_offset,
+        |  count(DISTINCT e.user_id) AS active_users
+        |FROM e JOIN s ON e.user_id = s.user_id
+        |WHERE e.day - s.cohort_day >= 0 AND e.day - s.cohort_day < 63
+        |GROUP BY 1""".stripMargin,
+    "ev_anomaly_mad" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |med AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_v
+        |        FROM ev GROUP BY 1),
+        |dev AS (SELECT ev.event_type, median_v, abs(value - median_v) AS absdev
+        |        FROM ev JOIN med ON ev.event_type = med.event_type),
+        |mad AS (SELECT event_type, round(quantile_cont(absdev, 0.5), 4) AS mad_v
+        |        FROM dev GROUP BY 1)
+        |SELECT dev.event_type, median_v, mad_v, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN absdev > 3.0 * mad_v THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN absdev > 3.0 * mad_v THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+        |    AS outlier_ratio_e4
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "cdc_schema_drift" ->
+      """WITH obs AS (
+        |  SELECT * FROM (
+        |    SELECT 'orders' AS src_table, 'o_custkey' AS col_name, count(o_custkey) AS n_rows_present FROM orders
+        |    UNION ALL SELECT 'orders', 'o_orderstatus', count(o_orderstatus) FROM orders
+        |    UNION ALL SELECT 'orders', 'o_orderpriority', count(o_orderpriority) FROM orders
+        |    UNION ALL SELECT 'customer', 'c_name', count(c_name) FROM customer
+        |    UNION ALL SELECT 'customer', 'c_nationkey', count(c_nationkey) FROM customer)
+        |  WHERE n_rows_present > 0),
+        |reg(src_table, col_name) AS (
+        |  VALUES ('orders', 'o_custkey'), ('orders', 'o_orderstatus'),
+        |         ('orders', 'o_legacy_flag'),
+        |         ('customer', 'c_name'), ('customer', 'c_nationkey'))
+        |SELECT coalesce(o.src_table, r.src_table) AS src_table,
+        |  coalesce(o.col_name, r.col_name) AS col_name,
+        |  CAST(coalesce(o.n_rows_present, 0) AS BIGINT) AS n_rows_present,
+        |  CASE WHEN r.col_name IS NULL THEN 'unregistered'
+        |       WHEN o.col_name IS NULL THEN 'missing_in_data'
+        |       ELSE 'ok' END AS status
+        |FROM obs o FULL OUTER JOIN reg r
+        |  ON o.src_table = r.src_table AND o.col_name = r.col_name""".stripMargin
   )
 }

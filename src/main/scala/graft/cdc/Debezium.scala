@@ -271,4 +271,51 @@ object Debezium {
       "small_user_id" -> "after_user_id IS NULL OR after_user_id < 10")
     auditCounts(lite, rules)
   }
+
+  /** Transaction reassembly over a parsed silver frame: the binlog stream
+    * arrives row-at-a-time, but consumers reasoning about atomicity (did
+    * this ORDER insert land with its LINEITEM rows?) need the transaction
+    * view back. Groups events by the envelope's `transaction.id`
+    * (dlt_cdc_pipeline.py envelope schema; Debezium emits one id per
+    * source transaction) into per-txn summaries: op mix, tables touched,
+    * commit-time span.
+    *
+    * ONE aggregation, all map-side-combinable (conditional sums + min/max;
+    * the distinct-table count is exact but low-cardinality per txn). At
+    * 100 TB the shuffle key is the transaction id — high cardinality, no
+    * skew beyond genuinely-huge transactions, which this query is the tool
+    * for finding (`n_events` ranks them).
+    */
+  def txnSummary(silver: DataFrame): DataFrame =
+    silver.groupBy("transaction_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("table_name")).as("n_tables"),
+        sum(when(col("operation") === "INSERT", 1L).otherwise(0L)).as("n_inserts"),
+        sum(when(col("operation") === "UPDATE", 1L).otherwise(0L)).as("n_updates"),
+        sum(when(col("operation") === "DELETE", 1L).otherwise(0L)).as("n_deletes"),
+        sum(when(col("operation") === "SNAPSHOT", 1L).otherwise(0L)).as("n_snapshot_reads"),
+        min(col("source_ts_ms")).as("first_ms"),
+        max(col("source_ts_ms")).as("last_ms"))
+      .withColumn("span_ms", col("last_ms") - col("first_ms"))
+
+  /** #153 Registered transaction-summary query: synth envelope → pruned
+    * parse (txn id, op, table, source ts — 4 fields, same hand-pruning
+    * rationale as [[expectationAudit]]) → [[txnSummary]].
+    */
+  def txnAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pruned = StructType(Seq(
+      StructField("source", StructType(Seq(
+        StructField("ts_ms", LongType),
+        StructField("table", StringType)))),
+      StructField("op", StringType),
+      StructField("transaction", StructType(Seq(StructField("id", StringType))))))
+    val lite = synthEnvelope(spark, dir)
+      .withColumn("parsed", from_json(col("cdc_event"), pruned))
+      .select(
+        readableOp(col("parsed.op")).as("operation"),
+        col("parsed.source.table").as("table_name"),
+        col("parsed.source.ts_ms").as("source_ts_ms"),
+        col("parsed.transaction.id").as("transaction_id"))
+    txnSummary(lite)
+  }
 }

@@ -179,6 +179,68 @@ object Events {
         count(lit(1)).as("n_events"))
   }
 
+  /** Retention via per-user activity BITMAPS: one 63-bit mask per user
+    * (bit k = active on day-offset k from their signup day), built by a
+    * single `bit_or(shiftleft(...))` aggregation, then per-offset totals
+    * from 63 conditional sums in ONE more aggregation whose shuffle
+    * carries 63 counters per partition — `stack` unpivots the single
+    * result row.
+    *
+    * This is the scale shape for retention curves: the cohort-join +
+    * `countDistinct` of [[retentionCohorts]] keeps (cohort × offset ×
+    * user) rows alive through a distinct aggregation, while the bitmap
+    * collapses each user to 8 bytes map-side — the classic roaring-bitmap
+    * audience pattern expressed with built-ins. Offsets ≥ 63 fall outside
+    * the mask (documented horizon; widen with an array of masks when a
+    * >2-month curve matters). Totals equal the distinct-count answer
+    * exactly — the oracle computes it the classic way.
+    */
+  def retentionBitmap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withTs(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(expr("ts_us DIV 86400000000")).as("cohort_day"))
+    val masks = ev.join(signups, "user_id")
+      .withColumn("off", expr("ts_us DIV 86400000000") - col("cohort_day"))
+      .filter(col("off") >= 0 && col("off") < 63)
+      .groupBy("user_id")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(off AS INT)))").as("mask"))
+    val bitSums = (0 until 63).map(k => sum(expr(s"(mask >> $k) & 1")).as(s"d$k"))
+    val sums = masks.agg(bitSums.head, bitSums.tail: _*)
+    val stackArgs = (0 until 63).map(k => s"CAST($k AS BIGINT), d$k").mkString(", ")
+    sums.selectExpr(s"stack(63, $stackArgs) AS (day_offset, active_users)")
+      .filter(col("active_users") > 0)
+  }
+
+  /** Robust anomaly detection per event type: median / MAD (median
+    * absolute deviation) fences instead of mean/stddev — one pathological
+    * batch can't drag the threshold the way it drags a z-score. The
+    * monitoring companion to [[graft.cdc.Cdc.qualityMetrics]]'s volume
+    * flags: `n_outliers` is how many events sit beyond `k`·MAD of their
+    * type's median.
+    *
+    * Three scans, each a partial-aggregated groupBy on event_type (the
+    * exact-median passes; swap in [[graft.functions.QuantileSketchAgg]]
+    * to fold them into one approximate pass at 100 TB): medians → MAD of
+    * deviations → fence counts. Medians/MADs round to 4dp BEFORE the
+    * fence comparison, so the flag is a deterministic double comparison
+    * against identical inputs in both engines.
+    */
+  def anomalyMad(spark: SparkSession, dir: String, k: Double = 3.0): DataFrame = {
+    val ev = withTs(spark, dir).select("event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(expr("round(percentile(value, 0.5D), 4)").as("median_v"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs(col("value") - col("median_v")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("round(percentile(absdev, 0.5D), 4)").as("mad_v"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type", "median_v", "mad_v")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("absdev") > lit(k) * col("mad_v"), 1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_ratio_e4", expr("n_outliers * 10000 DIV n_events"))
+  }
+
   /** #28 5-minute tumbling window counts per event type — the batch shape of
     * the streaming monitoring query (reference:
     * cdc_500_tables_streaming.py:373-392).

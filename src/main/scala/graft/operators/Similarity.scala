@@ -225,4 +225,36 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
+
+  /** Per-DIMENSION corpus statistics — the whitening / feature-hygiene
+    * audit run before any cosine math: a dimension whose mean is far from
+    * zero or whose spread collapses (dead unit) poisons dot-product
+    * ranking, and per-dimension extrema catch clipped or exploded values.
+    * Complements [[embNormStats]] (per-VECTOR hygiene).
+    *
+    * Values cross engines as ×10⁶ fixed-point BIGINTs (`round(x·10⁶)` of
+    * the float widened to double — identical bits both sides), then every
+    * aggregate is exact integer arithmetic. The per-dim mean ships as
+    * (sum_e6, n) rather than a quotient: sum_e6 can be negative, and
+    * integer division of negatives truncates toward zero in Spark but
+    * floors in the oracle engine — the spread proxy mean |v| IS a
+    * quotient because its numerator is non-negative. BIGINT sums hold to
+    * ~10¹² rows × unit-scale values; past that, widen the sums to
+    * DECIMAL(38,0) — the arithmetic stays exact.
+    *
+    * Shape at 100 TB: posexplode is map-side; ONE aggregation shuffles 64
+    * dimension keys with map-side combine — the shuffle carries
+    * O(partitions × dims) rows regardless of corpus size.
+    */
+  def embDimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .selectExpr("CAST(dim AS BIGINT) AS dim",
+        "CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) AS v_e6")
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v_e6")).as("sum_e6"),
+        expr("sum(abs(v_e6)) DIV count(1)").as("mean_abs_e6"),
+        min(col("v_e6")).as("min_e6"),
+        max(col("v_e6")).as("max_e6"))
 }

@@ -375,4 +375,38 @@ object Text {
       .selectExpr("lang", "n_docs", "lang_tokens",
         "min_tokens * 10000 DIV lang_tokens AS weight_e4")
   }
+
+  /** Unigram language-model quality scoring — the KenLM-proxy filter a
+    * pretraining pipeline runs to rank documents by "typicality" under the
+    * corpus's own token distribution: per-token surprise −log₂ p(token),
+    * averaged per document (high mean surprise = rare-token-heavy text).
+    *
+    * The log is QUANTIZED to integer bits — surprise = floor(log₂(N ∕ cnt))
+    * via `length(bin(N DIV cnt)) - 1`, pure integer arithmetic — so the
+    * score is bit-identical across engines (a float ln() differs in the
+    * last ulp between libm implementations and can flip a rounding
+    * boundary). Whole-bit resolution is plenty for filtering: the score
+    * separates token-frequency regimes, not third decimal places.
+    *
+    * Shape at 100 TB: token fan-out is map-side (split+explode, no UDF);
+    * the vocabulary aggregate shuffles (tok) with map-side combine — word
+    * vocabularies are sublinear in corpus size; the total-count scalar is
+    * an explicit broadcast; the vocab→token join is left to Catalyst/AQE
+    * (broadcast when the vocab fits, shuffle-hash when a 100 TB corpus's
+    * vocab doesn't); the final per-doc aggregate combines map-side.
+    */
+  def docLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .selectExpr("tok",
+        "CAST(length(bin(n_total DIV cnt)) - 1 AS BIGINT) AS surprise_lg2")
+    toks.join(scored, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("surprise_lg2")).as("sum_surprise"),
+        expr("sum(surprise_lg2) * 10000 DIV count(1)").as("mean_surprise_e4"))
+  }
 }

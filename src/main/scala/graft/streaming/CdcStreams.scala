@@ -174,6 +174,45 @@ object CdcStreams {
         from_json(col("payload"), org.apache.spark.sql.types.StructType.fromDDL(ddl)).as("p"))
       .selectExpr("entity_key", "seq", "p.*")
 
+  /** Schema-drift detection over the unified envelope — the 500-table
+    * operational hazard the reference's registry never guards: a source
+    * table gains or drops a column and every downstream `from_json` decode
+    * silently nulls or ignores it. Compares the REGISTERED column set per
+    * table against the keys actually observed in payload JSON:
+    *
+    *  - `unregistered`  — column in the data, absent from the registry
+    *    (source added a column; the registered DDL must evolve),
+    *  - `missing_in_data` — registered column never observed (source
+    *    dropped/renamed it, or it is null in every row — `to_json` omits
+    *    null fields, so per-row presence counts also expose partial
+    *    nullability drift),
+    *  - `ok` — registered and observed.
+    *
+    * `json_object_keys` is row-local and codegen'd; the observed-key
+    * aggregate shuffles (table, column) pairs — bounded by the total
+    * column count, not the row count — so the full-outer reconciliation
+    * join runs over two frames the size of the combined schemas (Spark
+    * can't broadcast a full-outer side; both inputs are already tiny).
+    */
+  def schemaDrift(env: DataFrame, registry: Map[String, Seq[String]]): DataFrame = {
+    val spark = env.sparkSession
+    import spark.implicits._
+    val observed = env
+      .select(col("src_table"), explode(expr("json_object_keys(payload)")).as("col_name"))
+      .groupBy("src_table", "col_name")
+      .agg(count(lit(1)).as("n_rows_present"))
+    val registered = registry.toSeq
+      .flatMap { case (t, cols) => cols.map(c => (t, c)) }
+      .toDF("src_table", "col_name")
+      .withColumn("registered", lit(true))
+    observed.join(registered, Seq("src_table", "col_name"), "full_outer")
+      .select(col("src_table"), col("col_name"),
+        coalesce(col("n_rows_present"), lit(0L)).as("n_rows_present"),
+        when(col("registered").isNull, "unregistered")
+          .when(col("n_rows_present").isNull, "missing_in_data")
+          .otherwise("ok").as("status"))
+  }
+
   /** Stream-static enrichment: join the CDC stream against a broadcast
     * dimension snapshot (the reference resolves table/PK metadata per event
     * the same way, aurora_cdc_datasource_v2.py:387-399). Stream-static

@@ -154,4 +154,27 @@ class DebeziumSpec extends SparkSpec {
     assert(q(0).getSeq[String](q(0).fieldIndex("failed_expectations")) == Seq("valid_op"))
     assert(q(1).getSeq[String](q(1).fieldIndex("failed_expectations")) == Seq("small_uid"))
   }
+
+  test("txnSummary reassembles per-transaction op mix, tables, and span") {
+    import spark.implicits._
+    val silver = Seq(
+      ("tx1", "INSERT", "orders", 100L),
+      ("tx1", "DELETE", "lineitem", 250L),
+      ("tx1", "UPDATE", "orders", 180L),
+      ("tx2", "SNAPSHOT", "customer", 50L))
+      .toDF("transaction_id", "operation", "table_name", "source_ts_ms")
+    val rows = Debezium.txnSummary(silver).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val t1 = rows("tx1")
+    assert(t1.getLong(t1.fieldIndex("n_events")) == 3L)
+    assert(t1.getLong(t1.fieldIndex("n_tables")) == 2L)
+    assert(t1.getLong(t1.fieldIndex("n_inserts")) == 1L &&
+      t1.getLong(t1.fieldIndex("n_updates")) == 1L &&
+      t1.getLong(t1.fieldIndex("n_deletes")) == 1L)
+    assert(t1.getLong(t1.fieldIndex("span_ms")) == 150L)
+    val t2 = rows("tx2")
+    assert(t2.getLong(t2.fieldIndex("n_events")) == 1L &&
+      t2.getLong(t2.fieldIndex("n_snapshot_reads")) == 1L &&
+      t2.getLong(t2.fieldIndex("span_ms")) == 0L)
+  }
 }

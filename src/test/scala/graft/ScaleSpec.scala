@@ -70,6 +70,22 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("embDimStats computes exact fixed-point dimension stats") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dimstats").toString
+    Seq((1L, Array(1.0f, -0.5f), "a"), (2L, Array(0.5f, 0.5f), "b"),
+      (3L, Array(0.0f, 1.0f), "a"))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.embDimStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // dim 0: 1e6, 5e5, 0 → sum 1.5e6, mean|v| 5e5
+    assert(rows(0L) == ((3L, 1500000L, 500000L, 0L, 1000000L)), s"dim0 ${rows(0L)}")
+    // dim 1: -5e5, 5e5, 1e6 → sum 1e6 (negative member exact), mean|v| 666666
+    assert(rows(1L) == ((3L, 1000000L, 666666L, -500000L, 1000000L)), s"dim1 ${rows(1L)}")
+  }
+
   test("bucketed join plans without exchanges") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     Bucketing.writeBucketed(

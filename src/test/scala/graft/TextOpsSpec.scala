@@ -117,6 +117,22 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.filter(_._2 == minTok).forall(_._3 == 10000L))
   }
 
+  test("docLmScore ranks rare-token text as higher surprise, exact bit math") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("textops").toString
+    // corpus: a×3, b×2, rare×1 → N=6
+    // surprise(a) = floor(log2(6 DIV 3)) = 1, b: 6 DIV 2 = 3 → 1, rare: 6 → 2
+    Seq((1L, "a a a b", "en", "src0", 7L), (2L, "b rare", "en", "src0", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Text.docLmScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(1L) == ((4L, 4L, 10000L)), s"doc 1 got ${rows(1L)}")
+    assert(rows(2L) == ((2L, 3L, 15000L)), s"doc 2 got ${rows(2L)}")
+    // the rare-token doc scores strictly higher mean surprise
+    assert(rows(2L)._3 > rows(1L)._3)
+  }
+
   test("piiRedact masks all but the phone's last 4 digits and the email tail") {
     val rows = Redact.piiRedact(spark, sf).collect()
     assert(rows.nonEmpty)

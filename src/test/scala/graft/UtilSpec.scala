@@ -303,4 +303,52 @@ class UtilSpec extends SparkSpec {
     // the nanos-timestamp workaround holds through the view
     assert(spark.sql("SELECT max(ts) FROM events").head().getLong(0) > 0L)
   }
+
+  test("retentionBitmap equals the classic distinct-count retention curve") {
+    import graft.operators.Events
+    val bitmap = Events.retentionBitmap(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each user belongs to exactly one cohort, so summing the cohort curve
+    // over cohorts per offset is the corpus-wide distinct-user count
+    val classic = Events.retentionCohorts(spark, sf)
+      .filter(col("day_offset") >= 0 && col("day_offset") < 63)
+      .groupBy("day_offset").agg(sum("active_users").as("u")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bitmap == classic,
+      s"bitmap curve diverges: ${bitmap.toSeq.sorted.take(5)} vs ${classic.toSeq.sorted.take(5)}")
+  }
+
+  test("anomalyMad flags only beyond-fence values, robust to the outlier itself") {
+    import spark.implicits._
+    import graft.operators.Events
+    val dir = Files.createTempDirectory("mad").toString
+    val rows =
+      // type x: median 0, MAD 0 → any deviation is an outlier (degenerate fence)
+      Seq(1.0, 0.0, 0.0, 0.0, 100.0).zipWithIndex.map { case (v, i) =>
+        (i.toLong, 1000000000L + i, i.toLong, "x", v, "{}")
+      } ++
+      // type y: median 5, MAD 2 → fence 6 > max absdev 4, nothing flagged
+      (1 to 9).map(i => (100L + i, 2000000000L + i, i.toLong, "y", i.toDouble, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.anomalyMad(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getLong(r.fieldIndex("n_outliers")))).toMap
+    assert(out("x") == ((0.0, 0.0, 2L)), s"x got ${out("x")}") // 1.0 and 100.0 both breach
+    assert(out("y") == ((5.0, 2.0, 0L)), s"y got ${out("y")}")
+  }
+
+  test("schemaDrift reports unregistered, missing, and ok columns per table") {
+    import spark.implicits._
+    import graft.streaming.CdcStreams
+    val t1 = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "extra_col")
+    val env = CdcStreams.heterogeneousUnion(Seq(("t1", t1, "id", "id")))
+    val drift = CdcStreams.schemaDrift(env,
+      Map("t1" -> Seq("name", "dropped_col")))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(drift == Set(
+      ("name", 2L, "ok"),
+      ("extra_col", 2L, "unregistered"),
+      ("dropped_col", 0L, "missing_in_data")), s"got $drift")
+  }
 }
