@@ -13,9 +13,13 @@ object Bench {
     // warmup: absorb JVM/session/codegen init so the first timed query
     // isn't charged ~3s of one-time cost
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // optional dev-only subset (args(0): comma-separated names); the
+    // driver invokes with no args and times everything
+    val subset = if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val timed = SparkEntry.queries.filter { case (n, _) => subset.forall(_.contains(n)) }
     // two passes, min per query: this box is multi-tenant and a single
     // pass can charge one query 10x machine noise
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def pass(): Map[String, Double] = timed.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

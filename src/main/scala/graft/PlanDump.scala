@@ -7,7 +7,7 @@ object PlanDump {
       .config("spark.sql.session.timeZone","UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q1_pricing_summary","q3_shipping_priority","q5_region_revenue","ev_sessionize","cdc_current_scd1","ann_cosine_topk")) {
+    for (q <- (if (args.nonEmpty) args(0).split(",").toSeq else Seq("q1_pricing_summary","q3_shipping_priority","q5_region_revenue","ev_sessionize","cdc_current_scd1","ann_cosine_topk"))) {
       println(s"########## $q")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

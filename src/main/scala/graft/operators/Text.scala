@@ -222,27 +222,29 @@ object Text {
     * how many of those it is NOT the earliest holder of (the spans a
     * keep-first dedup pass would drop).
     *
-    * Scale shape: ids and 128-bit digests travel, never text. The distinct
-    * (doc_id, digest) set is STAGED (persisted) — it feeds both the
-    * duplicate-digest reduce and the join-back probe, and without staging
-    * Spark re-scans and re-shingles the whole corpus for each consumer
-    * (verified in the physical plan: two parquet scans). At 100 TB this is
-    * the intermediate a production pipeline writes to a scratch table; the
-    * final per-document reduce moves only flagged (doc, digest) pairs.
+    * Scale shape: ids and 128-bit digests travel, never text, and the
+    * whole audit rides ONE digest exchange. An explicit `repartition(h)`
+    * clusters the exploded shingles by digest; that single partitioning
+    * satisfies the (h, doc_id) distinct aggregation (subset clustering),
+    * the per-digest n_docs/first_doc WINDOW (which replaces the former
+    * groupBy + self-join-back — no second scan, no staged persist), and
+    * only the final per-document reduce — carrying flagged pairs alone —
+    * shuffles again. Two exchanges total, one corpus scan.
     */
   def corpusDupNgrams(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(toks) - ${n - 1})," +
           s" i -> md5(array_join(slice(toks, i, $n), ' ')))")).as("h"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dup = sh.groupBy("h")
-      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .repartition(col("h"))
+      .groupBy("h", "doc_id").agg(count(lit(1)).as("_m"))
+      .drop("_m")
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .withColumn("first_doc", min("doc_id").over(w))
       .filter(col("n_docs") > 1)
-    sh.join(dup, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_grams"),
         sum(when(col("doc_id") =!= col("first_doc"), 1L).otherwise(0L))
