@@ -238,6 +238,8 @@ object SparkEntry {
     }),
     // unigram-LM quality scoring (quantized-log2 surprise)
     "doc_lm_score" -> ((s, d) => Text.docLmScore(s, d)),
+    // winnowing (MOSS) fingerprint profile
+    "doc_winnow" -> ((s, d) => Text.docWinnow(s, d)),
     // per-dimension embedding hygiene audit
     "emb_dim_stats" -> ((s, d) => Similarity.embDimStats(s, d)),
     // transaction reassembly from the Debezium envelope
@@ -1269,6 +1271,23 @@ object SparkEntry {
         |  64 + (doc_id * 7) % 1024 AS fake_height,
         |  1 + CAST(floor(strlen(text) / 256.0) AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    "doc_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks) - 2), i -> md5(array_to_string(toks[i:i+3], ' '))) AS grams
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, grams,
+        |    list_distinct(list_transform(range(1, len(grams) - 3), j -> list_min(grams[j:j+4]))) AS fps
+        |  FROM g)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+        |  CAST(len(fps) * 10000 // len(grams) AS BIGINT) AS fp_density_e4,
+        |  list_min(fps) AS min_fp
+        |FROM f""".stripMargin,
     "doc_lm_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),

@@ -411,4 +411,46 @@ object Text {
         sum(col("surprise_lg2")).as("sum_surprise"),
         expr("sum(surprise_lg2) * 10000 DIV count(1)").as("mean_surprise_e4"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the
+    * MOSS algorithm): hash every `k`-token gram, slide a window of `w`
+    * gram hashes, keep each window's MINIMUM hash. The distinct minima are
+    * the document's fingerprint set, with the guarantee that any two
+    * documents sharing a run of ≥ w+k−1 tokens share at least one
+    * fingerprint — position-localizable plagiarism/boilerplate detection
+    * at ~1/w the storage of the full shingle set ([[corpusDupNgrams]]
+    * stores every shingle; this is its sampled production form).
+    *
+    * Entirely ROW-LOCAL (zero shuffles before the final per-doc
+    * aggregate): grams and window minima are `transform`/`array_min`
+    * lambdas over the token array, codegen'd by Catalyst. The inner
+    * scan is O(tokens·w) per row — at w=5 that constant beats a custom
+    * monotonic-deque `Expression` until windows get large; the deque is
+    * the documented upgrade path, not this operator's bottleneck. Hash =
+    * md5 hex (lexicographic min — identical ordering in any engine).
+    *
+    * Docs shorter than w+k−1 tokens have no full window and are filtered
+    * (they carry no fingerprintable span).
+    */
+  def docWinnow(spark: SparkSession, dir: String, k: Int = 4, w: Int = 5): DataFrame =
+    winnowSets(Tables.documents(spark, dir), k, w)
+      .selectExpr("doc_id",
+        "CAST(size(grams) AS BIGINT) AS n_grams",
+        "CAST(size(fps) AS BIGINT) AS n_fingerprints",
+        "CAST(size(fps) * 10000 DIV size(grams) AS BIGINT) AS fp_density_e4",
+        "array_min(fps) AS min_fp")
+
+  /** The winnowing kernel shared by [[docWinnow]] and its spec: per doc,
+    * the k-gram hash array and the distinct window-minimum fingerprint
+    * set (`fps`). Exposed so tests can assert the shared-run guarantee on
+    * the actual sets.
+    */
+  private[graft] def winnowSets(docs: DataFrame, k: Int, w: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k + w - 1)
+      .withColumn("grams", expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> md5(array_join(slice(toks, i, $k), ' ')))"))
+      .withColumn("fps", expr(
+        s"array_distinct(transform(sequence(1, size(grams) - ${w - 1}), j -> array_min(slice(grams, j, $w))))"))
 }

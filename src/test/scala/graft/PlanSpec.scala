@@ -168,4 +168,33 @@ class PlanSpec extends SparkSpec {
     assert(!planOf("doc_split_assign").contains("Exchange"),
       "doc_split_assign should be shuffle-free")
   }
+
+  test("ngram-corpus audit rides one digest exchange: window, no join, no cache") {
+    val p = planOf("dedup_ngram_corpus")
+    assert(!p.contains("Join"), s"digest self-join crept back:\n$p")
+    assert(!p.contains("InMemoryTableScan") && !p.contains("InMemoryRelation"),
+      s"staging persist crept back:\n$p")
+    assert(p.contains("Window"), "per-digest window stats missing")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges (digest + doc), got $exchanges:\n$p")
+  }
+
+  test("bitmap retention aggregates masks, never countDistinct per offset") {
+    val p = planOf("ev_retention_bitmap")
+    // the distinct-user count must come from the bitmap, not an Expand
+    // (grouping-set/distinct-agg) over (cohort x offset x user) rows
+    assert(!p.contains("Expand"), s"distinct aggregation crept back:\n$p")
+    assert(p.contains("bit_or"), "per-user bit_or mask missing")
+  }
+
+  test("winnowing is row-local until the profile projection") {
+    val p = planOf("doc_winnow")
+    assert(!p.contains("Exchange"), s"doc_winnow should be shuffle-free:\n$p")
+  }
+
+  test("lm score: vocab join broadcasts at this scale; scalar total broadcast") {
+    val p = planOf("doc_lm_score")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"lm score fell to sort-merge:\n$p")
+  }
 }

@@ -133,6 +133,29 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(2L)._3 > rows(1L)._3)
   }
 
+  test("docWinnow honors the shared-run fingerprint guarantee and bounds") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ") // w+k-1 = 8 tokens
+    val docs = Seq(
+      (1L, s"$shared p1 p2 p3", "en", "src0", 0L),
+      (2L, s"q1 q2 q3 $shared", "en", "src0", 0L),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "), "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sets = graft.operators.Text.winnowSets(docs, 4, 5).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](r.fieldIndex("fps")).toSet).toMap
+    // docs 1 and 2 share an 8-token run → MUST share a fingerprint
+    assert((sets(1L) intersect sets(2L)).nonEmpty, "shared run lost")
+    // the unrelated doc shares nothing with either
+    assert((sets(3L) intersect (sets(1L) union sets(2L))).isEmpty)
+    // profile bounds: 1 <= |fps| <= n_windows
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    graft.operators.Text.docWinnow(spark, dir).collect().foreach { r =>
+      val (g, f) = (r.getLong(1), r.getLong(2))
+      assert(f >= 1 && f <= g - 4, s"doc ${r.getLong(0)}: $f fps for $g grams")
+    }
+  }
+
   test("piiRedact masks all but the phone's last 4 digits and the email tail") {
     val rows = Redact.piiRedact(spark, sf).collect()
     assert(rows.nonEmpty)
