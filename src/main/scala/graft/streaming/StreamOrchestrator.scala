@@ -107,6 +107,27 @@ final class StreamOrchestrator(spark: SparkSession, checkpointRoot: String,
 
   def stopAll(): Unit = registry.values.foreach(q => if (q.isActive) q.stop())
 
+  /** Supervision pass — the production loop the reference's monitoring
+    * cell stops short of (it prints `isActive`/`lastProgress`,
+    * cdc_500_tables_streaming.py:478-484; an operator then restarts dead
+    * streams by hand): restart every registered query that is no longer
+    * active, from its own per-table checkpoint, so the resume is
+    * exactly-once by construction. `onlyFailed = true` restarts just the
+    * queries that died with an exception (transient executor/source
+    * faults) and leaves deliberately-stopped tables down.
+    *
+    * Driver-light like everything here: one registry scan, no data-plane
+    * reads. Returns the restarted table names.
+    */
+  def supervise(mkStream: String => DataFrame,
+      onlyFailed: Boolean = false): Seq[String] = {
+    val dead = registry.collect {
+      case (t, q) if !q.isActive && (!onlyFailed || q.exception.isDefined) => t
+    }.toSeq.sorted
+    dead.foreach { t => registry.remove(t); startTable(t, mkStream) }
+    dead
+  }
+
   /** Drain every active query's available input (test/drain hook). */
   def processAllAvailable(): Unit =
     registry.values.filter(_.isActive).foreach(_.processAllAvailable())
@@ -130,7 +151,8 @@ final class StreamOrchestrator(spark: SparkSession, checkpointRoot: String,
         lp.map(_.batchId).getOrElse(-1L),
         lp.map(_.numInputRows).getOrElse(0L),
         lp.map(_.processedRowsPerSecond).getOrElse(0.0),
-        q.status.message)
+        q.status.message,
+        q.exception.map(_.message).orNull)
     }.toDF()
   }
 }
@@ -142,7 +164,8 @@ object StreamOrchestrator {
     */
   case class QueryStatus(table: String, query_id: String, run_id: String,
       is_active: Boolean, last_batch_id: Long, last_num_input_rows: Long,
-      last_rows_per_second: Double, status_message: String)
+      last_rows_per_second: Double, status_message: String,
+      error_message: String)
 
   /** #116 Registered orchestration demo: a 3-table registry batch fans out
     * to 3 independent checkpointed cdcgen streams (bounded at `maxRows`

@@ -127,4 +127,41 @@ class OrchestratorSpec extends SparkSpec {
       assert(spark.read.parquet(s"$root/out/t2").count() == 3)
     } finally orch.stopAll()
   }
+
+  test("supervise restarts dead queries from their checkpoints, leaves live ones alone") {
+    val root = Files.createTempDirectory("orch_sup").toString
+    val tables = Seq("t1", "t2")
+    def addFile(t: String, name: String, lines: Seq[String]): Unit = {
+      Files.createDirectories(java.nio.file.Paths.get(s"$root/in/$t"))
+      Files.write(java.nio.file.Paths.get(s"$root/in/$t/$name"),
+        lines.mkString("\n").getBytes)
+    }
+    tables.foreach(t => addFile(t, "a.txt", Seq(s"$t-1", s"$t-2")))
+    val orch = new StreamOrchestrator(spark, s"$root/ck", s"$root/out")
+    import spark.implicits._
+    def mk(t: String): DataFrame = spark.readStream.text(s"$root/in/$t")
+    try {
+      orch.startBatch(tables.toDF("name"), mk)
+      orch.processAllAvailable()
+      orch.stopTable("t1")
+      val t2Run = orch.status.filter(col("table") === "t2").head().getAs[String]("run_id")
+      // a cleanly-stopped query is not a failure: onlyFailed leaves it down
+      assert(orch.supervise(mk, onlyFailed = true).isEmpty)
+      assert(orch.activeTables == Seq("t2"))
+      // full supervision brings it back from its own checkpoint
+      assert(orch.supervise(mk) == Seq("t1"))
+      assert(orch.activeTables == Seq("t1", "t2"))
+      // the restart resumes exactly-once and keeps committing new input
+      addFile("t1", "b.txt", Seq("t1-3"))
+      orch.processAllAvailable()
+      val t1 = spark.read.parquet(s"$root/out/t1").as[String].collect().sorted
+      assert(t1.sameElements(Array("t1-1", "t1-2", "t1-3")),
+        s"t1 after supervised restart: ${t1.mkString(",")}")
+      // the live query was never touched (same run), and no errors surfaced
+      val st = orch.status.collect().map(r =>
+        r.getAs[String]("table") -> r).toMap
+      assert(st("t2").getAs[String]("run_id") == t2Run, "t2 was restarted")
+      assert(st.values.forall(_.getAs[String]("error_message") == null))
+    } finally orch.stopAll()
+  }
 }
