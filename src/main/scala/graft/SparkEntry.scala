@@ -124,6 +124,7 @@ object SparkEntry {
     "q16_supplier_part_count" -> ((s, d) => Tpch.q16SupplierPartCount(s, d)),
     "q20_excess_shippers" -> ((s, d) => Tpch.q20ExcessShippers(s, d)),
     "q21_sole_returner" -> ((s, d) => Tpch.q21SoleReturner(s, d)),
+    "q_rank_family" -> ((s, d) => Tpch.qRankFamily(s, d)),
     // Event-stream analytics (#25-28)
     "ev_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
@@ -1271,6 +1272,20 @@ object SparkEntry {
         |  64 + (doc_id * 7) % 1024 AS fake_height,
         |  1 + CAST(floor(strlen(text) / 256.0) AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    "q_rank_family" ->
+      """WITH r AS (
+        |  SELECT p_brand, p_partkey, p_size,
+        |    CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS BIGINT) AS rnk,
+        |    CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS BIGINT) AS drnk,
+        |    count(*) OVER (PARTITION BY p_brand) AS n,
+        |    count(*) OVER (PARTITION BY p_brand ORDER BY p_size
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le
+        |  FROM part)
+        |SELECT p_brand, p_partkey, p_size, rnk, drnk,
+        |  CAST(CASE WHEN n = 1 THEN 0 ELSE (rnk - 1) * 1000000 // (n - 1) END AS BIGINT)
+        |    AS percent_rank_e6,
+        |  CAST(n_le * 1000000 // n AS BIGINT) AS cume_dist_e6
+        |FROM r""".stripMargin,
     "doc_winnow" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -625,4 +625,30 @@ object Tpch {
       .groupBy("s_suppkey", "s_name")
       .agg(count(lit(1)).as("numwait"))
   }
+
+  /** The tie-sensitive ranking-function family in one audited query:
+    * rank / dense_rank over a deliberately tie-heavy ordering (part size
+    * within brand), plus percent_rank and cume_dist re-derived as EXACT
+    * ×10⁶ integer arithmetic from rank and the two peer counts —
+    * (rank−1)·10⁶ DIV (n−1) and peers_le·10⁶ DIV n — instead of the
+    * built-ins' double division, so ties hash identically cross-engine.
+    *
+    * One shuffle on the brand key; every window shares the single sort
+    * (rank/dense_rank on the running frame, the two counts on the
+    * unbounded and default RANGE frames).
+    */
+  def qRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy("p_size")
+    val wAll = Window.partitionBy("p_brand")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.part(spark, dir).select("p_brand", "p_partkey", "p_size")
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("n_le", count(lit(1)).over(
+        w.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .selectExpr("p_brand", "p_partkey", "p_size", "rnk", "drnk",
+        "CASE WHEN n = 1 THEN 0 ELSE (rnk - 1) * 1000000 DIV (n - 1) END AS percent_rank_e6",
+        "n_le * 1000000 DIV n AS cume_dist_e6")
+  }
 }
