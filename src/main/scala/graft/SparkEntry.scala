@@ -164,6 +164,9 @@ object SparkEntry {
     // two-stage retrieve-then-rerank (rows-only: coarse stage rides the
     // int8 codes; ScaleSpec pins recall vs the exact scan)
     "ann_rerank_topk" -> ((s, d) => Similarity.annRerankTopK(s, d)),
+    // product-quantized ADC scan (rows-only: k-means codebooks; ScaleSpec
+    // pins recall vs the exact L2 scan)
+    "ann_pq_topk" -> ((s, d) => Similarity.annPqTopK(s, d)),
     "emb_norm_stats" -> ((s, d) => Similarity.embNormStats(s, d)),
     "emb_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     // sketch aggregate (rows-only: hash-seeded signature)

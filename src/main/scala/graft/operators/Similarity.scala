@@ -226,6 +226,88 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** Product-quantization codebooks (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI'11): split the vector into `m`
+    * subspaces and k-means each independently — the standard compression
+    * step past int8 ([[quantizeEmbeddings]]): 64 float dims → m code
+    * bytes (32× here), with table-lookup (ADC) scoring instead of float
+    * dot products. Training runs `m` small KMeans fits (fixed seed); at
+    * 100 TB you fit on a sample — the codebook is O(m·k·d) floats
+    * regardless of corpus size — and only ENCODE touches every row.
+    */
+  private[graft] def pqCodebook(spark: SparkSession, dir: String,
+      m: Int, kCodes: Int): Seq[Seq[Seq[Float]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(spark, dir)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val d = dim / m
+    (0 until m).map { s =>
+      val sub = e.select(array_to_vector(
+        slice(col("embedding"), s * d + 1, d)).as("fv"))
+      new KMeans().setK(kCodes).setSeed(42L + s).setMaxIter(5)
+        .setFeaturesCol("fv").fit(sub)
+        .clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
+    }
+  }
+
+  /** The per-subspace distance-table expression shared by PQ encode and
+    * ADC query scoring: for each subspace, the squared L2 distance from
+    * the row's subvector to each of the k codebook centroids — all
+    * `transform`/`zip_with`/`aggregate` lambdas over a LITERAL codebook,
+    * so it pipelines inside whole-stage codegen with zero shuffles.
+    */
+  private def pqDistTables(cb: Seq[Seq[Seq[Float]]], m: Int, kCodes: Int,
+      d: Int): org.apache.spark.sql.Column = {
+    val cbLit = typedLit(cb)
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val sub = slice(col("embedding"), s * lit(d) + lit(1), lit(d))
+      transform(sequence(lit(0), lit(kCodes - 1)), c => {
+        val cent = element_at(element_at(cbLit, s + lit(1)), c + lit(1))
+        aggregate(
+          zip_with(sub, cent, (x, y) =>
+            (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v)
+      })
+    })
+  }
+
+  /** #161 PQ-compressed ANN with asymmetric-distance (ADC) scoring.
+    *
+    * Encode is a pure MAP: each vector's m code bytes are the argmins of
+    * its per-subspace distance tables (first-position tie-break —
+    * deterministic), computed row-locally against the literal codebook;
+    * no shuffle touches the corpus until the final per-query top-k. Each
+    * QUERY carries its own m×k distance table (the same expression over
+    * its full-precision vector), broadcast with the query set; a corpus
+    * row scores as m array lookups (`zip_with` codes × table) — no float
+    * multiply per dimension, which is the whole point of PQ at scan time.
+    * Ranking is ascending squared-L2 (PQ approximates distance, not
+    * cosine). ScaleSpec pins recall against the exact L2 scan.
+    */
+  def annPqTopK(spark: SparkSession, dir: String, k: Int = DefaultK,
+      m: Int = 8, kCodes: Int = 256): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val d = dim / m
+    val cb = pqCodebook(spark, dir, m, kCodes)
+    val tables = pqDistTables(cb, m, kCodes, d)
+    val codes = transform(tables, ds =>
+      (array_position(ds, array_min(ds)) - 1).cast("int"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), tables.as("qtab"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_d2").asc, col("nid"))
+    e.select(col("vec_id").as("nid"), codes.as("codes"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("adc_d2", aggregate(
+        zip_with(col("codes"), col("qtab"), (cd, row) => element_at(row, cd + lit(1))),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("adc_d2"), 4).as("adc_d2"), col("rnk"))
+  }
+
   /** Per-DIMENSION corpus statistics — the whitening / feature-hygiene
     * audit run before any cosine math: a dimension whose mean is far from
     * zero or whose spread collapses (dead unit) poisons dot-product

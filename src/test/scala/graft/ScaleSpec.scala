@@ -70,6 +70,35 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("PQ-ADC search keeps recall against the exact L2 scan at 32x compression") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val l2 = aggregate(
+      zip_with(col("qe"), col("embedding"), (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (a, v) => a + v)
+    val w = Window.partitionBy("qid").orderBy(col("d2").asc, col("nid"))
+    val exact = e.select(col("vec_id").as("nid"), col("embedding"))
+      .crossJoin(broadcast(q)).filter(col("nid") =!= col("qid"))
+      .withColumn("d2", l2)
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // overfetch 4x: the standard retrieve-then-rerank budget
+    val pq = Similarity.annPqTopK(spark, sf, k = 20)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (qid, ex) =>
+      (ex intersect pq.getOrElse(qid, Set.empty)).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    // measured ~0.97 at sf0.01 (m=8, k=256); generous margin for corpus drift
+    assert(mean >= 0.7, s"PQ recall@20-of-exact5 fell to $mean")
+  }
+
   test("embDimStats computes exact fixed-point dimension stats") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dimstats").toString
