@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_ngram_corpus" -> ((s, d) => Text.corpusDupNgrams(s, d)),
     "doc_sample_stratified" -> ((s, d) => Text.stratifiedSample(s, d)),
     "doc_chunk" -> ((s, d) => Text.docChunk(s, d)),
+    "doc_chunk_tokens" -> ((s, d) => Text.docChunkTokens(s, d)),
     "doc_split_assign" -> ((s, d) => Text.docSplitAssign(s, d)),
     "doc_mix_weights" -> ((s, d) => Text.docMixWeights(s, d)),
     "dedup_exact_apply" -> ((s, d) => Text.dedupExactApply(s, d)),
@@ -167,6 +168,8 @@ object SparkEntry {
     // product-quantized ADC scan (rows-only: k-means codebooks; ScaleSpec
     // pins recall vs the exact L2 scan)
     "ann_pq_topk" -> ((s, d) => Similarity.annPqTopK(s, d)),
+    // IVF cell pruning + PQ table-lookup scoring composed (rows-only)
+    "ann_ivfpq_topk" -> ((s, d) => Similarity.annIvfPqTopK(s, d)),
     "emb_norm_stats" -> ((s, d) => Similarity.embNormStats(s, d)),
     "emb_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     // sketch aggregate (rows-only: hash-seeded signature)
@@ -709,6 +712,19 @@ object SparkEntry {
         |  substr(text, CAST(chunk_id * 150 + 1 AS BIGINT), 200) AS chunk_text,
         |  CAST(length(substr(text, CAST(chunk_id * 150 + 1 AS BIGINT), 200)) AS BIGINT)
         |    AS chunk_len
+        |FROM ex""".stripMargin,
+    "doc_chunk_tokens" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CASE WHEN len(string_split(text, ' ')) <= 64 THEN CAST(1 AS BIGINT)
+        |         ELSE (len(string_split(text, ' ')) - 64 + 47) // 48 + 1 END AS nc
+        |  FROM documents),
+        |ex AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM base)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(toks[CAST(chunk_id * 48 + 1 AS BIGINT):CAST(chunk_id * 48 + 64 AS BIGINT)], ' ')
+        |    AS chunk_text,
+        |  CAST(len(toks[CAST(chunk_id * 48 + 1 AS BIGINT):CAST(chunk_id * 48 + 64 AS BIGINT)]) AS BIGINT)
+        |    AS n_tokens
         |FROM ex""".stripMargin,
     "doc_split_assign" ->
       """SELECT doc_id, lang,

@@ -308,6 +308,62 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("adc_d2"), 4).as("adc_d2"), col("rnk"))
   }
 
+  /** #162 IVF + PQ — the two scale levers composed, the shape a 100 TB
+    * vector corpus actually deploys (FAISS's IVFADC family, minus the
+    * residual refinement): a coarse k-means partitions the corpus so each
+    * query scans only its `nProbe` nearest cells (k/nProbe scan cut), and
+    * within the scanned cells rows score by PQ table lookups instead of
+    * float dot products (32× bandwidth cut). Both prunings are
+    * independent and multiply. Probe selection is squared-L2 to the
+    * coarse centroids — the same metric ADC approximates, so the probe
+    * and scan rankings agree. ScaleSpec pins recall vs the exact scan.
+    */
+  def annIvfPqTopK(spark: SparkSession, dir: String, k: Int = DefaultK,
+      nClusters: Int = 16, nProbe: Int = 4, m: Int = 8,
+      kCodes: Int = 256): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+    val e = Tables.embeddings(spark, dir)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val d = dim / m
+    val coarse = new KMeans().setK(nClusters).setSeed(7L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cluster")
+      .fit(e.withColumn("fv", array_to_vector(col("embedding"))).select("fv"))
+    val assigned = coarse.transform(
+        e.withColumn("fv", array_to_vector(col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val cdf = spark.createDataFrame(coarse.clusterCenters.toSeq
+        .map((v: Vector) => v.toArray.map(_.toFloat)).zipWithIndex.map(_.swap))
+      .toDF("cluster", "centroid")
+    val cb = pqCodebook(spark, dir, m, kCodes)
+    val tables = pqDistTables(cb, m, kCodes, d)
+    val codes = transform(tables, ds =>
+      (array_position(ds, array_min(ds)) - 1).cast("int"))
+    val centL2 = aggregate(
+      zip_with(col("embedding"), col("centroid"), (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val wProbe = Window.partitionBy("qid").orderBy(col("cd2").asc, col("cluster"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding"), tables.as("qtab"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("cd2", centL2)
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nProbe)
+      .select(col("qid"), col("qtab"), col("cluster"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_d2").asc, col("nid"))
+    assigned.select(col("vec_id").as("nid"), codes.as("codes"), col("cluster"))
+      .join(broadcast(q), Seq("cluster"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("adc_d2", aggregate(
+        zip_with(col("codes"), col("qtab"), (cd, row) => element_at(row, cd + lit(1))),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("adc_d2"), 4).as("adc_d2"), col("rnk"))
+  }
+
   /** Per-DIMENSION corpus statistics — the whitening / feature-hygiene
     * audit run before any cosine math: a dimension whose mean is far from
     * zero or whose spread collapses (dead unit) poisons dot-product

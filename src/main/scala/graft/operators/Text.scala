@@ -345,6 +345,28 @@ object Text {
         s"substring(text, CAST(chunk_id * $stride + 1 AS INT), $width) AS chunk_text",
         s"CAST(length(substring(text, CAST(chunk_id * $stride + 1 AS INT), $width)) AS BIGINT) AS chunk_len")
 
+  /** TOKEN-mode context-window chunking — [[docChunk]]'s char windows are
+    * the byte-budget form; pretraining packs sequences by TOKEN count, so
+    * this splits the token array into windows of `width` tokens advancing
+    * by `stride` (width − stride overlap), last window short. Same exact
+    * integer chunk-count arithmetic; the fan-out is one `sequence()`
+    * explode with `slice`+`array_join` reassembly — map-side, zero
+    * shuffles, no UDF.
+    */
+  def docChunkTokens(spark: SparkSession, dir: String,
+      width: Int = 64, stride: Int = 48): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .selectExpr("doc_id", "toks",
+        s"""CASE WHEN size(toks) <= $width THEN CAST(1 AS BIGINT)
+           | ELSE (size(toks) - $width + ${stride - 1}) DIV $stride + 1
+           | END AS nc""".stripMargin)
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(CAST(0 AS BIGINT), nc - 1)")).as("chunk_id"))
+      .selectExpr("doc_id", "chunk_id",
+        s"array_join(slice(toks, CAST(chunk_id * $stride + 1 AS INT), $width), ' ') AS chunk_text",
+        s"CAST(size(slice(toks, CAST(chunk_id * $stride + 1 AS INT), $width)) AS BIGINT) AS n_tokens")
+
   /** Deterministic content-addressed train/val/test split: the assignment
     * hangs off md5(text), NOT doc_id — byte-identical duplicates land in
     * the same split by construction, so the split can never leak a dup
