@@ -213,4 +213,54 @@ object TextHashes {
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Product-quantization encode: per subspace `s` of `m`, the index of the
+    * nearest (squared-L2) of `k` codebook centroids to the vector's `d`-dim
+    * subvector. `cb` is the flat codebook laid out [(s·k + c)·d + j].
+    * First-minimum tie-break — deterministic. JIT-tight loops: interpreted
+    * higher-order-function lambdas cost ~100× more per element, which
+    * dominates both PQ training (every Lloyd iteration re-assigns the
+    * corpus) and encode.
+    */
+  def pqCodes(v: Array[Float], cb: Array[Float], m: Int, k: Int, d: Int): Array[Int] = {
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var dist = 0.0
+        val base = (s * k + c) * d
+        var j = 0
+        while (j < d) {
+          val diff = v(s * d + j).toDouble - cb(base + j).toDouble
+          dist += diff * diff
+          j += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    codes
+  }
+
+  /** ADC score: sum over subspaces of the query's precomputed per-code
+    * distance-table entries (`tab` is the query's flat m·k table,
+    * [s·k + code]). Both sides arrive as Catalyst array data — no
+    * materialized JVM arrays per row.
+    */
+  def pqAdc(codes: org.apache.spark.sql.catalyst.util.ArrayData,
+      tab: org.apache.spark.sql.catalyst.util.ArrayData, k: Int): Double = {
+    var sum = 0.0
+    var s = 0
+    val m = codes.numElements()
+    while (s < m) {
+      sum += tab.getDouble(s * k + codes.getInt(s))
+      s += 1
+    }
+    sum
+  }
 }

@@ -127,6 +127,45 @@ case class ShingleJaccard(left: Expression, right: Expression) extends BinaryExp
   override def prettyName: String = "shingle_jaccard"
 }
 
+/** Product-quantization encode: ARRAY<FLOAT> vector → ARRAY<INT> of `m`
+  * codebook indices. The trained codebook rides along as an expression
+  * field (referenced via `addReferenceObj` in generated code — it is
+  * runtime data, not a literal the plan should embed textually).
+  */
+case class PqCodes(child: Expression, cb: Array[Float], m: Int, k: Int, d: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(
+      TextHashes.pqCodes(input.asInstanceOf[ArrayData].toFloatArray(), cb, m, k, d))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.TextHashes.pqCodes($c.toFloatArray(), $cbRef, $m, $k, $d))")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+  override def prettyName: String = "pq_codes"
+}
+
+/** ADC lookup score: (codes ARRAY<INT>, flat query table ARRAY<DOUBLE>) →
+  * summed per-subspace table entries.
+  */
+case class PqAdcScore(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashes.pqAdc($a, $b, $k)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc_score"
+}
+
 object GraftFunctions {
   def simhash64(c: Column): Column = ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
   def rollingMinHash(c: Column, window: Int): Column =
@@ -141,6 +180,11 @@ object GraftFunctions {
     ExpressionUtils.column(ShingleJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def hyperplaneBucket(c: Column, planes: Int, salt: Int = 0): Column =
     ExpressionUtils.column(HyperplaneBucket(ExpressionUtils.expression(c), planes, salt))
+  def pqCodes(c: Column, cb: Array[Float], m: Int, k: Int, d: Int): Column =
+    ExpressionUtils.column(PqCodes(ExpressionUtils.expression(c), cb, m, k, d))
+  def pqAdcScore(codes: Column, tab: Column, k: Int): Column =
+    ExpressionUtils.column(PqAdcScore(
+      ExpressionUtils.expression(codes), ExpressionUtils.expression(tab), k))
 
   /** Idempotent SQL registration so `spark.sql("... simhash64(x) ...")` works. */
   def register(spark: SparkSession): Unit = {

@@ -236,20 +236,58 @@ object Similarity {
     * regardless of corpus size — and only ENCODE touches every row.
     */
   private[graft] def pqCodebook(spark: SparkSession, dir: String,
-      m: Int, kCodes: Int): Seq[Seq[Seq[Float]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      m: Int, kCodes: Int, iters: Int = 5): Array[Float] = {
     val e = Tables.embeddings(spark, dir)
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     val d = dim / m
-    (0 until m).map { s =>
-      val sub = e.select(array_to_vector(
-        slice(col("embedding"), s * d + 1, d)).as("fv"))
-      new KMeans().setK(kCodes).setSeed(42L + s).setMaxIter(5)
-        .setFeaturesCol("fv").fit(sub)
-        .clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
+    def flat(c: Map[(Int, Int), Seq[Double]]): Array[Float] = {
+      val a = new Array[Float](m * kCodes * d)
+      c.foreach { case ((s, code), vs) =>
+        var j = 0
+        while (j < d) { a((s * kCodes + code) * d + j) = vs(j).toFloat; j += 1 }
+      }
+      a
     }
+    // deterministic hash-sampled init: per subspace, the kCodes subvectors
+    // with the smallest salted row hash (one job)
+    val wInit = Window.partitionBy("sub")
+      .orderBy(xxhash64(col("vec_id"), col("sub")), col("vec_id"))
+    var cents: Map[(Int, Int), Seq[Double]] = e.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> transform(slice(embedding, s * $d + 1, $d), x -> CAST(x AS DOUBLE)))"))
+        .as(Seq("sub", "sv")))
+      .withColumn("r", row_number().over(wInit))
+      .filter(col("r") <= kCodes)
+      .select(col("sub"), (col("r") - 1).cast("int").as("code"), col("sv"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    // Lloyd iterations: ONE shared corpus scan per iteration trains all m
+    // codebooks at once — assignment is the codegen'd PqCodes kernel (the
+    // exact expression encode uses; interpreted higher-order lambdas at
+    // k=256 cost ~100× per element, and m sequential MLlib fits would
+    // re-scan the corpus m times per iteration). The shuffle carries only
+    // the (sub, code, dim) partial means: O(m·k·d · partitions).
+    for (_ <- 1 to iters) {
+      val codes = GraftFunctions.pqCodes(col("embedding"), flat(cents), m, kCodes, d)
+      val updated = e.select(col("embedding"), posexplode(codes).as(Seq("sub", "code")))
+        .select(col("sub"), col("code"),
+          slice(col("embedding"), col("sub") * lit(d) + lit(1), lit(d)).as("sv"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "v")))
+        .groupBy("sub", "code", "dim").agg(avg(col("v").cast("double")).as("mv"))
+        .groupBy("sub", "code")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, mv))), x -> x.mv)").as("cent"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      // codes that lost every member keep their previous centroid
+      cents = cents.map { case (key, old) => key -> updated.getOrElse(key, old) }
+    }
+    flat(cents)
   }
+
+  /** Nested (m × k × d) view of a flat codebook, for the literal-array
+    * query-table expression.
+    */
+  private def nestCb(cb: Array[Float], m: Int, kCodes: Int, d: Int): Seq[Seq[Seq[Float]]] =
+    (0 until m).map(s => (0 until kCodes).map(c =>
+      (0 until d).map(j => cb((s * kCodes + c) * d + j)).toSeq).toSeq)
 
   /** The per-subspace distance-table expression shared by PQ encode and
     * ADC query scoring: for each subspace, the squared L2 distance from
@@ -291,18 +329,17 @@ object Similarity {
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     val d = dim / m
     val cb = pqCodebook(spark, dir, m, kCodes)
-    val tables = pqDistTables(cb, m, kCodes, d)
-    val codes = transform(tables, ds =>
-      (array_position(ds, array_min(ds)) - 1).cast("int"))
+    // each query's flat m·k distance table (lambda math over the literal
+    // codebook — fine at query-set size; the CORPUS side never touches it)
+    val qtab = flatten(pqDistTables(nestCb(cb, m, kCodes, d), m, kCodes, d))
     val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), tables.as("qtab"))
+      .select(col("vec_id").as("qid"), qtab.as("qtab"))
     val w = Window.partitionBy("qid").orderBy(col("adc_d2").asc, col("nid"))
-    e.select(col("vec_id").as("nid"), codes.as("codes"))
+    e.select(col("vec_id").as("nid"),
+        GraftFunctions.pqCodes(col("embedding"), cb, m, kCodes, d).as("codes"))
       .crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("adc_d2", aggregate(
-        zip_with(col("codes"), col("qtab"), (cd, row) => element_at(row, cd + lit(1))),
-        lit(0.0), (acc, v) => acc + v))
+      .withColumn("adc_d2", GraftFunctions.pqAdcScore(col("codes"), col("qtab"), kCodes))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), round(col("adc_d2"), 4).as("adc_d2"), col("rnk"))
@@ -337,28 +374,26 @@ object Similarity {
         .map((v: Vector) => v.toArray.map(_.toFloat)).zipWithIndex.map(_.swap))
       .toDF("cluster", "centroid")
     val cb = pqCodebook(spark, dir, m, kCodes)
-    val tables = pqDistTables(cb, m, kCodes, d)
-    val codes = transform(tables, ds =>
-      (array_position(ds, array_min(ds)) - 1).cast("int"))
+    val qtab = flatten(pqDistTables(nestCb(cb, m, kCodes, d), m, kCodes, d))
     val centL2 = aggregate(
       zip_with(col("embedding"), col("centroid"), (x, y) =>
         (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
     val wProbe = Window.partitionBy("qid").orderBy(col("cd2").asc, col("cluster"))
     val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("embedding"), tables.as("qtab"))
+      .select(col("vec_id").as("qid"), col("embedding"), qtab.as("qtab"))
       .crossJoin(broadcast(cdf))
       .withColumn("cd2", centL2)
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= nProbe)
       .select(col("qid"), col("qtab"), col("cluster"))
     val w = Window.partitionBy("qid").orderBy(col("adc_d2").asc, col("nid"))
-    assigned.select(col("vec_id").as("nid"), codes.as("codes"), col("cluster"))
+    assigned.select(col("vec_id").as("nid"),
+        GraftFunctions.pqCodes(col("embedding"), cb, m, kCodes, d).as("codes"),
+        col("cluster"))
       .join(broadcast(q), Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("adc_d2", aggregate(
-        zip_with(col("codes"), col("qtab"), (cd, row) => element_at(row, cd + lit(1))),
-        lit(0.0), (acc, v) => acc + v))
+      .withColumn("adc_d2", GraftFunctions.pqAdcScore(col("codes"), col("qtab"), kCodes))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), round(col("adc_d2"), 4).as("adc_d2"), col("rnk"))
