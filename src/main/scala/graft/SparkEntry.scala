@@ -255,6 +255,8 @@ object SparkEntry {
     "ev_retention_bitmap" -> ((s, d) => Events.retentionBitmap(s, d)),
     // median/MAD robust outlier fences per event type
     "ev_anomaly_mad" -> ((s, d) => Events.anomalyMad(s, d)),
+    // signup -> first-purchase delay distribution
+    "ev_time_to_convert" -> ((s, d) => Events.timeToConvert(s, d)),
     // registered-vs-observed payload column reconciliation: the registry
     // deliberately lags the data (o_orderpriority unregistered) and carries
     // a dropped column (o_legacy_flag) to exercise both drift arms
@@ -1391,6 +1393,20 @@ object SparkEntry {
         |FROM e JOIN s ON e.user_id = s.user_id
         |WHERE e.day - s.cohort_day >= 0 AND e.day - s.cohort_day < 63
         |GROUP BY 1""".stripMargin,
+    "ev_time_to_convert" ->
+      """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT user_id, min(epoch_us(ts)) AS purchase_us
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |d AS (SELECT CASE WHEN purchase_us >= signup_us
+        |               THEN (purchase_us - signup_us) // 1000000 END AS delay_s
+        |      FROM s JOIN p ON s.user_id = p.user_id)
+        |SELECT count(*) AS n_converted,
+        |  CAST(sum(CASE WHEN delay_s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_signup,
+        |  round(quantile_cont(delay_s, 0.5), 4) AS p50_s,
+        |  round(quantile_cont(delay_s, 0.9), 4) AS p90_s,
+        |  max(delay_s) AS max_s
+        |FROM d""".stripMargin,
     "ev_anomaly_mad" ->
       """WITH ev AS (SELECT event_type, value FROM events),
         |med AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_v

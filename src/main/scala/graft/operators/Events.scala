@@ -212,6 +212,33 @@ object Events {
       .filter(col("active_users") > 0)
   }
 
+  /** Time-to-convert distribution: per converting user, the delay from
+    * first signup to first purchase, summarized as exact counts plus
+    * interpolated delay percentiles — the funnel's "how long" companion
+    * ([[funnel]]/[[funnelSteps]] answer "how many"). Two tiny keyed
+    * aggregates join on user_id (broadcastable after aggregation); users
+    * whose purchase history starts before their signup (partial capture)
+    * are counted separately, not silently dropped.
+    */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withTs(spark, dir)
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts_us")).as("signup_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ts_us")).as("purchase_us"))
+    s.join(p, "user_id")
+      // sign decided on raw µs, seconds derived only for non-negative
+      // deltas: integer division of a NEGATIVE value truncates toward
+      // zero here but floors in the oracle engine
+      .withColumn("delay_s", expr(
+        "CASE WHEN purchase_us >= signup_us THEN (purchase_us - signup_us) DIV 1000000 END"))
+      .agg(count(lit(1)).as("n_converted"),
+        sum(when(col("delay_s").isNull, 1L).otherwise(0L)).as("n_pre_signup"),
+        expr("round(percentile(delay_s, 0.5D), 4)").as("p50_s"),
+        expr("round(percentile(delay_s, 0.9D), 4)").as("p90_s"),
+        max(col("delay_s")).as("max_s"))
+  }
+
   /** Robust anomaly detection per event type: median / MAD (median
     * absolute deviation) fences instead of mean/stddev — one pathological
     * batch can't drag the threshold the way it drags a z-score. The

@@ -160,4 +160,42 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val floatGen: Gen[Float] =
+    Gen.chooseNum(-8.0f, 8.0f)
+
+  test("pqCodes picks the true squared-L2 argmin with first-min tie-break") {
+    val m = 2; val k = 4; val d = 3
+    val vecGen = Gen.listOfN(m * d, floatGen).map(_.toArray)
+    val cbGen = Gen.listOfN(m * k * d, floatGen).map(_.toArray)
+    forAll2(vecGen, cbGen, n = 200) { (v, cb) =>
+      val codes = TextHashes.pqCodes(v, cb, m, k, d)
+      assert(codes.length == m)
+      for (s <- 0 until m) {
+        assert(codes(s) >= 0 && codes(s) < k)
+        // naive reference argmin
+        val dists = (0 until k).map { c =>
+          (0 until d).map { j =>
+            val diff = v(s * d + j).toDouble - cb((s * k + c) * d + j).toDouble
+            diff * diff
+          }.sum
+        }
+        assert(dists(codes(s)) == dists.min, s"sub $s: not the min")
+        assert(codes(s) == dists.indexOf(dists.min), s"sub $s: not the FIRST min")
+      }
+    }
+  }
+
+  test("pqAdc equals the explicit per-subspace table sum") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val m = 3; val k = 5
+    val codesGen = Gen.listOfN(m, Gen.chooseNum(0, k - 1)).map(_.toArray)
+    val tabGen = Gen.listOfN(m * k, Gen.chooseNum(0.0, 50.0)).map(_.toArray)
+    forAll2(codesGen, tabGen, n = 200) { (codes, tab) =>
+      val got = TextHashes.pqAdc(
+        ArrayData.toArrayData(codes), ArrayData.toArrayData(tab), k)
+      val want = (0 until m).map(s => tab(s * k + codes(s))).sum
+      assert(got == want)
+    }
+  }
 }
