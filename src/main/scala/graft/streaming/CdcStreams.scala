@@ -141,6 +141,32 @@ object CdcStreams {
       .withColumn("high_latency_flag", col("max_delay_ms") > 60000L)
       .withColumn("low_volume_flag", col("event_count") < 10)
 
+  /** Streaming anomaly monitor: per event-time window × event type,
+    * mean/stddev value plus how many events sit beyond `k` standard
+    * deviations of THAT window's mean — the streamable counterpart to
+    * the batch median/MAD fences ([[graft.operators.Events.anomalyMad]];
+    * medians need two passes, so a stream trades robustness for
+    * single-pass moments). count/sum/sum-of-squares aggregate
+    * incrementally under the watermark; mean and variance derive in the
+    * post-aggregation projection and the window flags hot when its most
+    * extreme value breaches the z-fence of its OWN moments — one pass,
+    * no per-event re-join against the aggregate.
+    */
+  def streamingAnomaly(events: DataFrame, k: Double = 3.0): DataFrame =
+    events
+      .withColumn("ev_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ev_ts", "30 minutes")
+      .groupBy(window(col("ev_ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("s1"),
+        sum(col("value") * col("value")).as("s2"),
+        max(abs(col("value"))).as("max_abs"))
+      .withColumn("mean_v", col("s1") / col("n"))
+      .withColumn("var_v", greatest(lit(0.0), col("s2") / col("n") - col("mean_v") * col("mean_v")))
+      .withColumn("hot_flag",
+        col("max_abs") > col("mean_v") + lit(k) * sqrt(col("var_v")))
+      .drop("s1", "s2")
+
   /** Heterogeneous multi-table union — the 500-table reality: tables with
     * DIFFERENT columns unify under one envelope (the reference's unified
     * event schema keeps per-table payloads as serialized records,

@@ -40,6 +40,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly monitor flags windows whose extreme breaches the z-fence") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val q = CdcStreams.streamingAnomaly(ms.toDF())
+      .writeStream.format("memory").queryName("anom")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val base = 1704067200L * 1000000L
+      // type a: 20-point tight baseline + one 100x spike → hot (enough
+      // baseline mass that the spike can't fully mask itself in the
+      // window's own stddev); type b: uniform values → cold
+      val baseline = (1 to 20).map(i =>
+        evRow(i.toLong, base + i * 1000000L, 1, "a", 1.0 + (i % 3) * 0.1))
+      ms.addData(baseline ++ Seq(
+        evRow(21, base + 21000000L, 1, "a", 100.0),
+        evRow(22, base + 1000000L, 2, "b", 5.0),
+        evRow(23, base + 2000000L, 2, "b", 5.0)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("anom").collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Boolean]("hot_flag")).toMap
+      assert(rows("a"), "spiked window must flag hot")
+      assert(!rows("b"), "uniform window must stay cold")
+    } finally q.stop()
+  }
+
   test("windowed counts run on the RocksDB state store (production state backend)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
