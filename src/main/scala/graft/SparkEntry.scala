@@ -257,6 +257,13 @@ object SparkEntry {
     "ev_anomaly_mad" -> ((s, d) => Events.anomalyMad(s, d)),
     // signup -> first-purchase delay distribution
     "ev_time_to_convert" -> ((s, d) => Events.timeToConvert(s, d)),
+    // first-order Markov transition matrix over event types
+    "ev_transitions" -> ((s, d) => Events.eventTransitions(s, d)),
+    // language-ID confusion matrix (eval view of doc_langid)
+    "doc_lang_confusion" -> ((s, d) => Text.langConfusion(s, d)),
+    // curation with near-dup removal on top of exact dedup (rows-only:
+    // MinHash clusters are hash-seeded; DedupSpec pins cluster semantics)
+    "doc_curation_fuzzy" -> ((s, d) => Text.curationFuzzy(s, d)),
     // registered-vs-observed payload column reconciliation: the registry
     // deliberately lags the data (o_orderpriority unregistered) and carries
     // a dropped column (o_legacy_flag) to exercise both drift arms
@@ -1393,6 +1400,29 @@ object SparkEntry {
         |FROM e JOIN s ON e.user_id = s.user_id
         |WHERE e.day - s.cohort_day >= 0 AND e.day - s.cohort_day < 63
         |GROUP BY 1""".stripMargin,
+    "ev_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      AS prev_type
+        |  FROM events),
+        |p AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |      FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n * 10000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_e4
+        |FROM p""".stripMargin,
+    "doc_lang_confusion" ->
+      """WITH pred AS (
+        |  SELECT lang,
+        |    CASE WHEN (length(text) - length(replace(text, 'the', ''))) / 3.0
+        |           / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) >= 0.03
+        |         THEN 'en' ELSE 'und' END AS lang_pred
+        |  FROM documents),
+        |m AS (SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2)
+        |SELECT lang, lang_pred, n,
+        |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS label_total,
+        |  CAST(n * 10000 // sum(n) OVER (PARTITION BY lang) AS BIGINT) AS share_e4
+        |FROM m""".stripMargin,
     "ev_time_to_convert" ->
       """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
         |           FROM events WHERE event_type = 'signup' GROUP BY 1),

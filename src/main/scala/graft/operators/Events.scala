@@ -212,6 +212,25 @@ object Events {
       .filter(col("active_users") > 0)
   }
 
+  /** Behavioral transition matrix: counts of consecutive event-type pairs
+    * per user journey (lag over the per-user time order), with row-
+    * normalized transition probabilities in ×10⁴ fixed point — the
+    * first-order Markov view of the event stream that session/funnel
+    * queries summarize away. One (user) window pass + one pair aggregate,
+    * both map-side-combinable.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val pairs = withTs(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("total", sum(col("n")).over(Window.partitionBy("prev_type")))
+      .selectExpr("prev_type", "next_type", "n", "n * 10000 DIV total AS prob_e4")
+  }
+
   /** Time-to-convert distribution: per converting user, the delay from
     * first signup to first purchase, summarized as exact counts plus
     * interpolated delay percentiles — the funnel's "how long" companion

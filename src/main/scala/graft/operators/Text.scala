@@ -434,6 +434,41 @@ object Text {
         expr("sum(surprise_lg2) * 10000 DIV count(1)").as("mean_surprise_e4"))
   }
 
+  /** FUZZY curation composition — [[curationPipeline]] with near-duplicate
+    * removal stacked on top of exact dedup: MinHash+LSH cluster members
+    * that lost the keep-first vote ([[Dedup.dedupClusters]]) drop via a
+    * hash anti join (ids travel, never text), then the survivors pass the
+    * Gopher gate into per-language corpus accounting. This is the real
+    * pretraining recipe: byte dedup alone keeps one copy of every
+    * trivially-reworded crawl.
+    */
+  def curationFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val nearDupLosers = Dedup.dedupClusters(spark, dir)
+      .filter(!col("keep")).select("doc_id")
+    dedupExactApply(spark, dir) // stage 1: byte-identical keep-first
+      .join(nearDupLosers, Seq("doc_id"), "left_anti") // stage 2: near-dup losers out
+      .join(docQualityGopher(spark, dir) // stage 3: quality gate
+        .filter(col("passes_gopher")).select("doc_id", "n_words"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+  }
+
+  /** Language-ID confusion matrix: predicted vs labeled language counts
+    * with per-label recall in ×10⁴ fixed point — the evaluation view of
+    * [[docLangId]] (a heuristic classifier is only trustworthy with its
+    * error structure on the table). One aggregation; the per-label total
+    * re-derives from a window over the (tiny) matrix, not the corpus.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    docLangId(spark, dir)
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("label_total", sum(col("n")).over(w))
+      .selectExpr("lang", "lang_pred", "n", "label_total",
+        "n * 10000 DIV label_total AS share_e4")
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the
     * MOSS algorithm): hash every `k`-token gram, slide a window of `w`
     * gram hashes, keep each window's MINIMUM hash. The distinct minima are

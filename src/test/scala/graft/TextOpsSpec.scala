@@ -156,6 +156,21 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("curationFuzzy keeps exactly the gate-passing exact-dedup survivors minus near-dup losers") {
+    import graft.operators.Dedup
+    val losers = Dedup.dedupClusters(spark, sf)
+      .filter(!col("keep")).select("doc_id")
+    val expected = Text.dedupExactApply(spark, sf).select("doc_id")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(Text.docQualityGopher(spark, sf)
+        .filter(col("passes_gopher")).select("doc_id"), "doc_id")
+      .count()
+    val got = Text.curationFuzzy(spark, sf)
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(got == expected, s"fuzzy pipeline kept $got, expected $expected")
+    assert(got > 0)
+  }
+
   test("piiRedact masks all but the phone's last 4 digits and the email tail") {
     val rows = Redact.piiRedact(spark, sf).collect()
     assert(rows.nonEmpty)
