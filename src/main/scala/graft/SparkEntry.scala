@@ -264,6 +264,9 @@ object SparkEntry {
     // curation with near-dup removal on top of exact dedup (rows-only:
     // MinHash clusters are hash-seeded; DedupSpec pins cluster semantics)
     "doc_curation_fuzzy" -> ((s, d) => Text.curationFuzzy(s, d)),
+    // distributed BPE tokenizer training (rows-only: the iterative argmax
+    // has no SQL analog; TextOpsSpec pins hand-computed merges)
+    "doc_bpe_train" -> ((s, d) => Text.bpeTrain(s, d)),
     // registered-vs-observed payload column reconciliation: the registry
     // deliberately lags the data (o_orderpriority unregistered) and carries
     // a dropped column (o_legacy_flag) to exercise both drift arms

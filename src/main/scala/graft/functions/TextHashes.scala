@@ -247,6 +247,30 @@ object TextHashes {
     codes
   }
 
+  /** One BPE merge step: rewrite a symbol sequence replacing every
+    * adjacent (left, right) pair with the fused symbol, left-to-right,
+    * non-overlapping — the inner loop of byte-pair-encoding tokenizer
+    * training, applied corpus-wide per merge rank.
+    */
+  def bpeMerge(syms: org.apache.spark.sql.catalyst.util.ArrayData,
+      left: UTF8String, right: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = syms.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && syms.getUTF8String(i).equals(left) &&
+          syms.getUTF8String(i + 1).equals(right)) {
+        out.add(UTF8String.concat(left, right))
+        i += 2
+      } else {
+        out.add(syms.getUTF8String(i))
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray(new Array[UTF8String](out.size())))
+  }
+
   /** ADC score: sum over subspaces of the query's precomputed per-code
     * distance-table entries (`tab` is the query's flat m·k table,
     * [s·k + code]). Both sides arrive as Catalyst array data — no

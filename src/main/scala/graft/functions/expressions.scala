@@ -150,6 +150,28 @@ case class PqCodes(child: Expression, cb: Array[Float], m: Int, k: Int, d: Int)
   override def prettyName: String = "pq_codes"
 }
 
+/** One corpus-wide BPE merge: ARRAY<STRING> symbols with every adjacent
+  * (left, right) pair fused — the per-rank rewrite of byte-pair-encoding
+  * training. The pair is per-merge data, carried as expression fields.
+  */
+case class BpeMergeStep(child: Expression, left: String, right: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  private lazy val l = UTF8String.fromString(left)
+  private lazy val r = UTF8String.fromString(right)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.bpeMerge(input.asInstanceOf[ArrayData], l, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLeft", l, classOf[UTF8String].getName)
+    val rRef = ctx.addReferenceObj("bpeRight", r, classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.bpeMerge($c, $lRef, $rRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeStep =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_merge_step"
+}
+
 /** ADC lookup score: (codes ARRAY<INT>, flat query table ARRAY<DOUBLE>) →
   * summed per-subspace table entries.
   */
@@ -185,6 +207,8 @@ object GraftFunctions {
   def pqAdcScore(codes: Column, tab: Column, k: Int): Column =
     ExpressionUtils.column(PqAdcScore(
       ExpressionUtils.expression(codes), ExpressionUtils.expression(tab), k))
+  def bpeMergeStep(syms: Column, left: String, right: String): Column =
+    ExpressionUtils.column(BpeMergeStep(ExpressionUtils.expression(syms), left, right))
 
   /** Idempotent SQL registration so `spark.sql("... simhash64(x) ...")` works. */
   def register(spark: SparkSession): Unit = {

@@ -434,6 +434,62 @@ object Text {
         expr("sum(surprise_lg2) * 10000 DIV count(1)").as("mean_surprise_e4"))
   }
 
+  /** BPE tokenizer training (Sennrich et al., ACL'16) on the corpus: the
+    * canonical merge loop — count adjacent symbol pairs weighted by word
+    * frequency, fuse the most frequent pair corpus-wide, repeat — run
+    * DISTRIBUTED. The corpus first collapses to its unique-word frequency
+    * table (the only shuffle that sees corpus-scale data; vocabulary is
+    * sublinear), then every merge rank is: one map-side-combined pair
+    * aggregation + one top-1 collect (the merge DECISION is the scalar a
+    * driver must see, like the convergence probe of an iterative CC) +
+    * one row-local codegen'd rewrite ([[graft.functions.BpeMergeStep]]).
+    * Ties break lexicographically — deterministic merge table. Stops
+    * early when no pair repeats.
+    *
+    * Returns the trained artifact: (rank, left, right, n_occ) — what a
+    * tokenizer ships as merges.txt.
+    */
+  def bpeTrain(spark: SparkSession, dir: String, merges: Int = 10): DataFrame = {
+    import graft.functions.GraftFunctions
+    var words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), split(col("w"), "").as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= merges && !done) {
+      val top = words
+        // single-symbol words carry no pairs — and sequence(1, 0) counts
+        // DOWN in Spark rather than being empty, so they must not reach
+        // the window expression
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("occ"))
+        .orderBy(col("occ").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < 2) done = true
+      else {
+        val (l, r, occ) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        learned += ((rank, l, r, occ))
+        val next = words
+          .select(col("cnt"), GraftFunctions.bpeMergeStep(col("syms"), l, r).as("syms"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent
+        words.unpersist()
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist()
+    import spark.implicits._
+    learned.toSeq.toDF("rank", "left", "right", "n_occ")
+  }
+
   /** FUZZY curation composition — [[curationPipeline]] with near-duplicate
     * removal stacked on top of exact dedup: MinHash+LSH cluster members
     * that lost the keep-first vote ([[Dedup.dedupClusters]]) drop via a

@@ -171,6 +171,19 @@ class TextOpsSpec extends SparkSpec {
     assert(got > 0)
   }
 
+  test("bpeTrain learns the hand-computed merge table on a planted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    // words: low x2, lower x1 → pairs (l,o)=3 ties (o,w)=3, lexicographic
+    // pick (l,o); then (lo,w)=3; then nothing repeats
+    Seq((1L, "low low lower", "en", "src0", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Text.bpeTrain(spark, dir, merges = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    assert(got == List((1, "l", "o", 3L), (2, "lo", "w", 3L)), s"got $got")
+  }
+
   test("piiRedact masks all but the phone's last 4 digits and the email tail") {
     val rows = Redact.piiRedact(spark, sf).collect()
     assert(rows.nonEmpty)
