@@ -267,6 +267,9 @@ object SparkEntry {
     // distributed BPE tokenizer training (rows-only: the iterative argmax
     // has no SQL analog; TextOpsSpec pins hand-computed merges)
     "doc_bpe_train" -> ((s, d) => Text.bpeTrain(s, d)),
+    // tokenize the corpus under the learned merges (rows-only: the merge
+    // table is bpeTrain's output; TextOpsSpec pins the planted encoding)
+    "doc_bpe_encode" -> ((s, d) => Text.bpeEncodeStats(s, d)),
     // registered-vs-observed payload column reconciliation: the registry
     // deliberately lags the data (o_orderpriority unregistered) and carries
     // a dropped column (o_legacy_flag) to exercise both drift arms

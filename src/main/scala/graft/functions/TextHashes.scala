@@ -271,6 +271,22 @@ object TextHashes {
       out.toArray(new Array[UTF8String](out.size())))
   }
 
+  /** BPE encode: apply a trained merge table to a symbol sequence, one
+    * rule per rank in order (each rule fuses all its non-overlapping
+    * occurrences — the standard single-pass-per-rank application). `lefts`
+    * and `rights` are the rank-ordered rule sides.
+    */
+  def bpeEncode(syms: org.apache.spark.sql.catalyst.util.ArrayData,
+      lefts: Array[UTF8String], rights: Array[UTF8String]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    var cur = syms
+    var k = 0
+    while (k < lefts.length) {
+      cur = bpeMerge(cur, lefts(k), rights(k))
+      k += 1
+    }
+    cur
+  }
+
   /** ADC score: sum over subspaces of the query's precomputed per-code
     * distance-table entries (`tab` is the query's flat m·k table,
     * [s·k + code]). Both sides arrive as Catalyst array data — no

@@ -172,6 +172,27 @@ case class BpeMergeStep(child: Expression, left: String, right: String)
   override def prettyName: String = "bpe_merge_step"
 }
 
+/** Full BPE tokenization of a symbol array under a trained rank-ordered
+  * merge table (carried as expression data via `addReferenceObj`).
+  */
+case class BpeEncode(child: Expression, lefts: Array[String], rights: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  private lazy val ls = lefts.map(UTF8String.fromString)
+  private lazy val rs = rights.map(UTF8String.fromString)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.bpeEncode(input.asInstanceOf[ArrayData], ls, rs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLefts", ls, s"${classOf[UTF8String].getName}[]")
+    val rRef = ctx.addReferenceObj("bpeRights", rs, s"${classOf[UTF8String].getName}[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.bpeEncode($c, $lRef, $rRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_encode"
+}
+
 /** ADC lookup score: (codes ARRAY<INT>, flat query table ARRAY<DOUBLE>) →
   * summed per-subspace table entries.
   */
@@ -209,6 +230,8 @@ object GraftFunctions {
       ExpressionUtils.expression(codes), ExpressionUtils.expression(tab), k))
   def bpeMergeStep(syms: Column, left: String, right: String): Column =
     ExpressionUtils.column(BpeMergeStep(ExpressionUtils.expression(syms), left, right))
+  def bpeEncode(syms: Column, lefts: Array[String], rights: Array[String]): Column =
+    ExpressionUtils.column(BpeEncode(ExpressionUtils.expression(syms), lefts, rights))
 
   /** Idempotent SQL registration so `spark.sql("... simhash64(x) ...")` works. */
   def register(spark: SparkSession): Unit = {

@@ -490,6 +490,32 @@ object Text {
     learned.toSeq.toDF("rank", "left", "right", "n_occ")
   }
 
+  /** BPE apply — tokenize the corpus under the merge table [[bpeTrain]]
+    * learned: per document, word-split then per-word symbol rewrite
+    * through the rank-ordered rules (codegen'd [[graft.functions
+    * .BpeEncode]], the whole table in one row-local pass), reporting
+    * BPE-token counts and the chars-per-token compression the tokenizer
+    * achieves. Train once (driver-side table, O(merges)), encode is a
+    * pure map over the corpus — exactly how a shipped tokenizer runs at
+    * 100 TB.
+    */
+  def bpeEncodeStats(spark: SparkSession, dir: String, merges: Int = 10): DataFrame = {
+    import graft.functions.GraftFunctions
+    val table = bpeTrain(spark, dir, merges).collect()
+      .sortBy(_.getInt(0))
+    val (lefts, rights) = (table.map(_.getString(1)), table.map(_.getString(2)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("lang"), length(col("w")).as("n_chars_w"),
+        size(GraftFunctions.bpeEncode(split(col("w"), ""), lefts, rights)).as("n_toks_w"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("n_chars_w")).cast("long").as("n_chars"),
+        sum(col("n_toks_w")).cast("long").as("n_bpe_tokens"))
+      .selectExpr("doc_id", "lang", "n_chars", "n_bpe_tokens",
+        "n_chars * 10000 DIV n_bpe_tokens AS chars_per_token_e4")
+  }
+
   /** FUZZY curation composition — [[curationPipeline]] with near-duplicate
     * removal stacked on top of exact dedup: MinHash+LSH cluster members
     * that lost the keep-first vote ([[Dedup.dedupClusters]]) drop via a

@@ -184,6 +184,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got == List((1, "l", "o", 3L), (2, "lo", "w", 3L)), s"got $got")
   }
 
+  test("bpeEncodeStats compresses the planted corpus under its own merges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_enc").toString
+    Seq((1L, "low low lower", "en", "src0", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // merges: (l,o) then (lo,w) → "low" = [low] (1 tok), "lower" = [low,e,r]
+    val r = Text.bpeEncodeStats(spark, dir).collect()
+    assert(r.length == 1)
+    val (chars, toks, ratio) = (r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+    assert(chars == 11L, s"chars $chars") // low+low+lower letters
+    assert(toks == 5L, s"toks $toks")     // 1 + 1 + 3
+    assert(ratio == 22000L, s"ratio $ratio")
+  }
+
   test("piiRedact masks all but the phone's last 4 digits and the email tail") {
     val rows = Redact.piiRedact(spark, sf).collect()
     assert(rows.nonEmpty)
