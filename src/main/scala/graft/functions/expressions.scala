@@ -243,5 +243,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("hyperplane_bucket",
       es => HyperplaneBucket(es.head, es(1).eval().asInstanceOf[Number].intValue(),
         if (es.length > 2) es(2).eval().asInstanceOf[Number].intValue() else 0), "built-in")
+    reg.createOrReplaceTempFunction("bpe_merge_step",
+      es => BpeMergeStep(es.head, es(1).eval().toString, es(2).eval().toString), "built-in")
   }
 }
