@@ -270,6 +270,11 @@ object SparkEntry {
     // tokenize the corpus under the learned merges (rows-only: the merge
     // table is bpeTrain's output; TextOpsSpec pins the planted encoding)
     "doc_bpe_encode" -> ((s, d) => Text.bpeEncodeStats(s, d)),
+    // CCNet head/middle/tail perplexity terciles per language
+    "doc_ppl_buckets" -> ((s, d) => Text.docPplBuckets(s, d)),
+    // SemDeDup within-cluster cosine dedup (rows-only: k-means cluster ids
+    // are model-seeded; DedupSpec pins plant recovery + keep-rule invariants)
+    "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
     // registered-vs-observed payload column reconciliation: the registry
     // deliberately lags the data (o_orderpriority unregistered) and carries
     // a dropped column (o_legacy_flag) to exercise both drift arms
@@ -1348,6 +1353,25 @@ object SparkEntry {
         |  CAST(sum(surprise_lg2) * 10000 // count(*) AS BIGINT) AS mean_surprise_e4
         |FROM tok JOIN s USING (tok)
         |GROUP BY 1""".stripMargin,
+    "doc_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM v),
+        |s AS (SELECT tok, CAST(length(bin(n_total // cnt)) - 1 AS BIGINT) AS surprise_lg2
+        |      FROM v, t),
+        |d AS (SELECT doc_id, count(*) AS n_toks,
+        |        CAST(sum(surprise_lg2) * 10000 // count(*) AS BIGINT) AS mean_surprise_e4
+        |      FROM tok JOIN s USING (tok) GROUP BY 1),
+        |j AS (SELECT d.doc_id, doc.lang, d.n_toks, d.mean_surprise_e4,
+        |        ntile(3) OVER (PARTITION BY doc.lang
+        |                       ORDER BY d.mean_surprise_e4, d.doc_id) AS tercile
+        |      FROM d JOIN documents doc USING (doc_id))
+        |SELECT lang,
+        |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  min(mean_surprise_e4) AS lo_e4, max(mean_surprise_e4) AS hi_e4
+        |FROM j GROUP BY 1, 2""".stripMargin,
     "emb_dim_stats" ->
       """WITH x AS (
         |  SELECT CAST(i - 1 AS BIGINT) AS dim,

@@ -233,4 +233,92 @@ object Dedup {
       .filter(col("cos") > tau)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
+
+  /** #171 Semantic dedup (SemDeDup, Abbas et al. arXiv:2303.09540): k-means
+    * partitions the embedding space, then near-duplicate pairs are searched
+    * ONLY within a cluster — the O(n²/k) restriction that makes
+    * mid-similarity cosine dedup tractable where hyperplane LSH (tuned for
+    * near-identical pairs) loses recall. Within a cluster any pair with
+    * cosine ≥ tau is a semantic dup; the member CLOSER to the centroid is
+    * dropped (the paper keeps the far-from-centroid example — the
+    * informative one), ties broken by the larger id.
+    *
+    * Scale shape: the corpus shuffles ONCE on the cluster id; the
+    * quadratic is per-cluster and k grows with the corpus (FAISS-style
+    * k ≈ √n keeps expected cluster size √n), so no task ever sees more
+    * than a cluster. Centroids broadcast; the keep/drop decision is a
+    * distinct + anti-join, never a driver loop.
+    *
+    * reference: pretraining curation gap (no analog in aurora-cdc-demo);
+    * composes with `docCurationFuzzy`'s hash anti-join stage.
+    */
+  def semanticDedupFrom(e: DataFrame, tau: Double, nClusters: Int): DataFrame = {
+    val (assigned, pairs) = semanticPairs(e, tau, nClusters)
+    val losers = pairs.select(col("cluster"), col("loser").as("vec_id")).distinct()
+    assigned.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+      .join(pairs.groupBy("cluster").agg(count(lit(1)).as("n_dup_pairs")), Seq("cluster"), "left")
+      .join(losers.groupBy("cluster").agg(count(lit(1)).as("n_dropped")), Seq("cluster"), "left")
+      .na.fill(0L, Seq("n_dup_pairs", "n_dropped"))
+      .withColumn("n_kept", col("n_members") - col("n_dropped"))
+      .select(col("cluster").cast("int").as("cluster"), col("n_members"),
+        col("n_dup_pairs"), col("n_dropped"), col("n_kept"))
+  }
+
+  /** Ids dropped by the keep rule — the set a curation pipeline anti-joins
+    * against (spec-verified invariants). */
+  private[graft] def semanticLosers(e: DataFrame, tau: Double, nClusters: Int): DataFrame = {
+    val (_, pairs) = semanticPairs(e, tau, nClusters)
+    pairs.select(col("cluster"), col("loser").as("vec_id")).distinct()
+  }
+
+  /** Shared core: cluster-assign every vector (centroid cosine attached),
+    * emit within-cluster dup pairs with the drop decision per pair. */
+  private def semanticPairs(e: DataFrame, tau: Double,
+      nClusters: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+    val spark = e.sparkSession
+    val fv = e.select(col("vec_id"), col("embedding"))
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cluster").fit(fv.select("fv"))
+    val centroids: Seq[(Int, Array[Float])] = model.clusterCenters.toSeq
+      .map((v: Vector) => v.toArray.map(_.toFloat)).zipWithIndex.map(_.swap)
+    val cdf = spark.createDataFrame(centroids).toDF("cluster", "centroid")
+    val assigned = model.transform(fv)
+      .join(broadcast(cdf), "cluster")
+      .withColumn("c_sim", GraftFunctions.cosineSim(col("embedding"), col("centroid")))
+      .select("cluster", "vec_id", "embedding", "c_sim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("c_sim").as("csim_a"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("c_sim").as("csim_b"))
+    val pairs = a.join(b, "cluster").filter(col("id_a") < col("id_b"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= tau)
+      .withColumn("loser",
+        when(col("csim_a") > col("csim_b"), col("id_a"))
+          .when(col("csim_b") > col("csim_a"), col("id_b"))
+          .otherwise(greatest(col("id_a"), col("id_b"))))
+    (assigned, pairs)
+  }
+
+  /** Driver entry for #171: embeddings ∪ planted jittered copies of every
+    * 16th vector (the corpus has no natural semantic dups), per-cluster
+    * keep/drop accounting. Jitter is `x*0.98f + 0.01f` — NOT pure scaling
+    * (cosine is scale-invariant), so planted cosine is high but < 1. */
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.9,
+      nClusters: Int = 16): DataFrame =
+    semanticDedupFrom(embeddingsWithPlants(spark, dir), tau, nClusters)
+
+  /** Embeddings ∪ deterministic near-dup plants (id + 1,000,000). */
+  private[graft] def embeddingsWithPlants(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val planted = e.filter(col("vec_id") % 16 === 0)
+      .select((col("vec_id") + PerturbOffset).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * 0.98 + 0.01 AS FLOAT))").as("embedding"))
+    e.unionByName(planted)
+  }
 }

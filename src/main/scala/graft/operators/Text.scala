@@ -434,6 +434,34 @@ object Text {
         expr("sum(surprise_lg2) * 10000 DIV count(1)").as("mean_surprise_e4"))
   }
 
+  /** #172 CCNet-style perplexity bucketing (Wenzek et al., LREC'20): per
+    * LANGUAGE, split the corpus into head/middle/tail terciles of the
+    * unigram-LM score (#154) — the standard pretraining recipe that keeps
+    * "head" wholesale, samples "middle", and drops or flags "tail".
+    *
+    * The tercile is [[Distributed.exactNtile]] — SQL-standard NTILE
+    * arithmetic from a distributed range sort, NOT `ntile() OVER
+    * (PARTITION BY lang)`, which would funnel each language through one
+    * reducer (a handful of languages dominate any web corpus, so that
+    * window is a guaranteed straggler at 100 TB). Ordering is
+    * (mean_surprise_e4, doc_id): total, so the bucket assignment is
+    * deterministic and the DuckDB oracle's plain NTILE agrees exactly.
+    */
+  def docPplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docLmScore(spark, dir).select("doc_id", "n_tokens", "mean_surprise_e4")
+    val langs = Tables.documents(spark, dir).select("doc_id", "lang")
+    Distributed.exactNtile(scored.join(langs, "doc_id"),
+        Seq("lang"), Seq("mean_surprise_e4", "doc_id"), 3, bucketCol = "tercile")
+      .selectExpr("lang",
+        "CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket",
+        "n_tokens", "mean_surprise_e4")
+      .groupBy("lang", "ppl_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("mean_surprise_e4").as("lo_e4"),
+        max("mean_surprise_e4").as("hi_e4"))
+  }
+
   /** BPE tokenizer training (Sennrich et al., ACL'16) on the corpus: the
     * canonical merge loop — count adjacent symbol pairs weighted by word
     * frequency, fuse the most frequent pair corpus-wide, repeat — run

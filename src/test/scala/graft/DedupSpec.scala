@@ -137,4 +137,35 @@ class DedupSpec extends SparkSpec {
         "cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c FROM t_docs").first()
     assert(math.abs(viaSql.getDouble(2) - 1.0) < 1e-12)
   }
+
+  test("semantic dedup drops planted jittered copies, keep rule is consistent") {
+    val e = Dedup.embeddingsWithPlants(spark, sf)
+    val tau = 0.9
+    val stats = Dedup.semanticDedupFrom(e, tau, nClusters = 16).collect()
+    // accounting invariant holds per cluster
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_members"))
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_dup_pairs"))
+    }
+    assert(stats.map(_.getAs[Long]("n_members")).sum == e.count())
+    // a jittered plant is near-identical to its source -> same cluster with
+    // overwhelming probability; most plants must cost one member somewhere
+    val totalDropped = stats.map(_.getAs[Long]("n_dropped")).sum
+    val nPlants = e.filter(col("vec_id") >= 1000000L).count()
+    assert(totalDropped >= (nPlants * 0.8).toLong,
+      s"dropped $totalDropped of $nPlants planted near-dups")
+    // exactly one of each planted (src, src+1M) pair survives
+    val losers = Dedup.semanticLosers(e, tau, nClusters = 16)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val srcIds = e.filter(col("vec_id") % 16 === 0 && col("vec_id") < 1000000L)
+      .select("vec_id").collect().map(_.getLong(0))
+    // pairwise keep rule: at most one member of a planted pair is dropped
+    // BY THAT PAIR; both can only vanish through a third natural near-dup,
+    // which the synthetic corpus essentially lacks
+    val bothDropped = srcIds.count(id =>
+      losers.contains(id) && losers.contains(id + 1000000L))
+    assert(bothDropped <= (srcIds.length * 0.1).toInt,
+      s"$bothDropped of ${srcIds.length} planted pairs lost BOTH members")
+  }
 }

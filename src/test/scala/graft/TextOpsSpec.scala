@@ -199,6 +199,28 @@ class TextOpsSpec extends SparkSpec {
     assert(ratio == 22000L, s"ratio $ratio")
   }
 
+  test("docPplBuckets: per-lang terciles are balanced, ordered, and complete") {
+    val rows = Text.docPplBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))
+    val perLang = rows.groupBy(_._1)
+    val langTotals = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, bs) =>
+      // complete: every doc of the language lands in exactly one bucket
+      assert(bs.map(_._3).sum == langTotals(lang), s"$lang doc count mismatch")
+      // NTILE balance: bucket sizes differ by at most one
+      val sizes = bs.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes")
+      // score ranges ordered: head ≤ middle ≤ tail (boundaries may tie)
+      val byName = bs.map(t => t._2 -> (t._4, t._5)).toMap
+      for {
+        (loB, hiB) <- Seq(("head", "middle"), ("middle", "tail"))
+        lo <- byName.get(loB); hi <- byName.get(hiB)
+      } assert(lo._2 <= hi._1, s"$lang $loB hi ${lo._2} > $hiB lo ${hi._1}")
+    }
+  }
+
   test("piiRedact masks all but the phone's last 4 digits and the email tail") {
     val rows = Redact.piiRedact(spark, sf).collect()
     assert(rows.nonEmpty)
