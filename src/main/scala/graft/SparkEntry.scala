@@ -54,6 +54,10 @@ object SparkEntry {
     // partitioned JDBC initial load via embedded Derby (rows-only: the
     // oracle has no JDBC endpoint)
     "src_jdbc_snapshot" -> ((s, d) => graft.sources.JdbcSnapshot.snapshotStats(s, d)),
+    // exactly-once MERGE apply INTO an RDBMS: ledger skip + seq-guarded
+    // upsert (rows-only: no JDBC endpoint in the oracle; JdbcSinkSpec
+    // proves SCD1 parity, replay no-ops, stale-batch protection)
+    "snk_jdbc_upsert" -> ((s, d) => graft.sources.JdbcCdcSink.upsertStats(s, d)),
     // two different-schema tables through ONE envelope
     "cdc_hetero_union" -> ((s, d) => {
       import graft.streaming.CdcStreams

@@ -281,8 +281,13 @@ object Dedup {
     val spark = e.sparkSession
     val fv = e.select(col("vec_id"), col("embedding"))
       .withColumn("fv", array_to_vector(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // centroids train on a seeded SAMPLE — Lloyd cost is O(n·k·d·iter) and
+    // cluster geometry converges long before the full corpus is seen; the
+    // full corpus only pays the one-pass assignment (standard at 100 TB)
     val model = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cluster").fit(fv.select("fv"))
+      .setFeaturesCol("fv").setPredictionCol("cluster")
+      .fit(fv.select("fv").sample(withReplacement = false, 0.25, 42L))
     val centroids: Seq[(Int, Array[Float])] = model.clusterCenters.toSeq
       .map((v: Vector) => v.toArray.map(_.toFloat)).zipWithIndex.map(_.swap)
     val cdf = spark.createDataFrame(centroids).toDF("cluster", "centroid")
