@@ -75,6 +75,53 @@ class JdbcSinkSpec extends SparkSpec {
     assert(targetState(table) == Set((10L, 200L, "UPDATE", 9.99)))
   }
 
+  test("streaming foreachBatch: kill/restart from checkpoint stays exactly-once") {
+    import java.nio.file.{Files, Paths}
+    val table = "sink_stream"
+    JdbcCdcSink.dropTables(url, table, props)
+    val root = Files.createTempDirectory("sink_stream_spec").toString
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    def line(uid: Long, eid: Long, op: String, seq: Long, v: Double) =
+      s"$uid,$eid,$op,$seq,$v"
+    def start() = spark.readStream
+      .option("maxFilesPerTrigger", 1).text(in)
+      .selectExpr(
+        "CAST(split(value, ',')[0] AS BIGINT) AS user_id",
+        "CAST(split(value, ',')[1] AS BIGINT) AS event_id",
+        "split(value, ',')[2] AS operation",
+        "CAST(split(value, ',')[3] AS BIGINT) AS seq_us",
+        "CAST(split(value, ',')[4] AS DOUBLE) AS value")
+      .writeStream
+      .option("checkpointLocation", s"$root/ck")
+      .foreachBatch(JdbcCdcSink.forEachBatch(url, table, props))
+      .start()
+
+    Files.write(Paths.get(s"$in/a.txt"), Seq(
+      line(1, 1, "INSERT", 100, 1.0),
+      line(2, 2, "INSERT", 100, 2.0)).mkString("\n").getBytes)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // kill after epoch 0
+    assert(targetState(table) == Set((1L, 1L, "INSERT", 1.0), (2L, 2L, "INSERT", 2.0)))
+
+    // a re-delivered epoch 0 (crash between sink commit and checkpoint
+    // commit) hits the ledger and applies nothing
+    import spark.implicits._
+    val epoch0 = Seq((1L, 1L, "INSERT", 100L, 1.0), (2L, 2L, "INSERT", 100L, 2.0))
+      .toDF("user_id", "event_id", "operation", "seq_us", "value")
+    assert(!JdbcCdcSink.applyBatch(epoch0, url, table, 0, props))
+
+    // new changes land while the query is DOWN; restart picks them up
+    Files.write(Paths.get(s"$in/b.txt"), Seq(
+      line(1, 3, "UPDATE", 200, 1.5),
+      line(2, 4, "DELETE", 200, 0.0),
+      line(3, 5, "INSERT", 200, 3.0)).mkString("\n").getBytes)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(targetState(table) ==
+      Set((1L, 3L, "UPDATE", 1.5), (3L, 5L, "INSERT", 3.0)))
+  }
+
   test("delete drops the key and wins over equal-or-older changes") {
     val table = "sink_t3"
     JdbcCdcSink.dropTables(url, table, props)
