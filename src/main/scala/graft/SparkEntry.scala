@@ -276,6 +276,8 @@ object SparkEntry {
     "doc_bpe_encode" -> ((s, d) => Text.bpeEncodeStats(s, d)),
     // CCNet head/middle/tail perplexity terciles per language
     "doc_ppl_buckets" -> ((s, d) => Text.docPplBuckets(s, d)),
+    // token-stream context-window packing accounting (global cumsum)
+    "doc_pack_bins" -> ((s, d) => Text.docPackBins(s, d)),
     // SemDeDup within-cluster cosine dedup (rows-only: k-means cluster ids
     // are model-seeded; DedupSpec pins plant recovery + keep-rule invariants)
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
@@ -1376,6 +1378,29 @@ object SparkEntry {
         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
         |  min(mean_surprise_e4) AS lo_e4, max(mean_surprise_e4) AS hi_e4
         |FROM j GROUP BY 1, 2""".stripMargin,
+    "doc_pack_bins" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d),
+        |b AS (SELECT doc_id, n_tokens,
+        |        CAST(cum - n_tokens AS BIGINT) AS tok_start,
+        |        CAST(cum - 1 AS BIGINT) AS tok_end,
+        |        CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_first,
+        |        CAST((cum - 1) // 512 AS BIGINT) AS bin_last
+        |      FROM c),
+        |x AS (SELECT doc_id, n_tokens, tok_start, tok_end, bin_first,
+        |        unnest(generate_series(bin_first, bin_last)) AS bin
+        |      FROM b)
+        |SELECT bin, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN bin_first = bin THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |  CAST(sum(least(tok_end, (bin + 1) * 512 - 1)
+        |         - greatest(tok_start, bin * 512) + 1) AS BIGINT) AS n_tokens,
+        |  CAST(sum(least(tok_end, (bin + 1) * 512 - 1)
+        |         - greatest(tok_start, bin * 512) + 1) * 10000 // 512 AS BIGINT) AS util_e4
+        |FROM x GROUP BY 1""".stripMargin,
     "emb_dim_stats" ->
       """WITH x AS (
         |  SELECT CAST(i - 1 AS BIGINT) AS dim,

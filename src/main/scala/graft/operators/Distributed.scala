@@ -55,6 +55,33 @@ object Distributed {
       .drop(Pid)
   }
 
+  /** Adds exact GLOBAL running sum of `valueCol` in `orderCols` order
+    * (inclusive of the current row) — `sum() OVER (ORDER BY …)` without
+    * the single-partition window Spark plans for a global frame. Same
+    * machinery as [[exactRank]]: range-repartition on the order, sum per
+    * partition (tiny frame), cumulative offsets broadcast back, local
+    * running sum bounded by partition size.
+    */
+  def exactCumSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      cumCol: String = "cum"): DataFrame = {
+    Seq(cumCol, Pid).foreach(c =>
+      require(!df.columns.contains(c), s"input already has a column named $c"))
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .withColumn(Pid, spark_partition_id())
+    val wOff = Window.orderBy(Pid).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(Pid).agg(sum(col(valueCol)).as("__psum"))
+      .withColumn("__offset", coalesce(sum("__psum").over(wOff), lit(0L)))
+      .select(col(Pid).as("__o_pid"), col("__offset"))
+    val wLocal = Window.partitionBy(Pid).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted.join(broadcast(offsets), sorted(Pid) === offsets("__o_pid"))
+      .withColumn(cumCol, sum(col(valueCol)).over(wLocal) + col("__offset"))
+      .drop(Pid, "__o_pid", "__offset")
+  }
+
   /** Adds `bucketCol` = SQL-standard NTILE(n) bucket (first N mod n
     * buckets hold ceil(N/n) rows) — a pure function of (rank, N) applied
     * row-locally on top of [[exactRank]].

@@ -462,6 +462,45 @@ object Text {
         max("mean_surprise_e4").as("hi_e4"))
   }
 
+  /** #174 Token-stream packing accounting: concatenate the corpus in
+    * doc_id order and slice fixed `capacity`-token context windows (the
+    * GPT-style loader that pads nothing and splits docs across window
+    * boundaries) — then report, PER WINDOW (bin), how many documents it
+    * touches, how many start in it, and its fill. This is the "how many
+    * training sequences does this corpus yield, and how fragmented are
+    * they" planning query run before a pretraining job; the per-doc
+    * windowing twin is #163 `docChunkTokens`.
+    *
+    * Shape: one global cumulative sum via [[Distributed.exactCumSum]] (no
+    * single-reducer window), then each doc explodes into the bins it
+    * overlaps — total explode output is ~total_tokens/capacity rows,
+    * SUBLINEAR in the corpus. The final groupBy shuffles bin-stat rows
+    * only.
+    */
+  def docPackBins(spark: SparkSession, dir: String, capacity: Int = 512): DataFrame = {
+    require(capacity > 0)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+    Distributed.exactCumSum(toks, Seq("doc_id"), "n_tokens", cumCol = "cum")
+      .selectExpr("doc_id", "n_tokens",
+        "cum - n_tokens AS tok_start", "cum - 1 AS tok_end",
+        s"(cum - n_tokens) DIV $capacity AS bin_first",
+        s"(cum - 1) DIV $capacity AS bin_last")
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"), col("tok_end"),
+        col("bin_first"),
+        explode(expr("sequence(bin_first, bin_last)")).as("bin"))
+      .selectExpr("bin",
+        "CASE WHEN bin_first = bin THEN 1L ELSE 0L END AS starts_here",
+        s"""least(tok_end, (bin + 1) * $capacity - 1)
+           | - greatest(tok_start, bin * $capacity) + 1 AS toks_in_bin""".stripMargin)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("starts_here").as("n_starts"),
+        sum("toks_in_bin").as("n_tokens"),
+        expr(s"sum(toks_in_bin) * 10000 DIV $capacity").as("util_e4"))
+  }
+
   /** BPE tokenizer training (Sennrich et al., ACL'16) on the corpus: the
     * canonical merge loop — count adjacent symbol pairs weighted by word
     * frequency, fuse the most frequent pair corpus-wide, repeat — run

@@ -221,6 +221,40 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("docPackBins: token conservation, full interior bins, one tail") {
+    val capacity = 512L
+    val bins = Text.docPackBins(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val totalTokens = Tables.documents(spark, sf)
+      .selectExpr("CAST(sum(size(split(text, ' '))) AS BIGINT)").head().getLong(0)
+    // every token lands in exactly one bin
+    assert(bins.map(_._4).sum == totalTokens)
+    // every doc starts in exactly one bin
+    assert(bins.map(_._3).sum == Tables.documents(spark, sf).count())
+    // bins are contiguous 0..n-1; all but the last filled to capacity
+    assert(bins.map(_._1).toSeq == (0L until bins.length).toSeq)
+    bins.init.foreach { case (b, _, _, toks) =>
+      assert(toks == capacity, s"interior bin $b holds $toks tokens")
+    }
+    assert(bins.last._4 <= capacity)
+  }
+
+  test("exactCumSum equals the single-partition window cumsum") {
+    import graft.operators.Distributed
+    val df = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "CAST(n_chars AS BIGINT) AS v")
+    val got = Distributed.exactCumSum(df, Seq("doc_id"), "v", "cum")
+      .select("doc_id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = df.withColumn("cum", sum("v").over(w))
+      .select("doc_id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
   test("piiRedact masks all but the phone's last 4 digits and the email tail") {
     val rows = Redact.piiRedact(spark, sf).collect()
     assert(rows.nonEmpty)
