@@ -67,6 +67,29 @@ object SparkEntry {
         ("customer", Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey"),
           "c_custkey", "c_custkey")))
     }),
+    // schema-evolution APPLY: the registered DDL gains a column and the
+    // decode keeps working on both eras (from_json nulls the new field on
+    // pre-evolution payloads) — the apply-side complement of cdc_schema_drift
+    "cdc_schema_evolve" -> ((s, d) => {
+      import graft.streaming.CdcStreams
+      val v1 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val v2 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val env = CdcStreams.heterogeneousUnion(Seq(
+        ("orders", v1, "o_orderkey", "o_orderkey"),
+        ("orders", v2, "o_orderkey", "o_orderkey")))
+      CdcStreams.decodePayload(env, "orders",
+        "o_custkey BIGINT,o_orderstatus STRING,o_orderpriority STRING")
+        .groupBy(expr("seq % 2").as("schema_era"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderpriority")).as("n_with_new_col"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"),
+          sum(col("o_custkey")).as("sum_custkey"))
+    }),
+    // one-pass per-column profile (Deequ-style onboarding audit)
+    "q_table_profile" -> ((s, d) =>
+      graft.operators.Profile.tableProfile(Tables.orders(s, d))),
     "cdc_net_effect" -> ((s, d) => Cdc.netEffect(s, d)),
     "ev_blast_radius" -> ((s, d) => graft.operators.Ranges.errorBlastRadius(s, d)),
     // sketch estimates not SQL-expressible → rows-only (deterministic seed)
@@ -842,6 +865,38 @@ object SparkEntry {
         |  '{"c_name":"' || c_name || '","c_nationkey":' || CAST(c_nationkey AS VARCHAR) || '}',
         |  'c_name STRING,c_nationkey INT'
         |FROM customer""".stripMargin,
+    "cdc_schema_evolve" ->
+      """SELECT o_orderkey % 2 AS schema_era, count(*) AS n_rows,
+        |  count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS n_with_new_col,
+        |  count(DISTINCT o_orderstatus) AS n_statuses,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_table_profile" ->
+      """SELECT 'o_orderkey' AS col_name, (SELECT count(*) FROM orders) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_nulls, count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', (SELECT count(*) FROM orders),
+        |  count(*) - count(o_custkey), count(DISTINCT o_custkey),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', (SELECT count(*) FROM orders),
+        |  count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+        |  CAST(min(length(o_orderstatus)) AS BIGINT),
+        |  CAST(max(length(o_orderstatus)) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', (SELECT count(*) FROM orders),
+        |  count(*) - count(o_totalprice), count(DISTINCT o_totalprice),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', (SELECT count(*) FROM orders),
+        |  count(*) - count(o_orderdate), count(DISTINCT o_orderdate),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', (SELECT count(*) FROM orders),
+        |  count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+        |  CAST(min(length(o_orderpriority)) AS BIGINT),
+        |  CAST(max(length(o_orderpriority)) AS BIGINT) FROM orders""".stripMargin,
     "cdc_table_batch" ->
       s"""$registryCte,
         |s AS (

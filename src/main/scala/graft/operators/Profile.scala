@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** One-pass per-column table profiling — the Deequ-style onboarding audit
+  * a 500-table CDC registry runs before enabling a table (reference:
+  * table_manager.py discovers row counts only; real onboarding needs
+  * nullability, cardinality, and shape per column).
+  *
+  * ONE aggregation over the table produces every column's row count, null
+  * count, exact distinct count, and (for strings) length extrema; the
+  * single summary row then unpivots via `stack` — the same
+  * aggregate-then-stack shape as the expectations audit. Multiple exact
+  * COUNT(DISTINCT) columns plan as Spark's Expand (input rows × columns
+  * before partial aggregation, still ONE shuffle); at 100 TB swap
+  * `approx_count_distinct` in via `exact = false` and the Expand
+  * disappears — exact is the default so the DuckDB oracle can match
+  * hash-for-hash.
+  */
+object Profile {
+
+  def tableProfile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      val distinctAgg =
+        if (exact) countDistinct(col(c))
+        else approx_count_distinct(col(c))
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        distinctAgg.as(s"${c}__distinct")) ++
+      (df.schema(c).dataType match {
+        case StringType => Seq(
+          min(length(col(c))).cast("long").as(s"${c}__minlen"),
+          max(length(col(c))).cast("long").as(s"${c}__maxlen"))
+        case _ => Seq(
+          lit(null).cast("long").as(s"${c}__minlen"),
+          lit(null).cast("long").as(s"${c}__maxlen"))
+      })
+    }
+    val summary = df.agg(count(lit(1)).as("__n_rows"),
+      aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__minlen`, `${c}__maxlen`"
+    ).mkString(", ")
+    summary.selectExpr("__n_rows AS n_rows",
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_len, max_len)")
+      .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_len", "max_len")
+  }
+}
