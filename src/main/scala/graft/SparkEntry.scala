@@ -43,6 +43,8 @@ object SparkEntry {
     "cdc_before_after" -> ((s, d) => Cdc.beforeAfter(s, d)),
     "cdc_gap_check" -> ((s, d) => Cdc.gapCheck(s, d)),
     "cdc_debezium_parse" -> ((s, d) => Debezium.silverParsed(s, d)),
+    // same silver projection via the Avro wire format — round-trip parity
+    "cdc_avro_parse" -> ((s, d) => graft.sources.AvroEnvelope.avroSilverParsed(s, d)),
     "cdc_expect_audit" -> ((s, d) => Debezium.expectationAudit(s, d)),
     "cdc_latency_metrics" -> ((s, d) => Debezium.latencyAudit(s, d)),
     "cdc_table_batch" -> ((s, d) => TableRegistry.tableBatch(s, d)),
@@ -72,6 +74,7 @@ object SparkEntry {
     // pre-evolution payloads) — the apply-side complement of cdc_schema_drift
     "cdc_schema_evolve" -> ((s, d) => {
       import graft.streaming.CdcStreams
+      import org.apache.spark.sql.functions._
       val v1 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_custkey", "o_orderstatus")
       val v2 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
@@ -381,7 +384,13 @@ object SparkEntry {
     * parquet tables. Omitted keys (approx/LSH/hash-seeded ops) get the
     * driver's rows-only check.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // the Avro path must land on EXACTLY the silver rows the JSON path
+    // produces — one oracle serves both ingestion formats
+    "cdc_avro_parse" -> oracleSqlBase("cdc_debezium_parse")
+  )
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "cdc_table_groups" ->
       s"""$registryCte
          |SELECT name,
@@ -623,19 +632,26 @@ object SparkEntry {
         |FROM g GROUP BY 1, 2""".stripMargin,
     "cdc_net_effect" ->
       s"""$logCte,
-         |b AS (SELECT event_type, operation,
-         |        lag(value) OVER (PARTITION BY user_id ORDER BY seq_us, event_id) AS before_value,
-         |        value
-         |      FROM log)
-         |SELECT event_type,
-         |  CAST(round(sum(CASE operation
-         |    WHEN 'INSERT' THEN CAST(value AS DECIMAL(12,2))
-         |    WHEN 'DELETE' THEN -coalesce(CAST(before_value AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))
-         |    ELSE CAST(value AS DECIMAL(12,2)) - coalesce(CAST(before_value AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))
-         |  END), 2) AS DOUBLE) AS net_value,
-         |  CAST(sum(CASE operation WHEN 'INSERT' THEN 1 WHEN 'DELETE' THEN -1 ELSE 0 END) AS BIGINT) AS net_rows,
-         |  count(*) AS n_changes
-         |FROM b GROUP BY event_type""".stripMargin,
+         |b AS (SELECT event_type, operation, value,
+         |        lag(value) OVER w AS before_value,
+         |        lag(event_type) OVER w AS before_type
+         |      FROM log
+         |      WINDOW w AS (PARTITION BY user_id ORDER BY seq_us, event_id)),
+         |c AS (
+         |  SELECT event_type AS grp, CAST(value AS DECIMAL(12,2)) AS delta,
+         |         1 AS drows, 1 AS chg
+         |  FROM b WHERE operation IN ('INSERT', 'UPDATE')
+         |  UNION ALL
+         |  SELECT coalesce(before_type, event_type) AS grp,
+         |         -coalesce(CAST(before_value AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))) AS delta,
+         |         -1 AS drows,
+         |         CASE WHEN operation = 'DELETE' THEN 1 ELSE 0 END AS chg
+         |  FROM b WHERE operation IN ('UPDATE', 'DELETE'))
+         |SELECT grp AS event_type,
+         |  CAST(round(sum(delta), 2) AS DOUBLE) AS net_value,
+         |  CAST(sum(drows) AS BIGINT) AS net_rows,
+         |  CAST(sum(chg) AS BIGINT) AS n_changes
+         |FROM c GROUP BY 1""".stripMargin,
     "ev_blast_radius" ->
       s"""$logCte,
          |r AS (SELECT event_id AS err_event_id, user_id,

@@ -194,29 +194,46 @@ object Cdc {
     * per micro-batch at 100 TB. DECIMAL deltas keep the sum
     * order-independent (cross-engine exact).
     *
-    * Semantics note: lag(value) is per user_id across ALL event types, so
-    * each delta is attributed to the change event's OWN type; a retraction
-    * of a value contributed under a different type lands in the retracting
-    * event's group. That is the intended "net effect of each change kind"
-    * view — it is only a true per-group materialized-view delta when a
-    * user's events never change type. For the latter, partition the lag by
-    * (user_id, event_type).
+    * Semantics: a true per-group materialized-view delta. Each change event
+    * explodes into contribution rows — the retraction of the previous value
+    * is attributed to the BEFORE event's type (the group that originally
+    * held it), the new value to the current event's type. An UPDATE that
+    * changes type therefore moves value AND a row between groups; one that
+    * keeps type nets to (value - before, ±0 rows) in place. `n_changes`
+    * counts each event exactly once (on its addition row; DELETE on its
+    * retraction row). One window pass, map-side explode — still a single
+    * shuffle on the entity key plus the final aggregation.
     */
-  def netEffect(spark: SparkSession, dir: String): DataFrame = {
+  def netEffect(spark: SparkSession, dir: String): DataFrame =
+    netEffectFrom(log(spark, dir))
+
+  /** Core over any normalized CDC log frame (so specs can plant
+    * type-change sequences). */
+  private[graft] def netEffectFrom(logDf: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("seq_us"), col("event_id"))
-    log(spark, dir)
+    logDf
       .withColumn("before_value", lag(col("value"), 1).over(w))
-      .selectExpr("event_type", "operation",
-        """CASE operation
-          |  WHEN 'INSERT' THEN CAST(value AS DECIMAL(12,2))
-          |  WHEN 'DELETE' THEN -coalesce(CAST(before_value AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))
-          |  ELSE CAST(value AS DECIMAL(12,2)) - coalesce(CAST(before_value AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))
-          |END AS delta""".stripMargin,
-        "CASE operation WHEN 'INSERT' THEN 1 WHEN 'DELETE' THEN -1 ELSE 0 END AS drows")
-      .groupBy("event_type")
-      .agg(expr("CAST(round(sum(delta), 2) AS DOUBLE)").as("net_value"),
-        expr("CAST(sum(drows) AS BIGINT)").as("net_rows"),
-        count(lit(1)).as("n_changes"))
+      .withColumn("before_type", lag(col("event_type"), 1).over(w))
+      .selectExpr(
+        """explode(CASE operation
+          |  WHEN 'INSERT' THEN array(
+          |    struct(event_type AS grp, CAST(value AS DECIMAL(12,2)) AS delta,
+          |           1 AS drows, 1 AS chg))
+          |  WHEN 'DELETE' THEN array(
+          |    struct(coalesce(before_type, event_type) AS grp,
+          |           -coalesce(CAST(before_value AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))) AS delta,
+          |           -1 AS drows, 1 AS chg))
+          |  ELSE array(
+          |    struct(coalesce(before_type, event_type) AS grp,
+          |           -coalesce(CAST(before_value AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))) AS delta,
+          |           -1 AS drows, 0 AS chg),
+          |    struct(event_type AS grp, CAST(value AS DECIMAL(12,2)) AS delta,
+          |           1 AS drows, 1 AS chg))
+          |END) AS c""".stripMargin)
+      .groupBy(expr("c.grp").as("event_type"))
+      .agg(expr("CAST(round(sum(c.delta), 2) AS DOUBLE)").as("net_value"),
+        expr("CAST(sum(c.drows) AS BIGINT)").as("net_rows"),
+        expr("CAST(sum(c.chg) AS BIGINT)").as("n_changes"))
   }
 
   /** #46 Time travel: the state of every entity as of a fixed point in time,

@@ -75,7 +75,7 @@ object Debezium {
     * shared by the plain and DLQ-splitting parse paths so envelopes are
     * parsed exactly once per event either way.
     */
-  private def extractFields(df: DataFrame): DataFrame =
+  private[graft] def extractFields(df: DataFrame): DataFrame =
     df.withColumn("cdc_operation_raw", col("parsed.op"))
       .withColumn("operation", readableOp(col("parsed.op")))
       .withColumn("before_image", col("parsed.before"))

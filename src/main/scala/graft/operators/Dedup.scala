@@ -252,24 +252,39 @@ object Dedup {
     * reference: pretraining curation gap (no analog in aurora-cdc-demo);
     * composes with `docCurationFuzzy`'s hash anti-join stage.
     */
-  def semanticDedupFrom(e: DataFrame, tau: Double, nClusters: Int): DataFrame = {
+  def semanticDedupFrom(e: DataFrame, tau: Double, nClusters: Int = -1): DataFrame = {
     val (assigned, pairs) = semanticPairs(e, tau, nClusters)
     val losers = pairs.select(col("cluster"), col("loser").as("vec_id")).distinct()
-    assigned.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    val out = assigned.groupBy("cluster").agg(count(lit(1)).as("n_members"))
       .join(pairs.groupBy("cluster").agg(count(lit(1)).as("n_dup_pairs")), Seq("cluster"), "left")
       .join(losers.groupBy("cluster").agg(count(lit(1)).as("n_dropped")), Seq("cluster"), "left")
       .na.fill(0L, Seq("n_dup_pairs", "n_dropped"))
       .withColumn("n_kept", col("n_members") - col("n_dropped"))
       .select(col("cluster").cast("int").as("cluster"), col("n_members"),
         col("n_dup_pairs"), col("n_dropped"), col("n_kept"))
+      // k rows — checkpoint eagerly so the big intermediate cache can go
+      .localCheckpoint(true)
+    assigned.unpersist()
+    out
   }
 
   /** Ids dropped by the keep rule — the set a curation pipeline anti-joins
     * against (spec-verified invariants). */
-  private[graft] def semanticLosers(e: DataFrame, tau: Double, nClusters: Int): DataFrame = {
-    val (_, pairs) = semanticPairs(e, tau, nClusters)
-    pairs.select(col("cluster"), col("loser").as("vec_id")).distinct()
+  private[graft] def semanticLosers(e: DataFrame, tau: Double,
+      nClusters: Int = -1): DataFrame = {
+    val (assigned, pairs) = semanticPairs(e, tau, nClusters)
+    val out = pairs.select(col("cluster"), col("loser").as("vec_id")).distinct()
+      .localCheckpoint(true)
+    assigned.unpersist()
+    out
   }
+
+  /** Default cluster count: k ≈ √n (the SemDeDup/FAISS rule — expected
+    * cluster size √n keeps the per-cluster quadratic at O(n) total work),
+    * floored for tiny corpora and capped so the centroid broadcast stays
+    * bounded. */
+  private[graft] def autoClusters(n: Long): Int =
+    math.max(8, math.min(65536, math.round(math.sqrt(n.toDouble)).toInt))
 
   /** Shared core: cluster-assign every vector (centroid cosine attached),
     * emit within-cluster dup pairs with the drop decision per pair. */
@@ -282,10 +297,12 @@ object Dedup {
     val fv = e.select(col("vec_id"), col("embedding"))
       .withColumn("fv", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materializes the cache; the same count feeds the auto-k rule
+    val k = if (nClusters > 0) nClusters else autoClusters(fv.count())
     // centroids train on a seeded SAMPLE — Lloyd cost is O(n·k·d·iter) and
     // cluster geometry converges long before the full corpus is seen; the
     // full corpus only pays the one-pass assignment (standard at 100 TB)
-    val model = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(5)
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cluster")
       .fit(fv.select("fv").sample(withReplacement = false, 0.25, 42L))
     val centroids: Seq[(Int, Array[Float])] = model.clusterCenters.toSeq
@@ -296,6 +313,8 @@ object Dedup {
       .withColumn("c_sim", GraftFunctions.cosineSim(col("embedding"), col("centroid")))
       .select("cluster", "vec_id", "embedding", "c_sim")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count() // materialize so the upstream feature cache can go now
+    fv.unpersist()
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("c_sim").as("csim_a"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
@@ -315,7 +334,7 @@ object Dedup {
     * keep/drop accounting. Jitter is `x*0.98f + 0.01f` — NOT pure scaling
     * (cosine is scale-invariant), so planted cosine is high but < 1. */
   def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.9,
-      nClusters: Int = 16): DataFrame =
+      nClusters: Int = -1): DataFrame =
     semanticDedupFrom(embeddingsWithPlants(spark, dir), tau, nClusters)
 
   /** Embeddings ∪ deterministic near-dup plants (id + 1,000,000). */

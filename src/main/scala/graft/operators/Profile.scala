@@ -39,8 +39,7 @@ object Profile {
           lit(null).cast("long").as(s"${c}__maxlen"))
       })
     }
-    val summary = df.agg(count(lit(1)).as("__n_rows"),
-      aggs.head, aggs.tail: _*)
+    val summary = df.agg(count(lit(1)).as("__n_rows"), aggs: _*)
     val stackArgs = cols.map(c =>
       s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__minlen`, `${c}__maxlen`"
     ).mkString(", ")

@@ -101,12 +101,18 @@ object JdbcCdcSink {
             val key = r.getLong(r.fieldIndex("user_id"))
             val eid = r.getLong(r.fieldIndex("event_id"))
             val op = r.getString(r.fieldIndex("operation"))
+            // mergeReduced is public and envelopes arrive from arbitrary
+            // parsers, so enforce the closed op set instead of assuming it —
+            // anything else would land caller-tainted text in the statement
+            require(op == "INSERT" || op == "UPDATE" || op == "DELETE",
+              s"unknown CDC operation '$op' (expected INSERT/UPDATE/DELETE)")
             val seq = r.getLong(r.fieldIndex("seq_us"))
             val vIdx = r.fieldIndex("value")
-            val value = if (r.isNullAt(vIdx)) "NULL" else r.getDouble(vIdx).toString
-            // operation is our own closed INSERT/UPDATE/DELETE mapping and
-            // the rest are numeric literals — nothing caller-tainted lands
-            // in the statement text
+            // non-finite doubles have no SQL literal form (Derby rejects the
+            // bare NaN/Infinity token) — store NULL
+            val value =
+              if (r.isNullAt(vIdx) || !java.lang.Double.isFinite(r.getDouble(vIdx))) "NULL"
+              else r.getDouble(vIdx).toString
             val guard = s"(t.seq_us < $seq OR (t.seq_us = $seq AND t.last_event_id <= $eid))"
             val sql =
               if (op == "DELETE")

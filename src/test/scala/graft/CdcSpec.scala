@@ -74,4 +74,40 @@ class CdcSpec extends SparkSpec {
     val total = Cdc.throughput(spark, sf).agg(sum("events_per_minute")).first().getLong(0)
     assert(total == Tables.events(spark, sf).count())
   }
+
+  test("net effect attributes retractions to the BEFORE event's type") {
+    import spark.implicits._
+    // user 1: INSERT 10.0 as purchase, then UPDATE to 4.0 as refund —
+    // the type change must MOVE the 10.0 (and the row) out of purchase.
+    // user 2: plain same-type update 5.0 -> 7.0 stays a net +7.0 in place.
+    // user 3: INSERT 3.0 then DELETE typed differently — retraction lands
+    // on the inserting type; the delete's own type gains nothing.
+    val planted = Seq(
+      (1L, 1L, "INSERT", 100L, "purchase", 10.0),
+      (2L, 1L, "UPDATE", 200L, "refund", 4.0),
+      (3L, 2L, "INSERT", 100L, "purchase", 5.0),
+      (4L, 2L, "UPDATE", 200L, "purchase", 7.0),
+      (5L, 3L, "INSERT", 100L, "signup", 3.0),
+      (6L, 3L, "DELETE", 200L, "error", 0.0)
+    ).toDF("event_id", "user_id", "operation", "seq_us", "event_type", "value")
+      .withColumn("props", lit("{}"))
+    val out = Cdc.netEffectFrom(planted).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // purchase: +10 (u1 ins) -10 (u1 retract) +5 (u2 ins) -5 +7 (u2 upd) = 7.0
+    // rows: +1 -1 +1 -1+1 = 1; changes: u1 ins, u2 ins, u2 upd = 3
+    assert(out("purchase") == ((7.0, 1L, 3L)))
+    // refund gains the moved row: +4.0, +1 row, 1 change (the update)
+    assert(out("refund") == ((4.0, 1L, 1L)))
+    // signup: +3 then retracted by the delete -> 0.0, 0 rows; BOTH changes
+    // (the insert and the delete that touched its value) count here
+    assert(out("signup") == ((0.0, 0L, 2L)))
+    // the delete's own type group holds nothing — the retraction moved
+    // value, row, and change attribution to the group that held the value
+    assert(!out.contains("error"))
+    // global invariants: values and rows conserve across groups
+    assert(math.abs(out.values.map(_._1).sum - (4.0 + 7.0)) < 1e-9)
+    assert(out.values.map(_._2).sum == 2L)
+    assert(out.values.map(_._3).sum == planted.count())
+  }
 }

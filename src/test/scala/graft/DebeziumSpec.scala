@@ -177,4 +177,51 @@ class DebeziumSpec extends SparkSpec {
       t2.getLong(t2.fieldIndex("n_snapshot_reads")) == 1L &&
       t2.getLong(t2.fieldIndex("span_ms")) == 0L)
   }
+
+  test("Avro wire round-trip reproduces the JSON silver parse exactly") {
+    import graft.sources.AvroEnvelope
+    val viaJson = Debezium.silverParsed(spark, sf)
+    val viaAvro = AvroEnvelope.avroSilverParsed(spark, sf)
+    assert(viaJson.schema == viaAvro.schema)
+    // full-row parity both directions (null-safe on every column)
+    assert(viaJson.exceptAll(viaAvro).count() == 0)
+    assert(viaAvro.exceptAll(viaJson).count() == 0)
+    // binary payloads are stable: encoding twice produces identical bytes
+    val env = Debezium.synthEnvelope(spark, sf).limit(64)
+    val a = AvroEnvelope.encode(env, "cdc_event").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+    val b = AvroEnvelope.encode(env, "cdc_event").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+    assert(a.sameElements(b))
+    // null images survive the union encoding (DELETE has null after)
+    val del = AvroEnvelope.avroSilverParsed(spark, sf)
+      .filter(col("operation") === "DELETE")
+    assert(del.count() > 0 && del.filter(col("after_image").isNotNull).count() == 0)
+  }
+
+  test("readEnvelopeStream text arm feeds the silver parse end-to-end") {
+    import graft.sources.AvroEnvelope
+    val dir = java.nio.file.Files.createTempDirectory("env_stream").toFile
+    try {
+      val envDir = new java.io.File(dir, "in"); envDir.mkdirs()
+      Debezium.synthEnvelope(spark, sf).limit(200)
+        .select("cdc_event").coalesce(1)
+        .write.mode("overwrite").text(envDir.getAbsolutePath)
+      val stream = AvroEnvelope.readEnvelopeStream(spark, "text",
+        Map("path" -> envDir.getAbsolutePath))
+      assert(stream.isStreaming)
+      val q = Debezium.parseEnvelope(stream, "cdc_event")
+        .select("event_ts_ms", "operation", "table_name")
+        .writeStream.format("memory").queryName("env_stream_t")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("env_stream_t")
+      assert(got.count() == 200)
+      assert(got.filter(col("table_name") === "events").count() == 200)
+      // unknown format arm is a loud error, not a silent fallback
+      intercept[IllegalArgumentException] {
+        AvroEnvelope.readEnvelopeStream(spark, "carrier-pigeon", Map())
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }

@@ -168,4 +168,27 @@ class DedupSpec extends SparkSpec {
     assert(bothDropped <= (srcIds.length * 0.1).toInt,
       s"$bothDropped of ${srcIds.length} planted pairs lost BOTH members")
   }
+
+  test("semantic dedup auto-k holds invariants at two corpus sizes") {
+    // k ≈ √n rule itself
+    assert(Dedup.autoClusters(4L) == 8)       // floor
+    assert(Dedup.autoClusters(10000L) == 100) // √n
+    assert(Dedup.autoClusters(10_000_000_000L) == 65536) // cap
+    val full = Dedup.embeddingsWithPlants(spark, sf)
+    for (corpus <- Seq(full, full.filter(col("vec_id") % 4 === 0))) {
+      val n = corpus.count()
+      val stats = Dedup.semanticDedupFrom(corpus, tau = 0.9).collect()
+      // auto-k clustered frame still accounts for every vector exactly once
+      assert(stats.map(_.getAs[Long]("n_members")).sum == n)
+      stats.foreach { r =>
+        assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+          r.getAs[Long]("n_members"))
+      }
+      // plants are still mostly caught with k derived from the corpus
+      val dropped = stats.map(_.getAs[Long]("n_dropped")).sum
+      val nPlants = corpus.filter(col("vec_id") >= 1000000L).count()
+      assert(dropped >= (nPlants * 0.8).toLong,
+        s"auto-k dropped $dropped of $nPlants planted near-dups (n=$n)")
+    }
+  }
 }
