@@ -49,6 +49,10 @@ object SparkEntry {
     "cdc_latency_metrics" -> ((s, d) => Debezium.latencyAudit(s, d)),
     "cdc_table_batch" -> ((s, d) => TableRegistry.tableBatch(s, d)),
     "cdc_table_groups" -> ((s, d) => TableRegistry.tableGroups(TableRegistry.discover(s, d))),
+    // catalog onboarding: seed Derby, auto-register via DatabaseMetaData
+    "src_jdbc_catalog" -> ((s, d) => TableRegistry.jdbcCatalogBatch(s, d)),
+    // real PNG codec round-trip (javax.imageio), geometry oracle-checked
+    "mm_image_decode" -> ((s, d) => graft.operators.Multimodal.imageDecode(s, d)),
     "cdc_registry_stats" -> ((s, d) => TableRegistry.registryStats(TableRegistry.discover(s, d))),
     // incremental watermark poll against embedded Derby (rows-only: no
     // JDBC endpoint in the oracle; spec proves non-overlap + idempotence)
@@ -400,6 +404,16 @@ object SparkEntry {
          |   WHEN update_frequency > 10 THEN 'medium_frequency'
          |   ELSE 'low_frequency' END AS freq_group
          |FROM p""".stripMargin,
+    // the Derby catalog is seeded from deterministic slices of the test
+    // tables, so the discovered registry is fully SQL-predictable
+    "src_jdbc_catalog" ->
+      """SELECT 'cdc_orders' AS name, 'app' AS schema,
+        |  least(800, (SELECT count(*) FROM orders)) AS row_count,
+        |  'o_orderkey' AS partition_key, true AS cdc_enabled
+        |UNION ALL
+        |SELECT 'cdc_users', 'app',
+        |  least(500, (SELECT count(DISTINCT user_id) FROM events)),
+        |  'user_id', true""".stripMargin,
     "cdc_registry_stats" ->
       s"""$registryCte
          |SELECT count(*) AS n_tables,
@@ -1387,6 +1401,14 @@ object SparkEntry {
         |  64 + doc_id % 1024 AS fake_width,
         |  64 + (doc_id * 7) % 1024 AS fake_height,
         |  1 + CAST(floor(strlen(text) / 256.0) AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+    // geometry is a pure function of doc_id; matching it proves the PNG
+    // encode→decode round-trip preserved the raster dimensions
+    "mm_image_decode" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 9 AS INTEGER) AS img_w,
+        |  CAST(8 + (doc_id * 3) % 9 AS INTEGER) AS img_h,
+        |  CAST((8 + doc_id % 9) * (8 + (doc_id * 3) % 9) AS BIGINT) AS n_pixels
         |FROM documents""".stripMargin,
     "q_rank_family" ->
       """WITH r AS (

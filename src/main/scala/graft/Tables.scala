@@ -134,4 +134,47 @@ object Tables {
       .map(s => s.getPath.getName ->
         compact(spark, s.getPath.toString, targetFileMB))
   }
+
+  /** Retention sweep — the VACUUM analog (reference:
+    * unity_catalog_cdc_demo.py:605-624 runs VACUUM after OPTIMIZE). The
+    * generation-dir pattern used throughout (registry `gen=N` checkpoints,
+    * medallion `batch_id=N` DLQ/quarantine drops, `__retired` compaction
+    * leftovers) accumulates forever without it — at 100 TB the retired
+    * copies dwarf the live table within weeks.
+    *
+    * Deletes, under `path`:
+    *  - numbered generation dirs (`prefix=N` for any single prefix) beyond
+    *    the newest `keepLast` — the CURRENT generation is never touched,
+    *    so concurrent readers of the newest snapshot are safe mid-sweep;
+    *  - crash leftovers: `*__retired` and `*_staging`/`*__compacting` dirs
+    *    (complete tables were already promoted; these are the swapped-out
+    *    or abandoned copies).
+    *
+    * Driver-side FS metadata ops only — no data is read. Returns the
+    * deleted paths (relative names) for audit logging.
+    */
+  def retentionSweep(spark: SparkSession, path: String,
+      keepLast: Int = 2): Seq[String] = {
+    require(keepLast >= 1, "retentionSweep must keep at least the current generation")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val children = fs.listStatus(root).toIndexedSeq.filter(_.isDirectory)
+    val genPat = "([A-Za-z_]+)=([0-9]+)".r
+    val generations = children.flatMap(s => s.getPath.getName match {
+      case genPat(prefix, n) => Some((prefix, n.toLong, s.getPath))
+      case _ => None
+    })
+    val expiredGens = generations.groupBy(_._1).values.flatMap { gens =>
+      gens.sortBy(-_._2).drop(keepLast)
+    }.map(_._3).toSeq
+    val leftovers = children.map(_.getPath).filter { p =>
+      val n = p.getName
+      n.endsWith("__retired") || n.endsWith("_staging") || n.endsWith("__compacting")
+    }
+    (expiredGens ++ leftovers).map { p =>
+      fs.delete(p, true)
+      p.getName
+    }.sorted
+  }
 }

@@ -183,6 +183,131 @@ object TableRegistry {
         | WHEN update_frequency > 10 THEN 'medium_frequency'
         | ELSE 'low_frequency' END AS freq_group""".stripMargin)
 
+  /** Persist the registry frame (table_manager.py:345-378 _save_metadata /
+    * _load_metadata — the reference survives restarts with table metadata,
+    * error counts, and priorities intact). Each save writes a NEW numbered
+    * generation directory and touches nothing in place: a crash mid-save
+    * leaves the previous generation complete and addressable, and
+    * [[load]] always reads a whole snapshot. The frame is O(tables) rows,
+    * so `coalesce(1)` keeps each generation a single small file. Returns
+    * the generation number written. Old generations are reclaimed by
+    * [[graft.Tables.retentionSweep]].
+    */
+  def save(registry: DataFrame, path: String): Long = {
+    val spark = registry.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = latestGeneration(fs, root).map(_ + 1).getOrElse(0L)
+    registry.coalesce(1).write.mode("overwrite").parquet(s"$path/gen=$next")
+    next
+  }
+
+  /** Load the newest complete registry generation written by [[save]].
+    * The restart path: a fresh session points at the same directory and
+    * resumes with error counts / staleness clocks / priorities intact.
+    */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = latestGeneration(fs, root).getOrElse(
+      throw new IllegalStateException(s"no registry checkpoint under $path"))
+    spark.read.parquet(s"$path/gen=$gen")
+  }
+
+  private def latestGeneration(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      // only COMPLETE generations count — a crashed write has no _SUCCESS
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong)
+      .maxOption
+
+  /** Auto-registration from a live database's catalog — the reference's
+    * onboarding story (table_manager.py:97-156
+    * register_tables_from_database scans INFORMATION_SCHEMA and registers
+    * every table it finds). JDBC `DatabaseMetaData` is the portable
+    * equivalent (Derby stands in for Aurora here, as in the snapshot
+    * source): table list, per-table exact row count (onboarding-time
+    * only), average row width estimated from declared column sizes, and
+    * the primary key as the partition/split key for the snapshot reader.
+    * Everything feeds the same [[withPriorities]] scoring as
+    * directory-discovered tables.
+    */
+  def discoverJdbc(spark: SparkSession, url: String, schema: String = "APP",
+      props: java.util.Properties = new java.util.Properties): DataFrame = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val md = conn.getMetaData
+      val tables = {
+        val rs = md.getTables(null, schema, "%", Array("TABLE"))
+        val b = Seq.newBuilder[String]
+        while (rs.next()) b += rs.getString("TABLE_NAME")
+        b.result()
+      }
+      val metas = tables.sorted.map { t =>
+        graft.sources.JdbcSnapshot.validIdent(t)
+        val rc = conn.createStatement().executeQuery(
+          s"""SELECT COUNT(*) FROM "$schema"."$t"""")
+        rc.next()
+        val rows = rc.getLong(1)
+        var width = 0.0
+        val cols = md.getColumns(null, schema, t, "%")
+        while (cols.next())
+          width += math.min(256, math.max(4, cols.getInt("COLUMN_SIZE")))
+        val pk = md.getPrimaryKeys(null, schema, t)
+        val pkCol = if (pk.next()) Option(pk.getString("COLUMN_NAME")) else None
+        TableMeta(t.toLowerCase, schema.toLowerCase, rows, width,
+          update_frequency = 1.0, last_processed_hours = None,
+          error_count = 0, partition_key = pkCol.map(_.toLowerCase),
+          cdc_enabled = true)
+      }
+      require(metas.nonEmpty, s"no tables found in schema $schema at $url")
+      fromMetadata(spark, metas)
+    } finally conn.close()
+  }
+
+  /** #176 Registered demo: seed an embedded Derby catalog with two tables
+    * sliced from the test data, auto-register via [[discoverJdbc]], and
+    * emit the catalog-derived registry columns (the deterministic subset:
+    * counts mirror SQL on the base tables; widths/keys come from the DDL
+    * below and are constant).
+    */
+  def jdbcCatalogBatch(spark: SparkSession, dir: String): DataFrame = {
+    val url = "jdbc:derby:memory:graftcat;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      for (t <- Seq("CDC_USERS", "CDC_ORDERS"))
+        try st.execute(s"DROP TABLE $t")
+        catch { case _: java.sql.SQLException => () }
+      st.execute(
+        "CREATE TABLE CDC_USERS (user_id BIGINT PRIMARY KEY, n_events BIGINT)")
+      st.execute(
+        "CREATE TABLE CDC_ORDERS (o_orderkey BIGINT PRIMARY KEY, o_custkey BIGINT)")
+      val users = Cdc.log(spark, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id").limit(500).collect()
+      val ins = conn.prepareStatement("INSERT INTO CDC_USERS VALUES (?, ?)")
+      users.foreach { r =>
+        ins.setLong(1, r.getLong(0)); ins.setLong(2, r.getLong(1))
+        ins.addBatch()
+      }
+      ins.executeBatch()
+      val orders = graft.Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey").orderBy("o_orderkey").limit(800).collect()
+      val insO = conn.prepareStatement("INSERT INTO CDC_ORDERS VALUES (?, ?)")
+      orders.foreach { r =>
+        insO.setLong(1, r.getLong(0)); insO.setLong(2, r.getLong(1))
+        insO.addBatch()
+      }
+      insO.executeBatch()
+    } finally conn.close()
+    discoverJdbc(spark, url)
+      .select("name", "schema", "row_count", "partition_key", "cdc_enabled")
+  }
+
   /** Registry rollup (table_manager.py:320-344 get_statistics): table and
     * row totals, enabled/disabled split, mean update frequency. The mean
     * is ×10⁴ fixed-point over a ×10 integer view of the frequencies (they

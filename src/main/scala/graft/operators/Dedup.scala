@@ -62,8 +62,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact Jaccard verify only on candidate pairs: join the pair ids back
     // to the raw text and run the hash-set ShingleJaccard kernel — no
-    // shingle-array materialization, no set-op expressions
+    // shingle-array materialization, no set-op expressions. Texts are
+    // semi-join-pruned to docs that appear in ANY candidate pair first, so
+    // the two verify joins shuffle candidate-involved docs only, not the
+    // corpus (near-dup candidates are sparse at corpus scale).
+    val involved = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
     val texts = corpus.select(col("doc_id"), col("text"))
+      .join(involved, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(texts.select(col("doc_id").as("doc_a"), col("text").as("t_a")), "doc_a")
       .join(texts.select(col("doc_id").as("doc_b"), col("text").as("t_b")), "doc_b")

@@ -8,12 +8,12 @@ import graft.Tables
   * with typed metadata, decoded/feature-extracted in partition-sized
   * batches.
   *
-  * The decode kernel is a STUB (no image/audio codecs in this
-  * environment): `fakeDecode` derives deterministic pseudo-features from
-  * the bytes. The Spark-side shape — schema, binary column, partition
-  * batching, feature-vector output — is real and tested; swapping
-  * `fakeDecode` for a JNI/codec call is the only change a real deployment
-  * needs.
+  * Two decode tiers: [[decodeImages]] is a REAL codec path (PNG encode +
+  * decode through javax.imageio, pixels round-tripped through genuine
+  * compressed binaries), while `fakeDecode`/`decodeStub` remains the
+  * codec-agnostic seam for formats the JDK cannot decode (video/audio —
+  * swap in a JNI codec there). Both share the same Spark-side shape:
+  * typed binary column in, partition-batched kernel, typed features out.
   */
 object Multimodal {
 
@@ -142,4 +142,92 @@ object Multimodal {
         it.map(fakeDecode)
       }
   }
+
+  // ---- REAL codec path (javax.imageio — a genuine PNG encoder/decoder
+  // shipped with the JDK; this is the kernel the *_stub seams swap in) ----
+
+  /** Deterministic RGB image per document: pixel channels cycle through
+    * the document's UTF-8 bytes; dimensions derive from doc_id. Pure
+    * function of the row — both engines and the spec can predict the
+    * geometry exactly.
+    */
+  private def imageDims(id: Long): (Int, Int) =
+    ((8 + id % 9).toInt, (8 + (id * 3) % 9).toInt)
+
+  /** Synthesize REAL PNG binaries executor-side (the sandbox ships no
+    * media files): render each document's bytes into an RGB image and
+    * ImageIO-encode it. Downstream operators receive genuine compressed
+    * image payloads — magic bytes, IDAT chunks, the lot — so the decode
+    * stage exercises a real codec, not a fake.
+    */
+  def imagePayloads(spark: SparkSession, dir: String): Dataset[MediaIn] = {
+    implicit val enc = Encoders.product[MediaIn]
+    import spark.implicits.{newLongEncoder, newStringEncoder, newProductEncoder}
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val baos = new java.io.ByteArrayOutputStream(4096)
+        it.map { case (id, text) =>
+          val (w, h) = imageDims(id)
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val n = bytes.length
+          var i = 0
+          while (i < w * h) {
+            val r = if (n == 0) 0 else bytes((i * 3) % n) & 0xff
+            val g = if (n == 0) 0 else bytes((i * 3 + 1) % n) & 0xff
+            val b = if (n == 0) 0 else bytes((i * 3 + 2) % n) & 0xff
+            img.setRGB(i % w, i / w, (r << 16) | (g << 8) | b)
+            i += 1
+          }
+          baos.reset()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          MediaIn(id, baos.toByteArray)
+        }
+      }
+  }
+
+  case class ImageFeat(doc_id: Long, img_w: Int, img_h: Int, n_pixels: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL decode: ImageIO parses the PNG bytes back into pixels; features
+    * are per-channel means over the decoded raster. One partition pass,
+    * decoder state amortized; unreadable payloads yield None so callers
+    * can route them to a DLQ instead of failing the batch.
+    */
+  def decodeImages(payloads: Dataset[MediaIn]): Dataset[ImageFeat] = {
+    implicit val enc = Encoders.product[ImageFeat]
+    payloads.mapPartitions { it =>
+      it.flatMap { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < w * h) {
+            val px = img.getRGB(i % w, i / w)
+            sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+            i += 1
+          }
+          val n = (w * h).toDouble
+          Some(ImageFeat(m.doc_id, w, h, w.toLong * h,
+            sr / n, sg / n, sb / n))
+        }
+      }
+    }
+  }
+
+  /** #177 Registered query: PNG-encode → ImageIO-decode round trip. The
+    * emitted columns are the decode outputs that are pure functions of
+    * doc_id (geometry), so the DuckDB oracle proves the codec round-trip
+    * preserved them; channel means are spec-verified (ImageDecodeSpec)
+    * rather than oracle-compared.
+    */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeImages(imagePayloads(spark, dir))
+      .toDF()
+      .select("doc_id", "img_w", "img_h", "n_pixels")
 }

@@ -355,25 +355,52 @@ object Similarity {
     * coarse centroids — the same metric ADC approximates, so the probe
     * and scan rankings agree. ScaleSpec pins recall vs the exact scan.
     */
-  def annIvfPqTopK(spark: SparkSession, dir: String, k: Int = DefaultK,
-      nClusters: Int = 16, nProbe: Int = 4, m: Int = 8,
-      kCodes: Int = 256): DataFrame = {
+  /** Trained IVF-PQ index model: the coarse quantizer plus the flat
+    * product codebook. Production trains ONCE (the codebook is O(m·k·d)
+    * floats and the coarse model O(nClusters·dim) — driver-sized
+    * regardless of corpus scale) and serves every query batch from the
+    * same model; the registered audit query retrains per call only so the
+    * oracle run is self-contained.
+    */
+  case class IvfPqModel(
+      coarse: org.apache.spark.ml.clustering.KMeansModel,
+      codebook: Array[Float], nClusters: Int, m: Int, kCodes: Int, d: Int)
+
+  /** Train the coarse quantizer + PQ codebook (seeded, deterministic). */
+  def trainIvfPq(spark: SparkSession, dir: String, nClusters: Int = 16,
+      m: Int = 8, kCodes: Int = 256): IvfPqModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
     val e = Tables.embeddings(spark, dir)
     val dim = e.select(size(col("embedding"))).head().getInt(0)
-    val d = dim / m
     val coarse = new KMeans().setK(nClusters).setSeed(7L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cluster")
       .fit(e.withColumn("fv", array_to_vector(col("embedding"))).select("fv"))
+    IvfPqModel(coarse, pqCodebook(spark, dir, m, kCodes), nClusters, m,
+      kCodes, dim / m)
+  }
+
+  def annIvfPqTopK(spark: SparkSession, dir: String, k: Int = DefaultK,
+      nClusters: Int = 16, nProbe: Int = 4, m: Int = 8,
+      kCodes: Int = 256): DataFrame =
+    annIvfPqServe(spark, dir, trainIvfPq(spark, dir, nClusters, m, kCodes),
+      k, nProbe)
+
+  /** Serve a query batch from an already-trained model — only encode and
+    * scan work here; nothing retrains.
+    */
+  def annIvfPqServe(spark: SparkSession, dir: String, model: IvfPqModel,
+      k: Int = DefaultK, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+    val IvfPqModel(coarse, cb, _, m, kCodes, d) = model
+    val e = Tables.embeddings(spark, dir)
     val assigned = coarse.transform(
         e.withColumn("fv", array_to_vector(col("embedding"))))
       .select(col("vec_id"), col("embedding"), col("cluster"))
     val cdf = spark.createDataFrame(coarse.clusterCenters.toSeq
         .map((v: Vector) => v.toArray.map(_.toFloat)).zipWithIndex.map(_.swap))
       .toDF("cluster", "centroid")
-    val cb = pqCodebook(spark, dir, m, kCodes)
     val qtab = flatten(pqDistTables(nestCb(cb, m, kCodes, d), m, kCodes, d))
     val centL2 = aggregate(
       zip_with(col("embedding"), col("centroid"), (x, y) =>

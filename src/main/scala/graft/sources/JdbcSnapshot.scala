@@ -26,7 +26,7 @@ object JdbcSnapshot {
     * plain `word.word` chains or already-double-quoted identifiers so a
     * caller-supplied string can't smuggle SQL (ADVICE r2).
     */
-  private[sources] def validIdent(s: String): String = {
+  private[graft] def validIdent(s: String): String = {
     val plain = "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"
     val quoted = "\"[^\"]+\"(\\.\"[^\"]+\")*"
     require(s.matches(plain) || s.matches(quoted),

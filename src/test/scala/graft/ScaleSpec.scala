@@ -111,6 +111,19 @@ class ScaleSpec extends SparkSpec {
     assert(mean2 >= 0.5, s"IVF-PQ recall collapsed to $mean2 (full PQ: $mean)")
   }
 
+  test("IVF-PQ model trains once and serves repeated query batches identically") {
+    val model = Similarity.trainIvfPq(spark, sf)
+    def run() = Similarity.annIvfPqServe(spark, sf, model, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    val first = run()
+    assert(first.nonEmpty)
+    // same model, same answers — and matches the retrain-per-call entry
+    assert(run() == first)
+    val viaEntry = Similarity.annIvfPqTopK(spark, sf, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(viaEntry == first)
+  }
+
   test("embDimStats computes exact fixed-point dimension stats") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dimstats").toString

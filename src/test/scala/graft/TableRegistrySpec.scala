@@ -115,4 +115,78 @@ class TableRegistrySpec extends SparkSpec {
       assert(jobs <= 4, s"discover ran $jobs jobs for 10 tables")
     } finally sc.clearJobGroup()
   }
+
+  test("registry state survives a restart via save/load checkpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("reg_ckpt").toString
+    try {
+      // session 1: discover, take some scheduling feedback, checkpoint
+      val reg0 = TableRegistry.discover(spark, sf)
+      val reg1 = TableRegistry.markProcessed(reg0, "orders", success = true)
+      val reg2 = TableRegistry.markProcessed(reg1, "supplier",
+        success = false, error = Some("replication lag"))
+      val g0 = TableRegistry.save(reg2, dir)
+      assert(g0 == 0L)
+      // "restart": load from disk only — no reference to the live frames
+      val loaded = TableRegistry.load(spark, dir)
+      val byName = loaded.collect()
+        .map(r => r.getAs[String]("name") -> r).toMap
+      // success reset orders' clock; failure bumped supplier's error state
+      assert(byName("orders").getAs[Double]("last_processed_hours") == 0.0)
+      val sup = byName("supplier")
+      assert(sup.getAs[Int]("error_count") == 4) // discover profile 3 + 1
+      assert(sup.getAs[String]("last_error") == "replication lag")
+      // priorities recompute identically from the restored state
+      val p = TableRegistry.withPriorities(loaded)
+        .filter(col("name") === "supplier").select("priority").first().getLong(0)
+      assert(p > 0)
+      // a second save writes a NEW generation; load picks the newest
+      val g1 = TableRegistry.save(
+        TableRegistry.markProcessed(loaded, "supplier", success = true), dir)
+      assert(g1 == 1L)
+      val re = TableRegistry.load(spark, dir)
+      val sup2 = re.filter(col("name") === "supplier").first()
+      assert(sup2.getAs[Int]("error_count") == 0 &&
+        sup2.getAs[String]("last_error") == null)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
+  test("discoverJdbc auto-registers Derby tables with keys and counts") {
+    val reg = TableRegistry.jdbcCatalogBatch(spark, sf).collect()
+      .map(r => r.getAs[String]("name") -> r).toMap
+    assert(reg.size == 2)
+    assert(reg("cdc_users").getAs[String]("partition_key") == "user_id")
+    assert(reg("cdc_orders").getAs[String]("partition_key") == "o_orderkey")
+    assert(reg("cdc_users").getAs[Long]("row_count") > 0)
+    assert(reg.values.forall(_.getAs[Boolean]("cdc_enabled")))
+    // discovered metadata flows into the shared priority scoring
+    val batch = TableRegistry.nextBatch(
+      TableRegistry.discoverJdbc(spark, "jdbc:derby:memory:graftcat"),
+      maxTables = 1)
+    assert(batch.count() == 1)
+  }
+
+  test("retention sweep reclaims old generations, never the current") {
+    val dir = java.nio.file.Files.createTempDirectory("reg_sweep").toString
+    try {
+      val reg = TableRegistry.discover(spark, sf)
+      var latest = reg
+      for (i <- 0 until 4) {
+        latest = TableRegistry.markProcessed(latest, "orders", success = i % 2 == 0)
+        TableRegistry.save(latest, dir)
+      }
+      // plant a crashed-compaction leftover beside the generations
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "orders__retired"))
+      val deleted = Tables.retentionSweep(spark, dir, keepLast = 2)
+      assert(deleted.sorted == Seq("gen=0", "gen=1", "orders__retired"))
+      // the newest snapshot is still fully readable after the sweep
+      val survived = TableRegistry.load(spark, dir)
+      assert(survived.count() == reg.count())
+      // sweeping again is a no-op
+      assert(Tables.retentionSweep(spark, dir, keepLast = 2).isEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
 }
