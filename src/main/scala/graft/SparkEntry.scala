@@ -53,6 +53,8 @@ object SparkEntry {
     "src_jdbc_catalog" -> ((s, d) => TableRegistry.jdbcCatalogBatch(s, d)),
     // real PNG codec round-trip (javax.imageio), geometry oracle-checked
     "mm_image_decode" -> ((s, d) => graft.operators.Multimodal.imageDecode(s, d)),
+    // real WAV codec round-trip (javax.sound.sampled), ditto
+    "mm_audio_decode" -> ((s, d) => graft.operators.Multimodal.audioDecode(s, d)),
     "cdc_registry_stats" -> ((s, d) => TableRegistry.registryStats(TableRegistry.discover(s, d))),
     // incremental watermark poll against embedded Derby (rows-only: no
     // JDBC endpoint in the oracle; spec proves non-overlap + idempotence)
@@ -1409,6 +1411,12 @@ object SparkEntry {
         |  CAST(8 + doc_id % 9 AS INTEGER) AS img_w,
         |  CAST(8 + (doc_id * 3) % 9 AS INTEGER) AS img_h,
         |  CAST((8 + doc_id % 9) * (8 + (doc_id * 3) % 9) AS BIGINT) AS n_pixels
+        |FROM documents""".stripMargin,
+    "mm_audio_decode" ->
+      """SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS n_channels,
+        |  CAST(64 + doc_id % 129 AS BIGINT) AS n_frames,
+        |  CAST((64 + doc_id % 129) * 1000 // 8000 AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
     "q_rank_family" ->
       """WITH r AS (

@@ -230,4 +230,93 @@ object Multimodal {
     decodeImages(imagePayloads(spark, dir))
       .toDF()
       .select("doc_id", "img_w", "img_h", "n_pixels")
+
+  /** Audio frame count per doc — pure function of doc_id, same
+    * determinism contract as [[imageDims]]. */
+  private def audioFrames(id: Long): Int = 64 + (id % 129).toInt
+
+  private val SampleRate = 8000f
+
+  /** Synthesize REAL WAV binaries executor-side: 16-bit little-endian
+    * mono PCM whose samples cycle through the document's bytes, wrapped
+    * in a genuine RIFF/WAVE container by javax.sound.sampled — the audio
+    * twin of [[imagePayloads]].
+    */
+  def audioPayloads(spark: SparkSession, dir: String): Dataset[MediaIn] = {
+    implicit val enc = Encoders.product[MediaIn]
+    import spark.implicits.{newLongEncoder, newStringEncoder, newProductEncoder}
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val baos = new java.io.ByteArrayOutputStream(4096)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = audioFrames(id)
+          val pcm = new Array[Byte](n * 2)
+          val len = bytes.length
+          var i = 0
+          while (i < n) {
+            val s = if (len == 0) 0
+              else (((bytes((i * 5) % len) & 0xff) - 128) << 8)
+            pcm(i * 2) = (s & 0xff).toByte        // little-endian lo
+            pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1,
+            true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          baos.reset()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          MediaIn(id, baos.toByteArray)
+        }
+      }
+  }
+
+  case class AudioFeat(doc_id: Long, sample_rate: Int, n_channels: Int,
+      n_frames: Long, duration_ms: Long, rms: Double, peak: Int)
+
+  /** REAL decode: AudioSystem parses the WAV container (format chunk +
+    * PCM data), features are RMS amplitude and peak over the decoded
+    * samples. Unreadable payloads drop out (DLQ pattern) instead of
+    * failing the batch.
+    */
+  def decodeAudio(payloads: Dataset[MediaIn]): Dataset[AudioFeat] = {
+    implicit val enc = Encoders.product[AudioFeat]
+    payloads.mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          val data = ais.readAllBytes()
+          var (sumSq, peak) = (0.0, 0)
+          var i = 0
+          while (i + 1 < data.length) {
+            val s = ((data(i) & 0xff) | (data(i + 1).toInt << 8)).toShort.toInt
+            sumSq += s.toDouble * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            i += 2
+          }
+          val n = math.max(frames, 1L)
+          Some(AudioFeat(m.doc_id, fmt.getSampleRate.toInt, fmt.getChannels,
+            frames, frames * 1000L / fmt.getSampleRate.toLong,
+            math.sqrt(sumSq / n), peak))
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        }
+      }
+    }
+  }
+
+  /** #182 Registered query: WAV-encode → AudioSystem-decode round trip;
+    * geometry columns are pure functions of doc_id (oracle-checked),
+    * amplitude features are spec-verified (AudioDecodeSpec).
+    */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeAudio(audioPayloads(spark, dir))
+      .toDF()
+      .select("doc_id", "sample_rate", "n_channels", "n_frames", "duration_ms")
 }

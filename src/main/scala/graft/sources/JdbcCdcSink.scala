@@ -38,8 +38,10 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB the per-partition connection is the unit of parallelism
   * (executor pool = connection pool, as in the snapshot reader) and the
-  * reduced batch is what travels; statements run per key here for clarity
-  * where a production driver would use JDBC addBatch windows.
+  * reduced batch is what travels; merges execute as parameterized JDBC
+  * batches (one prepared MERGE compiled per partition, rows appended via
+  * addBatch and flushed in windows), so the per-row cost is a bind + a
+  * batch slot, not a statement compile + network round-trip.
   */
 object JdbcCdcSink {
 
@@ -96,40 +98,70 @@ object JdbcCdcSink {
         val conn = DriverManager.getConnection(url, props)
         try {
           conn.setAutoCommit(false)
-          val st = conn.createStatement()
+          // ONE prepared MERGE per shape, compiled once per partition; rows
+          // bind as parameters (no data ever lands in statement text) and
+          // flush in addBatch windows. The CASTs give Derby the parameter
+          // types it cannot infer inside MERGE.
+          val guard =
+            """(t.seq_us < CAST(? AS BIGINT)
+              | OR (t.seq_us = CAST(? AS BIGINT)
+              |     AND t.last_event_id <= CAST(? AS BIGINT)))""".stripMargin
+          val upsert = conn.prepareStatement(
+            s"""MERGE INTO $table AS t
+               |USING SYSIBM.SYSDUMMY1 AS s ON t.user_id = CAST(? AS BIGINT)
+               |WHEN MATCHED AND $guard THEN UPDATE SET
+               |  last_event_id = CAST(? AS BIGINT),
+               |  last_op = CAST(? AS VARCHAR(16)),
+               |  last_value = CAST(? AS DOUBLE), seq_us = CAST(? AS BIGINT)
+               |WHEN NOT MATCHED THEN INSERT
+               |  (user_id, last_event_id, last_op, last_value, seq_us)
+               |  VALUES (CAST(? AS BIGINT), CAST(? AS BIGINT),
+               |          CAST(? AS VARCHAR(16)), CAST(? AS DOUBLE),
+               |          CAST(? AS BIGINT))""".stripMargin)
+          val delete = conn.prepareStatement(
+            s"""MERGE INTO $table AS t
+               |USING SYSIBM.SYSDUMMY1 AS s ON t.user_id = CAST(? AS BIGINT)
+               |WHEN MATCHED AND $guard THEN DELETE""".stripMargin)
+          val window = 500
+          var (nU, nD) = (0, 0)
           rows.foreach { r =>
             val key = r.getLong(r.fieldIndex("user_id"))
             val eid = r.getLong(r.fieldIndex("event_id"))
             val op = r.getString(r.fieldIndex("operation"))
             // mergeReduced is public and envelopes arrive from arbitrary
-            // parsers, so enforce the closed op set instead of assuming it —
-            // anything else would land caller-tainted text in the statement
+            // parsers, so enforce the closed op set instead of assuming it
             require(op == "INSERT" || op == "UPDATE" || op == "DELETE",
               s"unknown CDC operation '$op' (expected INSERT/UPDATE/DELETE)")
             val seq = r.getLong(r.fieldIndex("seq_us"))
             val vIdx = r.fieldIndex("value")
-            // non-finite doubles have no SQL literal form (Derby rejects the
-            // bare NaN/Infinity token) — store NULL
-            val value =
-              if (r.isNullAt(vIdx) || !java.lang.Double.isFinite(r.getDouble(vIdx))) "NULL"
-              else r.getDouble(vIdx).toString
-            val guard = s"(t.seq_us < $seq OR (t.seq_us = $seq AND t.last_event_id <= $eid))"
-            val sql =
-              if (op == "DELETE")
-                s"""MERGE INTO $table AS t
-                   |USING SYSIBM.SYSDUMMY1 AS s ON t.user_id = $key
-                   |WHEN MATCHED AND $guard THEN DELETE""".stripMargin
-              else
-                s"""MERGE INTO $table AS t
-                   |USING SYSIBM.SYSDUMMY1 AS s ON t.user_id = $key
-                   |WHEN MATCHED AND $guard THEN UPDATE SET
-                   |  last_event_id = $eid, last_op = '$op',
-                   |  last_value = $value, seq_us = $seq
-                   |WHEN NOT MATCHED THEN INSERT
-                   |  (user_id, last_event_id, last_op, last_value, seq_us)
-                   |  VALUES ($key, $eid, '$op', $value, $seq)""".stripMargin
-            st.execute(sql)
+            if (op == "DELETE") {
+              delete.setLong(1, key)
+              delete.setLong(2, seq); delete.setLong(3, seq); delete.setLong(4, eid)
+              delete.addBatch()
+              nD += 1
+              if (nD % window == 0) delete.executeBatch()
+            } else {
+              upsert.setLong(1, key)
+              upsert.setLong(2, seq); upsert.setLong(3, seq); upsert.setLong(4, eid)
+              upsert.setLong(5, eid)
+              upsert.setString(6, op)
+              // non-finite doubles are unrepresentable in SQL — store NULL
+              if (r.isNullAt(vIdx) || !java.lang.Double.isFinite(r.getDouble(vIdx)))
+                upsert.setNull(7, java.sql.Types.DOUBLE)
+              else upsert.setDouble(7, r.getDouble(vIdx))
+              upsert.setLong(8, seq)
+              upsert.setLong(9, key); upsert.setLong(10, eid)
+              upsert.setString(11, op)
+              if (r.isNullAt(vIdx) || !java.lang.Double.isFinite(r.getDouble(vIdx)))
+                upsert.setNull(12, java.sql.Types.DOUBLE)
+              else upsert.setDouble(12, r.getDouble(vIdx))
+              upsert.setLong(13, seq)
+              upsert.addBatch()
+              nU += 1
+              if (nU % window == 0) upsert.executeBatch()
+            }
           }
+          delete.executeBatch(); upsert.executeBatch()
           conn.commit()
         } finally conn.close()
       }

@@ -49,4 +49,37 @@ class ImageDecodeSpec extends SparkSpec {
     val out = Multimodal.decodeImages(good.unionByName(junk)).collect()
     assert(out.length == 3 && !out.exists(_.doc_id == -1L))
   }
+
+  test("WAV payloads are genuine RIFF files and decode reproduces the samples") {
+    val payloads = Multimodal.audioPayloads(spark, sf).cache()
+    payloads.collect().foreach { m =>
+      assert(new String(m.payload.take(4), "US-ASCII") == "RIFF" &&
+        new String(m.payload.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+    val feats = Multimodal.decodeAudio(payloads).cache()
+    assert(feats.count() == payloads.count())
+    feats.collect().foreach { f =>
+      assert(f.sample_rate == 8000 && f.n_channels == 1)
+      assert(f.n_frames == 64 + f.doc_id % 129)
+      assert(f.duration_ms == f.n_frames * 1000 / 8000)
+      assert(f.peak <= 32768 && f.rms >= 0 && f.rms <= 32768)
+    }
+    // RMS matches a direct recomputation for one known doc (PCM lossless)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(length(col("text")) > 0).limit(1).collect()
+    val (id, text) = (docs(0).getLong(0), docs(0).getString(1))
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = 64 + (id % 129).toInt
+    val samples = (0 until n).map(i => ((bytes((i * 5) % bytes.length) & 0xff) - 128) << 8)
+    val expRms = math.sqrt(samples.map(s => s.toDouble * s).sum / n)
+    val got = feats.filter(col("doc_id") === id).collect()(0)
+    assert(math.abs(got.rms - expRms) < 1e-9)
+    assert(got.peak == samples.map(math.abs).max)
+    // junk bytes divert, not fail
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaIn]
+    val junk = Seq(Multimodal.MediaIn(-1L, Array[Byte](9, 9, 9, 9))).toDS()
+    assert(Multimodal.decodeAudio(junk).count() == 0)
+    payloads.unpersist(); feats.unpersist()
+  }
 }
