@@ -224,4 +224,32 @@ class DebeziumSpec extends SparkSpec {
       }
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("avro binary envelopes stream through decode + silver parse") {
+    import graft.sources.AvroEnvelope
+    val dir = java.nio.file.Files.createTempDirectory("avro_stream").toFile
+    try {
+      val binDir = new java.io.File(dir, "bin").getAbsolutePath
+      val env = Debezium.synthEnvelope(spark, sf).limit(300)
+      val encoded = AvroEnvelope.encode(env, "cdc_event")
+      encoded.write.mode("overwrite").parquet(binDir)
+      // a micro-batch source of Avro BINARY payloads (what a Kafka value
+      // column carries), decoded + silver-parsed inside the stream
+      val stream = spark.readStream.schema(encoded.schema).parquet(binDir)
+      val q = AvroEnvelope.parseAvro(stream, "avro_bytes")
+        .select("event_id", "operation", "table_name", "event_ts_ms")
+        .writeStream.format("memory").queryName("avro_stream_t")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("avro_stream_t")
+      assert(got.count() == 300)
+      // decoded rows match the batch JSON parse on the same slice
+      val expect = Debezium.silverParsed(spark, sf)
+        .filter(col("event_id").isin(
+          env.select("event_id").collect().map(_.getLong(0)).toSeq: _*))
+        .select("event_id", "operation", "table_name", "event_ts_ms")
+      assert(got.exceptAll(expect).count() == 0 &&
+        expect.exceptAll(got).count() == 0)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }

@@ -197,4 +197,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"vocab join lost its broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"lm score fell to sort-merge:\n$p")
   }
+
+  test("avro envelope round-trip is a pure map chain: zero exchanges") {
+    val p = planOf("cdc_avro_parse")
+    assert(!p.contains("Exchange"),
+      s"avro encode→decode→extract must not shuffle:\n$p")
+    // one JSON parse (building the envelope struct before encode) only
+    assert("from_json".r.findAllIn(p).size <= 1,
+      s"envelope JSON parsed more than once:\n$p")
+  }
+
+  test("media codec paths are row-local: zero exchanges") {
+    for (q <- Seq("mm_image_decode", "mm_audio_decode")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q should be shuffle-free:\n$p")
+    }
+  }
+
+  test("minhash verify stage prunes texts to candidate-involved docs") {
+    val p = planOf("dedup_minhash")
+    // the semi-join prune exists, and the raw text never feeds the band
+    // self-join (ids travel, not documents)
+    assert(p.contains("LeftSemi"), s"text semi-prune disappeared:\n$p")
+  }
 }
