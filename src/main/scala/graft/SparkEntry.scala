@@ -121,6 +121,9 @@ object SparkEntry {
     "pii_redact" -> ((s, d) => Redact.piiRedact(s, d)),
     "doc_len_hist" -> ((s, d) => Text.docLenHist(s, d)),
     "doc_quality_gopher" -> ((s, d) => Text.docQualityGopher(s, d)),
+    // domain-level curation: per-source quality/dup mass + document caps
+    "doc_source_quality" -> ((s, d) => Text.sourceQuality(s, d)),
+    "doc_source_caps" -> ((s, d) => Text.sourceCaps(s, d)),
     "mm_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, d)),
     // TPC-H analytics (#13-24)
     "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(s, d)),
@@ -742,6 +745,49 @@ object SparkEntry {
         |   AND mean_word_len_e4 >= 30000 AND mean_word_len_e4 <= 100000
         |   AND stop_ratio_e4 >= 200) AS passes_gopher
         |FROM r""".stripMargin,
+    "doc_source_quality" ->
+      """WITH b AS (
+        |  SELECT source, md5(text) AS h,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) // 5
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) // 4
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' to ', ''))) // 4
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' in ', ''))) // 4
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) // 4
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' for ', ''))) // 5
+        |      AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, h, n_tokens,
+        |    (n_tokens >= 40 AND n_tokens <= 100000
+        |     AND (n_chars - n_tokens + 1) * 10000 // n_tokens BETWEEN 30000 AND 100000
+        |     AND stop_hits * 10000 // n_tokens >= 200) AS pass
+        |  FROM b),
+        |g AS (
+        |  SELECT source, h, count(*) AS c, sum(n_tokens) AS w,
+        |    sum(CASE WHEN pass THEN 1 ELSE 0 END) AS gp
+        |  FROM r GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  count(*) AS n_uniq_texts,
+        |  CAST(sum(w) AS BIGINT) AS total_tokens,
+        |  CAST(sum(gp) AS BIGINT) AS n_gopher_pass,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 10000 // sum(c) AS BIGINT) AS dup_ratio_e4
+        |FROM g GROUP BY 1""".stripMargin,
+    "doc_source_caps" ->
+      """WITH p AS (
+        |  SELECT source, doc_id, md5(text) AS pri,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents),
+        |k AS (
+        |  SELECT source, count(*) AS n_kept, max(pri) AS cap_digest
+        |  FROM p WHERE rn <= 50 GROUP BY 1),
+        |t AS (SELECT source, count(*) AS n_docs FROM p GROUP BY 1)
+        |SELECT t.source, t.n_docs, k.n_kept,
+        |  t.n_docs - k.n_kept AS n_dropped, k.cap_digest
+        |FROM t JOIN k ON t.source = k.source""".stripMargin,
     "doc_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, md5(array_to_string(toks[i:i+4], ' ')) AS h

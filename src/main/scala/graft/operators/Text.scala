@@ -85,20 +85,78 @@ object Text {
     */
   private val stopwords = Seq("the", "and", "of", "to", "in", "is", "for")
 
-  def docQualityGopher(spark: SparkSession, dir: String): DataFrame = {
+  def docQualityGopher(spark: SparkSession, dir: String): DataFrame =
+    gopherAudit(Tables.documents(spark, dir).select("doc_id", "text"))
+      .select("doc_id", "n_words", "stop_hits", "mean_word_len_e4",
+        "stop_ratio_e4", "passes_gopher")
+
+  /** The Gopher gate over any frame with a `text` column — passthrough
+    * columns survive, so per-source/per-language audits can carry their
+    * grouping keys through the same row-local arithmetic.
+    */
+  private[operators] def gopherAudit(df: DataFrame): DataFrame = {
     val stopHits = stopwords.map { w =>
       s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) DIV ${w.length + 2}"
     }.mkString(" + ")
-    Tables.documents(spark, dir)
-      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS n_chars",
-        s"$nTokens AS n_words", s"CAST($stopHits AS BIGINT) AS stop_hits")
-      .selectExpr("doc_id", "n_words", "stop_hits",
-        "(n_chars - n_words + 1) * 10000 DIV n_words AS mean_word_len_e4",
-        "stop_hits * 10000 DIV n_words AS stop_ratio_e4")
-      .selectExpr("doc_id", "n_words", "stop_hits", "mean_word_len_e4", "stop_ratio_e4",
+    df.withColumn("n_chars_g", expr("CAST(length(text) AS BIGINT)"))
+      .withColumn("n_words", expr(nTokens))
+      .withColumn("stop_hits", expr(s"CAST($stopHits AS BIGINT)"))
+      .withColumn("mean_word_len_e4",
+        expr("(n_chars_g - n_words + 1) * 10000 DIV n_words"))
+      .withColumn("stop_ratio_e4", expr("stop_hits * 10000 DIV n_words"))
+      .withColumn("passes_gopher", expr(
         """(n_words >= 40 AND n_words <= 100000
           | AND mean_word_len_e4 >= 30000 AND mean_word_len_e4 <= 100000
-          | AND stop_ratio_e4 >= 200) AS passes_gopher""".stripMargin)
+          | AND stop_ratio_e4 >= 200)""".stripMargin))
+      .drop("n_chars_g")
+  }
+
+  /** #183 Per-SOURCE corpus profile — the domain-level curation view
+    * (C4/RefinedWeb-style pipelines run blocklists and per-domain caps on
+    * exactly these numbers): document and token mass, unique-text count,
+    * Gopher-pass mass, and exact-duplicate mass WITHIN the source.
+    *
+    * One shuffle chain: (source, digest) aggregation then source rollup —
+    * both map-side combined, digests travel, never text. At 100 TB the
+    * digest level is the corpus's unique-text cardinality per domain and
+    * the rollup is O(domains).
+    */
+  def sourceQuality(spark: SparkSession, dir: String): DataFrame =
+    gopherAudit(Tables.documents(spark, dir).select("doc_id", "source", "text"))
+      .select(col("source"), md5(col("text")).as("h"), col("n_words"),
+        col("passes_gopher"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("c"), sum("n_words").as("w"),
+        sum(when(col("passes_gopher"), 1L).otherwise(0L)).as("gp"))
+      .groupBy("source")
+      .agg(sum("c").cast("long").as("n_docs"),
+        count(lit(1)).as("n_uniq_texts"),
+        sum("w").cast("long").as("total_tokens"),
+        sum("gp").cast("long").as("n_gopher_pass"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("long").as("n_dup_docs"))
+      .withColumn("dup_ratio_e4", expr("n_dup_docs * 10000 DIV n_docs"))
+
+  /** #184 Per-source document caps — "no domain dominates the corpus":
+    * keep at most `cap` documents per source, chosen by smallest content
+    * digest (priority sampling — deterministic, content-addressed, rerun-
+    * stable), and report the kept/dropped accounting per source.
+    *
+    * Rides the TopKPerGroup physical operator, so each map task prunes to
+    * its local top-`cap` BEFORE the shuffle — the exchange carries
+    * O(partitions × cap) rows per source, not the source's full document
+    * mass (the whole point when one domain is 30% of a web crawl).
+    */
+  def sourceCaps(spark: SparkSession, dir: String, cap: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("pri"))
+    val kept = graft.plans.TopK.topKPerGroup(
+      docs, Seq("source"), Seq(("pri", false), ("doc_id", false)), cap)
+    val keptAgg = kept.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), max("pri").as("cap_digest"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(keptAgg, Seq("source"))
+      .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+      .select("source", "n_docs", "n_kept", "n_dropped", "cap_digest")
   }
 
   /** #103 Corpus length distribution: token-count histogram in width-10

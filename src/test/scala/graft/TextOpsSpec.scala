@@ -265,4 +265,37 @@ class TextOpsSpec extends SparkSpec {
       assert(n == 7, s"expected 7 masked digits, got $n")
     }
   }
+
+  test("sourceQuality conserves corpus mass and accounts duplicates") {
+    val docs = Tables.documents(spark, sf)
+    val sq = Text.sourceQuality(spark, sf).collect()
+    assert(sq.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // unique-text counts bound doc counts; dup mass only from multi-copy groups
+    sq.foreach { r =>
+      val (n, u, d) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_uniq_texts"),
+        r.getAs[Long]("n_dup_docs"))
+      assert(u <= n && d <= n && (d == 0 || d >= 2))
+      assert(r.getAs[Long]("n_gopher_pass") <= n)
+      assert(r.getAs[Long]("dup_ratio_e4") == d * 10000 / n)
+    }
+    // total gopher passes agree with the per-doc gate
+    val passes = Text.docQualityGopher(spark, sf)
+      .filter(col("passes_gopher")).count()
+    assert(sq.map(_.getAs[Long]("n_gopher_pass")).sum == passes)
+  }
+
+  test("sourceCaps keeps at most cap docs per source, deterministically") {
+    val cap = 7
+    val out = Text.sourceCaps(spark, sf, cap).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= cap)
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_docs"))
+    }
+    // rerun-stable (content-addressed priorities, no randomness)
+    val again = Text.sourceCaps(spark, sf, cap).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
 }
