@@ -62,15 +62,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact Jaccard verify only on candidate pairs: join the pair ids back
     // to the raw text and run the hash-set ShingleJaccard kernel — no
-    // shingle-array materialization, no set-op expressions. Texts are
-    // semi-join-pruned to docs that appear in ANY candidate pair first, so
-    // the two verify joins shuffle candidate-involved docs only, not the
-    // corpus (near-dup candidates are sparse at corpus scale).
-    val involved = candidates.select(col("doc_a").as("doc_id"))
-      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    // shingle-array materialization, no set-op expressions. The two text
+    // joins share ONE corpus shuffle via ReusedExchange (same projection,
+    // same key distribution); a semi-join prune of texts to candidate-
+    // involved docs was measured 2x SLOWER at sf0.1 (it broke the reuse
+    // and added a third full-text exchange), so the plan deliberately
+    // ships texts once and joins twice.
     val texts = corpus.select(col("doc_id"), col("text"))
-      .join(involved, Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(texts.select(col("doc_id").as("doc_a"), col("text").as("t_a")), "doc_a")
       .join(texts.select(col("doc_id").as("doc_b"), col("text").as("t_b")), "doc_b")

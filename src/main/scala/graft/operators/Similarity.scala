@@ -386,6 +386,27 @@ object Similarity {
     annIvfPqServe(spark, dir, trainIvfPq(spark, dir, nClusters, m, kCodes),
       k, nProbe)
 
+  /** Persist a trained index model: the coarse quantizer via MLlib's own
+    * writer, the codebook + hyperparameters as one parquet row. Serving
+    * clusters load the model instead of retraining — the index artifact a
+    * 100 TB deployment builds once per corpus snapshot.
+    */
+  def saveIvfPq(spark: SparkSession, model: IvfPqModel, path: String): Unit = {
+    import spark.implicits._
+    model.coarse.write.overwrite().save(s"$path/coarse")
+    Seq((model.codebook, model.nClusters, model.m, model.kCodes, model.d))
+      .toDF("codebook", "n_clusters", "m", "k_codes", "d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  def loadIvfPq(spark: SparkSession, path: String): IvfPqModel = {
+    val coarse = org.apache.spark.ml.clustering.KMeansModel.load(s"$path/coarse")
+    val r = spark.read.parquet(s"$path/codebook").head()
+    IvfPqModel(coarse, r.getSeq[Float](r.fieldIndex("codebook")).toArray,
+      r.getInt(r.fieldIndex("n_clusters")), r.getInt(r.fieldIndex("m")),
+      r.getInt(r.fieldIndex("k_codes")), r.getInt(r.fieldIndex("d")))
+  }
+
   /** Serve a query batch from an already-trained model — only encode and
     * scan work here; nothing retrains.
     */

@@ -214,10 +214,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("minhash verify stage prunes texts to candidate-involved docs") {
+  test("minhash verify stays equi-join with no prune detour") {
     val p = planOf("dedup_minhash")
-    // the semi-join prune exists, and the raw text never feeds the band
-    // self-join (ids travel, not documents)
-    assert(p.contains("LeftSemi"), s"text semi-prune disappeared:\n$p")
+    // candidate verify is plain equi-joins back to text — never cartesian,
+    // and no semi-join prune stage (measured 2x slower at sf0.1: it broke
+    // the shared text exchange and added a third full-text shuffle)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"minhash verify planned a non-equi join:\n$p")
+    assert(!p.contains("LeftSemi"), s"semi-prune crept back in:\n$p")
   }
 }

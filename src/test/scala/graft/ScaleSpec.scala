@@ -122,6 +122,18 @@ class ScaleSpec extends SparkSpec {
     val viaEntry = Similarity.annIvfPqTopK(spark, sf, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
     assert(viaEntry == first)
+    // the index persists: a loaded model serves the same answers
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_model").toString
+    try {
+      Similarity.saveIvfPq(spark, model, dir)
+      val loaded = Similarity.loadIvfPq(spark, dir)
+      assert(loaded.m == model.m && loaded.kCodes == model.kCodes &&
+        loaded.codebook.sameElements(model.codebook))
+      val viaLoaded = Similarity.annIvfPqServe(spark, sf, loaded, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+      assert(viaLoaded == first)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
   }
 
   test("embDimStats computes exact fixed-point dimension stats") {
