@@ -128,6 +128,9 @@ object SparkEntry {
     // TPC-H analytics (#13-24)
     "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Tpch.q3ShippingPriority(s, d)),
+    // Q4 runs through the SQL facade (registerViews + spark.sql) — the
+    // SQL-first switch-over path, EXISTS decorrelated to a semi join
+    "q4_order_priority" -> ((s, d) => Tpch.q4OrderPriority(s, d)),
     "q5_region_revenue" -> ((s, d) => Tpch.q5RegionRevenue(s, d)),
     "q10_returned_revenue" -> ((s, d) => Tpch.q10ReturnedRevenue(s, d)),
     "q_brand_revenue" -> ((s, d) => Tpch.qBrandRevenue(s, d)),
@@ -1013,6 +1016,15 @@ object SparkEntry {
         |  AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
         |  AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1995-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n.n_name, CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
         |FROM lineitem l, orders o, customer c, nation n, region r

@@ -637,6 +637,32 @@ object Tpch {
     * (rank/dense_rank on the running frame, the two counts on the
     * unbounded and default RANGE frames).
     */
+  /** TPC-H Q4 (order priority checking), run THROUGH THE SQL FACADE:
+    * `Tables.registerViews` + `spark.sql` — the proof that a SQL-first
+    * user of the reference can point plain ANSI SQL at this library and
+    * get the same Catalyst plan a DataFrame user gets. The correlated
+    * EXISTS decorrelates to a LEFT SEMI equi-join on `l_orderkey`
+    * (PlanSpec pins: no nested-loop), so at 100 TB it is one hash
+    * semi-join between the date-pruned orders slice and lineitem.
+    * The test data carries no commit/receipt dates, so "late line item"
+    * adapts to `l_shipdate > o_orderdate + 30 days` — same correlated
+    * shape, same decorrelation. Reference: aurora TPC-H demo queries
+    * (notebooks/demo/unity_catalog_cdc_demo.py analytics section).
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1995-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority
+    """)
+  }
+
   def qRankFamily(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("p_brand").orderBy("p_size")
     val wAll = Window.partitionBy("p_brand")

@@ -21,6 +21,17 @@ class PlanSpec extends SparkSpec {
     assert(!f.contains("l_orderkey"), "reads columns the query never uses")
   }
 
+  test("q4 via SQL facade: EXISTS decorrelates to a semi equi-join") {
+    val p = planOf("q4_order_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS did not decorrelate to semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q4 planned a non-equi join:\n$p")
+    // date-window predicate prunes orders at the scan
+    val f = formatted("q4_order_priority")
+    assert(f.contains("PushedFilters") && f.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date window not pushed to the orders scan")
+  }
+
   test("q3/q5: dimension joins broadcast, no sort-merge join") {
     for (q <- Seq("q3_shipping_priority", "q5_region_revenue")) {
       val p = planOf(q)
