@@ -189,6 +189,10 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Text.dedupExact(s, d)),
     "doc_fingerprint" -> ((s, d) => Text.docFingerprint(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    // incremental (delta-vs-index) dedup: the 100 TB lifecycle — index the
+    // standing corpus once, each crawl batch joins against the index
+    "dedup_incremental_exact" -> ((s, d) => Dedup.incrementalExact(s, d)),
+    "dedup_incremental_near" -> ((s, d) => Dedup.incrementalNearDemo(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
@@ -1420,6 +1424,23 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_incremental_exact" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+        |delta AS (
+        |  SELECT lang, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT lang, text FROM corpus WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT lang,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(len(string_split(text, ' ')) - 1, 1)), ' ')
+        |  FROM corpus WHERE doc_id % 20 = 5),
+        |idx AS (SELECT DISTINCT md5(text) AS digest, 1 AS hit FROM corpus)
+        |SELECT d.lang, count(*) AS n_delta, count(i.hit) AS n_exact_dup,
+        |  count(*) - count(i.hit) AS n_novel
+        |FROM (SELECT lang, md5(text) AS digest FROM delta) d
+        |LEFT JOIN idx i USING (digest)
+        |GROUP BY d.lang""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents",
     "dedup_embedding" ->

@@ -40,17 +40,11 @@ object Dedup {
     * shingle sets of candidate pairs only.
     */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val k = 16; val bands = 4; val rows = k / bands
+    val k = 16; val bands = 4
     val corpus = corpusWithPlants(spark, dir)
-    // signature: one codegen'd pass per row (MinHashSig expression)
-    val banded = corpus
-      .withColumn("sig", GraftFunctions.minhashSig(col("text"), k))
-      .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, ${bands - 1})," +
-            s" b -> struct(b AS band, xxhash64(array_join(slice(sig, b * $rows + 1, $rows), ','), b) AS bh))"))
-          .as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    // signature: one codegen'd pass per row (MinHashSig expression);
+    // banding shared with the incremental index path (minhashBands)
+    val banded = minhashBands(corpus, k, bands)
     // candidates: equi-join on the band key only (ids travel, not documents)
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
@@ -349,5 +343,115 @@ object Dedup {
       .select((col("vec_id") + PerturbOffset).as("vec_id"),
         expr("transform(embedding, x -> CAST(x * 0.98 + 0.01 AS FLOAT))").as("embedding"))
     e.unionByName(planted)
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental (delta-vs-index) dedup — the 100 TB LIFECYCLE variant.
+  // A production corpus is not re-deduplicated from scratch per crawl:
+  // the standing corpus keeps a persisted index (exact digests + MinHash
+  // band keys), and each incoming delta batch computes signatures for
+  // ITS OWN rows only, then joins the (small) delta against the index.
+  // Work per batch is O(delta) signature compute + one band equi-join
+  // where the delta side is broadcast-size — never O(corpus) recompute.
+  // ------------------------------------------------------------------
+
+  /** Shared MinHash banding (the exact expression [[minhashLsh]] uses —
+    * index rows and fresh-delta rows MUST band identically or the join
+    * misses).
+    */
+  private[operators] def minhashBands(docs: DataFrame, k: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    docs.withColumn("sig", GraftFunctions.minhashSig(col("text"), k))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, ${bands - 1})," +
+            s" b -> struct(b AS band, xxhash64(array_join(slice(sig, b * $rows + 1, $rows), ','), b) AS bh))"))
+          .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** #190 Persist the dedup index for a corpus snapshot: exact content
+    * digests plus MinHash band keys, both plain parquet keyed by doc_id.
+    * Built ONCE per snapshot (one corpus scan each), then every delta
+    * batch reads the index instead of touching corpus text. DedupSpec
+    * proves build → load → [[incrementalNear]] equals the index-free run.
+    */
+  def buildDedupIndex(corpus: DataFrame, path: String, k: Int = 16,
+      bands: Int = 4): Unit = {
+    corpus.select(col("doc_id"), md5(col("text")).as("digest"))
+      .write.mode("overwrite").parquet(s"$path/digests")
+    minhashBands(corpus, k, bands).write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Delta docs that near-duplicate an indexed corpus doc: band equi-join
+    * of the delta's fresh signatures against the index's band keys (the
+    * delta side is the small side — AQE broadcasts it; the index side
+    * streams), then exact shingle-Jaccard verification on candidate pairs
+    * only, joining text for candidate-involved docs. `corpusText` supplies
+    * verify text by doc_id (at scale: the corpus store, read by id).
+    */
+  def incrementalNear(indexBands: DataFrame, corpusText: DataFrame,
+      delta: DataFrame, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val dBands = minhashBands(delta, k, bands)
+    val candidates = dBands.select(col("band"), col("bh"), col("doc_id").as("delta_doc"))
+      .join(indexBands.select(col("band"), col("bh"), col("doc_id").as("corpus_doc")),
+        Seq("band", "bh"))
+      .select("delta_doc", "corpus_doc").distinct()
+    candidates
+      .join(delta.select(col("doc_id").as("delta_doc"), col("text").as("t_d")), "delta_doc")
+      .join(corpusText.select(col("doc_id").as("corpus_doc"), col("text").as("t_c")), "corpus_doc")
+      .withColumn("jaccard", round(GraftFunctions.shingleJaccard(col("t_d"), col("t_c")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("delta_doc", "corpus_doc", "jaccard")
+  }
+
+  /** The deterministic corpus/delta split the driver entries use:
+    * corpus = doc_id % 10 ≠ 0; delta = the held-out docs (novel text,
+    * new ids +2M) ∪ exact re-crawls of corpus docs with doc_id % 7 = 1
+    * (new ids +3M) ∪ near-copies of corpus docs with doc_id % 20 = 5
+    * (last token dropped, new ids +4M). Pure arithmetic on doc_id — the
+    * same split is expressible in the oracle's SQL.
+    */
+  private[operators] def incrementalSplit(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val novel = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"), col("text"))
+    val recrawl = corpus.filter(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("lang"), col("text"))
+    val nearCopy = corpus.filter(col("doc_id") % 20 === 5)
+      .select((col("doc_id") + 4000000L).as("doc_id"), col("lang"),
+        expr("array_join(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 1)), ' ')")
+          .as("text"))
+    (corpus, novel.unionByName(recrawl).unionByName(nearCopy))
+  }
+
+  /** #189 Incremental EXACT dedup accounting (SQL-oracle-checked): per
+    * language, how much of the delta batch is an exact copy of an indexed
+    * corpus doc vs novel. One digest left-join — the delta side is tiny,
+    * the corpus digest index is read not recomputed at scale.
+    */
+  def incrementalExact(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, delta) = incrementalSplit(spark, dir)
+    val idx = corpus.select(md5(col("text")).as("digest")).distinct()
+      .withColumn("hit", lit(1))
+    delta.select(col("lang"), md5(col("text")).as("digest"))
+      .join(idx, Seq("digest"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_delta"), count(col("hit")).as("n_exact_dup"))
+      .withColumn("n_novel", (col("n_delta") - col("n_exact_dup")).cast("long"))
+  }
+
+  /** #190 driver entry: near-dup pairs of the delta batch against the
+    * corpus index (rows-only: MinHash banding is not oracle-expressible;
+    * DedupSpec pins plant recovery + index round-trip).
+    */
+  def incrementalNearDemo(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val (corpus, delta) = incrementalSplit(spark, dir)
+    incrementalNear(minhashBands(corpus), corpus, delta, threshold = threshold)
   }
 }

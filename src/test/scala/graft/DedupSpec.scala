@@ -22,6 +22,58 @@ class DedupSpec extends SparkSpec {
       s"minhash found $found of ${planted.size} planted pairs")
   }
 
+  test("incremental dedup: exact accounting, near plant recovery, index round-trip") {
+    // exact arm: every re-crawl (corpus doc_id % 7 = 1, text unchanged) is
+    // an exact dup; totals conserve per language
+    val ex = Dedup.incrementalExact(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val nRecrawl = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1).count()
+    assert(ex.values.map(_._2).sum >= nRecrawl, "a re-crawled exact copy went unflagged")
+    assert(ex.values.forall { case (d, dup, nov) => d == dup + nov }, "counts don't conserve")
+
+    // near arm: every near-copy plant (corpus doc_id % 20 = 5, +4M) matches
+    // its original above threshold
+    val near = Dedup.incrementalNearDemo(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plants = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 20 === 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val recovered = plants.count(id => near.contains((id + 4000000L, id)))
+    assert(recovered >= (plants.size * 0.8).toInt,
+      s"recovered $recovered of ${plants.size} planted near-copies")
+    // re-crawls are exact copies → must also surface as near-dups of their original
+    val recrawls = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactNear = recrawls.count(id => near.contains((id + 3000000L, id)))
+    assert(exactNear == recrawls.size, "an exact re-crawl missed the band join")
+
+    // index round-trip: build → load from parquet → identical near result
+    val dir = java.nio.file.Files.createTempDirectory("dedup_idx").toString
+    try {
+      Dedup.buildDedupIndex(Tables.documents(spark, sf)
+        .filter(col("doc_id") % 10 =!= 0).select("doc_id", "lang", "text"), dir)
+      val loaded = spark.read.parquet(s"$dir/bands")
+      val corpusText = Tables.documents(spark, sf).filter(col("doc_id") % 10 =!= 0)
+      val deltaDocs = Dedup.incrementalNearDemo(spark, sf) // fresh run for parity
+      val viaIndex = Dedup.incrementalNear(loaded, corpusText,
+        // same delta the demo builds
+        {
+          val docs2 = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+          val corpus2 = docs2.filter(col("doc_id") % 10 =!= 0)
+          docs2.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"), col("text"))
+            .unionByName(corpus2.filter(col("doc_id") % 7 === 1)
+              .select((col("doc_id") + 3000000L).as("doc_id"), col("lang"), col("text")))
+            .unionByName(corpus2.filter(col("doc_id") % 20 === 5)
+              .select((col("doc_id") + 4000000L).as("doc_id"), col("lang"),
+                expr("array_join(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 1)), ' ')").as("text")))
+        })
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaIndex == deltaDocs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        "persisted index gives a different answer than the index-free run")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("simhash banding finds planted near-dup pairs") {
     val pairs = Dedup.simhash(spark, sf)
       .select("doc_a", "doc_b").collect()

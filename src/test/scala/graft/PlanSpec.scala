@@ -147,6 +147,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup joins stay equi (delta-sized, never corpus-quadratic)") {
+    for (q <- Seq("dedup_incremental_exact", "dedup_incremental_near")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned a non-equi join:\n$p")
+    }
+  }
+
   test("materialized dedup prunes survivors map-side before the exchange") {
     val p = planOf("dedup_exact_apply")
     // either Spark's WindowGroupLimit or (with RewriteTopK attached) our
