@@ -272,6 +272,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(when(col("payload").contains("9-UPDATED"), 1L).otherwise(0L)).as("n_updated"))
     }),
+    // streaming document curation: cross-batch digest dedup + quality gate
+    // (rows-only: streaming runtime; StreamingSpec proves the cross-batch
+    // and kill/restart dedup-state contract)
+    "doc_stream_curate" -> ((s, d) =>
+      graft.streaming.DocStream.streamCurateStats(s, d)),
     // composed bronze→silver→gold pipeline demo (rows-only: streaming
     // runtime with planted corrupt/quarantine rows; MedallionSpec proves
     // the kill/restart exactly-once contract)

@@ -306,4 +306,48 @@ class StreamingSpec extends SparkSpec {
       assert(rows.forall(_.getAs[Boolean]("low_volume_flag")))
     } finally q.stop()
   }
+
+  test("doc curation stream dedups across batches and across a kill/restart") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("doc_stream_spec").toString
+    val srcDir = s"$root/src"; Files.createDirectories(Paths.get(srcDir))
+    def ship(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(s"$srcDir/$name.json"), lines.mkString("\n").getBytes)
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "lang": "en", "text": "$text"}"""
+    val base = (1L to 6L).map(i =>
+      doc(i, s"alpha beta gamma delta epsilon token$i"))
+    ship("a", base)
+    // batch 2: re-ships docs 1-3 under NEW ids (same text → dups), adds a
+    // short junk doc the quality gate must drop, and one genuinely new doc
+    ship("b", Seq(
+      doc(101, "alpha beta gamma delta epsilon token1"),
+      doc(102, "alpha beta gamma delta epsilon token2"),
+      doc(103, "alpha beta gamma delta epsilon token3"),
+      doc(104, "tiny junk"),
+      doc(105, "alpha beta gamma delta epsilon fresh")))
+    val q1 = graft.streaming.DocStream.pipeline(spark, srcDir, s"$root/out",
+      s"$root/ck", "doc_stream_spec_1")
+    try q1.processAllAvailable() finally q1.stop()
+    val afterB = spark.read.parquet(s"$root/out")
+    assert(afterB.count() == 7, s"expected 6 base + 1 fresh, got ${afterB.count()}")
+    assert(afterB.select("digest").distinct().count() == 7)
+    assert(!afterB.collect().map(_.getAs[Long]("doc_id")).toSet
+      .exists(Set(101L, 102L, 103L, 104L)), "a dup or junk doc was admitted")
+
+    // kill/restart: state must survive the checkpoint — re-shipping doc 5's
+    // text and the fresh doc's text after restart must admit NOTHING new
+    ship("c", Seq(
+      doc(201, "alpha beta gamma delta epsilon token5"),
+      doc(202, "alpha beta gamma delta epsilon fresh"),
+      doc(203, "alpha beta gamma delta epsilon post restart")))
+    val q2 = graft.streaming.DocStream.pipeline(spark, srcDir, s"$root/out",
+      s"$root/ck", "doc_stream_spec_2")
+    try q2.processAllAvailable() finally q2.stop()
+    val afterC = spark.read.parquet(s"$root/out")
+    assert(afterC.count() == 8, s"restart re-admitted dups: ${afterC.count()}")
+    assert(afterC.filter(col("doc_id") === 203L).count() == 1,
+      "the genuinely new post-restart doc was not admitted")
+  }
 }
