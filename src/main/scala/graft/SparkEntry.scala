@@ -114,6 +114,9 @@ object SparkEntry {
     "doc_chunk" -> ((s, d) => Text.docChunk(s, d)),
     "doc_chunk_tokens" -> ((s, d) => Text.docChunkTokens(s, d)),
     "doc_split_assign" -> ((s, d) => Text.docSplitAssign(s, d)),
+    // per-epoch deterministic global reshuffle (SGD loader schedule);
+    // global rank via Distributed.exactRank, no single-reducer window
+    "doc_epoch_shuffle" -> ((s, d) => Text.epochShuffle(s, d)),
     "doc_mix_weights" -> ((s, d) => Text.docMixWeights(s, d)),
     "dedup_exact_apply" -> ((s, d) => Text.dedupExactApply(s, d)),
     "doc_reservoir_sample" -> ((s, d) => Text.reservoirSample(s, d)),
@@ -871,6 +874,12 @@ object SparkEntry {
         |       WHEN substr(md5(text), 1, 2) < 'f0' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "doc_epoch_shuffle" ->
+      """SELECT e.epoch, d.doc_id, d.lang,
+        |  row_number() OVER (PARTITION BY e.epoch
+        |    ORDER BY md5(e.epoch || ':' || d.doc_id)) AS position
+        |FROM documents d
+        |CROSS JOIN (SELECT unnest(range(0, 2)) AS epoch) e""".stripMargin,
     "doc_mix_weights" ->
       """WITH pl AS (
         |  SELECT lang, count(*) AS n_docs,

@@ -439,6 +439,27 @@ object Text {
           |     WHEN hh < 'f0' THEN 'val'
           |     ELSE 'test' END AS split""".stripMargin)
 
+  /** #192 Deterministic per-epoch global shuffle — the "random reshuffle
+    * between training epochs" an SGD data loader needs, content-addressed
+    * so every engine, retry, and rerun agrees: each doc's position in
+    * epoch e is its rank under md5(e:doc_id). The global rank comes from
+    * [[Distributed.exactRank]] (range repartition + broadcast partition
+    * offsets), NOT a single-reducer `row_number() OVER (ORDER BY ...)` —
+    * at 100 TB the plan shuffles each epoch's rows once and no partition
+    * sees more than its range slice. Epochs explode map-side (output is
+    * epochs × corpus rows — the materialized schedule a loader consumes).
+    */
+  def epochShuffle(spark: SparkSession, dir: String, epochs: Int = 2): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(s"sequence(0L, ${epochs - 1}L)")).as("epoch"))
+      .withColumn("shuffle_key",
+        md5(concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+    Distributed.exactRank(base, Seq("epoch"), Seq("shuffle_key"),
+        rankCol = "position", totalCol = "__n")
+      .select(col("epoch"), col("doc_id"), col("lang"), col("position").cast("long").as("position"))
+  }
+
   /** Language-mixture rebalancing weights: the per-language sampling
     * fraction that equalizes token share across languages (cap every
     * language at the smallest language's token count — the "uniform

@@ -298,4 +298,26 @@ class TextOpsSpec extends SparkSpec {
     val again = Text.sourceCaps(spark, sf, cap).collect()
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
+
+  test("epochShuffle: positions are a 1..n permutation per epoch, epochs differ") {
+    import org.apache.spark.sql.functions._
+    val out = Text.epochShuffle(spark, sf, epochs = 2)
+    val n = Tables.documents(spark, sf).count()
+    val byEpoch = out.groupBy("epoch")
+      .agg(count(lit(1)).as("cnt"), min("position").as("lo"),
+        max("position").as("hi"), countDistinct("position").as("nd"))
+      .collect()
+    assert(byEpoch.length == 2)
+    byEpoch.foreach { r =>
+      assert(r.getAs[Long]("cnt") == n && r.getAs[Long]("nd") == n)
+      assert(r.getAs[Long]("lo") == 1L && r.getAs[Long]("hi") == n)
+    }
+    // the two epochs order the corpus differently (the point of reshuffling)
+    val sameOrder = out.filter(col("epoch") === 0)
+      .select(col("doc_id"), col("position"))
+      .join(out.filter(col("epoch") === 1)
+        .select(col("doc_id"), col("position").as("p1")), "doc_id")
+      .filter(col("position") === col("p1")).count()
+    assert(sameOrder < n / 2, s"epoch orders nearly identical ($sameOrder/$n fixed points)")
+  }
 }
