@@ -303,6 +303,9 @@ object SparkEntry {
     "doc_winnow" -> ((s, d) => Text.docWinnow(s, d)),
     // per-dimension embedding hygiene audit
     "emb_dim_stats" -> ((s, d) => Similarity.embDimStats(s, d)),
+    // PCA + whitening of the embedding corpus (rows-only: eigenbasis sign
+    // is not cross-engine; ScaleSpec pins variance ordering/orthogonality)
+    "emb_pca" -> ((s, d) => Similarity.embPca(s, d)),
     // transaction reassembly from the Debezium envelope
     "cdc_txn_summary" -> ((s, d) => Debezium.txnAudit(s, d)),
     // retention curve via per-user activity bitmaps

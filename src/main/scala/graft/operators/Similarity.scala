@@ -499,4 +499,56 @@ object Similarity {
         expr("sum(abs(v_e6)) DIV count(1)").as("mean_abs_e6"),
         min(col("v_e6")).as("min_e6"),
         max(col("v_e6")).as("max_e6"))
+
+  /** Trained PCA models, keyed by (corpus dir, k) — same train-once
+    * lifecycle as [[pqCbMemo]].
+    */
+  private val pcaMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), org.apache.spark.ml.feature.PCAModel]
+
+  private[graft] def pcaModel(spark: SparkSession, dir: String,
+      k: Int): org.apache.spark.ml.feature.PCAModel =
+    pcaMemo.getOrElseUpdate((dir, k), {
+      import org.apache.spark.ml.functions.array_to_vector
+      new org.apache.spark.ml.feature.PCA().setK(k)
+        .setInputCol("fv").setOutputCol("pc")
+        .fit(Tables.embeddings(spark, dir)
+          .withColumn("fv", array_to_vector(col("embedding"))).select("fv"))
+    })
+
+  /** #193 PCA projection + whitening of the embedding corpus — the
+    * dimensionality-reduction pass a training pipeline runs before
+    * clustering / coarse quantization (fewer dims → cheaper k-means and
+    * ANN index build; whitening equalizes component scales so L2 in the
+    * reduced space is Mahalanobis in the original).
+    *
+    * Covariance/SVD training is one corpus pass inside MLlib (tree-
+    * aggregated Gramian — O(dim²) per partition, never a corpus-sized
+    * collect); the PROJECTION is a row-local matrix multiply, zero
+    * shuffles at any corpus size. Variances ride along so the spec can
+    * pin the explained-variance ordering; projections round to 4dp (the
+    * eigenbasis sign is implementation-stable but not cross-engine —
+    * rows-only entry, invariants spec'd).
+    */
+  def embPca(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val model = pcaModel(spark, dir, k)
+    val projected = model.transform(Tables.embeddings(spark, dir)
+        .withColumn("fv", array_to_vector(col("embedding"))))
+      .select(col("vec_id"), vector_to_array(col("pc")).as("pc"))
+    // whitening scales = per-component std of the PROJECTED corpus (k
+    // driver-side scalars from one aggregate — exact, not the model's
+    // variance PROPORTIONS). The projection is a row-local matrix multiply,
+    // so the second pass over it is cheaper than holding a cached copy.
+    val stds = projected
+      .select(posexplode(col("pc")).as(Seq("j", "v")))
+      .groupBy("j").agg(stddev_samp(col("v")).as("s"))
+      .orderBy("j").collect().map(_.getDouble(1))
+    val sLit = typedLit(stds.map(s => if (s < 1e-9) 1e-9 else s).toSeq)
+    projected
+      .withColumn("pc_r", expr("transform(pc, x -> round(x, 4))"))
+      .withColumn("white", zip_with(col("pc"), sLit,
+        (p, s) => round(p / s, 4)))
+      .select(col("vec_id"), col("pc_r").as("pc"), col("white"))
+  }
 }

@@ -152,6 +152,32 @@ class ScaleSpec extends SparkSpec {
     assert(rows(1L) == ((3L, 1000000L, 666666L, -500000L, 1000000L)), s"dim1 ${rows(1L)}")
   }
 
+  test("embPca: projection preserves geometry, whitening equalizes scales") {
+    import org.apache.spark.sql.functions._
+    val k = 4
+    val out = Similarity.embPca(spark, sf, k)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.count() == n)
+    val first = out.select(size(col("pc")), size(col("white"))).head()
+    assert(first.getInt(0) == k && first.getInt(1) == k)
+    // component variances come out ORDERED (PC1 explains most) and the
+    // whitened components all land near unit variance
+    val stats = out.select(posexplode(col("pc")).as(Seq("j", "v")))
+      .groupBy("j").agg(var_samp(col("v")).as("pv")).orderBy("j")
+      .collect().map(_.getDouble(1))
+    assert(stats.zip(stats.tail).forall { case (a, b) => a >= b - 1e-6 },
+      s"explained variance not monotone: ${stats.mkString(",")}")
+    val wstats = out.select(posexplode(col("white")).as(Seq("j", "v")))
+      .groupBy("j").agg(var_samp(col("v")).as("wv"))
+      .collect().map(_.getDouble(1))
+    assert(wstats.forall(v => math.abs(v - 1.0) < 0.05),
+      s"whitened variance off unit: ${wstats.mkString(",")}")
+    // distinct components are decorrelated in the projected basis
+    val c01 = out.select(
+      corr(element_at(col("pc"), 1), element_at(col("pc"), 2)).as("c")).head().getDouble(0)
+    assert(math.abs(c01) < 0.05, s"PC1/PC2 correlated: $c01")
+  }
+
   test("bucketed join plans without exchanges") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     Bucketing.writeBucketed(
