@@ -53,6 +53,8 @@ object SparkEntry {
     "src_jdbc_catalog" -> ((s, d) => TableRegistry.jdbcCatalogBatch(s, d)),
     // real PNG codec round-trip (javax.imageio), geometry oracle-checked
     "mm_image_decode" -> ((s, d) => graft.operators.Multimodal.imageDecode(s, d)),
+    // REAL bilinear resize of the decoded PNGs (Graphics2D raster path)
+    "mm_image_resize" -> ((s, d) => graft.operators.Multimodal.imageResize(s, d)),
     // real WAV codec round-trip (javax.sound.sampled), ditto
     "mm_audio_decode" -> ((s, d) => graft.operators.Multimodal.audioDecode(s, d)),
     "cdc_registry_stats" -> ((s, d) => TableRegistry.registryStats(TableRegistry.discover(s, d))),
@@ -1507,6 +1509,12 @@ object SparkEntry {
         |  CAST(8 + doc_id % 9 AS INTEGER) AS img_w,
         |  CAST(8 + (doc_id * 3) % 9 AS INTEGER) AS img_h,
         |  CAST((8 + doc_id % 9) * (8 + (doc_id * 3) % 9) AS BIGINT) AS n_pixels
+        |FROM documents""".stripMargin,
+    "mm_image_resize" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 9 AS INTEGER) AS src_w,
+        |  CAST(8 + (doc_id * 3) % 9 AS INTEGER) AS src_h,
+        |  CAST(4 AS INTEGER) AS out_w, CAST(4 AS INTEGER) AS out_h
         |FROM documents""".stripMargin,
     "mm_audio_decode" ->
       """SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,

@@ -220,6 +220,65 @@ object Multimodal {
     }
   }
 
+  case class ImageResized(doc_id: Long, src_w: Int, src_h: Int, out_w: Int,
+      out_h: Int, mean_r: Double, mean_g: Double, mean_b: Double,
+      pixels: Array[Float])
+
+  /** #194 REAL image resize (retires the last `*_stub` seam): decode the
+    * genuine PNG payload, bilinear-rescale it to out_w × out_h with
+    * java.awt.Graphics2D (a true raster resampler in the JDK, the same
+    * AffineTransform path ImageIO-based thumbnailers use), and emit the
+    * normalized RGB pixel tensor — the "resize to model input shape" stage
+    * of a multimodal pipeline. One partition pass chains decode → resize
+    * with codec and raster state amortized; no intermediate
+    * materialization, no shuffle (row-local throughout). Unreadable
+    * payloads DLQ-drop like [[decodeImages]].
+    */
+  def resizeImages(payloads: Dataset[MediaIn], outW: Int,
+      outH: Int): Dataset[ImageResized] = {
+    implicit val enc = Encoders.product[ImageResized]
+    payloads.mapPartitions { it =>
+      it.flatMap { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(outW, outH,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, outW, outH, null)
+          } finally g.dispose()
+          val px = new Array[Float](outW * outH * 3)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < outW * outH) {
+            val rgb = out.getRGB(i % outW, i / outW)
+            val r = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            sr += r; sg += gg; sb += b
+            px(i * 3) = r / 255f; px(i * 3 + 1) = gg / 255f; px(i * 3 + 2) = b / 255f
+            i += 1
+          }
+          val n = (outW * outH).toDouble
+          Some(ImageResized(m.doc_id, img.getWidth, img.getHeight, outW, outH,
+            sr / n, sg / n, sb / n, px))
+        }
+      }
+    }
+  }
+
+  /** #194 Registered query: decode → bilinear resize; geometry is the
+    * oracle-checkable part (source dims a pure function of doc_id, output
+    * dims constant), pixel content spec-verified.
+    */
+  def imageResize(spark: SparkSession, dir: String, outW: Int = 4,
+      outH: Int = 4): DataFrame =
+    resizeImages(imagePayloads(spark, dir), outW, outH)
+      .toDF()
+      .select("doc_id", "src_w", "src_h", "out_w", "out_h")
+
   /** #177 Registered query: PNG-encode → ImageIO-decode round trip. The
     * emitted columns are the decode outputs that are pure functions of
     * doc_id (geometry), so the DuckDB oracle proves the codec round-trip

@@ -41,6 +41,47 @@ class ImageDecodeSpec extends SparkSpec {
     payloads.unpersist(); feats.unpersist()
   }
 
+  test("bilinear resize: right shape, constant images stay constant, mean tracks") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaIn]
+    // constant-color source: every resampling scheme must reproduce the
+    // constant exactly at any output size
+    def constPng(id: Long, w: Int, h: Int, rgb: Int): Multimodal.MediaIn = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      Multimodal.MediaIn(id, baos.toByteArray)
+    }
+    val const = Seq(constPng(1L, 11, 7, 0x406080), constPng(2L, 3, 3, 0xFF0000)).toDS()
+    val rz = Multimodal.resizeImages(const, 4, 4).collect().sortBy(_.doc_id)
+    assert(rz.length == 2)
+    rz.foreach { r =>
+      assert(r.out_w == 4 && r.out_h == 4 && r.pixels.length == 4 * 4 * 3)
+    }
+    assert(rz(0).src_w == 11 && rz(0).src_h == 7)
+    assert(math.abs(rz(0).mean_r - 0x40) < 1e-9 &&
+      math.abs(rz(0).mean_g - 0x60) < 1e-9 && math.abs(rz(0).mean_b - 0x80) < 1e-9)
+    assert(rz(0).pixels.grouped(3).forall(p =>
+      math.abs(p(0) - 0x40 / 255f) < 1e-6 && math.abs(p(1) - 0x60 / 255f) < 1e-6 &&
+        math.abs(p(2) - 0x80 / 255f) < 1e-6), "constant image not constant after resize")
+    assert(math.abs(rz(1).mean_r - 255.0) < 1e-9 && rz(1).mean_g == 0.0)
+
+    // corpus path: geometry contract + deterministic across runs
+    val a = Multimodal.imageResize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(a.nonEmpty && a.forall { case (id, sw, sh, ow, oh) =>
+      sw == (8 + id % 9).toInt && sh == (8 + (id * 3) % 9).toInt && ow == 4 && oh == 4
+    })
+    val b = Multimodal.imageResize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(a.sorted.sameElements(b.sorted))
+    // junk payloads DLQ-drop through the resize path too
+    val junk = Seq(Multimodal.MediaIn(-1L, Array[Byte](1, 2, 3))).toDS()
+    assert(Multimodal.resizeImages(junk, 4, 4).count() == 0)
+  }
+
   test("unreadable payloads drop out instead of failing the batch") {
     import spark.implicits._
     implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaIn]
