@@ -102,6 +102,10 @@ object SparkEntry {
     "q_table_profile" -> ((s, d) =>
       graft.operators.Profile.tableProfile(Tables.orders(s, d))),
     "cdc_net_effect" -> ((s, d) => Cdc.netEffect(s, d)),
+    // right-to-be-forgotten: partition-pruned selective rewrite; only
+    // partitions containing a doomed key are touched (ForgetSpec pins
+    // that untouched partition files stay byte-identical)
+    "cdc_forget_keys" -> ((s, d) => graft.operators.Forget.forgetDemo(s, d)),
     "ev_blast_radius" -> ((s, d) => graft.operators.Ranges.errorBlastRadius(s, d)),
     // sketch estimates not SQL-expressible → rows-only (deterministic seed)
     "ev_heavy_hitters" -> ((s, d) => graft.operators.Sketches.heavyHitters(s, d)),
@@ -669,6 +673,14 @@ object SparkEntry {
         |  (max(delay_ms) > 60000) AS high_latency_flag,
         |  (count(*) < 10) AS low_volume_flag
         |FROM g GROUP BY 1, 2""".stripMargin,
+    "cdc_forget_keys" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |aff AS (SELECT DISTINCT d FROM ev WHERE user_id % 97 = 13)
+        |SELECT CAST(e.d AS VARCHAR) AS event_date,
+        |  count(*) AS n_before,
+        |  count(*) FILTER (WHERE e.user_id % 97 <> 13) AS n_after
+        |FROM ev e JOIN aff USING (d)
+        |GROUP BY 1""".stripMargin,
     "cdc_net_effect" ->
       s"""$logCte,
          |b AS (SELECT event_type, operation, value,

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Targeted key deletion over a partitioned store — the
+  * right-to-be-forgotten / training-data-takedown operation
+  * (reference analog: the DELETE arm of the CDC MERGE in
+  * notebooks/demo/unity_catalog_cdc_demo.py — here applied
+  * retroactively to data at rest).
+  *
+  * The 100 TB shape: never rewrite the table. Phase 1 finds the
+  * partitions that actually contain the doomed keys with a
+  * key-column-only scan (column pruning means bytes read ≈ one column of
+  * the affected dates; partition stats could prune further). Phase 2
+  * anti-joins ONLY those partitions and swaps them via dynamic partition
+  * overwrite — every untouched partition keeps its files byte-identical
+  * (ForgetSpec asserts unchanged mtimes), so a 3-year store forgetting a
+  * user seen on 4 days rewrites 4 partitions.
+  */
+object Forget {
+
+  /** Delete `keys` from the `keyCol` of the date-partitioned store at
+    * `path` (layout of [[Tables.writeDatePartitioned]]: `__d=` partition
+    * dirs). Returns per-partition accounting: rows before/after for
+    * REWRITTEN partitions only. The rewritten frame is localCheckpointed
+    * before the overwrite — Spark refuses to overwrite a path it is
+    * lazily reading from.
+    */
+  def forgetKeys(spark: SparkSession, path: String, keyCol: String,
+      keys: Seq[Long]): DataFrame = {
+    val store = spark.read.parquet(path)
+    val affected = store.filter(col(keyCol).isin(keys: _*))
+      .select("__d").distinct().collect().map(_.get(0))
+    import spark.implicits._
+    if (affected.isEmpty)
+      return Seq.empty[(String, Long, Long)].toDF("__d", "n_before", "n_after")
+    val affectedSlice = store.filter(col("__d").isin(affected: _*))
+    // materialized BEFORE the swap — a lazy plan here would chase the
+    // replaced files after the overwrite
+    val before = affectedSlice.groupBy(col("__d").cast("string").as("__d"))
+      .agg(count(lit(1)).as("n_before")).localCheckpoint()
+    val kept = affectedSlice.filter(!col(keyCol).isin(keys: _*))
+      .localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      kept.write.mode("overwrite").partitionBy("__d").parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // drop the session's cached file listing for the store — readers opened
+    // before the swap would otherwise chase the replaced files
+    spark.catalog.refreshByPath(path)
+    before.join(
+      kept.groupBy(col("__d").cast("string").as("__d"))
+        .agg(count(lit(1)).as("n_after")),
+      Seq("__d"), "left")
+      .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+  }
+
+  /** Driver demo: stage events date-partitioned, forget a deterministic
+    * user set (user_id % 97 = 13), report per-partition before/after for
+    * the rewritten partitions. Accounting is reproducible from the events
+    * table alone, so the oracle replays it in SQL.
+    */
+  def forgetDemo(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("forget").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+    Tables.writeDatePartitioned(ev, "ts_us", s"$root/store")
+    val keys = ev.select("user_id").filter(col("user_id") % 97 === 13)
+      .distinct().collect().map(_.getLong(0)).toSeq
+    forgetKeys(spark, s"$root/store", "user_id", keys)
+      .select(col("__d").as("event_date"), col("n_before"), col("n_after"))
+  }
+}

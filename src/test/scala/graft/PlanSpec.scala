@@ -147,6 +147,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side when the dim can't broadcast") {
+    // the 100 TB regime: a selective dim too big to broadcast still prunes
+    // the fact scan via Spark's runtime bloom-filter injection — pin that
+    // the engine's plans pick it up when broadcast is off the table
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevS = conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val orders = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val p = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter on the fact scan:\n$p")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      prevS match {
+        case Some(v) => conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", v)
+        case None => conf.unset(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      }
+    }
+  }
+
   test("incremental dedup joins stay equi (delta-sized, never corpus-quadratic)") {
     for (q <- Seq("dedup_incremental_exact", "dedup_incremental_near")) {
       val p = planOf(q)
