@@ -106,6 +106,10 @@ object SparkEntry {
     // partitions containing a doomed key are touched (ForgetSpec pins
     // that untouched partition files stay byte-identical)
     "cdc_forget_keys" -> ((s, d) => graft.operators.Forget.forgetDemo(s, d)),
+    // zone-map (row-group min/max) audit: distributed footer reads score
+    // data-skipping health; Morton layout vs naive (rows-only: file-layout
+    // internals; ZoneMapSpec pins disjointness + conservation)
+    "tbl_zonemap_audit" -> ((s, d) => graft.operators.ZoneMap.zoneMapAudit(s, d)),
     "ev_blast_radius" -> ((s, d) => graft.operators.Ranges.errorBlastRadius(s, d)),
     // sketch estimates not SQL-expressible → rows-only (deterministic seed)
     "ev_heavy_hitters" -> ((s, d) => graft.operators.Sketches.heavyHitters(s, d)),

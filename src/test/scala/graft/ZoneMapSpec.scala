@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ZoneMap
+
+/** Zone-map audit: footer stats must agree with the data, and the overlap
+  * metric must separate a range-sorted layout from a scattered one.
+  */
+class ZoneMapSpec extends SparkSpec {
+
+  test("rowGroupStats reads exact footer ranges; overlap separates layouts") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("zm_spec").toString
+    val df = (0L until 4000L).map(i => (i, s"v$i")).toDF("k", "v")
+
+    // range-sorted: each of 4 files holds a disjoint k range
+    df.repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.parquet(s"$root/sorted")
+    val sStats = ZoneMap.rowGroupStats(spark, s"$root/sorted", "k")
+    assert(sStats.agg(sum("n_rows")).head().getLong(0) == 4000L, "row counts off")
+    val sq = ZoneMap.clusteringQuality(sStats).head()
+    assert(sq.getAs[Long]("n_overlapping") == 0L,
+      s"sorted layout shows overlaps: $sq")
+    assert(sq.getAs[Long]("global_min") == 0L && sq.getAs[Long]("global_max") == 3999L)
+    // 4 disjoint slices of 4000 keys → each spans ~25% of the range
+    assert(sq.getAs[Long]("span_pct_e4") <= 2600L, s"sorted spans too wide: $sq")
+
+    // round-robin scatter: every file spans ~the full range → all overlap
+    df.repartition(4).write.parquet(s"$root/scattered")
+    val cq = ZoneMap.clusteringQuality(
+      ZoneMap.rowGroupStats(spark, s"$root/scattered", "k")).head()
+    assert(cq.getAs[Long]("n_overlapping") == cq.getAs[Long]("n_row_groups") - 1,
+      s"scattered layout should overlap everywhere: $cq")
+    assert(cq.getAs[Long]("span_pct_e4") >= 9000L, s"scatter should span ~100%: $cq")
+
+    // demo frame: morton layout materially tighter than naive on span.
+    // sf0.01 on purpose — at sf0.001 there are ~15 distinct users, so 8
+    // files cannot carve distinct user ranges no matter the layout
+    val audit = ZoneMap.zoneMapAudit(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("span_pct_e4")).toMap
+    assert(audit("morton") < audit("naive") * 8 / 10,
+      s"morton ${audit("morton")} not tighter than naive ${audit("naive")}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+}
