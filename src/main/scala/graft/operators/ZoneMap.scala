@@ -87,11 +87,16 @@ object ZoneMap {
     */
   def zoneMapAudit(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("zonemap").toString
+    // one source scan: the frame feeds three passes (naive write, the
+    // layout's quantile probe, the clustered write)
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
-    ev.repartition(8).write.mode("overwrite").parquet(s"$root/naive")
-    Layout.mortonLayout(ev, "user_id", "ts_us", buckets = 8)
-      .write.mode("overwrite").parquet(s"$root/clustered")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ev.repartition(8).write.mode("overwrite").parquet(s"$root/naive")
+      Layout.mortonLayout(ev, "user_id", "ts_us", buckets = 8)
+        .write.mode("overwrite").parquet(s"$root/clustered")
+    } finally ev.unpersist()
     val naive = clusteringQuality(rowGroupStats(spark, s"$root/naive", "user_id"))
       .withColumn("layout", lit("naive"))
     val clustered = clusteringQuality(rowGroupStats(spark, s"$root/clustered", "user_id"))
