@@ -147,6 +147,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("distributed-rank queries range-partition the corpus, never a global window") {
+    // exactRank/exactNtile/exactCumSum consumers: the DATA path must ride
+    // a range repartition; the only SinglePartition exchange allowed is the
+    // metadata-sized per-partition-offset frame (≈ one row per shuffle
+    // partition), never the corpus
+    // allowed SinglePartition exchanges per query: the offset frame, plus
+    // (ppl_buckets) the corpus-level scalar of the LM-score normalization —
+    // all partition-count- or scalar-sized, never corpus rows
+    for ((q, allowed) <- Seq("doc_epoch_shuffle" -> 1, "doc_ppl_buckets" -> 2,
+        "doc_pack_bins" -> 1)) {
+      val p = planOf(q)
+      assert(p.contains("rangepartitioning"),
+        s"$q lost its range repartition:\n$p")
+      val singles = "Exchange SinglePartition".r.findAllIn(p).length
+      assert(singles <= allowed, s"$q has $singles SinglePartition exchanges:\n$p")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side when the dim can't broadcast") {
     // the 100 TB regime: a selective dim too big to broadcast still prunes
     // the fact scan via Spark's runtime bloom-filter injection — pin that
