@@ -316,6 +316,8 @@ object SparkEntry {
     // PCA + whitening of the embedding corpus (rows-only: eigenbasis sign
     // is not cross-engine; ScaleSpec pins variance ordering/orthogonality)
     "emb_pca" -> ((s, d) => Similarity.embPca(s, d)),
+    // contrastive hard negatives: top-k most-similar with a different label
+    "emb_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     // transaction reassembly from the Debezium envelope
     "cdc_txn_summary" -> ((s, d) => Debezium.txnAudit(s, d)),
     // retention curve via per-user activity bitmaps
@@ -1490,6 +1492,17 @@ object SparkEntry {
         |p AS (SELECT qid, nid, list_cosine_similarity(qe, ce) AS cosr FROM q, c WHERE nid <> qid),
         |r AS (SELECT qid, nid, cosr, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, nid) AS INT) AS rnk FROM p)
         |SELECT qid, nid, round(cosr, 4) AS cos, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "emb_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, label AS qlabel
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce, label FROM embeddings),
+        |p AS (SELECT qid, nid, label, list_cosine_similarity(qe, ce) AS cosr
+        |      FROM q, c WHERE nid <> qid AND label <> qlabel),
+        |r AS (SELECT qid, nid, label, cosr,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, nid) AS INT) AS rnk
+        |      FROM p)
+        |SELECT qid, nid, CAST(label AS BIGINT) AS neg_label, round(cosr, 4) AS cos, rnk
+        |FROM r WHERE rnk <= 5""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, f AS frame_no,
         |  CAST(least(256, strlen(text) - f * 256) AS BIGINT) AS frame_bytes,

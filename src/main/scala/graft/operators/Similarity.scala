@@ -34,6 +34,29 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** #198 Hard-negative mining for contrastive training: per query, the
+    * top-k most-similar corpus vectors carrying a DIFFERENT label — the
+    * "looks right, is wrong" examples metric-learning losses weight
+    * hardest. Identical scale shape to [[annCosineTopK]] (broadcast query
+    * batch × one corpus scan, partial top-k before the shuffle); the label
+    * predicate folds into the scan, so mining costs the same as plain ANN.
+    */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    e.select(col("vec_id").as("nid"), col("embedding"), col("label"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid") && col("label") =!= col("qlabel"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("label").cast("long").as("neg_label"),
+        round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
   /** #64 Supplier-assortment similarity via the MinHashAgg sketch
     * aggregate: each supplier's set of shipped part keys collapses to a
     * k=64 signature (map-side partial agg, O(k) state), then pairwise

@@ -152,6 +152,26 @@ class ScaleSpec extends SparkSpec {
     assert(rows(1L) == ((3L, 1000000L, 666666L, -500000L, 1000000L)), s"dim1 ${rows(1L)}")
   }
 
+  test("hardNegatives: wrong-label only, ranked under the unconstrained top-k") {
+    import org.apache.spark.sql.functions._
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hn = Similarity.hardNegatives(spark, sf, k = 5).collect()
+    assert(hn.nonEmpty)
+    hn.foreach { r =>
+      val (qid, nid, negLabel) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(labels(nid) == negLabel && negLabel != labels(qid),
+        s"negative $nid shares label with query $qid")
+    }
+    // a query's best hard negative can never beat its unconstrained best
+    val best = Similarity.annCosineTopK(spark, sf, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    hn.filter(_.getInt(4) == 1).foreach { r =>
+      assert(r.getDouble(3) <= best(r.getLong(0)) + 1e-9)
+    }
+  }
+
   test("embPca: projection preserves geometry, whitening equalizes scales") {
     import org.apache.spark.sql.functions._
     val k = 4
