@@ -318,6 +318,8 @@ object SparkEntry {
     "emb_pca" -> ((s, d) => Similarity.embPca(s, d)),
     // contrastive hard negatives: top-k most-similar with a different label
     "emb_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    // kNN label-consistency audit (embedding quality score per label)
+    "emb_knn_consistency" -> ((s, d) => Similarity.embKnnConsistency(s, d)),
     // transaction reassembly from the Debezium envelope
     "cdc_txn_summary" -> ((s, d) => Debezium.txnAudit(s, d)),
     // retention curve via per-user activity bitmaps
@@ -1503,6 +1505,21 @@ object SparkEntry {
         |      FROM p)
         |SELECT qid, nid, CAST(label AS BIGINT) AS neg_label, round(cosr, 4) AS cos, rnk
         |FROM r WHERE rnk <= 5""".stripMargin,
+    "emb_knn_consistency" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, label AS qlabel
+        |           FROM embeddings WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce, label FROM embeddings),
+        |p AS (SELECT qid, qlabel, nid, label, list_cosine_similarity(qe, ce) AS cosr
+        |      FROM q, c WHERE nid <> qid),
+        |r AS (SELECT qid, qlabel, label,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, nid) AS rnk
+        |      FROM p),
+        |m AS (SELECT qid, qlabel,
+        |        sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS n_match
+        |      FROM r WHERE rnk <= 5 GROUP BY qid, qlabel)
+        |SELECT CAST(qlabel AS BIGINT) AS label, count(*) AS n_queries,
+        |  sum(n_match) * 10000 // (count(*) * 5) AS consistency_e4
+        |FROM m GROUP BY qlabel""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, f AS frame_no,
         |  CAST(least(256, strlen(text) - f * 256) AS BIGINT) AS frame_bytes,

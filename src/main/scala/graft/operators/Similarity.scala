@@ -57,6 +57,34 @@ object Similarity {
         round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** #199 kNN label-consistency — the standard embedding-quality audit:
+    * for a deterministic query sample (vec_id % 10 = 0), what fraction of
+    * each query's k exact nearest neighbours shares its label, averaged
+    * per label (×10⁴ fixed-point). A collapsed or poorly-trained embedding
+    * scores near the label prior; a good one scores high. Exact
+    * all-pairs over the SAMPLE only (sample × corpus, broadcast sample) —
+    * at 100 TB the same audit rides the IVF-PQ index instead of the exact
+    * scan; the sample keeps the oracle exactly reproducible.
+    */
+  def embKnnConsistency(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    e.select(col("vec_id").as("nid"), col("embedding"), col("label"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy("qid", "qlabel")
+      .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("n_match"))
+      .groupBy(col("qlabel").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        expr(s"sum(n_match) * 10000 DIV (count(1) * $k)").as("consistency_e4"))
+  }
+
   /** #64 Supplier-assortment similarity via the MinHashAgg sketch
     * aggregate: each supplier's set of shipped part keys collapses to a
     * k=64 signature (map-side partial agg, O(k) state), then pairwise

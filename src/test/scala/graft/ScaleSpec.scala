@@ -172,6 +172,19 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("embKnnConsistency: bounded scores, full sample accounted") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.embKnnConsistency(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val c = r.getLong(2)
+      assert(c >= 0L && c <= 10000L, s"consistency out of range: $r")
+    }
+    val nSample = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(out.map(_.getLong(1)).sum == nSample, "sample rows lost")
+  }
+
   test("embPca: projection preserves geometry, whitening equalizes scales") {
     import org.apache.spark.sql.functions._
     val k = 4
