@@ -206,6 +206,8 @@ object SparkEntry {
     // standing corpus once, each crawl batch joins against the index
     "dedup_incremental_exact" -> ((s, d) => Dedup.incrementalExact(s, d)),
     "dedup_incremental_near" -> ((s, d) => Dedup.incrementalNearDemo(s, d)),
+    // ensemble dedup: lexical (MinHash) ∧ semantic (cosine) agreement
+    "dedup_ensemble" -> ((s, d) => Dedup.ensembleDedup(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),

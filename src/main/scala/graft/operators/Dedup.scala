@@ -407,6 +407,34 @@ object Dedup {
       .select("delta_doc", "corpus_doc", "jaccard")
   }
 
+  /** #200 Ensemble (multi-signal) near-dup confirmation: the MinHash+LSH
+    * text candidates re-scored with embedding cosine — a pair is a
+    * confirmed duplicate only when BOTH the lexical and the semantic
+    * signal agree (the ensemble that cuts lexical false positives like
+    * boilerplate-heavy pages, and semantic false positives like
+    * same-topic-different-text). Candidates are already sparse (LSH
+    * output), so the embedding join touches candidate ids only — two
+    * hash joins against the vector table by id, never a vector scan.
+    * Plants mirror [[corpusWithPlants]] on the vector side (same id
+    * arithmetic, cosine-jittered) so every planted text pair carries
+    * both signals.
+    */
+  def ensembleDedup(spark: SparkSession, dir: String,
+      jaccThreshold: Double = 0.5, cosThreshold: Double = 0.85): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val planted = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + PerturbOffset).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * 0.98 + 0.01 AS FLOAT))").as("embedding"))
+    val vecs = e.unionByName(planted)
+    minhashLsh(spark, dir, jaccThreshold)
+      .join(vecs.select(col("vec_id").as("doc_a"), col("embedding").as("e_a")), "doc_a")
+      .join(vecs.select(col("vec_id").as("doc_b"), col("embedding").as("e_b")), "doc_b")
+      .withColumn("cos", round(GraftFunctions.cosineSim(col("e_a"), col("e_b")), 4))
+      .withColumn("both_signals",
+        col("jaccard") >= jaccThreshold && col("cos") >= cosThreshold)
+      .select("doc_a", "doc_b", "jaccard", "cos", "both_signals")
+  }
+
   /** The deterministic corpus/delta split the driver entries use:
     * corpus = doc_id % 10 ≠ 0; delta = the held-out docs (novel text,
     * new ids +2M) ∪ exact re-crawls of corpus docs with doc_id % 7 = 1

@@ -74,6 +74,23 @@ class DedupSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("ensemble dedup: planted pairs confirmed by both signals") {
+    val rows = Dedup.ensembleDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val confirmed = rows.filter(_.getBoolean(4))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (orig, orig+1M) pair that minhash surfaced must also
+    // pass the cosine gate — jittered embeddings keep cosine near 1
+    val planted20 = planted.filter(_ % 20 == 0)
+    val found = planted20.count(id => confirmed.contains((id, id + 1000000L)))
+    assert(found >= (planted20.size * 0.8).toInt,
+      s"ensemble confirmed $found of ${planted20.size} planted pairs")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.5, s"pair below the minhash threshold: $r")
+      assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0001)
+    }
+  }
+
   test("simhash banding finds planted near-dup pairs") {
     val pairs = Dedup.simhash(spark, sf)
       .select("doc_a", "doc_b").collect()
