@@ -110,6 +110,9 @@ object SparkEntry {
     // data-skipping health; Morton layout vs naive (rows-only: file-layout
     // internals; ZoneMapSpec pins disjointness + conservation)
     "tbl_zonemap_audit" -> ((s, d) => graft.operators.ZoneMap.zoneMapAudit(s, d)),
+    // plan-quality introspection productized (rows-only: physical-plan
+    // internals; PlanAuditSpec pins the q5 star-query expectations)
+    "q_plan_audit" -> ((s, d) => graft.plans.PlanAudit.auditDemo(s, d)),
     "ev_blast_radius" -> ((s, d) => graft.operators.Ranges.errorBlastRadius(s, d)),
     // sketch estimates not SQL-expressible → rows-only (deterministic seed)
     "ev_heavy_hitters" -> ((s, d) => graft.operators.Sketches.heavyHitters(s, d)),

@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+
+/** Plan-quality introspection as a library API — the audit the PlanSpec
+  * regression suite runs, productized so a user can gate THEIR OWN
+  * pipelines on the same properties before pointing them at 100 TB
+  * ("no sort-merge join crept in", "the scan is pushed-filtered",
+  * "row-local stage stayed exchange-free") instead of eyeballing
+  * `.explain` output.
+  */
+object PlanAudit {
+
+  /** One row per metric for `df`'s physical plan (the pre-execution AQE
+    * plan — deterministic, no job runs):
+    * shuffle_exchanges, broadcast_exchanges, sort_merge_joins,
+    * broadcast_hash_joins, nested_loop_joins, cartesian_products,
+    * parquet_scans, pushed_filter_scans, codegen_eligible_nodes (AQE
+    * collapses WholeStageCodegen per stage at execution, so the
+    * pre-execution audit counts nodes that will fuse, not the spans).
+    */
+  def summarize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val root = unwrap(df.queryExecution.executedPlan)
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      unwrap(p) +: unwrap(p).children.flatMap(walk)
+    val nodes = walk(root)
+    val names = nodes.map(_.getClass.getSimpleName)
+    // pushed filters only show in the scan's metadata string
+    val scanStrings = nodes.filter(_.getClass.getSimpleName.contains("FileSourceScan"))
+      .map(_.toString)
+    val metrics: Seq[(String, Long)] = Seq(
+      "shuffle_exchanges" -> nodes.count(_.isInstanceOf[ShuffleExchangeExec]).toLong,
+      "broadcast_exchanges" -> nodes.count(_.isInstanceOf[BroadcastExchangeExec]).toLong,
+      "sort_merge_joins" -> names.count(_.startsWith("SortMergeJoin")).toLong,
+      "broadcast_hash_joins" -> names.count(_.startsWith("BroadcastHashJoin")).toLong,
+      "nested_loop_joins" -> names.count(_.contains("NestedLoopJoin")).toLong,
+      "cartesian_products" -> names.count(_.startsWith("CartesianProduct")).toLong,
+      "parquet_scans" -> scanStrings.size.toLong,
+      "pushed_filter_scans" -> scanStrings.count(s =>
+        s.contains("PushedFilters: [") && !s.contains("PushedFilters: []")).toLong,
+      "codegen_eligible_nodes" -> nodes.count {
+        case c: org.apache.spark.sql.execution.CodegenSupport => c.supportCodegen
+        case _ => false
+      }.toLong)
+    metrics.toDF("metric", "value")
+  }
+
+  /** Driver demo: audit a broadcast-heavy star query — the frame a CI
+    * gate would assert on (and the oracle can check: the plan for a fixed
+    * query at a fixed SF is deterministic pre-execution).
+    */
+  def auditDemo(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    summarize(graft.operators.Tpch.q5RegionRevenue(spark, dir))
+}

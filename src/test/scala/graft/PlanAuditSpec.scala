@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.PlanAudit
+
+/** PlanAudit must report the same properties PlanSpec pins by hand. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def metricsOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    PlanAudit.summarize(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("q5 star query: broadcasts present, no sort-merge or nested-loop joins") {
+    val m = metricsOf(operators.Tpch.q5RegionRevenue(spark, sf))
+    assert(m("broadcast_hash_joins") >= 3, s"q5 lost its broadcasts: $m")
+    assert(m("sort_merge_joins") == 0 && m("nested_loop_joins") == 0 &&
+      m("cartesian_products") == 0, s"q5 planned a bad join: $m")
+    assert(m("pushed_filter_scans") >= 1, s"q5 lost scan pushdown: $m")
+    assert(m("codegen_eligible_nodes") >= 1, s"q5 lost codegen eligibility: $m")
+  }
+
+  test("row-local op: zero exchanges of either kind") {
+    val m = metricsOf(operators.Text.docSplitAssign(spark, sf))
+    assert(m("shuffle_exchanges") == 0 && m("broadcast_exchanges") == 0,
+      s"row-local op shuffled: $m")
+    assert(m("parquet_scans") == 1)
+  }
+
+  test("aggregation: exactly one shuffle") {
+    val m = metricsOf(
+      Tables.lineitem(spark, sf).groupBy("l_returnflag").agg(sum("l_quantity")))
+    assert(m("shuffle_exchanges") == 1, s"plain agg should shuffle once: $m")
+  }
+}
