@@ -36,6 +36,10 @@ object SparkEntry {
     "cdc_dedup_once" -> ((s, d) => Cdc.dedupExactlyOnce(s, d)),
     "cdc_snapshot_merge" -> ((s, d) => Cdc.snapshotMerge(s, d)),
     "cdc_time_travel" -> ((s, d) => Cdc.timeTravel(s, d)),
+    // facts joined to the SCD2 version valid at the fact's timestamp
+    "cdc_pit_join" -> ((s, d) => Cdc.pitJoin(s, d)),
+    // pt-table-checksum-style bucketed source/target drift audit
+    "cdc_reconcile" -> ((s, d) => Cdc.reconcile(s, d)),
     "cdc_asof_join" -> ((s, d) => Cdc.asofJoin(s, d)),
     // same join with a 10-minute staleness guard: older matches null out
     "cdc_asof_tolerance" -> ((s, d) => Cdc.asofJoin(s, d, tolerance = Some(600000000L))),
@@ -187,6 +191,10 @@ object SparkEntry {
     // Event-stream analytics (#25-28)
     "ev_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
+    // DAU / trailing-7-day WAU / stickiness via map-side day fan-out
+    "ev_active_users" -> ((s, d) => Events.activeUsers(s, d)),
+    // gaps-and-islands longest daily-activity streak per user
+    "ev_streaks" -> ((s, d) => Events.streaks(s, d)),
     "ev_funnel_steps" -> ((s, d) => Events.funnelSteps(s, d)),
     "ev_user_stats" -> ((s, d) => Events.userStats(s, d)),
     "ev_windowed_counts" -> ((s, d) => Events.windowedCounts(s, d)),
@@ -489,6 +497,43 @@ object SparkEntry {
          |  coalesce(vt, 9223372036854775807) AS valid_to_us,
          |  (vt IS NULL) AS is_current
          |FROM h""".stripMargin,
+    "cdc_pit_join" ->
+      s"""$logCte,
+         |h AS (SELECT user_id, event_id, operation, round(value, 2) AS value,
+         |        seq_us AS valid_from_us,
+         |        coalesce(lead(seq_us) OVER (PARTITION BY user_id ORDER BY seq_us, event_id),
+         |                 9223372036854775807) AS valid_to_us
+         |      FROM log),
+         |f AS (SELECT event_id AS p_event_id, user_id, seq_us AS p_ts_us
+         |      FROM log WHERE event_type = 'purchase')
+         |SELECT f.p_event_id, f.user_id, f.p_ts_us, h.event_id AS v_event_id,
+         |  h.operation AS v_op, h.value AS v_value, h.valid_from_us
+         |FROM f JOIN h ON f.user_id = h.user_id
+         |  AND f.p_ts_us >= h.valid_from_us AND f.p_ts_us < h.valid_to_us""".stripMargin,
+    "cdc_reconcile" ->
+      s"""$logCte,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq_us DESC, event_id DESC) AS rn FROM log),
+         |cur AS (SELECT user_id AS cu, operation, value AS cv FROM r WHERE rn = 1),
+         |snap AS (SELECT c_custkey AS user_id, c_acctbal AS value FROM customer),
+         |m AS (SELECT coalesce(s.user_id, c.cu) AS user_id,
+         |        round(CASE WHEN c.cu IS NOT NULL THEN c.cv ELSE s.value END, 2) AS value
+         |      FROM snap s FULL OUTER JOIN cur c ON s.user_id = c.cu
+         |      WHERE coalesce(c.operation, '') <> 'DELETE'),
+         |srcd AS (SELECT user_id % 16 AS bucket, count(*) AS rows_src,
+         |          CAST(sum(user_id * 1000003 + CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS check_src
+         |        FROM m GROUP BY 1),
+         |t AS (SELECT user_id,
+         |        CASE WHEN user_id % 97 = 13 THEN round(value + 1.0, 2) ELSE value END AS value
+         |      FROM m WHERE user_id % 113 <> 7),
+         |tgtd AS (SELECT user_id % 16 AS bucket, count(*) AS rows_tgt,
+         |          CAST(sum(user_id * 1000003 + CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS check_tgt
+         |        FROM t GROUP BY 1)
+         |SELECT coalesce(s.bucket, g.bucket) AS bucket,
+         |  coalesce(rows_src, 0) AS rows_src, coalesce(rows_tgt, 0) AS rows_tgt,
+         |  coalesce(check_src, 0) AS check_src, coalesce(check_tgt, 0) AS check_tgt,
+         |  (coalesce(rows_src, 0) = coalesce(rows_tgt, 0)
+         |    AND coalesce(check_src, 0) = coalesce(check_tgt, 0)) AS consistent
+         |FROM srcd s FULL OUTER JOIN tgtd g ON s.bucket = g.bucket""".stripMargin,
     "cdc_change_summary" ->
       s"""$logCte
          |SELECT event_type, operation, count(*) AS total_changes,
@@ -1344,6 +1389,23 @@ object SparkEntry {
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "ev_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT cover_day AS day, count(DISTINCT user_id) AS wau
+        |        FROM ud, UNNEST(range(day, day + 7)) AS t(cover_day) GROUP BY 1)
+        |SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+        |  CAST(d.dau * 10000 // w.wau AS BIGINT) AS stickiness_e4
+        |FROM dau d JOIN wau w ON d.day = w.day""".stripMargin,
+    "ev_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |        day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM ud),
+        |st AS (SELECT user_id, grp, count(*) AS len, min(day) AS start_day FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  min(start_day) AS first_day
+        |FROM st GROUP BY 1""".stripMargin,
     "ev_sessionize" ->
       """WITH l AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,

@@ -299,4 +299,49 @@ object Events {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value").cast(DecimalType(12, 2))), 2).cast("double").as("sum_value"))
+
+  /** Active-user curve: per calendar day, DAU plus the trailing-7-day WAU
+    * and the DAU/WAU stickiness ratio (×10⁴ fixed point). The WAU is NOT a
+    * sliding `countDistinct` window (which would re-scan 7 days of events
+    * per day): each distinct (user, day) pair fans out map-side to the ≤7
+    * future cover days it keeps the user "weekly-active" on, and ONE
+    * distinct aggregation per cover day counts the union — the shuffle
+    * carries (user, day) pairs ×7, never raw events, and every stage is
+    * partial-aggregation friendly. Days are only reported where a DAU
+    * exists (inner join), so the frame never invents empty calendar days.
+    */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = withTs(spark, dir)
+      .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .withColumn("day", explode(sequence(col("day"), col("day") + 6)))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .selectExpr("day", "dau", "wau", "CAST(dau * 10000 DIV wau AS BIGINT) AS stickiness_e4")
+  }
+
+  /** Longest daily-activity streak per user (gaps-and-islands): distinct
+    * active days → row_number per user → group on (day − rn), the
+    * constant-per-run island key. Windows partition on user_id (high
+    * cardinality — per-task state is one user's days), and the distinct
+    * collapse happens BEFORE the window so the sort ranks days, not raw
+    * events. The engagement-quality view next to [[retentionBitmap]]'s
+    * population curve.
+    */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val ud = withTs(spark, dir)
+      .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy(col("day"))
+    ud.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        min(col("start_day")).as("first_day"))
+  }
 }

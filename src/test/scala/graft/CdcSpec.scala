@@ -110,4 +110,35 @@ class CdcSpec extends SparkSpec {
     assert(out.values.map(_._2).sum == 2L)
     assert(out.values.map(_._3).sum == planted.count())
   }
+
+  test("pit join: every purchase matches exactly one containing version") {
+    val pit = Cdc.pitJoin(spark, sf).cache()
+    val purchases = Cdc.log(spark, sf).filter(col("event_type") === "purchase")
+    // inner join loses nothing (every purchase is itself a log event, so a
+    // version covering its timestamp always exists) and duplicates nothing
+    assert(pit.count() == purchases.count())
+    assert(pit.groupBy("p_event_id").count().filter(col("count") > 1).count() == 0)
+    // the matched interval really contains the fact timestamp
+    assert(pit.filter(col("p_ts_us") < col("valid_from_us")).count() == 0)
+    // a purchase's own log row starts a version at its exact timestamp, so
+    // the matched version is never strictly older than the fact
+    assert(pit.filter(col("valid_from_us") =!= col("p_ts_us")).count() == 0)
+  }
+
+  test("reconcile flags exactly the buckets holding injected drift") {
+    val rec = Cdc.reconcile(spark, sf).cache()
+    // recompute which buckets SHOULD differ from the injected-drift rule
+    val state = Cdc.snapshotMerge(spark, sf)
+    val driftBuckets = state
+      .filter(col("user_id") % 97 === 13 || col("user_id") % 113 === 7)
+      .select((col("user_id") % 16).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val flagged = rec.filter(!col("consistent"))
+      .select("bucket").collect().map(_.getLong(0)).toSet
+    assert(flagged == driftBuckets)
+    // clean buckets agree on both rows and checksums
+    val clean = rec.filter(col("consistent"))
+    assert(clean.filter(col("rows_src") =!= col("rows_tgt")
+      || col("check_src") =!= col("check_tgt")).count() == 0)
+  }
 }

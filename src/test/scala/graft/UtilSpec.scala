@@ -352,6 +352,34 @@ class UtilSpec extends SparkSpec {
     assert(out("y") == ((5.0, 2.0, 0L)), s"y got ${out("y")}")
   }
 
+  test("activeUsers and streaks agree with a hand-computed activity grid") {
+    import spark.implicits._
+    import graft.operators.Events
+    val dir = Files.createTempDirectory("act").toString
+    def ns(day: Long, i: Int) = day * 86400000000000L + i * 1000000000L
+    val rows = Seq(
+      (1L, ns(0, 1), 1L, "click", 1.0, "{}"),
+      (2L, ns(0, 2), 1L, "click", 1.0, "{}"), // same day twice — distinct collapse
+      (3L, ns(1, 1), 1L, "click", 1.0, "{}"),
+      (4L, ns(2, 1), 1L, "click", 1.0, "{}"),
+      (5L, ns(5, 1), 1L, "click", 1.0, "{}"),
+      (6L, ns(6, 1), 1L, "click", 1.0, "{}"),
+      (7L, ns(2, 3), 2L, "click", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // day 5/6 WAU also sees u2's day-2 activity -> stickiness halves there
+    val au = Events.activeUsers(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(au == Map(
+      0L -> ((1L, 1L, 10000L)), 1L -> ((1L, 1L, 10000L)), 2L -> ((2L, 2L, 10000L)),
+      5L -> ((1L, 2L, 5000L)), 6L -> ((1L, 2L, 5000L))), s"got $au")
+    // u1: islands {0,1,2} and {5,6}; u2: the single day 2
+    val st = Events.streaks(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(st == Map(1L -> ((5L, 2L, 3L, 0L)), 2L -> ((1L, 1L, 1L, 2L))), s"got $st")
+  }
+
   test("schemaDrift reports unregistered, missing, and ok columns per table") {
     import spark.implicits._
     import graft.streaming.CdcStreams
