@@ -136,6 +136,11 @@ object SparkEntry {
     "doc_epoch_shuffle" -> ((s, d) => Text.epochShuffle(s, d)),
     "doc_mix_weights" -> ((s, d) => Text.docMixWeights(s, d)),
     "dedup_exact_apply" -> ((s, d) => Text.dedupExactApply(s, d)),
+    // corpus-wide duplicate-SPAN removal + doc reassembly (apply side of
+    // the dedup_ngram_corpus audit)
+    "doc_span_dedup" -> ((s, d) => Text.spanDedup(s, d)),
+    // fixed-point BM25 over an inverted bigram index, two-phase top-k
+    "doc_bm25_topk" -> ((s, d) => Text.bm25TopK(s, d)),
     "doc_reservoir_sample" -> ((s, d) => Text.reservoirSample(s, d)),
     "doc_curation_pipeline" -> ((s, d) => Text.curationPipeline(s, d)),
     "pii_redact" -> ((s, d) => Redact.piiRedact(s, d)),
@@ -780,6 +785,47 @@ object SparkEntry {
         |           ORDER BY tf.tf DESC, df.df ASC, tf.term) AS INT) AS rnk
         |       FROM tf JOIN df USING (term))
         |SELECT doc_id, term, tf, df, rnk FROM rk WHERE rnk <= 3""".stripMargin,
+    "doc_span_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sp AS (SELECT doc_id, CAST(i AS BIGINT) AS span_no,
+        |         array_to_string(toks[i*8+1 : i*8+8], ' ') AS span_text
+        |       FROM tok, UNNEST(range(0, (len(toks) + 7) // 8)) AS t(i)),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY md5(span_text)
+        |        ORDER BY doc_id, span_no) AS rn FROM sp),
+        |a AS (SELECT doc_id, count(*) AS n_spans,
+        |        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |        coalesce(string_agg(CASE WHEN rn = 1 THEN span_text END, ' '
+        |          ORDER BY span_no), '') AS clean_text
+        |      FROM k GROUP BY 1)
+        |SELECT doc_id, n_spans, n_kept,
+        |  CAST(length(clean_text) AS BIGINT) AS clean_len,
+        |  md5(clean_text) AS clean_digest
+        |FROM a""".stripMargin,
+    "doc_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |       FROM tok, UNNEST(range(1, len(toks))) AS t(i) WHERE len(toks) >= 2),
+        |tf AS (SELECT doc_id, g, count(*) AS tf FROM bg GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT g, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+        |q AS (SELECT g AS q_term, df FROM dfq
+        |      WHERE df BETWEEN 5 AND 50 ORDER BY df DESC, g LIMIT 8),
+        |sc AS (SELECT q.q_term, tf.doc_id, tf.tf,
+        |         CAST(length(bin(nd.n_docs // q.df)) - 1 AS BIGINT) AS idf_bits,
+        |         (nd.total_dl * 10000) // nd.n_docs AS avgdl_e4, dl.dl AS dl
+        |       FROM tf JOIN q ON tf.g = q.q_term JOIN dl ON tf.doc_id = dl.doc_id, nd),
+        |n2 AS (SELECT q_term, doc_id, tf, idf_bits,
+        |         2500 + (7500 * ((dl * 100000000) // avgdl_e4)) // 10000 AS norm_e4 FROM sc),
+        |s2 AS (SELECT q_term, doc_id, tf,
+        |         CAST(idf_bits * ((tf * 22000 * 10000)
+        |           // (tf * 10000 + (12000 * norm_e4) // 10000)) AS BIGINT) AS score_e4
+        |       FROM n2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_term
+        |        ORDER BY score_e4 DESC, doc_id) AS rn FROM s2)
+        |SELECT q_term, doc_id, tf, score_e4, CAST(rn AS INT) AS rnk
+        |FROM r WHERE rn <= 5""".stripMargin,
     "doc_len_hist" ->
       """WITH t AS (
         |  SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) // 10 AS bucket

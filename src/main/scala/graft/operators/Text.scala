@@ -309,6 +309,92 @@ object Text {
           .as("n_nonoriginal"))
   }
 
+  /** Corpus-level duplicate-SPAN removal — the APPLY side of the
+    * [[corpusDupNgrams]] audit (the span-granular approximation of exact
+    * substring dedup, Lee et al. ACL'22 "Deduplicating Training Data"):
+    * each document splits into consecutive `n`-token spans, the corpus
+    * keeps only the FIRST occurrence of every span (ordered by doc_id,
+    * span_no), and documents reassemble from their surviving spans. The
+    * cleaned text is emitted as length + digest, proving content without
+    * shipping it.
+    *
+    * Shape: span explode is map-side; one shuffle partitions on the span
+    * digest for the keep-first window; one groupBy reassembles per doc.
+    * Spans travel as text because reassembly needs the bytes — at 100 TB
+    * the window leg would carry digests only and join winners back by
+    * (doc_id, span_no), trading a third shuffle for a text-free sort leg;
+    * at this span width the direct plan moves the same bytes the corpus
+    * holds, which is the floor either way.
+    */
+  def spanDedup(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST((size(toks) + ${n - 1}) DIV $n AS INT) - 1)," +
+          s" i -> struct(CAST(i AS BIGINT) AS span_no," +
+          s" array_join(slice(toks, i * $n + 1, $n), ' ') AS span_text))")).as("s"))
+      .select(col("doc_id"), col("s.span_no").as("span_no"),
+        col("s.span_text").as("span_text"))
+    val w = Window.partitionBy(md5(col("span_text")))
+      .orderBy(col("doc_id"), col("span_no"))
+    sp.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("span_no"), col("span_text"))))),
+          x => x.getField("span_text")), " ").as("clean_text"))
+      .select(col("doc_id"), col("n_spans"), col("n_kept"),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        md5(col("clean_text")).as("clean_digest"))
+  }
+
+  /** BM25 retrieval over an inverted bigram index, in exact fixed-point
+    * arithmetic so the ranking is bit-stable cross-engine: idf is the
+    * integer bit-length of N/df (the same log₂ quantization as
+    * [[docLmScore]]), the Robertson tf-saturation term
+    * tf·(k₁+1)/(tf + k₁·(1−b+b·dl/avgdl)) is evaluated in ×10⁴ integer
+    * steps with k₁=1.2, b=0.75. The query set is itself derived from the
+    * corpus (top-8 bigrams by df inside a mid-frequency band) so the demo
+    * is self-contained and deterministic.
+    *
+    * Shape: postings (doc, term, tf) are the only corpus-scale shuffle;
+    * df/avgdl aggregates are sublinear (vocab / doc counts); the 8-row
+    * query frame broadcasts into the postings scan; per-query top-k runs
+    * through the two-phase TopKPerGroupExec, so each map partition prunes
+    * to k candidates per query BEFORE the exchange — no low-cardinality
+    * ranking window (8 queries would otherwise funnel through 8 reducers).
+    */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))")).as("g"))
+    val tf = bg.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfq = tf.groupBy("g").agg(count(lit(1)).as("df"))
+    val nd = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    val queries = dfq.filter(col("df").between(5, 50))
+      .orderBy(col("df").desc, col("g").asc).limit(8)
+      .withColumnRenamed("g", "q_term")
+    val scored = tf.join(broadcast(queries), tf("g") === queries("q_term"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nd))
+      .selectExpr("q_term", "doc_id", "tf",
+        "CAST(length(bin(n_docs DIV df)) - 1 AS BIGINT) AS idf_bits",
+        "(total_dl * 10000) DIV n_docs AS avgdl_e4", "dl")
+      .selectExpr("q_term", "doc_id", "tf", "idf_bits",
+        "2500 + (7500 * ((dl * 100000000) DIV avgdl_e4)) DIV 10000 AS norm_e4")
+      .selectExpr("q_term", "doc_id", "tf",
+        "CAST(idf_bits * ((tf * 22000 * 10000) DIV (tf * 10000 + (12000 * norm_e4) DIV 10000)) AS BIGINT) AS score_e4")
+    graft.plans.TopK.topKPerGroup(scored, Seq("q_term"),
+      Seq(("score_e4", true), ("doc_id", false)), k)
+      .select("q_term", "doc_id", "tf", "score_e4", "rnk")
+  }
+
   /** Materialized exact dedup — the cleaned corpus itself, not just the
     * duplicate report ([[dedupExact]]): keep-first by content hash via a
     * rank-1 window over the md5 partition. Spark plans rank ≤ 1 as a

@@ -320,4 +320,43 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("position") === col("p1")).count()
     assert(sameOrder < n / 2, s"epoch orders nearly identical ($sameOrder/$n fixed points)")
   }
+
+  test("spanDedup keeps first span occurrence corpus-wide and reassembles") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("textops").toString
+    val span = (1 to 8).map(i => s"s$i").mkString(" ") // exactly one 8-token span
+    val tail = (1 to 8).map(i => s"t$i").mkString(" ")
+    Seq(
+      (1L, s"$span $tail", "en", "src0", 0L), // both spans original
+      (2L, s"$span $tail", "en", "src0", 0L), // full duplicate -> empty clean
+      (3L, s"$span u1 u2 u3", "en", "src0", 0L)) // dup head, unique 3-token tail
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Text.spanDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 2L, (span + " " + tail).length.toLong)), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 0L, 0L)), s"got ${out(2L)}")
+    assert(out(3L) == ((2L, 1L, "u1 u2 u3".length.toLong)), s"got ${out(3L)}")
+    // doc 2's clean digest is md5("") — content proven, not shipped
+    val d2 = Text.spanDedup(spark, dir).filter(col("doc_id") === 2L)
+      .select("clean_digest").head().getString(0)
+    assert(d2 == "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("bm25TopK ranks by score within query, bounded and deterministic") {
+    val out = Text.bm25TopK(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // ≤ k rows per query, rnk contiguous from 1, scores non-increasing
+    val byQ = rows.groupBy(_.getString(0))
+    assert(byQ.size <= 8)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= 5, s"$q returned ${rs.length} rows")
+      val sorted = rs.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq == (1 to rs.length).toSeq)
+      val scores = sorted.map(_.getLong(3)).toSeq
+      assert(scores == scores.sorted.reverse, s"$q scores not monotone: $scores")
+      assert(scores.forall(_ > 0), s"$q has a zero score in top-k")
+    }
+  }
 }
