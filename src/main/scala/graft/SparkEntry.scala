@@ -135,6 +135,13 @@ object SparkEntry {
     // global rank via Distributed.exactRank, no single-reducer window
     "doc_epoch_shuffle" -> ((s, d) => Text.epochShuffle(s, d)),
     "doc_mix_weights" -> ((s, d) => Text.docMixWeights(s, d)),
+    // the APPLY of the mixture weights: digest-ordered keep under budget,
+    // per-language cumsum via the distributed groupedCumSum (no per-lang
+    // single-reducer window)
+    "doc_mix_apply" -> ((s, d) => Text.docMixApply(s, d)),
+    // DSIR importance weights: hashed-unigram target/raw likelihood ratio
+    // in exact integer bit arithmetic
+    "doc_dsir_weights" -> ((s, d) => Text.docDsirWeights(s, d)),
     "dedup_exact_apply" -> ((s, d) => Text.dedupExactApply(s, d)),
     // corpus-wide duplicate-SPAN removal + doc reassembly (apply side of
     // the dedup_ngram_corpus audit)
@@ -1011,6 +1018,38 @@ object SparkEntry {
         |SELECT lang, n_docs, lang_tokens,
         |  min_tokens * 10000 // lang_tokens AS weight_e4
         |FROM pl, m""".stripMargin,
+    "doc_mix_apply" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks,
+        |        md5(text) AS digest
+        |      FROM documents),
+        |b AS (SELECT CAST(min(lang_tokens) AS BIGINT) AS budget FROM
+        |       (SELECT lang, sum(n_toks) AS lang_tokens FROM d GROUP BY 1)),
+        |c AS (SELECT *, CAST(sum(n_toks) OVER (PARTITION BY lang
+        |        ORDER BY digest, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+        |      FROM d)
+        |SELECT doc_id, lang, n_toks, cum_toks, b.budget,
+        |  (cum_toks <= b.budget) AS kept
+        |FROM c, b""".stripMargin,
+    "doc_dsir_weights" ->
+      """WITH t0 AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tok AS (SELECT doc_id, lang, substr(md5(tok), 1, 2) AS bucket FROM t0),
+        |raw AS (SELECT bucket, count(*) AS r_cnt FROM tok GROUP BY 1),
+        |tgt AS (SELECT bucket, count(*) AS t_cnt FROM tok WHERE lang = 'en' GROUP BY 1),
+        |rt AS (SELECT CAST(sum(r_cnt) AS BIGINT) AS r_total FROM raw),
+        |tt AS (SELECT CAST(sum(t_cnt) AS BIGINT) AS t_total FROM tgt),
+        |sc AS (SELECT raw.bucket,
+        |         CAST(length(bin(r_total // r_cnt)) - 1 AS BIGINT) AS bits_r,
+        |         CAST(length(bin((t_total + 256) // (coalesce(t_cnt, 0) + 1))) - 1 AS BIGINT) AS bits_t
+        |       FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, rt, tt),
+        |a AS (SELECT doc_id, lang, count(*) AS n_tokens,
+        |        CAST(sum(bits_r - bits_t) AS BIGINT) AS sum_logratio
+        |      FROM tok JOIN sc USING (bucket) GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_tokens, sum_logratio,
+        |  CAST(CASE WHEN sum_logratio >= 0 THEN sum_logratio * 10000 // n_tokens
+        |       ELSE -((-sum_logratio) * 10000 // n_tokens) END AS BIGINT) AS mean_logratio_e4
+        |FROM a""".stripMargin,
     "doc_reservoir_sample" ->
       """WITH h AS (
         |  SELECT lang, doc_id,

@@ -51,7 +51,8 @@ object Distributed {
     sorted.join(broadcast(o), cond)
       .withColumn(rankCol, row_number().over(wLocal) + col("__o___offset"))
       .withColumn(totalCol, col(s"__o_$totalCol"))
-      .drop(o.columns.map(c => s"__o_$c").toIndexedSeq: _*)
+      // o.columns already carry the __o_ prefix — drop them as-is
+      .drop(o.columns.toIndexedSeq: _*)
       .drop(Pid)
   }
 
@@ -80,6 +81,43 @@ object Distributed {
     sorted.join(broadcast(offsets), sorted(Pid) === offsets("__o_pid"))
       .withColumn(cumCol, sum(col(valueCol)).over(wLocal) + col("__offset"))
       .drop(Pid, "__o_pid", "__offset")
+  }
+
+  /** Adds exact PER-GROUP running sum of `valueCol` (inclusive, in
+    * orderCols order within each keyCols group) — `sum() OVER (PARTITION
+    * BY k ORDER BY …)` without funneling each key through one reducer.
+    * The [[exactRank]] machinery with sums instead of counts: range-
+    * repartition on (keys…, order…), per-(partition, key) partial sums
+    * (tiny frame), within-key cumulative offsets by partition id,
+    * broadcast back, local running sum bounded by partition size at ANY
+    * key cardinality.
+    */
+  def groupedCumSum(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, cumCol: String = "cum"): DataFrame = {
+    Seq(cumCol, Pid).foreach(c =>
+      require(!df.columns.contains(c), s"input already has a column named $c"))
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(parts, (keyCols ++ orderCols).map(col): _*)
+      .withColumn(Pid, spark_partition_id())
+    val sums = sorted.groupBy((Pid +: keyCols).map(col): _*)
+      .agg(sum(col(valueCol)).as("__psum"))
+    val wOff = Window.partitionBy(keyCols.map(col): _*).orderBy(Pid)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("__offset", coalesce(sum("__psum").over(wOff), lit(0L)))
+      .select(((Pid +: keyCols).map(col) :+ col("__offset")): _*)
+    val o = offsets.columns.foldLeft(offsets)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
+    // null-SAFE key join, same reason as exactRank
+    val cond = (Pid +: keyCols).map(c => sorted(c) <=> o(s"__o_$c")).reduce(_ && _)
+    val wLocal = Window.partitionBy((Pid +: keyCols).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted.join(broadcast(o), cond)
+      .withColumn(cumCol, sum(col(valueCol)).over(wLocal) + col("__o___offset"))
+      .drop(o.columns.toIndexedSeq: _*)
+      .drop(Pid)
   }
 
   /** Adds `bucketCol` = SQL-standard NTILE(n) bucket (first N mod n

@@ -565,6 +565,70 @@ object Text {
         "min_tokens * 10000 DIV lang_tokens AS weight_e4")
   }
 
+  /** Mixture-budget APPLY — the materialization of [[docMixWeights]]:
+    * every language is capped at the smallest language's token pool, and
+    * the kept set is chosen deterministically (content-digest order, so
+    * reruns and engines agree) by walking each language's docs until the
+    * running token count exceeds the budget. The running count is
+    * [[Distributed.groupedCumSum]] — per-language cumsum from a
+    * distributed range sort, NOT `sum() OVER (PARTITION BY lang)`, which
+    * would funnel every document of a language through one reducer (a
+    * handful of languages dominate any web corpus).
+    */
+  def docMixApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lang", s"$nTokens AS n_toks", "md5(text) AS digest")
+    val budget = docs.groupBy("lang").agg(sum(col("n_toks")).as("lang_tokens"))
+      .agg(min(col("lang_tokens")).as("budget"))
+    Distributed.groupedCumSum(docs, Seq("lang"), Seq("digest", "doc_id"),
+        "n_toks", cumCol = "cum_toks")
+      .crossJoin(broadcast(budget))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("cum_toks"),
+        col("budget"), (col("cum_toks") <= col("budget")).as("kept"))
+  }
+
+  /** DSIR-style importance weights (Xie et al., NeurIPS'23 "Data Selection
+    * for Language Models via Importance Resampling"): score each raw
+    * document by how much more likely its hashed bag-of-unigrams is under
+    * a TARGET distribution than under the raw-corpus distribution —
+    * here the `lang = 'en'` slice plays the curated target (DSIR uses
+    * e.g. Wikipedia). Tokens hash into 256 buckets via their md5 hex
+    * prefix (a string key both engines derive identically); per-bucket
+    * −log₂p is the same integer bit-length quantization as [[docLmScore]]
+    * (add-one smoothing on the target side, whose buckets can be empty),
+    * so the weight is exact integer arithmetic end-to-end. The per-doc
+    * mean is sign-split before the ×10⁴ division because negative integer
+    * division truncates vs floors across engines.
+    *
+    * Shape: the two distribution tables are ≤256 rows (broadcast); the
+    * only corpus-scale shuffle is the per-doc aggregation.
+    */
+  def docDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bucket", substring(md5(col("tok")), 1, 2))
+    val raw = toks.groupBy("bucket").agg(count(lit(1)).as("r_cnt"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("t_cnt"))
+    val scored = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(raw.agg(sum("r_cnt").as("r_total"))))
+      .crossJoin(broadcast(tgt.agg(sum("t_cnt").as("t_total"))))
+      .selectExpr("bucket",
+        "CAST(length(bin(r_total DIV r_cnt)) - 1 AS BIGINT) AS bits_r",
+        "CAST(length(bin((t_total + 256) DIV (coalesce(t_cnt, 0) + 1))) - 1 AS BIGINT) AS bits_t")
+    toks.join(broadcast(scored), "bucket")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits_r") - col("bits_t")).as("sum_logratio"))
+      .selectExpr("doc_id", "lang", "n_tokens", "sum_logratio",
+        // sign-split fixed-point mean: truncate-vs-floor-safe
+        """CAST(CASE WHEN sum_logratio >= 0
+          |  THEN sum_logratio * 10000 DIV n_tokens
+          |  ELSE -((-sum_logratio) * 10000 DIV n_tokens)
+          |END AS BIGINT) AS mean_logratio_e4""".stripMargin)
+  }
+
   /** Unigram language-model quality scoring — the KenLM-proxy filter a
     * pretraining pipeline runs to rank documents by "typicality" under the
     * corpus's own token distribution: per-token surprise −log₂ p(token),

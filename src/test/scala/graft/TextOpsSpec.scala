@@ -321,6 +321,55 @@ class TextOpsSpec extends SparkSpec {
     assert(sameOrder < n / 2, s"epoch orders nearly identical ($sameOrder/$n fixed points)")
   }
 
+  test("groupedCumSum equals the per-key window cumsum, null keys included") {
+    import spark.implicits._
+    import graft.operators.Distributed
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map { i =>
+      (if (i % 11 == 0) null else s"k${i % 3}", i.toLong, (i % 7).toLong)
+    }.toDF("k", "ord", "v")
+    val got = Distributed.groupedCumSum(df, Seq("k"), Seq("ord"), "v", "cum")
+    val w = Window.partitionBy("k").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("docMixApply: kept set is maximal under the budget per language") {
+    val out = Text.docMixApply(spark, sf).cache()
+    val budget = out.select("budget").head.getLong(0)
+    // kept tokens never exceed the budget...
+    val perLang = out.filter(col("kept")).groupBy("lang")
+      .agg(sum("n_toks").as("kept_toks"))
+    assert(perLang.filter(col("kept_toks") > budget).count() == 0)
+    // ...and the first dropped doc per language would have broken it
+    val firstDrop = out.filter(!col("kept")).groupBy("lang")
+      .agg(min("cum_toks").as("c"))
+    assert(firstDrop.filter(col("c") <= budget).count() == 0)
+    // the smallest language (whose pool IS the budget) is kept wholesale
+    val whole = out.groupBy("lang").agg(sum("n_toks").as("t"),
+      sum(when(col("kept"), col("n_toks")).otherwise(0L)).as("kt"))
+    assert(whole.filter(col("t") === budget).filter(col("kt") =!= col("t")).count() == 0)
+  }
+
+  test("docDsirWeights separates target-like from off-target documents") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("textops").toString
+    Seq( // en draws from vocab A, fr from disjoint vocab B (no bucket collisions)
+      (1L, "alpha beta gamma alpha", "en", "src0", 0L),
+      (2L, "alpha gamma beta beta", "en", "src0", 0L),
+      (3L, "zeta eta theta zeta", "fr", "src0", 0L),
+      (4L, "eta eta theta zeta", "fr", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Text.docDsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val en = Seq(out(1L), out(2L))
+    val fr = Seq(out(3L), out(4L))
+    assert(en.min > fr.max,
+      s"target-vocab docs should outscore off-target: en=$en fr=$fr")
+  }
+
   test("spanDedup keeps first span occurrence corpus-wide and reassembles") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("textops").toString
