@@ -153,6 +153,9 @@ object SparkEntry {
     "pii_redact" -> ((s, d) => Redact.piiRedact(s, d)),
     "doc_len_hist" -> ((s, d) => Text.docLenHist(s, d)),
     "doc_quality_gopher" -> ((s, d) => Text.docQualityGopher(s, d)),
+    // fastText-style LR distillation of the Gopher gate (rows-only: float
+    // aggregation order moves the last ulp; ClassifierSpec pins accuracy)
+    "doc_quality_classifier" -> ((s, d) => Classifier.qualityScores(s, d)),
     // domain-level curation: per-source quality/dup mass + document caps
     "doc_source_quality" -> ((s, d) => Text.sourceQuality(s, d)),
     "doc_source_caps" -> ((s, d) => Text.sourceCaps(s, d)),
