@@ -210,6 +210,12 @@ object SparkEntry {
     "ev_active_users" -> ((s, d) => Events.activeUsers(s, d)),
     // gaps-and-islands longest daily-activity streak per user
     "ev_streaks" -> ((s, d) => Events.streaks(s, d)),
+    // cohort × week-offset revenue curves with exact-decimal cumulatives
+    "ev_cohort_ltv" -> ((s, d) => Events.cohortLtv(s, d)),
+    // out-of-order arrival audit: the watermark-sizing numbers
+    "cdc_disorder_audit" -> ((s, d) => Events.disorderAudit(s, d)),
+    // exact audience Jaccard between event types, per-user pair fan-out
+    "ev_audience_overlap" -> ((s, d) => Events.audienceOverlap(s, d)),
     "ev_funnel_steps" -> ((s, d) => Events.funnelSteps(s, d)),
     "ev_user_stats" -> ((s, d) => Events.userStats(s, d)),
     "ev_windowed_counts" -> ((s, d) => Events.windowedCounts(s, d)),
@@ -1477,6 +1483,43 @@ object SparkEntry {
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "ev_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, value FROM events),
+        |c AS (SELECT user_id, min(ts_us // 86400000000) AS cohort_day
+        |      FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |wk AS (SELECT c.cohort_day,
+        |         (e.ts_us // 86400000000 - c.cohort_day) // 7 AS week_off,
+        |         e.user_id, e.event_type, e.value
+        |       FROM e JOIN c ON e.user_id = c.user_id
+        |       WHERE e.ts_us // 86400000000 - c.cohort_day >= 0),
+        |a AS (SELECT cohort_day, week_off, count(DISTINCT user_id) AS n_active_users,
+        |        sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2))
+        |            ELSE CAST(0 AS DECIMAL(12,2)) END) AS rev
+        |      FROM wk GROUP BY 1, 2)
+        |SELECT cohort_day, week_off, n_active_users,
+        |  CAST(round(rev, 2) AS DOUBLE) AS revenue,
+        |  CAST(round(sum(rev) OVER (PARTITION BY cohort_day ORDER BY week_off
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_revenue
+        |FROM a""".stripMargin,
+    "cdc_disorder_audit" ->
+      """WITH l AS (SELECT event_type, user_id, epoch_us(ts) AS ts_us, event_id,
+        |        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+        |      FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN ts_us < prev_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(sum(CASE WHEN ts_us < prev_ts THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS late_frac_e4,
+        |  CAST(max(CASE WHEN ts_us < prev_ts THEN prev_ts - ts_us ELSE 0 END) AS BIGINT) AS max_disorder_us
+        |FROM l GROUP BY 1""".stripMargin,
+    "ev_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |tot AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        |      FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, ta.n AS n_a, tb.n AS n_b, p.n_both,
+        |  CAST(p.n_both * 10000 // (ta.n + tb.n - p.n_both) AS BIGINT) AS jaccard_e4
+        |FROM p JOIN tot ta ON p.type_a = ta.event_type
+        |       JOIN tot tb ON p.type_b = tb.event_type""".stripMargin,
     "ev_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
         |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),

@@ -322,6 +322,82 @@ object Events {
       .selectExpr("day", "dau", "wau", "CAST(dau * 10000 DIV wau AS BIGINT) AS stickiness_e4")
   }
 
+  /** Cohort lifetime-value curves: per signup-day cohort × week offset,
+    * active users, purchase revenue, and CUMULATIVE revenue — the
+    * money-weighted companion of [[retentionCohorts]]. Revenue sums are
+    * exact DECIMAL end-to-end; the cumulative window runs over the
+    * (cohorts × offsets) frame, which is aggregation OUTPUT (thousands of
+    * rows at any corpus size), so the window partition is safe by
+    * construction — the corpus-scale work is the two keyed aggregations
+    * before it.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withTs(spark, dir)
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(expr("ts_us DIV 86400000000")).as("cohort_day"))
+    val weekly = ev.join(cohorts, "user_id")
+      // filter on the RAW day offset: pre-signup events must drop before
+      // the ÷7 (negative integer division truncates vs floors cross-engine)
+      .withColumn("day_off", expr("ts_us DIV 86400000000 - cohort_day"))
+      .filter(col("day_off") >= 0)
+      .withColumn("week_off", expr("day_off DIV 7"))
+      .groupBy("cohort_day", "week_off")
+      .agg(countDistinct(col("user_id")).as("n_active_users"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(12, 2))).otherwise(lit(0).cast(DecimalType(12, 2))))
+          .as("rev"))
+    val w = Window.partitionBy("cohort_day").orderBy("week_off")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("cum_rev", sum(col("rev")).over(w))
+      .select(col("cohort_day"), col("week_off"), col("n_active_users"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        round(col("cum_rev"), 2).cast("double").as("cum_revenue"))
+  }
+
+  /** Out-of-order arrival audit — the number a streaming deployment sizes
+    * its WATERMARK from: per event type, how many events arrived (in
+    * event_id order, the binlog-position/arrival proxy) with an event time
+    * EARLIER than their predecessor on the same entity, and how large the
+    * worst regression is. One per-user window (high-cardinality
+    * partition), one aggregate.
+    */
+  def disorderAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    withTs(spark, dir)
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("ts_us") < col("prev_ts"), 1L).otherwise(0L)).as("n_late"),
+        expr("sum(CASE WHEN ts_us < prev_ts THEN 1 ELSE 0 END) * 10000" +
+          " DIV count(1)").as("late_frac_e4"),
+        max(when(col("ts_us") < col("prev_ts"), col("prev_ts") - col("ts_us"))
+          .otherwise(0L)).as("max_disorder_us"))
+  }
+
+  /** Audience-overlap matrix: for every pair of event types, the exact
+    * distinct-user intersection and Jaccard similarity — "do purchasers
+    * also refund". The pair fan-out happens per USER from their distinct
+    * type set (≤ types² rows per user, map-side after one (type, user)
+    * dedup shuffle); nothing joins corpus-to-corpus.
+    */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tu = withTs(spark, dir).select("event_type", "user_id").distinct()
+    val totals = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = tu.withColumnRenamed("event_type", "type_a")
+      .join(tu.withColumnRenamed("event_type", "type_b"), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(totals.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n", "n_a"), "type_a")
+      .join(totals.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n", "n_b"), "type_b")
+      .selectExpr("type_a", "type_b", "n_a", "n_b", "n_both",
+        "n_both * 10000 DIV (n_a + n_b - n_both) AS jaccard_e4")
+  }
+
   /** Longest daily-activity streak per user (gaps-and-islands): distinct
     * active days → row_number per user → group on (day − rn), the
     * constant-per-run island key. Windows partition on user_id (high
