@@ -156,6 +156,9 @@ object SparkEntry {
     // fastText-style LR distillation of the Gopher gate (rows-only: float
     // aggregation order moves the last ulp; ClassifierSpec pins accuracy)
     "doc_quality_classifier" -> ((s, d) => Classifier.qualityScores(s, d)),
+    // corpus-wide approximate k-NN graph via LSH-blocked candidates
+    // (rows-only: hash-seeded blocking; ScaleSpec pins recall vs brute)
+    "ann_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     // domain-level curation: per-source quality/dup mass + document caps
     "doc_source_quality" -> ((s, d) => Text.sourceQuality(s, d)),
     "doc_source_caps" -> ((s, d) => Text.sourceCaps(s, d)),

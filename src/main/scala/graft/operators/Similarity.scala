@@ -34,6 +34,43 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** Approximate k-NN GRAPH over the whole corpus — every vector's top-k
+    * neighbours, the substrate graph-based curation builds on (SemDeDup
+    * clusters it, connected-components dedup walks it, label-propagation
+    * audits diffuse over it). All-pairs is O(n²) and dead at corpus
+    * scale; here candidate edges come from multi-table hyperplane-LSH
+    * blocking (same machinery as the near-dup path): each vector lands in
+    * `tables` buckets, bucket equi-joins carry ONLY id pairs, exact
+    * cosine scores just the candidates after an id join, and per-node
+    * top-k runs through the two-phase TopKPerGroupExec. Fewer planes →
+    * bigger buckets → higher recall at more candidate work: planes
+    * trades compute for recall explicitly.
+    */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
+      planes: Int = 4, tables: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val banded = e.select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          GraftFunctions.hyperplaneBucket(col("embedding"), planes, t).as("bucket"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+    val a = banded.select(col("tbl"), col("bucket"), col("vec_id").as("src"))
+    val b = banded.select(col("tbl"), col("bucket"), col("vec_id").as("dst"))
+    val cand = a.join(b, Seq("tbl", "bucket")).filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+    val es = e.select(col("vec_id").as("src"), col("embedding").as("emb_s"))
+    val ed = e.select(col("vec_id").as("dst"), col("embedding").as("emb_d"))
+    val scored = cand.join(es, "src").join(ed, "dst")
+      .withColumn("cos", GraftFunctions.cosineSim(col("emb_s"), col("emb_d")))
+      .select("src", "dst", "cos")
+    // undirected candidates → directed adjacency: mirror, then top-k per node
+    val mirrored = scored.unionByName(
+      scored.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+    graft.plans.TopK.topKPerGroup(mirrored, Seq("src"),
+      Seq(("cos", true), ("dst", false)), k)
+      .select(col("src"), col("dst"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
   /** #198 Hard-negative mining for contrastive training: per query, the
     * top-k most-similar corpus vectors carrying a DIFFERENT label — the
     * "looks right, is wrong" examples metric-learning losses weight

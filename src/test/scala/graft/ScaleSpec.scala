@@ -211,6 +211,36 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(c01) < 0.05, s"PC1/PC2 correlated: $c01")
   }
 
+  test("knnGraph: valid adjacency, recall@1 against the brute-force graph") {
+    import graft.operators.Similarity
+    val g = Similarity.knnGraph(spark, sf, k = 5).cache()
+    // adjacency invariants: no self-loops, ≤k ranked edges per node,
+    // scores in [-1, 1] and non-increasing with rank
+    assert(g.filter(col("src") === col("dst")).count() == 0)
+    assert(g.groupBy("src").count().filter(col("count") > 5).count() == 0)
+    assert(g.filter(col("cos") < -1.0001 || col("cos") > 1.0001).count() == 0)
+    val order = g.groupBy("src").agg(
+      min(when(col("rnk") === 1, col("cos"))).as("first"),
+      max(when(col("rnk") > 1, col("cos"))).as("rest"))
+    assert(order.filter(col("rest") > col("first")).count() == 0)
+    // recall@1: each node's TRUE nearest neighbour (brute force) should
+    // appear in its approximate top-5 list for most nodes
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val brute = e.crossJoin(e.select(col("vec_id").as("nid"), col("embedding").as("ne")))
+      .filter(col("vec_id") =!= col("nid"))
+      .withColumn("cos", graft.functions.GraftFunctions.cosineSim(col("embedding"), col("ne")))
+    val top1 = graft.plans.TopK.topKPerGroup(
+        brute.select(col("vec_id").as("src"), col("nid"), col("cos")),
+        Seq("src"), Seq(("cos", true), ("nid", false)), 1)
+      .select(col("src"), col("nid"))
+    val hits = top1.join(g.select(col("src"), col("dst").as("nid")), Seq("src", "nid"))
+      .count().toDouble
+    val total = top1.count().toDouble
+    assert(hits / total >= 0.6,
+      s"knnGraph recall@1 = ${hits / total} ($hits/$total)")
+  }
+
   test("bucketed join plans without exchanges") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     Bucketing.writeBucketed(
