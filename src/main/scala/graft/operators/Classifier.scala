@@ -102,11 +102,14 @@ object Classifier {
     * last ulp of `p` run-dependent, so the entry is rows-only checked;
     * ClassifierSpec pins separation and accuracy on planted corpora.
     */
-  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScores(spark: SparkSession, dir: String, iters: Int = 12): DataFrame = {
     val labeled = Tables.documents(spark, dir)
       .join(Text.docQualityGopher(spark, dir).select("doc_id", "passes_gopher"),
         "doc_id")
-    val w = train(labeled, "passes_gopher")
+    // the rule gate is close to linearly separable in token space, so the
+    // distillation converges in ~a dozen full-batch steps; each step is a
+    // fixed number of jobs, so iters is the direct knob on wall-clock
+    val w = train(labeled, "passes_gopher", iters = iters)
     score(labeled.select("doc_id", "text", "passes_gopher"), w)
       .select(col("doc_id"), col("passes_gopher").as("label"),
         round(col("p"), 4).as("p_round"),
