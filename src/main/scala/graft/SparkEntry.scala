@@ -40,6 +40,8 @@ object SparkEntry {
     "cdc_pit_join" -> ((s, d) => Cdc.pitJoin(s, d)),
     // pt-table-checksum-style bucketed source/target drift audit
     "cdc_reconcile" -> ((s, d) => Cdc.reconcile(s, d)),
+    // per-type staleness vs the newest event anywhere (reproducible anchor)
+    "cdc_freshness" -> ((s, d) => Cdc.freshness(s, d)),
     "cdc_asof_join" -> ((s, d) => Cdc.asofJoin(s, d)),
     // same join with a 10-minute staleness guard: older matches null out
     "cdc_asof_tolerance" -> ((s, d) => Cdc.asofJoin(s, d, tolerance = Some(600000000L))),
@@ -159,6 +161,9 @@ object SparkEntry {
     // corpus-wide approximate k-NN graph via LSH-blocked candidates
     // (rows-only: hash-seeded blocking; ScaleSpec pins recall vs brute)
     "ann_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    // Local Outlier Factor over that graph (rows-only; ScaleSpec plants
+    // an off-manifold point and pins its rank)
+    "emb_lof" -> ((s, d) => Similarity.embLof(s, d)),
     // domain-level curation: per-source quality/dup mass + document caps
     "doc_source_quality" -> ((s, d) => Text.sourceQuality(s, d)),
     "doc_source_caps" -> ((s, d) => Text.sourceCaps(s, d)),
@@ -521,6 +526,15 @@ object SparkEntry {
          |  coalesce(vt, 9223372036854775807) AS valid_to_us,
          |  (vt IS NULL) AS is_current
          |FROM h""".stripMargin,
+    "cdc_freshness" ->
+      s"""$logCte,
+         |p AS (SELECT event_type, count(*) AS n_events, max(seq_us) AS last_event_us
+         |      FROM log GROUP BY 1),
+         |a AS (SELECT max(last_event_us) AS corpus_max_us FROM p)
+         |SELECT event_type, n_events, last_event_us, corpus_max_us,
+         |  corpus_max_us - last_event_us AS staleness_us,
+         |  (corpus_max_us - last_event_us > 3600000000) AS is_stale
+         |FROM p, a""".stripMargin,
     "cdc_pit_join" ->
       s"""$logCte,
          |h AS (SELECT user_id, event_id, operation, round(value, 2) AS value,

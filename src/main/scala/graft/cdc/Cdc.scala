@@ -352,6 +352,23 @@ object Cdc {
         round(when(col("cu").isNotNull, col("cv")).otherwise(col("value")), 2).as("value"))
   }
 
+  /** Per-entity-type freshness monitor — the "is my CDC current" dashboard
+    * row (the reference's monitoring cell tracks last-event recency per
+    * table): last event time per type, staleness against the newest event
+    * anywhere (the anchor a batch audit can compute without a wall clock,
+    * keeping the result reproducible), and a configurable stale flag. One
+    * aggregate + a broadcast scalar.
+    */
+  def freshness(spark: SparkSession, dir: String,
+      staleAfterUs: Long = 3600000000L): DataFrame = {
+    val perType = log(spark, dir).groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max(col("seq_us")).as("last_event_us"))
+    val anchor = perType.agg(max(col("last_event_us")).as("corpus_max_us"))
+    perType.crossJoin(broadcast(anchor))
+      .withColumn("staleness_us", col("corpus_max_us") - col("last_event_us"))
+      .withColumn("is_stale", col("staleness_us") > staleAfterUs)
+  }
+
   /** Point-in-time (PIT) join: each fact row joined to the SCD2 dimension
     * VERSION that was valid at the fact's timestamp — "which customer
     * state did this order see", the query SCD2 history exists to answer.

@@ -47,8 +47,15 @@ object Similarity {
     * trades compute for recall explicitly.
     */
   def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
+      planes: Int = 4, tables: Int = 8): DataFrame =
+    knnGraphFrom(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      k, planes, tables)
+
+  /** [[knnGraph]] over any (vec_id, embedding) frame. */
+  def knnGraphFrom(input: DataFrame, k: Int = 5,
       planes: Int = 4, tables: Int = 8): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val e = input.select(col("vec_id"), col("embedding"))
     val banded = e.select(col("vec_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
@@ -70,6 +77,45 @@ object Similarity {
       Seq(("cos", true), ("dst", false)), k)
       .select(col("src"), col("dst"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
+
+  /** Local Outlier Factor (Breunig et al., SIGMOD'00) over a k-NN
+    * adjacency — the embedding-corpus outlier audit: LOF ≈ 1 means a
+    * point sits at its neighbours' density, LOF ≫ 1 flags isolated or
+    * off-manifold vectors (broken encoders, mislabeled shards, junk
+    * inputs) that cosine-threshold audits miss because they look at
+    * absolute similarity, not RELATIVE density. Distance is 1 − cosine.
+    *
+    * Pure edge-list algebra over the graph — three id-keyed joins and
+    * three aggregates, each bounded by k rows per node, so it scales
+    * exactly as far as the graph does ([[knnGraph]]'s LSH blocking).
+    */
+  def lofFrom(graph: DataFrame): DataFrame = {
+    val edges = graph.select(col("src"), col("dst"),
+      (lit(1.0) - col("cos")).as("d"))
+    // k-distance of every node = the distance to its k-th kept neighbour
+    // (max over its out-edges)
+    val kdist = edges.groupBy(col("src").as("dst")).agg(max(col("d")).as("kd"))
+    // local reachability density: 1 / mean reach-dist to neighbours; a
+    // neighbour the blocking gave no out-edges falls back to the observed
+    // distance (left join keeps the edge instead of dropping the node)
+    val reach = edges
+      .join(kdist, Seq("dst"), "left")
+      .withColumn("reach_d", greatest(coalesce(col("kd"), col("d")), col("d")))
+    val lrd = reach.groupBy("src")
+      .agg((lit(1.0) / avg(col("reach_d"))).as("lrd"))
+    // LOF = mean neighbour lrd / own lrd
+    edges.select("src", "dst")
+      .join(lrd.withColumnRenamed("src", "dst").withColumnRenamed("lrd", "lrd_n"), "dst")
+      .groupBy("src").agg(avg(col("lrd_n")).as("mean_lrd_n"), count(lit(1)).as("n_neighbors"))
+      .join(lrd, "src")
+      .select(col("src").as("vec_id"),
+        round(col("mean_lrd_n") / col("lrd"), 4).as("lof"),
+        col("n_neighbors"))
+  }
+
+  /** Driver entry: LOF over the LSH-blocked corpus k-NN graph. */
+  def embLof(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    lofFrom(knnGraph(spark, dir, k))
 
   /** #198 Hard-negative mining for contrastive training: per query, the
     * top-k most-similar corpus vectors carrying a DIFFERENT label — the

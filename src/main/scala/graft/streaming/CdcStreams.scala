@@ -87,6 +87,45 @@ object CdcStreams {
       }
   }
 
+  case class Scd2Out(user_id: Long, event_id: Long, operation: String,
+    value: Double, valid_from_us: Long, valid_to_us: Long, is_current: Boolean)
+
+  /** Stateful SCD TYPE 2 maintenance on the stream — the history-keeping
+    * counterpart of [[latestState]] (DLT `apply_changes` with
+    * stored_as_scd_type=2, dlt_cdc_pipeline.py:312-329): per key the state
+    * holds the OPEN version; each arriving change emits the previous
+    * version CLOSED (valid_to = the new change's time, is_current=false)
+    * plus the new open version. Update-mode sinks upsert on
+    * (user_id, valid_from_us, event_id); state is one row per key
+    * regardless of history length — the history lives in the sink, not
+    * the store.
+    */
+  def scd2Stream(normalized: DataFrame)(implicit spark: SparkSession): Dataset[Scd2Out] = {
+    implicit val evEnc = Encoders.product[Ev]
+    implicit val stEnc = Encoders.product[Scd2Out]
+    normalized
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("operation").as("event_type"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[Scd2Out, Scd2Out](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Scd2Out]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+          var open = state.getOption
+          sorted.foreach { e =>
+            open.foreach { prev =>
+              out += prev.copy(valid_to_us = e.ts_us, is_current = false)
+            }
+            open = Some(Scd2Out(uid, e.event_id, e.event_type, e.value,
+              e.ts_us, Long.MaxValue, is_current = true))
+          }
+          open.foreach { cur => state.update(cur); out += cur }
+          out.iterator
+      }
+  }
+
   /** Streaming exactly-once dedup: duplicate deliveries dropped by event_id
     * with state bounded by the watermark (the streaming analog of
     * Cdc.dedupExactlyOnce; covers at-least-once upstreams like Kafka

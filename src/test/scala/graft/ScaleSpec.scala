@@ -241,6 +241,34 @@ class ScaleSpec extends SparkSpec {
       s"knnGraph recall@1 = ${hits / total} ($hits/$total)")
   }
 
+  test("lofFrom flags a planted off-manifold point as the top outlier") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // a tight cluster near e1 (unit-ish vectors, small jitter) + one
+    // far-off point; LOF works on RELATIVE density so the outlier must
+    // dominate even though cluster members are mutually similar
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val pts = (0 until 12).map { i =>
+      (i.toLong, v(1.0, 0.01 * i, 0.02 * (i % 3), 0.0))
+    } :+ (99L, v(-0.2, -1.0, 0.4, 0.8))
+    val e = pts.toDF("vec_id", "embedding")
+    // brute-force graph so the spec tests LOF itself, not the blocking
+    val pairs = e.crossJoin(e.select(col("vec_id").as("nid"), col("embedding").as("ne")))
+      .filter(col("vec_id") =!= col("nid"))
+      .withColumn("cos", graft.functions.GraftFunctions.cosineSim(col("embedding"), col("ne")))
+    val graph = graft.plans.TopK.topKPerGroup(
+        pairs.select(col("vec_id").as("src"), col("nid").as("dst"), col("cos")),
+        Seq("src"), Seq(("cos", true), ("dst", false)), 3)
+      .select("src", "dst", "cos", "rnk")
+    val lof = Similarity.lofFrom(graph).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val outlier = lof(99L)
+    val clusterMax = lof.filter(_._1 != 99L).values.max
+    assert(outlier > clusterMax,
+      s"outlier LOF $outlier should exceed cluster max $clusterMax")
+    assert(outlier > 1.2, s"outlier LOF $outlier too close to inlier density")
+  }
+
   test("bucketed join plans without exchanges") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     Bucketing.writeBucketed(

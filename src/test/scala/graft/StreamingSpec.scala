@@ -120,6 +120,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2Stream closes versions across micro-batches, one state row per key") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val normalized = ms.toDF().select(col("event_id"), col("user_id"),
+      col("event_type").as("operation"), col("ts_us"), col("value"))
+    val st = CdcStreams.scd2Stream(normalized)
+    val q = st.toDF().writeStream.format("memory").queryName("scd2s")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ms.addData(evRow(1, 1000, 7, "INSERT", 10.0))
+      q.processAllAvailable()
+      ms.addData(evRow(2, 2000, 7, "UPDATE", 20.0), evRow(3, 1500, 8, "INSERT", 5.0))
+      q.processAllAvailable()
+      // update-mode sink semantics: final state per version = the LAST
+      // emission, i.e. the minimal valid_to (open MaxValue, then closed)
+      val fin = spark.table("scd2s")
+        .groupBy("user_id", "event_id")
+        .agg(min("valid_to_us").as("valid_to_us"), min("valid_from_us").as("valid_from_us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(3), r.getLong(2)))).toMap
+      // u7 v1 closed by v2 at ts 2000; v2 and u8's v1 stay open
+      assert(fin((7L, 1L)) == ((1000L, 2000L)))
+      assert(fin((7L, 2L)) == ((2000L, Long.MaxValue)))
+      assert(fin((8L, 3L)) == ((1500L, Long.MaxValue)))
+      // exactly one open (current) version per key in the final state
+      val openPerUser = fin.toSeq
+        .filter { case (_, (_, vt)) => vt == Long.MaxValue }
+        .groupBy(_._1._1).view.mapValues(_.size).toMap
+      assert(openPerUser == Map(7L -> 1, 8L -> 1), s"open versions: $openPerUser")
+    } finally q.stop()
+  }
+
   test("file-source CDC pipeline upserts into target across batches") {
     val inDir = tmpDir("cdc_in")
     val target = tmpDir("cdc_target") + "/tbl"
