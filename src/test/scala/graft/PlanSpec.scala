@@ -293,4 +293,47 @@ class PlanSpec extends SparkSpec {
       s"minhash verify planned a non-equi join:\n$p")
     assert(!p.contains("LeftSemi"), s"semi-prune crept back in:\n$p")
   }
+
+  test("active users: no sliding window function, fan-out stays map-side") {
+    val p = planOf("ev_active_users")
+    // the WAU must come from the explode fan-out + aggregation, never a
+    // window re-scanning 7 days per day
+    assert(!p.contains("Window"), s"activeUsers regressed to a window:\n$p")
+    assert(p.contains("Generate"), s"day fan-out explode missing:\n$p")
+  }
+
+  test("bm25: query frame broadcasts, top-k prunes partial before exchange") {
+    val p = planOf("doc_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), s"query frame not broadcast:\n$p")
+    assert(p.contains("TopKPerGroupPartial"),
+      s"bm25 lost the map-side partial top-k:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"bm25 planned a cartesian:\n$p")
+  }
+
+  test("pit join: equi-join on the entity key, interval check as residual") {
+    val p = planOf("cdc_pit_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"PIT join exploded into a non-equi join:\n$p")
+  }
+
+  test("mix apply: range partition for the cumsum, no per-lang reducer window") {
+    val p = planOf("doc_mix_apply")
+    assert(p.contains("rangepartitioning"),
+      s"groupedCumSum lost its distributed range sort:\n$p")
+    // corpus-scale windows partition on (partition id, lang); a window
+    // partitioned by lang ALONE and ordered by digest would be the
+    // low-cardinality straggler (the tiny offsets window — lang ordered
+    // by partition id over per-partition sums — is fine)
+    assert(!"windowspecdefinition\\(lang#\\d+, digest".r.findFirstIn(p).isDefined,
+      s"a corpus-scale lang-only window crept in:\n$p")
+  }
+
+  test("knn graph: candidate edges from equi bucket joins only") {
+    val p = planOf("ann_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"knn graph planned an all-pairs join:\n$p")
+    assert(p.contains("TopKPerGroupPartial"),
+      s"per-node top-k lost the map-side prune:\n$p")
+  }
 }
