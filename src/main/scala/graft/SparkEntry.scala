@@ -233,6 +233,19 @@ object SparkEntry {
     "ev_value_quartiles" -> ((s, d) => Events.valueQuartiles(s, d)),
     "q_setops" -> ((s, d) => Tpch.qSetOps(s, d)),
     "q_integrity_orphans" -> ((s, d) => Tpch.qIntegrityOrphans(s, d)),
+    // pre-flight join pricing: output size + hottest key WITHOUT running the join
+    "q_join_cardinality" -> ((s, d) => Profile.joinCardinalityOn(
+      Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey")),
+    // time-series regularization: dense calendar + forward-fill; exact fixed-point EWMA
+    "ts_gap_fill" -> ((s, d) => TimeSeries.gapFill(s, d)),
+    "ts_ewma" -> ((s, d) => TimeSeries.ewma(s, d)),
+    // centrality over the k-NN substrate (iterative; rows-only oracle)
+    "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
+    // FS-metadata layout health: one row per table file (rows-only oracle)
+    "tbl_file_audit" -> ((s, d) => Seq("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem", "events", "documents", "embeddings")
+      .map(t => Tables.fileAudit(s, s"$d/$t.parquet"))
+      .reduce(_ unionByName _)),
     "doc_normalize" -> ((s, d) => Text.docNormalize(s, d)),
     "q_status_pivot" -> ((s, d) => Tpch.qStatusPivot(s, d)),
     // Text / LLM-pipeline ops (#29-41)
@@ -891,6 +904,33 @@ object SparkEntry {
         |SELECT 'lineitem_part', count(*)
         |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE p.p_partkey IS NULL""".stripMargin,
+    "q_join_cardinality" ->
+      """WITH lp AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem GROUP BY 1),
+        |rp AS (SELECT o_orderkey AS k, count(*) AS cr FROM orders GROUP BY 1),
+        |j AS (SELECT CAST(COALESCE(sum(cl * cr), 0) AS BIGINT) AS predicted_rows,
+        |        CAST(COALESCE(max(cl * cr), 0) AS BIGINT) AS max_key_rows,
+        |        count(*) AS n_matching_keys
+        |      FROM lp JOIN rp USING (k)),
+        |ls AS (SELECT count(*) AS distinct_left_keys, CAST(sum(cl) AS BIGINT) AS n_left FROM lp),
+        |rs AS (SELECT count(*) AS distinct_right_keys, CAST(sum(cr) AS BIGINT) AS n_right FROM rp)
+        |SELECT n_left, n_right, distinct_left_keys, distinct_right_keys,
+        |  n_matching_keys, predicted_rows, max_key_rows
+        |FROM ls, rs, j""".stripMargin,
+    "ts_gap_fill" ->
+      """WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id, d0 + g AS day
+        |  FROM span, UNNEST(range(0, d1 - d0 + 1)) AS t(g)),
+        |j AS (SELECT s.user_id, s.day, d.v FROM spine s
+        |  LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+        |SELECT user_id, day,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+        |FROM j""".stripMargin,
+    "ts_ewma" -> graft.operators.TimeSeries.ewmaOracle,
     "doc_quality_gopher" ->
       """WITH b AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

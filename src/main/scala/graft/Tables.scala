@@ -177,4 +177,53 @@ object Tables {
       p.getName
     }.sorted
   }
+
+  /** #222 Small-file / size-skew audit — the layout health check that
+    * decides when [[compact]] runs (reference:
+    * unity_catalog_cdc_demo.py:605-624 runs OPTIMIZE blind on a schedule;
+    * this makes the trigger a measurement). One row per leaf (the table
+    * itself, or each `col=value` partition): file count, total size, the
+    * largest file, and how many files sit under the small-file threshold
+    * — `small_files ≈ n_files` means the partition is paying per-file
+    * open/footer/scheduling overhead on every scan.
+    *
+    * FS-METADATA only (listing, no data pages). The listing is O(files)
+    * driver work — the same cost every parquet scan's file index pays, so
+    * anything scannable is auditable.
+    */
+  def fileAudit(spark: SparkSession, path: String,
+      smallFileMB: Int = 16): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val smallBytes = smallFileMB * 1024L * 1024L
+    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) buf += s
+      }
+      buf.toSeq
+    }
+    val status = fs.getFileStatus(root)
+    val leaves: Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])] =
+      if (!status.isDirectory) Seq(root.getName -> Seq(status))
+      else {
+        val parts = fs.listStatus(root).toIndexedSeq
+          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        if (parts.nonEmpty) parts.map(s => s.getPath.getName -> dataFiles(s.getPath))
+        else Seq("." -> dataFiles(root))
+      }
+    val rows = leaves.map { case (leaf, files) =>
+      val sizes = files.map(_.getLen)
+      (leaf, sizes.size.toLong,
+        math.round(sizes.sum / 1048576.0 * 100) / 100.0,
+        math.round((if (sizes.isEmpty) 0L else sizes.max) / 1048576.0 * 100) / 100.0,
+        sizes.count(_ < smallBytes).toLong)
+    }
+    import spark.implicits._
+    rows.toDF("leaf", "n_files", "total_mb", "max_file_mb", "small_files")
+      .orderBy("leaf")
+  }
 }

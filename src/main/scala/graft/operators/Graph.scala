@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the corpus k-NN substrate
+  * ([[Similarity.knnGraph]]): centrality on the same edge-list algebra
+  * the LOF / connected-components audits use (reference analogue: the
+  * demo's notebook ranks "most representative" documents by hand;
+  * PageRank over the similarity graph is that query done right).
+  *
+  * Scale notes (100 TB): every iteration is ONE shuffle (edge⋈rank hash
+  * join on src + groupBy dst); the rank frame is NODE-sized, never
+  * data-sized, and `localCheckpoint` truncates the lineage each round so
+  * iteration 8 plans as one join, not a 24-join tower. Edge list cached
+  * once, reused every round.
+  */
+object Graph {
+
+  /** PageRank over a directed edge list (`src`, `dst` columns).
+    * Damping 0.85, fixed `iters` power iterations from the uniform
+    * start. Nodes = every id appearing as src or dst; this graph's
+    * construction gives every node out-edges, and any genuinely dangling
+    * node's mass is redistributed uniformly each round so ranks keep
+    * summing to n (the standard dangling-mass correction).
+    */
+  def pagerankFrom(edges: DataFrame, iters: Int = 8, damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    // cache the edge list ALREADY HASH-PARTITIONED on the join key: every
+    // iteration's edge⋈rank join reuses this partitioning, so only the
+    // (node-sized) rank frame shuffles per round — the data-sized side
+    // shuffles exactly once for the whole run
+    val e = edges.select("src", "dst").repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+      .distinct()
+    // degree travels with the rank row: the per-iteration join needs only edges
+    var ranks = nodes.join(outDeg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"), lit(1.0).as("pr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = ranks.count() // also materializes the cache
+    // the dangling SET is fixed across iterations — only pay the
+    // per-iteration scalar job when it is non-empty
+    val nDangling = ranks.filter(col("deg") === 0L).count()
+    var i = 0
+    while (i < iters) {
+      val dangling =
+        if (nDangling == 0L) 0.0
+        else ranks.filter(col("deg") === 0L)
+          .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+          .head().getDouble(0)
+      val contribs = e.join(ranks.filter(col("deg") > 0L), e("src") === col("id"))
+        .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("inflow"))
+      val next = ranks.select("id", "deg")
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          (lit((1.0 - damping) + damping * dangling / n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+        .localCheckpoint(eager = true)
+      ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    e.unpersist()
+    ranks.select(col("id").as("vec_id"), round(col("pr"), 4).as("pagerank"))
+  }
+
+  /** #221 PageRank over the LSH-blocked embedding k-NN graph: "which
+    * vectors sit at the center of the corpus" — the representative-sample
+    * picker and the inverse of the LOF outlier audit.
+    */
+  def pagerank(spark: SparkSession, dir: String, k: Int = 5, iters: Int = 8): DataFrame =
+    pagerankFrom(Similarity.knnGraph(spark, dir, k), iters)
+}

@@ -47,4 +47,29 @@ object Profile {
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_len, max_len)")
       .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_len", "max_len")
   }
+
+  /** #218 Exact pre-flight join-cardinality profile: the output size of
+    * `left ⋈ right` on an equi-key, priced WITHOUT executing the join.
+    * Each side reduces to a per-key count profile (key-cardinality-sized,
+    * not data-sized); `sum(cl·cr)` over the profile join is the exact
+    * output row count and `max(cl·cr)` the single hottest key — the two
+    * numbers the broadcast / salting / skew-hint decision needs before
+    * committing a 100 TB × 100 TB shuffle.
+    */
+  def joinCardinalityOn(left: DataFrame, leftKey: String,
+                        right: DataFrame, rightKey: String): DataFrame = {
+    val lp = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cl"))
+    val rp = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cr"))
+    val joined = lp.join(rp, "k")
+      .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).cast("long").as("predicted_rows"),
+        coalesce(max(col("cl") * col("cr")), lit(0L)).cast("long").as("max_key_rows"),
+        count(lit(1)).as("n_matching_keys"))
+    val ls = lp.agg(count(lit(1)).as("distinct_left_keys"),
+      coalesce(sum(col("cl")), lit(0L)).cast("long").as("n_left"))
+    val rs = rp.agg(count(lit(1)).as("distinct_right_keys"),
+      coalesce(sum(col("cr")), lit(0L)).cast("long").as("n_right"))
+    ls.crossJoin(rs).crossJoin(joined)
+      .select("n_left", "n_right", "distinct_left_keys", "distinct_right_keys",
+        "n_matching_keys", "predicted_rows", "max_key_rows")
+  }
 }
