@@ -241,6 +241,13 @@ object SparkEntry {
     "ts_ewma" -> ((s, d) => TimeSeries.ewma(s, d)),
     // centrality over the k-NN substrate (iterative; rows-only oracle)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
+    // CRM / experimentation battery: RFM quintiles, drift alarm, A/B readout
+    "ev_rfm_segments" -> ((s, d) => Events.rfmSegments(s, d)),
+    "ev_drift_tv" -> ((s, d) => Events.driftTv(s, d)),
+    "ev_ab_test" -> ((s, d) => Events.abTest(s, d)),
+    // market basket + histogram
+    "q_copurchase_lift" -> ((s, d) => Tpch.qCopurchaseLift(s, d)),
+    "q_price_histogram" -> ((s, d) => Tpch.qPriceHistogram(s, d)),
     // FS-metadata layout health: one row per table file (rows-only oracle)
     "tbl_file_audit" -> ((s, d) => Seq("region", "nation", "customer", "supplier",
       "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -931,6 +938,82 @@ object SparkEntry {
         |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
         |FROM j""".stripMargin,
     "ts_ewma" -> graft.operators.TimeSeries.ewmaOracle,
+    "ev_rfm_segments" ->
+      """WITH usr AS (SELECT user_id,
+        |    max(epoch_us(ts) // 86400000000) AS r_day, count(*) AS f_cnt,
+        |    CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS m_val
+        |  FROM events GROUP BY 1),
+        |q AS (SELECT user_id,
+        |    CAST(ntile(5) OVER (ORDER BY r_day, user_id) AS BIGINT) AS r_q,
+        |    CAST(ntile(5) OVER (ORDER BY f_cnt, user_id) AS BIGINT) AS f_q,
+        |    CAST(ntile(5) OVER (ORDER BY m_val, user_id) AS BIGINT) AS m_q
+        |  FROM usr)
+        |SELECT user_id, r_q, f_q, m_q,
+        |  CAST(r_q AS VARCHAR) || '-' || CAST(f_q AS VARCHAR) || '-' ||
+        |    CAST(m_q AS VARCHAR) AS rfm
+        |FROM q""".stripMargin,
+    "ev_drift_tv" ->
+      """WITH b AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(least(greatest(floor(value / 50.0), 0), 19) AS BIGINT) AS bucket
+        |  FROM events),
+        |m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM b),
+        |e AS (SELECT event_type, CASE WHEN day < mid THEN 1 ELSE 2 END AS era, bucket
+        |  FROM b, m),
+        |cells AS (SELECT event_type, era, bucket, count(*) AS c FROM e GROUP BY 1, 2, 3),
+        |tot AS (SELECT event_type, era, sum(c) AS n FROM cells GROUP BY 1, 2),
+        |pj AS (SELECT event_type, bucket, COALESCE(p1.c, 0) AS c1, COALESCE(p2.c, 0) AS c2
+        |  FROM (SELECT event_type, bucket, c FROM cells WHERE era = 1) p1
+        |  FULL OUTER JOIN (SELECT event_type, bucket, c FROM cells WHERE era = 2) p2
+        |  USING (event_type, bucket)),
+        |g AS (SELECT pj.event_type, max(n1.n) AS n1, max(n2.n) AS n2,
+        |    sum(abs(c1 * n2.n - c2 * n1.n)) AS num
+        |  FROM pj
+        |  JOIN (SELECT event_type, n FROM tot WHERE era = 1) n1 USING (event_type)
+        |  JOIN (SELECT event_type, n FROM tot WHERE era = 2) n2 USING (event_type)
+        |  GROUP BY 1)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(num * 10000 // (2 * n1 * n2) AS BIGINT) AS tvd_e4
+        |FROM g""".stripMargin,
+    "ev_ab_test" ->
+      """WITH arms AS (SELECT user_id % 2 AS arm, count(DISTINCT user_id) AS n_users,
+        |    count(DISTINCT CASE WHEN event_type = 'purchase' AND value >= 80
+        |      THEN user_id END) AS n_converted
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN arm = 0 THEN n_users END) AS n_a,
+        |    max(CASE WHEN arm = 0 THEN n_converted END) AS conv_a,
+        |    max(CASE WHEN arm = 1 THEN n_users END) AS n_b,
+        |    max(CASE WHEN arm = 1 THEN n_converted END) AS conv_b
+        |  FROM arms),
+        |z AS (SELECT n_a, conv_a, n_b, conv_b,
+        |    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pooled
+        |  FROM w)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  conv_a * 1000000 // n_a AS conv_a_ppm,
+        |  conv_b * 1000000 // n_b AS conv_b_ppm,
+        |  CASE WHEN sqrt(pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b)) = 0 THEN NULL
+        |    ELSE round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+        |      sqrt(pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b)), 4) END AS z_score
+        |FROM z""".stripMargin,
+    "q_copurchase_lift" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT count(DISTINCT okey) AS n_orders FROM op),
+        |ps AS (SELECT pk, count(*) AS supp FROM op GROUP BY 1),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS supp_ab
+        |  FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT pa, pb, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+        |  supp_ab * n_orders * 10000 // (sa.supp * sb.supp) AS lift_e4
+        |FROM pairs JOIN ps sa ON pairs.pa = sa.pk JOIN ps sb ON pairs.pb = sb.pk, n""".stripMargin,
+    "q_price_histogram" ->
+      """WITH hist AS (SELECT CAST(least(floor(o_totalprice / 20000.0), 29) AS BIGINT) AS bucket,
+        |    count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS mass
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT sum(n) AS n_tot FROM hist)
+        |SELECT bucket, n, mass,
+        |  CAST(sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    * 1000000 // n_tot AS BIGINT) AS cum_ppm
+        |FROM hist, tot""".stripMargin,
     "doc_quality_gopher" ->
       """WITH b AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

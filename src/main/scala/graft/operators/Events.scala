@@ -420,4 +420,95 @@ object Events {
         max(col("len")).as("longest_streak"),
         min(col("start_day")).as("first_day"))
   }
+
+  /** #223 RFM segmentation (recency / frequency / monetary quintiles):
+    * the classic CRM cut. One events pass reduces to a USER-level frame,
+    * then three `Distributed.exactNtile` passes score each axis — each is
+    * a distributed range-sort over the user frame (users, not events),
+    * never a single-reducer global NTILE window. Ties broken by user_id
+    * so the scores are deterministic and the oracle exact.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val usr = withTs(spark, dir)
+      .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"), col("value"))
+      .groupBy("user_id")
+      .agg(max(col("day")).as("r_day"),
+        count(lit(1)).as("f_cnt"),
+        round(sum(col("value").cast(DecimalType(12, 2))), 2)
+          .cast("double").as("m_val"))
+    val r = Distributed.exactNtile(usr, Nil, Seq("r_day", "user_id"), 5, "r_q")
+    val rf = Distributed.exactNtile(r.select("user_id", "r_day", "f_cnt", "m_val", "r_q"),
+      Nil, Seq("f_cnt", "user_id"), 5, "f_q")
+    val rfm = Distributed.exactNtile(
+      rf.select("user_id", "r_day", "f_cnt", "m_val", "r_q", "f_q"),
+      Nil, Seq("m_val", "user_id"), 5, "m_q")
+    rfm.select(col("user_id"),
+      col("r_q").cast("long").as("r_q"), col("f_q").cast("long").as("f_q"),
+      col("m_q").cast("long").as("m_q"),
+      concat_ws("-", col("r_q"), col("f_q"), col("m_q")).as("rfm"))
+  }
+
+  /** #224 Distribution-drift audit (total-variation distance) between the
+    * first and second half of the observation window, per event type —
+    * the training-data / metrics drift alarm. TVD computed in EXACT
+    * integer arithmetic: Σ|c₁·n₂ − c₂·n₁|·10⁴ ÷ (2·n₁·n₂) over equi-width
+    * value buckets, so the number is bit-identical on any engine. One
+    * events shuffle on (type, era, bucket) + a broadcast-sized
+    * profile join.
+    */
+  def driftTv(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = withTs(spark, dir)
+      .select(col("event_type"), expr("ts_us DIV 86400000000").as("day"),
+        least(greatest(floor(col("value") / 50.0), lit(0.0)), lit(19.0))
+          .cast("long").as("bucket"))
+    val mid = bucketed.agg(expr("(min(day) + max(day) + 1) DIV 2").as("mid"))
+    val withEra = bucketed.crossJoin(broadcast(mid))
+      .withColumn("era", when(col("day") < col("mid"), lit(1L)).otherwise(lit(2L)))
+    val cells = withEra.groupBy("event_type", "era", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy("event_type", "era").agg(sum(col("c")).as("n"))
+    val p1 = cells.filter(col("era") === 1).select(col("event_type"), col("bucket"), col("c").as("c1"))
+    val p2 = cells.filter(col("era") === 2).select(col("event_type"), col("bucket"), col("c").as("c2"))
+    val n1 = tot.filter(col("era") === 1).select(col("event_type"), col("n").as("n1"))
+    val n2 = tot.filter(col("era") === 2).select(col("event_type"), col("n").as("n2"))
+    p1.join(p2, Seq("event_type", "bucket"), "full_outer")
+      .na.fill(0L, Seq("c1", "c2"))
+      .join(n1, "event_type").join(n2, "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("num"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        expr("num * 10000 DIV (2 * n1 * n2)").cast("long").as("tvd_e4"))
+  }
+
+  /** #225 Two-sample A/B readout: deterministic 50/50 split on user_id
+    * parity, high-value-purchase conversion per arm, pooled
+    * two-proportion z-score. Conversion ratios are exact integers (ppm);
+    * only the final z crosses doubles, and every step (divide, sqrt) is
+    * IEEE correctly-rounded so round(…,4) is engine-stable; a degenerate
+    * pooled variance (0% or 100% overall) yields NULL, not an error.
+    * One events pass + a 2-row reduction.
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val arms = Tables.events(spark, dir)
+      .groupBy((col("user_id") % 2).cast("long").as("arm"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("event_type") === "purchase" && col("value") >= 80.0,
+          col("user_id"))).as("n_converted"))
+    val wide = arms.agg(
+      max(when(col("arm") === 0, col("n_users"))).as("n_a"),
+      max(when(col("arm") === 0, col("n_converted"))).as("conv_a"),
+      max(when(col("arm") === 1, col("n_users"))).as("n_b"),
+      max(when(col("arm") === 1, col("n_converted"))).as("conv_b"))
+    val num = col("conv_a").cast("double") / col("n_a") -
+      col("conv_b").cast("double") / col("n_b")
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    val den = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      expr("conv_a * 1000000 DIV n_a").as("conv_a_ppm"),
+      expr("conv_b * 1000000 DIV n_b").as("conv_b_ppm"),
+      when(den === 0.0, lit(null).cast("double"))
+        .otherwise(round(num / den, 4)).as("z_score"))
+  }
 }

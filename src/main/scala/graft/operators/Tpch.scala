@@ -677,4 +677,51 @@ object Tpch {
         "CASE WHEN n = 1 THEN 0 ELSE (rnk - 1) * 1000000 DIV (n - 1) END AS percent_rank_e6",
         "n_le * 1000000 DIV n AS cume_dist_e6")
   }
+
+  /** #226 Market-basket co-occurrence (co-purchase lift): part pairs
+    * appearing in the same order, with support and lift — the "customers
+    * also bought" table. Pair fan-out happens per ORDER via a self-join
+    * on the orderkey, so work is Σ sᵢ² over order sizes (TPC-H orders are
+    * ≤7 lines — bounded), never a parts×parts blow-up; lift is EXACT
+    * integer arithmetic (support_ab·n_orders·10⁴ ÷ (support_a·support_b)).
+    * The min-support filter prunes the pair mass before the lift join.
+    */
+  def qCopurchaseLift(spark: SparkSession, dir: String, minSupport: Long = 3): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = op.agg(countDistinct(col("okey")).as("n_orders"))
+    val partSupp = op.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
+    val a = op.select(col("okey"), col("pk").as("pa"))
+    val b = op.select(col("okey"), col("pk").as("pb"))
+    val pairs = a.join(b, "okey").filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= minSupport)
+    pairs
+      .join(partSupp.select(col("pk").as("pa"), col("supp").as("supp_a")), "pa")
+      .join(partSupp.select(col("pk").as("pb"), col("supp").as("supp_b")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("supp_ab"), col("supp_a"), col("supp_b"),
+        expr("supp_ab * n_orders * 10000 DIV (supp_a * supp_b)").as("lift_e4"))
+  }
+
+  /** #227 Equi-width price histogram + cumulative share (the ogive):
+    * 30 fixed 20k-wide buckets over order totals, exact decimal mass,
+    * cumulative ppm over the 30-row AGGREGATE (the window runs on
+    * aggregation output, never the order stream).
+    */
+  def qPriceHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.orders(spark, dir)
+      .select(least(floor(col("o_totalprice") / 20000.0), lit(29.0))
+        .cast("long").as("bucket"), col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum2(dm(col("o_totalprice"))).as("mass"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("n")).as("n_tot"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .select(col("bucket"), col("n"), col("mass"),
+        expr("cum_n * 1000000 DIV n_tot").as("cum_ppm"))
+  }
 }

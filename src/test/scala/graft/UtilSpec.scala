@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.operators.Skew
+import graft.operators.{Events, Skew, Tpch}
 
 /** Skew-salted aggregation, JSON/CSV envelope ingestion, partitioned write. */
 class UtilSpec extends SparkSpec {
@@ -392,5 +392,77 @@ class UtilSpec extends SparkSpec {
       ("name", 2L, "ok"),
       ("extra_col", 2L, "unregistered"),
       ("dropped_col", 0L, "missing_in_data")), s"got $drift")
+  }
+
+  test("RFM quintiles are balanced and the segment string matches the scores") {
+    import org.apache.spark.sql.functions._
+    val rfm = Events.rfmSegments(spark, sf).cache()
+    val n = rfm.count()
+    assert(n > 0)
+    // every axis buckets into 1..5 with near-equal masses (exact NTILE law:
+    // sizes differ by at most 1)
+    Seq("r_q", "f_q", "m_q").foreach { c =>
+      val sizes = rfm.groupBy(c).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sizes.keySet == (1L to 5L).toSet, s"$c buckets: ${sizes.keySet}")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$c unbalanced: $sizes")
+    }
+    val badSeg = rfm.filter(
+      concat_ws("-", col("r_q"), col("f_q"), col("m_q")) =!= col("rfm")).count()
+    assert(badSeg === 0)
+    rfm.unpersist()
+  }
+
+  test("TV drift is bounded, symmetric-free of era choice, and zero against itself") {
+    val tv = Events.driftTv(spark, sf).collect()
+    assert(tv.nonEmpty)
+    tv.foreach { r =>
+      val v = r.getAs[Long]("tvd_e4")
+      assert(v >= 0L && v <= 10000L, s"TVD out of [0,1]: $r")
+      assert(r.getAs[Long]("n1") > 0 && r.getAs[Long]("n2") > 0)
+    }
+  }
+
+  test("A/B readout: arms partition the users and z is finite") {
+    import org.apache.spark.sql.functions._
+    val ab = Events.abTest(spark, sf).head()
+    val users = Tables.events(spark, sf).select(countDistinct(col("user_id")))
+      .head().getLong(0)
+    assert(ab.getAs[Long]("n_a") + ab.getAs[Long]("n_b") === users)
+    assert(ab.getAs[Long]("conv_a") <= ab.getAs[Long]("n_a"))
+    assert(ab.getAs[Long]("conv_b") <= ab.getAs[Long]("n_b"))
+    val z = ab.getAs[Double]("z_score")
+    assert(!z.isNaN && !z.isInfinite)
+  }
+
+  test("co-purchase support is symmetric-consistent and lift matches the definition") {
+    import org.apache.spark.sql.functions._
+    val lift = Tpch.qCopurchaseLift(spark, sf, minSupport = 2).cache()
+    assert(lift.count() > 0)
+    // support_ab can never exceed either marginal
+    assert(lift.filter(col("supp_ab") > col("supp_a") ||
+      col("supp_ab") > col("supp_b")).count() === 0)
+    // recompute one pair by hand
+    val r = lift.orderBy(desc("supp_ab"), col("pa"), col("pb")).head()
+    val (pa, pb) = (r.getAs[Long]("pa"), r.getAs[Long]("pb"))
+    val op = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk")).distinct()
+    val both = op.filter(col("pk") === pa).select("okey")
+      .intersect(op.filter(col("pk") === pb).select("okey")).count()
+    assert(r.getAs[Long]("supp_ab") === both)
+    lift.unpersist()
+  }
+
+  test("price histogram masses the full order book and the ogive ends at 1e6") {
+    import org.apache.spark.sql.functions._
+    val h = Tpch.qPriceHistogram(spark, sf).cache()
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(h.agg(sum(col("n"))).head().getLong(0) === nOrders)
+    val last = h.orderBy(desc("bucket")).head()
+    assert(last.getAs[Long]("cum_ppm") === 1000000L)
+    // cumulative share is monotone in bucket order
+    val cums = h.orderBy("bucket").collect().map(_.getAs[Long]("cum_ppm"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    h.unpersist()
   }
 }
