@@ -241,6 +241,14 @@ object SparkEntry {
     "ts_ewma" -> ((s, d) => TimeSeries.ewma(s, d)),
     // centrality over the k-NN substrate (iterative; rows-only oracle)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
+    // SCD2 hygiene + point-in-time movement
+    "cdc_scd2_compact" -> ((s, d) => Cdc.scd2Compact(s, d)),
+    "cdc_snapshot_diff" -> ((s, d) => Cdc.snapshotDiff(s, d)),
+    // exact-arithmetic trend + seasonality over the daily series
+    "ts_trend" -> ((s, d) => TimeSeries.trend(s, d)),
+    "ts_seasonality" -> ((s, d) => TimeSeries.seasonality(s, d)),
+    // persisted mergeable-sketch index; range distinct without a fact rescan
+    "q_hll_range" -> ((s, d) => Sketches.hllRangeDemo(s, d)),
     // CRM / experimentation battery: RFM quintiles, drift alarm, A/B readout
     "ev_rfm_segments" -> ((s, d) => Events.rfmSegments(s, d)),
     "ev_drift_tv" -> ((s, d) => Events.driftTv(s, d)),
@@ -938,6 +946,83 @@ object SparkEntry {
         |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
         |FROM j""".stripMargin,
     "ts_ewma" -> graft.operators.TimeSeries.ewmaOracle,
+    "cdc_scd2_compact" ->
+      s"""$logCte,
+         |h AS (SELECT user_id, event_id, operation, round(value, 2) AS value,
+         |        seq_us AS valid_from_us,
+         |        coalesce(lead(seq_us) OVER w, 9223372036854775807) AS valid_to_us,
+         |        (lead(seq_us) OVER w IS NULL) AS is_current
+         |      FROM log WINDOW w AS (PARTITION BY user_id ORDER BY seq_us, event_id)),
+         |f AS (SELECT *, CASE WHEN lag(value) OVER w2 IS DISTINCT FROM value
+         |        OR lag(operation) OVER w2 IS DISTINCT FROM operation THEN 1 ELSE 0 END AS chg
+         |      FROM h WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)),
+         |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY valid_from_us, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM f)
+         |SELECT user_id, min(operation) AS operation, min(value) AS value,
+         |  min(valid_from_us) AS valid_from_us, max(valid_to_us) AS valid_to_us,
+         |  count(*) AS n_collapsed, CAST(max(CAST(is_current AS INT)) AS BOOLEAN) AS is_current
+         |FROM r GROUP BY user_id, run""".stripMargin,
+    "cdc_snapshot_diff" ->
+      s"""$logCte,
+         |h AS (SELECT user_id, operation, round(value, 2) AS value,
+         |        seq_us AS valid_from_us,
+         |        coalesce(lead(seq_us) OVER w, 9223372036854775807) AS valid_to_us
+         |      FROM log WINDOW w AS (PARTITION BY user_id ORDER BY seq_us, event_id)),
+         |s1 AS (SELECT user_id, value AS v1 FROM h
+         |       WHERE valid_from_us <= 1705276800000000 AND valid_to_us > 1705276800000000
+         |         AND operation <> 'DELETE'),
+         |s2 AS (SELECT user_id, value AS v2 FROM h
+         |       WHERE valid_from_us <= 1705881600000000 AND valid_to_us > 1705881600000000
+         |         AND operation <> 'DELETE'),
+         |j AS (SELECT COALESCE(s1.user_id, s2.user_id) AS user_id, v1, v2
+         |      FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
+         |SELECT CASE WHEN v1 IS NULL THEN 'added' WHEN v2 IS NULL THEN 'removed'
+         |    WHEN v1 = v2 THEN 'unchanged' ELSE 'changed' END AS status,
+         |  count(*) AS n_entities,
+         |  CAST(round(sum(COALESCE(CAST(v2 AS DECIMAL(12,2)), 0) -
+         |    COALESCE(CAST(v1 AS DECIMAL(12,2)), 0)), 2) AS DOUBLE) AS net_value_delta
+         |FROM j GROUP BY 1""".stripMargin,
+    "ts_trend" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n, min(day) AS d0,
+        |    sum(day) AS sx_raw,
+        |    sum(CAST(day AS HUGEINT) * day) AS sxx_raw,
+        |    sum(CAST(cents AS HUGEINT)) AS sy,
+        |    sum(CAST(day AS HUGEINT) * cents) AS sxy_raw,
+        |    sum(CAST(cents AS HUGEINT) * cents) AS syy
+        |  FROM daily GROUP BY 1),
+        |t AS (SELECT event_type, n,
+        |    CAST(sx_raw AS HUGEINT) - CAST(n AS HUGEINT) * d0 AS sx,
+        |    sxx_raw - 2 * d0 * CAST(sx_raw AS HUGEINT) + CAST(n AS HUGEINT) * d0 * d0 AS sxx,
+        |    sxy_raw - d0 * sy AS sxy, sy, syy FROM s),
+        |u AS (SELECT event_type, n,
+        |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS den,
+        |    CAST(n AS HUGEINT) * syy - sy * sy AS deny FROM t)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CASE WHEN den = 0 THEN NULL
+        |    WHEN num < 0 THEN CAST(-((-num) * 1000000 // den) AS BIGINT)
+        |    ELSE CAST(num * 1000000 // den AS BIGINT) END AS slope_e6,
+        |  CASE WHEN den * deny = 0 THEN NULL
+        |    ELSE CAST(num * num * 10000 // (den * deny) AS BIGINT) END AS r2_e4
+        |FROM u""".stripMargin,
+    "ts_seasonality" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (SELECT event_type, (day + 4) % 7 AS dow, count(*) AS days_dow,
+        |    CAST(sum(cents) AS BIGINT) AS t_dow
+        |  FROM daily GROUP BY 1, 2),
+        |ov AS (SELECT event_type, count(*) AS days_all,
+        |    CAST(sum(cents) AS BIGINT) AS t_all
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, dow, days_dow, t_dow,
+        |  CASE WHEN t_all = 0 THEN NULL
+        |    ELSE CAST(CAST(t_dow AS HUGEINT) * days_all * 10000 //
+        |      (CAST(days_dow AS HUGEINT) * t_all) AS BIGINT) END AS ratio_e4
+        |FROM dw JOIN ov USING (event_type)""".stripMargin,
     "ev_rfm_segments" ->
       """WITH usr AS (SELECT user_id,
         |    max(epoch_us(ts) // 86400000000) AS r_day, count(*) AS f_cnt,

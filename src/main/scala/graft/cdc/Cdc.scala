@@ -432,4 +432,64 @@ object Cdc {
       .withColumn("consistent",
         col("rows_src") === col("rows_tgt") && col("check_src") === col("check_tgt"))
   }
+
+  /** #228 SCD2 history compaction: collapse CONSECUTIVE versions whose
+    * tracked attribute never changed (no-op UPDATEs — the dominant row
+    * mass in chatty CDC feeds) into one interval spanning the run. Runs
+    * found by the gaps-and-islands flag-cumsum over the existing per-key
+    * ordering — the window sort is the same one [[scd2History]] already
+    * pays, and the output intervals tile exactly like the input's. The
+    * storage-hygiene job that keeps a 100 TB history table proportional
+    * to REAL change, not to feed chatter.
+    */
+  def scd2Compact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("valid_from_us"), col("event_id"))
+    scd2History(spark, dir)
+      .withColumn("chg",
+        when(!(lag(col("value"), 1).over(w) <=> col("value")) ||
+          !(lag(col("operation"), 1).over(w) <=> col("operation")), 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run")
+      .agg(min(col("valid_from_us")).as("valid_from_us"),
+        max(col("valid_to_us")).as("valid_to_us"),
+        first(col("operation")).as("operation"),
+        first(col("value")).as("value"),
+        count(lit(1)).as("n_collapsed"),
+        max(col("is_current")).as("is_current"))
+      .select("user_id", "operation", "value", "valid_from_us", "valid_to_us",
+        "n_collapsed", "is_current")
+  }
+
+  /** #229 Snapshot diff: the net entity-level movement between two points
+    * in time, answered FROM THE HISTORY (no stored snapshots): as-of
+    * states at T₁ and T₂ full-outer-join on the key, classify
+    * added/removed/changed/unchanged, aggregate counts + exact-decimal
+    * value deltas per status. The "what changed since last week" audit
+    * every warehouse asks of its dimensions. T₁ = [[TimeTravelUs]],
+    * T₂ = T₁ + 7 days.
+    */
+  val SnapshotDiffT2Us: Long = TimeTravelUs + 7L * 86400000000L
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    def asOf(t: Long): DataFrame = scd2History(spark, dir)
+      .filter(col("valid_from_us") <= t && col("valid_to_us") > t &&
+        col("operation") =!= "DELETE")
+      .select(col("user_id"), round(col("value"), 2).as("v"))
+    val d = org.apache.spark.sql.types.DecimalType(12, 2)
+    asOf(TimeTravelUs).withColumnRenamed("v", "v1")
+      .join(asOf(SnapshotDiffT2Us).withColumnRenamed("v", "v2"),
+        Seq("user_id"), "full_outer")
+      .withColumn("status",
+        when(col("v1").isNull, "added")
+          .when(col("v2").isNull, "removed")
+          .when(col("v1") === col("v2"), "unchanged")
+          .otherwise("changed"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_entities"),
+        round(sum(coalesce(col("v2").cast(d), lit(0).cast(d)) -
+          coalesce(col("v1").cast(d), lit(0).cast(d))), 2)
+          .cast("double").as("net_value_delta"))
+  }
 }

@@ -80,4 +80,55 @@ object Sketches {
       .withColumn("union_matches_direct",
         col("union_estimate") === col("direct_estimate"))
   }
+
+  /** #232 Persisted HLL sketch INDEX — the incremental complement of
+    * [[hllRollup]]: one mergeable (type, day) sketch table built from a
+    * single corpus pass, then ANY date-range distinct-count query is a
+    * metadata-sized union over the index — the fact table is never
+    * rescanned. At 100 TB this is how "distinct users, any window" stays
+    * interactive: sketches are a few KB per cell, the index for a year
+    * fits in one executor, and HLL union is lossless over identical
+    * registers so daily → weekly → monthly rollups all agree.
+    */
+  def buildHllIndex(spark: SparkSession, dir: String, path: String): Unit =
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        count(lit(1)).as("n_events"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Distinct users per type over [fromDay, toDay] answered FROM THE INDEX
+    * (partition-prunable day filter + sketch union — no fact scan).
+    */
+  def hllRangeQuery(spark: SparkSession, path: String,
+      fromDay: Long, toDay: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("day") >= fromDay && col("day") <= toDay)
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"),
+        count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("n_events"))
+
+  private val hllIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Demo query: build (memoized per corpus snapshot) + range-query the
+    * middle two weeks of the observation window.
+    */
+  def hllRangeDemo(spark: SparkSession, dir: String): DataFrame = {
+    val path = hllIdxMemo.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("hllidx").toString + "/idx"
+      buildHllIndex(spark, dir, p)
+      p
+    })
+    val span = Tables.events(spark, dir)
+      .agg(expr("min((ts DIV 1000) DIV 86400000000)").as("d0"),
+        expr("max((ts DIV 1000) DIV 86400000000)").as("d1"))
+      .head()
+    val (d0, d1) = (span.getLong(0), span.getLong(1))
+    val mid = (d1 - d0) / 4
+    hllRangeQuery(spark, path, d0 + mid, d1 - mid)
+  }
 }

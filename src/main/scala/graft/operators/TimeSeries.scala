@@ -86,6 +86,70 @@ object TimeSeries {
       .select("user_id", "event_id", "ts_us", "ewma")
   }
 
+  /** #230 Per-type OLS trend line over the daily series, EXACT integer /
+    * decimal arithmetic end-to-end: x = day offset, y = daily cents; the
+    * normal-equation terms (nΣxy − ΣxΣy, nΣx² − (Σx)²) are decimal
+    * products of integer sums — no FP at any step, so slope_e6/r2_e4 are
+    * bit-identical on any engine/partitioning (sign split keeps the
+    * truncating DIV away from negative numerators, where engines disagree
+    * floor-vs-truncate). One shuffle: the daily aggregate; the regression
+    * itself runs on type×day rows.
+    */
+  def trend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("day")).as("d0"),
+        sum(col("day")).as("sx_raw"),
+        expr("sum(CAST(day AS DECIMAL(38,0)) * CAST(day AS DECIMAL(38,0)))").as("sxx_raw"),
+        expr("sum(CAST(cents AS DECIMAL(38,0)))").as("sy"),
+        expr("sum(CAST(day AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))").as("sxy_raw"),
+        expr("sum(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))").as("syy"))
+      // shift x by d0 AFTER aggregation (pure algebra on the sums) so the
+      // quadratic terms stay small: Σ(x-d0) = Σx − n·d0, etc.
+      .withColumn("sx", expr("CAST(sx_raw AS DECIMAL(38,0)) - CAST(n AS DECIMAL(38,0)) * d0"))
+      .withColumn("sxx", expr(
+        "sxx_raw - 2 * d0 * CAST(sx_raw AS DECIMAL(38,0)) + CAST(n AS DECIMAL(38,0)) * d0 * d0"))
+      .withColumn("sxy", expr("sxy_raw - d0 * sy"))
+      .withColumn("num", expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy"))
+      .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx"))
+      .withColumn("deny", expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy"))
+      .select(col("event_type"), col("n").as("n_days"),
+        when(col("den") === 0, lit(null).cast("long")).otherwise(
+          expr("CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 DIV den) " +
+            "ELSE (num * 1000000 DIV den) END AS BIGINT)")).as("slope_e6"),
+        when(expr("den * deny") === 0, lit(null).cast("long")).otherwise(
+          expr("CAST((num * num * 10000) DIV (den * deny) AS BIGINT)")).as("r2_e4"))
+  }
+
+  /** #231 Day-of-week seasonality profile: each (type, dow)'s mean daily
+    * mass as an EXACT ×10⁴ ratio to the type's overall mean daily mass —
+    * cross-multiplied integer arithmetic (t_dow·days_all·10⁴ ÷
+    * days_dow·t_all), no division until the last step, engine-exact.
+    * dow 0=Sunday (epoch day 0 was a Thursday → +4).
+    */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val byDow = daily
+      .groupBy(col("event_type"), expr("(day + 4) % 7").as("dow"))
+      .agg(count(lit(1)).as("days_dow"), sum(col("cents")).as("t_dow"))
+    val overall = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("days_all"), sum(col("cents")).as("t_all"))
+    byDow.join(overall, "event_type")
+      .select(col("event_type"), col("dow"), col("days_dow"), col("t_dow"),
+        when(col("t_all") === 0, lit(null).cast("long")).otherwise(expr(
+          "CAST(CAST(t_dow AS DECIMAL(38,0)) * days_all * 10000 DIV " +
+            "(CAST(days_dow AS DECIMAL(38,0)) * t_all) AS BIGINT)")).as("ratio_e4"))
+  }
+
   /** The DuckDB oracle text for [[ewma]], generated from the same K so the
     * two engines cannot drift.
     */

@@ -141,4 +141,46 @@ class CdcSpec extends SparkSpec {
     assert(clean.filter(col("rows_src") =!= col("rows_tgt")
       || col("check_src") =!= col("check_tgt")).count() == 0)
   }
+
+  test("scd2Compact conserves rows, tiles intervals, and never leaves equal neighbors") {
+    val hist = Cdc.scd2History(spark, sf).cache()
+    val comp = Cdc.scd2Compact(spark, sf).cache()
+    // row conservation: collapsed counts sum back to the history mass
+    assert(comp.agg(sum(col("n_collapsed"))).head().getLong(0) === hist.count())
+    // per key: compacted intervals span exactly the history's span
+    val histSpan = hist.groupBy("user_id")
+      .agg(min("valid_from_us").as("f"), max("valid_to_us").as("t"))
+    val compSpan = comp.groupBy("user_id")
+      .agg(min("valid_from_us").as("f"), max("valid_to_us").as("t"))
+    assert(histSpan.exceptAll(compSpan).count() === 0)
+    // adjacent compacted runs always differ in (operation, value) — else
+    // they would have been one run
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from_us")
+    val equalNeighbors = comp
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .withColumn("po", lag(col("operation"), 1).over(w))
+      .filter(col("pv").isNotNull &&
+        (col("pv") <=> col("value")) && (col("po") <=> col("operation")))
+      .count()
+    assert(equalNeighbors === 0)
+    // exactly one current interval per key
+    val multiCurrent = comp.filter(col("is_current"))
+      .groupBy("user_id").count().filter(col("count") =!= 1).count()
+    assert(multiCurrent === 0)
+    hist.unpersist(); comp.unpersist()
+  }
+
+  test("snapshotDiff statuses partition the union of both as-of states") {
+    val d = Cdc.snapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d.keySet.subsetOf(Set("added", "removed", "changed", "unchanged")))
+    def asOfUsers(t: Long) = Cdc.scd2History(spark, sf)
+      .filter(col("valid_from_us") <= t && col("valid_to_us") > t &&
+        col("operation") =!= "DELETE")
+      .select("user_id")
+    val unionUsers = asOfUsers(Cdc.TimeTravelUs)
+      .union(asOfUsers(Cdc.SnapshotDiffT2Us)).distinct().count()
+    assert(d.values.sum === unionUsers)
+  }
 }

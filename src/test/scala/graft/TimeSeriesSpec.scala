@@ -102,6 +102,78 @@ class TimeSeriesSpec extends SparkSpec {
     assert(spokeRanks.distinct.size === 1, "symmetric spokes must tie")
   }
 
+  test("trend slope agrees with the FP regression and r2 stays in [0,1]") {
+    val t = TimeSeries.trend(spark, sf).collect()
+    assert(t.nonEmpty)
+    // recompute per type with plain double OLS; exact result must sit
+    // within one e6 quantum + FP noise of it
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day").agg(sum("cents").as("y"))
+      .collect().groupBy(_.getString(0))
+    t.foreach { r =>
+      val pts = daily(r.getString(0)).map(x => (x.getLong(1).toDouble, x.getLong(2).toDouble))
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(r.getAs[Long]("n_days") === pts.length.toLong)
+      assert(math.abs(r.getAs[Long]("slope_e6") - slope * 1e6) <= 2.0,
+        s"${r.getString(0)}: exact ${r.getAs[Long]("slope_e6")} vs fp ${slope * 1e6}")
+      val r2 = r.getAs[Long]("r2_e4")
+      assert(r2 >= 0L && r2 <= 10000L)
+    }
+  }
+
+  test("seasonality masses tile the overall totals and ratios center on 1e4") {
+    val sSpark = TimeSeries.seasonality(spark, sf).cache()
+    val tiles = sSpark.groupBy("event_type")
+      .agg(sum(col("days_dow")).as("dsum"), sum(col("t_dow")).as("tsum"))
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day").agg(sum("cents").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("days_all"), sum(col("c")).as("t_all"))
+    val bad = tiles.join(daily, "event_type")
+      .filter(col("dsum") =!= col("days_all") || col("tsum") =!= col("t_all"))
+      .count()
+    assert(bad === 0)
+    // the days_dow-weighted mean of mean-ratios is 1 by construction:
+    // Σ_dow days_dow·(t_dow·days_all)/(days_dow·t_all) = days_all
+    val rows = sSpark.collect()
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      val daysAll = rs.map(_.getAs[Long]("days_dow")).sum.toDouble
+      val weighted = rs.map(r =>
+        r.getAs[Long]("days_dow") * r.getAs[Long]("ratio_e4").toDouble).sum /
+        (daysAll * 10000.0)
+      assert(math.abs(weighted - 1.0) < 0.01, s"$et weighted ratio $weighted")
+    }
+    sSpark.unpersist()
+  }
+
+  test("HLL range index answers within the sketch error of the exact distinct") {
+    val est = operators.Sketches.hllRangeDemo(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_users")).toMap
+    assert(est.nonEmpty)
+    val span = Tables.events(spark, sf)
+      .agg(expr("min((ts DIV 1000) DIV 86400000000)").as("d0"),
+        expr("max((ts DIV 1000) DIV 86400000000)").as("d1")).head()
+    val (d0, d1) = (span.getLong(0), span.getLong(1))
+    val mid = (d1 - d0) / 4
+    val exact = Tables.events(spark, sf)
+      .filter(expr(s"(ts DIV 1000) DIV 86400000000 BETWEEN ${d0 + mid} AND ${d1 - mid}"))
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (k, e) =>
+      val x = exact(k).toDouble
+      assert(math.abs(e - x) / x <= 0.05, s"$k: est $e vs exact $x")
+    }
+  }
+
   test("fileAudit counts files and flags small ones per partition leaf") {
     val dir = java.nio.file.Files.createTempDirectory("audit").toString
     val df = (0 until 100).map(i => (i % 4, i.toLong)).toDF("p", "v")
