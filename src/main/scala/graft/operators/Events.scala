@@ -462,21 +462,23 @@ object Events {
         least(greatest(floor(col("value") / 50.0), lit(0.0)), lit(19.0))
           .cast("long").as("bucket"))
     val mid = bucketed.agg(expr("(min(day) + max(day) + 1) DIV 2").as("mid"))
-    val withEra = bucketed.crossJoin(broadcast(mid))
-      .withColumn("era", when(col("day") < col("mid"), lit(1L)).otherwise(lit(2L)))
-    val cells = withEra.groupBy("event_type", "era", "bucket")
-      .agg(count(lit(1)).as("c"))
-    val tot = cells.groupBy("event_type", "era").agg(sum(col("c")).as("n"))
-    val p1 = cells.filter(col("era") === 1).select(col("event_type"), col("bucket"), col("c").as("c1"))
-    val p2 = cells.filter(col("era") === 2).select(col("event_type"), col("bucket"), col("c").as("c2"))
-    val n1 = tot.filter(col("era") === 1).select(col("event_type"), col("n").as("n1"))
-    val n2 = tot.filter(col("era") === 2).select(col("event_type"), col("n").as("n2"))
-    p1.join(p2, Seq("event_type", "bucket"), "full_outer")
-      .na.fill(0L, Seq("c1", "c2"))
-      .join(n1, "event_type").join(n2, "event_type")
+    // era folds into CONDITIONAL aggregation: one (type, bucket) shuffle
+    // carries both halves as columns — no per-era branch, no full-outer
+    // alignment join, no recomputed scan
+    val cells = bucketed.crossJoin(broadcast(mid))
+      .groupBy("event_type", "bucket")
+      .agg(sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("c2"))
+    // era totals ride a window over the (types × buckets)-sized aggregate
+    val wt = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("n1", sum(col("c1")).over(wt))
+      .withColumn("n2", sum(col("c2")).over(wt))
       .groupBy("event_type")
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("num"))
+      .filter(col("n1") > 0 && col("n2") > 0)
       .select(col("event_type"), col("n1"), col("n2"),
         expr("num * 10000 DIV (2 * n1 * n2)").cast("long").as("tvd_e4"))
   }

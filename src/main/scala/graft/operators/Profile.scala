@@ -60,15 +60,20 @@ object Profile {
                         right: DataFrame, rightKey: String): DataFrame = {
     val lp = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cl"))
     val rp = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cr"))
-    val joined = lp.join(rp, "k")
-      .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).cast("long").as("predicted_rows"),
-        coalesce(max(col("cl") * col("cr")), lit(0L)).cast("long").as("max_key_rows"),
-        count(lit(1)).as("n_matching_keys"))
-    val ls = lp.agg(count(lit(1)).as("distinct_left_keys"),
-      coalesce(sum(col("cl")), lit(0L)).cast("long").as("n_left"))
-    val rs = rp.agg(count(lit(1)).as("distinct_right_keys"),
-      coalesce(sum(col("cr")), lit(0L)).cast("long").as("n_right"))
-    ls.crossJoin(rs).crossJoin(joined)
+    // ONE full-outer profile join feeds every statistic: each side's
+    // aggregate is consumed exactly once (no branch recompute), and the
+    // join key equals the groupBy key so the join adds NO exchange beyond
+    // the two profile shuffles
+    lp.join(rp, Seq("k"), "full_outer")
+      .agg(
+        coalesce(sum(col("cl")), lit(0L)).cast("long").as("n_left"),
+        coalesce(sum(col("cr")), lit(0L)).cast("long").as("n_right"),
+        count(col("cl")).as("distinct_left_keys"),
+        count(col("cr")).as("distinct_right_keys"),
+        sum(when(col("cl").isNotNull && col("cr").isNotNull, 1L).otherwise(0L))
+          .as("n_matching_keys"),
+        coalesce(sum(col("cl") * col("cr")), lit(0L)).cast("long").as("predicted_rows"),
+        coalesce(max(col("cl") * col("cr")), lit(0L)).cast("long").as("max_key_rows"))
       .select("n_left", "n_right", "distinct_left_keys", "distinct_right_keys",
         "n_matching_keys", "predicted_rows", "max_key_rows")
   }

@@ -141,8 +141,10 @@ object TimeSeries {
     val byDow = daily
       .groupBy(col("event_type"), expr("(day + 4) % 7").as("dow"))
       .agg(count(lit(1)).as("days_dow"), sum(col("cents")).as("t_dow"))
-    val overall = daily.groupBy("event_type")
-      .agg(count(lit(1)).as("days_all"), sum(col("cents")).as("t_all"))
+    // overall totals fold FROM the (types × 7)-sized dow frame — the daily
+    // aggregate (and the events scan under it) runs exactly once
+    val overall = byDow.groupBy("event_type")
+      .agg(sum(col("days_dow")).as("days_all"), sum(col("t_dow")).as("t_all"))
     byDow.join(overall, "event_type")
       .select(col("event_type"), col("dow"), col("days_dow"), col("t_dow"),
         when(col("t_all") === 0, lit(null).cast("long")).otherwise(expr(

@@ -687,14 +687,22 @@ object Tpch {
     * The min-support filter prunes the pair mass before the lift join.
     */
   def qCopurchaseLift(spark: SparkSession, dir: String, minSupport: Long = 3): DataFrame = {
-    val op = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
-      .distinct()
-    val nOrders = op.agg(countDistinct(col("okey")).as("n_orders"))
-    val partSupp = op.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
-    val a = op.select(col("okey"), col("pk").as("pa"))
-    val b = op.select(col("okey"), col("pk").as("pb"))
-    val pairs = a.join(b, "okey").filter(col("pa") < col("pb"))
+    // one okey shuffle builds per-order BASKETS (bounded: TPC-H orders
+    // carry ≤7 lines); pair fan-out is then MAP-SIDE over each basket via
+    // higher-order functions — no order-level self-join, no second pass
+    // over the fact table for the pair side
+    val baskets = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("arr"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val partSupp = baskets.select(explode(col("arr")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("supp"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(arr, (x, i) ->
+          |  transform(slice(arr, i + 2, size(arr)), y -> struct(x AS pa, y AS pb))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("supp_ab"))
       .filter(col("supp_ab") >= minSupport)
     pairs

@@ -336,4 +336,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerGroupPartial"),
       s"per-node top-k lost the map-side prune:\n$p")
   }
+
+  test("join cardinality: profiles consumed once, join rides the groupBy partitioning") {
+    val p = planOf("q_join_cardinality")
+    // two profile shuffles + the single-row final aggregate — a third
+    // data exchange would mean the full-outer join re-partitioned a side
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"profile join re-shuffled a side ($exchanges exchanges):\n$p")
+    assert(!p.contains("CartesianProduct"), s"profile stats planned a cartesian:\n$p")
+  }
+
+  test("drift TV: one fact shuffle, era folded as conditional aggregation") {
+    val p = planOf("ev_drift_tv")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // (type,bucket) agg + type window/agg + the 1-row mid broadcast —
+    // a branch-per-era formulation blows this up to ~19
+    assert(exchanges <= 6, s"drift re-scans the facts per era ($exchanges exchanges):\n$p")
+    assert(!p.contains("FullOuter"), s"era alignment regressed to a full-outer join:\n$p")
+  }
+
+  test("co-purchase: basket arrays, no order-level self-join of the fact table") {
+    val p = planOf("q_copurchase_lift")
+    assert(!p.contains("SortMergeJoin") ||
+      !"SortMergeJoin.*okey".r.findFirstIn(p).isDefined,
+      s"pair generation regressed to a fact self-join:\n$p")
+    assert(p.contains("Generate"), s"basket explode missing:\n$p")
+  }
+
+  test("ewma and gap-fill share one entity-key sort per input") {
+    val pe = planOf("ts_ewma")
+    assert("Window \\[".r.findAllIn(pe).size == 1,
+      s"16 EWMA lags must share one WindowExec:\n$pe")
+    val pg = planOf("ts_gap_fill")
+    assert(!pg.contains("CartesianProduct"),
+      s"spine generation planned a cartesian:\n$pg")
+  }
 }
