@@ -249,9 +249,12 @@ object SparkEntry {
     "ts_seasonality" -> ((s, d) => TimeSeries.seasonality(s, d)),
     // persisted mergeable-sketch index; range distinct without a fact rescan
     "q_hll_range" -> ((s, d) => Sketches.hllRangeDemo(s, d)),
-    // CRM / experimentation battery: RFM quintiles, drift alarm, A/B readout
+    // CRM / experimentation battery: RFM quintiles, drift alarms, A/B readout
     "ev_rfm_segments" -> ((s, d) => Events.rfmSegments(s, d)),
     "ev_drift_tv" -> ((s, d) => Events.driftTv(s, d)),
+    "ev_drift_ks" -> ((s, d) => Events.driftKs(s, d)),
+    // O(1)-per-user forget: per-user-key encryption, registry row deletion
+    "cdc_crypto_shred" -> ((s, d) => Forget.cryptoShredDemo(s, d)),
     "ev_ab_test" -> ((s, d) => Events.abTest(s, d)),
     // market basket + histogram
     "q_copurchase_lift" -> ((s, d) => Tpch.qCopurchaseLift(s, d)),
@@ -1059,6 +1062,32 @@ object SparkEntry {
         |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
         |  CAST(num * 10000 // (2 * n1 * n2) AS BIGINT) AS tvd_e4
         |FROM g""".stripMargin,
+    "ev_drift_ks" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM c),
+        |cells AS (SELECT event_type, v,
+        |    sum(CASE WHEN day < mid THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS c2
+        |  FROM c, m GROUP BY 1, 2),
+        |cum AS (SELECT event_type,
+        |    sum(c1) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    sum(c2) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+        |    sum(c1) OVER (PARTITION BY event_type) AS n1,
+        |    sum(c2) OVER (PARTITION BY event_type) AS n2
+        |  FROM cells)
+        |SELECT event_type, CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+        |  CAST(max(abs(cum1 * n2 - cum2 * n1)) * 10000 // (max(n1) * max(n2)) AS BIGINT) AS ks_e4
+        |FROM cum GROUP BY 1 HAVING max(n1) > 0 AND max(n2) > 0""".stripMargin,
+    "cdc_crypto_shred" ->
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN user_id % 13 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_readable,
+        |  CAST(sum(CASE WHEN user_id % 13 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_shredded,
+        |  CAST(round(sum(CASE WHEN user_id % 13 <> 3
+        |    THEN CAST(value AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS readable_value
+        |FROM events GROUP BY 1""".stripMargin,
     "ev_ab_test" ->
       """WITH arms AS (SELECT user_id % 2 AS arm, count(DISTINCT user_id) AS n_users,
         |    count(DISTINCT CASE WHEN event_type = 'purchase' AND value >= 80

@@ -483,6 +483,42 @@ object Events {
         expr("num * 10000 DIV (2 * n1 * n2)").cast("long").as("tvd_e4"))
   }
 
+  /** #233 Kolmogorov–Smirnov two-sample drift statistic per event type —
+    * the CDF-based complement of [[driftTv]]'s binned TVD (KS catches
+    * location/shape shifts that coarse bins smear). EXACT integer
+    * arithmetic: D = max over observed values of |cum₁·n₂ − cum₂·n₁|,
+    * reported ×10⁴ ÷ n₁n₂ — bit-identical cross-engine. Values quantize
+    * to cents, so the per-type CDF frame is bounded by the VALUE DOMAIN
+    * (≤ ~40k distinct cents here), never by the event count — the
+    * cumulative window over it is safe at any corpus size even though it
+    * partitions by type.
+    */
+  def driftKs(spark: SparkSession, dir: String): DataFrame = {
+    val cents = withTs(spark, dir)
+      .select(col("event_type"), expr("ts_us DIV 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    val mid = cents.agg(expr("(min(day) + max(day) + 1) DIV 2").as("mid"))
+    val cells = cents.crossJoin(broadcast(mid))
+      .groupBy("event_type", "v")
+      .agg(sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .withColumn("n1", sum(col("c1")).over(wt))
+      .withColumn("n2", sum(col("c2")).over(wt))
+      .groupBy("event_type")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("dmax"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("event_type"), col("n1"), col("n2"),
+        expr("dmax * 10000 DIV (n1 * n2)").cast("long").as("ks_e4"))
+  }
+
   /** #225 Two-sample A/B readout: deterministic 50/50 split on user_id
     * parity, high-value-purchase conversion per arm, pooled
     * two-proportion z-score. Conversion ratios are exact integers (ppm);

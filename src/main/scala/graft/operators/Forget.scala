@@ -76,4 +76,50 @@ object Forget {
     forgetKeys(spark, s"$root/store", "user_id", keys)
       .select(col("__d").as("event_date"), col("n_before"), col("n_after"))
   }
+
+  /** #234 Crypto-shredding — the O(1)-per-user forget that needs NO data
+    * rewrite (the complement of [[forgetKeys]]'s physical rewrite, and
+    * what a 100 TB immutable store actually deploys): sensitive values
+    * are encrypted at rest under a PER-USER key held in a tiny key
+    * registry; forgetting a user deletes one registry row, and every
+    * ciphertext they ever produced becomes undecryptable garbage in
+    * place. AES via Spark's built-in codegen'd `aes_encrypt`/
+    * `try_aes_decrypt`; the read path is a broadcast key join + row-local
+    * decrypt, and `try_` turns keyless ciphertexts into NULLs, not jobs
+    * that die.
+    */
+  def cryptoShred(store: DataFrame, keyReg: DataFrame): DataFrame =
+    store.join(broadcast(keyReg), Seq("user_id"), "left")
+      .withColumn("plain",
+        expr("try_aes_decrypt(cipher, k, 'ECB')").cast("string"))
+      .withColumn("readable", col("k").isNotNull && col("plain").isNotNull)
+
+  /** Driver demo: encrypt event values under per-user keys, shred
+    * user_id % 13 = 3, report per-type readable/shredded mass. The
+    * aggregate equals a plain filtered aggregate of the source — the
+    * oracle replays it WITHOUT AES, which proves the encrypt→shred→
+    * decrypt round trip preserved every surviving value exactly.
+    */
+  def cryptoShredDemo(spark: SparkSession, dir: String): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(12, 2)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    // 16-byte per-user key derived deterministically; a real deployment
+    // uses random keys — derivation only makes the demo replayable
+    val userKey = expr("CAST(unhex(md5(CAST(user_id AS STRING))) AS BINARY)")
+    val store = ev
+      .withColumn("cipher",
+        expr("aes_encrypt(CAST(value AS STRING), " +
+          "CAST(unhex(md5(CAST(user_id AS STRING))) AS BINARY), 'ECB')"))
+      .drop("value")
+    val keyReg = ev.select("user_id").distinct()
+      .filter(col("user_id") % 13 =!= 3)
+      .withColumn("k", userKey)
+    cryptoShred(store, keyReg)
+      .groupBy("event_type")
+      .agg(sum(when(col("readable"), 1L).otherwise(0L)).as("n_readable"),
+        sum(when(!col("readable"), 1L).otherwise(0L)).as("n_shredded"),
+        round(sum(when(col("readable"), col("plain").cast(d))), 2)
+          .cast("double").as("readable_value"))
+  }
 }

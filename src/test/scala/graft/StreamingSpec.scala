@@ -384,4 +384,35 @@ class StreamingSpec extends SparkSpec {
     assert(afterC.filter(col("doc_id") === 203L).count() == 1,
       "the genuinely new post-restart doc was not admitted")
   }
+
+  test("streaming HLL distinct: bounded state tracks cardinality across batches") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val normalized = ms.toDF()
+    val st = graft.streaming.SketchStream.distinctByType(normalized)
+    val q = st.toDF().writeStream.format("memory").queryName("hlls")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: 100 distinct users of type A, 10 of type B
+      ms.addData((1L to 100L).map(i => evRow(i, i * 1000, i, "A", 1.0)) ++
+        (1L to 10L).map(i => evRow(1000 + i, i * 1000, 1000 + i, "B", 1.0)): _*)
+      q.processAllAvailable()
+      // batch 2: 50 REPEAT users + 50 new ones for A
+      ms.addData((51L to 150L).map(i => evRow(2000 + i, i * 1000, i, "A", 1.0)): _*)
+      q.processAllAvailable()
+      val byType = spark.table("hlls").groupBy("event_type")
+        .agg(max_by(col("est_users"), col("n_events")).as("est"),
+          max(col("n_events")).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // exact: A has 150 distinct after both batches (state survived — a
+      // stateless batch would report ≤100); B has 10
+      val (estA, nA) = byType("A")
+      assert(nA == 200L, s"A event count $nA")
+      assert(math.abs(estA - 150L) <= 8, s"A estimate $estA vs 150 (±1.6% RSE)")
+      val (estB, nB) = byType("B")
+      assert(nB == 10L && estB == 10L, s"B exact at low cardinality: $estB/$nB")
+    } finally q.stop()
+  }
 }

@@ -435,6 +435,53 @@ class UtilSpec extends SparkSpec {
     assert(!z.isNaN && !z.isInfinite)
   }
 
+  test("KS drift matches a hand-computed statistic per type") {
+    val ks = Events.driftKs(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+        r.getAs[Long]("ks_e4")))).toMap
+    assert(ks.nonEmpty)
+    // recompute from the raw rows
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val days = rows.map(_._2)
+    val mid = (days.min + days.max + 1) / 2
+    ks.foreach { case (et, (n1, n2, ksE4)) =>
+      val mine = rows.filter(_._1 == et)
+      val (e1, e2) = mine.partition(_._2 < mid)
+      assert(n1 === e1.length.toLong && n2 === e2.length.toLong)
+      val values = mine.map(_._3).distinct.sorted
+      var (c1, c2, dmax) = (0L, 0L, 0L)
+      values.foreach { v =>
+        c1 += e1.count(_._3 == v); c2 += e2.count(_._3 == v)
+        dmax = math.max(dmax, math.abs(c1 * n2 - c2 * n1))
+      }
+      assert(ksE4 === dmax * 10000 / (n1 * n2), s"$et KS mismatch")
+    }
+  }
+
+  test("crypto-shredding: doomed users unreadable in place, survivors decrypt exactly") {
+    import spark.implicits._
+    import graft.operators.Forget
+    val ev = Seq((1L, 10L, "a", "3.50"), (2L, 10L, "b", "4.25"),
+      (3L, 66L, "a", "9.99"), (4L, 66L, "b", "1.00"))
+      .toDF("event_id", "user_id", "event_type", "v")
+    val store = ev.withColumn("cipher",
+      expr("aes_encrypt(v, CAST(unhex(md5(CAST(user_id AS STRING))) AS BINARY), 'ECB')"))
+      .drop("v")
+    // registry keeps user 10, forgets user 66 (one-row deletion)
+    val keyReg = Seq(10L).toDF("user_id")
+      .withColumn("k", expr("CAST(unhex(md5(CAST(user_id AS STRING))) AS BINARY)"))
+    val out = Forget.cryptoShred(store, keyReg)
+      .select("event_id", "readable", "plain").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(out(1L) === ((true, Some("3.50"))))
+    assert(out(2L) === ((true, Some("4.25"))))
+    assert(out(3L) === ((false, None)))
+    assert(out(4L) === ((false, None)))
+  }
+
   test("co-purchase support is symmetric-consistent and lift matches the definition") {
     import org.apache.spark.sql.functions._
     val lift = Tpch.qCopurchaseLift(spark, sf, minSupport = 2).cache()
