@@ -256,6 +256,10 @@ object SparkEntry {
     // O(1)-per-user forget: per-user-key encryption, registry row deletion
     "cdc_crypto_shred" -> ((s, d) => Forget.cryptoShredDemo(s, d)),
     "ev_ab_test" -> ((s, d) => Events.abTest(s, d)),
+    // linear multi-touch attribution (exact cents split, bounded interval join)
+    "ev_attribution_linear" -> ((s, d) => Events.attributionLinear(s, d)),
+    // per-file bloom index: point-lookup file skipping (rows-only oracle)
+    "tbl_bloom_prune" -> ((s, d) => BloomIndex.pruneDemo(s, d)),
     // market basket + histogram
     "q_copurchase_lift" -> ((s, d) => Tpch.qCopurchaseLift(s, d)),
     "q_price_histogram" -> ((s, d) => Tpch.qPriceHistogram(s, d)),
@@ -1062,6 +1066,27 @@ object SparkEntry {
         |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
         |  CAST(num * 10000 // (2 * n1 * n2) AS BIGINT) AS tvd_e4
         |FROM g""".stripMargin,
+    "ev_attribution_linear" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |pw AS (SELECT *, sum(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS n_touch
+        |  FROM ev),
+        |p AS (SELECT user_id, event_id AS p_id, ts_us AS p_ts, cents, n_touch
+        |  FROM pw WHERE event_type = 'purchase' AND n_touch > 0),
+        |t AS (SELECT user_id, event_id AS t_id, event_type AS touch_type, ts_us AS t_ts
+        |  FROM ev WHERE event_type IN ('view','click')),
+        |j AS (SELECT * FROM p JOIN t USING (user_id)
+        |  WHERE t_ts >= p_ts - 604800000000 AND t_ts <= p_ts),
+        |c AS (SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn
+        |  FROM j)
+        |SELECT touch_type, count(DISTINCT t_id) AS n_touches_credited,
+        |  count(*) AS n_credits,
+        |  round(CAST(sum(cents // n_touch +
+        |    CASE WHEN rn = 1 THEN cents % n_touch ELSE 0 END) AS DOUBLE) / 100.0, 2)
+        |    AS attributed_value
+        |FROM c GROUP BY 1""".stripMargin,
     "ev_drift_ks" ->
       """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    CAST(round(value * 100) AS BIGINT) AS v FROM events),

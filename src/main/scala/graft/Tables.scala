@@ -178,6 +178,41 @@ object Tables {
     }.sorted
   }
 
+  /** #238 Write-Audit-Publish: stage the new table version OUT OF BAND,
+    * run audits against the STAGED copy, and only then atomically promote
+    * it — readers never see an unaudited row, and a failing audit (or a
+    * crash at any step) leaves the previous version untouched and
+    * addressable (reference analog: the DLT expectations gate only
+    * quarantines rows; WAP gates the whole publish, which is what a
+    * 100 TB gold table actually wants for backfills). Same
+    * retire-then-promote swap discipline as [[compact]]; the `__retired`
+    * leftover is reclaimed by [[retentionSweep]].
+    *
+    * Returns true when published; false when an audit rejected the
+    * staged data (staging is cleaned up, the live table is untouched).
+    */
+  def writeAuditPublish(spark: SparkSession, df: DataFrame, path: String,
+      audits: Seq[DataFrame => Boolean]): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "_staging")
+    val retired = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__retired")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val staged = spark.read.parquet(staging.toString)
+    val ok = audits.forall(a => a(staged))
+    if (!ok) {
+      fs.delete(staging, true)
+      false
+    } else {
+      fs.delete(retired, true)
+      if (fs.exists(p)) require(fs.rename(p, retired), s"could not retire $p")
+      require(fs.rename(staging, p), s"could not promote $staging to $p")
+      fs.delete(retired, true)
+      spark.catalog.refreshByPath(path)
+      true
+    }
+  }
+
   /** #222 Small-file / size-skew audit — the layout health check that
     * decides when [[compact]] runs (reference:
     * unity_catalog_cdc_demo.py:605-624 runs OPTIMIZE blind on a schedule;

@@ -483,6 +483,52 @@ object Events {
         expr("num * 10000 DIV (2 * n1 * n2)").cast("long").as("tvd_e4"))
   }
 
+  /** #236 Linear multi-touch attribution: every purchase's value split
+    * EXACTLY (integer cents, remainder to the earliest touch) across the
+    * user's view/click touches in the preceding 7 days — the
+    * marketing-mix counterpart of the as-of join's last-touch. Shape:
+    * per-purchase touch counts ride ONE user-partitioned RANGE window
+    * over the interleaved event stream (no join to count); the
+    * credit assignment is an equi-join on user_id with the time window
+    * as a residual — per-key work bounded by touches×purchases inside
+    * 7 days, the same bounded-interval shape as the PIT join.
+    * Cents arithmetic makes the split lossless: Σ credits == purchase
+    * cents, bit-identical on any engine.
+    */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val WindowUs = 7L * 86400000000L
+    val ev = withTs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val isTouch = col("event_type").isin("view", "click")
+    // touches per purchase: RANGE frame over the interleaved stream —
+    // count touch rows in (t-7d, t]; purchases exclude themselves by type
+    val wRange = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-WindowUs, 0)
+    val purchases = ev
+      .withColumn("n_touch", sum(when(isTouch, 1L).otherwise(0L)).over(wRange))
+      .filter(col("event_type") === "purchase" && col("n_touch") > 0)
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts_us").as("p_ts"), col("cents"), col("n_touch"))
+    val touches = ev.filter(isTouch)
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("touch_type"), col("ts_us").as("t_ts"))
+    val joined = purchases.join(touches, "user_id")
+      .filter(col("t_ts") >= col("p_ts") - WindowUs && col("t_ts") <= col("p_ts"))
+    // earliest touch per purchase carries the integer-division remainder
+    val wp = Window.partitionBy("p_id").orderBy(col("t_ts"), col("t_id"))
+    joined
+      .withColumn("rn", row_number().over(wp))
+      .withColumn("credit",
+        expr("cents DIV n_touch") +
+          when(col("rn") === 1, expr("cents % n_touch")).otherwise(0L))
+      .groupBy("touch_type")
+      .agg(countDistinct(col("t_id")).as("n_touches_credited"),
+        count(lit(1)).as("n_credits"),
+        round(sum(col("credit")).cast(org.apache.spark.sql.types.DecimalType(18, 0))
+          .cast("double") / 100.0, 2).as("attributed_value"))
+  }
+
   /** #233 Kolmogorov–Smirnov two-sample drift statistic per event type —
     * the CDF-based complement of [[driftTv]]'s binned TVD (KS catches
     * location/shape shifts that coarse bins smear). EXACT integer

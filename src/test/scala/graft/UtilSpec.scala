@@ -482,6 +482,49 @@ class UtilSpec extends SparkSpec {
     assert(out(4L) === ((false, None)))
   }
 
+  test("linear attribution conserves every attributed purchase's cents") {
+    val attr = Events.attributionLinear(spark, sf)
+    val attributedCents = attr
+      .agg(sum(expr("CAST(round(attributed_value * 100) AS BIGINT)")))
+      .head().getLong(0)
+    // purchases with >=1 touch in the prior 7 days, straight from the source
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us").rangeBetween(-7L * 86400000000L, 0)
+    val expected = ev
+      .withColumn("n_touch",
+        sum(when(col("event_type").isin("view", "click"), 1L).otherwise(0L)).over(w))
+      .filter(col("event_type") === "purchase" && col("n_touch") > 0)
+      .agg(sum(col("cents"))).head().getLong(0)
+    assert(attributedCents === expected,
+      s"attribution leaked cents: $attributedCents vs $expected")
+  }
+
+  test("write-audit-publish gates bad data and survives as an atomic swap") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("wap").toString
+    val path = s"$root/gold"
+    val good = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val bad = Seq((3L, null.asInstanceOf[String])).toDF("id", "v")
+    val noNulls: org.apache.spark.sql.DataFrame => Boolean =
+      df => df.filter(col("v").isNull).count() == 0
+    // first publish passes
+    assert(Tables.writeAuditPublish(spark, good, path, Seq(noNulls)))
+    assert(spark.read.parquet(path).count() === 2)
+    // bad version is rejected: live table untouched, staging cleaned
+    assert(!Tables.writeAuditPublish(spark, bad, path, Seq(noNulls)))
+    assert(spark.read.parquet(path).count() === 2)
+    assert(!new java.io.File(s"$root/gold_staging").exists())
+    // a passing second version replaces the first atomically
+    val v2 = Seq((9L, "z")).toDF("id", "v")
+    assert(Tables.writeAuditPublish(spark, v2, path, Seq(noNulls)))
+    val rows = spark.read.parquet(path).collect()
+    assert(rows.length === 1 && rows.head.getLong(0) === 9L)
+  }
+
   test("co-purchase support is symmetric-consistent and lift matches the definition") {
     import org.apache.spark.sql.functions._
     val lift = Tpch.qCopurchaseLift(spark, sf, minSupport = 2).cache()

@@ -42,4 +42,28 @@ class ZoneMapSpec extends SparkSpec {
       s"morton ${audit("morton")} not tighter than naive ${audit("naive")}")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("bloom index prunes files on point lookups without losing rows") {
+    import spark.implicits._
+    import graft.operators.BloomIndex
+    val root = java.nio.file.Files.createTempDirectory("bfidx").toString
+    // 16 files hashed by key: every key lives in exactly one file
+    val df = (1L to 4000L).map(i => (i % 200, i)).toDF("k", "payload")
+    df.repartition(16, col("k")).write.parquet(s"$root/t")
+    BloomIndex.build(spark, s"$root/t", "k", s"$root/idx")
+    val (m, total, read) = BloomIndex.lookup(spark, s"$root/t", s"$root/idx", "k", Seq(7L, 8L))
+    assert(total === 16L)
+    assert(read < total, s"no pruning: read $read of $total")
+    // exactness: pruned read returns precisely the unpruned answer
+    val expected = df.filter(col("k").isin(7L, 8L)).select("k", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = m.select("k", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    // absent key: bloom may false-positive into a file read, but the
+    // exact filter returns nothing
+    val (none, _, _) = BloomIndex.lookup(spark, s"$root/t", s"$root/idx", "k", Seq(9999L))
+    assert(none.count() === 0L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
