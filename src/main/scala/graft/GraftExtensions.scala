@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{BpeEncode, BpeMergeStep, CosineSim, HyperplaneBucket,
   MinHashAgg, MinHashSig, NgramJaccard, QuantileSketchAgg, RollingMinHash,
-  ShingleJaccard, SimHash64}
+  ShingleContainment, ShingleJaccard, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the custom Catalyst
   * expressions as SQL functions for any session built with
@@ -41,6 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => NgramJaccard(es.head, es(1), intArg(es(2)))))
     e.injectFunction((FunctionIdentifier("shingle_jaccard"), info("shingle_jaccard"),
       (es: Seq[Expression]) => ShingleJaccard(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("shingle_containment"), info("shingle_containment"),
+      (es: Seq[Expression]) => ShingleContainment(es.head, es(1))))
     e.injectFunction((FunctionIdentifier("bpe_merge_step"), info("bpe_merge_step"),
       (es: Seq[Expression]) => BpeMergeStep(es.head, es(1).eval().toString,
         es(2).eval().toString)))

@@ -256,6 +256,15 @@ object SparkEntry {
     // O(1)-per-user forget: per-user-key encryption, registry row deletion
     "cdc_crypto_shred" -> ((s, d) => Forget.cryptoShredDemo(s, d)),
     "ev_ab_test" -> ((s, d) => Events.abTest(s, d)),
+    // content-addressed dense surrogate keys (distributed rank, no driver id gen)
+    "dim_surrogate_keys" -> ((s, d) => Distributed.surrogateKeys(
+      Tables.customer(s, d).select("c_custkey", "c_name"), "c_name")),
+    // mixed-hierarchy grouping sets through the SQL facade
+    "q_grouping_sets" -> ((s, d) => Tpch.qGroupingSets(s, d)),
+    // asymmetric containment dedup (quoted-whole detection; rows-only oracle)
+    "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
+    // daily P50/P95 bands from the mergeable quantile sketch (rows-only)
+    "ts_percentile_bands" -> ((s, d) => TimeSeries.percentileBands(s, d)),
     // linear multi-touch attribution (exact cents split, bounded interval join)
     "ev_attribution_linear" -> ((s, d) => Events.attributionLinear(s, d)),
     // per-file bloom index: point-lookup file skipping (rows-only oracle)
@@ -1066,6 +1075,22 @@ object SparkEntry {
         |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
         |  CAST(num * 10000 // (2 * n1 * n2) AS BIGINT) AS tvd_e4
         |FROM g""".stripMargin,
+    "dim_surrogate_keys" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(row_number() OVER (ORDER BY md5(c_name), c_name) AS BIGINT) AS sk
+        |FROM customer""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS (
+        |  (o_orderstatus, o_orderpriority),
+        |  (o_orderstatus),
+        |  (year(o_orderdate) * 100 + month(o_orderdate)))""".stripMargin,
     "ev_attribution_linear" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

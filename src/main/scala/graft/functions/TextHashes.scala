@@ -135,6 +135,21 @@ object TextHashes {
   def shingleJaccard(a: UTF8String, b: UTF8String): Double =
     jaccardOf(shingleSet(a.getBytes), shingleSet(b.getBytes))
 
+  /** Exact token-3-shingle CONTAINMENT of `a` in `b`: |A∩B| / |A|.
+    * Asymmetric by design — a document quoted whole inside a larger one
+    * scores ≈1 here while its symmetric Jaccard collapses with the size
+    * ratio. Empty `a` is vacuously contained.
+    */
+  def shingleContainment(a: UTF8String, b: UTF8String): Double = {
+    val ha = shingleSet(a.getBytes)
+    if (ha.isEmpty) return 1.0
+    val hb = shingleSet(b.getBytes)
+    var inter = 0
+    val it = ha.iterator()
+    while (it.hasNext) if (hb.contains(it.next())) inter += 1
+    inter.toDouble / ha.size
+  }
+
   private def jaccardOf(ha: java.util.HashSet[Long], hb: java.util.HashSet[Long]): Double = {
     if (ha.isEmpty && hb.isEmpty) return 1.0
     var inter = 0

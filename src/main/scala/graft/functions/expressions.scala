@@ -127,6 +127,21 @@ case class ShingleJaccard(left: Expression, right: Expression) extends BinaryExp
   override def prettyName: String = "shingle_jaccard"
 }
 
+/** Asymmetric shingle containment |A∩B|/|A| — the quoted-whole-inside
+  * detector symmetric Jaccard misses (codegen'd like its Jaccard twin).
+  */
+case class ShingleContainment(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.shingleContainment(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashes.shingleContainment($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ShingleContainment =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "shingle_containment"
+}
+
 /** Product-quantization encode: ARRAY<FLOAT> vector → ARRAY<INT> of `m`
   * codebook indices. The trained codebook rides along as an expression
   * field (referenced via `addReferenceObj` in generated code — it is
@@ -221,6 +236,8 @@ object GraftFunctions {
     ExpressionUtils.column(NgramJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b), n))
   def shingleJaccard(a: Column, b: Column): Column =
     ExpressionUtils.column(ShingleJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def shingleContainment(a: Column, b: Column): Column =
+    ExpressionUtils.column(ShingleContainment(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def hyperplaneBucket(c: Column, planes: Int, salt: Int = 0): Column =
     ExpressionUtils.column(HyperplaneBucket(ExpressionUtils.expression(c), planes, salt))
   def pqCodes(c: Column, cb: Array[Float], m: Int, k: Int, d: Int): Column =
@@ -253,6 +270,8 @@ object GraftFunctions {
       es => NgramJaccard(es.head, es(1), intArg(es(2))), "built-in")
     reg.createOrReplaceTempFunction("shingle_jaccard",
       es => ShingleJaccard(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("shingle_containment",
+      es => ShingleContainment(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_bucket",
       es => HyperplaneBucket(es.head, intArg(es(1)),
         if (es.length > 2) intArg(es(2)) else 0), "built-in")

@@ -482,4 +482,59 @@ object Dedup {
     val (corpus, delta) = incrementalSplit(spark, dir)
     incrementalNear(minhashBands(corpus), corpus, delta, threshold = threshold)
   }
+
+  private val ContainOffset = 3000000L
+
+  /** #241 CONTAINMENT dedup — the asymmetric near-dup class symmetric
+    * Jaccard misses: a document quoted WHOLE inside a larger one
+    * (boilerplate-wrapped articles, forum quotes, concatenated shards)
+    * has Jaccard ≈ |A|/|B| → arbitrarily low, but containment
+    * |A∩B|/|A| ≈ 1. Candidates come from the same winnowing-fingerprint
+    * blocks as the Jaccard path — a substring's window minima survive in
+    * its container, so (inner, outer) pairs collide WITHOUT a length
+    * prefilter; verification is the codegen'd `shingleContainment`
+    * kernel on candidate pairs only. Deterministic container plants
+    * (doc % 20 == 5: original text + hex-noise tail) make recovery
+    * measurable; the noise halves Jaccard but leaves containment ≈ 1.
+    */
+  def containment(spark: SparkSession, dir: String,
+      threshold: Double = 0.85): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val containers = docs.filter(col("doc_id") % 20 === 5)
+      .select((col("doc_id") + ContainOffset).as("doc_id"),
+        // the inner text quoted whole + a deterministic hex-noise tail of
+        // comparable length: Jaccard drops toward 1/2, containment stays 1
+        expr("""concat(text, ' ', regexp_replace(
+          |  concat(md5(text), md5(concat(text, 'x')), md5(concat(text, 'y'))),
+          |  '(....)', '$1 '))""".stripMargin).as("text"))
+    val corpus = docs.unionAll(containers)
+    // blocking: per-hash-function MinHash value. A⊆B makes each of B's 16
+    // minima a min over a SUPERSET of A's shingles, so min_i(B) == min_i(A)
+    // with probability |A|/|B| per function — ANY of 16 colliding blocks
+    // the pair (P(miss) ≈ (1-|A|/|B|)^16, vanishing for real containment).
+    // A single global winnowing fingerprint misses whenever the container's
+    // tail happens to carry the new global min.
+    val blocked = corpus.select(col("doc_id"), length(col("text")).as("len"),
+      posexplode(GraftFunctions.minhashSig(col("text"), 16)))
+      .select(col("doc_id"), col("len"), col("pos").as("hf"), col("col").as("mh"))
+    val a = blocked.select(col("hf"), col("mh"), col("doc_id").as("inner_doc"),
+      col("len").as("len_i"))
+    val b = blocked.select(col("hf"), col("mh"), col("doc_id").as("outer_doc"),
+      col("len").as("len_o"))
+    val candidates = a.join(b, Seq("hf", "mh"))
+      // strictly-smaller-inside-larger only: containment of equals is
+      // plain exact dedup, already covered elsewhere
+      .filter(col("len_i") < col("len_o"))
+      .select("inner_doc", "outer_doc").distinct()
+    val texts = corpus.select(col("doc_id"), col("text"))
+    candidates
+      .join(texts.select(col("doc_id").as("inner_doc"), col("text").as("t_i")), "inner_doc")
+      .join(texts.select(col("doc_id").as("outer_doc"), col("text").as("t_o")), "outer_doc")
+      .withColumn("containment",
+        round(GraftFunctions.shingleContainment(col("t_i"), col("t_o")), 4))
+      .withColumn("jaccard",
+        round(GraftFunctions.shingleJaccard(col("t_i"), col("t_o")), 4))
+      .filter(col("containment") >= threshold)
+      .select("inner_doc", "outer_doc", "containment", "jaccard")
+  }
 }

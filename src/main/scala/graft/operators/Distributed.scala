@@ -20,6 +20,24 @@ object Distributed {
 
   private val Pid = "__graft_pid"
 
+  /** Range-repartition + tag the physical partition id, MATERIALIZED
+    * (eager localCheckpoint) before anyone consumes it. The freeze is
+    * correctness-critical, not an optimization: the offsets branch and
+    * the ranking branch both key on `spark_partition_id()`, and without a
+    * barrier each branch re-reads the exchange through its OWN
+    * AQEShuffleRead — AQE may coalesce/split the two reads differently,
+    * the Pids stop corresponding, and ranks silently duplicate or exceed
+    * n (reproduced at small partition sizes; nondeterministic run to
+    * run). Checkpointing computes the partitioning ONCE and hands both
+    * branches the same frozen partitions.
+    */
+  private def rangeSortedWithPid(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartitionByRange(parts, cols.map(col): _*)
+      .withColumn(Pid, spark_partition_id())
+      .localCheckpoint()
+  }
+
   /** Adds exact `rankCol` (1-based, per keyCols group, ordered by
     * orderCols) and `totalCol` (group size). Fails fast if the input
     * already carries a column with one of those names.
@@ -28,11 +46,7 @@ object Distributed {
       rankCol: String = "rnk", totalCol: String = "n_total"): DataFrame = {
     Seq(rankCol, totalCol, Pid).foreach(c =>
       require(!df.columns.contains(c), s"input already has a column named $c"))
-    val spark = df.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val sorted = df
-      .repartitionByRange(parts, (keyCols ++ orderCols).map(col): _*)
-      .withColumn(Pid, spark_partition_id())
+    val sorted = rangeSortedWithPid(df, keyCols ++ orderCols)
     val counts = sorted.groupBy((Pid +: keyCols).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
     val wOff = Window.partitionBy(keyCols.map(col): _*).orderBy(Pid)
@@ -67,11 +81,7 @@ object Distributed {
       cumCol: String = "cum"): DataFrame = {
     Seq(cumCol, Pid).foreach(c =>
       require(!df.columns.contains(c), s"input already has a column named $c"))
-    val spark = df.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val sorted = df
-      .repartitionByRange(parts, orderCols.map(col): _*)
-      .withColumn(Pid, spark_partition_id())
+    val sorted = rangeSortedWithPid(df, orderCols)
     val wOff = Window.orderBy(Pid).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sorted.groupBy(Pid).agg(sum(col(valueCol)).as("__psum"))
       .withColumn("__offset", coalesce(sum("__psum").over(wOff), lit(0L)))
@@ -96,11 +106,7 @@ object Distributed {
       valueCol: String, cumCol: String = "cum"): DataFrame = {
     Seq(cumCol, Pid).foreach(c =>
       require(!df.columns.contains(c), s"input already has a column named $c"))
-    val spark = df.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val sorted = df
-      .repartitionByRange(parts, (keyCols ++ orderCols).map(col): _*)
-      .withColumn(Pid, spark_partition_id())
+    val sorted = rangeSortedWithPid(df, keyCols ++ orderCols)
     val sums = sorted.groupBy((Pid +: keyCols).map(col): _*)
       .agg(sum(col(valueCol)).as("__psum"))
     val wOff = Window.partitionBy(keyCols.map(col): _*).orderBy(Pid)
@@ -139,5 +145,22 @@ object Distributed {
            |      DIV greatest(1, $t DIV $n)
            |END AS INT)""".stripMargin))
       .drop(r, t)
+  }
+
+  /** #239 Surrogate-key assignment for a dimension: dense 1..n ids over
+    * the natural key, CONTENT-ADDRESSED (ordered by md5 of the natural
+    * key) so the same rows get the same surrogates on any rerun, any
+    * partitioning, any engine — never `monotonically_increasing_id`
+    * (partition-dependent, gap-ridden) and never a single-reducer
+    * `row_number() OVER ()`: the rank comes from [[exactRank]]'s
+    * range-sort + broadcast offsets.
+    */
+  def surrogateKeys(dim: DataFrame, naturalKey: String,
+      skCol: String = "sk"): DataFrame = {
+    val keyed = dim.withColumn("__nk_hash", md5(col(naturalKey).cast("string")))
+    exactRank(keyed, Nil, Seq("__nk_hash", naturalKey), rankCol = skCol,
+      totalCol = "__n_total")
+      .drop("__nk_hash", "__n_total")
+      .withColumn(skCol, col(skCol).cast("long"))
   }
 }

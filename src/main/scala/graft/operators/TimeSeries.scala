@@ -152,6 +152,25 @@ object TimeSeries {
             "(CAST(days_dow AS DECIMAL(38,0)) * t_all) AS BIGINT)")).as("ratio_e4"))
   }
 
+  /** #242 Daily percentile bands (P50/P95 of event value per day) from
+    * the mergeable KLL-style sketch aggregate — the latency/value SLO
+    * band chart. O(k log n) state per day, map-side partial merge, no
+    * per-day distributed sort; the same sketch bytes could persist as a
+    * quantile INDEX next to the HLL one and merge across arbitrary date
+    * ranges.
+    */
+  def percentileBands(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr(s"(ts DIV 1000) DIV $DayUs").as("day"), col("value"))
+      .groupBy("day")
+      .agg(graft.functions.QuantileSketchAgg
+        .quantileSketch(col("value"), Seq(0.5, 0.95)).as("qs"),
+        count(lit(1)).as("n_events"))
+      .select(col("day"),
+        round(element_at(col("qs"), 1), 4).as("p50_est"),
+        round(element_at(col("qs"), 2), 4).as("p95_est"),
+        col("n_events"))
+
   /** The DuckDB oracle text for [[ewma]], generated from the same K so the
     * two engines cannot drift.
     */

@@ -713,6 +713,29 @@ object Tpch {
         expr("supp_ab * n_orders * 10000 DIV (supp_a * supp_b)").as("lift_e4"))
   }
 
+  /** #240 Arbitrary GROUPING SETS (not a rollup/cube prefix chain):
+    * (status, priority), (status), (month) — mixed hierarchies in ONE
+    * aggregate via the SQL facade over the registered views. Spark's
+    * Expand fans the sets out map-side and partial-aggregates before the
+    * single shuffle — three grouping sets cost one exchange, not three
+    * scans. Per-column GROUPING flags keep the oracle bit-order-proof.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS (
+        |  (o_orderstatus, o_orderpriority),
+        |  (o_orderstatus),
+        |  (year(o_orderdate) * 100 + month(o_orderdate)))""".stripMargin)
+  }
+
   /** #227 Equi-width price histogram + cumulative share (the ogive):
     * 30 fixed 20k-wide buckets over order totals, exact decimal mass,
     * cumulative ppm over the 30-row AGGREGATE (the window runs on

@@ -260,4 +260,26 @@ class DedupSpec extends SparkSpec {
         s"auto-k dropped $dropped of $nPlants planted near-dups (n=$n)")
     }
   }
+
+  test("containment catches quoted-whole docs that symmetric Jaccard misses") {
+    val out = Dedup.containment(spark, sf).cache()
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 20 === 5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // planted pairs: (inner d, container d + 3000000)
+    val recovered = out
+      .filter(col("outer_doc") === col("inner_doc") + 3000000L)
+      .collect()
+    assert(recovered.length >= (planted.size * 0.8).toInt,
+      s"recovered ${recovered.length} of ${planted.size} planted containments")
+    // the asymmetry is the point: containment ≈ 1 while Jaccard dropped
+    recovered.foreach { r =>
+      assert(r.getAs[Double]("containment") >= 0.85)
+      assert(r.getAs[Double]("jaccard") <= 0.85,
+        s"noise tail failed to suppress Jaccard: $r")
+    }
+    // direction is strict: the container is never reported as contained
+    assert(out.filter(col("inner_doc") === col("outer_doc") + 3000000L).count() === 0)
+    out.unpersist()
+  }
 }

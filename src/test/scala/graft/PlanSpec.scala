@@ -61,11 +61,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cosine_sim"), "custom expression missing from plan")
   }
 
-  test("quartiles: no low-cardinality ntile window; rank via range partitioning") {
+  test("quartiles: no low-cardinality ntile window; rank rides the frozen range partitions") {
     val p = planOf("ev_value_quartiles")
     assert(!p.contains("ntile"), s"ntile window is back — 5-reducer scale-killer:\n$p")
-    assert(p.toLowerCase.contains("rangepartitioning"),
-      s"expected distributed-sort rank via range repartition:\n$p")
+    // the range exchange now lives inside exactRank's checkpointed lineage
+    // (AQE Pid-freeze); the visible signature is the local rank window
+    // partitioned by the frozen partition id, never by the key alone
+    assert(p.contains("__graft_pid"),
+      s"expected the distributed rank window over frozen range partitions:\n$p")
   }
 
   test("topk custom: partial stage prunes before the exchange") {
@@ -158,8 +161,10 @@ class PlanSpec extends SparkSpec {
     for ((q, allowed) <- Seq("doc_epoch_shuffle" -> 1, "doc_ppl_buckets" -> 2,
         "doc_pack_bins" -> 1)) {
       val p = planOf(q)
-      assert(p.contains("rangepartitioning"),
-        s"$q lost its range repartition:\n$p")
+      // the range exchange sits inside the checkpointed lineage (AQE
+      // Pid-freeze); its visible signature is the __graft_pid window
+      assert(p.contains("__graft_pid"),
+        s"$q lost its distributed-rank shape:\n$p")
       val singles = "Exchange SinglePartition".r.findAllIn(p).length
       assert(singles <= allowed, s"$q has $singles SinglePartition exchanges:\n$p")
     }
@@ -319,8 +324,8 @@ class PlanSpec extends SparkSpec {
 
   test("mix apply: range partition for the cumsum, no per-lang reducer window") {
     val p = planOf("doc_mix_apply")
-    assert(p.contains("rangepartitioning"),
-      s"groupedCumSum lost its distributed range sort:\n$p")
+    assert(p.contains("__graft_pid"),
+      s"groupedCumSum lost its distributed range-sort shape:\n$p")
     // corpus-scale windows partition on (partition id, lang); a window
     // partitioned by lang ALONE and ordered by digest would be the
     // low-cardinality straggler (the tiny offsets window — lang ordered

@@ -174,6 +174,26 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("percentile bands bracket the exact per-day percentiles") {
+    val bands = TimeSeries.percentileBands(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(bands.nonEmpty)
+    val byDay = Tables.events(spark, sf)
+      .select(expr("(ts DIV 1000) DIV 86400000000").as("day"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2).sorted }
+    assert(bands.keySet === byDay.keySet)
+    bands.foreach { case (day, (p50, p95, n)) =>
+      val vs = byDay(day)
+      assert(n === vs.length.toLong)
+      assert(p50 <= p95 + 1e-9)
+      // KLL rank error (k=200): estimates sit within ±5% rank of exact
+      def rankOf(x: Double): Double = vs.count(_ <= x).toDouble / vs.length
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.08, s"day $day p50 rank ${rankOf(p50)}")
+      assert(rankOf(p95) >= 0.87, s"day $day p95 rank ${rankOf(p95)}")
+    }
+  }
+
   test("fileAudit counts files and flags small ones per partition leaf") {
     val dir = java.nio.file.Files.createTempDirectory("audit").toString
     val df = (0 until 100).map(i => (i % 4, i.toLong)).toDF("p", "v")

@@ -141,6 +141,22 @@ class UtilSpec extends SparkSpec {
     assert(back.drop("__d").collect().toSet == expected)
   }
 
+  test("surrogate keys stay a dense 1..n permutation on repeated runs (AQE Pid freeze)") {
+    // regression: without the localCheckpoint barrier in exactRank, AQE
+    // could coalesce/split the two reads of the range exchange
+    // differently — ranks silently duplicated or exceeded n, and only at
+    // small partition sizes (this suite's local[4]/4-partitions config)
+    import graft.operators.Distributed
+    (1 to 3).foreach { run =>
+      val out = Distributed.surrogateKeys(
+        Tables.customer(spark, sf).select("c_custkey", "c_name"), "c_name")
+      val stats = out.agg(count(lit(1)).as("n"),
+        countDistinct(col("sk")).as("nd"), max(col("sk")).as("mx")).head()
+      assert(stats.getLong(0) === stats.getLong(1), s"run $run: duplicate ranks")
+      assert(stats.getLong(0) === stats.getLong(2), s"run $run: rank range hole")
+    }
+  }
+
   test("exactRank matches the window row_number at every key cardinality") {
     import spark.implicits._
     // include NULL keys: row_number treats them as their own partition and
