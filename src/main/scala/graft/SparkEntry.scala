@@ -256,6 +256,8 @@ object SparkEntry {
     // O(1)-per-user forget: per-user-key encryption, registry row deletion
     "cdc_crypto_shred" -> ((s, d) => Forget.cryptoShredDemo(s, d)),
     "ev_ab_test" -> ((s, d) => Events.abTest(s, d)),
+    // the delivery end: size-targeted JSONL shards + data-derived manifest
+    "doc_write_shards" -> ((s, d) => Text.writeShardsDemo(s, d)),
     // content-addressed dense surrogate keys (distributed rank, no driver id gen)
     "dim_surrogate_keys" -> ((s, d) => Distributed.surrogateKeys(
       Tables.customer(s, d).select("c_custkey", "c_name"), "c_name")),
@@ -1075,6 +1077,14 @@ object SparkEntry {
         |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
         |  CAST(num * 10000 // (2 * n1 * n2) AS BIGINT) AS tvd_e4
         |FROM g""".stripMargin,
+    "doc_write_shards" ->
+      """WITH s AS (SELECT doc_id, md5(text) AS digest,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS b FROM documents),
+        |c AS (SELECT *, sum(b) OVER (ORDER BY digest, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s)
+        |SELECT (cum - b) // 32768 AS shard_id, count(*) AS n_docs,
+        |  CAST(sum(b) AS BIGINT) AS shard_bytes, min(digest) AS first_digest
+        |FROM c GROUP BY 1""".stripMargin,
     "dim_surrogate_keys" ->
       """SELECT c_custkey, c_name,
         |  CAST(row_number() OVER (ORDER BY md5(c_name), c_name) AS BIGINT) AS sk

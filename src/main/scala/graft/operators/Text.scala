@@ -905,4 +905,51 @@ object Text {
         s"transform(sequence(1, size(toks) - ${k - 1}), i -> md5(array_join(slice(toks, i, $k), ' ')))"))
       .withColumn("fps", expr(
         s"array_distinct(transform(sequence(1, size(grams) - ${w - 1}), j -> array_min(slice(grams, j, $w))))"))
+
+  /** Shard assignment for [[writeShards]]: start-offset bucketing on the
+    * exact global byte cumsum in content-digest order — deterministic on
+    * any engine/partitioning, shards byte-balanced within one document of
+    * the target. A doc starting inside shard k stays whole in shard k
+    * (training shards must never split a document).
+    */
+  private def shardAssign(docs: DataFrame, targetBytes: Long): DataFrame = {
+    val sized = docs
+      .select(col("doc_id"), col("text"), md5(col("text")).as("digest"),
+        octet_length(col("text")).cast("long").as("b"))
+    Distributed.exactCumSum(sized, Seq("digest", "doc_id"), "b", "cum")
+      .withColumn("shard_id", expr(s"(cum - b) DIV $targetBytes"))
+  }
+
+  /** #243 Size-targeted JSONL shard writer — the DELIVERY end of the
+    * curation pipeline (what the training loader actually mounts): docs
+    * packed whole into ≈targetBytes shards in content-digest order
+    * (rerun-stable), one file per shard (`repartition(shard)` +
+    * `partitionBy`), plus a data-derived manifest (shard → docs, bytes).
+    * The shard map is pure data arithmetic — the oracle replays it in
+    * SQL without touching the filesystem, which pins the writer's
+    * assignment logic exactly.
+    */
+  def writeShards(spark: SparkSession, docs: DataFrame, outPath: String,
+      targetBytes: Long = 1L << 22): DataFrame = {
+    val assigned = shardAssign(docs, targetBytes)
+    assigned
+      .repartition(col("shard_id"))
+      .select("shard_id", "doc_id", "text")
+      .write.mode("overwrite").partitionBy("shard_id").json(outPath)
+    assigned.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("b")).cast("long").as("shard_bytes"),
+        min(col("digest")).as("first_digest"))
+  }
+
+  private val shardMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Driver demo: shard the documents table at 32 KiB and return the
+    * manifest (write memoized per corpus snapshot).
+    */
+  def writeShardsDemo(spark: SparkSession, dir: String): DataFrame =
+    shardMemo.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("shards").toString + "/corpus"
+      writeShards(spark, Tables.documents(spark, dir).select("doc_id", "text"),
+        out, targetBytes = 32768L)
+    })
 }

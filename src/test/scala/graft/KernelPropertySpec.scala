@@ -75,6 +75,29 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("containment kernel: bounded, 1 on self and on any superstring, Jaccard-consistent") {
+    forAll2(text, text) { (a, b) =>
+      val c = TextHashes.shingleContainment(u(a), u(b))
+      assert(c >= 0.0 && c <= 1.0)
+      // A is contained in A ++ junk up to the BOUNDARY shingles: the final
+      // partial shingles of A continue into the junk in the superstring,
+      // so up to ~2 tail shingles may differ — never more
+      val tokens = a.trim.split("\\s+").count(_.nonEmpty)
+      if (tokens >= 8) {
+        val cSup = TextHashes.shingleContainment(u(a), u(a + " zz qq ww"))
+        assert(cSup >= 1.0 - 3.0 / tokens,
+          s"superstring containment $cSup too low for $tokens tokens")
+      }
+      // relation to Jaccard: J(A,B) <= C(A,B) always (same intersection,
+      // bigger denominator)
+      val j = TextHashes.shingleJaccard(u(a), u(b))
+      assert(j <= c + 1e-12, s"J=$j > C=$c for ('$a','$b')")
+    }
+    forAll(text) { a =>
+      assert(TextHashes.shingleContainment(u(a), u(a)) == 1.0)
+    }
+  }
+
   test("cosineF is bounded, symmetric, and 1 on self") {
     forAll2(floats, floats) { (a, b) =>
       val c = TextHashes.cosineF(a, b)

@@ -408,4 +408,30 @@ class TextOpsSpec extends SparkSpec {
       assert(scores.forall(_ > 0), s"$q has a zero score in top-k")
     }
   }
+
+  test("writeShards: docs packed whole, shards near target, files match the manifest") {
+    val out = java.nio.file.Files.createTempDirectory("shardspec").toString + "/c"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val target = 16384L
+    val manifest = Text.writeShards(spark, docs, out, target).cache()
+    val m = manifest.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m.nonEmpty)
+    // conservation: every doc lands in exactly one shard
+    assert(m.values.map(_._1).sum === docs.count())
+    // size discipline: a shard overshoots the target by at most one doc
+    val maxDoc = docs.agg(max(octet_length(col("text")))).head().getInt(0).toLong
+    m.foreach { case (sid, (_, bytes)) =>
+      assert(bytes <= target + maxDoc, s"shard $sid too fat: $bytes")
+    }
+    // contiguity: shard ids are dense 0..k
+    assert(m.keySet === (0L until m.size.toLong).toSet)
+    // FS reality: one partition dir per shard, json round-trips the docs
+    val back = spark.read.json(s"$out")
+    assert(back.count() === docs.count())
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard_id=")).toSet
+    assert(dirs.size === m.size)
+    manifest.unpersist()
+  }
 }
