@@ -236,6 +236,13 @@ object SparkEntry {
     // pre-flight join pricing: output size + hottest key WITHOUT running the join
     "q_join_cardinality" -> ((s, d) => Profile.joinCardinalityOn(
       Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey")),
+    // the pricing turned into the broadcast/salt/shuffle decision
+    "q_join_advisor" -> ((s, d) => Profile.joinAdvisor(
+      Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey")),
+    // P1/P99 winsorization audit with exact integer-rank thresholds
+    "ev_winsorize" -> ((s, d) => Events.winsorize(s, d)),
+    // purgeable tombstone chains beyond the retention horizon
+    "cdc_tombstone_gc" -> ((s, d) => Cdc.tombstoneGc(s, d)),
     // time-series regularization: dense calendar + forward-fill; exact fixed-point EWMA
     "ts_gap_fill" -> ((s, d) => TimeSeries.gapFill(s, d)),
     "ts_ewma" -> ((s, d) => TimeSeries.ewma(s, d)),
@@ -949,6 +956,58 @@ object SparkEntry {
         |SELECT n_left, n_right, distinct_left_keys, distinct_right_keys,
         |  n_matching_keys, predicted_rows, max_key_rows
         |FROM ls, rs, j""".stripMargin,
+    "q_join_advisor" ->
+      """WITH lp AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem GROUP BY 1),
+        |rp AS (SELECT o_orderkey AS k, count(*) AS cr FROM orders GROUP BY 1),
+        |prof AS (SELECT
+        |    CAST(COALESCE(sum(cl), 0) AS BIGINT) AS n_left,
+        |    CAST(COALESCE(sum(cr), 0) AS BIGINT) AS n_right,
+        |    count(cl) AS distinct_left_keys, count(cr) AS distinct_right_keys,
+        |    CAST(sum(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_matching_keys,
+        |    CAST(COALESCE(sum(cl * cr), 0) AS BIGINT) AS predicted_rows,
+        |    CAST(COALESCE(max(cl * cr), 0) AS BIGINT) AS max_key_rows
+        |  FROM lp FULL OUTER JOIN rp USING (k)),
+        |s AS (SELECT *, CASE WHEN predicted_rows = 0 THEN 0
+        |    ELSE max_key_rows * 100 * n_matching_keys // predicted_rows END AS skew_ratio_e2
+        |  FROM prof)
+        |SELECT n_left, n_right, distinct_left_keys, distinct_right_keys,
+        |  n_matching_keys, predicted_rows, max_key_rows, skew_ratio_e2,
+        |  CASE WHEN n_right <= 1000000 THEN 'broadcast_right'
+        |    WHEN n_left <= 1000000 THEN 'broadcast_left'
+        |    WHEN skew_ratio_e2 >= 2000 THEN 'shuffle_salted'
+        |    ELSE 'shuffle_hash' END AS strategy
+        |FROM s""".stripMargin,
+    "ev_winsorize" ->
+      """WITH ev AS (SELECT event_type, event_id, round(value, 2) AS value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rnk,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM ev),
+        |t AS (SELECT event_type,
+        |    min(CASE WHEN rnk = (n + 99) // 100 THEN value END) AS lo,
+        |    min(CASE WHEN rnk = (99 * n + 99) // 100 THEN value END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT ev.event_type, round(max(lo), 2) AS lo, round(max(hi), 2) AS hi,
+        |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_low,
+        |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_high,
+        |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS mean_before,
+        |  round(CAST(sum(CAST(least(greatest(value, lo), hi) AS DECIMAL(12,2))) AS DOUBLE)
+        |    / count(*), 4) AS mean_after
+        |FROM ev JOIN t ON ev.event_type = t.event_type GROUP BY 1""".stripMargin,
+    "cdc_tombstone_gc" ->
+      s"""$logCte,
+         |h AS (SELECT max(seq_us) - 604800000000 AS horizon FROM log),
+         |lastop AS (SELECT user_id, event_type AS entity_type, operation AS last_op,
+         |    seq_us AS last_us
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY seq_us DESC, event_id DESC) AS rn FROM log) x WHERE rn = 1),
+         |pu AS (SELECT user_id, count(*) AS chain_rows FROM log GROUP BY 1)
+         |SELECT entity_type, count(*) AS n_keys,
+         |  CAST(sum(CASE WHEN last_op = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned,
+         |  CAST(sum(CASE WHEN last_op = 'DELETE' AND last_us < horizon THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_purgeable,
+         |  CAST(sum(CASE WHEN last_op = 'DELETE' AND last_us < horizon
+         |    THEN chain_rows ELSE 0 END) AS BIGINT) AS rows_reclaimable
+         |FROM lastop JOIN pu USING (user_id), h GROUP BY 1""".stripMargin,
     "ts_gap_fill" ->
       """WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
         |    CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS v

@@ -462,6 +462,36 @@ object Cdc {
         "n_collapsed", "is_current")
   }
 
+  /** #246 Tombstone GC audit: keys whose LAST change is a DELETE older
+    * than the retention horizon are fully purgeable — their whole history
+    * chain can leave the 100 TB store (the DELETE marker itself included;
+    * Kafka-compaction's tombstone TTL, applied to the history table). The
+    * horizon anchors to the newest event in the data (reproducible — no
+    * wall clock); output sizes the reclaim per entity type before anyone
+    * rewrites anything.
+    */
+  def tombstoneGc(spark: SparkSession, dir: String,
+      retentionUs: Long = 7L * 86400000000L): DataFrame = {
+    val l = log(spark, dir)
+    val horizon = l.agg(max(col("seq_us")).as("mx"))
+      .select((col("mx") - retentionUs).as("horizon"))
+    val w = Window.partitionBy("user_id").orderBy(col("seq_us").desc, col("event_id").desc)
+    val lastOp = l
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("entity_type"),
+        col("operation").as("last_op"), col("seq_us").as("last_us"))
+    val perUser = l.groupBy("user_id").agg(count(lit(1)).as("chain_rows"))
+    lastOp.join(perUser, "user_id").crossJoin(broadcast(horizon))
+      .groupBy("entity_type")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("last_op") === "DELETE", 1L).otherwise(0L)).as("n_tombstoned"),
+        sum(when(col("last_op") === "DELETE" && col("last_us") < col("horizon"), 1L)
+          .otherwise(0L)).as("n_purgeable"),
+        sum(when(col("last_op") === "DELETE" && col("last_us") < col("horizon"),
+          col("chain_rows")).otherwise(0L)).as("rows_reclaimable"))
+  }
+
   /** #229 Snapshot diff: the net entity-level movement between two points
     * in time, answered FROM THE HISTORY (no stored snapshots): as-of
     * states at T₁ and T₂ full-outer-join on the key, classify

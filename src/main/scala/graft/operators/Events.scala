@@ -483,6 +483,38 @@ object Events {
         expr("num * 10000 DIV (2 * n1 * n2)").cast("long").as("tvd_e4"))
   }
 
+  /** #245 Winsorization audit (P1/P99 capping — the feature-cleaning
+    * pass before model training): per-type thresholds picked by EXACT
+    * integer rank ((n+99) DIV 100 and (99n+99) DIV 100 over the
+    * distributed rank — no FP quantile boundary fuzz, the oracle
+    * replicates the same rank arithmetic), then capped-vs-raw moments in
+    * exact decimals. Ranking rides [[Distributed.exactRank]] (range
+    * partition, never a per-type reducer); thresholds broadcast back.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(12, 2)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), round(col("value"), 2).as("value"))
+    val ranked = Distributed.exactRank(ev, Seq("event_type"),
+      Seq("value", "event_id"))
+    val thresholds = ranked
+      .filter(col("rnk") === expr("(n_total + 99) DIV 100") ||
+        col("rnk") === expr("(99 * n_total + 99) DIV 100"))
+      .groupBy("event_type")
+      .agg(min(when(col("rnk") === expr("(n_total + 99) DIV 100"), col("value"))).as("lo"),
+        min(when(col("rnk") === expr("(99 * n_total + 99) DIV 100"), col("value"))).as("hi"))
+    ev.join(broadcast(thresholds), "event_type")
+      .withColumn("capped", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy("event_type")
+      .agg(round(max(col("lo")), 2).as("lo"), round(max(col("hi")), 2).as("hi"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_capped_low"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_capped_high"),
+        round(sum(col("value").cast(d)).cast("double") / count(lit(1)), 4)
+          .as("mean_before"),
+        round(sum(col("capped").cast(d)).cast("double") / count(lit(1)), 4)
+          .as("mean_after"))
+  }
+
   /** #236 Linear multi-touch attribution: every purchase's value split
     * EXACTLY (integer cents, remainder to the earliest touch) across the
     * user's view/click touches in the preceding 7 days — the

@@ -77,4 +77,25 @@ object Profile {
       .select("n_left", "n_right", "distinct_left_keys", "distinct_right_keys",
         "n_matching_keys", "predicted_rows", "max_key_rows")
   }
+
+  /** #244 Join strategy advisor: the [[joinCardinalityOn]] numbers turned
+    * into the decision a planner (or an engineer staring at a 100 TB
+    * shuffle) actually makes — broadcast the smaller side when it fits,
+    * flag skew-salting when one key dominates, otherwise a plain
+    * shuffled hash/sort-merge join. Thresholds are explicit parameters,
+    * not magic; the row estimate used for the broadcast test is exact.
+    */
+  def joinAdvisor(left: DataFrame, leftKey: String,
+                  right: DataFrame, rightKey: String,
+                  broadcastMaxRows: Long = 1000000L,
+                  skewRatioE2: Long = 2000L): DataFrame =
+    joinCardinalityOn(left, leftKey, right, rightKey)
+      .withColumn("skew_ratio_e2",
+        expr("CASE WHEN predicted_rows = 0 THEN 0 " +
+          "ELSE max_key_rows * 100 * n_matching_keys DIV predicted_rows END"))
+      .withColumn("strategy",
+        when(col("n_right") <= broadcastMaxRows, "broadcast_right")
+          .when(col("n_left") <= broadcastMaxRows, "broadcast_left")
+          .when(col("skew_ratio_e2") >= skewRatioE2, "shuffle_salted")
+          .otherwise("shuffle_hash"))
 }

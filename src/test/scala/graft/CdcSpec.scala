@@ -171,6 +171,23 @@ class CdcSpec extends SparkSpec {
     hist.unpersist(); comp.unpersist()
   }
 
+  test("tombstoneGc: purgeable ⊆ tombstoned ⊆ keys; reclaim counts real chain rows") {
+    val gc = Cdc.tombstoneGc(spark, sf).collect()
+    assert(gc.nonEmpty)
+    gc.foreach { r =>
+      assert(r.getAs[Long]("n_purgeable") <= r.getAs[Long]("n_tombstoned"))
+      assert(r.getAs[Long]("n_tombstoned") <= r.getAs[Long]("n_keys"))
+      if (r.getAs[Long]("n_purgeable") == 0)
+        assert(r.getAs[Long]("rows_reclaimable") === 0L)
+      else
+        assert(r.getAs[Long]("rows_reclaimable") >= r.getAs[Long]("n_purgeable"))
+    }
+    // total keys partition the user space
+    val users = Tables.events(spark, sf).select(countDistinct(col("user_id")))
+      .head().getLong(0)
+    assert(gc.map(_.getAs[Long]("n_keys")).sum === users)
+  }
+
   test("snapshotDiff statuses partition the union of both as-of states") {
     val d = Cdc.snapshotDiff(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

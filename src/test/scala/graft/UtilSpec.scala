@@ -451,6 +451,48 @@ class UtilSpec extends SparkSpec {
     assert(!z.isNaN && !z.isInfinite)
   }
 
+  test("join advisor picks broadcast for small sides and salting for planted skew") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val smallDim = (1L to 100L).map(i => (i, s"d$i")).toDF("k", "v")
+    val bigFact = (1L to 5000L).flatMap(i => Seq.fill(3)((i % 100, i))).toDF("k", "f")
+    val rec1 = Profile.joinAdvisor(bigFact, "k", smallDim, "k",
+      broadcastMaxRows = 1000).head()
+    assert(rec1.getAs[String]("strategy") === "broadcast_right")
+    // no broadcastable side + one dominant key -> salting
+    val skewL = ((1L to 4000L).map(_ => (1L, "hot")) ++
+      (2L to 100L).map(i => (i, "cold"))).toDF("k", "v")
+    val skewR = ((1L to 2000L).map(_ => (1L, "hot")) ++
+      (2L to 100L).map(i => (i, "cold"))).toDF("k", "v2")
+    val rec2 = Profile.joinAdvisor(skewL, "k", skewR, "k",
+      broadcastMaxRows = 10).head()
+    assert(rec2.getAs[String]("strategy") === "shuffle_salted",
+      s"skew not flagged: $rec2")
+    // balanced keys, nothing broadcastable -> plain shuffle
+    val balL = (1L to 3000L).map(i => (i, "x")).toDF("k", "v")
+    val balR = (1L to 3000L).map(i => (i, "y")).toDF("k", "v2")
+    val rec3 = Profile.joinAdvisor(balL, "k", balR, "k",
+      broadcastMaxRows = 10).head()
+    assert(rec3.getAs[String]("strategy") === "shuffle_hash")
+  }
+
+  test("winsorize caps at most ~1% per tail and never widens the mean range") {
+    val w = Events.winsorize(spark, sf).collect()
+    assert(w.nonEmpty)
+    val counts = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    w.foreach { r =>
+      val n = counts(r.getString(0))
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+      // rank-based P1/P99: each tail caps fewer than 1% + 1 rows
+      assert(r.getAs[Long]("n_capped_low") <= n / 100 + 1)
+      assert(r.getAs[Long]("n_capped_high") <= n / 100 + 1)
+      // capping pulls the mean toward the interior, never outside [lo, hi]
+      assert(r.getAs[Double]("mean_after") >= r.getAs[Double]("lo") - 1e-9)
+      assert(r.getAs[Double]("mean_after") <= r.getAs[Double]("hi") + 1e-9)
+    }
+  }
+
   test("KS drift matches a hand-computed statistic per type") {
     val ks = Events.driftKs(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getAs[Long]("n1"), r.getAs[Long]("n2"),
