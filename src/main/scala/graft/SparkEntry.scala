@@ -278,6 +278,15 @@ object SparkEntry {
     "ev_attribution_linear" -> ((s, d) => Events.attributionLinear(s, d)),
     // per-file bloom index: point-lookup file skipping (rows-only oracle)
     "tbl_bloom_prune" -> ((s, d) => BloomIndex.pruneDemo(s, d)),
+    // gaps-and-islands interval merge: true covered wall-clock per user
+    "ev_interval_union" -> ((s, d) => Events.intervalUnion(s, d)),
+    // deterministic integer-arithmetic priority sampling (weight = n_chars)
+    "doc_weighted_sample" -> ((s, d) => Text.weightedSample(s, d)),
+    // KMV sketch pairwise source-overlap audit (exact integer ppm)
+    "corpus_overlap_kmv" -> ((s, d) => Text.corpusOverlapKmv(s, d)),
+    // deterministic-tie-break LPA communities over the k-NN graph
+    // (iterative; rows-only oracle)
+    "graph_label_prop" -> ((s, d) => Graph.labelProp(s, d)),
     // market basket + histogram
     "q_copurchase_lift" -> ((s, d) => Tpch.qCopurchaseLift(s, d)),
     "q_price_histogram" -> ((s, d) => Tpch.qPriceHistogram(s, d)),
@@ -2352,6 +2361,59 @@ object SparkEntry {
         |       WHEN o.col_name IS NULL THEN 'missing_in_data'
         |       ELSE 'ok' END AS status
         |FROM obs o FULL OUTER JOIN reg r
-        |  ON o.src_table = r.src_table AND o.col_name = r.col_name""".stripMargin
+        |  ON o.src_table = r.src_table AND o.col_name = r.col_name""".stripMargin,
+    "ev_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e_us
+        |  FROM events),
+        |m AS (SELECT *, max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e FROM iv),
+        |f AS (SELECT *, CASE WHEN prev_max_e IS NULL OR s_us > prev_max_e THEN 1 ELSE 0 END AS is_new FROM m),
+        |g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f),
+        |mg AS (SELECT user_id, island, count(*) AS n_raw, min(s_us) AS s, max(e_us) AS e
+        |       FROM g GROUP BY user_id, island)
+        |SELECT user_id, CAST(sum(n_raw) AS BIGINT) AS n_events,
+        |  count(*) AS n_intervals,
+        |  CAST(sum(e - s) AS BIGINT) AS covered_us,
+        |  CAST(max(e - s) AS BIGINT) AS longest_us
+        |FROM mg GROUP BY user_id""".stripMargin,
+    "doc_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    md5('wsample_' || CAST(doc_id AS VARCHAR)) AS hh
+        |  FROM documents),
+        |u AS (SELECT doc_id, lang, source, n_chars,
+        |    (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 1048576 +
+        |    (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 65536 +
+        |    (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 4096 +
+        |    (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) * 256 +
+        |    (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(hh, 6, 1)) - 1) AS u
+        |  FROM h)
+        |SELECT doc_id, lang, source, n_chars,
+        |  CAST(n_chars * 16777216 // (u + 1) AS BIGINT) AS priority
+        |FROM u ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+    "corpus_overlap_kmv" ->
+      """WITH tok AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT source, md5(array_to_string(toks[i:i+4], ' ')) AS h
+        |       FROM tok, UNNEST(range(1, len(toks) - 3)) AS t(i) WHERE len(toks) >= 5),
+        |km AS (SELECT source, h FROM (
+        |         SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+        |         FROM sh) WHERE rnk <= 128),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b
+        |      FROM (SELECT DISTINCT source FROM km) a, (SELECT DISTINCT source FROM km) b
+        |      WHERE a.source < b.source),
+        |m AS (SELECT p.src_a, p.src_b, k.h,
+        |        max(CASE WHEN k.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+        |        max(CASE WHEN k.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+        |      FROM p JOIN km k ON k.source IN (p.src_a, p.src_b)
+        |      GROUP BY p.src_a, p.src_b, k.h),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rnk FROM m)
+        |SELECT src_a, src_b, count(*) AS n_union,
+        |  CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+        |  CAST(sum(in_a * in_b) * 1000000 // count(*) AS BIGINT) AS jaccard_ppm
+        |FROM r WHERE rnk <= 128 GROUP BY src_a, src_b""".stripMargin
   )
 }

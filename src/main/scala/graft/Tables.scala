@@ -15,11 +15,15 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). We read `ts` as the raw INT64
-    * (nanoseconds since epoch) and derive microseconds with `ts DIV 1000`,
-    * which matches DuckDB's `epoch_us(ts)` truncation exactly — keeping the
-    * oracle comparable.
+  /** events.parquet has shipped with `ts` as both raw INT64 nanoseconds
+    * (the TIMESTAMP(NANOS) files Spark's parquet reader rejects with
+    * [PARQUET_TYPE_ILLEGAL] are written this way) and TIMESTAMP(MICROS).
+    * Forcing INT64 reads the raw physical value either way; which unit
+    * that value carries is decided from the file's own logical type (one
+    * driver-side footer read), and micros are lifted ×1000 to the
+    * schema's nanosecond contract. Downstream `ts DIV 1000` then matches
+    * DuckDB's `epoch_us(ts)` truncation exactly — keeping the oracle
+    * comparable regardless of which generator wrote the file.
     */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -30,8 +34,15 @@ object Tables {
     StructField("props", StringType)
   ))
 
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = s"$dir/events.parquet"
+    val tsIsMicros = spark.read.parquet(path).schema
+      .find(_.name == "ts")
+      .exists(f => f.dataType == TimestampType || f.dataType == TimestampNTZType)
+    val raw = spark.read.schema(eventsSchema).parquet(path)
+    if (tsIsMicros) raw.withColumn("ts", col("ts") * 1000L) else raw
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")

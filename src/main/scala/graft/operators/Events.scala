@@ -627,4 +627,40 @@ object Events {
       when(den === 0.0, lit(null).cast("double"))
         .otherwise(round(num / den, 4)).as("z_score"))
   }
+
+  /** #244 Interval union (gaps-and-islands overlap merge): each event is
+    * an activity interval `[ts, ts + value seconds)` and the per-user
+    * union of those intervals is the user's true covered wall-clock —
+    * the "total online time" query that naive `sum(duration)` gets wrong
+    * whenever activities overlap.
+    *
+    * Shape: the classic cumulative-max island detector — an interval
+    * starts a new island iff its start exceeds the running max end of
+    * everything before it. Both window passes and the island aggregate
+    * share ONE (user_id)-hash partitioning, so the whole operator is a
+    * single exchange at any scale; per-user state is a sort, never a
+    * materialized island list. Endpoint arithmetic stays in integer
+    * microseconds (`floor(value*1e6)` — floor, not cast, because engines
+    * disagree on double→int rounding) so results are bit-identical
+    * cross-engine.
+    */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val iv = withTs(spark, dir).select(
+      col("user_id"), col("event_id"), col("ts_us").as("s_us"),
+      (col("ts_us") + floor(col("value") * lit(1000000.0)).cast("long")).as("e_us"))
+    val w = Window.partitionBy("user_id").orderBy(col("s_us"), col("e_us"), col("event_id"))
+    val islands = iv
+      .withColumn("prev_max_e",
+        max(col("e_us")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_max_e").isNull || col("s_us") > col("prev_max_e"), 1).otherwise(0))
+      .withColumn("island", sum(col("is_new")).over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("n_raw"), min(col("s_us")).as("s"), max(col("e_us")).as("e"))
+    islands.groupBy("user_id")
+      .agg(sum(col("n_raw")).as("n_events"),
+        count(lit(1)).as("n_intervals"),
+        sum(col("e") - col("s")).as("covered_us"),
+        max(col("e") - col("s")).as("longest_us"))
+  }
 }

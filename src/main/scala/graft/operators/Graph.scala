@@ -73,4 +73,60 @@ object Graph {
     */
   def pagerank(spark: SparkSession, dir: String, k: Int = 5, iters: Int = 8): DataFrame =
     pagerankFrom(Similarity.knnGraph(spark, dir, k), iters)
+
+  /** Synchronous label propagation (Raghavan et al., 2007) over a
+    * directed edge list, symmetrized to undirected: every node starts
+    * with its own id as label and each round adopts the most frequent
+    * label among its neighbors AND itself. The two departures from
+    * vanilla LPA are both for determinism: ties break to the SMALLEST
+    * label (vanilla's random tie-break doesn't replay), and the vote is
+    * self-inclusive (the standard fix that keeps the synchronous
+    * schedule from oscillating forever on bipartite subgraphs — an
+    * isolated edge two-colors itself under pure neighbor voting).
+    *
+    * Scale shape mirrors [[pagerankFrom]]: the edge list is cached
+    * hash-partitioned on the join key once; each round is one edge⋈label
+    * join plus two node-sized aggregations, with `localCheckpoint`
+    * truncating the lineage so round 8 plans as one join, not a tower.
+    */
+  def labelPropagationFrom(edges: DataFrame, iters: Int = 6): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(eager = true)
+    var i = 0
+    while (i < iters) {
+      val nbrVotes = e.join(labels, e("src") === labels("id"))
+        .select(col("dst").as("nid"), col("lbl"))
+      val selfVotes = labels.select(col("id").as("nid"), col("lbl"))
+      // most frequent label; the max_by key struct(cnt, -lbl) is unique
+      // per candidate label → deterministic argmax. Every node self-votes,
+      // so the result covers all nodes — no keep-alive left join needed.
+      val next = nbrVotes.unionByName(selfVotes)
+        .groupBy(col("nid"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("nid").as("id"))
+        .agg(max_by(col("lbl"), struct(col("cnt"), -col("lbl"))).as("lbl"))
+        .localCheckpoint(eager = true)
+      labels = next
+      i += 1
+    }
+    e.unpersist()
+    labels.select(col("id").as("vec_id"), col("lbl").as("community"))
+  }
+
+  /** #247 Community detection over the LSH-blocked embedding k-NN graph:
+    * the cluster-census counterpart of [[pagerank]] — which groups of
+    * near-duplicate / same-topic vectors form connected neighborhoods,
+    * reported as one row per community with its size and centroid-free
+    * representative (the min member id).
+    */
+  def labelProp(spark: SparkSession, dir: String, k: Int = 5, iters: Int = 6): DataFrame =
+    labelPropagationFrom(Similarity.knnGraph(spark, dir, k), iters)
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("rep_vec_id"))
 }

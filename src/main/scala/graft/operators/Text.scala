@@ -952,4 +952,79 @@ object Text {
       writeShards(spark, Tables.documents(spark, dir).select("doc_id", "text"),
         out, targetBytes = 32768L)
     })
+
+  /** #245 Priority sampling (Duffield–Lund–Thorup, JACM'07): a
+    * DETERMINISTIC weighted sample-without-replacement — each document
+    * gets priority q = w / u with weight w = n_chars and u a seeded
+    * uniform derived from the doc id; the k largest priorities are the
+    * sample, so long documents are proportionally more likely to be
+    * drawn, yet the draw replays bit-identically on any cluster layout.
+    *
+    * All arithmetic is INTEGER: u is the first 6 hex digits of
+    * md5("wsample_" || doc_id) (24 bits) and q = w·2^24 DIV (u+1), so
+    * there is no float transcendental whose libm rounding could differ
+    * across engines. Scale shape: the top-k is a TakeOrdered — map-side
+    * per-partition heaps, k rows to the driver, no global sort.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        conv(substring(md5(concat(lit("wsample_"), col("doc_id").cast("string"))), 1, 6),
+          16, 10).cast("long").as("u"))
+      .withColumn("priority", expr("n_chars * 16777216 DIV (u + 1)"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "lang", "source", "n_chars", "priority")
+
+  /** #246 Cross-source corpus overlap via K-minimum-values sketches
+    * (Bar-Yossef et al., RANDOM'02): estimates the shingle-set Jaccard
+    * between every pair of document sources WITHOUT comparing shingle
+    * sets pairwise. Each source is reduced to its k smallest distinct
+    * word-5-gram hashes; for a pair, the k smallest of the union are a
+    * uniform sample of A∪B, and the fraction present in both sketches
+    * estimates J(A,B). This is the audit that catches one crawl source
+    * mirroring another before dedup spends a corpus-sized join on it.
+    *
+    * Determinism: the sketch is an EXACT top-k over md5 strings and the
+    * estimate is integer ppm (n_both·10^6 DIV n_union) — no floats, so
+    * the result hash-matches any engine. Scale shape: corpus-sized work
+    * is one distinct over (source, hash); everything after operates on
+    * ≤ k rows per source (two-phase TopKPerGroupExec, partial top-k
+    * map-side), and the pair fan-out touches only sketch rows —
+    * nSources²·k, independent of corpus size.
+    */
+  def corpusOverlapKmv(spark: SparkSession, dir: String, n: Int = 5, k: Int = 128): DataFrame =
+    corpusOverlapKmvFrom(Tables.documents(spark, dir), n, k)
+
+  /** [[corpusOverlapKmv]] over any (source, text) frame. */
+  def corpusOverlapKmvFrom(docs: DataFrame, n: Int = 5, k: Int = 128): DataFrame = {
+    val sh = docs
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1})," +
+          s" i -> md5(array_join(slice(toks, i, $n), ' ')))")).as("h"))
+      .distinct()
+    val kmv = graft.plans.TopK.topKPerGroup(sh, Seq("source"), Seq(("h", false)), k)
+      .select(col("source"), col("h"))
+    val srcs = kmv.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    // membership rows for each pair: sketch values tagged in-A / in-B;
+    // the pair list is tiny → broadcast, sketch side stays distributed
+    val pa = broadcast(pairs).join(kmv, col("src_a") === col("source"))
+      .select(col("src_a"), col("src_b"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+    val pb = broadcast(pairs).join(kmv, col("src_b") === col("source"))
+      .select(col("src_a"), col("src_b"), col("h"), lit(0).as("in_a"), lit(1).as("in_b"))
+    val u = pa.unionByName(pb)
+      .groupBy("src_a", "src_b", "h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val unionK = graft.plans.TopK.topKPerGroup(u, Seq("src_a", "src_b"),
+      Seq(("h", false)), k)
+    unionK.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_union"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .withColumn("jaccard_ppm", expr("n_both * 1000000 DIV n_union"))
+  }
 }

@@ -434,4 +434,48 @@ class TextOpsSpec extends SparkSpec {
     assert(dirs.size === m.size)
     manifest.unpersist()
   }
+
+  test("priority sample is a deterministic prefix of the full weighted ranking") {
+    val n = Tables.documents(spark, sf).count().toInt
+    val full = Text.weightedSample(spark, sf, k = n).collect()
+    assert(full.length === n)
+    val top = Text.weightedSample(spark, sf, k = 100).collect()
+    assert(top.length === 100)
+    // the k-sample IS the k-prefix of the full ranking (same order key)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (-r.getAs[Long]("priority"), r.getAs[Long]("doc_id"))
+    assert(top.map(key).toSeq === full.sortBy(key).take(100).map(key).toSeq)
+    // determinism across runs
+    val again = Text.weightedSample(spark, sf, k = 100).collect()
+    assert(top.map(key).toSeq === again.map(key).toSeq)
+    // priority arithmetic replays in plain JVM: q = w·2^24 DIV (u+1),
+    // u = first 6 hex digits of md5("wsample_" || doc_id)
+    val r0 = top.head
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"wsample_${r0.getAs[Long]("doc_id")}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val u = java.lang.Long.parseLong(md.take(6), 16)
+    assert(r0.getAs[Long]("priority") ===
+      r0.getAs[Long]("n_chars") * 16777216L / (u + 1))
+  }
+
+  test("KMV overlap is exact when sketches cover the full shingle sets") {
+    import spark.implicits._
+    // one 5-token text → exactly one shingle; sources are then plain sets
+    def t(s: String) = s"$s a b c d"
+    val docs = (
+      Seq("x1", "x2", "x3", "x4").map(x => ("A", t(x))) ++
+      Seq("x1", "x2", "x3", "x4").map(x => ("B", t(x))) ++   // B == A
+      Seq("z1", "z2", "z3", "z4").map(x => ("C", t(x))) ++   // C disjoint
+      Seq("x1", "x2", "y1", "y2").map(x => ("D", t(x)))      // |D∩A|=2, |D∪A|=6
+    ).toDF("source", "text")
+    val out = graft.operators.Text.corpusOverlapKmvFrom(docs, n = 5, k = 128)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(r.fieldIndex("n_union")), r.getLong(r.fieldIndex("n_both")),
+          r.getLong(r.fieldIndex("jaccard_ppm"))))).toMap
+    assert(out(("A", "B")) === ((4L, 4L, 1000000L)))
+    assert(out(("A", "C")) === ((8L, 0L, 0L)))
+    assert(out(("A", "D")) === ((6L, 2L, 333333L)))
+    assert(out.size === 6) // all unordered source pairs reported
+  }
 }

@@ -613,4 +613,48 @@ class UtilSpec extends SparkSpec {
     assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
     h.unpersist()
   }
+
+  test("interval union merges overlaps and sums islands exactly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iv").toString
+    // value = seconds of activity; ts in raw nanos. u1: [0,10s], [5s,12s]
+    // (overlap → one island [0,12s]), [20s,25s]. u2: back-to-back touching
+    // intervals [0,5s], [5s,8s] — touching merges (start == running max end
+    // is NOT a gap under strict `>` semantics).
+    val rows = Seq(
+      (1L, 0L, 1L, "click", 10.0, "{}"),
+      (2L, 5000000000L, 1L, "click", 7.0, "{}"),
+      (3L, 20000000000L, 1L, "click", 5.0, "{}"),
+      (4L, 0L, 2L, "click", 5.0, "{}"),
+      (5L, 5000000000L, 2L, "click", 3.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val m = Events.intervalUnion(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(m(1L) === ((3L, 2L, 17000000L, 12000000L)), s"u1 got ${m(1L)}")
+    assert(m(2L) === ((2L, 1L, 8000000L, 8000000L)), s"u2 got ${m(2L)}")
+  }
+
+  test("label propagation recovers planted cliques with deterministic ties") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // two 4-cliques; the second shifted to ids 10..13, plus one isolated
+    // self-contained pair 20-21
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((20L, 21L))).toDF("src", "dst")
+    val out = Graph.labelPropagationFrom(edges, iters = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique converges to ONE shared label; disjoint components never mix
+    assert(Seq(1L, 2L, 3L, 4L).map(out).distinct.size === 1)
+    assert(Seq(10L, 11L, 12L, 13L).map(out).distinct.size === 1)
+    assert(Seq(20L, 21L).map(out).distinct.size === 1)
+    assert(Set(out(1L), out(10L), out(20L)).size === 3)
+    // determinism: a second run lands on the identical assignment
+    val out2 = Graph.labelPropagationFrom(edges, iters = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === out2)
+  }
 }
