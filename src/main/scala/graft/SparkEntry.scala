@@ -280,6 +280,22 @@ object SparkEntry {
     "tbl_bloom_prune" -> ((s, d) => BloomIndex.pruneDemo(s, d)),
     // gaps-and-islands interval merge: true covered wall-clock per user
     "ev_interval_union" -> ((s, d) => Events.intervalUnion(s, d)),
+    // top-spender concentration via the distributed exact cumsum
+    "ev_pareto_share" -> ((s, d) => Events.paretoShare(s, d)),
+    // exact-rank P50/P95/P99 out-of-order delay -> watermark sizing
+    "cdc_watermark_advice" -> ((s, d) => Events.watermarkAdvice(s, d)),
+    // hour-of-day load shares vs uniform, exact ppm
+    "ev_hour_profile" -> ((s, d) => Events.hourProfile(s, d)),
+    // CUPED variance-reduced A/B readout (exact-decimal cross-products)
+    "ev_ab_cuped" -> ((s, d) => Events.cupedAb(s, d)),
+    // delta-fold vs final-state equivalence proof for maintained views
+    "cdc_ivm_audit" -> ((s, d) => Cdc.ivmAudit(s, d)),
+    // exact-decimal central power sums -> skewness/kurtosis
+    "ev_moments" -> ((s, d) => Events.moments(s, d)),
+    // deterministic modal value bucket per type
+    "ev_value_mode" -> ((s, d) => Events.valueMode(s, d)),
+    // exact-duplicate family-size census (dedup strategy pre-flight)
+    "dedup_family_sizes" -> ((s, d) => Text.dupFamilySizes(s, d)),
     // deterministic integer-arithmetic priority sampling (weight = n_chars)
     "doc_weighted_sample" -> ((s, d) => Text.weightedSample(s, d)),
     // KMV sketch pairwise source-overlap audit (exact integer ppm)
@@ -2414,6 +2430,131 @@ object SparkEntry {
         |SELECT src_a, src_b, count(*) AS n_union,
         |  CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
         |  CAST(sum(in_a * in_b) * 1000000 // count(*) AS BIGINT) AS jaccard_ppm
-        |FROM r WHERE rnk <= 128 GROUP BY src_a, src_b""".stripMargin
+        |FROM r WHERE rnk <= 128 GROUP BY src_a, src_b""".stripMargin,
+    "ev_pareto_share" ->
+      """WITH t AS (
+        |  SELECT user_id, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT *, CAST(sum(cents) OVER (ORDER BY cents DESC, user_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t),
+        |g AS (SELECT max(cum) AS total_cents FROM c),
+        |p AS (SELECT unnest([50, 80, 90, 99]) AS pct)
+        |SELECT CAST(p.pct AS BIGINT) AS pct,
+        |  CAST(sum(CASE WHEN (c.cum - c.cents) * 100 < p.pct * g.total_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_top_users,
+        |  CAST(min(CASE WHEN c.cum * 100 >= p.pct * g.total_cents THEN c.cum END) AS BIGINT) AS covered_cents,
+        |  CAST(min(CASE WHEN c.cum * 100 >= p.pct * g.total_cents THEN c.cum END) * 1000000 // max(g.total_cents) AS BIGINT) AS covered_ppm
+        |FROM c, g, p
+        |GROUP BY p.pct""".stripMargin,
+    "ev_moments" ->
+      """WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+        |m AS (SELECT event_type, CAST(sum(c) // count(*) AS BIGINT) AS mu_cents,
+        |        count(*) AS n FROM e GROUP BY event_type),
+        |d AS (SELECT e.event_type, m.n, m.mu_cents, CAST(e.c - m.mu_cents AS HUGEINT) AS dv
+        |      FROM e JOIN m USING (event_type)),
+        |s AS (SELECT event_type, max(n) AS n, max(mu_cents) AS mu_cents,
+        |        CAST(sum(dv * dv) AS DECIMAL(38,0)) AS s2,
+        |        CAST(sum(dv * dv * dv) AS DECIMAL(38,0)) AS s3,
+        |        CAST(sum(dv * dv * dv * dv) AS DECIMAL(38,0)) AS s4
+        |      FROM d GROUP BY event_type)
+        |SELECT event_type, n, mu_cents, s2, s3, s4,
+        |  CASE WHEN s2 = 0 THEN NULL ELSE round(CAST(s3 AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / (CAST(s2 AS DOUBLE) * sqrt(CAST(s2 AS DOUBLE))), 4) END AS skewness,
+        |  CASE WHEN s2 = 0 THEN NULL ELSE round(CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE) / (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)), 4) END AS kurtosis
+        |FROM s""".stripMargin,
+    "ev_value_mode" ->
+      """WITH v AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v, count(*) AS cnt
+        |           FROM events GROUP BY event_type, CAST(floor(value) AS BIGINT)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY cnt DESC, v ASC) AS rk FROM v),
+        |nb AS (SELECT event_type, count(*) AS n_distinct_buckets FROM v GROUP BY event_type)
+        |SELECT r.event_type, r.v AS mode_v, r.cnt AS n_mode, nb.n_distinct_buckets
+        |FROM r JOIN nb USING (event_type) WHERE r.rk = 1""".stripMargin,
+    "dedup_family_sizes" ->
+      """WITH fam AS (SELECT md5(text) AS digest, count(*) AS family_size
+        |             FROM documents GROUP BY md5(text)),
+        |tot AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT family_size, count(*) AS n_families,
+        |  CAST(family_size * count(*) AS BIGINT) AS n_docs,
+        |  CAST(family_size * count(*) * 1000000 // max(tot.n_total) AS BIGINT) AS doc_share_ppm
+        |FROM fam, tot GROUP BY family_size""".stripMargin,
+    "cdc_watermark_advice" ->
+      """WITH l AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM events),
+        |d AS (SELECT event_type, event_id,
+        |    greatest(CAST(0 AS BIGINT), coalesce(prev_max - ts_us, 0)) AS late_us FROM l),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY late_us, event_id) AS rnk,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM d)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  min(CASE WHEN rnk = (50 * n + 99) // 100 THEN late_us END) AS p50_us,
+        |  min(CASE WHEN rnk = (95 * n + 99) // 100 THEN late_us END) AS p95_us,
+        |  min(CASE WHEN rnk = (99 * n + 99) // 100 THEN late_us END) AS p99_us,
+        |  max(late_us) AS max_us,
+        |  min(CASE WHEN rnk = (99 * n + 99) // 100 THEN late_us END) AS wm_advice_us
+        |FROM r GROUP BY 1""".stripMargin,
+    "ev_hour_profile" ->
+      """WITH h AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hour, count(*) AS n_events
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT sum(n_events) AS total FROM h)
+        |SELECT CAST(hour AS BIGINT) AS hour, n_events,
+        |  CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST(n_events * 1000000 // total - 1000000 // 24 AS BIGINT) AS dev_ppm
+        |FROM h, t""".stripMargin,
+    "ev_ab_cuped" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |md AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+        |p AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN day < md.mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN day >= md.mid THEN cents ELSE 0 END) AS BIGINT) AS y,
+        |    user_id % 2 AS arm
+        |  FROM e, md GROUP BY user_id),
+        |s AS (SELECT count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sx_a,
+        |    sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sy_a,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+        |    sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sx_b,
+        |    sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS sy_b
+        |  FROM p)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS theta,
+        |  round(CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b, 4) AS raw_diff_cents,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE round(CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b), 4) END AS adj_diff_cents,
+        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 4) END AS rho2
+        |FROM s""".stripMargin,
+    "cdc_ivm_audit" ->
+      s"""$logCte,
+         |b AS (SELECT *,
+         |        lag(value) OVER w AS before_value,
+         |        lag(event_type) OVER w AS before_type,
+         |        lag(operation) OVER w AS before_op,
+         |        row_number() OVER (PARTITION BY user_id ORDER BY seq_us DESC, event_id DESC) AS rn_desc
+         |      FROM log
+         |      WINDOW w AS (PARTITION BY user_id ORDER BY seq_us, event_id)),
+         |c AS (
+         |  SELECT event_type AS grp, CAST(round(value, 2) AS DECIMAL(12,2)) AS delta, 1 AS drows
+         |  FROM b WHERE operation <> 'DELETE'
+         |  UNION ALL
+         |  SELECT before_type AS grp, -CAST(round(before_value, 2) AS DECIMAL(12,2)) AS delta, -1 AS drows
+         |  FROM b WHERE before_op IS NOT NULL AND before_op <> 'DELETE'),
+         |ivm AS (SELECT grp AS event_type, CAST(round(sum(delta), 2) AS DOUBLE) AS value_ivm,
+         |          CAST(sum(drows) AS BIGINT) AS rows_ivm FROM c GROUP BY 1),
+         |direct AS (SELECT event_type,
+         |          CAST(round(sum(CAST(round(value, 2) AS DECIMAL(12,2))), 2) AS DOUBLE) AS value_direct,
+         |          count(*) AS rows_direct
+         |        FROM b WHERE rn_desc = 1 AND operation <> 'DELETE' GROUP BY 1)
+         |SELECT coalesce(i.event_type, d.event_type) AS event_type,
+         |  CAST(coalesce(i.rows_ivm, 0) AS BIGINT) AS rows_ivm,
+         |  CAST(coalesce(d.rows_direct, 0) AS BIGINT) AS rows_direct,
+         |  coalesce(i.value_ivm, 0.0) AS value_ivm,
+         |  coalesce(d.value_direct, 0.0) AS value_direct,
+         |  CAST(coalesce(i.rows_ivm, 0) = coalesce(d.rows_direct, 0)
+         |    AND coalesce(i.value_ivm, 0.0) = coalesce(d.value_direct, 0.0) AS BIGINT) AS consistent
+         |FROM ivm i FULL OUTER JOIN direct d ON i.event_type = d.event_type""".stripMargin
   )
 }

@@ -208,6 +208,62 @@ object Cdc {
   def netEffect(spark: SparkSession, dir: String): DataFrame =
     netEffectFrom(log(spark, dir))
 
+  /** #255 Incremental-view-maintenance audit: folds the CDC log into
+    * per-group (rows, value) aggregates purely from DELTAS under strict
+    * upsert/tombstone semantics — an event retracts the previous LIVE
+    * state of its key (whatever op wrote it; a key last seen as DELETE
+    * retracts nothing) and asserts its own state unless it is itself a
+    * DELETE — then recomputes the same aggregates directly from each
+    * key's FINAL live row and proves the two agree. This is the
+    * correctness contract of every streaming materialized view this
+    * library maintains: the delta path telescopes per key to exactly the
+    * final-state path, for any op sequence (update-born keys, repeated
+    * upserts, delete-then-reinsert included — the cases naive
+    * lag-retraction gets wrong).
+    *
+    * Scale shape: one window pass on the entity key feeds BOTH sides
+    * (Catalyst reuses the sort), deltas union map-side, and each side is
+    * one shrinking aggregation on the group key.
+    */
+  def ivmAudit(spark: SparkSession, dir: String): DataFrame =
+    ivmAuditFrom(log(spark, dir))
+
+  private[graft] def ivmAuditFrom(logDf: DataFrame): DataFrame = {
+    val d = DecimalType(12, 2)
+    val w = Window.partitionBy("user_id").orderBy(col("seq_us"), col("event_id"))
+    val ann = logDf
+      .withColumn("before_value", lag(col("value"), 1).over(w))
+      .withColumn("before_type", lag(col("event_type"), 1).over(w))
+      .withColumn("before_op", lag(col("operation"), 1).over(w))
+      .withColumn("rn_desc",
+        row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("seq_us").desc, col("event_id").desc)))
+    val asserts = ann.filter(col("operation") =!= "DELETE")
+      .select(col("event_type").as("grp"),
+        round(col("value"), 2).cast(d).as("delta"), lit(1L).as("drows"))
+    val retracts = ann
+      .filter(col("before_op").isNotNull && col("before_op") =!= "DELETE")
+      .select(col("before_type").as("grp"),
+        (-round(col("before_value"), 2).cast(d)).as("delta"), lit(-1L).as("drows"))
+    val ivm = asserts.unionByName(retracts)
+      .groupBy(col("grp").as("event_type"))
+      .agg(round(sum(col("delta")), 2).cast("double").as("value_ivm"),
+        sum(col("drows")).as("rows_ivm"))
+    val direct = ann.filter(col("rn_desc") === 1 && col("operation") =!= "DELETE")
+      .groupBy("event_type")
+      .agg(round(sum(round(col("value"), 2).cast(d)), 2).cast("double").as("value_direct"),
+        count(lit(1)).as("rows_direct"))
+    ivm.join(direct, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("rows_ivm"), lit(0L)).as("rows_ivm"),
+        coalesce(col("rows_direct"), lit(0L)).as("rows_direct"),
+        coalesce(col("value_ivm"), lit(0.0)).as("value_ivm"),
+        coalesce(col("value_direct"), lit(0.0)).as("value_direct"))
+      .withColumn("consistent",
+        (col("rows_ivm") === col("rows_direct") &&
+          col("value_ivm") === col("value_direct")).cast("long"))
+  }
+
   /** Core over any normalized CDC log frame (so specs can plant
     * type-change sequences). */
   private[graft] def netEffectFrom(logDf: DataFrame): DataFrame = {

@@ -50,9 +50,15 @@ object Classifier {
       iters: Int = 30, lr: Double = 2.0): Array[Double] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val feats = featurize(docs, dim).persist(StorageLevel.MEMORY_AND_DISK)
+    // cache BOTH sides hash-partitioned on doc_id: every iteration's
+    // margin groupBy(doc_id), label join, and residual⋈feature join then
+    // reuse this partitioning, so the only per-iteration exchange is the
+    // ≤dim-row gradient aggregation
+    val feats = featurize(docs, dim).repartition(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val labels = docs.select(col("doc_id"),
         col(labelCol).cast("double").as("y"))
+      .repartition(col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = labels.count().toDouble
     val w = Array.fill(dim + 1)(0.0)

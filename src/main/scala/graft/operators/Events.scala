@@ -644,6 +644,172 @@ object Events {
     * disagree on double→int rounding) so results are bit-identical
     * cross-engine.
     */
+  /** #252 Watermark sizing advice: per event type, exact integer-rank
+    * P50/P95/P99/max of the out-of-order delay — how far behind the
+    * running per-user max timestamp a late event arrives (arrival order
+    * = event_id, same convention as [[disorderAudit]]). `wm_advice_us`
+    * is the P99: the watermark that admits 99% of late data. Ranks ride
+    * [[Distributed.exactRank]] (range repartition + broadcast offsets —
+    * no per-type single-reducer window), the same ceil-rank arithmetic
+    * as [[winsorize]] so the oracle replays it integer-for-integer.
+    */
+  def watermarkAdvice(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = withTs(spark, dir)
+      .withColumn("prev_max", max(col("ts_us")).over(w))
+      .select(col("event_type"), col("event_id"),
+        greatest(lit(0L), coalesce(col("prev_max") - col("ts_us"), lit(0L))).as("late_us"))
+    val ranked = Distributed.exactRank(late, Seq("event_type"), Seq("late_us", "event_id"))
+    ranked.groupBy("event_type")
+      .agg(max(col("n_total")).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        min(when(col("rnk") === expr("(50 * n_total + 99) DIV 100"), col("late_us"))).as("p50_us"),
+        min(when(col("rnk") === expr("(95 * n_total + 99) DIV 100"), col("late_us"))).as("p95_us"),
+        min(when(col("rnk") === expr("(99 * n_total + 99) DIV 100"), col("late_us"))).as("p99_us"),
+        max(col("late_us")).as("max_us"))
+      .withColumn("wm_advice_us", col("p99_us"))
+  }
+
+  /** #253 Hour-of-day load profile: event share per UTC hour with the
+    * signed deviation from the uniform 1/24 share, in exact ppm — the
+    * capacity-planning / anomaly baseline for ingest scheduling. One
+    * 24-row aggregate; BIGINT arithmetic is exact to ~10¹² events per
+    * hour bucket.
+    */
+  def hourProfile(spark: SparkSession, dir: String): DataFrame = {
+    val h = withTs(spark, dir)
+      .select(expr("(ts_us DIV 3600000000) % 24").as("hour"))
+      .groupBy("hour").agg(count(lit(1)).as("n_events"))
+    val tot = h.agg(sum(col("n_events")).as("total"))
+    h.crossJoin(broadcast(tot))
+      .select(col("hour"), col("n_events"),
+        expr("n_events * 1000000 DIV total").as("share_ppm"),
+        expr("n_events * 1000000 DIV total - 1000000 DIV 24").as("dev_ppm"))
+  }
+
+  /** #254 CUPED variance-reduced A/B readout (Deng et al., WSDM'13): the
+    * post-period arm difference adjusted by the pre-period covariate,
+    * θ = cov(pre, post)/var(pre) pooled across arms. Pre/post split at
+    * the observation-window midpoint (same convention as [[driftTv]]),
+    * arms on user_id parity (same as [[abTest]]). All sums are exact
+    * integers/decimals — per-user cents, DECIMAL(38,0) cross-products —
+    * and every float expression is written in the SAME SQL text the
+    * oracle runs (divide and round only, both IEEE-stable), so θ, the
+    * raw/adjusted diffs, and ρ² hash-match cross-engine. ρ² is the
+    * variance fraction CUPED removes. One user-level shuffle + a 1-row
+    * reduction.
+    */
+  def cupedAb(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withTs(spark, dir).select(col("user_id"),
+      expr("ts_us DIV 86400000000").as("day"),
+      expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) DIV 2").as("mid"))
+    val per = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("arm", expr("user_id % 2"))
+    per.agg(
+      count(lit(1)).as("n"),
+      sum(expr("CAST(x AS DECIMAL(38,0))")).cast(DecimalType(38, 0)).as("sx"),
+      sum(expr("CAST(y AS DECIMAL(38,0))")).cast(DecimalType(38, 0)).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).cast(DecimalType(38, 0)).as("sxx"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).cast(DecimalType(38, 0)).as("syy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).cast(DecimalType(38, 0)).as("sxy"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy_b"))
+    .selectExpr("n_a", "n_b",
+      "CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS theta",
+      "round(CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b, 4) AS raw_diff_cents",
+      "CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE round(CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b), 4) END AS adj_diff_cents",
+      "CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 4) END AS rho2")
+  }
+
+  /** #249 Exact distributed higher moments: per-type skewness and excess-
+    * free kurtosis computed from INTEGER power sums of deviations about
+    * the integer-cent mean (two passes: a cents mean that broadcasts
+    * back, then one aggregation of d², d³, d⁴ as DECIMAL(38,0) — d is
+    * bounded by the value range, so the decimal sums are exact at any
+    * row count where d⁴·n < 10³⁸, i.e. far past 100 TB). The only
+    * floating point is the final ratio, written with `sqrt` (correctly
+    * rounded per IEEE, unlike `pow`) in the SAME expression text the
+    * oracle runs — so the rounded result is bit-identical cross-engine.
+    * The naive one-pass Σx⁴ formulation would need the full 38 digits at
+    * a million rows and suffer catastrophic cancellation; deviations
+    * about the mean keep magnitudes small and the subtraction exact.
+    */
+  def moments(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("CAST(floor(value * 100) AS BIGINT)").as("c"))
+    val mu = ev.groupBy("event_type")
+      .agg(expr("sum(c) DIV count(1)").as("mu_cents"), count(lit(1)).as("n"))
+    ev.join(broadcast(mu), "event_type")
+      .withColumn("dv", expr("CAST(c - mu_cents AS DECIMAL(38,0))"))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"), max(col("mu_cents")).as("mu_cents"),
+        sum(expr("dv * dv")).cast(DecimalType(38, 0)).as("s2"),
+        sum(expr("dv * dv * dv")).cast(DecimalType(38, 0)).as("s3"),
+        sum(expr("dv * dv * dv * dv")).cast(DecimalType(38, 0)).as("s4"))
+      .selectExpr("event_type", "n", "mu_cents", "s2", "s3", "s4",
+        "CASE WHEN s2 = 0 THEN NULL ELSE round(CAST(s3 AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / (CAST(s2 AS DOUBLE) * sqrt(CAST(s2 AS DOUBLE))), 4) END AS skewness",
+        "CASE WHEN s2 = 0 THEN NULL ELSE round(CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE) / (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)), 4) END AS kurtosis")
+  }
+
+  /** #250 Deterministic per-type mode: the most frequent integer value
+    * bucket with smallest-bucket tie-break — `max_by` over a key struct
+    * that is unique per candidate, so the argmax replays anywhere. Two
+    * shrinking aggregations, no window.
+    */
+  def valueMode(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("CAST(floor(value) AS BIGINT)").as("v"))
+      .groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type")
+      .agg(max_by(struct(col("v"), col("cnt")), struct(col("cnt"), -col("v"))).as("m"),
+        count(lit(1)).as("n_distinct_buckets"))
+      .select(col("event_type"), col("m.v").as("mode_v"),
+        col("m.cnt").as("n_mode"), col("n_distinct_buckets"))
+
+  /** #248 Revenue-concentration (Pareto) audit: for each coverage target
+    * (50/80/90/99% of total event value), the minimal number of
+    * top-spending users that reaches it and the exact share they cover —
+    * the "how top-heavy is this corpus" readout that sizes skew
+    * mitigation before a per-user join.
+    *
+    * Exact integer arithmetic end-to-end: per-user totals in cents, the
+    * global running total via [[Distributed.exactCumSum]] (range
+    * repartition + broadcast per-partition offsets — never a
+    * single-reducer global window), and threshold tests as cross-
+    * multiplied integer comparisons. The 4 threshold rows fan out from a
+    * broadcast literal frame, so the user-sized frame is scanned once.
+    */
+  def paretoShare(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+      .withColumn("neg_cents", -col("cents"))
+    val cum = Distributed.exactCumSum(totals, Seq("neg_cents", "user_id"), "cents")
+    val grand = cum.agg(max(col("cum")).as("total_cents"))
+    cum.crossJoin(broadcast(grand))
+      .crossJoin(broadcast(
+        cum.sparkSession.range(0, 1).selectExpr("explode(array(50L, 80L, 90L, 99L)) AS pct")))
+      .groupBy("pct")
+      .agg(
+        max(col("total_cents")).as("total_cents"),
+        sum(when((col("cum") - col("cents")) * 100 < col("pct") * col("total_cents"), 1L)
+          .otherwise(0L)).as("n_top_users"),
+        min(when(col("cum") * 100 >= col("pct") * col("total_cents"), col("cum")))
+          .as("covered_cents"))
+      .select(col("pct"), col("n_top_users"),
+        col("covered_cents"),
+        expr("covered_cents * 1000000 DIV total_cents").as("covered_ppm"))
+  }
+
   def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
     val iv = withTs(spark, dir).select(
       col("user_id"), col("event_id"), col("ts_us").as("s_us"),

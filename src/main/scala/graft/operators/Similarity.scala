@@ -46,11 +46,19 @@ object Similarity {
     * bigger buckets → higher recall at more candidate work: planes
     * trades compute for recall explicitly.
     */
+  private val knnMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Int), DataFrame]
+
   def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
       planes: Int = 4, tables: Int = 8): DataFrame =
-    knnGraphFrom(
-      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-      k, planes, tables)
+    // the graph is the shared substrate of four audits (adjacency query,
+    // PageRank, LPA communities, LOF) — build it once per corpus snapshot
+    // + hyperparameters; eager localCheckpoint materializes node-sized
+    // blocks and truncates the LSH-join lineage for every reuse
+    knnMemo.getOrElseUpdate((dir, k, planes, tables),
+      knnGraphFrom(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        k, planes, tables).localCheckpoint(eager = true))
 
   /** [[knnGraph]] over any (vec_id, embedding) frame. */
   def knnGraphFrom(input: DataFrame, k: Int = 5,

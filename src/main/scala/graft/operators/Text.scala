@@ -953,6 +953,28 @@ object Text {
         out, targetBytes = 32768L)
     })
 
+  /** #251 Duplicate-family size census: how exact-duplicate mass is
+    * distributed — one row per family size with the family count, the
+    * documents bound in them, and their ppm of the corpus. The shape of
+    * this histogram decides dedup strategy (a fat head of size-2 families
+    * wants hash dedup; a long tail of giant families wants the cluster
+    * path), so it runs BEFORE committing to either. Two shrinking
+    * aggregations over digests — corpus-sized work is the first groupBy
+    * only.
+    */
+  def dupFamilySizes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fam = docs.groupBy(md5(col("text")).as("digest"))
+      .agg(count(lit(1)).as("family_size"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    fam.groupBy("family_size")
+      .agg(count(lit(1)).as("n_families"))
+      .crossJoin(broadcast(total))
+      .select(col("family_size"), col("n_families"),
+        (col("family_size") * col("n_families")).as("n_docs"),
+        expr("family_size * n_families * 1000000 DIV n_total").as("doc_share_ppm"))
+  }
+
   /** #245 Priority sampling (Duffield–Lund–Thorup, JACM'07): a
     * DETERMINISTIC weighted sample-without-replacement — each document
     * gets priority q = w / u with weight w = n_chars and u a seeded

@@ -200,4 +200,50 @@ class CdcSpec extends SparkSpec {
       .union(asOfUsers(Cdc.SnapshotDiffT2Us)).distinct().count()
     assert(d.values.sum === unionUsers)
   }
+
+  test("ivm audit: delta fold equals final state on adversarial op sequences") {
+    import spark.implicits._
+    // the sequences naive lag-retraction gets wrong:
+    // u1 update-born (no prior INSERT), then upsert-INSERT over live state
+    // u2 delete-then-reinsert (the post-delete row must not retract the tombstone)
+    // u3 lone DELETE of a never-seen key (must be a no-op)
+    // u4 insert→delete (fully retracted: group nets to zero)
+    val planted = Seq(
+      (1L, 1L, "UPDATE", 100L, "a", 5.0),
+      (2L, 1L, "INSERT", 200L, "a", 9.0),
+      (3L, 2L, "INSERT", 100L, "b", 4.0),
+      (4L, 2L, "DELETE", 200L, "b", 0.0),
+      (5L, 2L, "UPDATE", 300L, "b", 6.0),
+      (6L, 3L, "DELETE", 100L, "c", 0.0),
+      (7L, 4L, "INSERT", 100L, "d", 2.0),
+      (8L, 4L, "DELETE", 200L, "d", 0.0)
+    ).toDF("event_id", "user_id", "operation", "seq_us", "event_type", "value")
+      .withColumn("props", lit("{}"))
+    val out = Cdc.ivmAuditFrom(planted).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+    // every group must be consistent AND match the hand-computed final state
+    assert(out("a") === ((1L, 1L, 9.0, 9.0, 1L)), s"a: ${out("a")}")
+    assert(out("b") === ((1L, 1L, 6.0, 6.0, 1L)), s"b: ${out("b")}")
+    assert(out.get("c").forall(_ == ((0L, 0L, 0.0, 0.0, 1L))), s"c: ${out.get("c")}")
+    assert(out("d") === ((0L, 0L, 0.0, 0.0, 1L)), s"d: ${out("d")}")
+    // and on the real corpus every type is consistent
+    val real = Cdc.ivmAudit(spark, sf)
+    assert(real.filter(col("consistent") =!= 1L).count() === 0)
+  }
+
+  test("watermark advice quantiles are ordered and bound the late mass") {
+    import graft.operators.Events
+    val wm = Events.watermarkAdvice(spark, sf).collect()
+    assert(wm.nonEmpty)
+    wm.foreach { r =>
+      val (p50, p95, p99, mx) = (r.getAs[Long]("p50_us"), r.getAs[Long]("p95_us"),
+        r.getAs[Long]("p99_us"), r.getAs[Long]("max_us"))
+      assert(p50 <= p95 && p95 <= p99 && p99 <= mx,
+        s"quantiles out of order for ${r.getString(0)}: $p50 $p95 $p99 $mx")
+      assert(r.getAs[Long]("wm_advice_us") === p99)
+      assert(r.getAs[Long]("n_late") <= r.getAs[Long]("n_events"))
+    }
+  }
 }

@@ -335,7 +335,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("knn graph: candidate edges from equi bucket joins only") {
-    val p = planOf("ann_knn_graph")
+    // audit the BUILDER's plan: the driver entry memoizes + checkpoints
+    // the graph (its plan is a cached-block scan by design), so the pin
+    // targets knnGraphFrom — the plan that actually runs the LSH build
+    import org.apache.spark.sql.functions.col
+    val p = graft.operators.Similarity.knnGraphFrom(
+      Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")))
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"knn graph planned an all-pairs join:\n$p")
     assert(p.contains("TopKPerGroupPartial"),

@@ -636,6 +636,66 @@ class UtilSpec extends SparkSpec {
     assert(m(2L) === ((2L, 1L, 8000000L, 8000000L)), s"u2 got ${m(2L)}")
   }
 
+  test("pareto share counts crossing users and covers at least the target") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pareto").toString
+    // user totals (cents): 800, 100, 50, 50 → grand total 1000
+    val rows = Seq(
+      (1L, 1000000000L, 1L, "buy", 8.00, "{}"),
+      (2L, 2000000000L, 2L, "buy", 1.00, "{}"),
+      (3L, 3000000000L, 3L, "buy", 0.50, "{}"),
+      (4L, 4000000000L, 4L, "buy", 0.50, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val m = Events.paretoShare(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m(50L) === ((1L, 800L, 800000L)))
+    assert(m(80L) === ((1L, 800L, 800000L)))
+    assert(m(90L) === ((2L, 900L, 900000L)))
+    assert(m(99L) === ((4L, 1000L, 1000000L)))
+  }
+
+  test("moments: zero skew on a symmetric type, exact mode with tie-break") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mom").toString
+    val rows = Seq(
+      // type s: cents 100,200,300 — symmetric → skew 0, kurt n·s4/s2² = 1.5
+      (1L, 1000000000L, 1L, "s", 1.00, "{}"),
+      (2L, 2000000000L, 1L, "s", 2.00, "{}"),
+      (3L, 3000000000L, 1L, "s", 3.00, "{}"),
+      // type x: floor values 1,1,2,2 — count tie → smaller bucket wins
+      (4L, 1000000000L, 2L, "x", 1.2, "{}"),
+      (5L, 2000000000L, 2L, "x", 1.7, "{}"),
+      (6L, 3000000000L, 2L, "x", 2.5, "{}"),
+      (7L, 4000000000L, 2L, "x", 2.9, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val mo = Events.moments(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s = mo("s")
+    assert(s.getAs[Long]("n") === 3L)
+    assert(s.getAs[Long]("mu_cents") === 200L)
+    assert(s.getAs[java.math.BigDecimal]("s2").longValueExact() === 20000L)
+    assert(s.getAs[java.math.BigDecimal]("s3").longValueExact() === 0L)
+    assert(s.getAs[Double]("skewness") === 0.0)
+    assert(s.getAs[Double]("kurtosis") === 1.5)
+    val md = Events.valueMode(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(md("x") === ((1L, 2L, 2L)))
+  }
+
+  test("duplicate-family census conserves the corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Text
+    val h = Text.dupFamilySizes(spark, sf).cache()
+    val total = Tables.documents(spark, sf).count()
+    assert(h.agg(sum(col("n_docs"))).head().getLong(0) === total)
+    assert(h.filter(col("family_size") < 1).count() === 0)
+    val ppm = h.agg(sum(col("doc_share_ppm"))).head().getLong(0)
+    assert(ppm >= 990000L && ppm <= 1000000L, s"ppm sum $ppm")
+    h.unpersist()
+  }
+
   test("label propagation recovers planted cliques with deterministic ties") {
     import spark.implicits._
     import graft.operators.Graph
