@@ -290,6 +290,10 @@ object SparkEntry {
     "ev_ab_cuped" -> ((s, d) => Events.cupedAb(s, d)),
     // delta-fold vs final-state equivalence proof for maintained views
     "cdc_ivm_audit" -> ((s, d) => Cdc.ivmAudit(s, d)),
+    // per-label centroid cosine between corpus halves (exact e6 sums)
+    "emb_centroid_drift" -> ((s, d) => Similarity.embCentroidDrift(s, d)),
+    // whitespace-segmentation fertility per language
+    "doc_token_fertility" -> ((s, d) => Text.tokenFertility(s, d)),
     // exact-decimal central power sums -> skewness/kurtosis
     "ev_moments" -> ((s, d) => Events.moments(s, d)),
     // deterministic modal value bucket per type
@@ -2555,6 +2559,36 @@ object SparkEntry {
          |  coalesce(d.value_direct, 0.0) AS value_direct,
          |  CAST(coalesce(i.rows_ivm, 0) = coalesce(d.rows_direct, 0)
          |    AND coalesce(i.value_ivm, 0.0) = coalesce(d.value_direct, 0.0) AS BIGINT) AS consistent
-         |FROM ivm i FULL OUTER JOIN direct d ON i.event_type = d.event_type""".stripMargin
+         |FROM ivm i FULL OUTER JOIN direct d ON i.event_type = d.event_type""".stripMargin,
+    "emb_centroid_drift" ->
+      """WITH x AS (
+        |  SELECT label, vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS v_e6
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        |d AS (SELECT label, dim,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN v_e6 ELSE 0 END) AS BIGINT) AS s0,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN v_e6 ELSE 0 END) AS BIGINT) AS s1,
+        |    count(DISTINCT CASE WHEN vec_id % 2 = 0 THEN vec_id END) AS n0,
+        |    count(DISTINCT CASE WHEN vec_id % 2 = 1 THEN vec_id END) AS n1
+        |  FROM x GROUP BY label, dim),
+        |s AS (SELECT label, max(n0) AS n_a, max(n1) AS n_b,
+        |    CAST(sum(CAST(s0 AS HUGEINT) * s1) AS DECIMAL(38,0)) AS dot,
+        |    CAST(sum(CAST(s0 AS HUGEINT) * s0) AS DECIMAL(38,0)) AS nrm0,
+        |    CAST(sum(CAST(s1 AS HUGEINT) * s1) AS DECIMAL(38,0)) AS nrm1
+        |  FROM d GROUP BY label)
+        |SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CASE WHEN nrm0 = 0 OR nrm1 = 0 THEN NULL ELSE round(CAST(dot AS DOUBLE) / (sqrt(CAST(nrm0 AS DOUBLE)) * sqrt(CAST(nrm1 AS DOUBLE))), 6) END AS centroid_cos
+        |FROM s""".stripMargin,
+    "doc_token_fertility" ->
+      """WITH w AS (SELECT lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents),
+        |a AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_words) AS BIGINT) AS n_words,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM w GROUP BY lang)
+        |SELECT lang, n_docs, n_words, n_chars,
+        |  CAST(n_words * 10000 // n_docs AS BIGINT) AS words_per_doc_e4,
+        |  CAST(n_chars * 10000 // n_words AS BIGINT) AS chars_per_word_e4
+        |FROM a""".stripMargin
   )
 }

@@ -208,7 +208,7 @@ object Cdc {
   def netEffect(spark: SparkSession, dir: String): DataFrame =
     netEffectFrom(log(spark, dir))
 
-  /** #255 Incremental-view-maintenance audit: folds the CDC log into
+  /** #258 Incremental-view-maintenance audit: folds the CDC log into
     * per-group (rows, value) aggregates purely from DELTAS under strict
     * upsert/tombstone semantics — an event retracts the previous LIVE
     * state of its key (whatever op wrote it; a key last seen as DELETE

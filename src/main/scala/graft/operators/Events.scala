@@ -628,7 +628,7 @@ object Events {
         .otherwise(round(num / den, 4)).as("z_score"))
   }
 
-  /** #244 Interval union (gaps-and-islands overlap merge): each event is
+  /** #247 Interval union (gaps-and-islands overlap merge): each event is
     * an activity interval `[ts, ts + value seconds)` and the per-user
     * union of those intervals is the user's true covered wall-clock —
     * the "total online time" query that naive `sum(duration)` gets wrong
@@ -644,7 +644,7 @@ object Events {
     * disagree on double→int rounding) so results are bit-identical
     * cross-engine.
     */
-  /** #252 Watermark sizing advice: per event type, exact integer-rank
+  /** #255 Watermark sizing advice: per event type, exact integer-rank
     * P50/P95/P99/max of the out-of-order delay — how far behind the
     * running per-user max timestamp a late event arrives (arrival order
     * = event_id, same convention as [[disorderAudit]]). `wm_advice_us`
@@ -671,7 +671,7 @@ object Events {
       .withColumn("wm_advice_us", col("p99_us"))
   }
 
-  /** #253 Hour-of-day load profile: event share per UTC hour with the
+  /** #256 Hour-of-day load profile: event share per UTC hour with the
     * signed deviation from the uniform 1/24 share, in exact ppm — the
     * capacity-planning / anomaly baseline for ingest scheduling. One
     * 24-row aggregate; BIGINT arithmetic is exact to ~10¹² events per
@@ -688,7 +688,7 @@ object Events {
         expr("n_events * 1000000 DIV total - 1000000 DIV 24").as("dev_ppm"))
   }
 
-  /** #254 CUPED variance-reduced A/B readout (Deng et al., WSDM'13): the
+  /** #257 CUPED variance-reduced A/B readout (Deng et al., WSDM'13): the
     * post-period arm difference adjusted by the pre-period covariate,
     * θ = cov(pre, post)/var(pre) pooled across arms. Pre/post split at
     * the observation-window midpoint (same convention as [[driftTv]]),
@@ -730,7 +730,7 @@ object Events {
       "CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 4) END AS rho2")
   }
 
-  /** #249 Exact distributed higher moments: per-type skewness and excess-
+  /** #252 Exact distributed higher moments: per-type skewness and excess-
     * free kurtosis computed from INTEGER power sums of deviations about
     * the integer-cent mean (two passes: a cents mean that broadcasts
     * back, then one aggregation of d², d³, d⁴ as DECIMAL(38,0) — d is
@@ -760,7 +760,7 @@ object Events {
         "CASE WHEN s2 = 0 THEN NULL ELSE round(CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE) / (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)), 4) END AS kurtosis")
   }
 
-  /** #250 Deterministic per-type mode: the most frequent integer value
+  /** #253 Deterministic per-type mode: the most frequent integer value
     * bucket with smallest-bucket tie-break — `max_by` over a key struct
     * that is unique per candidate, so the argmax replays anywhere. Two
     * shrinking aggregations, no window.
@@ -775,7 +775,7 @@ object Events {
       .select(col("event_type"), col("m.v").as("mode_v"),
         col("m.cnt").as("n_mode"), col("n_distinct_buckets"))
 
-  /** #248 Revenue-concentration (Pareto) audit: for each coverage target
+  /** #251 Revenue-concentration (Pareto) audit: for each coverage target
     * (50/80/90/99% of total event value), the minimal number of
     * top-spending users that reaches it and the exact share they cover —
     * the "how top-heavy is this corpus" readout that sizes skew

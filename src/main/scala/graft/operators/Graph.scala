@@ -119,7 +119,7 @@ object Graph {
     labels.select(col("id").as("vec_id"), col("lbl").as("community"))
   }
 
-  /** #247 Community detection over the LSH-blocked embedding k-NN graph:
+  /** #250 Community detection over the LSH-blocked embedding k-NN graph:
     * the cluster-census counterpart of [[pagerank]] — which groups of
     * near-duplicate / same-topic vectors form connected neighborhoods,
     * reported as one row per community with its size and centroid-free

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.{GraftFunctions, TextHashes}
 
@@ -641,6 +642,40 @@ object Similarity {
         expr("sum(abs(v_e6)) DIV count(1)").as("mean_abs_e6"),
         min(col("v_e6")).as("min_e6"),
         max(col("v_e6")).as("max_e6"))
+
+  /** #260 Centroid drift between two halves of the corpus, per label:
+    * split vectors on vec_id parity (the stand-in for "previous snapshot
+    * vs current"), accumulate each half's per-dimension sums in exact
+    * fixed-point e6 integers (same quantization text as [[embDimStats]]),
+    * and report the cosine between the two centroid sums — 1.0 means the
+    * label's embedding distribution is stable, a drop means upstream
+    * model or data drift. The cosine of SUMS equals the cosine of means
+    * (scale cancels), so no division happens before the final ratio, and
+    * the only floats are the last divide/sqrt written in identical SQL
+    * text on both engines.
+    *
+    * Shape: posexplode map-side; one (label, dim) aggregation with
+    * conditional half-sums (no self-join of halves); the cosine reduces
+    * 64 rows per label. Shuffle carries O(labels × dims), never corpus
+    * rows. DECIMAL(38,0) cross-products stay exact to ~10¹⁵ vectors.
+    */
+  def embCentroidDrift(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .selectExpr("label", "vec_id", "CAST(dim AS BIGINT) AS dim",
+        "CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) AS v_e6")
+      .groupBy("label", "dim")
+      .agg(sum(when(col("vec_id") % 2 === 0, col("v_e6")).otherwise(0L)).as("s0"),
+        sum(when(col("vec_id") % 2 === 1, col("v_e6")).otherwise(0L)).as("s1"),
+        countDistinct(when(col("vec_id") % 2 === 0, col("vec_id"))).as("n0"),
+        countDistinct(when(col("vec_id") % 2 === 1, col("vec_id"))).as("n1"))
+      .groupBy("label")
+      .agg(max(col("n0")).as("n_a"), max(col("n1")).as("n_b"),
+        sum(expr("CAST(s0 AS DECIMAL(38,0)) * s1")).cast(DecimalType(38, 0)).as("dot"),
+        sum(expr("CAST(s0 AS DECIMAL(38,0)) * s0")).cast(DecimalType(38, 0)).as("nrm0"),
+        sum(expr("CAST(s1 AS DECIMAL(38,0)) * s1")).cast(DecimalType(38, 0)).as("nrm1"))
+      .selectExpr("label", "n_a", "n_b",
+        "CASE WHEN nrm0 = 0 OR nrm1 = 0 THEN NULL ELSE round(CAST(dot AS DOUBLE) / (sqrt(CAST(nrm0 AS DOUBLE)) * sqrt(CAST(nrm1 AS DOUBLE))), 6) END AS centroid_cos")
 
   /** Trained PCA models, keyed by (corpus dir, k) — same train-once
     * lifecycle as [[pqCbMemo]].

@@ -953,7 +953,24 @@ object Text {
         out, targetBytes = 32768L)
     })
 
-  /** #251 Duplicate-family size census: how exact-duplicate mass is
+  /** #261 Tokenizer-fertility profile per language: whitespace words per
+    * document and characters per word in exact e4 fixed-point — the
+    * pre-tokenizer sanity check that catches a language whose scripts
+    * don't whitespace-segment (chars/word explodes) before BPE training
+    * budgets are allocated. One aggregation; `split` once per row.
+    */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("words_per_doc_e4", expr("n_words * 10000 DIV n_docs"))
+      .withColumn("chars_per_word_e4", expr("n_chars * 10000 DIV n_words"))
+
+  /** #254 Duplicate-family size census: how exact-duplicate mass is
     * distributed — one row per family size with the family count, the
     * documents bound in them, and their ppm of the corpus. The shape of
     * this histogram decides dedup strategy (a fat head of size-2 families
@@ -975,7 +992,7 @@ object Text {
         expr("family_size * n_families * 1000000 DIV n_total").as("doc_share_ppm"))
   }
 
-  /** #245 Priority sampling (Duffield–Lund–Thorup, JACM'07): a
+  /** #248 Priority sampling (Duffield–Lund–Thorup, JACM'07): a
     * DETERMINISTIC weighted sample-without-replacement — each document
     * gets priority q = w / u with weight w = n_chars and u a seeded
     * uniform derived from the doc id; the k largest priorities are the
@@ -998,7 +1015,7 @@ object Text {
       .limit(k)
       .select("doc_id", "lang", "source", "n_chars", "priority")
 
-  /** #246 Cross-source corpus overlap via K-minimum-values sketches
+  /** #249 Cross-source corpus overlap via K-minimum-values sketches
     * (Bar-Yossef et al., RANDOM'02): estimates the shingle-set Jaccard
     * between every pair of document sources WITHOUT comparing shingle
     * sets pairwise. Each source is reduced to its k smallest distinct

@@ -126,6 +126,57 @@ object CdcStreams {
       }
   }
 
+  case class IvmEv(event_id: Long, ts_us: Long, user_id: Long,
+    operation: String, event_type: String, value: Double)
+  case class IvmLive(live: Boolean, grp: String, cents: Long)
+  case class IvmDelta(user_id: Long, event_id: Long, grp: String,
+    delta_cents: Long, drows: Int)
+
+  /** #259 Streaming incremental-view maintenance: the stateful realization
+    * of the contract `Cdc.ivmAudit` proves in batch — per key the state
+    * holds the LIVE (group, cents) pair; every arriving change emits a
+    * retraction of the previous live state (if any) plus its own
+    * assertion (unless it is a DELETE, which leaves a tombstone in
+    * state). Downstream, `sum(delta_cents), sum(drows)` grouped by `grp`
+    * IS the maintained aggregate, and by the audit's telescoping argument
+    * it equals recomputing from each key's final live row — for any op
+    * sequence and any micro-batch boundary placement, because the
+    * tombstone travels in state across batches.
+    *
+    * Deltas are append-only facts (Append mode); state is ONE row per
+    * key regardless of history. Out-of-order arrivals WITHIN a batch are
+    * folded in (ts_us, event_id) order; across batches the CDC source's
+    * per-key ordering is assumed (the reference's binlog guarantee).
+    */
+  def ivmDeltas(enveloped: DataFrame)(implicit spark: SparkSession): Dataset[IvmDelta] = {
+    implicit val evEnc = Encoders.product[IvmEv]
+    implicit val outEnc = Encoders.product[IvmDelta]
+    implicit val stEnc = Encoders.product[IvmLive]
+    enveloped
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("operation"), col("event_type"), col("value")).as[IvmEv]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[IvmLive, IvmDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[IvmEv], state: GroupState[IvmLive]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[IvmDelta]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur.filter(_.live).foreach { p =>
+              out += IvmDelta(uid, e.event_id, p.grp, -p.cents, -1)
+            }
+            if (e.operation != "DELETE") {
+              val c = math.floor(e.value * 100).toLong
+              out += IvmDelta(uid, e.event_id, e.event_type, c, 1)
+              cur = Some(IvmLive(live = true, e.event_type, c))
+            } else cur = Some(IvmLive(live = false, "", 0L))
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming exactly-once dedup: duplicate deliveries dropped by event_id
     * with state bounded by the watermark (the streaming analog of
     * Cdc.dedupExactlyOnce; covers at-least-once upstreams like Kafka

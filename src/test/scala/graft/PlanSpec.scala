@@ -348,6 +348,21 @@ class PlanSpec extends SparkSpec {
       s"per-node top-k lost the map-side prune:\n$p")
   }
 
+  test("interval union: both windows and both aggregates ride ONE user exchange") {
+    val p = planOf("ev_interval_union")
+    // HashPartitioning(user_id) satisfies the (user_id, island) clustering,
+    // so the island aggregate and the final per-user rollup must not
+    // re-shuffle what the windows already partitioned
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"interval union re-shuffled ($exchanges exchanges):\n$p")
+  }
+
+  test("pareto share: scalar and threshold fan-outs broadcast, never sort-merge") {
+    val p = planOf("ev_pareto_share")
+    assert(!p.contains("SortMergeJoin"), s"pareto planned a sort-merge join:\n$p")
+    assert(p.contains("Broadcast"), s"pareto lost the broadcast fan-out:\n$p")
+  }
+
   test("join cardinality: profiles consumed once, join rides the groupBy partitioning") {
     val p = planOf("q_join_cardinality")
     // two profile shuffles + the single-row final aggregate — a third

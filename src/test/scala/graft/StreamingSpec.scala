@@ -415,4 +415,41 @@ class StreamingSpec extends SparkSpec {
       assert(nB == 10L && estB == 10L, s"B exact at low cardinality: $estB/$nB")
     } finally q.stop()
   }
+
+  test("ivm deltas fold to the final live state across batch boundaries") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    import graft.streaming.CdcStreams.IvmEv
+    def Env(id: Long, ts: Long, uid: Long, op: String, ty: String, v: Double) =
+      IvmEv(id, ts, uid, op, ty, v)
+    val ms = MemoryStream[IvmEv]
+    val st = CdcStreams.ivmDeltas(ms.toDF())
+    val q = st.toDF().writeStream.format("memory").queryName("ivmd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: u1 update-born then upserted; u2 insert + DELETE (tombstone
+      // must survive the batch boundary)
+      ms.addData(
+        Env(1, 100, 1, "UPDATE", "a", 5.0),
+        Env(2, 200, 1, "INSERT", "a", 9.0),
+        Env(3, 100, 2, "INSERT", "b", 4.0),
+        Env(4, 200, 2, "DELETE", "b", 0.0))
+      q.processAllAvailable()
+      // batch 2: u2 reborn via UPDATE — must NOT retract the tombstone;
+      // u1 moves groups a -> c, which must retract 900 from a
+      ms.addData(
+        Env(5, 300, 2, "UPDATE", "b", 6.0),
+        Env(6, 300, 1, "UPDATE", "c", 1.0))
+      q.processAllAvailable()
+      val folded = spark.table("ivmd")
+        .groupBy("grp")
+        .agg(sum("delta_cents").as("cents"), sum("drows").as("rows"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // final live state: u1 = (c, 100), u2 = (b, 600)
+      assert(folded("a") === ((0L, 0L)), s"a: ${folded("a")}")
+      assert(folded("b") === ((600L, 1L)), s"b: ${folded("b")}")
+      assert(folded("c") === ((100L, 1L)), s"c: ${folded("c")}")
+    } finally q.stop()
+  }
 }
