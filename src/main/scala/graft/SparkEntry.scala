@@ -292,6 +292,8 @@ object SparkEntry {
     "cdc_ivm_audit" -> ((s, d) => Cdc.ivmAudit(s, d)),
     // per-label centroid cosine between corpus halves (exact e6 sums)
     "emb_centroid_drift" -> ((s, d) => Similarity.embCentroidDrift(s, d)),
+    // JSON payload key-space discovery + fill/type/range profile
+    "cdc_props_profile" -> ((s, d) => Cdc.propsProfile(s, d)),
     // whitespace-segmentation fertility per language
     "doc_token_fertility" -> ((s, d) => Text.tokenFertility(s, d)),
     // exact-decimal central power sums -> skewness/kurtosis
@@ -2579,6 +2581,19 @@ object SparkEntry {
         |SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  CASE WHEN nrm0 = 0 OR nrm1 = 0 THEN NULL ELSE round(CAST(dot AS DOUBLE) / (sqrt(CAST(nrm0 AS DOUBLE)) * sqrt(CAST(nrm1 AS DOUBLE))), 6) END AS centroid_cos
         |FROM s""".stripMargin,
+    "cdc_props_profile" ->
+      """WITH t AS (SELECT count(*) AS n_total FROM events),
+        |k AS (SELECT unnest(json_keys(props)) AS key, props FROM events),
+        |v AS (SELECT key, json_extract_string(props, '$.' || key) AS v FROM k),
+        |a AS (SELECT key, count(*) AS n_present,
+        |    count(DISTINCT v) AS n_distinct,
+        |    CAST(sum(CASE WHEN try_cast(v AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+        |    min(try_cast(v AS BIGINT)) AS min_int,
+        |    max(try_cast(v AS BIGINT)) AS max_int
+        |  FROM v GROUP BY key)
+        |SELECT key, n_present, n_distinct, n_numeric, min_int, max_int,
+        |  CAST(n_present * 1000000 // t.n_total AS BIGINT) AS fill_ppm
+        |FROM a, t""".stripMargin,
     "doc_token_fertility" ->
       """WITH w AS (SELECT lang, n_chars,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents),

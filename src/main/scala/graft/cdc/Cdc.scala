@@ -47,6 +47,32 @@ object Cdc {
       col("event_id"), col("user_id"), col("operation"),
       get_json_object(col("props"), "$.k").cast("long").as("k"))
 
+  /** #262 Semi-structured key-space profile of the JSON props envelope:
+    * discovers the key population (no schema assumed — `json_object_keys`
+    * per row), and per key reports presence, fill rate, distinct values,
+    * and the numeric range where values parse as numbers. This is the
+    * schema-inference pre-flight for a payload column before promoting
+    * keys to typed silver columns ([[parseProps]] is the promotion;
+    * reference: the Debezium payload fields, dlt_cdc_pipeline.py:166-187).
+    * One map-side explode + one aggregation on the (small) key space.
+    */
+  def propsProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val tot = ev.agg(count(lit(1)).as("n_total"))
+    ev.select(explode(expr("json_object_keys(props)")).as("key"), col("props"))
+      .withColumn("v", expr("get_json_object(props, concat('$.', key))"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_present"),
+        countDistinct(col("v")).as("n_distinct"),
+        sum(expr("CASE WHEN try_cast(v AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END"))
+          .as("n_numeric"),
+        min(expr("try_cast(v AS BIGINT)")).as("min_int"),
+        max(expr("try_cast(v AS BIGINT)")).as("max_int"))
+      .crossJoin(broadcast(tot))
+      .withColumn("fill_ppm", expr("n_present * 1000000 DIV n_total"))
+      .drop("n_total")
+  }
+
   /** #3 SCD Type 1 current state: latest event per key wins; DELETE drops
     * the key (reference: dlt_cdc_pipeline.py:264-303, stored_as_scd_type=1).
     */
