@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeEncode, BpeMergeStep, CosineSim, HyperplaneBucket,
-  MinHashAgg, MinHashSig, NgramJaccard, QuantileSketchAgg, RollingMinHash,
-  ShingleContainment, ShingleJaccard, SimHash64}
+import graft.functions.{BpeEncode, BpeMergeStep, CosineSim, DeflateSize,
+  HyperplaneBucket, MinHashAgg, MinHashSig, NgramJaccard, QuantileSketchAgg,
+  RollingMinHash, ShingleContainment, ShingleJaccard, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the custom Catalyst
   * expressions as SQL functions for any session built with
@@ -43,6 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => ShingleJaccard(es.head, es(1))))
     e.injectFunction((FunctionIdentifier("shingle_containment"), info("shingle_containment"),
       (es: Seq[Expression]) => ShingleContainment(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("deflate_size"), info("deflate_size"),
+      (es: Seq[Expression]) => DeflateSize(es.head)))
     e.injectFunction((FunctionIdentifier("bpe_merge_step"), info("bpe_merge_step"),
       (es: Seq[Expression]) => BpeMergeStep(es.head, es(1).eval().toString,
         es(2).eval().toString)))

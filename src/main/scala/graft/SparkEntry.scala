@@ -276,6 +276,8 @@ object SparkEntry {
     "ts_percentile_bands" -> ((s, d) => TimeSeries.percentileBands(s, d)),
     // linear multi-touch attribution (exact cents split, bounded interval join)
     "ev_attribution_linear" -> ((s, d) => Events.attributionLinear(s, d)),
+    // linear vs first vs last vs U-shaped position, exact cents each
+    "ev_attribution_compare" -> ((s, d) => Events.attributionCompare(s, d)),
     // per-file bloom index: point-lookup file skipping (rows-only oracle)
     "tbl_bloom_prune" -> ((s, d) => BloomIndex.pruneDemo(s, d)),
     // gaps-and-islands interval merge: true covered wall-clock per user
@@ -296,6 +298,9 @@ object SparkEntry {
     "cdc_props_profile" -> ((s, d) => Cdc.propsProfile(s, d)),
     // whitespace-segmentation fertility per language
     "doc_token_fertility" -> ((s, d) => Text.tokenFertility(s, d)),
+    // deflate-ratio quality gate (rows-only: JVM deflate kernel;
+    // TextOpsSpec pins the repetitive/incompressible tails)
+    "doc_compression_ratio" -> ((s, d) => Text.compressionRatio(s, d)),
     // exact-decimal central power sums -> skewness/kurtosis
     "ev_moments" -> ((s, d) => Events.moments(s, d)),
     // deterministic modal value bucket per type
@@ -1211,6 +1216,31 @@ object SparkEntry {
         |  round(CAST(sum(cents // n_touch +
         |    CASE WHEN rn = 1 THEN cents % n_touch ELSE 0 END) AS DOUBLE) / 100.0, 2)
         |    AS attributed_value
+        |FROM c GROUP BY 1""".stripMargin,
+    "ev_attribution_compare" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |pw AS (SELECT *, sum(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS n_touch
+        |  FROM ev),
+        |p AS (SELECT user_id, event_id AS p_id, ts_us AS p_ts, cents, n_touch
+        |  FROM pw WHERE event_type = 'purchase' AND n_touch > 0),
+        |t AS (SELECT user_id, event_id AS t_id, event_type AS touch_type, ts_us AS t_ts
+        |  FROM ev WHERE event_type IN ('view','click')),
+        |j AS (SELECT * FROM p JOIN t USING (user_id)
+        |  WHERE t_ts >= p_ts - 604800000000 AND t_ts <= p_ts),
+        |c AS (SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn
+        |  FROM j)
+        |SELECT touch_type,
+        |  CAST(sum(cents // n_touch + CASE WHEN rn = 1 THEN cents % n_touch ELSE 0 END) AS BIGINT) AS linear_cents,
+        |  CAST(sum(CASE WHEN rn = 1 THEN cents ELSE 0 END) AS BIGINT) AS first_cents,
+        |  CAST(sum(CASE WHEN rn = n_touch THEN cents ELSE 0 END) AS BIGINT) AS last_cents,
+        |  CAST(sum(CASE WHEN n_touch = 1 THEN cents
+        |    WHEN n_touch = 2 THEN CASE WHEN rn = 1 THEN cents - cents // 2 ELSE cents // 2 END
+        |    ELSE CASE WHEN rn = 1 THEN cents * 40 // 100 + (cents - 2 * (cents * 40 // 100) - (n_touch - 2) * ((cents - 2 * (cents * 40 // 100)) // (n_touch - 2)))
+        |    WHEN rn = n_touch THEN cents * 40 // 100
+        |    ELSE (cents - 2 * (cents * 40 // 100)) // (n_touch - 2) END END) AS BIGINT) AS position_cents
         |FROM c GROUP BY 1""".stripMargin,
     "ev_drift_ks" ->
       """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,

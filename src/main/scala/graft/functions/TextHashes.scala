@@ -302,6 +302,26 @@ object TextHashes {
     cur
   }
 
+  /** DEFLATE-compressed size of the string's UTF-8 bytes: fixed level 6,
+    * raw deflate (nowrap — no zlib header so tiny strings aren't
+    * dominated by framing), fresh Deflater per call so the result is a
+    * pure function of the input. The compression RATIO is the classic
+    * cheap text-quality signal: boilerplate/repetitive text compresses
+    * far below natural prose, random noise refuses to compress at all.
+    */
+  def deflateSize(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   /** ADC score: sum over subspaces of the query's precomputed per-code
     * distance-table entries (`tab` is the query's flat m·k table,
     * [s·k + code]). Both sides arrive as Catalyst array data — no

@@ -224,6 +224,21 @@ case class PqAdcScore(left: Expression, right: Expression, k: Int)
   override def prettyName: String = "pq_adc_score"
 }
 
+/** DEFLATE-compressed byte count of a string (level 6, raw stream) — the
+  * numerator of the compression-ratio text-quality signal.
+  */
+case class DeflateSize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.deflateSize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.deflateSize($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateSize =
+    copy(child = newChild)
+  override def prettyName: String = "deflate_size"
+}
+
 object GraftFunctions {
   def simhash64(c: Column): Column = ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
   def rollingMinHash(c: Column, window: Int): Column =
@@ -238,6 +253,8 @@ object GraftFunctions {
     ExpressionUtils.column(ShingleJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def shingleContainment(a: Column, b: Column): Column =
     ExpressionUtils.column(ShingleContainment(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def deflateSize(c: Column): Column =
+    ExpressionUtils.column(DeflateSize(ExpressionUtils.expression(c)))
   def hyperplaneBucket(c: Column, planes: Int, salt: Int = 0): Column =
     ExpressionUtils.column(HyperplaneBucket(ExpressionUtils.expression(c), planes, salt))
   def pqCodes(c: Column, cb: Array[Float], m: Int, k: Int, d: Int): Column =
@@ -272,6 +289,8 @@ object GraftFunctions {
       es => ShingleJaccard(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("shingle_containment",
       es => ShingleContainment(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("deflate_size",
+      es => DeflateSize(es.head), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_bucket",
       es => HyperplaneBucket(es.head, intArg(es(1)),
         if (es.length > 2) intArg(es(2)) else 0), "built-in")

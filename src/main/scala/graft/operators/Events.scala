@@ -561,6 +561,56 @@ object Events {
           .cast("double") / 100.0, 2).as("attributed_value"))
   }
 
+  /** #264 Attribution-model comparison: the same touch⋈purchase frame as
+    * [[attributionLinear]] credited under FOUR models side by side —
+    * linear, first-touch, last-touch, and U-shaped position (40/20/40,
+    * the standard position-based model) — so marketing sees how much the
+    * model CHOICE moves each channel before anyone argues about the
+    * numbers. Every model is exact integer cents with the division
+    * remainder pinned to the earliest touch, so each model conserves
+    * every purchase's value to the cent and the whole comparison
+    * hash-replays cross-engine. One extra projection over the linear
+    * plan — same joins, same windows, zero additional shuffles.
+    */
+  def attributionCompare(spark: SparkSession, dir: String): DataFrame = {
+    val WindowUs = 7L * 86400000000L
+    val ev = withTs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val isTouch = col("event_type").isin("view", "click")
+    val wRange = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-WindowUs, 0)
+    val purchases = ev
+      .withColumn("n_touch", sum(when(isTouch, 1L).otherwise(0L)).over(wRange))
+      .filter(col("event_type") === "purchase" && col("n_touch") > 0)
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts_us").as("p_ts"), col("cents"), col("n_touch"))
+    val touches = ev.filter(isTouch)
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("touch_type"), col("ts_us").as("t_ts"))
+    val wp = Window.partitionBy("p_id").orderBy(col("t_ts"), col("t_id"))
+    val f40 = "cents * 40 DIV 100"
+    val mid = s"(cents - 2 * ($f40)) DIV (n_touch - 2)"
+    purchases.join(touches, "user_id")
+      .filter(col("t_ts") >= col("p_ts") - WindowUs && col("t_ts") <= col("p_ts"))
+      .withColumn("rn", row_number().over(wp))
+      .withColumn("linear_c",
+        expr("cents DIV n_touch") +
+          when(col("rn") === 1, expr("cents % n_touch")).otherwise(0L))
+      .withColumn("first_c", when(col("rn") === 1, col("cents")).otherwise(0L))
+      .withColumn("last_c", when(col("rn") === col("n_touch"), col("cents")).otherwise(0L))
+      .withColumn("position_c", expr(
+        "CASE WHEN n_touch = 1 THEN cents " +
+          "WHEN n_touch = 2 THEN CASE WHEN rn = 1 THEN cents - cents DIV 2 ELSE cents DIV 2 END " +
+          s"ELSE CASE WHEN rn = 1 THEN $f40 + (cents - 2 * ($f40) - (n_touch - 2) * ($mid)) " +
+          s"WHEN rn = n_touch THEN $f40 ELSE $mid END END"))
+      .groupBy("touch_type")
+      .agg(sum(col("linear_c")).as("linear_cents"),
+        sum(col("first_c")).as("first_cents"),
+        sum(col("last_c")).as("last_cents"),
+        sum(col("position_c")).as("position_cents"))
+  }
+
   /** #233 Kolmogorov–Smirnov two-sample drift statistic per event type —
     * the CDF-based complement of [[driftTv]]'s binned TVD (KS catches
     * location/shape shifts that coarse bins smear). EXACT integer

@@ -953,6 +953,37 @@ object Text {
         out, targetBytes = 32768L)
     })
 
+  /** #263 Compression-ratio quality gate (the RefinedWeb/Dolma-style
+    * cheap filter): deflate bytes ÷ raw UTF-8 bytes per document, in e4
+    * fixed-point. Repetitive boilerplate compresses far below natural
+    * prose (low ratio) and random noise refuses to compress (ratio near
+    * or above 10⁴) — both tails are curation rejects. The kernel is the
+    * codegen'd [[graft.functions.DeflateSize]] expression (fresh raw
+    * deflater per row, level 6 — a pure function of the text), so the
+    * whole operator is one map-side projection + a verdict CASE; no
+    * shuffle at all until a downstream aggregate.
+    *
+    * Rows-only oracle (the deflate byte count is a JVM kernel, not SQL);
+    * TextOpsSpec pins the tails with planted repetitive/incompressible
+    * docs and determinism across runs.
+    */
+  def compressionRatio(spark: SparkSession, dir: String,
+      loE4: Long = 2500L, hiE4: Long = 9500L): DataFrame =
+    compressionRatioFrom(Tables.documents(spark, dir), loE4, hiE4)
+
+  /** [[compressionRatio]] over any (doc_id, text) frame. */
+  def compressionRatioFrom(docs: DataFrame, loE4: Long = 2500L,
+      hiE4: Long = 9500L): DataFrame =
+    docs
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.functions.GraftFunctions.deflateSize(col("text")).as("z_bytes"))
+      .withColumn("ratio_e4", expr("z_bytes * 10000 DIV greatest(n_bytes, 1)"))
+      .withColumn("verdict",
+        when(col("ratio_e4") < loE4, "repetitive")
+          .when(col("ratio_e4") > hiE4, "incompressible")
+          .otherwise("keep"))
+
   /** #261 Tokenizer-fertility profile per language: whitespace words per
     * document and characters per word in exact e4 fixed-point — the
     * pre-tokenizer sanity check that catches a language whose scripts

@@ -459,6 +459,35 @@ class TextOpsSpec extends SparkSpec {
       r0.getAs[Long]("n_chars") * 16777216L / (u + 1))
   }
 
+  test("compression ratio separates repetitive, prose, and incompressible tails") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val noise = Array.fill(4000)(rng.nextPrintableChar()).mkString
+    val docs = Seq(
+      (1L, "spam spam spam " * 300),                       // repetitive
+      (2L, Tables.documents(spark, sf).select("text").head().getString(0)), // prose
+      (3L, noise)                                          // incompressible
+    ).toDF("doc_id", "text")
+    // printable-ASCII noise caps near ratio 0.83 (6.6 of 8 bits/char), so
+    // the text-corpus profile passes hiE4=8000; the 9500 default targets
+    // binary-in-text payloads
+    val out = graft.operators.Text.compressionRatioFrom(docs, hiE4 = 8000L).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("ratio_e4"), r.getAs[String]("verdict"))))
+      .toMap
+    assert(out(1L)._2 === "repetitive", s"got ${out(1L)}")
+    assert(out(3L)._2 === "incompressible", s"got ${out(3L)}")
+    assert(out(1L)._1 < out(2L)._1 && out(2L)._1 < out(3L)._1,
+      s"ordering violated: $out")
+    // pure function of the text: re-run is bit-identical
+    val again = graft.operators.Text.compressionRatioFrom(docs, hiE4 = 8000L).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("ratio_e4")).toMap
+    assert(out.map { case (k, v) => k -> v._1 } === again)
+    // SQL facade exposure
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT deflate_size('spam spam spam')").head().getLong(0)
+    assert(viaSql > 0L && viaSql < 15L)
+  }
+
   test("KMV overlap is exact when sketches cover the full shingle sets") {
     import spark.implicits._
     // one 5-token text → exactly one shingle; sources are then plain sets

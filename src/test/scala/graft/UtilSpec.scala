@@ -696,6 +696,32 @@ class UtilSpec extends SparkSpec {
     h.unpersist()
   }
 
+  test("attribution models each conserve the purchase and split as defined") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("attr").toString
+    // u1: view, click, view touches then a 100-cent purchase
+    val rows = Seq(
+      (1L, 1000000000000L, 1L, "view", 0.0, "{}"),
+      (2L, 2000000000000L, 1L, "click", 0.0, "{}"),
+      (3L, 3000000000000L, 1L, "view", 0.0, "{}"),
+      (4L, 4000000000000L, 1L, "purchase", 1.00, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val m = Events.attributionCompare(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // linear 34/33/33 (remainder to earliest); first all-to-t1; last
+    // all-to-t3; position 40/20/40
+    assert(m("view") === ((67L, 100L, 100L, 80L)), s"view: ${m("view")}")
+    assert(m("click") === ((33L, 0L, 0L, 20L)), s"click: ${m("click")}")
+    // conservation on the real corpus: all four models attribute the
+    // same total (every attributed purchase splits exactly)
+    val tot = Events.attributionCompare(spark, sf)
+      .agg(sum("linear_cents"), sum("first_cents"), sum("last_cents"),
+        sum("position_cents")).head()
+    assert((0 to 3).map(tot.getLong).distinct.size === 1, s"totals: $tot")
+  }
+
   test("label propagation recovers planted cliques with deterministic ties") {
     import spark.implicits._
     import graft.operators.Graph
