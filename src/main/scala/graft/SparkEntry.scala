@@ -246,6 +246,11 @@ object SparkEntry {
     // time-series regularization: dense calendar + forward-fill; exact fixed-point EWMA
     "ts_gap_fill" -> ((s, d) => TimeSeries.gapFill(s, d)),
     "ts_ewma" -> ((s, d) => TimeSeries.ewma(s, d)),
+    // dow-adjusted residual MAD fences (seasonal cycle doesn't trip the alarm)
+    "ts_residual_anomaly" -> ((s, d) => TimeSeries.residualAnomaly(s, d)),
+    // cross-table fuzzy record linkage: blocked candidates + kernel verify
+    // (rows-only: char-3-gram kernel; DedupSpec pins exact-number matches)
+    "q_entity_resolution" -> ((s, d) => Dedup.entityResolution(s, d)),
     // centrality over the k-NN substrate (iterative; rows-only oracle)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     // SCD2 hygiene + point-in-time movement
@@ -2393,6 +2398,28 @@ object SparkEntry {
         |    AS outlier_ratio_e4
         |FROM dev JOIN mad ON dev.event_type = mad.event_type
         |GROUP BY 1, 2, 3""".stripMargin,
+    "ts_residual_anomaly" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |bd AS (SELECT event_type, (day + 4) % 7 AS dow, count(*) AS days_dow,
+        |    CAST(sum(cents) AS BIGINT) AS t_dow
+        |  FROM daily GROUP BY 1, 2),
+        |r AS (SELECT d.event_type, d.day, (d.day + 4) % 7 AS dow, d.cents,
+        |    CAST(b.t_dow // b.days_dow AS BIGINT) AS mean_dow,
+        |    CAST(d.cents - b.t_dow // b.days_dow AS BIGINT) AS residual
+        |  FROM daily d JOIN bd b ON d.event_type = b.event_type AND (d.day + 4) % 7 = b.dow),
+        |med AS (SELECT event_type, round(quantile_cont(residual, 0.5), 4) AS med_r
+        |        FROM r GROUP BY 1),
+        |dev AS (SELECT r.*, med_r, abs(residual - med_r) AS absdev
+        |        FROM r JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, round(quantile_cont(absdev, 0.5), 4) AS mad_r
+        |        FROM dev GROUP BY 1)
+        |SELECT dev.event_type, CAST(day AS BIGINT) AS day, CAST(dow AS BIGINT) AS dow,
+        |  cents, mean_dow, residual, med_r, mad_r,
+        |  CAST(CASE WHEN mad_r > 0 AND abs(residual - med_r) > 5.0 * mad_r
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM dev JOIN mad USING (event_type)""".stripMargin,
     "cdc_schema_drift" ->
       """WITH obs AS (
         |  SELECT * FROM (

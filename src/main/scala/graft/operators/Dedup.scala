@@ -537,4 +537,27 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("inner_doc", "outer_doc", "containment", "jaccard")
   }
+
+  /** #266 Cross-table entity resolution (record linkage): fuzzy-join
+    * customer and supplier names WITHOUT a cartesian product — block on
+    * the discriminative trailing 6 characters (the entity-number suffix
+    * in this schema; in general, any high-selectivity derived key), then
+    * verify candidates with the exact character-3-gram Jaccard kernel.
+    * The classic warehouse linkage shape: blocking keys bound the
+    * candidate set, the expensive similarity only ever runs inside a
+    * block, and the small side broadcasts. Same machinery as document
+    * near-dup (blocking + kernel verify), applied across TABLES.
+    */
+  def entityResolution(spark: SparkSession, dir: String,
+      threshold: Double = 0.25): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+      .withColumn("blk", expr("substr(c_name, -6)"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+      .withColumn("blk", expr("substr(s_name, -6)"))
+    c.join(broadcast(s), "blk")
+      .withColumn("sim",
+        round(GraftFunctions.ngramJaccard(col("c_name"), col("s_name"), 3), 4))
+      .filter(col("sim") >= threshold)
+      .select("c_custkey", "s_suppkey", "c_name", "s_name", "sim")
+  }
 }

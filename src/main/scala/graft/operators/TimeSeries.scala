@@ -152,6 +152,41 @@ object TimeSeries {
             "(CAST(days_dow AS DECIMAL(38,0)) * t_all) AS BIGINT)")).as("ratio_e4"))
   }
 
+  /** #265 Seasonally-adjusted anomaly detection: daily cents totals per
+    * type minus the type's same-day-of-week integer mean, then
+    * median/MAD fences over the RESIDUALS — so a strong weekly cycle
+    * doesn't trip the alarm that a raw-total fence would (every Sunday
+    * would flag) and a genuinely bad Tuesday still does. Composes the
+    * [[seasonality]] dow frame with [[graft.operators.Events.anomalyMad]]'s
+    * robust-fence pattern; the per-type frames are calendar-bounded
+    * (≤ days in window), so the broadcasts stay tiny at any corpus size.
+    */
+  def residualAnomaly(spark: SparkSession, dir: String, k: Double = 5.0): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val byDow = daily.groupBy(col("event_type"), expr("(day + 4) % 7").as("dow"))
+      .agg(count(lit(1)).as("days_dow"), sum(col("cents")).as("t_dow"))
+    val resid = daily.withColumn("dow", expr("(day + 4) % 7"))
+      .join(broadcast(byDow), Seq("event_type", "dow"))
+      .withColumn("mean_dow", expr("t_dow DIV days_dow"))
+      .withColumn("residual", col("cents") - col("mean_dow"))
+    val med = resid.groupBy("event_type")
+      .agg(expr("round(percentile(residual, 0.5D), 4)").as("med_r"))
+    val dev = resid.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs(col("residual") - col("med_r")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("round(percentile(absdev, 0.5D), 4)").as("mad_r"))
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("dow"), col("cents"),
+        col("mean_dow"), col("residual"), col("med_r"), col("mad_r"))
+      .withColumn("is_anomaly",
+        (col("mad_r") > 0 &&
+          abs(col("residual") - col("med_r")) > lit(k) * col("mad_r")).cast("long"))
+  }
+
   /** #242 Daily percentile bands (P50/P95 of event value per day) from
     * the mergeable KLL-style sketch aggregate — the latency/value SLO
     * band chart. O(k log n) state per day, map-side partial merge, no

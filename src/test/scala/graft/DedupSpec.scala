@@ -282,4 +282,21 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("inner_doc") === col("outer_doc") + 3000000L).count() === 0)
     out.unpersist()
   }
+
+  test("entity resolution links exactly the shared entity numbers across tables") {
+    import graft.operators.Dedup
+    val out = Dedup.entityResolution(spark, sf).collect()
+    assert(out.nonEmpty)
+    // in this schema Customer#N ↔ Supplier#N are the true links: blocking
+    // on the number suffix + 3-gram verify must recover them all, and
+    // ONLY them (different numbers never share a block)
+    out.foreach { r =>
+      assert(r.getAs[Long]("c_custkey") === r.getAs[Long]("s_suppkey"), s"bad link: $r")
+      assert(r.getAs[Double]("sim") >= 0.25)
+    }
+    val nSupp = Tables.supplier(spark, sf).count()
+    val nCust = Tables.customer(spark, sf).count()
+    assert(out.length === math.min(nSupp, nCust).toInt,
+      s"expected ${math.min(nSupp, nCust)} links, got ${out.length}")
+  }
 }
