@@ -259,6 +259,24 @@ object SparkEntry {
     // exact-arithmetic trend + seasonality over the daily series
     "ts_trend" -> ((s, d) => TimeSeries.trend(s, d)),
     "ts_seasonality" -> ((s, d) => TimeSeries.seasonality(s, d)),
+    // lag-1..7 autocorrelation of the daily series (exact cross-products)
+    "ts_acf" -> ((s, d) => TimeSeries.acf(s, d)),
+    // CUSUM level-shift alarms via the cumsum-minus-running-min identity
+    "ts_cusum" -> ((s, d) => TimeSeries.cusum(s, d)),
+    // metronome-gap bot detection (one user_id exchange)
+    "ev_bot_regularity" -> ((s, d) => Events.botRegularity(s, d)),
+    // Benford first-digit audit over the two monetary columns
+    "q_benford_audit" -> ((s, d) =>
+      Profile.benfordAudit(Tables.lineitem(s, d), "l_extendedprice", "l_extendedprice")
+        .unionByName(Profile.benfordAudit(Tables.orders(s, d), "o_totalprice", "o_totalprice"))),
+    // functional-dependency violation profile over candidate A->B rules
+    "q_fd_audit" -> ((s, d) =>
+      Profile.fdAudit(Tables.lineitem(s, d), "lineitem",
+        Seq("l_orderkey" -> "l_returnflag", "l_partkey" -> "l_suppkey"))
+        .unionByName(Profile.fdAudit(Tables.orders(s, d), "orders",
+          Seq("o_custkey" -> "o_orderpriority")))
+        .unionByName(Profile.fdAudit(Tables.documents(s, d), "documents",
+          Seq("source" -> "lang", "text" -> "n_chars")))),
     // persisted mergeable-sketch index; range distinct without a fact rescan
     "q_hll_range" -> ((s, d) => Sketches.hllRangeDemo(s, d)),
     // CRM / experimentation battery: RFM quintiles, drift alarms, A/B readout
@@ -360,6 +378,13 @@ object SparkEntry {
     // two-stage retrieve-then-rerank (rows-only: coarse stage rides the
     // int8 codes; ScaleSpec pins recall vs the exact scan)
     "ann_rerank_topk" -> ((s, d) => Similarity.annRerankTopK(s, d)),
+    // MMR-diversified rerank: bounded per-query greedy over 4k over-fetch
+    // (rows-only: greedy argmax not SQL-expressible; ScaleSpec plants
+    // redundant candidates and pins the suppression)
+    "ann_mmr_topk" -> ((s, d) => Similarity.annMmrTopK(s, d)),
+    // DCT perceptual-hash near-dup audit over REAL decoded PNGs
+    // (rows-only: codec + DCT; ImageDecodeSpec plants near-dup images)
+    "mm_phash_dedup" -> ((s, d) => graft.operators.Multimodal.phashDedup(s, d)),
     // product-quantized ADC scan (rows-only: k-means codebooks; ScaleSpec
     // pins recall vs the exact L2 scan)
     "ann_pq_topk" -> ((s, d) => Similarity.annPqTopK(s, d)),
@@ -1141,6 +1166,85 @@ object SparkEntry {
         |    ELSE CAST(CAST(t_dow AS HUGEINT) * days_all * 10000 //
         |      (CAST(days_dow AS HUGEINT) * t_all) AS BIGINT) END AS ratio_e4
         |FROM dw JOIN ov USING (event_type)""".stripMargin,
+    "ts_acf" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag_d),
+        |x AS (SELECT d.event_type, l.lag_d, d.day + l.lag_d AS day_y, d.cents AS cx
+        |      FROM daily d CROSS JOIN lags l),
+        |p AS (SELECT x.event_type, x.lag_d, x.cx, y.cents AS cy
+        |      FROM x JOIN daily y ON x.event_type = y.event_type AND x.day_y = y.day),
+        |s AS (SELECT event_type, lag_d, count(*) AS n_pairs,
+        |    sum(CAST(cx AS HUGEINT)) AS sx, sum(CAST(cy AS HUGEINT)) AS sy,
+        |    sum(CAST(cx AS HUGEINT) * cx) AS sxx, sum(CAST(cy AS HUGEINT) * cy) AS syy,
+        |    sum(CAST(cx AS HUGEINT) * cy) AS sxy
+        |  FROM p GROUP BY 1, 2),
+        |t AS (SELECT event_type, lag_d, n_pairs,
+        |    CAST(n_pairs AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(n_pairs AS HUGEINT) * sxx - sx * sx AS denx,
+        |    CAST(n_pairs AS HUGEINT) * syy - sy * sy AS deny FROM s)
+        |SELECT event_type, lag_d, n_pairs,
+        |  CASE WHEN denx <= 0 OR deny <= 0 THEN NULL
+        |    ELSE round(CAST(num AS DOUBLE) / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 4)
+        |    END AS rho
+        |FROM t""".stripMargin,
+    "ts_cusum" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |mu AS (SELECT event_type,
+        |    CAST(round(quantile_cont(cents, 0.5)) AS BIGINT) AS target_c
+        |  FROM daily GROUP BY 1),
+        |dv AS (SELECT daily.event_type, day, cents, target_c,
+        |    cents - target_c AS dev FROM daily JOIN mu USING (event_type)),
+        |md AS (SELECT event_type,
+        |    CAST(round(quantile_cont(abs(dev), 0.5)) AS BIGINT) AS mad_c
+        |  FROM dv GROUP BY 1),
+        |c AS (SELECT dv.event_type, day, cents, target_c, dev, mad_c,
+        |    sum(dev - mad_c // 2) OVER w AS cu,
+        |    sum(-dev - mad_c // 2) OVER w AS cd
+        |  FROM dv JOIN md USING (event_type)
+        |  WINDOW w AS (PARTITION BY dv.event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT event_type, day, cents, target_c, dev, mad_c,
+        |    CAST(cu - least(min(cu) OVER w, 0) AS BIGINT) AS cusum_up,
+        |    CAST(cd - least(min(cd) OVER w, 0) AS BIGINT) AS cusum_dn
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, cents, target_c, dev, mad_c, cusum_up, cusum_dn,
+        |  CAST(CASE WHEN mad_c > 0 AND (cusum_up > 5 * mad_c OR cusum_dn > 5 * mad_c)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        |FROM f""".stripMargin,
+    "ev_bot_regularity" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT user_id,
+        |    ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS gap_us FROM e),
+        |g2 AS (SELECT user_id, gap_us FROM g WHERE gap_us IS NOT NULL),
+        |med AS (SELECT user_id, count(*) AS n_gaps,
+        |    round(quantile_cont(gap_us, 0.5), 4) AS med_us FROM g2 GROUP BY 1),
+        |dev AS (SELECT g2.user_id, abs(gap_us - med_us) AS absdev
+        |        FROM g2 JOIN med USING (user_id)),
+        |mad AS (SELECT user_id, round(quantile_cont(absdev, 0.5), 4) AS mad_us
+        |        FROM dev GROUP BY 1)
+        |SELECT med.user_id, n_gaps, med_us, mad_us,
+        |  CAST(CASE WHEN n_gaps >= 20 AND mad_us * 20.0 <= med_us
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_regular,
+        |  CAST(CASE WHEN med_us < 1000000.0 THEN 1 ELSE 0 END AS BIGINT) AS is_rapid
+        |FROM med JOIN mad USING (user_id)""".stripMargin,
+    "q_benford_audit" ->
+      graft.operators.Profile.benfordOracle(Seq(
+        "lineitem" -> "l_extendedprice", "orders" -> "o_totalprice")),
+    "q_fd_audit" ->
+      Seq(
+        graft.operators.Profile.fdOracleLeg("lineitem", "l_orderkey", "l_returnflag"),
+        graft.operators.Profile.fdOracleLeg("lineitem", "l_partkey", "l_suppkey"),
+        graft.operators.Profile.fdOracleLeg("orders", "o_custkey", "o_orderpriority"),
+        graft.operators.Profile.fdOracleLeg("documents", "source", "lang"),
+        graft.operators.Profile.fdOracleLeg("documents", "text", "n_chars"))
+        .mkString("\nUNION ALL\n"),
     "ev_rfm_segments" ->
       """WITH usr AS (SELECT user_id,
         |    max(epoch_us(ts) // 86400000000) AS r_day, count(*) AS f_cnt,

@@ -879,4 +879,38 @@ object Events {
         sum(col("e") - col("s")).as("covered_us"),
         max(col("e") - col("s")).as("longest_us"))
   }
+
+  /** #269 Bot-traffic regularity audit: humans emit events with heavy-
+    * tailed inter-arrival gaps; schedulers and scrapers emit metronomes.
+    * Per user: gap count, median gap, MAD of gaps, and two flags —
+    * `is_regular` (MAD ≤ 5% of median over ≥ minGaps gaps: a metronome)
+    * and `is_rapid` (median under a second) — the pre-training filter
+    * that keeps synthetic click-storms out of a behavioral corpus.
+    *
+    * The lag window, both per-user medians, and the final join all share
+    * the user_id hash partitioning, so the whole operator is ONE
+    * exchange; thresholds are cross-multiplied comparisons on the
+    * 4dp-rounded medians (identical SQL text both engines), never a
+    * ratio. The per-user frames scale with users, not events — nothing
+    * here is broadcast.
+    */
+  def botRegularity(spark: SparkSession, dir: String, minGaps: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+    val med = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("round(percentile(gap_us, 0.5D), 4)").as("med_us"))
+    val dev = gaps.join(med, "user_id")
+      .withColumn("absdev", abs(col("gap_us") - col("med_us")))
+    val mad = dev.groupBy("user_id")
+      .agg(expr("round(percentile(absdev, 0.5D), 4)").as("mad_us"))
+    med.join(mad, "user_id")
+      .select(col("user_id"), col("n_gaps"), col("med_us"), col("mad_us"),
+        (col("n_gaps") >= minGaps && col("mad_us") * 20.0 <= col("med_us"))
+          .cast("long").as("is_regular"),
+        (col("med_us") < 1000000.0).cast("long").as("is_rapid"))
+  }
 }

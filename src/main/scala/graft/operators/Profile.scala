@@ -78,6 +78,101 @@ object Profile {
         "n_matching_keys", "predicted_rows", "max_key_rows")
   }
 
+  /** Benford's-law first-significant-digit expectation, parts-per-million:
+    * floor(log10(1 + 1/d) · 10⁶) for d = 1..9. Hard integer constants —
+    * the same literals appear in the oracle SQL, so no engine ever
+    * evaluates a log.
+    */
+  final val BenfordPpm: Seq[(String, Long)] = Seq(
+    "1" -> 301029L, "2" -> 176091L, "3" -> 124938L, "4" -> 96910L,
+    "5" -> 79181L, "6" -> 66946L, "7" -> 57991L, "8" -> 51152L, "9" -> 45757L)
+
+  /** #270 Benford first-digit audit: the fraud/synthetic-data smoke test —
+    * naturally-occurring monetary amounts follow log-uniform leading
+    * digits; fabricated or clamped columns don't. The digit is taken from
+    * the integer cents' decimal string (positive amounts), counted in ONE
+    * aggregation per column, and compared against the hard Benford ppm
+    * constants as exact integer deviations. At 100 TB this is a map-side
+    * partial count into a 9-row frame per column — nothing scales with
+    * data but the scan.
+    */
+  def benfordAudit(df: DataFrame, colLabel: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = BenfordPpm.toDF("digit", "exp_ppm")
+    val digits = df
+      .select(expr(s"CAST(round($valueCol * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+      .select(expr("substring(CAST(cents AS STRING), 1, 1)").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("n_total"))
+    expected.join(broadcast(digits), Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .join(broadcast(total))
+      .select(lit(colLabel).as("col_label"), col("digit"), col("n"),
+        expr("n * 1000000 DIV n_total").as("obs_ppm"), col("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+  }
+
+  /** DuckDB oracle text for one [[benfordAudit]] leg, generated from the
+    * same [[BenfordPpm]] constants so the two engines cannot drift.
+    */
+  def benfordOracle(legs: Seq[(String, String)]): String = {
+    val values = BenfordPpm.map { case (d, p) => s"('$d', $p)" }.mkString(", ")
+    val ctes = legs.zipWithIndex.map { case ((table, valueCol), i) =>
+      s"""d$i AS (SELECT substring(CAST(cents AS VARCHAR), 1, 1) AS digit,
+         |        count(*) AS n
+         |  FROM (SELECT CAST(round($valueCol * 100) AS BIGINT) AS cents FROM $table
+         |        WHERE CAST(round($valueCol * 100) AS BIGINT) > 0)
+         |  GROUP BY 1),
+         |t$i AS (SELECT sum(n) AS n_total FROM d$i)""".stripMargin
+    }.mkString(",\n")
+    val selects = legs.zipWithIndex.map { case ((_, valueCol), i) =>
+      s"""SELECT '$valueCol' AS col_label, expected.digit,
+         |  CAST(COALESCE(n, 0) AS BIGINT) AS n,
+         |  CAST(COALESCE(n, 0) * 1000000 // n_total AS BIGINT) AS obs_ppm,
+         |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
+         |  CAST(COALESCE(n, 0) * 1000000 // n_total - exp_ppm AS BIGINT) AS dev_ppm
+         |FROM expected LEFT JOIN d$i ON expected.digit = d$i.digit CROSS JOIN t$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH expected(digit, exp_ppm) AS (VALUES $values),\n$ctes\n$selects"
+  }
+
+  /** DuckDB oracle text for one [[fdAudit]] rule. */
+  def fdOracleLeg(table: String, a: String, b: String): String =
+    s"""SELECT '$table' AS table_name, '$a' AS determinant, '$b' AS dependent,
+       |  count(*) AS n_groups,
+       |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+       |  CAST(sum(CASE WHEN nd > 1 THEN nr ELSE 0 END) AS BIGINT) AS violating_rows,
+       |  CAST(CASE WHEN count(*) = 0 THEN 0
+       |    ELSE sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+       |    END AS BIGINT) AS violation_ppm
+       |FROM (SELECT $a, count(DISTINCT $b) AS nd, count(*) AS nr
+       |      FROM $table GROUP BY 1)""".stripMargin
+
+  /** #271 Functional-dependency audit: for each candidate A→B rule, how
+    * many determinant groups carry more than one distinct dependent value
+    * (and how many rows sit in those groups). The discovery primitive
+    * under normalization checks, "is this column derivable" pruning, and
+    * CDC key-sanity gates. One countDistinct aggregation per rule, each
+    * folding to a single row — the per-rule frames never leave the
+    * key-cardinality scale.
+    */
+  def fdAudit(df: DataFrame, table: String, pairs: Seq[(String, String)]): DataFrame =
+    pairs.map { case (a, b) =>
+      df.groupBy(col(a))
+        .agg(countDistinct(col(b)).as("nd"), count(lit(1)).as("nr"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("violating_groups"),
+          sum(when(col("nd") > 1, col("nr")).otherwise(0L)).as("violating_rows"))
+        .select(lit(table).as("table_name"), lit(a).as("determinant"),
+          lit(b).as("dependent"), col("n_groups"),
+          col("violating_groups"),
+          coalesce(col("violating_rows"), lit(0L)).as("violating_rows"),
+          expr("CASE WHEN n_groups = 0 THEN 0 " +
+            "ELSE violating_groups * 1000000 DIV n_groups END").as("violation_ppm"))
+    }.reduce(_ unionByName _)
+
   /** #244 Join strategy advisor: the [[joinCardinalityOn]] numbers turned
     * into the decision a planner (or an engineer staring at a 100 TB
     * shuffle) actually makes — broadcast the smaller side when it fits,

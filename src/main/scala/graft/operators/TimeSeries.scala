@@ -206,6 +206,90 @@ object TimeSeries {
         round(element_at(col("qs"), 2), 4).as("p95_est"),
         col("n_events"))
 
+  /** #267 Autocorrelation of the daily per-type series at lags 1..maxLag:
+    * the "does last week predict this week" readout that decides whether a
+    * forecast (or a seasonality adjustment) is worth running at all. The
+    * lag pairing is calendar-based (day, day+L), inner — a missing day
+    * drops the pair on both engines identically. All Pearson cross-terms
+    * (nΣxy−ΣxΣy, nΣx²−(Σx)², nΣy²−(Σy)²) are EXACT DECIMAL(38,0) products
+    * of integer cents; only the final ρ division/sqrt runs in double, in
+    * IDENTICAL SQL text on both engines (the [[Events.moments]] pattern).
+    *
+    * Scale: the daily frame is calendar-bounded (types × days), so the
+    * ×maxLag fan-out and the self-join are over a frame that stays tiny at
+    * ANY corpus size — the only corpus-scale work is the one daily
+    * aggregate every other ts_* operator already shares.
+    */
+  def acf(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val lags = spark.range(1, maxLag + 1).select(col("id").as("lag_d"))
+    // x side fans out by the (tiny, broadcast) lag list; y side is the
+    // same daily frame matched at day + lag
+    val x = daily.join(broadcast(lags))
+      .select(col("event_type"), col("lag_d"), (col("day") + col("lag_d")).as("day_y"),
+        col("cents").as("cx"))
+    val y = daily.select(col("event_type"), col("day").as("day_y"), col("cents").as("cy"))
+    x.join(y, Seq("event_type", "day_y"))
+      .groupBy("event_type", "lag_d")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(CAST(cx AS DECIMAL(38,0)))").as("sx"),
+        expr("sum(CAST(cy AS DECIMAL(38,0)))").as("sy"),
+        expr("sum(CAST(cx AS DECIMAL(38,0)) * cx)").as("sxx"),
+        expr("sum(CAST(cy AS DECIMAL(38,0)) * cy)").as("syy"),
+        expr("sum(CAST(cx AS DECIMAL(38,0)) * cy)").as("sxy"))
+      .withColumn("num", expr("CAST(n_pairs AS DECIMAL(38,0)) * sxy - sx * sy"))
+      .withColumn("denx", expr("CAST(n_pairs AS DECIMAL(38,0)) * sxx - sx * sx"))
+      .withColumn("deny", expr("CAST(n_pairs AS DECIMAL(38,0)) * syy - sy * sy"))
+      .select(col("event_type"), col("lag_d"), col("n_pairs"),
+        expr("CASE WHEN denx <= 0 OR deny <= 0 THEN NULL ELSE " +
+          "round(CAST(num AS DOUBLE) / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 4) " +
+          "END").as("rho"))
+  }
+
+  /** #268 CUSUM level-shift detection over the daily per-type series,
+    * EXACT integer arithmetic end-to-end. The textbook recursion
+    * S_t = max(0, S_{t-1} + y_t) is not window-expressible, but its
+    * closed form is: S_t = c_t − min(0, min_{j≤t} c_j) where c is the
+    * running sum of y — two frames over ONE sort per type. Deviations are
+    * against the integer-rounded MEDIAN (a mean target lets one spike
+    * poison every other day's deviation); the slack (MAD/2) and alarm
+    * threshold (h·MAD) come from the integer-rounded median absolute
+    * deviation, so every downstream column is a bigint and the hash is
+    * engine-exact. One shuffle (the daily aggregate); the CUSUM windows
+    * run on the calendar-bounded frame.
+    */
+  def cusum(spark: SparkSession, dir: String, h: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val mu = daily.groupBy("event_type")
+      .agg(expr("CAST(round(percentile(cents, 0.5D)) AS BIGINT)").as("target_c"))
+    val dev = daily.join(broadcast(mu), "event_type")
+      .withColumn("dev", col("cents") - col("target_c"))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("CAST(round(percentile(abs(dev), 0.5D)) AS BIGINT)").as("mad_c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("cu", sum(col("dev") - expr("mad_c DIV 2")).over(w))
+      .withColumn("cd", sum(-col("dev") - expr("mad_c DIV 2")).over(w))
+      .withColumn("cusum_up", col("cu") - least(min(col("cu")).over(w), lit(0L)))
+      .withColumn("cusum_dn", col("cd") - least(min(col("cd")).over(w), lit(0L)))
+      .select(col("event_type"), col("day"), col("cents"), col("target_c"),
+        col("dev"), col("mad_c"), col("cusum_up"), col("cusum_dn"),
+        (col("mad_c") > 0 &&
+          (col("cusum_up") > lit(h.toLong) * col("mad_c") ||
+            col("cusum_dn") > lit(h.toLong) * col("mad_c"))).cast("long").as("alarm"))
+  }
+
   /** The DuckDB oracle text for [[ewma]], generated from the same K so the
     * two engines cannot drift.
     */

@@ -212,4 +212,49 @@ class TimeSeriesSpec extends SparkSpec {
     assert(flat.length === 1 && flat.head.getAs[String]("leaf") === ".")
     assert(flat.head.getAs[Long]("n_files") === 2L)
   }
+
+  private def ns(day: Long): Long = day * 86400000000000L + 1000000000L
+
+  test("acf recovers a planted period-2 cycle and nulls a constant series") {
+    val dir = java.nio.file.Files.createTempDirectory("acf").toString
+    // type p: daily values alternate 100 / 200 over 14 days -> the lag-1
+    // correlation is exactly -1, lag-2 exactly +1; type c is constant ->
+    // zero variance, rho must be NULL, never NaN
+    val rows = (0 until 14).map { d =>
+      val v = if (d % 2 == 0) 100.0 else 200.0
+      (d.toLong, ns(d), 1L, "p", v, "{}")
+    } ++ (0 until 14).map { d => (100L + d, ns(d), 2L, "c", 50.0, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = TimeSeries.acf(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(("p", 1L)) === ((13L, Some(-1.0))))
+    assert(out(("p", 2L)) === ((12L, Some(1.0))))
+    assert(out(("p", 7L))._1 === 7L)
+    (1L to 7L).foreach { l => assert(out(("c", l))._2.isEmpty, s"constant lag $l") }
+  }
+
+  test("cusum alarms on a planted level shift and stays quiet on jitter") {
+    val dir = java.nio.file.Files.createTempDirectory("cusum").toString
+    // 20 days alternating 100/101 (median 101.00, MAD 100 cents), then a
+    // 3-day level shift to 500 -> the shift days breach 5*MAD immediately
+    val rows = (0 until 23).map { d =>
+      val v = if (d >= 20) 500.0 else if (d % 2 == 0) 100.0 else 101.0
+      (d.toLong, ns(d), 1L, "s", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = TimeSeries.cusum(spark, dir).collect()
+      .map(r => r.getLong(r.fieldIndex("day")) ->
+        ((r.getLong(r.fieldIndex("cusum_up")), r.getLong(r.fieldIndex("cusum_dn")),
+          r.getLong(r.fieldIndex("alarm"))))).toMap
+    assert(out.size === 23)
+    out.foreach { case (d, (up, dn, _)) =>
+      assert(up >= 0 && dn >= 0, s"day $d negative cusum") }
+    (0L until 20L).foreach { d => assert(out(d)._3 === 0L, s"false alarm day $d") }
+    (20L until 23L).foreach { d => assert(out(d)._3 === 1L, s"missed shift day $d") }
+    // down-side never fires here: the shift is upward
+    assert(out.values.forall { case (_, dn, _) => dn <= 500L })
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.operators.{Events, Skew, Tpch}
+import graft.operators.{Events, Profile, Skew, Tpch}
 
 /** Skew-salted aggregation, JSON/CSV envelope ingestion, partitioned write. */
 class UtilSpec extends SparkSpec {
@@ -742,5 +742,53 @@ class UtilSpec extends SparkSpec {
     val out2 = Graph.labelPropagationFrom(edges, iters = 6).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === out2)
+  }
+
+  test("botRegularity separates metronomes, humans, and short rapid bursts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bot").toString
+    val rows =
+      // u1: 30 events exactly 10s apart — a metronome (29 gaps, MAD 0)
+      (0 until 30).map(i => (i.toLong, i * 10000000000L, 1L, "click", 1.0, "{}")) ++
+      // u2: alternating 1s / 1000s gaps — heavy-tailed, never regular
+      (0 until 25).map { i =>
+        val ts = (i / 2) * 1001000000000L + (i % 2) * 1000000000L
+        (100L + i, ts, 2L, "click", 1.0, "{}")
+      } ++
+      // u3: 10 events 0.5s apart — rapid but too few gaps to call regular
+      (0 until 10).map(i => (200L + i, i * 500000000L, 3L, "click", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.botRegularity(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getLong(r.fieldIndex("is_regular")), r.getLong(r.fieldIndex("is_rapid"))))).toMap
+    assert(out(1L) === ((29L, 1L, 0L)), s"u1 got ${out(1L)}")
+    assert(out(2L) === ((24L, 0L, 0L)), s"u2 got ${out(2L)}")
+    assert(out(3L) === ((9L, 0L, 1L)), s"u3 got ${out(3L)}")
+  }
+
+  test("benfordAudit counts leading digits exactly and fills absent digits") {
+    import spark.implicits._
+    val df = Seq(1.0, 1.0, 2.0, 0.0, -5.0).toDF("v") // 0 and negatives excluded
+    val out = Profile.benfordAudit(df, "v", "v").collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size === 9)
+    assert(out("1") === ((2L, 666666L)))
+    assert(out("2") === ((1L, 333333L)))
+    (3 to 9).foreach(d => assert(out(d.toString) === ((0L, 0L))))
+    // expectation constants are a fixed distribution over 9 digits
+    assert(Profile.BenfordPpm.map(_._2).sum === 999995L)
+  }
+
+  test("fdAudit counts violating groups and rows per rule") {
+    import spark.implicits._
+    val df = Seq((1, "x"), (1, "x"), (2, "x"), (2, "y"), (3, "y")).toDF("a", "b")
+    val out = Profile.fdAudit(df, "t", Seq("a" -> "b", "b" -> "b")).collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // a=2 carries {x,y}: 1 violating group, its 2 rows, 1/3 of groups
+    assert(out(("a", "b")) === ((3L, 1L, 2L, 333333L)))
+    // b -> b is a tautological FD: zero violations
+    assert(out(("b", "b")) === ((2L, 0L, 0L, 0L)))
   }
 }
