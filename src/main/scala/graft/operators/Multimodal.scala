@@ -290,6 +290,138 @@ object Multimodal {
       .toDF()
       .select("doc_id", "img_w", "img_h", "n_pixels")
 
+  case class ImagePHash(doc_id: Long, phash: Long)
+
+  /** 64-point DCT-II basis table for the 32-sample pHash transform,
+    * built once per partition. */
+  private def dctTable(n: Int, m: Int): Array[Array[Double]] = {
+    val t = Array.ofDim[Double](m, n)
+    var u = 0
+    while (u < m) {
+      var x = 0
+      while (x < n) {
+        t(u)(x) = math.cos((2 * x + 1) * u * math.Pi / (2.0 * n))
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Perceptual hash (pHash, DCT flavor) over REAL decoded images: decode
+    * the PNG, bilinear-resize to 32×32, grayscale (integer Rec.601
+    * weights), 2-D DCT-II, keep the low-frequency 8×8 block, threshold
+    * each coefficient against the block's AC mean → a 64-bit signature
+    * that survives re-encoding, resizing, and uniform brightness shifts —
+    * the image twin of SimHash. Row-local partition pass: codec + DCT
+    * basis amortized, no shuffle; undecodable payloads DLQ-drop.
+    */
+  def phashImages(payloads: Dataset[MediaIn]): Dataset[ImagePHash] = {
+    implicit val enc = Encoders.product[ImagePHash]
+    payloads.mapPartitions { it =>
+      val dct = dctTable(32, 8) // only the first 8 frequencies are kept
+      it.flatMap { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(32, 32,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, 32, 32, null)
+          } finally g.dispose()
+          val gray = Array.ofDim[Double](32, 32)
+          var i = 0
+          while (i < 32 * 32) {
+            val px = out.getRGB(i % 32, i / 32)
+            gray(i / 32)(i % 32) = (((px >> 16) & 0xff) * 299 +
+              ((px >> 8) & 0xff) * 587 + (px & 0xff) * 114) / 1000.0
+            i += 1
+          }
+          // separable DCT-II: rows then columns, keeping 8 frequencies each
+          val rows = Array.ofDim[Double](32, 8)
+          var y = 0
+          while (y < 32) {
+            var u = 0
+            while (u < 8) {
+              var s = 0.0; var x = 0
+              while (x < 32) { s += gray(y)(x) * dct(u)(x); x += 1 }
+              rows(y)(u) = s; u += 1
+            }
+            y += 1
+          }
+          val block = Array.ofDim[Double](8, 8)
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              var s = 0.0; var yy = 0
+              while (yy < 32) { s += rows(yy)(u) * dct(v)(yy); yy += 1 }
+              block(v)(u) = s; u += 1
+            }
+            v += 1
+          }
+          // threshold vs the AC mean (DC excluded — it is pure brightness)
+          var acSum = 0.0
+          var j = 1
+          while (j < 64) { acSum += block(j / 8)(j % 8); j += 1 }
+          val mean = acSum / 63.0
+          var hash = 0L
+          j = 1 // DC bit stays 0: brightness must not flip any bit
+          while (j < 64) {
+            if (block(j / 8)(j % 8) > mean) hash |= (1L << j)
+            j += 1
+          }
+          Some(ImagePHash(m.doc_id, hash))
+        }
+      }
+    }
+  }
+
+  /** Banded near-dup candidate join over pHash signatures — the SimHash
+    * blocking scheme applied to images: 4 bands of 16 bits; any pair
+    * within Hamming distance 3 shares ≥ 1 intact band (pigeonhole), so
+    * band equality finds every close pair without an all-pairs compare.
+    * Only (band, id, hash) rows shuffle; `bit_count(xor)` verifies the
+    * candidates. At 100 TB the bucket join is the same bucketed shape as
+    * `dedup_simhash` — nothing quadratic in the corpus.
+    */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 10): DataFrame = {
+    val banded = hashes.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val", expr("(phash >> (band * 16)) & 65535"))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.phash ^ b.phash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** #272 Registered query: per-image pHash + near-duplicate degree. Every
+    * decoded image emits one row (hash in hex, band-candidate count,
+    * Hamming-verified near-dup count) — the per-doc audit frame a
+    * multimodal dedup pass keys off. Pair semantics are spec-verified
+    * with planted near-dup / distinct images (ImageDecodeSpec).
+    */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = phashImages(imagePayloads(spark, dir)).toDF()
+    val pairs = phashPairs(hashes)
+    val degree = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near_dups"))
+    hashes.join(degree, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_near_dups"))
+      .select(col("doc_id"), lower(hex(col("phash"))).as("phash_hex"),
+        col("n_near_dups"))
+  }
+
   /** Audio frame count per doc — pure function of doc_id, same
     * determinism contract as [[imageDims]]. */
   private def audioFrames(id: Long): Int = 64 + (id % 129).toInt

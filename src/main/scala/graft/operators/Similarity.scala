@@ -333,6 +333,98 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** Greedy maximal-marginal-relevance selection over one query's
+    * candidate list (already relevance-scored, vectors in hand): pick
+    * argmax of λ·rel − (1−λ)·max-sim-to-selected, ties to the smaller id.
+    * Pure in-memory function of a BOUNDED candidate set — exposed for the
+    * spec and for reuse over any scored frame.
+    */
+  def mmrSelect(cands: Seq[(Long, Double, Array[Float])], k: Int,
+      lambda: Double): Seq[(Long, Double, Double)] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands.sortBy(c => (-c._2, c._1)): _*)
+    while (picked.size < k && remaining.nonEmpty) {
+      var bestIdx = -1
+      var bestScore = Double.NegativeInfinity
+      var bestId = Long.MaxValue
+      var i = 0
+      while (i < remaining.length) {
+        val (id, rel, vec) = remaining(i)
+        var maxSim = 0.0
+        var j = 0
+        while (j < pickedVecs.length) {
+          val s = cos(vec, pickedVecs(j))
+          if (s > maxSim) maxSim = s
+          j += 1
+        }
+        val score = lambda * rel - (1.0 - lambda) * maxSim
+        if (score > bestScore || (score == bestScore && id < bestId)) {
+          bestScore = score; bestIdx = i; bestId = id
+        }
+        i += 1
+      }
+      val (id, rel, vec) = remaining.remove(bestIdx)
+      picked += ((id, rel, bestScore))
+      pickedVecs += vec
+    }
+    picked.toSeq
+  }
+
+  /** #273 MMR-diversified top-k: the retrieve-then-rerank shape of
+    * [[annRerankTopK]] with a diversity objective — over-fetch 4k exact
+    * candidates per query (broadcast-scan, per-partition top-k), then the
+    * greedy λ·relevance − (1−λ)·redundancy selection runs PER GROUP on
+    * the bounded candidate set (mapGroups over ≤ 4k rows — never the
+    * corpus). The RAG-retrieval / eval-set-construction dedup step: two
+    * near-identical passages can't both occupy the context window.
+    */
+  def annMmrTopK(spark: SparkSession, dir: String, k: Int = DefaultK,
+      lambda: Double = 0.7): DataFrame = {
+    val cand = 4 * k
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("rel").desc, col("nid"))
+    val cands = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("rel", GraftFunctions.cosineSim(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cand)
+      .select(col("qid"), col("nid"), col("rel"), col("ne"))
+    annMmrFrom(cands, k, lambda)
+  }
+
+  /** Group-wise greedy MMR over a (qid, nid, rel, ne) candidate frame. */
+  def annMmrFrom(cands: DataFrame, k: Int, lambda: Double): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands.select(col("qid"), col("nid"), col("rel").cast("double"),
+        col("ne").cast("array<float>"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val list = it.map { case (_, nid, rel, ne) => (nid, rel, ne) }.toSeq
+        mmrSelect(list, k, lambda).zipWithIndex.map {
+          case ((nid, rel, score), i) => (qid, nid,
+            math.round(rel * 10000.0) / 10000.0,
+            math.round(score * 10000.0) / 10000.0, (i + 1).toLong)
+        }
+      }
+      .toDF("qid", "nid", "rel", "mmr_score", "mmr_rank")
+  }
+
   /** Embedding hygiene audit: per-vector L2 norm (left-to-right double
     * fold — the same evaluation order as the oracle's list_sum, so the
     * rounded value is cross-engine stable), dimensionality, and flags for

@@ -123,4 +123,52 @@ class ImageDecodeSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(junk).count() == 0)
     payloads.unpersist(); feats.unpersist()
   }
+
+  test("pHash: brightness-shift invariant, noise-tolerant, separates distinct images") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaIn]
+    def png(id: Long, f: (Int, Int) => Int): Multimodal.MediaIn = {
+      val img = new java.awt.image.BufferedImage(48, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 48) img.setRGB(x, y, f(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      Multimodal.MediaIn(id, baos.toByteArray)
+    }
+    def clamp(v: Int) = math.max(0, math.min(255, v))
+    // textured base: diagonal gradient with a bright quadrant
+    def base(x: Int, y: Int): Int = {
+      val v = clamp((x * 5 + y * 3) % 256 / 2 + (if (x < 24 && y < 24) 96 else 0))
+      (v << 16) | (v << 8) | v
+    }
+    val imgs = Seq(
+      png(1L, base),
+      // uniform brightness lift: DC-only change, hash must be IDENTICAL
+      png(2L, (x, y) => { val v = clamp(((base(x, y) >> 16) & 0xff) + 20); (v << 16) | (v << 8) | v }),
+      // sparse noise: a few pixels perturbed -> small Hamming distance
+      png(3L, (x, y) => if ((x * 48 + y) % 97 == 0) 0xFFFFFF else base(x, y)),
+      // structurally different: fine checkerboard
+      png(4L, (x, y) => if ((x + y) % 2 == 0) 0xFFFFFF else 0)).toDS()
+    val hashes = Multimodal.phashImages(imgs).collect().map(h => h.doc_id -> h.phash).toMap
+    assert(hashes.size === 4)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // DC is excluded from the hash, so a uniform lift can only flip bits
+    // through bilinear integer rounding — allow ≤3 (pigeonhole: the
+    // 4-band candidate join still must surface the pair)
+    assert(ham(hashes(1L), hashes(2L)) <= 3,
+      s"brightness shift moved pHash ${ham(hashes(1L), hashes(2L))} bits")
+    assert(ham(hashes(1L), hashes(3L)) <= 10,
+      s"noisy copy too far: ${ham(hashes(1L), hashes(3L))}")
+    assert(ham(hashes(1L), hashes(4L)) > 16,
+      s"distinct images too close: ${ham(hashes(1L), hashes(4L))}")
+    // pair finder: planted near-dups surface, the checkerboard never pairs
+    val pairs = Multimodal.phashPairs(Multimodal.phashImages(imgs).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+    // corpus query: one row per doc, hex hash, non-negative degree
+    val out = Multimodal.phashDedup(spark, sf)
+    assert(out.count() == Tables.documents(spark, sf).count())
+    assert(out.filter(col("n_near_dups") < 0).count() == 0)
+  }
 }

@@ -283,4 +283,30 @@ class ScaleSpec extends SparkSpec {
     assert(exchanges == 0, s"bucketed join still shuffles:\n$plan")
     assert(joined.count() == Tables.lineitem(spark, sf).count())
   }
+
+  test("MMR rerank suppresses redundant candidates in favor of diverse ones") {
+    import spark.implicits._
+    // candidates: A (rel .95), A' (exact duplicate), B (rel .90 but far
+    // from A: cos(A,B) ≈ 0.719). Pure relevance orders A, A', B; MMR at
+    // λ=0.7 must take A, then B — the duplicate pays the full redundancy
+    // price (0.7·.95 − 0.3·1.0 = .365 < 0.7·.90 − 0.3·.719 ≈ .414)
+    val a = Array(0.95f, 0.312f)
+    val b = Array(0.9f, -0.436f)
+    val sel = Similarity.mmrSelect(
+      Seq((10L, 0.95, a), (11L, 0.95, a), (20L, 0.90, b)), k = 3, lambda = 0.7)
+    assert(sel.map(_._1) === Seq(10L, 20L, 11L),
+      s"MMR should pick the diverse candidate second: $sel")
+    // the duplicate's selection score is exactly λ·rel − (1−λ)·1
+    assert(math.abs(sel.last._3 - (0.7 * 0.95 - 0.3)) < 1e-9)
+    // corpus path: k rows per query, ranks 1..k, deterministic
+    val out = Similarity.annMmrTopK(spark, sf).cache()
+    val perQ = out.groupBy("qid").agg(count(lit(1)).as("n"),
+      max(col("mmr_rank")).as("mx")).collect()
+    assert(perQ.nonEmpty && perQ.forall(r =>
+      r.getAs[Long]("n") === Similarity.DefaultK &&
+        r.getAs[Long]("mx") === Similarity.DefaultK))
+    val again = Similarity.annMmrTopK(spark, sf).collect().map(_.toString).sorted
+    assert(again.sameElements(out.collect().map(_.toString).sorted))
+    out.unpersist()
+  }
 }
