@@ -265,6 +265,14 @@ object SparkEntry {
     "ts_cusum" -> ((s, d) => TimeSeries.cusum(s, d)),
     // metronome-gap bot detection (one user_id exchange)
     "ev_bot_regularity" -> ((s, d) => Events.botRegularity(s, d)),
+    // daily new/returning growth accounting + cumulative users
+    "ev_new_vs_returning" -> ((s, d) => Events.newVsReturning(s, d)),
+    // one-number inequality readout via exact global ranks
+    "ev_lorenz_gini" -> ((s, d) => Events.lorenzGini(s, d)),
+    // Zipf rank-frequency audit over the corpus vocabulary
+    "doc_zipf_audit" -> ((s, d) => Text.zipfAudit(s, d)),
+    // Heaps-law vocabulary growth by corpus decile
+    "doc_vocab_growth" -> ((s, d) => Text.vocabGrowth(s, d)),
     // Benford first-digit audit over the two monetary columns
     "q_benford_audit" -> ((s, d) =>
       Profile.benfordAudit(Tables.lineitem(s, d), "l_extendedprice", "l_extendedprice")
@@ -1237,6 +1245,56 @@ object SparkEntry {
     "q_benford_audit" ->
       graft.operators.Profile.benfordOracle(Seq(
         "lineitem" -> "l_extendedprice", "orders" -> "o_totalprice")),
+    "ev_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+        |d AS (SELECT day, count(*) AS active_users,
+        |    CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS new_users
+        |  FROM ud JOIN f USING (user_id) GROUP BY 1)
+        |SELECT day, active_users, new_users,
+        |  active_users - new_users AS returning_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM d""".stripMargin,
+    "ev_lorenz_gini" ->
+      """WITH u AS (SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents, user_id) AS rnk,
+        |    count(*) OVER () AS n FROM u),
+        |s AS (SELECT max(n) AS n_users, sum(CAST(cents AS HUGEINT)) AS sx,
+        |    sum(CAST(rnk AS HUGEINT) * cents) AS six FROM r)
+        |SELECT n_users, CAST(sx AS BIGINT) AS total_cents,
+        |  CASE WHEN n_users * sx = 0 THEN NULL
+        |    ELSE CAST((2 * six - (CAST(n_users AS HUGEINT) + 1) * sx) * 1000000
+        |      // (CAST(n_users AS HUGEINT) * sx) AS BIGINT) END AS gini_e6
+        |FROM s""".stripMargin,
+    "doc_zipf_audit" ->
+      """WITH tf AS (SELECT term, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> '' GROUP BY 1),
+        |t AS (SELECT sum(freq) AS n_tokens FROM tf),
+        |r AS (SELECT term, freq,
+        |    row_number() OVER (ORDER BY -freq, term) AS rnk FROM tf)
+        |SELECT rnk AS rank, term, freq, rnk * freq AS zipf_c,
+        |  freq * 1000000 // n_tokens AS share_ppm
+        |FROM r CROSS JOIN t WHERE rnk <= 50""".stripMargin,
+    "doc_vocab_growth" ->
+      """WITH d AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rnk,
+        |    count(*) OVER () AS n FROM documents),
+        |e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents),
+        |fr AS (SELECT term, min(rnk) AS first_rank, max(n) AS n
+        |       FROM e JOIN d USING (doc_id) WHERE term <> '' GROUP BY 1),
+        |dec AS (SELECT (first_rank * 10 + n - 1) // n AS decile,
+        |    count(*) AS new_terms, max(n) AS n FROM fr GROUP BY 1)
+        |SELECT decile, n * decile // 10 AS n_docs, new_terms,
+        |  CAST(sum(new_terms) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS vocab_size
+        |FROM dec""".stripMargin,
     "q_fd_audit" ->
       Seq(
         graft.operators.Profile.fdOracleLeg("lineitem", "l_orderkey", "l_returnflag"),

@@ -880,6 +880,56 @@ object Events {
         max(col("e") - col("s")).as("longest_us"))
   }
 
+  /** #274 Growth accounting — the daily new/returning split every DAU
+    * dashboard starts from: an active user is NEW on their first-ever
+    * active day, RETURNING after. (user, day) distinct and the per-user
+    * first day share one user-side hash partitioning (no second
+    * exchange); the day-level rollup and the cumulative-users running
+    * sum act on a calendar-bounded frame, so the global window is over
+    * days, never users.
+    */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("(ts DIV 1000) DIV 86400000000").as("day"))
+      .distinct()
+    val firsts = ud.groupBy("user_id").agg(min(col("day")).as("first_day"))
+    val daily = ud.join(firsts, "user_id")
+      .groupBy("day")
+      .agg(count(lit(1)).as("active_users"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"))
+      .withColumn("returning_users", col("active_users") - col("new_users"))
+    val wDay = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_users", sum(col("new_users")).over(wDay))
+      .select("day", "active_users", "new_users", "returning_users", "cum_users")
+  }
+
+  /** #275 Gini coefficient of per-user event value — the one-number
+    * inequality readout over the whole corpus (the Lorenz-curve summary
+    * of [[paretoShare]]): G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with x
+    * ascending and i the EXACT global rank from
+    * [[Distributed.exactRank]] (range repartition + broadcast offsets —
+    * no single-reducer window at any user count). Every product is
+    * DECIMAL(38,0); the ×10⁶ quotient is one integer DIV, so the result
+    * is engine-exact. Negative values are absent (cents of |value| sums
+    * per user can still be negative in adversarial data — callers filter;
+    * the audit reports the raw aggregate regardless).
+    */
+  def lorenzGini(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("user_id").agg(sum(col("c")).as("cents"))
+    Distributed.exactRank(perUser, Seq.empty, Seq("cents", "user_id"))
+      .agg(max(col("n_total")).as("n_users"),
+        expr("sum(CAST(cents AS DECIMAL(38,0)))").as("sx"),
+        expr("sum(CAST(rnk AS DECIMAL(38,0)) * cents)").as("six"))
+      .select(col("n_users"),
+        col("sx").cast("long").as("total_cents"),
+        expr("CASE WHEN n_users * sx = 0 THEN NULL ELSE " +
+          "CAST((2 * six - (CAST(n_users AS DECIMAL(38,0)) + 1) * sx) * 1000000 " +
+          "DIV (CAST(n_users AS DECIMAL(38,0)) * sx) AS BIGINT) END").as("gini_e6"))
+  }
+
   /** #269 Bot-traffic regularity audit: humans emit events with heavy-
     * tailed inter-arrival gaps; schedulers and scrapers emit metronomes.
     * Per user: gap count, median gap, MAD of gaps, and two flags —

@@ -1097,4 +1097,62 @@ object Text {
         sum(col("in_a") * col("in_b")).as("n_both"))
       .withColumn("jaccard_ppm", expr("n_both * 1000000 DIV n_union"))
   }
+
+  /** #276 Zipf rank-frequency audit: the top-`k` corpus terms with their
+    * EXACT global frequency rank, the Zipf product freq×rank (constant
+    * under a perfect power law — its drift across ranks is the headline),
+    * and each term's ppm share. Term counting is one map-side-combined
+    * aggregate over the exploded terms; ranking runs on the VOCAB-sized
+    * frame through [[Distributed.exactRank]] (range repartition, no
+    * single-reducer window), and only then does the top-k filter cut to
+    * k rows. The "is this corpus natural language or boilerplate" smoke
+    * test next to [[docQuality]].
+    */
+  def zipfAudit(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val total = tf.agg(sum(col("freq")).as("n_tokens"))
+    Distributed.exactRank(tf.withColumn("neg", -col("freq")),
+        Seq.empty, Seq("neg", "term"))
+      .filter(col("rnk") <= k)
+      .join(broadcast(total))
+      .select(col("rnk").as("rank"), col("term"), col("freq"),
+        (col("rnk") * col("freq")).as("zipf_c"),
+        expr("freq * 1000000 DIV n_tokens").as("share_ppm"))
+  }
+
+  /** #277 Heaps-law vocabulary-growth curve: distinct-term count as the
+    * corpus grows doc by doc (in doc_id order), reported at each decile
+    * of the corpus. Sub-linear growth is healthy natural text; a flat
+    * curve means boilerplate, a linear one means noise/IDs. Each term
+    * reduces to its FIRST appearance rank (min over the exploded term
+    * frame — vocab-sized output), the decile is pure integer arithmetic
+    * on that rank, and the final cumsum runs over a 10-row frame. Doc
+    * ranks come from [[Distributed.exactRank]]; the explode⋈rank join
+    * shares the doc_id partitioning.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val ranks = Distributed.exactRank(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      Seq.empty, Seq("doc_id"))
+    val firstRank = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .join(ranks, "doc_id")
+      .groupBy("term").agg(min(col("rnk")).as("first_rank"),
+        max(col("n_total")).as("n"))
+    val byDecile = firstRank
+      .select(expr("(first_rank * 10 + n - 1) DIV n").as("decile"),
+        col("n"))
+      .groupBy("decile").agg(count(lit(1)).as("new_terms"), max(col("n")).as("n"))
+    val wDec = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byDecile
+      .withColumn("vocab_size", sum(col("new_terms")).over(wDec))
+      .select(col("decile"), expr("n * decile DIV 10").as("n_docs"),
+        col("new_terms"), col("vocab_size"))
+  }
 }

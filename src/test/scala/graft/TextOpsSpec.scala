@@ -507,4 +507,69 @@ class TextOpsSpec extends SparkSpec {
     assert(out(("A", "D")) === ((6L, 2L, 333333L)))
     assert(out.size === 6) // all unordered source pairs reported
   }
+
+  test("zipfAudit ranks terms by exact frequency with Zipf products") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zipf").toString
+    Seq((1L, "a a b", "en", "s", 5L), (2L, "a c", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Text.zipfAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // 5 tokens total: a×3 rank 1, then b/c (freq 1) in term order
+    assert(out(1L) === (("a", 3L, 3L, 600000L)))
+    assert(out(2L) === (("b", 1L, 2L, 200000L)))
+    assert(out(3L) === (("c", 1L, 3L, 200000L)))
+  }
+
+  test("vocabGrowth reports new terms at the exact decile of first appearance") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("heaps").toString
+    // 10 docs -> decile == doc rank; new vocabulary lands in docs 1, 2, 5
+    val texts = Map(1L -> "t1", 2L -> "t1 t2", 5L -> "t3")
+    (1L to 10L).map(i => (i, texts.getOrElse(i, "t1"), "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Text.vocabGrowth(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      1L -> ((1L, 1L, 1L)), 2L -> ((2L, 1L, 2L)), 5L -> ((5L, 1L, 3L))),
+      s"got $out")
+  }
+
+  test("newVsReturning and lorenzGini match hand-computed grids") {
+    import spark.implicits._
+    import graft.operators.Events
+    val dir = java.nio.file.Files.createTempDirectory("growth").toString
+    def ns(day: Long, i: Int) = day * 86400000000000L + i * 1000000000L
+    // u1 active days {0,1,5}; u2 joins on day 1; u3 joins on day 5
+    val rows = Seq(
+      (1L, ns(0, 1), 1L, "click", 100.0, "{}"),
+      (2L, ns(1, 1), 1L, "click", 100.0, "{}"),
+      (3L, ns(1, 2), 2L, "click", 100.0, "{}"),
+      (4L, ns(5, 1), 1L, "click", 200.0, "{}"),
+      (5L, ns(5, 2), 3L, "click", 100.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val nvr = Events.newVsReturning(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(nvr === Map(
+      0L -> ((1L, 1L, 0L, 1L)),
+      1L -> ((2L, 1L, 1L, 2L)),
+      5L -> ((2L, 1L, 1L, 3L))), s"got $nvr")
+    // user cents: u1 40000, u2 10000, u3 10000 -> ascending ranks
+    // (10000,u2)=1, (10000,u3)=2, (40000,u1)=3; sx=60000, six=150000
+    // gini = (300000 - 4*60000) / (3*60000) = 60000/180000 -> 333333 e6
+    val g = Events.lorenzGini(spark, dir).collect()(0)
+    assert(g.getLong(0) === 3L && g.getLong(1) === 60000L
+      && g.getLong(2) === 333333L, s"got $g")
+    // perfectly equal distribution -> gini exactly 0
+    val dir2 = java.nio.file.Files.createTempDirectory("gini0").toString
+    Seq((1L, ns(0, 1), 1L, "c", 50.0, "{}"), (2L, ns(0, 2), 2L, "c", 50.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir2/events.parquet")
+    assert(Events.lorenzGini(spark, dir2).collect()(0).getLong(2) === 0L)
+  }
 }
