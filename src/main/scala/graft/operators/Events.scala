@@ -889,11 +889,15 @@ object Events {
     * days, never users.
     */
   def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(spark, dir)
+    // ONE user exchange: collect_set(day) folds each user's activity to a
+    // calendar-bounded array (≤ days in window, map-side combined), and
+    // first_day/active-day fan-out both derive from it locally — the
+    // distinct + min + join formulation would shuffle the frame 3×
+    val daily = Tables.events(spark, dir)
       .select(col("user_id"), expr("(ts DIV 1000) DIV 86400000000").as("day"))
-      .distinct()
-    val firsts = ud.groupBy("user_id").agg(min(col("day")).as("first_day"))
-    val daily = ud.join(firsts, "user_id")
+      .groupBy("user_id").agg(collect_set(col("day")).as("days"))
+      .select(col("user_id"), array_min(col("days")).as("first_day"),
+        explode(col("days")).as("day"))
       .groupBy("day")
       .agg(count(lit(1)).as("active_users"),
         sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"))
@@ -937,27 +941,36 @@ object Events {
     * and `is_rapid` (median under a second) — the pre-training filter
     * that keeps synthetic click-storms out of a behavioral corpus.
     *
-    * The lag window, both per-user medians, and the final join all share
-    * the user_id hash partitioning, so the whole operator is ONE
-    * exchange; thresholds are cross-multiplied comparisons on the
-    * 4dp-rounded medians (identical SQL text both engines), never a
-    * ratio. The per-user frames scale with users, not events — nothing
-    * here is broadcast.
+    * ONE corpus scan, ONE user exchange: the lag window and a single
+    * aggregation share the user_id partitioning; both medians (gap and
+    * absolute-deviation) come from the per-user SORTED gap array with
+    * row-local array arithmetic — the two-aggregation formulation
+    * (median, join back, MAD) replays the scan+window per branch. The
+    * array state is exactly what an exact-percentile aggregate buffers
+    * anyway (that user's gaps); at 100 TB a per-user cap upstream bounds
+    * pathological users. Thresholds are cross-multiplied comparisons on
+    * the 4dp-rounded medians (identical arithmetic both engines), never
+    * a ratio.
     */
   def botRegularity(spark: SparkSession, dir: String, minGaps: Int = 20): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-    val gaps = Tables.events(spark, dir)
+    // linear-interpolation median of a sorted array (quantile_cont semantics)
+    def medOf(arr: String) =
+      s"CASE WHEN size($arr) % 2 = 1 " +
+        s"THEN CAST(element_at($arr, CAST(size($arr) DIV 2 + 1 AS INT)) AS DOUBLE) " +
+        s"ELSE (CAST(element_at($arr, CAST(size($arr) DIV 2 AS INT)) AS DOUBLE) + " +
+        s"CAST(element_at($arr, CAST(size($arr) DIV 2 + 1 AS INT)) AS DOUBLE)) / 2.0 END"
+    Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
       .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
       .filter(col("gap_us").isNotNull)
-    val med = gaps.groupBy("user_id")
+      .groupBy("user_id")
       .agg(count(lit(1)).as("n_gaps"),
-        expr("round(percentile(gap_us, 0.5D), 4)").as("med_us"))
-    val dev = gaps.join(med, "user_id")
-      .withColumn("absdev", abs(col("gap_us") - col("med_us")))
-    val mad = dev.groupBy("user_id")
-      .agg(expr("round(percentile(absdev, 0.5D), 4)").as("mad_us"))
-    med.join(mad, "user_id")
+        sort_array(collect_list(col("gap_us"))).as("g"))
+      .withColumn("med_us", expr(s"round(${medOf("g")}, 4)"))
+      .withColumn("ad",
+        expr("array_sort(transform(g, x -> abs(CAST(x AS DOUBLE) - med_us)))"))
+      .withColumn("mad_us", expr(s"round(${medOf("ad")}, 4)"))
       .select(col("user_id"), col("n_gaps"), col("med_us"), col("mad_us"),
         (col("n_gaps") >= minGaps && col("mad_us") * 20.0 <= col("med_us"))
           .cast("long").as("is_regular"),

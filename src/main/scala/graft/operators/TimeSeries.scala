@@ -222,11 +222,15 @@ object TimeSeries {
     */
   def acf(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
+    // the self-join references the daily frame twice — an eager
+    // localCheckpoint materializes the calendar-bounded frame ONCE, so
+    // the corpus-scale events scan + aggregate never replays per branch
     val daily = Tables.events(spark, dir)
       .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"),
         col("value"))
       .groupBy("event_type", "day")
       .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .localCheckpoint()
     val lags = spark.range(1, maxLag + 1).select(col("id").as("lag_d"))
     // x side fans out by the (tiny, broadcast) lag list; y side is the
     // same daily frame matched at day + lag
@@ -265,11 +269,14 @@ object TimeSeries {
     */
   def cusum(spark: SparkSession, dir: String, h: Int = 5): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
+    // daily feeds the target probe, the MAD probe, and the final frame —
+    // checkpoint once (calendar-bounded) so events is scanned ONCE
     val daily = Tables.events(spark, dir)
       .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"),
         col("value"))
       .groupBy("event_type", "day")
       .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .localCheckpoint()
     val mu = daily.groupBy("event_type")
       .agg(expr("CAST(round(percentile(cents, 0.5D)) AS BIGINT)").as("target_c"))
     val dev = daily.join(broadcast(mu), "event_type")

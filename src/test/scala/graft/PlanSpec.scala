@@ -397,4 +397,27 @@ class PlanSpec extends SparkSpec {
     assert(!pg.contains("CartesianProduct"),
       s"spine generation planned a cartesian:\n$pg")
   }
+
+  test("acf/cusum: the corpus is scanned once — branches reuse the checkpointed daily frame") {
+    for (q <- Seq("ts_acf", "ts_cusum")) {
+      val p = planOf(q)
+      assert(!p.contains("Scan parquet") && !p.contains("FileScan"),
+        s"$q re-scans events instead of reusing the checkpointed daily frame:\n$p")
+    }
+  }
+
+  test("new-vs-returning: one user exchange, day frames never re-shuffle users") {
+    val p = planOf("ev_new_vs_returning")
+    val exchanges = "(?<!Broadcast|Reused)Exchange".r.findAllIn(p).size
+    // user collect_set + day rollup + the day-ordered running sum — the
+    // distinct/min/join formulation re-shuffles the user frame 3x
+    assert(exchanges <= 3, s"growth accounting over-shuffles ($exchanges):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"growth accounting planned a join:\n$p")
+  }
+
+  test("bot regularity: lag window, both medians, and joins share the user partitioning") {
+    val p = planOf("ev_bot_regularity")
+    val exchanges = "(?<!Broadcast|Reused)Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"bot regularity re-shuffled the user frame ($exchanges):\n$p")
+  }
 }
