@@ -273,6 +273,8 @@ object SparkEntry {
     "doc_zipf_audit" -> ((s, d) => Text.zipfAudit(s, d)),
     // Heaps-law vocabulary growth by corpus decile
     "doc_vocab_growth" -> ((s, d) => Text.vocabGrowth(s, d)),
+    // 2-D Pareto frontier via the distributed exclusive running-min sweep
+    "q_skyline_parts" -> ((s, d) => Tpch.qSkylineParts(s, d)),
     // Benford first-digit audit over the two monetary columns
     "q_benford_audit" -> ((s, d) =>
       Profile.benfordAudit(Tables.lineitem(s, d), "l_extendedprice", "l_extendedprice")
@@ -1259,6 +1261,17 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_users
         |FROM d""".stripMargin,
+    "q_skyline_parts" ->
+      """WITH pts AS (SELECT p_partkey,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+        |    CAST(p_size AS BIGINT) AS size FROM part),
+        |g AS (SELECT price_c, min(size) AS msize FROM pts GROUP BY 1),
+        |r AS (SELECT price_c, msize, min(msize) OVER (ORDER BY price_c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmin
+        |  FROM g)
+        |SELECT p.p_partkey, p.price_c, p.size
+        |FROM pts p JOIN r USING (price_c)
+        |WHERE p.size = r.msize AND (prevmin IS NULL OR p.size < prevmin)""".stripMargin,
     "ev_lorenz_gini" ->
       """WITH u AS (SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS cents
         |  FROM events GROUP BY 1),

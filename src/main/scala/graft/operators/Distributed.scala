@@ -93,6 +93,35 @@ object Distributed {
       .drop(Pid, "__o_pid", "__offset")
   }
 
+  /** Adds exact GLOBAL EXCLUSIVE running minimum of `valueCol` in
+    * `orderCols` order — `min() OVER (ORDER BY … ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)` without the single-partition global
+    * window. Same machinery as [[exactCumSum]]: per-partition minima are
+    * a tiny frame, their exclusive prefix-min by partition id broadcasts
+    * back, each row combines its partition offset with the local
+    * exclusive running min. First row globally gets NULL (empty prefix).
+    * The sweep primitive under skyline / dominance queries.
+    */
+  def exactRunningMin(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      minCol: String = "runmin"): DataFrame = {
+    Seq(minCol, Pid).foreach(c =>
+      require(!df.columns.contains(c), s"input already has a column named $c"))
+    val sorted = rangeSortedWithPid(df, orderCols)
+    val wOff = Window.orderBy(Pid).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(Pid).agg(min(col(valueCol)).as("__pmin"))
+      .withColumn("__offset", min("__pmin").over(wOff)) // null for first pid
+      .select(col(Pid).as("__o_pid"), col("__offset"))
+    val wLocal = Window.partitionBy(Pid).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sorted.join(broadcast(offsets), sorted(Pid) === offsets("__o_pid"))
+      .withColumn("__lmin", min(col(valueCol)).over(wLocal)) // null on 1st row
+      .withColumn(minCol,
+        when(col("__lmin").isNull, col("__offset"))
+          .when(col("__offset").isNull, col("__lmin"))
+          .otherwise(least(col("__lmin"), col("__offset"))))
+      .drop(Pid, "__o_pid", "__offset", "__lmin")
+  }
+
   /** Adds exact PER-GROUP running sum of `valueCol` (inclusive, in
     * orderCols order within each keyCols group) — `sum() OVER (PARTITION
     * BY k ORDER BY …)` without funneling each key through one reducer.

@@ -755,4 +755,30 @@ object Tpch {
       .select(col("bucket"), col("n"), col("mass"),
         expr("cum_n * 1000000 DIV n_tot").as("cum_ppm"))
   }
+
+  /** #278 2-D skyline (Pareto frontier): the parts no other part beats on
+    * BOTH price and size — "cheapest for its size class" supplier
+    * shortlist. Dominance: q ≤ p on both axes, strict on one. The classic
+    * sweep becomes distributed algebra: per-price minimum size (one
+    * aggregation to a price-cardinality frame), then the EXCLUSIVE
+    * running minimum over strictly-cheaper prices via
+    * [[Distributed.exactRunningMin]] (range repartition + broadcast
+    * offsets — no single-reducer window at any price cardinality). A part
+    * is on the skyline iff it holds its price group's min size AND beats
+    * every cheaper group's min. Duplicate (price, size) points are
+    * mutually non-dominating and all survive, matching the set
+    * definition. Prices keyed in exact cents.
+    */
+  def qSkylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_c"),
+        col("p_size").cast("long").as("size"))
+    val g = pts.groupBy("price_c").agg(min(col("size")).as("msize"))
+    val sweep = Distributed.exactRunningMin(g, Seq("price_c"), "msize", "prevmin")
+    pts.join(sweep, "price_c")
+      .filter(col("size") === col("msize") &&
+        (col("prevmin").isNull || col("size") < col("prevmin")))
+      .select(col("p_partkey"), col("price_c"), col("size"))
+  }
 }

@@ -49,4 +49,59 @@ object SketchStream {
           TypeDistinct(key, Math.round(sketch.getEstimate), n)
       }
   }
+
+  case class SsCounter(item: Long, cnt: Long, err: Long)
+  case class SsState(counters: Seq[SsCounter])
+  case class TopKOut(event_type: String, item: Long, est_count: Long,
+      max_err: Long, rnk: Long)
+
+  /** #279 Streaming heavy hitters with BOUNDED state: the Space-Saving
+    * summary (Metwally et al.) — at most `m` counters per key, FOREVER,
+    * with the classic guarantees: any item with true count > N/m is in
+    * the summary, every estimate satisfies true ≤ est ≤ true + err, and
+    * an item never evicted carries err = 0 (its count is EXACT). The
+    * streaming complement of the batch `ev_heavy_hitters`: an exact
+    * streaming GROUP BY item would hold every item ever seen.
+    *
+    * Update-mode emission: each micro-batch re-emits the key's current
+    * top-`k` (est desc, item asc — deterministic); eviction picks the
+    * minimum counter with the smallest-item tie-break, so a replay
+    * reproduces the summary bit-for-bit.
+    */
+  def topKByType(normalized: DataFrame, m: Int = 64, k: Int = 10)(
+      implicit spark: SparkSession): Dataset[TopKOut] = {
+    implicit val evEnc = Encoders.product[TypeEv]
+    implicit val stEnc = Encoders.product[SsState]
+    implicit val outEnc = Encoders.product[TopKOut]
+    normalized
+      .select(col("event_type"), col("user_id"))
+      .as[TypeEv]
+      .groupByKey(_.event_type)(Encoders.STRING)
+      .flatMapGroupsWithState[SsState, TopKOut](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (key: String, evs: Iterator[TypeEv], state: GroupState[SsState]) =>
+          val cs = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+          state.getOption.foreach(_.counters.foreach(c =>
+            cs(c.item) = (c.cnt, c.err)))
+          evs.foreach { e =>
+            cs.get(e.user_id) match {
+              case Some((c, err)) => cs(e.user_id) = (c + 1, err)
+              case None if cs.size < m => cs(e.user_id) = (1L, 0L)
+              case None =>
+                // evict the minimum counter, smallest item on ties —
+                // deterministic under replay
+                val (evicted, (cmin, _)) = cs.minBy { case (i, (c, _)) => (c, i) }
+                cs.remove(evicted)
+                cs(e.user_id) = (cmin + 1, cmin)
+            }
+          }
+          state.update(SsState(cs.toSeq.map { case (i, (c, e)) => SsCounter(i, c, e) }
+            .sortBy(c => (-c.cnt, c.item))))
+          cs.toSeq.map { case (i, (c, e)) => (i, c, e) }
+            .sortBy { case (i, c, _) => (-c, i) }
+            .take(k).zipWithIndex.iterator
+            .map { case ((i, c, e), r) => TopKOut(key, i, c, e, r + 1L) }
+      }
+  }
 }

@@ -452,4 +452,49 @@ class StreamingSpec extends SparkSpec {
       assert(folded("c") === ((100L, 1L)), s"c: ${folded("c")}")
     } finally q.stop()
   }
+
+  test("space-saving top-k: bounded counters, exact heavy hitters, state crosses batches") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val normalized = ms.toDF().select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts_us"), col("value"))
+    val st = graft.streaming.SketchStream.topKByType(normalized, m = 4, k = 3)
+    val q = st.toDF().writeStream.format("memory").queryName("sstk")
+      .outputMode(OutputMode.Update).start()
+    try {
+      var id = 0L
+      def burst(uid: Long, n: Int): Seq[Ev] = (1 to n).map { _ =>
+        id += 1; evRow(id, id * 1000, uid, "A", 1.0)
+      }
+      // batch 1: heavy items 1 (x30), 2 (x20) + two singletons — fills
+      // m=4 exactly, no eviction yet (order-insensitive)
+      ms.addData(burst(1L, 30) ++ burst(2L, 20) ++
+        burst(100L, 1) ++ burst(101L, 1): _*)
+      q.processAllAvailable()
+      // batch 2: 8 more singletons churn ONLY the two light counters —
+      // whatever the arrival order, the heavy counters are never minimal
+      ms.addData((102L to 109L).flatMap(burst(_, 1)): _*)
+      q.processAllAvailable()
+      // batch 3: item 1 again (x10) — count must ACCUMULATE through state
+      ms.addData(burst(1L, 10): _*)
+      q.processAllAvailable()
+      val last = spark.table("sstk")
+        .groupBy("item").agg(max_by(struct(col("est_count"), col("max_err"),
+          col("rnk")), col("est_count")).as("s"))
+        .select(col("item"), col("s.est_count"), col("s.max_err"), col("s.rnk"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // never-evicted heavy hitters are EXACT with zero error
+      assert(last(1L) === ((40L, 0L, 1L)), s"item1: ${last(1L)}")
+      assert(last(2L) === ((20L, 0L, 2L)), s"item2: ${last(2L)}")
+      // space-saving guarantee on everything ever emitted:
+      // est - err <= true count, est >= true for summary members
+      val all = spark.table("sstk").collect()
+      assert(all.forall(r => r.getAs[Long]("est_count") >= r.getAs[Long]("max_err")))
+      // at most k rows per (type, batch emission); counters bounded by m
+      assert(spark.table("sstk").select("item").distinct().count() <= 4 + 3)
+    } finally q.stop()
+  }
 }

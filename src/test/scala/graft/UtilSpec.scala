@@ -744,6 +744,34 @@ class UtilSpec extends SparkSpec {
     assert(out === out2)
   }
 
+  test("exactRunningMin equals the window sweep; skyline is dominance-exact") {
+    import spark.implicits._
+    import graft.operators.{Distributed, Tpch}
+    // adversarial order: minima arrive late, duplicates, negatives
+    val rows = Seq((1L, 5L), (2L, 9L), (3L, 2L), (4L, 2L), (5L, 7L),
+      (6L, -1L), (7L, 4L), (8L, -1L), (9L, 0L))
+    val df = rows.toDF("k", "v")
+    val got = Distributed.exactRunningMin(df, Seq("k"), "v", "rm")
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = df.withColumn("rm", min(col("v")).over(w))
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(got === want, s"got $got\nwant $want")
+    assert(got(1L).isEmpty, "first row must have an empty prefix")
+    // skyline == brute-force dominance filter on the real part table
+    val pts = Tables.part(spark, sf)
+      .selectExpr("p_partkey", "CAST(round(p_retailprice * 100) AS BIGINT) AS p",
+        "CAST(p_size AS BIGINT) AS s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = pts.filter { case (_, p1, s1) =>
+      !pts.exists { case (_, p2, s2) =>
+        p2 <= p1 && s2 <= s1 && (p2 < p1 || s2 < s1) }
+    }.map(_._1).toSet
+    val sky = Tpch.qSkylineParts(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(sky === brute, s"skyline mismatch: extra=${sky -- brute} missing=${brute -- sky}")
+  }
+
   test("botRegularity separates metronomes, humans, and short rapid bursts") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bot").toString
