@@ -275,6 +275,8 @@ object SparkEntry {
     "doc_vocab_growth" -> ((s, d) => Text.vocabGrowth(s, d)),
     // 2-D Pareto frontier via the distributed exclusive running-min sweep
     "q_skyline_parts" -> ((s, d) => Tpch.qSkylineParts(s, d)),
+    // pairwise Pearson matrix over the lineitem measures in one pass
+    "q_corr_matrix" -> ((s, d) => Tpch.qCorrMatrix(s, d)),
     // Benford first-digit audit over the two monetary columns
     "q_benford_audit" -> ((s, d) =>
       Profile.benfordAudit(Tables.lineitem(s, d), "l_extendedprice", "l_extendedprice")
@@ -395,6 +397,9 @@ object SparkEntry {
     // DCT perceptual-hash near-dup audit over REAL decoded PNGs
     // (rows-only: codec + DCT; ImageDecodeSpec plants near-dup images)
     "mm_phash_dedup" -> ((s, d) => graft.operators.Multimodal.phashDedup(s, d)),
+    // band-energy audio fingerprint over REAL decoded WAVs (rows-only:
+    // codec + DFT; ImageDecodeSpec plants level-scaled near-dups)
+    "mm_audio_fingerprint" -> ((s, d) => graft.operators.Multimodal.audioFpDedup(s, d)),
     // product-quantized ADC scan (rows-only: k-means codebooks; ScaleSpec
     // pins recall vs the exact L2 scan)
     "ann_pq_topk" -> ((s, d) => Similarity.annPqTopK(s, d)),
@@ -1176,6 +1181,7 @@ object SparkEntry {
         |    ELSE CAST(CAST(t_dow AS HUGEINT) * days_all * 10000 //
         |      (CAST(days_dow AS HUGEINT) * t_all) AS BIGINT) END AS ratio_e4
         |FROM dw JOIN ov USING (event_type)""".stripMargin,
+    "q_corr_matrix" -> graft.operators.Tpch.corrMatrixOracle,
     "ts_acf" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    sum(CAST(round(value * 100) AS BIGINT)) AS cents

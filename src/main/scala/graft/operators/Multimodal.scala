@@ -502,6 +502,94 @@ object Multimodal {
     }
   }
 
+  case class AudioFp(doc_id: Long, afp: Long, n_frames: Int)
+
+  /** Haitsma–Kalker-style audio fingerprint over REAL decoded WAVs:
+    * 16-sample frames, 5 DFT band energies per frame, one bit per
+    * (frame, band) = sign of the time-and-frequency energy difference
+    * (E(f,b)−E(f,b+1)) − (E(f−1,b)−E(f−1,b+1)) — 16 frames × 4 bands =
+    * a 64-bit signature. The double difference cancels both overall
+    * level (scaling every sample scales every energy by c², preserving
+    * every sign) and per-frame loudness drift — the audio twin of
+    * [[phashImages]]. Row-local partition pass; undecodable payloads
+    * DLQ-drop.
+    */
+  def audioFingerprints(payloads: Dataset[MediaIn]): Dataset[AudioFp] = {
+    implicit val enc = Encoders.product[AudioFp]
+    val F = 16; val B = 5
+    payloads.mapPartitions { it =>
+      // DFT basis for bins 1..B over an F-sample frame, built once
+      val cosT = Array.tabulate(B, F)((b, n) =>
+        math.cos(2 * math.Pi * (b + 1) * n / F))
+      val sinT = Array.tabulate(B, F)((b, n) =>
+        math.sin(2 * math.Pi * (b + 1) * n / F))
+      it.flatMap { m =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val data = ais.readAllBytes()
+          val nS = data.length / 2
+          val s = new Array[Double](nS)
+          var i = 0
+          while (i < nS) {
+            s(i) = ((data(2 * i) & 0xff) | (data(2 * i + 1).toInt << 8)).toShort.toDouble
+            i += 1
+          }
+          val nFrames = nS / F
+          // band energies per frame (zero-padded to 17 frames so every
+          // payload yields a full 64-bit signature deterministically)
+          val e = Array.ofDim[Double](17, B)
+          var f = 0
+          while (f < math.min(nFrames, 17)) {
+            var b = 0
+            while (b < B) {
+              var (re, im) = (0.0, 0.0)
+              var n = 0
+              while (n < F) {
+                val v = s(f * F + n)
+                re += v * cosT(b)(n); im += v * sinT(b)(n); n += 1
+              }
+              e(f)(b) = re * re + im * im; b += 1
+            }
+            f += 1
+          }
+          var hash = 0L
+          var bit = 0
+          f = 1
+          while (f <= 16) {
+            var b = 0
+            while (b < B - 1) {
+              val d = (e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1))
+              if (d > 0) hash |= (1L << bit)
+              bit += 1; b += 1
+            }
+            f += 1
+          }
+          Some(AudioFp(m.doc_id, hash, nFrames))
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        }
+      }
+    }
+  }
+
+  /** #281 Registered query: per-audio fingerprint + banded near-dup
+    * degree — the [[phashDedup]] audit shape on the audio modality,
+    * sharing the same 4×16-bit band join and bit_count verify.
+    */
+  def audioFpDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = audioFingerprints(audioPayloads(spark, dir)).toDF()
+      .select(col("doc_id"), col("afp").as("phash"), col("n_frames"))
+    val pairs = phashPairs(hashes.select("doc_id", "phash"))
+    val degree = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near_dups"))
+    hashes.join(degree, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_near_dups"))
+      .select(col("doc_id"), lower(hex(col("phash"))).as("afp_hex"),
+        col("n_frames"), col("n_near_dups"))
+  }
+
   /** #182 Registered query: WAV-encode → AudioSystem-decode round trip;
     * geometry columns are pure functions of doc_id (oracle-checked),
     * amplitude features are spec-verified (AudioDecodeSpec).

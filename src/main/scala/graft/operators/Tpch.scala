@@ -756,6 +756,73 @@ object Tpch {
         expr("cum_n * 1000000 DIV n_tot").as("cum_ppm"))
   }
 
+  /** The four lineitem measures profiled by [[qCorrMatrix]], each exact
+    * in ×100 fixed point (all are 2-decimal columns). */
+  private val CorrCols = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+    "l_discount" -> "disc", "l_tax" -> "tax")
+  private val CorrPairs = for {
+    i <- CorrCols.indices; j <- CorrCols.indices if i < j
+  } yield (CorrCols(i)._2, CorrCols(j)._2)
+
+  /** #280 Pairwise Pearson correlation matrix over the lineitem measures
+    * in ONE corpus pass: all 4 sums, 4 squares, and 6 cross-products are
+    * map-side-combined DECIMAL(38,0) aggregates of exact cents; the 6
+    * (col_a, col_b, ρ) rows then `stack` off the single summary row — no
+    * per-pair rescan, no branch replication. Final ρ division/sqrt runs
+    * in identical SQL text on both engines (the [[graft.operators
+    * .Events.moments]] pattern). The feature-redundancy pre-flight before
+    * any modeling pass.
+    */
+  def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir).select(
+      CorrCols.map { case (c, a) =>
+        expr(s"CAST(round($c * 100) AS BIGINT)").as(a) }: _*)
+    val aggs =
+      CorrCols.map(_._2).map(a =>
+        expr(s"sum(CAST($a AS DECIMAL(38,0)))").as(s"s_$a")) ++
+      CorrCols.map(_._2).map(a =>
+        expr(s"sum(CAST($a AS DECIMAL(38,0)) * $a)").as(s"q_$a")) ++
+      CorrPairs.map { case (a, b) =>
+        expr(s"sum(CAST($a AS DECIMAL(38,0)) * $b)").as(s"x_${a}_$b") }
+    val s = base.agg(count(lit(1)).as("n"), aggs: _*)
+    val rhos = CorrPairs.map { case (a, b) =>
+      expr(s"CASE WHEN (CAST(n AS DECIMAL(38,0)) * q_$a - s_$a * s_$a) <= 0 " +
+        s"OR (CAST(n AS DECIMAL(38,0)) * q_$b - s_$b * s_$b) <= 0 THEN NULL ELSE " +
+        s"round(CAST(CAST(n AS DECIMAL(38,0)) * x_${a}_$b - s_$a * s_$b AS DOUBLE) / " +
+        s"sqrt(CAST(CAST(n AS DECIMAL(38,0)) * q_$a - s_$a * s_$a AS DOUBLE) * " +
+        s"CAST(CAST(n AS DECIMAL(38,0)) * q_$b - s_$b * s_$b AS DOUBLE)), 4) END").as(s"rho_${a}_$b")
+    }
+    val stackArgs = CorrPairs.map { case (a, b) =>
+      s"'$a', '$b', rho_${a}_$b" }.mkString(", ")
+    s.select(col("n") +: rhos: _*)
+      .selectExpr("n",
+        s"stack(${CorrPairs.size}, $stackArgs) AS (col_a, col_b, rho)")
+      .select("col_a", "col_b", "n", "rho")
+  }
+
+  /** DuckDB oracle for [[qCorrMatrix]], generated from the same column
+    * list and pair order so the two engines cannot drift. */
+  def corrMatrixOracle: String = {
+    val cents = CorrCols.map { case (c, a) =>
+      s"CAST(round($c * 100) AS BIGINT) AS $a" }.mkString(", ")
+    val sums = (
+      CorrCols.map(_._2).map(a => s"sum(CAST($a AS HUGEINT)) AS s_$a") ++
+      CorrCols.map(_._2).map(a => s"sum(CAST($a AS HUGEINT) * $a) AS q_$a") ++
+      CorrPairs.map { case (a, b) => s"sum(CAST($a AS HUGEINT) * $b) AS x_${a}_$b" })
+      .mkString(", ")
+    val legs = CorrPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |  CASE WHEN (n * q_$a - s_$a * s_$a) <= 0
+         |    OR (n * q_$b - s_$b * s_$b) <= 0 THEN NULL ELSE
+         |    round(CAST(n * x_${a}_$b - s_$a * s_$b AS DOUBLE) /
+         |    sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE) *
+         |    CAST(n * q_$b - s_$b * s_$b AS DOUBLE)), 4) END AS rho FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH c AS (SELECT $cents FROM lineitem),
+       |s AS (SELECT count(*) AS n, $sums FROM c)
+       |$legs""".stripMargin
+  }
+
   /** #278 2-D skyline (Pareto frontier): the parts no other part beats on
     * BOTH price and size — "cheapest for its size class" supplier
     * shortlist. Dominance: q ≤ p on both axes, strict on one. The classic

@@ -171,4 +171,52 @@ class ImageDecodeSpec extends SparkSpec {
     assert(out.count() == Tables.documents(spark, sf).count())
     assert(out.filter(col("n_near_dups") < 0).count() == 0)
   }
+
+  test("audio fingerprint: level-invariant, separates different spectra") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaIn]
+    def wav(id: Long, f: Int => Double): Multimodal.MediaIn = {
+      val n = 17 * 16
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = math.max(-32768, math.min(32767, math.round(f(i)))).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      Multimodal.MediaIn(id, baos.toByteArray)
+    }
+    // both tone amplitudes vary per frame so EVERY band difference has a
+    // signal-scale time component (a constant-energy band would leave
+    // its bit to quantization noise, which does not scale with level)
+    def tone(i: Int): Double = {
+      val frame = i / 16
+      (8000.0 + 900.0 * (frame % 5)) * math.sin(2 * math.Pi * 2 * i / 16.0) +
+        (3000.0 + 800.0 * ((frame * 3) % 7)) * math.sin(2 * math.Pi * 4 * i / 16.0)
+    }
+    // different spectrum: energy in different bins, different modulation
+    def other(i: Int): Double = {
+      val frame = i / 16
+      (6000.0 + 900.0 * ((frame * 2) % 5)) * math.sin(2 * math.Pi * 5 * i / 16.0) +
+        (4000.0 + 700.0 * ((frame * 5) % 3)) * math.sin(2 * math.Pi * 1 * i / 16.0)
+    }
+    val ds = Seq(
+      wav(1L, tone), wav(2L, i => 0.5 * tone(i)), wav(3L, other)).toDS()
+    val fps = Multimodal.audioFingerprints(ds).collect()
+      .map(h => h.doc_id -> h.afp).toMap
+    assert(fps.size === 3)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(2L)) <= 3,
+      s"half-level copy moved ${ham(fps(1L), fps(2L))} bits")
+    assert(ham(fps(1L), fps(3L)) > 16,
+      s"different spectrum too close: ${ham(fps(1L), fps(3L))}")
+    // corpus query: one row per doc
+    val out = Multimodal.audioFpDedup(spark, sf)
+    assert(out.count() == Tables.documents(spark, sf).count())
+  }
 }
