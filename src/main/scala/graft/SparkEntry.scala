@@ -267,6 +267,12 @@ object SparkEntry {
     "ev_bot_regularity" -> ((s, d) => Events.botRegularity(s, d)),
     // daily new/returning growth accounting + cumulative users
     "ev_new_vs_returning" -> ((s, d) => Events.newVsReturning(s, d)),
+    // duration-weighted mean value per user (state-metric average)
+    "ev_time_weighted" -> ((s, d) => Events.timeWeighted(s, d)),
+    // 3-step journey mining over one window pass (bigrams can't see order)
+    "ev_path_trigrams" -> ((s, d) => Events.pathTrigrams(s, d)),
+    // integer TF-IDF keywords via the bit-length idf, two-phase top-k
+    "doc_tfidf_topk" -> ((s, d) => Text.tfidfTopK(s, d)),
     // one-number inequality readout via exact global ranks
     "ev_lorenz_gini" -> ((s, d) => Events.lorenzGini(s, d)),
     // Zipf rank-frequency audit over the corpus vocabulary
@@ -1233,6 +1239,47 @@ object SparkEntry {
         |  CAST(CASE WHEN mad_c > 0 AND (cusum_up > 5 * mad_c OR cusum_dn > 5 * mad_c)
         |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
         |FROM f""".stripMargin,
+    "ev_path_trigrams" ->
+      """WITH l AS (SELECT user_id, event_type AS t3,
+        |    lag(event_type, 2) OVER w AS t1, lag(event_type, 1) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |tri AS (SELECT t1, t2, t3, count(*) AS n FROM l
+        |        WHERE t1 IS NOT NULL GROUP BY 1, 2, 3),
+        |t AS (SELECT sum(n) AS n_total FROM tri)
+        |SELECT t1, t2, t3, n,
+        |  CAST(n * 1000000 // n_total AS BIGINT) AS share_ppm
+        |FROM tri CROSS JOIN t""".stripMargin,
+    "doc_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, tf.term, tf.tf, df.df,
+        |    CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS idf_bits,
+        |    tf.tf * CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rnk FROM s)
+        |SELECT doc_id, term, tf, df, idf_bits, score, rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
+    "ev_time_weighted" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT user_id, cents,
+        |    lead(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      - ts_us AS gap_us FROM e),
+        |a AS (SELECT user_id, count(*) AS n_intervals,
+        |    CAST(sum(gap_us) AS BIGINT) AS held_us,
+        |    sum(CAST(cents AS HUGEINT) * gap_us) AS num
+        |  FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_intervals, held_us,
+        |  CASE WHEN held_us = 0 THEN NULL ELSE
+        |    round(CAST(num AS DOUBLE) / CAST(held_us AS DOUBLE) / 100.0, 4)
+        |    END AS twa_value
+        |FROM a""".stripMargin,
     "ev_bot_regularity" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |g AS (SELECT user_id,

@@ -231,6 +231,26 @@ object Events {
       .selectExpr("prev_type", "next_type", "n", "n * 10000 DIV total AS prob_e4")
   }
 
+  /** #283 User-journey trigrams: the 3-step paths [[eventTransitions]]'
+    * first-order matrix cannot see (A→B→C vs B→A→C have identical
+    * bigrams). Two lags ride the SAME window sort; the pattern frame is
+    * ≤ |types|³ rows, so the share arithmetic is exact integers over a
+    * bounded aggregate — "what do users actually do" path mining with
+    * one corpus exchange.
+    */
+  def pathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val tri = withTs(spark, dir)
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+    val total = tri.agg(sum(col("n")).as("n_total"))
+    tri.join(broadcast(total))
+      .selectExpr("t1", "t2", "t3", "n", "n * 1000000 DIV n_total AS share_ppm")
+  }
+
   /** Time-to-convert distribution: per converting user, the delay from
     * first signup to first purchase, summarized as exact counts plus
     * interpolated delay percentiles — the funnel's "how long" companion
@@ -878,6 +898,33 @@ object Events {
         count(lit(1)).as("n_intervals"),
         sum(col("e") - col("s")).as("covered_us"),
         max(col("e") - col("s")).as("longest_us"))
+  }
+
+  /** #282 Time-weighted average value per user: each event's value holds
+    * until the next event, so the mean weights by HOLD DURATION, not by
+    * event count — the correct average for state-like metrics (a price
+    * that sat for an hour counts 3600× a one-second blip; the unweighted
+    * mean a dashboard naively computes over-counts rapid flappers).
+    * Numerator Σ cents·gap_us and denominator Σ gap_us are exact
+    * DECIMAL(38,0)/bigint sums; the single divide runs in identical SQL
+    * text on both engines. Lead window and aggregate share ONE user_id
+    * exchange; users with a single event (no held interval) report NULL.
+    */
+  def timeWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("gap_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("gap_us")).as("held_us"),
+        expr("sum(CAST(cents AS DECIMAL(38,0)) * gap_us)").as("num"))
+      .select(col("user_id"), col("n_intervals"), col("held_us"),
+        expr("CASE WHEN held_us = 0 THEN NULL ELSE " +
+          "round(CAST(num AS DOUBLE) / CAST(held_us AS DOUBLE) / 100.0, 4) " +
+          "END").as("twa_value"))
   }
 
   /** #274 Growth accounting — the daily new/returning split every DAU

@@ -1098,6 +1098,30 @@ object Text {
       .withColumn("jaccard_ppm", expr("n_both * 1000000 DIV n_union"))
   }
 
+  /** #284 TF-IDF top terms per document, fully integer: idf quantized to
+    * floor(log₂(N/df)) via the bit-length identity (length(bin(x)) − 1 —
+    * no engine evaluates a real log), score = tf·idf_bits, top-3 per doc
+    * through the two-phase TopKPerGroup physical operator (map-side
+    * heap prune before the exchange). The "what is this document about"
+    * keyword extraction next to [[docTopTerms]]' raw-frequency view —
+    * corpus-wide stopwords (df = N) score 0 and drop out on their own.
+    */
+  def tfidfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .join(broadcast(n))
+      .withColumn("idf_bits", expr("CAST(length(bin(n_docs DIV df)) - 1 AS BIGINT)"))
+      .withColumn("score", col("tf") * col("idf_bits"))
+    graft.plans.TopK.topKPerGroup(scored, Seq("doc_id"),
+      Seq(("score", true), ("term", false)), k)
+      .select("doc_id", "term", "tf", "df", "idf_bits", "score", "rnk")
+  }
+
   /** #276 Zipf rank-frequency audit: the top-`k` corpus terms with their
     * EXACT global frequency rank, the Zipf product freq×rank (constant
     * under a perfect power law — its drift across ranks is the headline),

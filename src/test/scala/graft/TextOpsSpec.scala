@@ -572,4 +572,60 @@ class TextOpsSpec extends SparkSpec {
       .write.parquet(s"$dir2/events.parquet")
     assert(Events.lorenzGini(spark, dir2).collect()(0).getLong(2) === 0L)
   }
+
+  test("timeWeighted averages by hold duration, drops single-event users") {
+    import spark.implicits._
+    import graft.operators.Events
+    val dir = java.nio.file.Files.createTempDirectory("twa").toString
+    // u1: 100 for 10s, then 200 for 30s -> TWA (100*10+200*30)/40 = 175
+    val rows = Seq(
+      (1L, 0L, 1L, "c", 100.0, "{}"),
+      (2L, 10L * 1000000000L, 1L, "c", 200.0, "{}"),
+      (3L, 40L * 1000000000L, 1L, "c", 50.0, "{}"),
+      (4L, 5L * 1000000000L, 2L, "c", 999.0, "{}")) // single event: no interval
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.timeWeighted(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(1L -> ((2L, 40000000L, 175.0))), s"got $out")
+  }
+
+  test("tfidfTopK scores with the bit-length idf and ranks per doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfidf").toString
+    // df: x=1 (idf_bits 1), y=3 (3/3=1 -> 0 bits), z=1 (1)
+    Seq((1L, "x x y", "en", "s", 5L), (2L, "y z", "en", "s", 3L),
+      (3L, "y", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Text.tfidfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getAs[Number]("idf_bits").longValue, r.getAs[Number]("score").longValue,
+          r.getAs[Number]("rnk").longValue))).toMap
+    assert(out((1L, "x")) === ((1L, 2L, 1L))) // tf 2 x idf 1, top of doc 1
+    assert(out((1L, "y")) === ((0L, 0L, 2L))) // corpus-wide term scores 0
+    assert(out((2L, "z")) === ((1L, 1L, 1L)))
+    assert(out((3L, "y")) === ((0L, 0L, 1L)))
+  }
+
+  test("pathTrigrams counts 3-step journeys with exact shares") {
+    import spark.implicits._
+    import graft.operators.Events
+    val dir = java.nio.file.Files.createTempDirectory("tri").toString
+    val rows = Seq( // u1: A->B->C->D ; u2: A->B (too short for a trigram)
+      (1L, 1000000000L, 1L, "A", 1.0, "{}"),
+      (2L, 2000000000L, 1L, "B", 1.0, "{}"),
+      (3L, 3000000000L, 1L, "C", 1.0, "{}"),
+      (4L, 4000000000L, 1L, "D", 1.0, "{}"),
+      (5L, 1000000000L, 2L, "A", 1.0, "{}"),
+      (6L, 2000000000L, 2L, "B", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.pathTrigrams(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      ("A", "B", "C") -> ((1L, 500000L)),
+      ("B", "C", "D") -> ((1L, 500000L))), s"got $out")
+  }
 }
