@@ -273,6 +273,13 @@ object SparkEntry {
     "ev_path_trigrams" -> ((s, d) => Events.pathTrigrams(s, d)),
     // integer TF-IDF keywords via the bit-length idf, two-phase top-k
     "doc_tfidf_topk" -> ((s, d) => Text.tfidfTopK(s, d)),
+    // bigram conditional surprise (context-aware perplexity gate)
+    "doc_bigram_surprise" -> ((s, d) => Text.bigramSurprise(s, d)),
+    // per-candidate watermark cost: dropped events + value mass
+    "cdc_watermark_impact" -> ((s, d) => Events.watermarkImpact(s, d)),
+    // triangle census of the k-NN graph (rows-only: LSH-built substrate;
+    // UtilSpec pins a planted clique + path)
+    "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
     // one-number inequality readout via exact global ranks
     "ev_lorenz_gini" -> ((s, d) => Events.lorenzGini(s, d)),
     // Zipf rank-frequency audit over the corpus vocabulary
@@ -1239,6 +1246,24 @@ object SparkEntry {
         |  CAST(CASE WHEN mad_c > 0 AND (cusum_up > 5 * mad_c OR cusum_dn > 5 * mad_c)
         |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
         |FROM f""".stripMargin,
+    "cdc_watermark_impact" -> Events.watermarkImpactOracle,
+    "doc_bigram_surprise" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |b0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |         i -> toks[i] || chr(1) || toks[i+1])) AS bg FROM t),
+        |bg AS (SELECT doc_id, bg FROM b0
+        |       WHERE split_part(bg, chr(1), 1) <> ''
+        |         AND split_part(bg, chr(1), 2) <> ''),
+        |c12 AS (SELECT bg, count(*) AS c12,
+        |        split_part(bg, chr(1), 1) AS w1 FROM bg GROUP BY 1),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |s AS (SELECT bg, CAST(length(bin(c1 // c12)) - 1 AS BIGINT) AS surprise_lg2
+        |      FROM c12 JOIN c1 USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(surprise_lg2) AS BIGINT) AS sum_surprise,
+        |  CAST(sum(surprise_lg2) * 10000 // count(*) AS BIGINT) AS mean_surprise_e4
+        |FROM bg JOIN s USING (bg) GROUP BY 1""".stripMargin,
     "ev_path_trigrams" ->
       """WITH l AS (SELECT user_id, event_type AS t3,
         |    lag(event_type, 2) OVER w AS t1, lag(event_type, 1) OVER w AS t2

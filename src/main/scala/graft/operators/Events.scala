@@ -741,6 +741,68 @@ object Events {
       .withColumn("wm_advice_us", col("p99_us"))
   }
 
+  /** The watermark candidates [[watermarkImpact]] prices, label → µs. */
+  final val WatermarkCandidates: Seq[(String, Long)] = Seq(
+    "1s" -> 1000000L, "1m" -> 60000000L, "1h" -> 3600000000L,
+    "1d" -> 86400000000L)
+
+  /** #286 Watermark impact pricing: [[watermarkAdvice]] says how late the
+    * tail is; this says what each CANDIDATE watermark would have COST —
+    * events arriving later than W after already-seen data are dropped by
+    * a W watermark, so per (type, W): dropped count, exact dropped ppm,
+    * and the dropped value mass in cents. All four candidates fold as
+    * conditional sums in ONE aggregation over one lateness window (the
+    * per-candidate rows stack off the aggregate — the corpus is never
+    * fanned out ×4). The business-facing readout that turns the P99
+    * advice into an explicit correctness-vs-latency trade.
+    */
+  def watermarkImpact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = withTs(spark, dir)
+      .withColumn("prev_max", max(col("ts_us")).over(w))
+      .select(col("event_type"),
+        greatest(lit(0L), coalesce(col("prev_max") - col("ts_us"), lit(0L)))
+          .as("late_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val aggs = WatermarkCandidates.flatMap { case (lbl, us) => Seq(
+      sum(when(col("late_us") > us, 1L).otherwise(0L)).as(s"n_$lbl"),
+      sum(when(col("late_us") > us, col("cents")).otherwise(0L)).as(s"c_$lbl")) }
+    val folded = late.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), aggs: _*)
+    val stackArgs = WatermarkCandidates.map { case (lbl, us) =>
+      s"'$lbl', CAST($us AS BIGINT), n_$lbl, c_$lbl" }.mkString(", ")
+    folded.selectExpr("event_type", "n_events",
+      s"stack(${WatermarkCandidates.size}, $stackArgs) " +
+        "AS (wm_label, wm_us, n_dropped, cents_dropped)")
+      .withColumn("dropped_ppm", expr("n_dropped * 1000000 DIV n_events"))
+  }
+
+  /** DuckDB oracle for [[watermarkImpact]], generated from the same
+    * candidate list. */
+  def watermarkImpactOracle: String = {
+    val sums = WatermarkCandidates.map { case (lbl, us) =>
+      s"""    CAST(sum(CASE WHEN late_us > $us THEN 1 ELSE 0 END) AS BIGINT) AS n_$lbl,
+         |    CAST(sum(CASE WHEN late_us > $us THEN cents ELSE 0 END) AS BIGINT) AS c_$lbl""".stripMargin
+    }.mkString(",\n")
+    val legs = WatermarkCandidates.map { case (lbl, us) =>
+      s"""SELECT event_type, n_events, '$lbl' AS wm_label,
+         |  CAST($us AS BIGINT) AS wm_us, n_$lbl AS n_dropped,
+         |  c_$lbl AS cents_dropped,
+         |  CAST(n_$lbl * 1000000 // n_events AS BIGINT) AS dropped_ppm FROM f""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH l AS (SELECT event_type,
+       |    greatest(0, COALESCE(max(epoch_us(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      - epoch_us(ts), 0)) AS late_us,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |f AS (SELECT event_type, count(*) AS n_events,
+       |$sums
+       |  FROM l GROUP BY 1)
+       |$legs""".stripMargin
+  }
+
   /** #256 Hour-of-day load profile: event share per UTC hour with the
     * signed deviation from the uniform 1/24 share, in exact ppm — the
     * capacity-planning / anomaly baseline for ingest scheduling. One

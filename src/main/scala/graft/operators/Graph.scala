@@ -119,6 +119,44 @@ object Graph {
     labels.select(col("id").as("vec_id"), col("lbl").as("community"))
   }
 
+  /** #285 Triangle counting + local clustering coefficient over an edge
+    * list: canonical a<b<c enumeration so each triangle is found exactly
+    * once — wedge join (x,y)⋈(y,z) then closure against (x,z), all three
+    * legs EQUI-joins on the same deduped undirected edge frame
+    * (localCheckpointed once, reused three times; never a cartesian).
+    * Per-node output: degree, triangle membership count, and the local
+    * clustering coefficient 2T/deg(deg−1) in exact ×10⁴ — the
+    * "is this neighborhood a clique or a hub-spoke" geometry audit of a
+    * similarity graph (near-dup families show up as dense triangles;
+    * crawl spam shows up as high-degree zero-clustering hubs).
+    */
+  def trianglesFrom(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val wedges = und.select(col("a").as("x"), col("b").as("y"))
+      .join(und.select(col("a").as("y"), col("b").as("z")), "y")
+    val tri = wedges
+      .join(und.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("id"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .withColumn("cc_e4", expr("CASE WHEN degree < 2 THEN 0 " +
+        "ELSE 2 * n_triangles * 10000 DIV (degree * (degree - 1)) END"))
+  }
+
+  /** #285 Registered query: triangle census of the corpus k-NN graph. */
+  def triangles(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    trianglesFrom(Similarity.knnGraph(spark, dir, k))
+
   /** #250 Community detection over the LSH-blocked embedding k-NN graph:
     * the cluster-census counterpart of [[pagerank]] — which groups of
     * near-duplicate / same-topic vectors form connected neighborhoods,

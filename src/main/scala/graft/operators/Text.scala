@@ -1122,6 +1122,40 @@ object Text {
       .select("doc_id", "term", "tf", "df", "idf_bits", "score", "rnk")
   }
 
+  /** #287 Bigram-LM surprise — the context-aware upgrade of the unigram
+    * [[lmScore]]: per consecutive token pair, the conditional surprise
+    * −log₂ P(w₂|w₁) quantized to floor(log₂(c(w₁·)/c(w₁w₂))) via the
+    * bit-length identity (exact integers, no engine evaluates a log),
+    * where c(w₁·) is the bigram-start count. A document full of common
+    * words in IMPROBABLE order (shuffled text, keyword stuffing) scores
+    * high here while the unigram model waves it through. Bigrams pair
+    * raw-adjacent positions then drop empty tokens — identical rule both
+    * engines; joins travel on the chr(1)-separated bigram key, one
+    * vocab-sized count frame per side.
+    */
+  def bigramSurprise(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], chr(1), toks[i + 1]))")).as("bg"))
+      .withColumn("w1", expr("split_part(bg, chr(1), 1)"))
+      .withColumn("w2", expr("split_part(bg, chr(1), 2)"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val c12 = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", expr("split_part(bg, chr(1), 1)"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val s = c12.join(c1, "w1")
+      .select(col("bg"),
+        expr("CAST(length(bin(c1 DIV c12)) - 1 AS BIGINT)").as("surprise_lg2"))
+    bg.join(s, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("surprise_lg2")).as("sum_surprise"),
+        expr("sum(surprise_lg2) * 10000 DIV count(1)").as("mean_surprise_e4"))
+  }
+
   /** #276 Zipf rank-frequency audit: the top-`k` corpus terms with their
     * EXACT global frequency rank, the Zipf product freq×rank (constant
     * under a perfect power law — its drift across ranks is the headline),

@@ -608,6 +608,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out((3L, "y")) === ((0L, 0L, 1L)))
   }
 
+  test("bigramSurprise charges improbable continuations by the bit-length log") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bigram").toString
+    // corpus bigrams: a->b x2, b->a x1, a->c x1; c(a.)=3, c(b.)=1
+    // surprise: a->b floor(log2(3/2))=0, a->c floor(log2(3/1))=1, b->a 0
+    Seq((1L, "a b a c", "en", "s", 7L), (2L, "a b", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Text.bigramSurprise(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      1L -> ((3L, 1L, 3333L)), // the a->c continuation charges 1 bit
+      2L -> ((1L, 0L, 0L))), s"got $out")
+  }
+
   test("pathTrigrams counts 3-step journeys with exact shares") {
     import spark.implicits._
     import graft.operators.Events

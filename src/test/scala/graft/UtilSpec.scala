@@ -744,6 +744,42 @@ class UtilSpec extends SparkSpec {
     assert(out === out2)
   }
 
+  test("triangles: planted clique counts exactly, path stays triangle-free") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // 4-clique + a 3-node path; one duplicate reversed edge to prove
+    // canonicalization
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val out = Graph.trianglesFrom(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (1L to 4L).foreach { n =>
+      assert(out(n) === ((3L, 3L, 10000L)), s"clique node $n got ${out(n)}") }
+    assert(out(5L) === ((1L, 0L, 0L)))
+    assert(out(6L) === ((2L, 0L, 0L)))
+    assert(out(7L) === ((1L, 0L, 0L)))
+  }
+
+  test("watermarkImpact prices each candidate against planted lateness") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wmi").toString
+    // arrival order = event_id; e2 arrives 50s late, e3 exactly 1s late
+    // (1s candidate uses strict >, so e3 survives)
+    val rows = Seq(
+      (1L, 100L * 1000000000L, 1L, "c", 10.0, "{}"),
+      (2L, 50L * 1000000000L, 1L, "c", 20.0, "{}"),
+      (3L, 99L * 1000000000L, 1L, "c", 40.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.watermarkImpact(spark, dir).collect()
+      .map(r => r.getString(r.fieldIndex("wm_label")) ->
+        ((r.getLong(r.fieldIndex("n_dropped")), r.getLong(r.fieldIndex("cents_dropped")),
+          r.getLong(r.fieldIndex("dropped_ppm"))))).toMap
+    assert(out("1s") === ((1L, 2000L, 333333L)), s"1s: ${out("1s")}")
+    Seq("1m", "1h", "1d").foreach { wm =>
+      assert(out(wm) === ((0L, 0L, 0L)), s"$wm: ${out(wm)}") }
+  }
+
   test("exactRunningMin equals the window sweep; skyline is dominance-exact") {
     import spark.implicits._
     import graft.operators.{Distributed, Tpch}
