@@ -280,6 +280,9 @@ object SparkEntry {
     // triangle census of the k-NN graph (rows-only: LSH-built substrate;
     // UtilSpec pins a planted clique + path)
     "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
+    // session x error-burst interval OVERLAP join (bucketized equi-join,
+    // exact-once pair emission via the first shared bucket)
+    "ev_session_errors" -> ((s, d) => graft.operators.Ranges.sessionErrorOverlap(s, d)),
     // one-number inequality readout via exact global ranks
     "ev_lorenz_gini" -> ((s, d) => Events.lorenzGini(s, d)),
     // Zipf rank-frequency audit over the corpus vocabulary
@@ -413,6 +416,14 @@ object SparkEntry {
     // band-energy audio fingerprint over REAL decoded WAVs (rows-only:
     // codec + DFT; ImageDecodeSpec plants level-scaled near-dups)
     "mm_audio_fingerprint" -> ((s, d) => graft.operators.Multimodal.audioFpDedup(s, d)),
+    // shot-boundary keyframe census over real decoded multi-frame
+    // containers (rows-only: codec path; ImageDecodeSpec pins the
+    // doc_id-parity scene-change ground truth)
+    "mm_video_keyframes" -> ((s, d) => graft.operators.Multimodal.videoKeyframeStats(s, d)),
+    // Matryoshka truncation eval: recall@k at 1/2/4/8x narrower prefixes
+    // (rows-only: recall of an approximate method; ScaleSpec pins
+    // full-dim recall = 1 and bounds)
+    "emb_matryoshka_eval" -> ((s, d) => Similarity.matryoshkaEval(s, d)),
     // product-quantized ADC scan (rows-only: k-means codebooks; ScaleSpec
     // pins recall vs the exact L2 scan)
     "ann_pq_topk" -> ((s, d) => Similarity.annPqTopK(s, d)),
@@ -1247,6 +1258,33 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
         |FROM f""".stripMargin,
     "cdc_watermark_impact" -> Events.watermarkImpactOracle,
+    "ev_session_errors" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |s0 AS (SELECT user_id, ts_us, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ni
+        |  FROM ev WHERE event_type <> 'error'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s1 AS (SELECT user_id, ts_us, sum(ni) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS island FROM s0),
+        |ses AS (SELECT user_id, min(ts_us) AS s_lo, max(ts_us) AS s_hi,
+        |    count(*) AS s_events FROM s1 GROUP BY user_id, island),
+        |e0 AS (SELECT user_id, ts_us, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w > 300000000 THEN 1 ELSE 0 END AS ni
+        |  FROM ev WHERE event_type = 'error'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |e1 AS (SELECT user_id, ts_us, sum(ni) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS island FROM e0),
+        |bur AS (SELECT user_id, min(ts_us) AS b_lo, max(ts_us) AS b_hi,
+        |    count(*) AS b_errors FROM e1 GROUP BY user_id, island)
+        |SELECT ses.user_id, s_lo, s_hi, s_events, b_lo, b_hi, b_errors,
+        |  least(s_hi, b_hi) - greatest(s_lo, b_lo) AS overlap_us
+        |FROM ses JOIN bur ON ses.user_id = bur.user_id
+        |  AND s_lo <= b_hi AND b_lo <= s_hi""".stripMargin,
     "doc_bigram_surprise" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),

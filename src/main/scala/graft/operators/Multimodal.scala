@@ -422,6 +422,121 @@ object Multimodal {
         col("n_near_dups"))
   }
 
+  /** Frames per synthetic video — pure function of doc_id. */
+  private def videoFrameCount(id: Long): Int = 4 + (id % 3).toInt
+
+  /** Synthesize REAL multi-frame video containers executor-side: a
+    * length-prefixed sequence of genuine PNG frames (the honest stand-in
+    * for an MP4 demuxer — the per-frame codec is real, only the
+    * container is ours). Frames 0..1 are brightness-jittered copies of
+    * one scene; frame 2 CUTS to a different scene for even doc_ids and
+    * stays for odd ones — so scene-change ground truth is a pure
+    * function of doc_id.
+    */
+  def videoPayloads(spark: SparkSession, dir: String): Dataset[MediaIn] = {
+    implicit val enc = Encoders.product[MediaIn]
+    import spark.implicits.{newLongEncoder, newStringEncoder, newProductEncoder}
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val baos = new java.io.ByteArrayOutputStream(8192)
+        val frame = new java.io.ByteArrayOutputStream(2048)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = videoFrameCount(id)
+          baos.reset()
+          val out = new java.io.DataOutputStream(baos)
+          out.writeInt(n)
+          var f = 0
+          while (f < n) {
+            val cut = f >= 2 && id % 2 == 0
+            val img = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var i = 0
+            while (i < 256) {
+              val base =
+                if (bytes.isEmpty) 0
+                else if (cut) bytes(bytes.length - 1 - (i % bytes.length)) & 0xff
+                else bytes(i % bytes.length) & 0xff
+              val v = math.min(255, (if (cut) 255 - base else base) + f) // jitter
+              img.setRGB(i % 16, i / 16, (v << 16) | (v << 8) | v)
+              i += 1
+            }
+            frame.reset()
+            javax.imageio.ImageIO.write(img, "png", frame)
+            out.writeInt(frame.size())
+            frame.writeTo(out)
+            f += 1
+          }
+          out.flush()
+          MediaIn(id, baos.toByteArray)
+        }
+      }
+  }
+
+  case class VideoFrameFeat(doc_id: Long, frame_no: Int, n_frames: Int,
+      diff_e4: Long, is_keyframe: Boolean)
+
+  /** #290 Keyframe selection over REAL decoded video frames: demux the
+    * container, ImageIO-decode every frame, reduce each to a 16-bin
+    * gray profile, and mark a keyframe wherever the mean absolute
+    * profile change from the previous frame exceeds the threshold (the
+    * shot-boundary detector a frame-sampling pipeline runs before
+    * feature extraction, so near-identical frames don't all get
+    * embedded). Row-local partition pass — frames of one video never
+    * cross executors; state is one profile, not the video.
+    */
+  def videoKeyframes(payloads: Dataset[MediaIn],
+      thresholdE4: Long = 1000L): Dataset[VideoFrameFeat] = {
+    implicit val enc = Encoders.product[VideoFrameFeat]
+    payloads.mapPartitions { it =>
+      it.flatMap { m =>
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        try {
+          val n = in.readInt()
+          var prev: Array[Double] = null
+          (0 until n).iterator.map { f =>
+            val len = in.readInt()
+            val buf = new Array[Byte](len)
+            in.readFully(buf)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(buf))
+            val prof = new Array[Double](16)
+            if (img != null) {
+              val (w, h) = (img.getWidth, img.getHeight)
+              var i = 0
+              while (i < w * h) {
+                val px = img.getRGB(i % w, i / w)
+                val g = (((px >> 16) & 0xff) * 299 + ((px >> 8) & 0xff) * 587 +
+                  (px & 0xff) * 114) / 1000.0
+                prof((i * 16 / (w * h)) % 16) += g / (w * h / 16.0)
+                i += 1
+              }
+            }
+            val diff =
+              if (prev == null) 0.0
+              else prof.zip(prev).map { case (a, b) => math.abs(a - b) }.sum / 16.0
+            val diffE4 = math.round(diff / 255.0 * 10000.0)
+            val key = prev == null || diffE4 > thresholdE4
+            prev = prof
+            VideoFrameFeat(m.doc_id, f, n, diffE4, key)
+          }.toList
+        } catch {
+          case _: java.io.IOException => Nil
+        }
+      }
+    }
+  }
+
+  /** #290 Registered query: per-video frame/keyframe census. */
+  def videoKeyframeStats(spark: SparkSession, dir: String): DataFrame =
+    videoKeyframes(videoPayloads(spark, dir)).toDF()
+      .groupBy("doc_id")
+      .agg(max(col("n_frames")).as("n_frames"),
+        sum(when(col("is_keyframe"), 1L).otherwise(0L)).as("n_keyframes"),
+        max(col("diff_e4")).as("max_diff_e4"))
+
   /** Audio frame count per doc — pure function of doc_id, same
     * determinism contract as [[imageDims]]. */
   private def audioFrames(id: Long): Int = 64 + (id % 129).toInt

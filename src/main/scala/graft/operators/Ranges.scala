@@ -35,6 +35,69 @@ object Ranges {
       .drop("__bucket")
   }
 
+  /** Interval×interval OVERLAP join, bucketized: overlap (a.lo ≤ b.hi ∧
+    * b.lo ≤ a.hi) becomes an equi-join on (keys…, bucket) because two
+    * overlapping intervals necessarily share every bucket their
+    * intersection touches — the candidate pair is generated ONCE by
+    * keeping only the intersection's FIRST bucket (greatest of the two
+    * start buckets), so no distinct pass is needed. The residual applies
+    * the exact predicate. The session×incident / outage×deploy alignment
+    * primitive; nothing here nested-loops.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      aLo: String, aHi: String, bLo: String, bHi: String,
+      bucketWidth: Long): DataFrame = {
+    val ab = a.withColumn("__bucket",
+      explode(expr(s"sequence($aLo DIV $bucketWidth, $aHi DIV $bucketWidth)")))
+    val bb = b.withColumn("__bucket",
+      explode(expr(s"sequence($bLo DIV $bucketWidth, $bHi DIV $bucketWidth)")))
+    ab.join(bb, keyCols :+ "__bucket")
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      // emit each overlapping pair exactly once: only in the first shared
+      // bucket of the overlap region
+      .filter(col("__bucket") ===
+        greatest(expr(s"$aLo DIV $bucketWidth"), expr(s"$bLo DIV $bucketWidth")))
+      .drop("__bucket")
+  }
+
+  /** #288 Registered query: which user activity sessions overlap the same
+    * user's error bursts — "was the session degraded". Sessions are
+    * 30-minute-gap islands of non-error events; bursts are 5-minute-gap
+    * islands of error events; both frames are session-cardinality (never
+    * event-cardinality) before the bucketed overlap join. Output: one row
+    * per overlapping (session, burst) with the exact overlap span.
+    */
+  def sessionErrorOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def islands(df: DataFrame, gapUs: Long) = {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      df.withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_island",
+          when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("new_island"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "island")
+        .agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"),
+          count(lit(1)).as("n_events"))
+    }
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"))
+    val sessions = islands(ev.filter(col("event_type") =!= "error"), 1800000000L)
+      .select(col("user_id"), col("lo").as("s_lo"), col("hi").as("s_hi"),
+        col("n_events").as("s_events"))
+    val bursts = islands(ev.filter(col("event_type") === "error"), 300000000L)
+      .select(col("user_id"), col("lo").as("b_lo"), col("hi").as("b_hi"),
+        col("n_events").as("b_errors"))
+    intervalOverlapJoin(sessions, bursts, Seq("user_id"),
+      "s_lo", "s_hi", "b_lo", "b_hi", bucketWidth = 1800000000L)
+      .select(col("user_id"), col("s_lo"), col("s_hi"), col("s_events"),
+        col("b_lo"), col("b_hi"), col("b_errors"),
+        (least(col("s_hi"), col("b_hi")) - greatest(col("s_lo"), col("b_lo")))
+          .as("overlap_us"))
+  }
+
   /** #97 Error blast-radius: for every DELETE (error) event, all of the
     * same user's events within ±5 minutes — the "what happened around the
     * failure" query every CDC operator runs. 10-minute intervals over

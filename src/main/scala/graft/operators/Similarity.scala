@@ -425,6 +425,51 @@ object Similarity {
       .toDF("qid", "nid", "rel", "mmr_score", "mmr_rank")
   }
 
+  /** #289 Matryoshka truncation evaluation: brute-force recall@k using
+    * only the first dim/f dimensions (f ∈ 1,2,4,8) against the full-dim
+    * ground truth — the "can we serve at quarter width" readout behind
+    * truncatable-embedding rollouts (shorter prefixes = 4× less scan
+    * bandwidth, same index). One scan per fraction (an EVAL audit, not a
+    * serving path); each scan is the broadcast-query linear shape of
+    * [[annCosineTopK]] with the cosine folded over the slice. recall is
+    * exact integer e4 per fraction.
+    */
+  def matryoshkaEval(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def topkAt(frac: Int): DataFrame = {
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        .crossJoin(broadcast(qs))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("d", expr(s"greatest(1, size(ne) DIV $frac)"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(slice(qe, 1, d), slice(ne, 1, d), " +
+            "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+        .withColumn("nq", expr(
+          "sqrt(aggregate(slice(qe, 1, d), CAST(0.0 AS DOUBLE), " +
+            "(a, x) -> a + CAST(x AS DOUBLE) * x))"))
+        .withColumn("nn", expr(
+          "sqrt(aggregate(slice(ne, 1, d), CAST(0.0 AS DOUBLE), " +
+            "(a, x) -> a + CAST(x AS DOUBLE) * x))"))
+        .withColumn("cos", expr(
+          "CASE WHEN nq = 0.0 OR nn = 0.0 THEN 0.0 ELSE dot / (nq * nn) END"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("qid"), col("nid"))
+    }
+    val truth = topkAt(1)
+    Seq(1, 2, 4, 8).map { f =>
+      topkAt(f).join(truth, Seq("qid", "nid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("total_hits"))
+        .select(lit(f).as("dim_fraction"), col("n_queries"),
+          coalesce(col("total_hits"), lit(0L)).as("total_hits"),
+          expr(s"coalesce(total_hits, 0) * 10000 DIV (n_queries * $k)").as("recall_e4"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Embedding hygiene audit: per-vector L2 norm (left-to-right double
     * fold — the same evaluation order as the oracle's list_sum, so the
     * rounded value is cross-engine stable), dimensionality, and flags for

@@ -219,4 +219,23 @@ class ImageDecodeSpec extends SparkSpec {
     val out = Multimodal.audioFpDedup(spark, sf)
     assert(out.count() == Tables.documents(spark, sf).count())
   }
+
+  test("video keyframes: the planted scene cut is detected, jitter is not") {
+    val stats = Multimodal.videoKeyframeStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(stats.size == Tables.documents(spark, sf).count())
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    // non-empty docs: even doc_ids carry a hard cut at frame 2 -> exactly
+    // 2 keyframes (frame 0 + the cut); odd ones only jitter -> 1
+    val texts = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "length(text) > 0 AS has").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    docs.filter(texts).foreach { id =>
+      val (nf, nk) = stats(id)
+      assert(nf == 4 + (id % 3).toInt, s"doc $id frame count $nf")
+      if (id % 2 == 0) assert(nk == 2L, s"even doc $id keyframes $nk")
+      else assert(nk == 1L, s"odd doc $id keyframes $nk")
+    }
+  }
 }

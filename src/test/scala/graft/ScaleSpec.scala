@@ -284,6 +284,18 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == Tables.lineitem(spark, sf).count())
   }
 
+  test("matryoshka eval: full-dim recall is exactly 1, narrower prefixes bounded") {
+    val r = Similarity.matryoshkaEval(spark, sf).collect()
+      .map(x => x.getInt(0) -> x.getLong(3)).toMap
+    assert(r.keySet === Set(1, 2, 4, 8))
+    assert(r(1) === 10000L, s"full-dim recall must be exact: ${r(1)}")
+    r.values.foreach(v => assert(v >= 0L && v <= 10000L))
+    // determinism: identical rerun
+    val r2 = Similarity.matryoshkaEval(spark, sf).collect()
+      .map(x => x.getInt(0) -> x.getLong(3)).toMap
+    assert(r === r2)
+  }
+
   test("MMR rerank suppresses redundant candidates in favor of diverse ones") {
     import spark.implicits._
     // candidates: A (rel .95), A' (exact duplicate), B (rel .90 but far

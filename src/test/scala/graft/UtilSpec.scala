@@ -744,6 +744,23 @@ class UtilSpec extends SparkSpec {
     assert(out === out2)
   }
 
+  test("intervalOverlapJoin emits each overlapping pair exactly once") {
+    import spark.implicits._
+    import graft.operators.Ranges
+    val a = Seq((1L, 100L, 0L, 10000L), (1L, 101L, 30000L, 31000L),
+      (2L, 102L, 0L, 500L)).toDF("k", "aid", "a_lo", "a_hi")
+    val b = Seq((1L, 200L, 5000L, 20000L), // spans many shared buckets with aid=100
+      (1L, 201L, 10000L, 10500L),          // touches aid=100 exactly at its hi
+      (1L, 202L, 50000L, 60000L),          // no overlap
+      (2L, 203L, 400L, 450L)).toDF("k", "bid", "b_lo", "b_hi")
+    val out = Ranges.intervalOverlapJoin(a, b, Seq("k"),
+      "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 1000L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // multiplicity matters: a multi-bucket overlap must not duplicate
+    assert(out.sorted.toSeq === Seq((100L, 200L), (100L, 201L), (102L, 203L)),
+      s"got ${out.sorted.toSeq}")
+  }
+
   test("triangles: planted clique counts exactly, path stays triangle-free") {
     import spark.implicits._
     import graft.operators.Graph
