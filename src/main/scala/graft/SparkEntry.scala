@@ -52,6 +52,8 @@ object SparkEntry {
     // same silver projection via the Avro wire format — round-trip parity
     "cdc_avro_parse" -> ((s, d) => graft.sources.AvroEnvelope.avroSilverParsed(s, d)),
     "cdc_expect_audit" -> ((s, d) => Debezium.expectationAudit(s, d)),
+    // DLQ redrive pre-flight: repair, re-check, recovered-vs-dead counts
+    "cdc_dlq_replay" -> ((s, d) => Debezium.dlqReplay(s, d)),
     "cdc_latency_metrics" -> ((s, d) => Debezium.latencyAudit(s, d)),
     "cdc_table_batch" -> ((s, d) => TableRegistry.tableBatch(s, d)),
     "cdc_table_groups" -> ((s, d) => TableRegistry.tableGroups(TableRegistry.discover(s, d))),
@@ -909,6 +911,23 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'small_user_id' AS rule FROM f WHERE NOT (op_raw = 'd' OR user_id < 10))
         |SELECT rule, count(*) AS n_failed FROM fails GROUP BY rule""".stripMargin,
+    "cdc_dlq_replay" ->
+      """WITH f AS (
+        |  SELECT CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' WHEN 'purchase' THEN 'r' ELSE 'u' END AS op_raw,
+        |    epoch_ms(ts) AS seq_ms, user_id
+        |  FROM events),
+        |q AS (
+        |  SELECT NOT (seq_ms >= 1500000000000) AS stale,
+        |    NOT (op_raw = 'd' OR user_id < 10) AS bad_id
+        |  FROM f),
+        |r AS (SELECT concat_ws('+',
+        |    CASE WHEN stale THEN 'stale' END,
+        |    CASE WHEN bad_id THEN 'bad_id' END) AS reason, bad_id
+        |  FROM q WHERE stale OR bad_id)
+        |SELECT reason, count(*) AS n_quarantined,
+        |  CAST(sum(CASE WHEN NOT bad_id THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+        |  CAST(count(*) - sum(CASE WHEN NOT bad_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
+        |FROM r GROUP BY 1""".stripMargin,
     "cdc_latency_metrics" ->
       """WITH f AS (
         |  SELECT CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' WHEN 'purchase' THEN 'r' ELSE 'u' END AS op_raw,

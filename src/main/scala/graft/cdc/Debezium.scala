@@ -252,6 +252,41 @@ object Debezium {
     * 100 TB you do this by hand for every audit that rides a raw
     * stream.) Values are identical to the full parse.
     */
+  /** #291 DLQ replay with repair: the runbook step after
+    * [[expectationAudit]] flags quarantined envelopes — apply the
+    * deterministic repairs (stale source timestamps get RE-STAMPED to
+    * the ingest floor; out-of-domain entity ids are identity errors and
+    * have no repair), re-evaluate the same expectations, and report per
+    * quarantine-reason combination how many rows recover vs stay dead.
+    * Pure column arithmetic over the parsed envelope — the replay
+    * decision costs one scan, no per-row driver logic, and the exact
+    * counts let the operator size the redrive before running it.
+    */
+  def dlqReplay(spark: SparkSession, dir: String): DataFrame = {
+    val pruned = StructType(Seq(
+      StructField("after", StringType),
+      StructField("source", StructType(Seq(StructField("ts_ms", LongType)))),
+      StructField("op", StringType)))
+    val lite = synthEnvelope(spark, dir)
+      .withColumn("parsed", from_json(col("cdc_event"), pruned))
+      .select(
+        readableOp(col("parsed.op")).as("operation"),
+        col("parsed.source.ts_ms").as("source_ts_ms"),
+        get_json_object(col("parsed.after"), "$.user_id").cast("long")
+          .as("after_user_id"))
+    lite
+      .withColumn("stale", expr("NOT (source_ts_ms >= 1500000000000)"))
+      .withColumn("bad_id", expr(
+        "NOT (operation = 'DELETE' OR after_user_id IS NULL OR after_user_id < 10)"))
+      .filter(col("stale") || col("bad_id"))
+      .withColumn("reason", concat_ws("+",
+        when(col("stale"), "stale"), when(col("bad_id"), "bad_id")))
+      .groupBy("reason")
+      .agg(count(lit(1)).as("n_quarantined"),
+        sum(when(!col("bad_id"), 1L).otherwise(0L)).as("n_recovered"))
+      .withColumn("n_dead", col("n_quarantined") - col("n_recovered"))
+  }
+
   def expectationAudit(spark: SparkSession, dir: String): DataFrame = {
     val pruned = StructType(Seq(
       StructField("after", StringType),

@@ -241,11 +241,16 @@ object Events {
   def pathTrigrams(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     val tri = withTs(spark, dir)
-      .withColumn("t1", lag(col("event_type"), 2).over(w))
-      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      // both lags in ONE projection -> a single WindowExec over one sort
+      .select(col("event_type"),
+        lag(col("event_type"), 2).over(w).as("t1"),
+        lag(col("event_type"), 1).over(w).as("t2"))
       .filter(col("t1").isNotNull)
       .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
       .agg(count(lit(1)).as("n"))
+      // the total probe re-references this frame — checkpoint the
+      // |types|³-bounded aggregate so the corpus window runs ONCE
+      .localCheckpoint()
     val total = tri.agg(sum(col("n")).as("n_total"))
     tri.join(broadcast(total))
       .selectExpr("t1", "t2", "t3", "n", "n * 1000000 DIV n_total AS share_ppm")

@@ -252,4 +252,18 @@ class DebeziumSpec extends SparkSpec {
         expect.exceptAll(got).count() == 0)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("dlqReplay partitions the quarantine into recovered and dead") {
+    val r = graft.cdc.Debezium.dlqReplay(spark, sf).collect()
+    assert(r.nonEmpty, "corpus must quarantine something")
+    r.foreach { row =>
+      assert(row.getLong(1) == row.getLong(2) + row.getLong(3),
+        s"${row.getString(0)}: recovered + dead != quarantined") }
+    val m = r.map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // the re-stamp repair recovers every stale-only row; identity errors
+    // have no repair, alone or in combination
+    m.get("stale").foreach { case (q, rec) => assert(q == rec, s"stale: $q vs $rec") }
+    m.get("bad_id").foreach { case (_, rec) => assert(rec == 0L) }
+    m.get("stale+bad_id").foreach { case (_, rec) => assert(rec == 0L) }
+  }
 }

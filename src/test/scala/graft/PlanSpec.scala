@@ -420,4 +420,37 @@ class PlanSpec extends SparkSpec {
     val exchanges = "(?<!Broadcast|Reused)Exchange".r.findAllIn(p).size
     assert(exchanges <= 1, s"bot regularity re-shuffled the user frame ($exchanges):\n$p")
   }
+
+  test("corr matrix: ONE scan feeds all 15 aggregates, rows stack off one summary row") {
+    val p = planOf("q_corr_matrix")
+    assert("Scan parquet|FileScan".r.findAllIn(p).size <= 1,
+      s"corr matrix re-scans lineitem per pair:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corr matrix planned a join:\n$p")
+  }
+
+  test("skyline: equi-joins only, no nested-loop dominance check") {
+    val p = planOf("q_skyline_parts")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"skyline planned a non-equi join:\n$p")
+  }
+
+  test("session-error overlap: the bucketed join is an equi hash join") {
+    val p = planOf("ev_session_errors")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"overlap join regressed to a nested loop:\n$p")
+  }
+
+  test("tfidf rides the two-phase top-k exec; trigrams share one window sort") {
+    val pt = planOf("doc_tfidf_topk")
+    assert(pt.contains("TopKPerGroup"), s"tfidf lost the custom exec:\n$pt")
+    // after the eager checkpoint of the trigram aggregate, the final plan
+    // reads the materialized frame — at most one Window may remain, and
+    // the corpus must not be scanned twice for the total probe
+    val pg = planOf("ev_path_trigrams")
+    assert("Window \\[".r.findAllIn(pg).size <= 1,
+      s"trigram lags split across WindowExecs:\n$pg")
+    assert("Scan parquet|FileScan".r.findAllIn(pg).isEmpty,
+      s"trigram total probe re-scans events:\n$pg")
+  }
 }
