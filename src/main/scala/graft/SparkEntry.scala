@@ -563,7 +563,29 @@ object SparkEntry {
       CdcStreams.schemaDrift(env, Map(
         "orders" -> Seq("o_custkey", "o_orderstatus", "o_legacy_flag"),
         "customer" -> Seq("c_name", "c_nationkey")))
-    })
+    }),
+    // sweep-line peak concurrency per day via the distributed exact cumsum
+    "ev_peak_concurrency" -> ((s, d) => Events.peakConcurrency(s, d)),
+    // discrete-time churn hazard/survival, exact integer ppm
+    "ev_churn_hazard" -> ((s, d) => Events.churnHazard(s, d)),
+    // binlog op-chain grammar audit (create-missing / post-delete / dup-create)
+    "cdc_op_sequence_audit" -> ((s, d) => Cdc.opSequenceAudit(s, d)),
+    // DBLog chunked snapshot + live log interleave with consistency proof
+    "cdc_incremental_snapshot" -> ((s, d) => Cdc.incrementalSnapshot(s, d)),
+    // LSH banding precision/recall vs exact Jaccard on a bounded
+    // deterministic sample (rows-only: eval harness; DedupSpec pins
+    // plant recall + confusion identities)
+    "dedup_lsh_eval" -> ((s, d) => Dedup.lshEval(s, d)),
+    // Markov removal-effect attribution (rows-only: matrix solve has no
+    // SQL analog; UtilSpec pins a hand-solvable chain)
+    "ev_markov_attribution" -> ((s, d) => Events.markovAttribution(s, d)),
+    // Newman modularity of the LPA partition over the kNN graph
+    // (rows-only: LPA is iterative; GraphSpec pins the two-clique Q=0.5)
+    "graph_modularity" -> ((s, d) => graft.operators.Graph.modularity(s, d)),
+    // GDPR Art.15 data-subject access report across the FK-reachable tables
+    "q_dsar_export" -> ((s, d) => Forget.dsarExport(s, d)),
+    // debounced threshold alert episodes (gaps-and-islands over breach days)
+    "ts_alert_episodes" -> ((s, d) => TimeSeries.alertEpisodes(s, d))
   )
 
   /** Shared DuckDB fragment: exact-DECIMAL discounted revenue over a
@@ -1288,7 +1310,8 @@ object SparkEntry {
         |s1 AS (SELECT user_id, ts_us, sum(ni) OVER (PARTITION BY user_id
         |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
         |    CURRENT ROW) AS island FROM s0),
-        |ses AS (SELECT user_id, min(ts_us) AS s_lo, max(ts_us) AS s_hi,
+        |ses AS (SELECT user_id, min(ts_us) AS s_lo,
+        |    max(ts_us) + 1800000000 AS s_hi,
         |    count(*) AS s_events FROM s1 GROUP BY user_id, island),
         |e0 AS (SELECT user_id, ts_us, event_id,
         |    CASE WHEN lag(ts_us) OVER w IS NULL
@@ -1298,7 +1321,8 @@ object SparkEntry {
         |e1 AS (SELECT user_id, ts_us, sum(ni) OVER (PARTITION BY user_id
         |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
         |    CURRENT ROW) AS island FROM e0),
-        |bur AS (SELECT user_id, min(ts_us) AS b_lo, max(ts_us) AS b_hi,
+        |bur AS (SELECT user_id, min(ts_us) AS b_lo,
+        |    max(ts_us) + 300000000 AS b_hi,
         |    count(*) AS b_errors FROM e1 GROUP BY user_id, island)
         |SELECT ses.user_id, s_lo, s_hi, s_events, b_lo, b_hi, b_errors,
         |  least(s_hi, b_hi) - greatest(s_lo, b_lo) AS overlap_us
@@ -2971,6 +2995,116 @@ object SparkEntry {
         |SELECT lang, n_docs, n_words, n_chars,
         |  CAST(n_words * 10000 // n_docs AS BIGINT) AS words_per_doc_e4,
         |  CAST(n_chars * 10000 // n_words AS BIGINT) AS chars_per_word_e4
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "ev_peak_concurrency" ->
+      """WITH iv AS (SELECT event_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e_us
+        |  FROM events),
+        |pts AS (SELECT event_id, s_us AS t_us, CAST(1 AS BIGINT) AS delta FROM iv
+        |        UNION ALL SELECT event_id, e_us, CAST(-1 AS BIGINT) FROM iv),
+        |c AS (SELECT *, sum(delta) OVER (ORDER BY t_us, delta, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM pts)
+        |SELECT t_us // 86400000000 AS day_idx,
+        |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |  CAST(max(cum) AS BIGINT) AS peak_concurrency
+        |FROM c GROUP BY 1""".stripMargin,
+    "ev_churn_hazard" ->
+      """WITH life AS (SELECT user_id,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 604800000000 AS week
+        |  FROM events GROUP BY user_id),
+        |pw AS (SELECT week, count(*) AS churned FROM life GROUP BY week),
+        |t AS (SELECT CAST(sum(churned) AS BIGINT) AS n_total FROM pw),
+        |ar AS (SELECT *, sum(churned) OVER (ORDER BY week DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk FROM pw)
+        |SELECT week, CAST(at_risk AS BIGINT) AS at_risk,
+        |  CAST(churned AS BIGINT) AS churned,
+        |  CAST(churned * 1000000 // at_risk AS BIGINT) AS hazard_ppm,
+        |  CAST((at_risk - churned) * 1000000 // n_total AS BIGINT) AS survival_ppm
+        |FROM ar, t""".stripMargin,
+    "cdc_op_sequence_audit" ->
+      s"""$logCte,
+         |lg AS (SELECT *, lag(operation) OVER (
+         |    PARTITION BY user_id ORDER BY seq_us, event_id) AS prev_op FROM log),
+         |v AS (SELECT *, CASE
+         |    WHEN prev_op IS NULL AND operation != 'INSERT' THEN 'create_missing'
+         |    WHEN prev_op = 'DELETE' AND operation != 'INSERT' THEN 'post_delete_mutation'
+         |    WHEN prev_op IN ('INSERT', 'UPDATE') AND operation = 'INSERT' THEN 'duplicate_create'
+         |    END AS violation FROM lg)
+         |SELECT violation, count(*) AS n_rows,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+         |  CAST(min(event_id) AS BIGINT) AS first_event_id
+         |FROM v WHERE violation IS NOT NULL GROUP BY violation""".stripMargin,
+    "cdc_incremental_snapshot" ->
+      s"""$logCte,
+         |mid AS (SELECT (min(seq_us) + max(seq_us)) // 2 AS t_mid FROM log),
+         |l2 AS (SELECT l.*, m.t_mid FROM log l, mid m),
+         |snap_rn AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY seq_us DESC, event_id DESC) AS rn FROM l2 WHERE seq_us <= t_mid),
+         |snapshot AS (SELECT user_id, seq_us, value FROM snap_rn
+         |  WHERE rn = 1 AND operation != 'DELETE'),
+         |logside AS (SELECT * FROM l2 WHERE seq_us > t_mid),
+         |log_rn AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY seq_us DESC, event_id DESC) AS rn FROM logside),
+         |logfinal AS (SELECT user_id, seq_us, value FROM log_rn
+         |  WHERE rn = 1 AND operation != 'DELETE'),
+         |logkeys AS (SELECT DISTINCT user_id FROM logside),
+         |kept AS (SELECT s.* FROM snapshot s LEFT JOIN logkeys k
+         |  ON s.user_id = k.user_id WHERE k.user_id IS NULL),
+         |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM logfinal),
+         |all_rn AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY seq_us DESC, event_id DESC) AS rn FROM l2),
+         |direct AS (SELECT user_id, seq_us, value FROM all_rn
+         |  WHERE rn = 1 AND operation != 'DELETE'),
+         |parity AS (SELECT coalesce(m.user_id, d.user_id) AS user_id,
+         |    m.seq_us AS m_seq, d.seq_us AS d_seq, m.value AS m_val, d.value AS d_val
+         |  FROM merged m FULL OUTER JOIN direct d ON m.user_id = d.user_id),
+         |pstat AS (SELECT user_id // 100 AS chunk_id,
+         |    CAST(sum(CASE WHEN m_seq IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+         |    CAST(sum(CASE WHEN m_seq IS NULL OR d_seq IS NULL OR m_seq != d_seq
+         |      OR m_val != d_val THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+         |  FROM parity GROUP BY 1),
+         |sstat AS (SELECT s.user_id // 100 AS chunk_id, count(*) AS n_snapshot,
+         |    CAST(sum(CASE WHEN k.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_superseded
+         |  FROM snapshot s LEFT JOIN logkeys k ON s.user_id = k.user_id GROUP BY 1)
+         |SELECT coalesce(s.chunk_id, p.chunk_id) AS chunk_id,
+         |  CAST(coalesce(s.n_snapshot, 0) AS BIGINT) AS n_snapshot,
+         |  CAST(coalesce(s.n_superseded, 0) AS BIGINT) AS n_superseded,
+         |  CAST(coalesce(p.n_final, 0) AS BIGINT) AS n_final,
+         |  CAST(coalesce(p.n_mismatch, 0) AS BIGINT) AS n_mismatch
+         |FROM sstat s FULL OUTER JOIN pstat p ON s.chunk_id = p.chunk_id""".stripMargin,
+    "q_dsar_export" ->
+      """WITH subj AS (SELECT c_custkey AS subject FROM customer
+        |  WHERE c_custkey % 100 = 7),
+        |cu AS (SELECT subject, 'customer' AS tbl, count(*) AS n_rows,
+        |    CAST(NULL AS BIGINT) AS first_us, CAST(NULL AS BIGINT) AS last_us
+        |  FROM customer JOIN subj ON c_custkey = subject GROUP BY subject),
+        |oo AS (SELECT subject, 'orders' AS tbl, count(*) AS n_rows,
+        |    min(epoch_us(o_orderdate)) AS first_us,
+        |    max(epoch_us(o_orderdate)) AS last_us
+        |  FROM orders JOIN subj ON o_custkey = subject GROUP BY subject),
+        |li AS (SELECT s.subject, 'lineitem' AS tbl, count(*) AS n_rows,
+        |    min(epoch_us(l_shipdate)) AS first_us,
+        |    max(epoch_us(l_shipdate)) AS last_us
+        |  FROM lineitem l JOIN (SELECT o_orderkey, subject FROM orders
+        |    JOIN subj ON o_custkey = subject) s ON l.l_orderkey = s.o_orderkey
+        |  GROUP BY s.subject)
+        |SELECT subject, tbl, n_rows, first_us, last_us FROM cu
+        |UNION ALL SELECT * FROM oo
+        |UNION ALL SELECT * FROM li""".stripMargin,
+    "ts_alert_episodes" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |thr AS (SELECT event_type,
+        |    CAST(round(quantile_cont(n, 0.9)) AS BIGINT) AS p90
+        |  FROM daily GROUP BY 1),
+        |breach AS (SELECT d.event_type, d.day, d.n, t.p90 FROM daily d
+        |  JOIN thr t ON d.event_type = t.event_type WHERE d.n > t.p90),
+        |isl AS (SELECT *, day - row_number() OVER (PARTITION BY event_type
+        |    ORDER BY day) AS island FROM breach)
+        |SELECT event_type, min(day) AS start_day, max(day) AS end_day,
+        |  count(*) AS n_days, max(n) AS peak_n, max(p90) AS p90,
+        |  CAST(sum(n - p90) AS BIGINT) AS excess,
+        |  CAST(CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS actionable
+        |FROM isl GROUP BY event_type, island""".stripMargin
   )
 }

@@ -604,4 +604,96 @@ object Cdc {
           coalesce(col("v1").cast(d), lit(0).cast(d))), 2)
           .cast("double").as("net_value_delta"))
   }
+
+  /** #294 Op-sequence legality audit — a binlog replay is only trustworthy
+    * if each key's op chain is grammatical: the first op for a key should
+    * be a create, nothing but a re-create may follow a DELETE, and a
+    * second INSERT without an intervening DELETE means the source emitted
+    * a duplicate create (usually a snapshot/stream overlap, the exact bug
+    * DBLog's watermark windows exist to prevent). One lag window per key
+    * classifies every row; the violation census (class, rows, distinct
+    * keys, first offending event for repro) is what an operator pages on.
+    * Single user_id exchange; the census frame is ≤3 rows.
+    */
+  def opSequenceAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("seq_us"), col("event_id"))
+    log(spark, dir)
+      .withColumn("prev_op", lag(col("operation"), 1).over(w))
+      .withColumn("violation",
+        when(col("prev_op").isNull && col("operation") =!= "INSERT",
+          "create_missing")
+          .when(col("prev_op") === "DELETE" && col("operation") =!= "INSERT",
+            "post_delete_mutation")
+          .when(col("prev_op").isin("INSERT", "UPDATE") &&
+            col("operation") === "INSERT", "duplicate_create"))
+      .filter(col("violation").isNotNull)
+      .groupBy("violation")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_keys"),
+        min(col("event_id")).as("first_event_id"))
+  }
+
+  /** #295 DBLog-style incremental-snapshot interleave audit (Netflix DBLog
+    * / Debezium incremental snapshots): a consistent initial load runs
+    * CHUNKED key-range selects concurrently with the live change log, and
+    * a snapshot row must be discarded whenever the log already carries a
+    * newer event for its key — the chunk/watermark dedup rule. This batch
+    * realization splits the envelope at the timeline midpoint t_mid:
+    * "snapshot" = SCD1 state at t_mid (latest non-DELETE per key),
+    * chunked by key range; "log" = events after t_mid. Per chunk it
+    * reports rows selected, rows superseded by the log (the dedup rule
+    * firing), log-born keys landing in the chunk's range, and final live
+    * keys — and proves the merge is CONSISTENT: n_mismatch counts keys
+    * where (snapshot ⊕ log-replay) disagrees with the direct SCD1 over
+    * the full history, and must be 0 everywhere. Three aggregations on
+    * the same user_id hash partitioning + one tiny broadcast of t_mid;
+    * chunk granularity is a pure projection of the key, so the audit
+    * frame is ~keys/chunkSize rows at any scale.
+    */
+  def incrementalSnapshot(spark: SparkSession, dir: String,
+      chunkSize: Long = 100L): DataFrame = {
+    val l = log(spark, dir)
+    val mid = l.agg(min(col("seq_us")).as("lo"), max(col("seq_us")).as("hi"))
+      .select(expr("(lo + hi) DIV 2").as("t_mid"))
+    val withMid = l.crossJoin(broadcast(mid))
+    def scd1Of(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("seq_us").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(col("operation") =!= "DELETE")
+        .select(col("user_id"), col("seq_us"), col("value"))
+    }
+    val snapshot = scd1Of(withMid.filter(col("seq_us") <= col("t_mid")))
+    val logSide = withMid.filter(col("seq_us") > col("t_mid"))
+    val logFinal = scd1Of(logSide)
+    val logKeys = logSide.select("user_id").distinct()
+    // merged = snapshot rows NOT superseded by any log event, plus the
+    // log's own final states — exactly what the chunk dedup rule yields
+    val kept = snapshot.join(logKeys, Seq("user_id"), "left_anti")
+    val merged = kept.unionByName(logFinal)
+    val direct = scd1Of(withMid)
+    val parity = merged.withColumnRenamed("seq_us", "m_seq")
+      .withColumnRenamed("value", "m_val")
+      .join(direct.withColumnRenamed("seq_us", "d_seq")
+        .withColumnRenamed("value", "d_val"), Seq("user_id"), "full_outer")
+      .withColumn("mismatch",
+        when(col("m_seq").isNull || col("d_seq").isNull ||
+          col("m_seq") =!= col("d_seq") || col("m_val") =!= col("d_val"), 1L)
+          .otherwise(0L))
+    val snapStats = snapshot
+      .join(logKeys.withColumn("superseded", lit(1L)), Seq("user_id"), "left")
+      .groupBy(expr(s"user_id DIV $chunkSize").as("chunk_id"))
+      .agg(count(lit(1)).as("n_snapshot"),
+        sum(coalesce(col("superseded"), lit(0L))).as("n_superseded"))
+    val parStats = parity
+      .groupBy(expr(s"user_id DIV $chunkSize").as("chunk_id"))
+      .agg(sum(when(col("m_seq").isNotNull, 1L).otherwise(0L)).as("n_final"),
+        sum(col("mismatch")).as("n_mismatch"))
+    snapStats.join(parStats, Seq("chunk_id"), "full_outer")
+      .select(col("chunk_id"),
+        coalesce(col("n_snapshot"), lit(0L)).as("n_snapshot"),
+        coalesce(col("n_superseded"), lit(0L)).as("n_superseded"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("n_mismatch"), lit(0L)).as("n_mismatch"))
+  }
 }

@@ -560,4 +560,68 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select("c_custkey", "s_suppkey", "c_name", "s_name", "sim")
   }
+
+  /** #296 LSH quality evaluation — before trusting MinHash banding on
+    * 100 TB you measure its candidate precision/recall against exact
+    * Jaccard ground truth on a BOUNDED deterministic sample (the
+    * all-pairs truth computation is quadratic by nature, so the sample —
+    * not the corpus — is the unit of work; ~sampleN docs → ≤ sampleN²/2
+    * kernel calls, constant cost at any corpus size). Sampling is
+    * md5-ranked (content-addressed, reproducible across runs and
+    * engines) and CLOSED over planted near-dup pairs: if either member
+    * of a perturbed pair samples, its partner is pulled in too, so
+    * recall is measured on real positives, not an accidentally
+    * positive-free sample. Predicted pairs are the RAW band-bucket
+    * candidates (pre-verification) — exactly the set whose quality the
+    * banding parameters (k=16, 4 bands) control. One row: the confusion
+    * census + precision/recall in exact ppm.
+    */
+  def lshEval(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      sampleN: Int = 200): DataFrame = {
+    val corpus = corpusWithPlants(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = corpus
+      .withColumn("rk", md5(concat(lit("lsheval_"), col("doc_id"))))
+      .orderBy(col("rk"), col("doc_id")).limit(sampleN)
+      .select("doc_id")
+    // closure over planted pairs: originals are doc_id % 20 == 0, plants
+    // sit at doc_id + PerturbOffset (corpusWithPlants convention)
+    val partners = base.filter(col("doc_id") % 20 === 0 &&
+        col("doc_id") < PerturbOffset)
+      .select((col("doc_id") + PerturbOffset).as("doc_id"))
+      .unionAll(base.filter(col("doc_id") >= PerturbOffset)
+        .select((col("doc_id") - PerturbOffset).as("doc_id")))
+    val sampleIds = base.unionAll(partners).distinct()
+    val sample = corpus.join(sampleIds, "doc_id")
+      .select("doc_id", "text")
+      .localCheckpoint(eager = true)
+    corpus.unpersist()
+    // ground truth: exact shingle-Jaccard on ALL sample pairs (bounded
+    // quadratic by design — this is the eval harness, not the dedup path)
+    val a = sample.select(col("doc_id").as("doc_a"), col("text").as("t_a"))
+    val b = sample.select(col("doc_id").as("doc_b"), col("text").as("t_b"))
+    val truth = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("j", GraftFunctions.shingleJaccard(col("t_a"), col("t_b")))
+      .filter(col("j") >= threshold)
+      .select("doc_a", "doc_b")
+    val banded = minhashBands(sample)
+    val pred = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val joined = truth.withColumn("in_truth", lit(1L))
+      .join(pred.withColumn("in_pred", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
+    val nSample = sample.count()
+    joined.agg(
+        sum(when(col("in_truth") === 1L && col("in_pred") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("in_truth").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("in_pred").isNull, 1L).otherwise(0L)).as("fn"))
+      .select(lit(nSample).as("n_docs"), col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp = 0 THEN NULL " +
+          "ELSE tp * 1000000 DIV (tp + fp) END").as("precision_ppm"),
+        expr("CASE WHEN tp + fn = 0 THEN NULL " +
+          "ELSE tp * 1000000 DIV (tp + fn) END").as("recall_ppm"))
+  }
 }

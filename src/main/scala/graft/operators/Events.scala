@@ -1090,4 +1090,142 @@ object Events {
           .cast("long").as("is_regular"),
         (col("med_us") < 1000000.0).cast("long").as("is_rapid"))
   }
+
+  /** #292 Peak concurrency per day — the classic sweep-line: every
+    * interval (start = ts, end = ts + value seconds, the
+    * [[intervalUnion]] convention) contributes a +1 point at its start
+    * and a −1 at its end; the exact global running sum of deltas IS the
+    * number of concurrently-open intervals at each boundary, and the
+    * per-day max of that sum is the capacity-planning number ("how many
+    * sessions were open at once"). Ordering ties break ends-before-
+    * starts (delta ascending), so back-to-back touching intervals never
+    * count as concurrent. The global cumsum is
+    * [[Distributed.exactCumSum]] — a range exchange on (t, delta, id)
+    * plus a broadcast of per-partition offsets, NEVER a single-reducer
+    * global window, so 100 TB of events sweep at full cluster width.
+    * Peak is sampled at event boundaries (where it mathematically
+    * attains its max); a day whose every instant is inside intervals but
+    * has no boundary reports no row, which is the honest reading.
+    */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val iv = withTs(spark, dir).select(
+      col("event_id"), col("ts_us").as("s_us"),
+      (col("ts_us") + floor(col("value") * lit(1000000.0)).cast("long")).as("e_us"))
+    val pts = iv.select(col("event_id"), col("s_us").as("t_us"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("event_id"), col("e_us").as("t_us"), lit(-1L).as("delta")))
+    Distributed.exactCumSum(pts, Seq("t_us", "delta", "event_id"), "delta")
+      .groupBy(expr("t_us DIV 86400000000").as("day_idx"))
+      .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        max(col("cum")).as("peak_concurrency"))
+  }
+
+  /** #293 Discrete-time churn hazard and survival — the retention curve
+    * in its statistically-honest form: per user, lifetime_weeks =
+    * (last_active_day − first_active_day) DIV 7; at_risk(k) = users with
+    * lifetime ≥ k, churned(k) = users with lifetime exactly k, hazard =
+    * churned/at_risk (the conditional churn probability actuarial tables
+    * are built from), survival = P(lifetime > k). With no censoring the
+    * Kaplan–Meier product-limit estimator collapses to these plain
+    * ratios, so everything stays EXACT integer arithmetic (ppm via
+    * integer DIV — no float product chains to drift cross-engine). One
+    * user_id exchange for lifetimes; the at-risk reverse-cumsum runs on
+    * the week-indexed frame, which is calendar-bounded (≤ weeks in the
+    * observation window) — a safe tiny window at any corpus size.
+    */
+  def churnHazard(spark: SparkSession, dir: String): DataFrame = {
+    val life = withTs(spark, dir)
+      .groupBy("user_id")
+      .agg(max(col("ts_us")).as("max_us"), min(col("ts_us")).as("min_us"))
+      .select(col("user_id"), expr("(max_us - min_us) DIV 604800000000").as("week"))
+    val perWeek = life.groupBy("week").agg(count(lit(1)).as("churned"))
+    val total = perWeek.agg(sum(col("churned")).as("n_total"))
+    val wAtRisk = Window.orderBy(col("week").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perWeek
+      .withColumn("at_risk", sum(col("churned")).over(wAtRisk))
+      .crossJoin(broadcast(total))
+      .select(col("week"), col("at_risk"), col("churned"),
+        expr("churned * 1000000 DIV at_risk").as("hazard_ppm"),
+        expr("(at_risk - churned) * 1000000 DIV n_total").as("survival_ppm"))
+  }
+
+  /** #297 Markov removal-effect attribution — the data-driven alternative
+    * to the positional heuristics in [[attributionCompare]]: model each
+    * user journey (truncated at the first purchase) as a first-order
+    * Markov chain over event types, compute the absorption probability
+    * START → CONV, then for each channel re-solve WITHOUT it (transitions
+    * into the removed channel fall to END) — the relative drop is the
+    * channel's removal effect, and conversions are attributed
+    * proportionally to the normalized effects. The corpus-scale work is
+    * ONE window pass + one (src,dst) count aggregation; the chain itself
+    * is (#event types)² ≈ tiny, so the linear solves are a bounded
+    * driver-side Gaussian elimination over a deterministic state order —
+    * the same "distributed counts, driver-side argmax" shape as BPE
+    * training. Rows-only (no SQL analog of a matrix solve); UtilSpec
+    * pins a hand-solvable two-channel chain.
+    */
+  def markovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val journeys = withTs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("purch_before",
+        coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("purch_before") === 0)
+    val steps = journeys
+      .withColumn("rn", row_number().over(w))
+      .withColumn("next_t", lead(col("event_type"), 1).over(w))
+    def absorb(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c === "purchase", "CONV").otherwise(c)
+    val trans = steps.filter(col("rn") === 1)
+      .select(lit("START").as("src"), absorb(col("event_type")).as("dst"))
+      .unionByName(steps.filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("src"),
+          coalesce(absorb(col("next_t")), lit("END")).as("dst")))
+    val counts = trans.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val channels = counts.keys.map(_._1).filter(_ != "START").toSeq.sorted
+    val nConv = counts.collect { case ((_, "CONV"), n) => n }.sum.toDouble
+    // absorption probability START → CONV with `removed` channels absent
+    // (transitions into them leak to END): Gaussian elimination on the
+    // ≤(#types+1)² dense system (I − P_TT) x = P_T,CONV
+    def pConv(removed: Set[String]): Double = {
+      val ts = ("START" +: channels.filterNot(removed)).toArray
+      val idx = ts.zipWithIndex.toMap
+      val n = ts.length
+      val a = Array.ofDim[Double](n, n + 1)
+      for (i <- 0 until n) {
+        val out = counts.collect { case ((s, _), c) if s == ts(i) => c }.sum.toDouble
+        a(i)(i) = 1.0
+        if (out > 0) for (((s, d), c) <- counts if s == ts(i)) {
+          if (d == "CONV") a(i)(n) += c / out
+          else idx.get(d).foreach(j => a(i)(j) -= c / out)
+        }
+      }
+      for (p <- 0 until n) { // partial-pivot elimination, fixed state order
+        val piv = (p until n).maxBy(r => math.abs(a(r)(p)))
+        val t = a(p); a(p) = a(piv); a(piv) = t
+        if (math.abs(a(p)(p)) > 1e-12) {
+          for (r <- 0 until n if r != p) {
+            val f = a(r)(p) / a(p)(p)
+            for (c2 <- p to n) a(r)(c2) -= f * a(p)(c2)
+          }
+        }
+      }
+      if (math.abs(a(0)(0)) < 1e-12) 0.0 else a(0)(n) / a(0)(0)
+    }
+    val pFull = pConv(Set.empty)
+    val effects = channels.map { c =>
+      val re = if (pFull <= 0) 0.0
+        else math.max(0.0, 1.0 - pConv(Set(c)) / pFull)
+      (c, re)
+    }
+    val reSum = effects.map(_._2).sum
+    effects.map { case (c, re) =>
+      (c, math.round(re * 1000000).toLong,
+        if (reSum <= 0) 0.0
+        else math.rint(nConv * re / reSum * 100) / 100)
+    }.toDF("channel", "removal_effect_ppm", "attributed_conversions")
+  }
 }

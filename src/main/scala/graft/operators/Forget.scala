@@ -122,4 +122,45 @@ object Forget {
         round(sum(when(col("readable"), col("plain").cast(d))), 2)
           .cast("double").as("readable_value"))
   }
+
+  /** #299 Data-subject access report (the GDPR Art. 15 counterpart of the
+    * Art. 17 [[forgetKeys]]): for each subject key, enumerate WHAT the
+    * warehouse holds about them across every table reachable from the
+    * key — row counts and the held time range per table. Subjects here
+    * are a deterministic key slice (c_custkey % 100 == 7 — in production
+    * the request list); the subject set BROADCASTS to each fact table
+    * (semi-join shape: facts never shuffle on their own bulk), and
+    * lineitem is reached through its orders foreign key, so the report
+    * costs one broadcast-pruned scan per table at any warehouse size.
+    */
+  def dsarExport(spark: SparkSession, dir: String): DataFrame = {
+    val subjects = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 100 === 7)
+      .select(col("c_custkey").as("subject"))
+    val custRows = Tables.customer(spark, dir)
+      .join(broadcast(subjects), col("c_custkey") === col("subject"))
+      .groupBy("subject")
+      .agg(count(lit(1)).as("n_rows"),
+        lit(null).cast("long").as("first_us"), lit(null).cast("long").as("last_us"))
+      .withColumn("tbl", lit("customer"))
+    val ordRows = Tables.orders(spark, dir)
+      .join(broadcast(subjects), col("o_custkey") === col("subject"))
+      .groupBy("subject")
+      .agg(count(lit(1)).as("n_rows"),
+        min(unix_micros(col("o_orderdate").cast("timestamp"))).as("first_us"),
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("last_us"))
+      .withColumn("tbl", lit("orders"))
+    val subjOrders = Tables.orders(spark, dir)
+      .join(broadcast(subjects), col("o_custkey") === col("subject"))
+      .select(col("o_orderkey").as("l_orderkey"), col("subject"))
+    val liRows = Tables.lineitem(spark, dir)
+      .join(subjOrders, "l_orderkey")
+      .groupBy("subject")
+      .agg(count(lit(1)).as("n_rows"),
+        min(unix_micros(col("l_shipdate").cast("timestamp"))).as("first_us"),
+        max(unix_micros(col("l_shipdate").cast("timestamp"))).as("last_us"))
+      .withColumn("tbl", lit("lineitem"))
+    custRows.unionByName(ordRows).unionByName(liRows)
+      .select("subject", "tbl", "n_rows", "first_us", "last_us")
+  }
 }

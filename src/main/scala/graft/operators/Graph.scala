@@ -167,4 +167,56 @@ object Graph {
     labelPropagationFrom(Similarity.knnGraph(spark, dir, k), iters)
       .groupBy(col("community"))
       .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("rep_vec_id"))
+
+  /** #298 Newman modularity of a node partition — the one-number answer
+    * to "did community detection actually find structure?": Q =
+    * Σ_c (e_c/m − (d_c/2m)²), where e_c = intra-community edges, d_c =
+    * degree mass of community c, m = total undirected edges. Q ≈ 0 means
+    * the partition is no better than random wiring; dense near-dup
+    * families push it toward 1. EXACT integer arithmetic: q_ppm =
+    * Σ_c(4·m·e_c − d_c²) · 10⁶ DIV 4m² with DECIMAL(38,0) sums — no
+    * float drift at any graph size. Three node/edge-scale aggregations
+    * (dedup, per-community intra-edge count, per-community degree mass) +
+    * one broadcast of the m scalar; nothing is corpus-quadratic.
+    */
+  def modularityFrom(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val la = labels.select(col("vec_id").as("a"), col("community").as("ca"))
+    val lb = labels.select(col("vec_id").as("b"), col("community").as("cb"))
+    val tagged = und.join(la, "a").join(lb, "b")
+    val intra = tagged.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_c"))
+    val degMass = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .join(labels.withColumnRenamed("vec_id", "id"), "id")
+      .groupBy("community").agg(count(lit(1)).as("d_c"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val perComm = degMass.join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("e_c"), col("d_c"), col("m"),
+        expr("CAST(4 AS DECIMAL(38,0)) * m * e_c - CAST(d_c AS DECIMAL(38,0)) * d_c")
+          .as("contrib"))
+    perComm.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("d_c")).as("max_degree_mass"),
+        sum(col("contrib")).as("num"))
+      .select(col("m").as("n_edges"), col("n_communities"), col("max_degree_mass"),
+        expr("CAST(num * 1000000 DIV (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)")
+          .as("q_ppm"))
+  }
+
+  /** #298 Registered query: modularity of the label-propagation partition
+    * of the corpus k-NN graph — [[labelProp]]'s census scored by
+    * [[modularityFrom]].
+    */
+  def modularity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val edges = Similarity.knnGraph(spark, dir, k)
+    modularityFrom(edges, labelPropagationFrom(edges))
+  }
 }

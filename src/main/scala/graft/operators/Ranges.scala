@@ -84,12 +84,15 @@ object Ranges {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("ts DIV 1000").as("ts_us"))
+    // an interval stays OPEN until its inactivity gap elapses — the same
+    // timeout that delimits the island delimits its live span, so a point
+    // event is a gap-length interval, not a zero-width degenerate one
     val sessions = islands(ev.filter(col("event_type") =!= "error"), 1800000000L)
-      .select(col("user_id"), col("lo").as("s_lo"), col("hi").as("s_hi"),
-        col("n_events").as("s_events"))
+      .select(col("user_id"), col("lo").as("s_lo"),
+        (col("hi") + 1800000000L).as("s_hi"), col("n_events").as("s_events"))
     val bursts = islands(ev.filter(col("event_type") === "error"), 300000000L)
-      .select(col("user_id"), col("lo").as("b_lo"), col("hi").as("b_hi"),
-        col("n_events").as("b_errors"))
+      .select(col("user_id"), col("lo").as("b_lo"),
+        (col("hi") + 300000000L).as("b_hi"), col("n_events").as("b_errors"))
     intervalOverlapJoin(sessions, bursts, Seq("user_id"),
       "s_lo", "s_hi", "b_lo", "b_hi", bucketWidth = 1800000000L)
       .select(col("user_id"), col("s_lo"), col("s_hi"), col("s_events"),

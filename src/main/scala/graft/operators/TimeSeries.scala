@@ -297,6 +297,43 @@ object TimeSeries {
             col("cusum_dn") > lit(h.toLong) * col("mad_c"))).cast("long").as("alarm"))
   }
 
+  /** #300 Threshold alert episodes with debounce — the page-the-oncall
+    * layer above the raw anomaly fences: a day BREACHES when its count
+    * exceeds the type's P90 daily count (exact interpolated percentile,
+    * rounded to an integer so the compare is integral on both engines),
+    * and consecutive breach days fuse into one EPISODE via the
+    * day − row_number gaps-and-islands trick — one window per type.
+    * `actionable` flags episodes of ≥2 consecutive days (single-day
+    * spikes are visible but debounced — exactly what stops alert
+    * fatigue without hiding data). Per episode: span, length, peak day
+    * count, total excess over threshold. The daily frame is
+    * calendar×types-bounded, so every window here is safe at any raw
+    * event scale; raw events are touched in exactly ONE aggregation.
+    */
+  def alertEpisodes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val thr = daily.groupBy("event_type")
+      .agg(expr("CAST(round(percentile(n, 0.9D)) AS BIGINT)").as("p90"))
+    val breach = daily.join(broadcast(thr), "event_type")
+      .filter(col("n") > col("p90"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    breach
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("event_type", "island")
+      .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+        count(lit(1)).as("n_days"), max(col("n")).as("peak_n"),
+        max(col("p90")).as("p90"),
+        sum(col("n") - col("p90")).as("excess"))
+      .select(col("event_type"), col("start_day"), col("end_day"),
+        col("n_days"), col("peak_n"), col("p90"), col("excess"),
+        (col("n_days") >= 2).cast("long").as("actionable"))
+  }
+
   /** The DuckDB oracle text for [[ewma]], generated from the same K so the
     * two engines cannot drift.
     */

@@ -246,4 +246,58 @@ class CdcSpec extends SparkSpec {
       assert(r.getAs[Long]("n_late") <= r.getAs[Long]("n_events"))
     }
   }
+
+  test("op-sequence audit flags the three grammar violations exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("opseq").toString
+    // u1: INSERT, UPDATE               → legal
+    // u2: UPDATE (no create), DELETE, UPDATE (post-delete mutation)
+    // u3: INSERT, INSERT (dup create), DELETE, INSERT (legal re-create)
+    val rows = Seq(
+      (1L, 1000000000L, 1L, "signup", 1.0, "{}"),
+      (2L, 2000000000L, 1L, "click", 1.0, "{}"),
+      (3L, 1000000000L, 2L, "click", 1.0, "{}"),
+      (4L, 2000000000L, 2L, "error", 1.0, "{}"),
+      (5L, 3000000000L, 2L, "click", 1.0, "{}"),
+      (6L, 1000000000L, 3L, "signup", 1.0, "{}"),
+      (7L, 2000000000L, 3L, "signup", 1.0, "{}"),
+      (8L, 3000000000L, 3L, "error", 1.0, "{}"),
+      (9L, 4000000000L, 3L, "signup", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val m = Cdc.opSequenceAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m === Map(
+      "create_missing" -> ((1L, 1L, 3L)),
+      "post_delete_mutation" -> ((1L, 1L, 5L)),
+      "duplicate_create" -> ((1L, 1L, 7L))))
+  }
+
+  test("incremental snapshot: chunk dedup rule yields zero mismatches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("incsnap").toString
+    // timeline 0..100s → t_mid = 50s. u1 snapshot-only; u2 snapshot then
+    // log UPDATE (superseded); u3 log-born; u4 snapshot then log DELETE
+    // (superseded AND dead in the final state).
+    val rows = Seq(
+      (1L, 0L, 1L, "signup", 1.0, "{}"),
+      (2L, 10000000000L, 2L, "signup", 1.5, "{}"),
+      (3L, 60000000000L, 2L, "click", 2.0, "{}"),
+      (4L, 100000000000L, 3L, "signup", 3.0, "{}"),
+      (5L, 20000000000L, 4L, "signup", 4.0, "{}"),
+      (6L, 80000000000L, 4L, "error", 0.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Cdc.incrementalSnapshot(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("chunk_id") === 0L)
+    assert(r.getAs[Long]("n_snapshot") === 3L)   // u1, u2, u4
+    assert(r.getAs[Long]("n_superseded") === 2L) // u2, u4
+    assert(r.getAs[Long]("n_final") === 3L)      // u1, u2, u3 (u4 deleted)
+    assert(r.getAs[Long]("n_mismatch") === 0L)
+    // consistency also holds over the real corpus, in every chunk
+    val real = Cdc.incrementalSnapshot(spark, sf)
+    assert(real.agg(sum(col("n_mismatch"))).head().getLong(0) === 0L)
+  }
 }

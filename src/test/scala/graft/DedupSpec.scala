@@ -299,4 +299,21 @@ class DedupSpec extends SparkSpec {
     assert(out.length === math.min(nSupp, nCust).toInt,
       s"expected ${math.min(nSupp, nCust)} links, got ${out.length}")
   }
+
+  test("lsh eval: confusion identities hold and planted recall is high") {
+    val r = Dedup.lshEval(spark, sf).head()
+    val (tp, fp, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"))
+    val n = r.getAs[Long]("n_docs")
+    assert(n > 0)
+    // the plant-closed sample guarantees true positives exist
+    assert(tp + fn > 0, "sample carried no true near-dup pairs")
+    // one-token-dropped plants have Jaccard ≈ 1 → 4-band/16-hash LSH
+    // must recover the bulk of them
+    assert(r.getAs[Long]("recall_ppm") >= 600000L,
+      s"recall ${r.getAs[Long]("recall_ppm")} (tp=$tp fn=$fn)")
+    assert(tp + fp === 0L ||
+      r.getAs[Long]("precision_ppm") === tp * 1000000L / (tp + fp))
+    // determinism: the md5-ranked sample reproduces exactly
+    assert(Dedup.lshEval(spark, sf).head() === r)
+  }
 }

@@ -53,4 +53,27 @@ class ForgetSpec extends SparkSpec {
     assert(partFiles(store) == after, "no-op forget rewrote files")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("dsar export covers every subject and matches direct counts") {
+    val out = Forget.dsarExport(spark, sf).collect()
+    val expected = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 100 === 7)
+      .collect().map(_.getAs[Long]("c_custkey")).toSet
+    assert(expected.nonEmpty)
+    // every subject appears with exactly one customer row
+    val custRows = out.filter(_.getAs[String]("tbl") == "customer")
+    assert(custRows.map(_.getAs[Long]("subject")).toSet === expected)
+    custRows.foreach(r => assert(r.getAs[Long]("n_rows") === 1L))
+    // orders accounting matches a direct filter for each subject present
+    val orderRows = out.filter(_.getAs[String]("tbl") == "orders")
+      .map(r => r.getAs[Long]("subject") -> r.getAs[Long]("n_rows")).toMap
+    val direct = Tables.orders(spark, sf)
+      .filter(col("o_custkey") % 100 === 7)
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getAs[Long]("o_custkey") -> r.getAs[Long]("count")).toMap
+    assert(orderRows === direct)
+    // held time ranges are ordered
+    out.filter(r => !r.isNullAt(r.fieldIndex("first_us"))).foreach { r =>
+      assert(r.getAs[Long]("first_us") <= r.getAs[Long]("last_us")) }
+  }
 }

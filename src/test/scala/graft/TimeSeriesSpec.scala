@@ -257,4 +257,39 @@ class TimeSeriesSpec extends SparkSpec {
     // down-side never fires here: the shift is upward
     assert(out.values.forall { case (_, dn, _) => dn <= 500L })
   }
+
+  test("alert episodes fuse consecutive breaches; lone spikes stay flagged-off") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val dayNs = 86400L * 1000000000L
+    // A: 28 quiet days (1/day) then a 2-day incident (9, 8 events) →
+    // p90 = 1, ONE actionable episode spanning days 28-29
+    var id = 0L
+    val rowsA = (0 until 28).map { d =>
+      id += 1; (id, d * dayNs, 1L, "c", 1.0, "{}")
+    } ++ (0 until 9).map { i => id += 1; (id, 28 * dayNs + i, 1L, "c", 1.0, "{}") } ++
+      (0 until 8).map { i => id += 1; (id, 29 * dayNs + i, 1L, "c", 1.0, "{}") }
+    val dirA = java.nio.file.Files.createTempDirectory("alerts").toString
+    rowsA.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dirA/events.parquet")
+    val a = TimeSeries.alertEpisodes(spark, dirA).collect()
+    assert(a.length === 1, s"got ${a.mkString(";")}")
+    val r = a.head
+    assert(r.getAs[Long]("start_day") === 28L && r.getAs[Long]("end_day") === 29L)
+    assert(r.getAs[Long]("n_days") === 2L && r.getAs[Long]("peak_n") === 9L)
+    assert(r.getAs[Long]("p90") === 1L && r.getAs[Long]("excess") === 15L)
+    assert(r.getAs[Long]("actionable") === 1L)
+    // B: lone one-day spike → episode visible but debounced (actionable 0)
+    id = 0
+    val rowsB = (0 until 10).map { d =>
+      id += 1; (id, d * dayNs, 1L, "c", 1.0, "{}")
+    } ++ (0 until 3).map { i => id += 1; (id, 5 * dayNs + i, 1L, "c", 1.0, "{}") }
+    val dirB = java.nio.file.Files.createTempDirectory("alertsB").toString
+    rowsB.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dirB/events.parquet")
+    val b = TimeSeries.alertEpisodes(spark, dirB).collect()
+    assert(b.length === 1)
+    assert(b.head.getAs[Long]("n_days") === 1L)
+    assert(b.head.getAs[Long]("actionable") === 0L)
+  }
 }

@@ -872,4 +872,95 @@ class UtilSpec extends SparkSpec {
     // b -> b is a tautological FD: zero violations
     assert(out(("b", "b")) === ((2L, 0L, 0L, 0L)))
   }
+
+  test("peak concurrency: overlap stacks, touching intervals don't") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pc").toString
+    // day 0: [0,10s], [5s,12s] overlap → 2 deep; [11s,15s] overlaps the
+    // second → still 2; [20s,25s] + [25s,30s] TOUCH → end sorts before
+    // start, never concurrent. day 1: one lone interval.
+    val day = 86400L * 1000000000L
+    val rows = Seq(
+      (1L, 0L, 1L, "c", 10.0, "{}"),
+      (2L, 5000000000L, 2L, "c", 7.0, "{}"),
+      (3L, 11000000000L, 3L, "c", 4.0, "{}"),
+      (4L, 20000000000L, 4L, "c", 5.0, "{}"),
+      (5L, 25000000000L, 5L, "c", 5.0, "{}"),
+      (6L, day, 6L, "c", 5.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.peakConcurrency(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) === ((5L, 2L)), s"day0 got ${out(0L)}")
+    assert(out(1L) === ((1L, 1L)))
+  }
+
+  test("churn hazard matches the hand-computed life table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("chz").toString
+    val dayNs = 86400L * 1000000000L
+    // lifetimes: u1 0d, u2 1d (week 0 both); u3 8d (week 1); u4 22d (week 3)
+    val rows = Seq(
+      (1L, 0L, 1L, "c", 1.0, "{}"),
+      (2L, 0L, 2L, "c", 1.0, "{}"), (3L, dayNs, 2L, "c", 1.0, "{}"),
+      (4L, 0L, 3L, "c", 1.0, "{}"), (5L, 8 * dayNs, 3L, "c", 1.0, "{}"),
+      (6L, 0L, 4L, "c", 1.0, "{}"), (7L, 22 * dayNs, 4L, "c", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.churnHazard(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(0L) === ((4L, 2L, 500000L, 500000L)))
+    assert(out(1L) === ((2L, 1L, 500000L, 250000L)))
+    assert(out(3L) === ((1L, 1L, 1000000L, 0L)))
+  }
+
+  test("markov attribution solves the two-channel chain exactly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mattr").toString
+    // A: view → purchase; B: click → purchase; C: view → (end).
+    // P(conv) = 2/3; removing either channel halves it → symmetric 50/50
+    // split of the 2 conversions.
+    val rows = Seq(
+      (1L, 1000000000L, 1L, "view", 1.0, "{}"),
+      (2L, 2000000000L, 1L, "purchase", 1.0, "{}"),
+      (3L, 1000000000L, 2L, "click", 1.0, "{}"),
+      (4L, 2000000000L, 2L, "purchase", 1.0, "{}"),
+      (5L, 1000000000L, 3L, "view", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.markovAttribution(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("view") === ((500000L, 1.0)), s"view got ${out("view")}")
+    assert(out("click") === ((500000L, 1.0)), s"click got ${out("click")}")
+    // events after the first purchase never count: a post-purchase error
+    // for u1 must not create an 'error' channel
+    val rows2 = rows :+ (6L, 3000000000L, 1L, "error", 1.0, "{}")
+    val dir2 = Files.createTempDirectory("mattr2").toString
+    rows2.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir2/events.parquet")
+    val out2 = Events.markovAttribution(spark, dir2).collect()
+      .map(r => r.getString(0)).toSet
+    assert(out2 === Set("view", "click"))
+  }
+
+  test("modularity: two planted cliques score Q = 0.5 exactly") {
+    import spark.implicits._
+    import graft.operators.Graph
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)))
+      .toDF("src", "dst")
+    val labels = Graph.labelPropagationFrom(edges)
+    val q = Graph.modularityFrom(edges, labels).collect()
+    assert(q.length === 1)
+    val r = q.head
+    // m=12, each community: e_c=6, d_c=12 → Q = 2·(1/2 − 1/4) = 0.5
+    assert(r.getAs[Long]("n_edges") === 12L)
+    assert(r.getAs[Long]("n_communities") === 2L)
+    assert(r.getAs[Long]("q_ppm") === 500000L)
+    // a single all-in-one community has Q = 0 by construction
+    val one = labels.withColumn("community", lit(1L))
+    assert(Graph.modularityFrom(edges, one).head().getAs[Long]("q_ppm") === 0L)
+  }
 }
