@@ -585,7 +585,13 @@ object SparkEntry {
     // GDPR Art.15 data-subject access report across the FK-reachable tables
     "q_dsar_export" -> ((s, d) => Forget.dsarExport(s, d)),
     // debounced threshold alert episodes (gaps-and-islands over breach days)
-    "ts_alert_episodes" -> ((s, d) => TimeSeries.alertEpisodes(s, d))
+    "ts_alert_episodes" -> ((s, d) => TimeSeries.alertEpisodes(s, d)),
+    // filtered ANN: the predicate is the equi-join key (pre-filter plan,
+    // cost ∝ selectivity; exact within the filtered subset)
+    "ann_filtered_topk" -> ((s, d) => Similarity.annFilteredTopK(s, d)),
+    // join-view IVM: three-term delta algebra, fold proven against the
+    // direct join per nation (mismatch must be 0)
+    "cdc_ivm_join_delta" -> ((s, d) => Cdc.ivmJoinDelta(s, d))
   )
 
   /** Shared DuckDB fragment: exact-DECIMAL discounted revenue over a
@@ -3105,6 +3111,31 @@ object SparkEntry {
         |  count(*) AS n_days, max(n) AS peak_n, max(p90) AS p90,
         |  CAST(sum(n - p90) AS BIGINT) AS excess,
         |  CAST(CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS actionable
-        |FROM isl GROUP BY event_type, island""".stripMargin
+        |FROM isl GROUP BY event_type, island""".stripMargin,
+    "ann_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+        |    (label + 1) % 10 AS want_label
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce, label
+        |  FROM embeddings),
+        |p AS (SELECT qid, want_label, nid, list_cosine_similarity(qe, ce) AS cosr
+        |      FROM q JOIN c ON label = want_label WHERE nid <> qid),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+        |        ORDER BY cosr DESC, nid) AS INT) AS rnk,
+        |      count(*) OVER (PARTITION BY qid) AS n_candidates FROM p)
+        |SELECT qid, want_label, nid, round(cosr, 4) AS cos, rnk, n_candidates
+        |FROM r WHERE rnk <= 5""".stripMargin,
+    "cdc_ivm_join_delta" ->
+      """WITH j AS (SELECT c_nationkey,
+        |    (o_orderkey % 4 = 0) AS da, (c_custkey % 5 = 0) AS dc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_nationkey,
+        |  CAST(sum(CASE WHEN NOT da AND NOT dc THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |  CAST(sum(CASE WHEN da AND NOT dc THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_a,
+        |  CAST(sum(CASE WHEN NOT da AND dc THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_b,
+        |  CAST(sum(CASE WHEN da AND dc THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_ab,
+        |  count(*) AS n_view,
+        |  CAST(0 AS BIGINT) AS mismatch
+        |FROM j GROUP BY c_nationkey""".stripMargin
   )
 }

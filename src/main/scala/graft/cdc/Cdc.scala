@@ -696,4 +696,45 @@ object Cdc {
         coalesce(col("n_final"), lit(0L)).as("n_final"),
         coalesce(col("n_mismatch"), lit(0L)).as("n_mismatch"))
   }
+
+  /** #303 Join-view IVM delta audit — the JOIN-view counterpart of the
+    * aggregate IVM in [[ivmAudit]]: for an insert-only view J = A ⋈ B,
+    * the incremental update is the three-term delta algebra
+    * ΔJ = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB (disjoint by membership, so the
+    * fold is a plain union — no dedup pass). Here A = orders,
+    * B = customer, and the old/delta split is a deterministic key
+    * predicate standing in for the batch boundary. Each term runs as its
+    * OWN broadcast-hash join — exactly how production IVM executes,
+    * where ΔA/ΔB are small fresh files and the delta terms read only
+    * them, never the accumulated bulk — and the audit column proves the
+    * fold: mismatch = |direct A⋈B| − Σ|terms| per nation, computed from
+    * Spark's own independent joins and pinned to 0 by the oracle. Dim
+    * sides broadcast; the aggregate frame is nation-sized.
+    */
+  def ivmJoinDelta(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val oldO = o.filter(col("o_orderkey") % 4 =!= 0)
+    val dO = o.filter(col("o_orderkey") % 4 === 0)
+    val oldC = c.filter(col("c_custkey") % 5 =!= 0)
+    val dC = c.filter(col("c_custkey") % 5 === 0)
+    def term(a: DataFrame, b: DataFrame, name: String): DataFrame =
+      a.join(broadcast(b), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey").agg(count(lit(1)).as(name))
+    val folded = term(oldO, oldC, "n_old")
+      .join(term(dO, oldC, "n_delta_a"), Seq("c_nationkey"), "full_outer")
+      .join(term(oldO, dC, "n_delta_b"), Seq("c_nationkey"), "full_outer")
+      .join(term(dO, dC, "n_delta_ab"), Seq("c_nationkey"), "full_outer")
+    term(o, c, "n_view")
+      .join(folded, Seq("c_nationkey"), "left")
+      .select(col("c_nationkey"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_delta_a"), lit(0L)).as("n_delta_a"),
+        coalesce(col("n_delta_b"), lit(0L)).as("n_delta_b"),
+        coalesce(col("n_delta_ab"), lit(0L)).as("n_delta_ab"),
+        col("n_view"))
+      .withColumn("mismatch",
+        col("n_view") - col("n_old") - col("n_delta_a") -
+          col("n_delta_b") - col("n_delta_ab"))
+  }
 }

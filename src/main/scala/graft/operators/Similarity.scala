@@ -865,4 +865,39 @@ object Similarity {
         (p, s) => round(p / s, 4)))
       .select(col("vec_id"), col("pc_r").as("pc"), col("white"))
   }
+
+  /** #301 FILTERED ANN — the "vector search with a WHERE clause" problem
+    * every vector store struggles with: post-filtering an unfiltered ANN
+    * result silently under-fills k when the predicate is selective, and
+    * probing IVF cells that the filter then empties wastes the probe
+    * budget. The right plan below the IVF break-even is PRE-filtering:
+    * the predicate (here: neighbour label must equal the query's
+    * `want_label`) becomes the equi-join key between the broadcast query
+    * set and the corpus, so only predicate-matching rows are ever scored
+    * — cost ∝ selectivity × corpus, the filter reaches the scan, and k
+    * is always filled when enough matches exist. Emits per-row
+    * `n_candidates` so the caller sees the selectivity the plan rode on.
+    * Exact within the filtered subset (it IS the brute baseline there);
+    * ScaleSpec pins parity against filter-then-brute. At lower
+    * selectivity one swaps to the IVF probe with an over-fetch — the
+    * composition [[annIvfTopK]] ∘ filter — but label-equality at ~10% is
+    * firmly on the pre-filter side.
+    */
+  def annFilteredTopK(spark: SparkSession, dir: String,
+      k: Int = DefaultK): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        ((col("label") + 1) % 10).as("label"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    e.select(col("vec_id").as("nid"), col("embedding"), col("label"))
+      .join(broadcast(q), Seq("label"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("qe"), col("embedding")))
+      .withColumn("n_candidates", count(lit(1)).over(Window.partitionBy("qid")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("label").as("want_label"), col("nid"),
+        round(col("cos"), 4).as("cos"), col("rnk"), col("n_candidates"))
+  }
 }

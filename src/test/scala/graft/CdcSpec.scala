@@ -300,4 +300,21 @@ class CdcSpec extends SparkSpec {
     val real = Cdc.incrementalSnapshot(spark, sf)
     assert(real.agg(sum(col("n_mismatch"))).head().getLong(0) === 0L)
   }
+
+  test("join-view IVM: the three delta terms fold to the direct join") {
+    val out = Cdc.ivmJoinDelta(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("mismatch") === 0L, s"delta fold diverged: $r")
+      assert(r.getAs[Long]("n_view") ===
+        r.getAs[Long]("n_old") + r.getAs[Long]("n_delta_a") +
+          r.getAs[Long]("n_delta_b") + r.getAs[Long]("n_delta_ab"))
+    }
+    // the split genuinely exercises every term somewhere in the corpus
+    import org.apache.spark.sql.Row
+    val tot = Cdc.ivmJoinDelta(spark, sf)
+      .agg(sum(col("n_old")), sum(col("n_delta_a")),
+        sum(col("n_delta_b")), sum(col("n_delta_ab"))).head()
+    (0 until 4).foreach(i => assert(tot.getLong(i) > 0L, s"term $i empty"))
+  }
 }

@@ -321,4 +321,39 @@ class ScaleSpec extends SparkSpec {
     assert(again.sameElements(out.collect().map(_.toString).sorted))
     out.unpersist()
   }
+
+  test("filtered ANN equals brute post-filter and honors the predicate") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Similarity.annFilteredTopK(spark, sf).cache()
+    val e = Tables.embeddings(spark, sf)
+    // every neighbour satisfies the predicate
+    val labelOf = e.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    out.collect().foreach { r =>
+      assert(labelOf(r.getAs[Long]("nid")) === r.getAs[Int]("want_label"), s"$r")
+    }
+    // n_candidates is exactly the per-label corpus census
+    val census = e.groupBy("label").count().collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    out.collect().foreach { r =>
+      assert(r.getAs[Long]("n_candidates") === census(r.getAs[Int]("want_label")))
+    }
+    // parity with brute-force post-filtering: same top-k set per query
+    val q = e.filter(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        ((col("label") + 1) % 10).as("want_label"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    val brute = e.select(col("vec_id").as("nid"), col("embedding"), col("label"))
+      .crossJoin(broadcast(q))
+      .filter(col("label") === col("want_label") && col("nid") =!= col("qid"))
+      .withColumn("cos", graft.functions.GraftFunctions.cosineSim(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= Similarity.DefaultK)
+      .select("qid", "nid", "rnk").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"), r.getAs[Int]("rnk"))).toSet
+    val got = out.select("qid", "nid", "rnk").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"), r.getAs[Int]("rnk"))).toSet
+    assert(got === brute)
+    out.unpersist()
+  }
 }
