@@ -282,11 +282,47 @@ class PlanSpec extends SparkSpec {
       s"envelope JSON parsed more than once:\n$p")
   }
 
-  test("media codec paths are row-local: zero exchanges") {
+  test("media codec paths: one round-robin spread, then row-local") {
+    // the deliberate repartition fans the codec work across all cores
+    // (single-file scans otherwise pin it on 1-2 tasks); beyond that one
+    // tiny (id, text) exchange the decode chain must stay shuffle-free
     for (q <- Seq("mm_image_decode", "mm_audio_decode")) {
       val p = planOf(q)
-      assert(!p.contains("Exchange"), s"$q should be shuffle-free:\n$p")
+      assert("Exchange".r.findAllIn(p).size === 1,
+        s"$q should have exactly the spread exchange:\n$p")
+      assert(p.contains("RoundRobinPartitioning"),
+        s"$q spread should be round-robin:\n$p")
     }
+  }
+
+  test("peak concurrency: sweep rides range partitions, never a global window over events") {
+    // the range exchange sits behind exactCumSum's frozen checkpoint, so
+    // the visible plan carries its pid tag; the bulk window must be
+    // partitioned by that pid (the only single-partition window allowed
+    // is the tiny per-partition offsets frame)
+    val p = planOf("ev_peak_concurrency")
+    assert(p.contains("__graft_pid"),
+      s"exact cumsum machinery missing — global window over events?\n$p")
+    assert(p.toLowerCase.contains("windowspecdefinition(__graft_pid"),
+      s"bulk running sum is not pid-partitioned:\n$p")
+  }
+
+  test("filtered ANN: query set broadcasts, predicate is the join key") {
+    val p = planOf("ann_filtered_topk")
+    assert(p.contains("BroadcastHashJoin"), s"query side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"filtered ANN must not scan label-mismatched rows:\n$p")
+  }
+
+  test("join-view IVM: every fact-side delta term is a broadcast-hash join") {
+    // the nation-level fold joins a 25-row frame to itself (full-outer —
+    // not broadcastable by definition); the pin is on the CUSTKEY terms:
+    // fact × dim must broadcast, never sort-merge on the join key
+    val p = planOf("cdc_ivm_join_delta")
+    assert(!"SortMergeJoin \\[o_custkey".r.findFirstIn(p).isDefined,
+      s"a delta term sort-merged on the custkey:\n$p")
+    assert("BroadcastHashJoin \\[o_custkey".r.findAllIn(p).size >= 5,
+      s"all five term joins should broadcast the dim side:\n$p")
   }
 
   test("minhash verify stays equi-join with no prune detour") {
