@@ -591,7 +591,12 @@ object SparkEntry {
     "ann_filtered_topk" -> ((s, d) => Similarity.annFilteredTopK(s, d)),
     // join-view IVM: three-term delta algebra, fold proven against the
     // direct join per nation (mismatch must be 0)
-    "cdc_ivm_join_delta" -> ((s, d) => Cdc.ivmJoinDelta(s, d))
+    "cdc_ivm_join_delta" -> ((s, d) => Cdc.ivmJoinDelta(s, d)),
+    // Brown's double-exponential level+trend forecast, exact fixed-point
+    "ts_brown_forecast" -> ((s, d) => TimeSeries.brownForecast(s, d)),
+    // IVF recall-vs-nProbe tuning curve (rows-only: k-means model;
+    // ScaleSpec pins monotone recall + full-probe exactness)
+    "ann_ivf_tuning" -> ((s, d) => Similarity.annIvfTuning(s, d))
   )
 
   /** Shared DuckDB fragment: exact-DECIMAL discounted revenue over a
@@ -3136,6 +3141,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN da AND dc THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_ab,
         |  count(*) AS n_view,
         |  CAST(0 AS BIGINT) AS mismatch
-        |FROM j GROUP BY c_nationkey""".stripMargin
+        |FROM j GROUP BY c_nationkey""".stripMargin,
+    "ts_brown_forecast" -> graft.operators.TimeSeries.brownOracle
   )
 }

@@ -261,6 +261,101 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** #305 IVF tuning curve — recall@k vs nProbe, the measurement that
+    * actually sets the probe budget in production (guessing nProbe is
+    * how vector search ships either 60% recall or 10× the needed scan):
+    * ONE k-means train + ONE cluster assignment (the expensive parts),
+    * then each candidate probe depth re-ranks the same broadcast
+    * query×centroid frame and scans only its probed cells. Recall is
+    * exact-integer: |IVF top-k ∩ brute top-k| · 10⁶ DIV (k·queries),
+    * with the brute baseline computed once from the same frame. Output
+    * one row per probe depth — mean recall, candidate rows scanned (the
+    * cost axis), so the caller reads the knee straight off the frame.
+    */
+  def annIvfTuning(spark: SparkSession, dir: String, k: Int = DefaultK,
+      probes: Seq[Int] = Seq(1, 2, 4, 8, 16), nClusters: Int = 16): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // spherical k-means on a deterministic md5-ranked sample, solved
+    // driver-side (sample ≤ 1024 × 64 floats — centroid geometry converges
+    // on a sample; only the one-pass assignment touches the corpus).
+    // Deliberately NOT spark.ml: a bounded Lloyd loop needs no ML runtime.
+    val sample = e
+      .withColumn("rk", md5(concat(lit("ivftune_"), col("vec_id"))))
+      .orderBy(col("rk"), col("vec_id")).limit(1024)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n < 1e-12) v else v.map(_ / n)
+    }
+    val pts = sample.map(a => normalize(a.map(_.toDouble)))
+    var cents = pts.take(nClusters).map(_.clone)
+    for (_ <- 0 until 5) {
+      val sums = Array.fill(nClusters)(new Array[Double](cents(0).length))
+      val cnts = new Array[Long](nClusters)
+      pts.foreach { p =>
+        var best = 0; var bd = Double.NegativeInfinity
+        var c = 0
+        while (c < nClusters) {
+          var dot = 0.0; var i = 0
+          while (i < p.length) { dot += p(i) * cents(c)(i); i += 1 }
+          if (dot > bd) { bd = dot; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+        cnts(best) += 1
+      }
+      cents = cents.indices.map(c =>
+        if (cnts(c) == 0) cents(c) else normalize(sums(c))).toArray
+    }
+    val centroids: Seq[(Int, Array[Float])] =
+      cents.map(_.map(_.toFloat)).zipWithIndex.map(_.swap).toSeq
+    val cdf = spark.createDataFrame(centroids).toDF("cluster", "centroid")
+    // one-pass distributed assignment: argmax centroid cosine per vector
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cluster"))
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("csim", GraftFunctions.cosineSim(col("embedding"), col("centroid")))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cluster"))
+    val probed = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("csim", GraftFunctions.cosineSim(col("qe"), col("centroid")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .select(col("qid"), col("qe"), col("cluster"), col("prnk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val brute = annCosineTopK(assigned.sparkSession, dir, k)
+      .select(col("qid"), col("nid")).withColumn("in_brute", lit(1L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    val perProbe = probes.map { np =>
+      val q = probed.filter(col("prnk") <= np)
+      val scanned = assigned.select(col("vec_id").as("nid"), col("embedding"),
+          col("cluster"))
+        .join(broadcast(q), Seq("cluster"))
+        .filter(col("nid") =!= col("qid"))
+      val topk = scanned
+        .withColumn("cos", GraftFunctions.cosineSim(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+      val nCand = scanned.groupBy().agg(count(lit(1)).as("n_scanned"))
+      topk.join(brute, Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("n_returned"),
+          sum(coalesce(col("in_brute"), lit(0L))).as("n_hit"),
+          countDistinct(col("qid")).as("n_queries"))
+        .crossJoin(nCand)
+        .select(lit(np).as("n_probe"), col("n_queries"), col("n_returned"),
+          col("n_hit"), col("n_scanned"),
+          expr(s"n_hit * 1000000 DIV (n_queries * $k)").as("recall_ppm"))
+    }
+    perProbe.reduce(_.unionByName(_))
+  }
+
   /** #104 Int8 scalar quantization of the embedding column — the 4×
     * storage/bandwidth cut that makes a 100 TB vector corpus scannable.
     * Per-vector max-abs scale (symmetric), codegen'd array lambdas, no

@@ -352,4 +352,86 @@ object TimeSeries {
        |  round(CAST($num AS DOUBLE) / CAST($den AS DOUBLE) / 100.0, 4) AS ewma
        |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
   }
+
+  /** Brown's double-smoothing weights, truncated at [[DepthK]] lags:
+    * single smooth S1 has weight 2^(K−1−j) at lag j (α = 1/2, the
+    * [[ewma]] convention); the smooth-of-the-smooth S2 has weight
+    * (j+1)·2^(K−1−j) — the closed form of EWMA∘EWMA, so NO recursion is
+    * needed and both sums stay exact integers.
+    */
+  private def brownTerms(w: org.apache.spark.sql.expressions.WindowSpec)
+      : (Column, Column, Column, Column) = {
+    val terms = (0 until DepthK).map { j =>
+      val w1 = 1L << (DepthK - 1 - j)
+      val w2 = (j + 1L) * w1
+      val c = lag(col("cents"), j).over(w)
+      (coalesce(c, lit(0L)) * w1, when(c.isNull, 0L).otherwise(w1),
+        coalesce(c, lit(0L)) * w2, when(c.isNull, 0L).otherwise(w2))
+    }
+    (terms.map(_._1).reduce(_ + _), terms.map(_._2).reduce(_ + _),
+      terms.map(_._3).reduce(_ + _), terms.map(_._4).reduce(_ + _))
+  }
+
+  /** #304 Brown's double-exponential forecast over the per-type daily
+    * series — level + trend, the simplest forecast that tracks drift
+    * (plain EWMA lags a trending series by design; Brown's linear method
+    * corrects with the smooth-of-the-smooth: level = 2S₁−S₂, trend =
+    * S₁−S₂ at α = 1/2). No recursion anywhere: EWMA∘EWMA has a closed
+    * form, so S₂ is just a second set of integer lag weights
+    * ((j+1)·2^(K−1−j)) in the SAME window pass — both smooths are exact
+    * integer numerator/denominator pairs, and the one double expression
+    * at the end runs in identical text on both engines (the [[ewma]]
+    * bit-parity recipe). One shuffle (the daily aggregate); the lag
+    * window rides the calendar-bounded type×day frame.
+    */
+  def brownForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val (n1, d1, n2, d2) = brownTerms(w)
+    daily
+      .withColumn("n1", n1).withColumn("d1", d1)
+      .withColumn("n2", n2).withColumn("d2", d2)
+      .withColumn("s1", expr("CAST(n1 AS DOUBLE) / CAST(d1 AS DOUBLE)"))
+      .withColumn("s2", expr("CAST(n2 AS DOUBLE) / CAST(d2 AS DOUBLE)"))
+      .select(col("event_type"), col("day"), col("cents"),
+        expr("round((2.0D * s1 - s2) / 100.0D, 4)").as("level"),
+        expr("round((s1 - s2) / 100.0D, 4)").as("trend"),
+        expr("round((2.0D * s1 - s2 + 7.0D * (s1 - s2)) / 100.0D, 4)")
+          .as("forecast_7d"))
+  }
+
+  /** The DuckDB oracle for [[brownForecast]] — generated from the same
+    * weight table and the same final expression text.
+    */
+  def brownOracle: String = {
+    def sums(scale: Int => Long): (String, String) = {
+      val num = (0 until DepthK).map { j =>
+        s"COALESCE(lag(cents, $j) OVER w, 0) * ${scale(j)}"
+      }.mkString(" + ")
+      val den = (0 until DepthK).map { j =>
+        s"CASE WHEN lag(cents, $j) OVER w IS NULL THEN 0 ELSE ${scale(j)} END"
+      }.mkString(" + ")
+      (num, den)
+    }
+    val (n1, d1) = sums(j => 1L << (DepthK - 1 - j))
+    val (n2, d2) = sums(j => (j + 1L) * (1L << (DepthK - 1 - j)))
+    s"""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |t AS (SELECT event_type, day, cents,
+       |    CAST($n1 AS BIGINT) AS n1, CAST($d1 AS BIGINT) AS d1,
+       |    CAST($n2 AS BIGINT) AS n2, CAST($d2 AS BIGINT) AS d2
+       |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |s AS (SELECT *, CAST(n1 AS DOUBLE) / CAST(d1 AS DOUBLE) AS s1,
+       |    CAST(n2 AS DOUBLE) / CAST(d2 AS DOUBLE) AS s2 FROM t)
+       |SELECT event_type, day, cents,
+       |  round((CAST(2 AS DOUBLE) * s1 - s2) / CAST(100 AS DOUBLE), 4) AS level,
+       |  round((s1 - s2) / CAST(100 AS DOUBLE), 4) AS trend,
+       |  round((CAST(2 AS DOUBLE) * s1 - s2 + CAST(7 AS DOUBLE) * (s1 - s2)) / CAST(100 AS DOUBLE), 4) AS forecast_7d
+       |FROM s""".stripMargin
+  }
 }

@@ -356,4 +356,19 @@ class ScaleSpec extends SparkSpec {
     assert(got === brute)
     out.unpersist()
   }
+
+  test("IVF tuning curve: recall and scan cost rise monotonically, full probe is exact") {
+    val rows = Similarity.annIvfTuning(spark, sf).collect()
+      .map(r => r.getAs[Int]("n_probe") ->
+        ((r.getAs[Long]("recall_ppm"), r.getAs[Long]("n_scanned"))))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 8, 16))
+    rows.sliding(2).foreach { case Array((pa, (ra, sa)), (pb, (rb, sb))) =>
+      assert(ra <= rb, s"recall dropped from probe $pa to $pb: $ra -> $rb")
+      assert(sa <= sb, s"scan cost shrank from probe $pa to $pb")
+    }
+    // probing every cell IS the brute scan: recall must be exactly 1
+    assert(rows.last._2._1 === 1000000L,
+      s"full probe not exact: ${rows.last}")
+  }
 }

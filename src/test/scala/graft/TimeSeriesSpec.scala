@@ -292,4 +292,38 @@ class TimeSeriesSpec extends SparkSpec {
     assert(b.head.getAs[Long]("n_days") === 1L)
     assert(b.head.getAs[Long]("actionable") === 0L)
   }
+
+  test("brown forecast: flat series has zero trend, linear ramp extrapolates") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val dayNs = 86400L * 1000000000L
+    // 30 flat days at $2.00/day: level = 2.0, trend = 0, forecast = 2.0
+    var id = 0L
+    val flat = (0 until 30).map { d => id += 1; (id, d * dayNs, 1L, "c", 2.0, "{}") }
+    val dirA = java.nio.file.Files.createTempDirectory("brown").toString
+    flat.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dirA/events.parquet")
+    val a = TimeSeries.brownForecast(spark, dirA).collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Double]("forecast_7d")))).toMap
+    assert(a(29L) === ((2.0, 0.0, 2.0)), s"flat tail got ${a(29L)}")
+    // a $1/day ramp far past the warm-up: trend ≈ 1, forecast ≈ level + 7
+    id = 0
+    val ramp = (0 until 40).map { d =>
+      id += 1; (id, d * dayNs, 1L, "c", 1.0 * (d + 1), "{}") }
+    val dirB = java.nio.file.Files.createTempDirectory("brownB").toString
+    ramp.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dirB/events.parquet")
+    val b = TimeSeries.brownForecast(spark, dirB).collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Double]("forecast_7d")))).toMap
+    val (lvl, tr, fc) = b(39L)
+    assert(math.abs(tr - 1.0) < 0.01, s"ramp trend $tr should be ~1")
+    // level/trend/forecast are each rounded to 4dp independently, so the
+    // identity holds to the accumulated rounding bound, not exactly
+    assert(math.abs(fc - (lvl + 7 * tr)) < 1e-3, "forecast must be level + 7·trend")
+    assert(math.abs(lvl - 40.0) < 0.1, s"ramp level $lvl should track the last value")
+  }
 }
