@@ -43,6 +43,8 @@ object SparkEntry {
     // per-type staleness vs the newest event anywhere (reproducible anchor)
     "cdc_freshness" -> ((s, d) => Cdc.freshness(s, d)),
     "cdc_asof_join" -> ((s, d) => Cdc.asofJoin(s, d)),
+    // identical query through the custom AsOfJoinMerge physical operator
+    "cdc_asof_exec" -> ((s, d) => Cdc.asofJoinViaExec(s, d)),
     // same join with a 10-minute staleness guard: older matches null out
     "cdc_asof_tolerance" -> ((s, d) => Cdc.asofJoin(s, d, tolerance = Some(600000000L))),
     "cdc_asof_forward" -> ((s, d) => Cdc.asofForward(s, d)),
@@ -663,7 +665,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     // the Avro path must land on EXACTLY the silver rows the JSON path
     // produces — one oracle serves both ingestion formats
-    "cdc_avro_parse" -> oracleSqlBase("cdc_debezium_parse")
+    "cdc_avro_parse" -> oracleSqlBase("cdc_debezium_parse"),
+    // the custom merge exec must land on EXACTLY the rows the
+    // union+window path produces — one ASOF oracle serves both
+    "cdc_asof_exec" -> oracleSqlBase("cdc_asof_join")
   )
 
   private lazy val oracleSqlBase: Map[String, String] = Map(

@@ -697,6 +697,32 @@ object Cdc {
         coalesce(col("n_mismatch"), lit(0L)).as("n_mismatch"))
   }
 
+  /** #306 The [[asofJoin]] query through the custom merge exec
+    * ([[graft.plans.AsOfJoinOp.asofJoinExec]]): same frames, same
+    * semantics, same DuckDB ASOF JOIN oracle — the physical operator is
+    * proven against both the SQL oracle and the union+window path.
+    */
+  def asofJoinViaExec(spark: SparkSession, dir: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    val lg = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_type"), col("value"))
+    val left = lg.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    val right = lg.filter(col("event_type") =!= "purchase")
+      .select(col("event_id").as("r_event_id"), col("user_id"),
+        col("ts_us").as("r_ts_us"), col("value").as("r_value"))
+    graft.plans.AsOfJoinOp.asofJoinExec(left, right, keyCols = Seq("user_id"),
+      leftTime = "ts_us", rightTime = "r_ts_us",
+      carryCols = Seq("r_event_id", "r_ts_us", "r_value"),
+      tiebreak = Seq("r_event_id"), tolerance = tolerance)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_r_event_id").as("prior_event_id"),
+        col("asof_r_ts_us").as("prior_ts_us"),
+        round(col("asof_r_value"), 2).as("prior_value"),
+        (col("ts_us") - col("asof_r_ts_us")).as("wait_us"))
+  }
+
   /** #303 Join-view IVM delta audit — the JOIN-view counterpart of the
     * aggregate IVM in [[ivmAudit]]: for an insert-only view J = A ⋈ B,
     * the incremental update is the three-term delta algebra

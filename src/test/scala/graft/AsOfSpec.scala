@@ -127,4 +127,43 @@ class AsOfSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("collide"))
   }
+
+  test("merge exec equals the union+window path on the full corpus") {
+    import graft.cdc.Cdc
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(Cdc.asofJoinViaExec(spark, sf)) ===
+      canon(Cdc.asofJoin(spark, sf)), "exec diverged from union+window")
+    // and with a tolerance bound
+    assert(canon(Cdc.asofJoinViaExec(spark, sf, Some(600000000L))) ===
+      canon(Cdc.asofJoin(spark, sf, Some(600000000L))),
+      "exec tolerance semantics diverged")
+  }
+
+  test("merge exec: ties, tolerance, per-key isolation on planted rows") {
+    import spark.implicits._
+    import graft.plans.AsOfJoinOp
+    val l = Seq((1L, "a", 100L), (2L, "a", 5L), (3L, "b", 100L), (4L, "c", 50L))
+      .toDF("l_id", "k", "t")
+    val r = Seq(
+      (10L, "a", 100L), (11L, "a", 100L), // equal times: largest r_id wins
+      (12L, "a", 40L),
+      (20L, "b", 999L),                   // future only: no match for b
+      (30L, "c", 1L))                     // stale beyond tolerance
+      .toDF("r_id", "k", "r_t")
+    val out = AsOfJoinOp.asofJoinExec(l, r, Seq("k"), "t", "r_t",
+      carryCols = Seq("r_id"), tiebreak = Seq("r_id"), tolerance = Some(20L))
+      .collect().map(x => x.getAs[Long]("l_id") ->
+        Option(x.getAs[java.lang.Long]("asof_r_id"))).toMap
+    assert(out(1L).contains(11L), s"tie must pick largest r_id: ${out(1L)}")
+    assert(out(2L).isEmpty, "no right row at or before t=5")
+    assert(out(3L).isEmpty, "future right rows must not match backward")
+    assert(out(4L).isEmpty, "match at distance 49 must null at tolerance 20")
+    // the physical plan actually uses the custom operator
+    val p = AsOfJoinOp.asofJoinExec(l, r, Seq("k"), "t", "r_t", Seq("r_id"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoinMerge"), s"custom exec not planned:\n$p")
+    assert(!p.contains("WindowExec") && !p.toLowerCase.contains("window ["),
+      s"merge exec must not fall back to windows:\n$p")
+  }
 }

@@ -314,6 +314,18 @@ class PlanSpec extends SparkSpec {
       s"filtered ANN must not scan label-mismatched rows:\n$p")
   }
 
+  test("as-of merge exec: two per-side exchanges, no window, no join fallback") {
+    val p = planOf("cdc_asof_exec")
+    assert(p.contains("AsOfJoinMerge"), s"custom exec not planned:\n$p")
+    assert(!p.toLowerCase.contains("window ["),
+      s"merge exec must not buffer window frames:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"exec replaced by a generic join:\n$p")
+    // each side shuffles on the key independently (the SMJ shape)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 2,
+      s"expected one key exchange per side:\n$p")
+  }
+
   test("join-view IVM: every fact-side delta term is a broadcast-hash join") {
     // the nation-level fold joins a 25-row frame to itself (full-outer —
     // not broadcastable by definition); the pin is on the CUSTKEY terms:
