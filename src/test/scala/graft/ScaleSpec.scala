@@ -284,6 +284,42 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == Tables.lineitem(spark, sf).count())
   }
 
+  test("as-of merge exec over pre-bucketed sides: ZERO exchanges") {
+    // the scenario the custom exec exists for: both sides bucket-stored on
+    // the key, so the per-side ClusteredDistribution is already satisfied
+    // and the plan reads files -> sorts in place -> merges. The union+window
+    // path can never do this (its one frame is the union of both tables).
+    val wh = java.nio.file.Files.createTempDirectory("asofwh").toString
+    val lg = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_type"), col("value"))
+    Bucketing.writeBucketed(
+      lg.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "value"),
+      "b_asof_l", "user_id", 8, Some(s"$wh/l"))
+    Bucketing.writeBucketed(
+      lg.filter(col("event_type") =!= "purchase")
+        .select(col("event_id").as("r_event_id"), col("user_id"),
+          col("ts_us").as("r_ts_us"), col("value").as("r_value")),
+      "b_asof_r", "user_id", 8, Some(s"$wh/r"))
+    val out = graft.plans.AsOfJoinOp.asofJoinExec(
+      spark.table("b_asof_l"), spark.table("b_asof_r"), Seq("user_id"),
+      "ts_us", "r_ts_us", Seq("r_event_id", "r_ts_us", "r_value"),
+      tiebreak = Seq("r_event_id"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinMerge"), s"exec missing:\n$plan")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(exchanges == 0, s"bucketed as-of still shuffles:\n$plan")
+    // and it still computes the right thing: parity with the window path
+    val viaWindow = graft.operators.AsOf.asofJoin(
+      spark.table("b_asof_l"), spark.table("b_asof_r"), Seq("user_id"),
+      "ts_us", "r_ts_us", Seq("r_event_id", "r_ts_us", "r_value"),
+      tiebreak = Seq("event_id", "r_event_id"))
+      .select("event_id", "asof_r_event_id")
+    assert(out.select("event_id", "asof_r_event_id").collect().map(_.toString).sorted
+      .sameElements(viaWindow.collect().map(_.toString).sorted))
+  }
+
   test("matryoshka eval: full-dim recall is exactly 1, narrower prefixes bounded") {
     val r = Similarity.matryoshkaEval(spark, sf).collect()
       .map(x => x.getInt(0) -> x.getLong(3)).toMap
