@@ -596,6 +596,12 @@ object SparkEntry {
     "cdc_ivm_join_delta" -> ((s, d) => Cdc.ivmJoinDelta(s, d)),
     // Brown's double-exponential level+trend forecast, exact fixed-point
     "ts_brown_forecast" -> ((s, d) => TimeSeries.brownForecast(s, d)),
+    // Jaccard decile histogram + survivors curve over scored candidates
+    // (rows-only: the winnowing blocking key is hash-seeded; DedupSpec
+    // pins conservation + monotonicity + the planted high bucket)
+    "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
+    // per-table backlog catch-up ETA against the measured drain rate
+    "cdc_backlog_eta" -> ((s, d) => graft.cdc.TableRegistry.backlogEta(s, d)),
     // IVF recall-vs-nProbe tuning curve (rows-only: k-means model;
     // ScaleSpec pins monotone recall + full-probe exactness)
     "ann_ivf_tuning" -> ((s, d) => Similarity.annIvfTuning(s, d))
@@ -3147,6 +3153,20 @@ object SparkEntry {
         |  count(*) AS n_view,
         |  CAST(0 AS BIGINT) AS mismatch
         |FROM j GROUP BY c_nationkey""".stripMargin,
-    "ts_brown_forecast" -> graft.operators.TimeSeries.brownOracle
+    "ts_brown_forecast" -> graft.operators.TimeSeries.brownOracle,
+    "cdc_backlog_eta" ->
+      s"""$registryCte,
+         |thr AS (SELECT epoch_us(ts) // 60000000 AS m, count(*) AS n
+         |  FROM events GROUP BY 1),
+         |dr AS (SELECT CAST(round(quantile_cont(n, 0.5)) AS BIGINT) AS drain_per_min
+         |  FROM thr),
+         |b AS (SELECT name,
+         |    CAST(round(update_frequency * coalesce(last_processed_hours, 48.0) * 100) AS BIGINT) AS pending_changes,
+         |    CAST(round(update_frequency * coalesce(last_processed_hours, 48.0) * 100 * avg_row_size / 10485.76) AS BIGINT) AS backlog_mb_e2
+         |  FROM p WHERE cdc_enabled)
+         |SELECT name, pending_changes, backlog_mb_e2, drain_per_min,
+         |  pending_changes * 60 // drain_per_min AS eta_s,
+         |  CAST(pending_changes * 60 // drain_per_min > 3600 AS BIGINT) AS sla_breach
+         |FROM b, dr""".stripMargin
   )
 }

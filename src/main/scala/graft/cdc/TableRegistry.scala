@@ -325,4 +325,33 @@ object TableRegistry {
       .selectExpr("n_tables", "total_rows", "n_enabled", "n_disabled",
         "total_bytes DIV (1024 * 1024) AS total_size_mb",
         "freq_x10 * 1000 DIV n_tables AS avg_update_freq_e4")
+
+  /** #308 Backlog catch-up ETA per table — the capacity-planning readout
+    * a 500-table deployment (reference: cdc_500_tables_streaming.py)
+    * checks before adding workers: pending changes accrue at each
+    * table's update frequency for however long it has gone unprocessed
+    * (never-processed tables get the 48 h onboarding horizon), the drain
+    * rate is MEASURED — the median per-minute event throughput of the
+    * live stream ([[Cdc.throughput]]'s frame) — and the ETA is pending
+    * rows over drained rows in exact integer arithmetic. `sla_breach`
+    * flags tables whose catch-up exceeds the hour. One tiny broadcast
+    * (the 1-row drain rate) against the O(tables) registry frame.
+    */
+  def backlogEta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val drain = Cdc.throughput(spark, dir)
+      .agg(expr("CAST(round(percentile(events_per_minute, 0.5D)) AS BIGINT)")
+        .as("drain_per_min"))
+    withPriorities(discover(spark, dir))
+      .filter(col("cdc_enabled"))
+      .crossJoin(broadcast(drain))
+      .select(col("name"),
+        expr("CAST(round(update_frequency * coalesce(last_processed_hours, 48.0D) * 100) AS BIGINT)")
+          .as("pending_changes"),
+        expr("CAST(round(update_frequency * coalesce(last_processed_hours, 48.0D) * 100 * avg_row_size / 10485.76) AS BIGINT)")
+          .as("backlog_mb_e2"),
+        col("drain_per_min"))
+      .withColumn("eta_s", expr("pending_changes * 60 DIV drain_per_min"))
+      .withColumn("sla_breach", expr("CAST(eta_s > 3600 AS BIGINT)"))
+  }
 }

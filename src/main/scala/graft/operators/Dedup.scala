@@ -624,4 +624,26 @@ object Dedup {
         expr("CASE WHEN tp + fn = 0 THEN NULL " +
           "ELSE tp * 1000000 DIV (tp + fn) END").as("recall_ppm"))
   }
+
+  /** #307 Dedup threshold tuning curve — before picking the Jaccard
+    * cutoff you look at the similarity mass you'd be cutting: one decile
+    * histogram over ALL scored candidate pairs (the [[ngramJaccard]]
+    * blocking with the verify threshold removed), with the cumulative
+    * pair count at-or-above each decile — the survivors-vs-threshold
+    * curve read straight off the frame, same single candidate-scoring
+    * pass the dedup itself runs. The histogram frame is ≤10 rows, so the
+    * reverse cumsum is a free window.
+    */
+  def thresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val scored = ngramJaccard(spark, dir, threshold = 0.0)
+    val hist = scored
+      .groupBy(expr("CAST(floor(jaccard * 10) AS BIGINT)").as("decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    hist.withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
+      .select("decile", "n_pairs", "n_at_or_above")
+  }
 }

@@ -316,4 +316,19 @@ class DedupSpec extends SparkSpec {
     // determinism: the md5-ranked sample reproduces exactly
     assert(Dedup.lshEval(spark, sf).head() === r)
   }
+
+  test("threshold curve: survivors monotone, plants fill the top deciles") {
+    val rows = Dedup.thresholdCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, _) => assert(d >= 0L && d <= 10L, s"decile $d") }
+    // ascending deciles → at-or-above counts only shrink
+    rows.sliding(2).foreach { case Array((_, (_, ca)), (_, (_, cb))) =>
+      assert(ca >= cb, "survivor curve must be non-increasing") }
+    // the lowest bucket's cumulative equals the whole candidate mass
+    assert(rows.head._2._2 === rows.map(_._2._1).sum)
+    // planted one-token-dropped near-dups land at Jaccard ≈ 1
+    assert(rows.filter(_._1 >= 9L).map(_._2._1).sum > 0,
+      "plants missing from the top deciles")
+  }
 }

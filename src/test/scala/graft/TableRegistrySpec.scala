@@ -189,4 +189,21 @@ class TableRegistrySpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(dir))
   }
+
+  test("backlog ETA: exact arithmetic, CDC-disabled tables excluded") {
+    import org.apache.spark.sql.functions.col
+    val out = TableRegistry.backlogEta(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(!out.contains("region"), "cdc-disabled table must not appear")
+    // lineitem: freq 100/h, 1h stale -> 100*1*100 = 10000 pending
+    assert(out("lineitem")._1 === 10000L)
+    // events was never processed: the 48h onboarding horizon applies
+    assert(out("events")._1 === 480000L)
+    out.foreach { case (name, (pending, drain, eta, breach)) =>
+      assert(drain > 0, s"$name drain")
+      assert(eta === pending * 60 / drain, s"$name eta arithmetic")
+      assert(breach === (if (eta > 3600) 1L else 0L), s"$name breach flag")
+    }
+  }
 }
