@@ -59,5 +59,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (es.length > 2) intArg(es(2)) else 200)))
     e.injectOptimizerRule(_ => graft.plans.RewriteTopK)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -55,5 +55,9 @@ object RewriteTopK extends Rule[LogicalPlan] {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
     }
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
   }
 }
