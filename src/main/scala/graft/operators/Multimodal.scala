@@ -17,6 +17,16 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache is DISK-backed: every
+    * `ImageIO.write`/`read` against a raw byte stream spins up a temp
+    * FILE, which across 32 concurrent codec threads turns a CPU-bound
+    * encode loop into an fsync storm (measured: the sf0.1 video census
+    * dropped ~18.5 s → ~3 s with the memory cache). Executors call this
+    * once per partition — it is idempotent and JVM-global.
+    */
+  private[operators] def useMemoryCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** #40 Typed metadata extraction over the binary payload — pure codegen'd
     * column arithmetic, SQL-oracle-checkable.
     */
@@ -171,6 +181,7 @@ object Multimodal {
       // rest idle (measured 10.9 s -> ~2 s for the video census at sf0.1)
       .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
+        useMemoryCache()
         val baos = new java.io.ByteArrayOutputStream(4096)
         it.map { case (id, text) =>
           val (w, h) = imageDims(id)
@@ -204,6 +215,7 @@ object Multimodal {
   def decodeImages(payloads: Dataset[MediaIn]): Dataset[ImageFeat] = {
     implicit val enc = Encoders.product[ImageFeat]
     payloads.mapPartitions { it =>
+      useMemoryCache()
       it.flatMap { m =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(m.payload))
@@ -243,6 +255,7 @@ object Multimodal {
       outH: Int): Dataset[ImageResized] = {
     implicit val enc = Encoders.product[ImageResized]
     payloads.mapPartitions { it =>
+      useMemoryCache()
       it.flatMap { m =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(m.payload))
@@ -324,6 +337,7 @@ object Multimodal {
   def phashImages(payloads: Dataset[MediaIn]): Dataset[ImagePHash] = {
     implicit val enc = Encoders.product[ImagePHash]
     payloads.mapPartitions { it =>
+      useMemoryCache()
       val dct = dctTable(32, 8) // only the first 8 frequencies are kept
       it.flatMap { m =>
         val img = javax.imageio.ImageIO.read(
@@ -449,6 +463,7 @@ object Multimodal {
       // rest idle (measured 10.9 s -> ~2 s for the video census at sf0.1)
       .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
+        useMemoryCache()
         val baos = new java.io.ByteArrayOutputStream(8192)
         val frame = new java.io.ByteArrayOutputStream(2048)
         it.map { case (id, text) =>
@@ -500,6 +515,7 @@ object Multimodal {
       thresholdE4: Long = 1000L): Dataset[VideoFrameFeat] = {
     implicit val enc = Encoders.product[VideoFrameFeat]
     payloads.mapPartitions { it =>
+      useMemoryCache()
       it.flatMap { m =>
         val in = new java.io.DataInputStream(
           new java.io.ByteArrayInputStream(m.payload))
