@@ -19,13 +19,15 @@ import graft.Tables
   * Scale shape (the same contract as the BPE trainer and the PQ Lloyd
   * loop): the MODEL is driver-held (dim+1 doubles — tiny by construction;
   * the hashing trick fixes the dimensionality no matter how large the
-  * vocabulary grows), the CORPUS work is distributed. Each full-batch
-  * gradient-descent step is one job: margins via a broadcast join of the
-  * (≤dim)-row weight frame against the cached sparse feature table
-  * (groupBy doc), residuals row-local, gradient via ONE bucket
-  * aggregation (partial-agg friendly, ≤dim+1 result rows collected).
-  * Nothing corpus-sized ever reaches the driver, and the feature table is
-  * computed once and persisted across iterations.
+  * vocabulary grows), the CORPUS work is distributed. The sparse feature
+  * table is built ONCE (tokenize → hash → per-doc L1 normalize, one
+  * shuffle) and cached as a compact per-document record; after that each
+  * full-batch gradient-descent step is a single ZERO-SHUFFLE
+  * `treeAggregate` job — broadcast the weights out, fold the dim+1-double
+  * gradient up through a two-level combine tree (MLlib's own
+  * GradientDescent shape, mllib/optimization/GradientDescent.scala). No
+  * per-iteration joins, no per-iteration exchange; nothing corpus-sized
+  * ever reaches the driver.
   */
 object Classifier {
 
@@ -50,39 +52,53 @@ object Classifier {
       iters: Int = 30, lr: Double = 2.0): Array[Double] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // cache BOTH sides hash-partitioned on doc_id: every iteration's
-    // margin groupBy(doc_id), label join, and residual⋈feature join then
-    // reuse this partitioning, so the only per-iteration exchange is the
-    // ≤dim-row gradient aggregation
-    val feats = featurize(docs, dim).repartition(col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val labels = docs.select(col("doc_id"),
-        col(labelCol).cast("double").as("y"))
-      .repartition(col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = labels.count().toDouble
-    val w = Array.fill(dim + 1)(0.0)
-    for (_ <- 0 until iters) {
-      val wDf = w.take(dim).zipWithIndex
-        .map { case (wt, b) => (b.toLong, wt) }.toSeq.toDF("bucket", "wt")
-      val margins = feats.join(broadcast(wDf), "bucket")
-        .groupBy("doc_id").agg(sum(col("x") * col("wt")).as("dot"))
-      val resid = labels.join(margins, Seq("doc_id"), "left")
-        .na.fill(0.0, Seq("dot"))
-        .select(col("doc_id"),
-          (lit(1.0) / (lit(1.0) + exp(-(col("dot") + lit(w(dim))))) - col("y"))
-            .as("r"))
-      // gradient: ONE bucket aggregation + the bias row, ≤dim+1 rows back
-      val grad = resid.join(feats, "doc_id")
-        .groupBy("bucket").agg(sum(col("r") * col("x")).as("g"))
-        .unionByName(resid.agg(sum("r").as("g")).select(lit(dim.toLong).as("bucket"), col("g")))
-        .collect()
-      grad.foreach { row =>
-        val b = row.getLong(0).toInt
-        w(b) -= lr * row.getDouble(1) / n
+    // one compact record per document (label, bucket ids, weights),
+    // computed with a single shuffle and cached as an RDD so every GD
+    // step re-reads decoded primitives, not Tungsten rows
+    val data = featurize(docs, dim)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("bucket"), col("x"))).as("feat"))
+      // right join: docs whose text hashed to zero tokens still carry a
+      // label and a bias contribution
+      .join(docs.select(col("doc_id"),
+        col(labelCol).cast("double").as("y")), Seq("doc_id"), "right")
+      .select(col("y"), coalesce(col("feat"),
+        array().cast("array<struct<bucket:bigint,x:double>>")).as("feat"))
+      .as[(Double, Seq[(Long, Double)])]
+      .rdd
+      .map { case (y, f) =>
+        (y, f.map(_._1.toInt).toArray, f.map(_._2).toArray)
       }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = data.count().toDouble
+    val w = Array.fill(dim + 1)(0.0)
+    val sc = spark.sparkContext
+    for (_ <- 0 until iters) {
+      // one zero-shuffle job per step: weights ride down as a broadcast,
+      // the dim+1-double gradient folds up the combine tree
+      val bw = sc.broadcast(w)
+      val grad = data.treeAggregate(new Array[Double](dim + 1))(
+        seqOp = { case (g, (y, bs, xs)) =>
+          val wv = bw.value
+          var dot = wv(dim)
+          var i = 0
+          while (i < bs.length) { dot += xs(i) * wv(bs(i)); i += 1 }
+          val r = 1.0 / (1.0 + math.exp(-dot)) - y
+          i = 0
+          while (i < bs.length) { g(bs(i)) += r * xs(i); i += 1 }
+          g(dim) += r
+          g
+        },
+        combOp = { (a, b) =>
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        })
+      bw.destroy()
+      var i = 0
+      while (i < w.length) { w(i) -= lr * grad(i) / n; i += 1 }
     }
-    feats.unpersist(); labels.unpersist()
+    data.unpersist()
     w
   }
 
