@@ -123,6 +123,10 @@ object SparkEntry {
     // plan-quality introspection productized (rows-only: physical-plan
     // internals; PlanAuditSpec pins the q5 star-query expectations)
     "q_plan_audit" -> ((s, d) => graft.plans.PlanAudit.auditDemo(s, d)),
+    // aggregate-to-MV rewrite: the query is WRITTEN against lineitem, the
+    // optimizer reroutes it to a registered summary table; the oracle runs
+    // the same SQL on the base table, so the hash match proves exactness
+    "q_mv_rewrite" -> ((s, d) => graft.plans.Mv.demoQuery(s, d)),
     "ev_blast_radius" -> ((s, d) => graft.operators.Ranges.errorBlastRadius(s, d)),
     // sketch estimates not SQL-expressible → rows-only (deterministic seed)
     "ev_heavy_hitters" -> ((s, d) => graft.operators.Sketches.heavyHitters(s, d)),
@@ -1100,6 +1104,11 @@ object SparkEntry {
         |  count(DISTINCT doc_id) AS n_docs,
         |  min(doc_id) AS keep_doc_id, min(frame_no) AS keep_frame_no
         |FROM k GROUP BY content_key HAVING count(*) > 1""".stripMargin,
+    "q_mv_rewrite" ->
+      """SELECT l_linestatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows, avg(l_quantity) AS avg_qty
+        |FROM lineitem WHERE l_returnflag <> 'N'
+        |GROUP BY l_linestatus""".stripMargin,
     "q_integrity_orphans" ->
       """SELECT 'orders_customer' AS rel, count(*) AS n_orphans
         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey

@@ -1,0 +1,233 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions.{avg => favg, col, count, lit, max, min, sum}
+import org.apache.spark.sql.types.DoubleType
+
+/** Aggregate-to-materialized-view rewrite.
+  *
+  * The reference keeps gold-layer summary tables current and queries THEM
+  * instead of the raw stream (gold aggregation tables,
+  * reference: notebooks/demo/unity_catalog_cdc_demo.py:400-470); its
+  * consumers must know to point at the summary table. The Spark-native
+  * version inverts that: users keep writing the query against the 100 TB
+  * fact table, and a Catalyst optimizer rule swaps the scan for a
+  * registered pre-aggregation when — and only when — the answer is
+  * derivable from it. This is the classic summary-table rewrite
+  * (Goldstein & Larson, SIGMOD'01) in its distributive-aggregate form.
+  *
+  * Derivability contract (all-or-nothing per Aggregate — one
+  * non-derivable term keeps the whole query on the fact table):
+  *   - grouping keys ⊆ the MV's grouping keys (subset grouping re-rolls
+  *     the MV: sum of sums, min of mins, sum of counts),
+  *   - every filter references grouping keys only (then it partitions
+  *     MV rows exactly as it partitions fact rows),
+  *   - `sum(x)`/`avg(x)` only for registered sum columns, `min(x)`/
+  *     `max(x)` only for registered min/max or grouping columns,
+  *     `count(*)`/`count(lit)` always; no DISTINCT, no FILTER clauses.
+  *
+  * At 100 TB this is the highest-leverage rewrite in the library: a
+  * terabyte-scale scan+shuffle collapses to a scan of a cardinality-of-
+  * the-group-by-sized parquet — same answer, proven by the driver's
+  * DuckDB oracle which runs the SQL against the BASE table.
+  *
+  * Output attribute ExprIds are preserved (each rewritten aggregate is
+  * re-aliased under the original ExprId), so parent operators resolve
+  * unchanged.
+  */
+object RewriteAggToMv extends Rule[LogicalPlan] with PredicateHelper {
+
+  private final class Bail extends RuntimeException
+
+  /** Unwraps attribute-only Projects and Filters above a v1 file scan,
+    * collecting filter conjuncts on the way down.
+    */
+  private object BaseScan {
+    def unapply(plan: LogicalPlan): Option[(Seq[Expression], LogicalRelation)] =
+      plan match {
+        case l: LogicalRelation => Some((Nil, l))
+        case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+          unapply(child)
+        case Filter(cond, child) => unapply(child).map { case (cs, l) =>
+          (splitConjunctivePredicates(cond) ++ cs, l)
+        }
+        case _ => None
+      }
+  }
+
+  private def scanPath(l: LogicalRelation): Option[String] = l.relation match {
+    case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+      fs.location.rootPaths.headOption.map(p => Mv.normalizePath(p.toString))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvCatalog.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate => agg.child match {
+        case BaseScan(filters, rel) =>
+          scanPath(rel).flatMap(MvCatalog.find)
+            .flatMap(e => tryRewrite(agg, filters, e)).getOrElse(agg)
+        case _ => agg
+      }
+    }
+
+  private def tryRewrite(agg: Aggregate, filters: Seq[Expression],
+      e: MvEntry): Option[Aggregate] = try {
+    // fresh ExprIds per use: the same MV may appear twice in one query
+    val mvRel = e.relation.newInstance()
+    val mvAttr = mvRel.output.map(a => a.name -> a).toMap
+    def bail(): Nothing = throw new Bail
+    def groupAttr(a: AttributeReference): AttributeReference =
+      if (e.groupCols.contains(a.name)) mvAttr(a.name) else bail()
+
+    val newG = agg.groupingExpressions.map {
+      case a: AttributeReference => groupAttr(a)
+      case _ => bail()
+    }
+    val newFilters = filters.map(_.transformUp {
+      case a: AttributeReference => groupAttr(a)
+    })
+    def fresh(f: AggregateFunction): AggregateExpression =
+      AggregateExpression(f, Complete, isDistinct = false)
+    def rwAggFn(ae: AggregateExpression): Expression = {
+      if (ae.isDistinct || ae.filter.nonEmpty) bail()
+      ae.aggregateFunction match {
+        case Sum(a: AttributeReference, _) if e.sumCols.contains(a.name) =>
+          fresh(Sum(mvAttr("__sum_" + a.name)))
+        case c: Count if c.children.nonEmpty && c.children.forall {
+            case l: Literal => l.value != null
+            case _ => false } =>
+          // count(*) == sum of per-group counts; coalesce keeps the
+          // global-aggregation-over-zero-groups case at 0, like Count
+          Coalesce(Seq(fresh(Sum(mvAttr("__cnt"))), Literal(0L)))
+        case Min(a: AttributeReference) if e.minCols.contains(a.name) =>
+          fresh(Min(mvAttr("__min_" + a.name)))
+        case Min(a: AttributeReference) if e.groupCols.contains(a.name) =>
+          fresh(Min(mvAttr(a.name)))
+        case Max(a: AttributeReference) if e.maxCols.contains(a.name) =>
+          fresh(Max(mvAttr("__max_" + a.name)))
+        case Max(a: AttributeReference) if e.groupCols.contains(a.name) =>
+          fresh(Max(mvAttr(a.name)))
+        case Average(a: AttributeReference, _)
+            if e.sumCols.contains(a.name) && ae.dataType == DoubleType =>
+          // avg is algebraic, not distributive: derive from (sum, count)
+          Divide(Cast(fresh(Sum(mvAttr("__sum_" + a.name))), DoubleType),
+            Cast(fresh(Sum(mvAttr("__cnt"))), DoubleType))
+        case _ => bail()
+      }
+    }
+    def rw(x: Expression): Expression = x match {
+      case ae: AggregateExpression =>
+        val r = rwAggFn(ae)
+        // re-aggregated sums widen decimal precision; pin the original type
+        if (r.dataType == ae.dataType) r else Cast(r, ae.dataType)
+      case a: AttributeReference => groupAttr(a)
+      case other => other.mapChildren(rw)
+    }
+    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        Alias(groupAttr(a), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+      case al: Alias =>
+        val nc = rw(al.child)
+        val typed =
+          if (nc.dataType == al.child.dataType) nc else Cast(nc, al.child.dataType)
+        Alias(typed, al.name)(exprId = al.exprId, qualifier = al.qualifier,
+          explicitMetadata = al.explicitMetadata)
+      case _ => bail()
+    }
+    val child =
+      if (newFilters.isEmpty) mvRel else Filter(newFilters.reduce(And), mvRel)
+    Some(agg.copy(groupingExpressions = newG,
+      aggregateExpressions = newAggExprs, child = child))
+  } catch { case _: Bail => None }
+}
+
+/** One registered materialized view: which fact-table path it summarizes,
+  * its grouping keys, which measures it stores, and the analyzed scan of
+  * the stored summary.
+  */
+case class MvEntry(
+    name: String,
+    basePath: String,
+    groupCols: Seq[String],
+    sumCols: Set[String],
+    minCols: Set[String],
+    maxCols: Set[String],
+    relation: LogicalRelation)
+
+/** Process-wide MV registry the rule consults. Keyed by MV name;
+  * looked up by normalized base path.
+  */
+object MvCatalog {
+  private val entries = new scala.collection.concurrent.TrieMap[String, MvEntry]()
+  def register(e: MvEntry): Unit = entries.put(e.name, e)
+  def deregister(name: String): Unit = entries.remove(name)
+  def clear(): Unit = entries.clear()
+  def isEmpty: Boolean = entries.isEmpty
+  def find(basePath: String): Option[MvEntry] =
+    entries.values.find(_.basePath == basePath)
+}
+
+object Mv {
+
+  private[plans] def normalizePath(p: String): String = {
+    val noScheme = if (p.startsWith("file:")) p.stripPrefix("file:") else p
+    new java.io.File(noScheme).getAbsolutePath.stripSuffix("/")
+  }
+
+  /** Build the summary table (ONE shuffle over the fact table: partial
+    * aggregation map-side, group-by-cardinality rows out), write it, and
+    * register it for the rewrite. MV column layout: grouping keys under
+    * their own names, `__cnt`, `__sum_<c>`, `__min_<c>`, `__max_<c>`.
+    */
+  def create(spark: SparkSession, name: String, basePath: String,
+      mvPath: String, groupCols: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): MvEntry = {
+    val base = spark.read.parquet(basePath)
+    val aggs = Seq(count(lit(1)).as("__cnt")) ++
+      sumCols.map(c => sum(col(c)).as(s"__sum_$c")) ++
+      minCols.map(c => min(col(c)).as(s"__min_$c")) ++
+      maxCols.map(c => max(col(c)).as(s"__max_$c"))
+    base.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    val rel = spark.read.parquet(mvPath).queryExecution.analyzed.collectFirst {
+      case l: LogicalRelation => l
+    }.getOrElse(sys.error(s"MV scan of $mvPath did not plan as a v1 relation"))
+    val entry = MvEntry(name, normalizePath(basePath), groupCols,
+      sumCols.toSet, minCols.toSet, maxCols.toSet, rel)
+    MvCatalog.register(entry)
+    entry
+  }
+
+  /** #296 Registered query: build a (l_returnflag, l_linestatus) summary
+    * of lineitem, register it, then run a filtered SUBSET-grouping
+    * aggregate written against the BASE table — the rule reroutes it to
+    * the summary (MvRewriteSpec pins the plan: the optimized scan reads
+    * the MV path, not lineitem). The driver's oracle runs the same SQL
+    * on the base table in DuckDB, so the hash match IS the rewrite's
+    * exactness proof. l_quantity is integer-valued, so its double sums
+    * are order-independent and bit-exact across engines and plans.
+    */
+  def demoQuery(spark: SparkSession, dir: String): DataFrame = {
+    RewriteTopK.enable(spark)
+    val mvPath = Files.createTempDirectory("graft-mv").toString
+    create(spark, "lineitem_rf_ls", s"$dir/lineitem.parquet", mvPath,
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      sumCols = Seq("l_quantity"))
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_returnflag") =!= "N")
+      .groupBy("l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        favg(col("l_quantity")).as("avg_qty"))
+  }
+}

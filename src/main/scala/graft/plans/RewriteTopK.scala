@@ -51,6 +51,10 @@ object RewriteTopK extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteTopK
     }
+    if (!spark.experimental.extraOptimizations.contains(RewriteAggToMv)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteAggToMv
+    }
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.{Mv, MvCatalog, RewriteTopK}
+
+/** The aggregate-to-materialized-view rewrite: derivable aggregates over
+  * the fact table must reroute to the registered summary scan with
+  * identical results; anything outside the derivability contract must be
+  * left untouched.
+  */
+class MvRewriteSpec extends SparkSpec {
+
+  private lazy val basePath = {
+    RewriteTopK.enable(spark)
+    val root = java.nio.file.Files.createTempDirectory("mv-spec").toString
+    val p = s"$root/fact.parquet"
+    import spark.implicits._
+    // planted fact table: 2 group dims, one integral measure
+    Seq(
+      ("a", "x", 1L, 10L), ("a", "x", 2L, 20L), ("a", "y", 3L, 30L),
+      ("b", "x", 4L, 40L), ("b", "y", 5L, 50L), ("b", "y", 6L, 60L))
+      .toDF("g1", "g2", "qty", "other")
+      .write.mode("overwrite").parquet(p)
+    Mv.create(spark, "spec_mv", p, s"$root/mv.parquet",
+      groupCols = Seq("g1", "g2"), sumCols = Seq("qty"),
+      minCols = Seq("qty"), maxCols = Seq("qty"))
+    p
+  }
+
+  private def fact: DataFrame = spark.read.parquet(basePath)
+
+  private def scansMv(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    plan.contains("mv.parquet") && !plan.contains("fact.parquet")
+  }
+
+  private def scansFact(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("fact.parquet")
+
+  test("same-grain aggregate rewrites to the MV scan, values exact") {
+    val q = fact.groupBy("g1", "g2")
+      .agg(sum("qty").as("s"), count(lit(1)).as("n"))
+    assert(scansMv(q), q.queryExecution.executedPlan.toString)
+    val got = q.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("a", "x", 3L, 2L), ("a", "y", 3L, 1L),
+      ("b", "x", 4L, 1L), ("b", "y", 11L, 2L)))
+  }
+
+  test("subset grouping + group-col filter re-rolls the MV") {
+    val q = fact.filter(col("g2") === "y").groupBy("g1")
+      .agg(sum("qty").as("s"), min("qty").as("mn"), max("qty").as("mx"),
+        avg(col("qty").cast("double")).as("m"))
+    // avg(cast) is not a plain-attribute avg — whole query must stay on fact
+    assert(scansFact(q))
+    val q2 = fact.filter(col("g2") === "y").groupBy("g1")
+      .agg(sum("qty").as("s"), min("qty").as("mn"), max("qty").as("mx"))
+    assert(scansMv(q2), q2.queryExecution.executedPlan.toString)
+    val got = q2.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("a", 3L, 3L, 3L), ("b", 11L, 5L, 6L)))
+  }
+
+  test("global aggregation (no grouping) derives from the MV") {
+    val q = fact.agg(sum("qty").as("s"), count(lit(1)).as("n"))
+    assert(scansMv(q), q.queryExecution.executedPlan.toString)
+    val r = q.head()
+    assert(r.getLong(0) == 21L && r.getLong(1) == 6L)
+  }
+
+  test("non-derivable shapes stay on the fact table") {
+    // measure not registered
+    assert(scansFact(fact.groupBy("g1").agg(sum("other").as("s"))))
+    // filter on a non-group column
+    assert(scansFact(
+      fact.filter(col("qty") > 2).groupBy("g1").agg(sum("qty").as("s"))))
+    // distinct aggregate
+    assert(scansFact(fact.groupBy("g1").agg(countDistinct("qty").as("d"))))
+    // count of a nullable measure column (not count(*))
+    assert(scansFact(fact.groupBy("g1").agg(count(col("other")).as("c"))))
+    // grouping key outside the MV grain
+    assert(scansFact(fact.groupBy("qty").agg(count(lit(1)).as("n"))))
+  }
+
+  test("rewritten result equals un-rewritten result on the demo query") {
+    val rewritten = Mv.demoQuery(spark, sf)
+    assert(rewritten.queryExecution.executedPlan.toString.contains("graft-mv"),
+      rewritten.queryExecution.executedPlan.toString)
+    val a = rewritten.collect().map(_.toSeq).toSet
+    // drop the MV so the control query really runs on the base table
+    MvCatalog.deregister("lineitem_rf_ls")
+    val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_returnflag") =!= "N")
+      .groupBy("l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"), avg(col("l_quantity")).as("avg_qty"))
+    assert(direct.queryExecution.executedPlan.toString.contains("lineitem"))
+    val b = direct.collect().map(_.toSeq).toSet
+    assert(a == b, s"rewritten=$a direct=$b")
+    // avg over an integral double is exact, so == is the right comparison
+  }
+}
