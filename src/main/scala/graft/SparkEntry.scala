@@ -127,6 +127,10 @@ object SparkEntry {
     // optimizer reroutes it to a registered summary table; the oracle runs
     // the same SQL on the base table, so the hash match proves exactness
     "q_mv_rewrite" -> ((s, d) => graft.plans.Mv.demoQuery(s, d)),
+    // incremental MV maintenance: retract/insert delta folded into the
+    // summary with delta-sized work; oracle recomputes post-delta state
+    // from scratch
+    "mv_incremental_refresh" -> ((s, d) => graft.plans.Mv.incrementalDemo(s, d)),
     "ev_blast_radius" -> ((s, d) => graft.operators.Ranges.errorBlastRadius(s, d)),
     // sketch estimates not SQL-expressible → rows-only (deterministic seed)
     "ev_heavy_hitters" -> ((s, d) => graft.operators.Sketches.heavyHitters(s, d)),
@@ -1109,6 +1113,16 @@ object SparkEntry {
         |  count(*) AS n_rows, avg(l_quantity) AS avg_qty
         |FROM lineitem WHERE l_returnflag <> 'N'
         |GROUP BY l_linestatus""".stripMargin,
+    "mv_incremental_refresh" ->
+      """WITH eff AS (
+        |  SELECT l_returnflag, l_linestatus, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 100 <> 0
+        |  UNION ALL
+        |  SELECT l_returnflag, l_linestatus, l_quantity + 1
+        |  FROM lineitem WHERE l_orderkey % 100 = 50)
+        |SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM eff GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_integrity_orphans" ->
       """SELECT 'orders_customer' AS rel, count(*) AS n_orphans
         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey

@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.functions.{avg => favg, col, count, lit, max, min, sum}
+import org.apache.spark.sql.functions.{avg => favg, coalesce, col, count,
+  greatest, least, lit, max, min, sum}
 import org.apache.spark.sql.types.DoubleType
 
 /** Aggregate-to-materialized-view rewrite.
@@ -157,6 +158,7 @@ object RewriteAggToMv extends Rule[LogicalPlan] with PredicateHelper {
 case class MvEntry(
     name: String,
     basePath: String,
+    mvPath: String,
     groupCols: Seq[String],
     sumCols: Set[String],
     minCols: Set[String],
@@ -169,6 +171,7 @@ case class MvEntry(
 object MvCatalog {
   private val entries = new scala.collection.concurrent.TrieMap[String, MvEntry]()
   def register(e: MvEntry): Unit = entries.put(e.name, e)
+  def get(name: String): Option[MvEntry] = entries.get(name)
   def deregister(name: String): Unit = entries.remove(name)
   def clear(): Unit = entries.clear()
   def isEmpty: Boolean = entries.isEmpty
@@ -199,13 +202,72 @@ object Mv {
     base.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(mvPath)
-    val rel = spark.read.parquet(mvPath).queryExecution.analyzed.collectFirst {
-      case l: LogicalRelation => l
-    }.getOrElse(sys.error(s"MV scan of $mvPath did not plan as a v1 relation"))
-    val entry = MvEntry(name, normalizePath(basePath), groupCols,
-      sumCols.toSet, minCols.toSet, maxCols.toSet, rel)
+    val entry = MvEntry(name, normalizePath(basePath), mvPath, groupCols,
+      sumCols.toSet, minCols.toSet, maxCols.toSet, scanOf(spark, mvPath))
     MvCatalog.register(entry)
     entry
+  }
+
+  private def scanOf(spark: SparkSession, path: String): LogicalRelation =
+    spark.read.parquet(path).queryExecution.analyzed.collectFirst {
+      case l: LogicalRelation => l
+    }.getOrElse(sys.error(s"MV scan of $path did not plan as a v1 relation"))
+
+  /** Incremental MV maintenance: fold a CDC delta into the stored summary
+    * WITHOUT touching the base table. `delta` carries the base schema plus
+    * a signed `weightCol` (+1 insert, −1 delete; an update is a −1/+1
+    * pair). sum and count are self-maintainable under retraction
+    * (sum += Σ w·x, cnt += Σ w; a group whose count reaches 0 is
+    * dropped); min/max are NOT — they only refresh on insert-only deltas
+    * (`insertOnly = true`, folded via least/greatest), the classic IVM
+    * limitation (Gupta & Mumick, "Maintenance of Materialized Views").
+    *
+    * Scale shape: ONE aggregation over the DELTA (usually millions of
+    * rows, not the 100 TB base) + one join at MV cardinality, written
+    * retire-then-promote to `outPath`. The refreshed entry replaces the
+    * registration, so the NEXT query against the fact table reads the
+    * refreshed summary — correct exactly when the base table receives
+    * the same delta (the normal CDC-apply case, where fact and summary
+    * advance together). If the delta is hypothetical, deregister after
+    * reading the refreshed frame.
+    */
+  def refresh(spark: SparkSession, name: String, delta: DataFrame,
+      weightCol: String, outPath: String,
+      insertOnly: Boolean = false): MvEntry = {
+    val e = MvCatalog.get(name).getOrElse(sys.error(s"no MV named $name"))
+    require(insertOnly || (e.minCols ++ e.maxCols).isEmpty,
+      "min/max measures are not maintainable under deletes; " +
+        "pass insertOnly = true or re-create the MV")
+    val w = col(weightCol)
+    val dAggs = Seq(sum(w).cast("long").as("__d_cnt")) ++
+      e.sumCols.toSeq.sorted.map(c => sum(col(c) * w).as(s"__d_sum_$c")) ++
+      (if (insertOnly)
+        e.minCols.toSeq.sorted.map(c => min(col(c)).as(s"__d_min_$c")) ++
+          e.maxCols.toSeq.sorted.map(c => max(col(c)).as(s"__d_max_$c"))
+      else Nil)
+    val d = delta.groupBy(e.groupCols.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
+    val old = spark.read.parquet(e.mvPath)
+    val folded = old.join(d, e.groupCols, "full_outer")
+      .select(e.groupCols.map(col) ++
+        Seq((coalesce(col("__cnt"), lit(0L)) + coalesce(col("__d_cnt"), lit(0L)))
+          .as("__cnt")) ++
+        e.sumCols.toSeq.sorted.map { c =>
+          val oldT = old.schema(s"__sum_$c").dataType
+          (coalesce(col(s"__sum_$c"), lit(0).cast(oldT)) +
+            coalesce(col(s"__d_sum_$c"), lit(0).cast(oldT)))
+            .cast(oldT).as(s"__sum_$c")
+        } ++
+        e.minCols.toSeq.sorted.map(c =>
+          (if (insertOnly) least(col(s"__min_$c"), col(s"__d_min_$c"))
+          else col(s"__min_$c")).as(s"__min_$c")) ++
+        e.maxCols.toSeq.sorted.map(c =>
+          (if (insertOnly) greatest(col(s"__max_$c"), col(s"__d_max_$c"))
+          else col(s"__max_$c")).as(s"__max_$c")): _*)
+      .filter(col("__cnt") > 0)
+    folded.write.mode("overwrite").parquet(outPath)
+    val refreshed = e.copy(mvPath = outPath, relation = scanOf(spark, outPath))
+    MvCatalog.register(refreshed)
+    refreshed
   }
 
   /** #296 Registered query: build a (l_returnflag, l_linestatus) summary
@@ -217,6 +279,38 @@ object Mv {
     * exactness proof. l_quantity is integer-valued, so its double sums
     * are order-independent and bit-exact across engines and plans.
     */
+  /** #297 Registered query: INCREMENTAL refresh. Build the summary, apply
+    * a deterministic CDC delta — retract every lineitem row with
+    * `l_orderkey % 100 = 0`, insert a copy of every row with
+    * `l_orderkey % 100 = 50` at quantity+1 — via [[refresh]] (delta-sized
+    * work only), and emit the refreshed summary. The oracle recomputes
+    * the same post-delta state from scratch over the base table, so the
+    * hash match proves the fold's retraction arithmetic.
+    */
+  def incrementalDemo(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-mv-ivm").toString
+    create(spark, "lineitem_ivm", s"$dir/lineitem.parquet", s"$root/mv0",
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      sumCols = Seq("l_quantity"))
+    val base = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"))
+    val deletes = base.filter(col("l_orderkey") % 100 === 0)
+      .withColumn("w", lit(-1.0))
+    val inserts = base.filter(col("l_orderkey") % 100 === 50)
+      .withColumn("l_quantity", col("l_quantity") + 1)
+      .withColumn("w", lit(1.0))
+    val refreshed = refresh(spark, "lineitem_ivm",
+      deletes.unionByName(inserts), "w", s"$root/mv1")
+    // the refreshed summary is POST-delta state — it no longer answers
+    // queries about the base table, so it must not stay registered for
+    // the rewrite (the returned frame reads the parquet path directly)
+    MvCatalog.deregister("lineitem_ivm")
+    spark.read.parquet(refreshed.mvPath)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("__sum_l_quantity").as("sum_qty"), col("__cnt").as("n_rows"))
+  }
+
   def demoQuery(spark: SparkSession, dir: String): DataFrame = {
     RewriteTopK.enable(spark)
     val mvPath = Files.createTempDirectory("graft-mv").toString

@@ -83,6 +83,55 @@ class MvRewriteSpec extends SparkSpec {
     assert(scansFact(fact.groupBy("qty").agg(count(lit(1)).as("n"))))
   }
 
+  test("incremental refresh folds retractions and the rewrite reads the new MV") {
+    val root = java.nio.file.Files.createTempDirectory("mv-ivm-spec").toString
+    import spark.implicits._
+    val p = s"$root/fact.parquet"
+    Seq(("a", 1L), ("a", 2L), ("b", 5L), ("b", 6L))
+      .toDF("g", "qty").write.mode("overwrite").parquet(p)
+    Mv.create(spark, "ivm_mv", p, s"$root/mv0",
+      groupCols = Seq("g"), sumCols = Seq("qty"))
+    // retract (a,2), insert (a,10) and a brand-new group (c,7),
+    // annihilate b entirely
+    val delta = Seq(("a", 2L, -1.0), ("a", 10L, 1.0), ("c", 7L, 1.0),
+      ("b", 5L, -1.0), ("b", 6L, -1.0)).toDF("g", "qty", "w")
+    Mv.refresh(spark, "ivm_mv", delta, "w", s"$root/mv1")
+    val got = spark.read.parquet(s"$root/mv1")
+      .select("g", "__cnt", "__sum_qty")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 2L, 11L), ("c", 1L, 7L)), got.toString)
+    // the rewrite now serves base-table queries from the REFRESHED path
+    val q = spark.read.parquet(p).groupBy("g").agg(sum("qty").as("s"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("mv1") && !plan.contains("fact.parquet"), plan)
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 11L), ("c", 7L)))
+    MvCatalog.deregister("ivm_mv")
+  }
+
+  test("insert-only refresh maintains min/max via least/greatest") {
+    val root = java.nio.file.Files.createTempDirectory("mv-ins-spec").toString
+    import spark.implicits._
+    val p = s"$root/fact.parquet"
+    Seq(("a", 5L), ("a", 9L)).toDF("g", "qty")
+      .write.mode("overwrite").parquet(p)
+    Mv.create(spark, "ins_mv", p, s"$root/mv0",
+      groupCols = Seq("g"), sumCols = Seq("qty"),
+      minCols = Seq("qty"), maxCols = Seq("qty"))
+    // a delta with a delete must be refused while min/max are registered
+    val bad = Seq(("a", 5L, -1.0)).toDF("g", "qty", "w")
+    intercept[IllegalArgumentException] {
+      Mv.refresh(spark, "ins_mv", bad, "w", s"$root/mvX")
+    }
+    val delta = Seq(("a", 1L, 1.0), ("a", 20L, 1.0)).toDF("g", "qty", "w")
+    Mv.refresh(spark, "ins_mv", delta, "w", s"$root/mv1", insertOnly = true)
+    val r = spark.read.parquet(s"$root/mv1")
+      .select("g", "__cnt", "__sum_qty", "__min_qty", "__max_qty").head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ("a", 4L, 35L, 1L, 20L))
+    MvCatalog.deregister("ins_mv")
+  }
+
   test("rewritten result equals un-rewritten result on the demo query") {
     val rewritten = Mv.demoQuery(spark, sf)
     assert(rewritten.queryExecution.executedPlan.toString.contains("graft-mv"),
