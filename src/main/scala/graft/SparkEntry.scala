@@ -131,6 +131,9 @@ object SparkEntry {
     // summary with delta-sized work; oracle recomputes post-delta state
     // from scratch
     "mv_incremental_refresh" -> ((s, d) => graft.plans.Mv.incrementalDemo(s, d)),
+    // workload-driven MV advisor: candidate grain/measures extracted from
+    // analyzed plans, sized with one scan per base table
+    "q_mv_advisor" -> ((s, d) => graft.plans.Mv.advisorDemo(s, d)),
     "ev_blast_radius" -> ((s, d) => graft.operators.Ranges.errorBlastRadius(s, d)),
     // sketch estimates not SQL-expressible → rows-only (deterministic seed)
     "ev_heavy_hitters" -> ((s, d) => graft.operators.Sketches.heavyHitters(s, d)),
@@ -1113,6 +1116,29 @@ object SparkEntry {
         |  count(*) AS n_rows, avg(l_quantity) AS avg_qty
         |FROM lineitem WHERE l_returnflag <> 'N'
         |GROUP BY l_linestatus""".stripMargin,
+    "q_mv_advisor" ->
+      """WITH li AS (SELECT count(*) AS n FROM lineitem),
+        |     o AS (SELECT count(*) AS n FROM orders)
+        |SELECT 'lineitem' AS tbl, 'l_linestatus,l_returnflag' AS grain,
+        |  'l_quantity' AS sum_cols, 2 AS n_queries,
+        |  (SELECT n FROM li) AS base_rows,
+        |  (SELECT count(*) FROM (SELECT DISTINCT l_linestatus, l_returnflag
+        |     FROM lineitem) t) AS mv_rows,
+        |  (SELECT n FROM li) * 100 // (SELECT count(*) FROM
+        |     (SELECT DISTINCT l_linestatus, l_returnflag FROM lineitem) t)
+        |    AS reduction_e2
+        |UNION ALL
+        |SELECT 'lineitem', 'l_returnflag', 'l_extendedprice', 1,
+        |  (SELECT n FROM li),
+        |  (SELECT count(*) FROM (SELECT DISTINCT l_returnflag FROM lineitem) t),
+        |  (SELECT n FROM li) * 100 //
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_returnflag FROM lineitem) t)
+        |UNION ALL
+        |SELECT 'orders', 'o_orderpriority', '', 1,
+        |  (SELECT n FROM o),
+        |  (SELECT count(*) FROM (SELECT DISTINCT o_orderpriority FROM orders) t),
+        |  (SELECT n FROM o) * 100 //
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_orderpriority FROM orders) t)""".stripMargin,
     "mv_incremental_refresh" ->
       """WITH eff AS (
         |  SELECT l_returnflag, l_linestatus, l_quantity

@@ -279,6 +279,32 @@ object Mv {
     * exactness proof. l_quantity is integer-valued, so its double sums
     * are order-independent and bit-exact across engines and plans.
     */
+  /** #311 Streaming MV maintenance: a weighted-delta stream keeps the
+    * summary current through per-micro-batch [[refresh]] inside
+    * foreachBatch. Each batch writes generation `gen<batchId>` under
+    * `genRoot`; a replayed epoch (post-crash re-delivery) finds its
+    * generation's `_SUCCESS` marker already on disk and re-points the
+    * registration instead of double-folding — the same
+    * ledger-by-artifact idempotence the JDBC sink uses, with the
+    * filesystem as the ledger. Caller owns checkpointing and stop.
+    */
+  def streamingRefresh(deltas: DataFrame, name: String, weightCol: String,
+      genRoot: String): org.apache.spark.sql.streaming.StreamingQuery =
+    deltas.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val genPath = s"$genRoot/gen$batchId"
+        if (new java.io.File(genPath, "_SUCCESS").exists()) {
+          MvCatalog.get(name).foreach(e => MvCatalog.register(
+            e.copy(mvPath = genPath, relation = scanOf(spark, genPath))))
+        } else {
+          refresh(spark, name, batch, weightCol, genPath)
+        }
+        ()
+      }
+      .start()
+
   /** #297 Registered query: INCREMENTAL refresh. Build the summary, apply
     * a deterministic CDC delta — retract every lineitem row with
     * `l_orderkey % 100 = 0`, insert a copy of every row with
@@ -309,6 +335,104 @@ object Mv {
     spark.read.parquet(refreshed.mvPath)
       .select(col("l_returnflag"), col("l_linestatus"),
         col("__sum_l_quantity").as("sum_qty"), col("__cnt").as("n_rows"))
+  }
+
+  /** Workload-driven MV advisor: read each query's ANALYZED plan (no
+    * execution), extract every aggregate-over-file-scan shape, and emit
+    * one candidate per distinct (table, grain, sum-measures) — grain is
+    * grouping keys ∪ filter columns, so the candidate also serves the
+    * filtered form of the query (a filter on a grain column partitions
+    * MV rows exactly). Serving counts apply the same subset test
+    * [[RewriteAggToMv]] enforces at rewrite time.
+    *
+    * Sizing is ONE scan per distinct base table computing every
+    * candidate grain's exact group cardinality in a single aggregation;
+    * at 100 TB swap `countDistinct(struct(...))` for
+    * `approx_count_distinct` — the advice needs magnitude, not
+    * exactness. Output is candidate-count-sized (driver-built).
+    */
+  def advise(spark: SparkSession, workload: Seq[DataFrame]): DataFrame = {
+    final case class Shape(path: String, grain: Set[String], sums: Set[String])
+    def unwrap(p: LogicalPlan, fcols: Set[String]): Option[(Set[String], LogicalRelation)] =
+      p match {
+        case l: LogicalRelation => Some((fcols, l))
+        case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+          unwrap(c, fcols)
+        case Filter(cond, c) =>
+          unwrap(c, fcols ++ cond.references.map(_.name))
+        case SubqueryAlias(_, c) => unwrap(c, fcols)
+        case _ => None
+      }
+    val shapes: Seq[Shape] = workload.flatMap { df =>
+      df.queryExecution.analyzed.collect { case agg: Aggregate =>
+        unwrap(agg.child, Set.empty).flatMap { case (fcols, rel) =>
+          rel.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              val path = fs.location.rootPaths.headOption
+                .map(_.toString).getOrElse("")
+              val gcols = agg.groupingExpressions
+                .flatMap(_.references.map(_.name)).toSet
+              val sums = agg.aggregateExpressions.flatMap(_.collect {
+                case ae: AggregateExpression => ae.aggregateFunction match {
+                  case Sum(a: AttributeReference, _) => Seq(a.name)
+                  case Average(a: AttributeReference, _) => Seq(a.name)
+                  case _ => Nil
+                }
+              }.flatten).toSet
+              Some(Shape(path, gcols ++ fcols, sums))
+            case _ => None
+          }
+        }
+      }.flatten
+    }
+    val candidates = shapes.distinct
+    // exact candidate sizing: one scan per base table covers all its grains
+    val sizes: Map[(String, Set[String]), (Long, Long)] =
+      candidates.groupBy(_.path).flatMap { case (path, cs) =>
+        val grains = cs.map(_.grain).distinct
+        val base = spark.read.parquet(path)
+        val aggs = count(lit(1)).as("__rows") +: grains.zipWithIndex.map {
+          case (g, i) =>
+            org.apache.spark.sql.functions.countDistinct(
+              org.apache.spark.sql.functions.struct(
+                g.toSeq.sorted.map(col): _*)).as(s"__g$i")
+        }
+        val row = base.agg(aggs.head, aggs.tail: _*).head()
+        val rows = row.getLong(0)
+        grains.zipWithIndex.map { case (g, i) =>
+          (path, g) -> (rows, row.getLong(i + 1))
+        }
+      }
+    import spark.implicits._
+    candidates.map { c =>
+      val (baseRows, mvRows) = sizes((c.path, c.grain))
+      val served = shapes.count(q => q.path == c.path &&
+        q.grain.subsetOf(c.grain) && q.sums.subsetOf(c.sums))
+      val tbl = c.path.split('/').last.stripSuffix(".parquet")
+      (tbl, c.grain.toSeq.sorted.mkString(","),
+        c.sums.toSeq.sorted.mkString(","), served.toLong, baseRows, mvRows,
+        if (mvRows == 0) 0L else baseRows * 100L / mvRows)
+    }.sortBy(r => (r._1, r._2, r._3))
+      .toDF("tbl", "grain", "sum_cols", "n_queries", "base_rows", "mv_rows",
+        "reduction_e2")
+  }
+
+  /** #312 Registered query: the advisor over a fixed four-query demo
+    * workload (two lineitem shapes that merge into one candidate — the
+    * filtered subset-grouping query folds into the same grain — plus a
+    * different-measure lineitem shape and an orders shape). Oracle
+    * recomputes each candidate's sizing row in plain SQL.
+    */
+  def advisorDemo(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ords = spark.read.parquet(s"$dir/orders.parquet")
+    advise(spark, Seq(
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("s")),
+      li.filter(col("l_returnflag") =!= "N").groupBy("l_linestatus")
+        .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n")),
+      li.groupBy("l_returnflag").agg(sum(col("l_extendedprice")).as("s")),
+      ords.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))))
   }
 
   def demoQuery(spark: SparkSession, dir: String): DataFrame = {

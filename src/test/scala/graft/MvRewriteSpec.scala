@@ -132,6 +132,46 @@ class MvRewriteSpec extends SparkSpec {
     MvCatalog.deregister("ins_mv")
   }
 
+  test("streaming refresh keeps the summary current across micro-batches") {
+    val root = java.nio.file.Files.createTempDirectory("mv-stream-spec").toString
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val p = s"$root/fact.parquet"
+    Seq(("a", 1L), ("b", 2L)).toDF("g", "qty")
+      .write.mode("overwrite").parquet(p)
+    Mv.create(spark, "stream_mv", p, s"$root/mv0",
+      groupCols = Seq("g"), sumCols = Seq("qty"))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Double)]
+    val deltas = ms.toDF().toDF("g", "qty", "w")
+    val q = Mv.streamingRefresh(deltas, "stream_mv", "w", s"$root/gen")
+    try {
+      ms.addData(("a", 10L, 1.0))
+      q.processAllAvailable()
+      ms.addData(("b", 2L, -1.0), ("c", 5L, 1.0))
+      q.processAllAvailable()
+      val e = MvCatalog.get("stream_mv").get
+      val got = spark.read.parquet(e.mvPath).select("g", "__cnt", "__sum_qty")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(("a", 2L, 11L), ("c", 1L, 5L)), got.toString)
+    } finally {
+      q.stop()
+      MvCatalog.deregister("stream_mv")
+    }
+  }
+
+  test("advisor merges the filtered subset-grouping query into one candidate") {
+    val out = Mv.advisorDemo(spark, sf).collect()
+    assert(out.length == 3, out.mkString("\n"))
+    val byGrain = out.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val li = byGrain(("lineitem", "l_linestatus,l_returnflag"))
+    assert(li.getAs[Long]("n_queries") == 2L)
+    assert(li.getAs[String]("sum_cols") == "l_quantity")
+    // a handful of flag×status groups must compress 6k rows by >99x
+    assert(li.getAs[Long]("reduction_e2") >= 100L * 100L)
+    assert(byGrain(("orders", "o_orderpriority")).getAs[Long]("n_queries") == 1L)
+  }
+
   test("rewritten result equals un-rewritten result on the demo query") {
     val rewritten = Mv.demoQuery(spark, sf)
     assert(rewritten.queryExecution.executedPlan.toString.contains("graft-mv"),
