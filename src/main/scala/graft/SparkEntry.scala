@@ -202,6 +202,9 @@ object SparkEntry {
     "q_order_priority" -> ((s, d) => Tpch.qOrderPriority(s, d)),
     "q_distinct_counts" -> ((s, d) => Tpch.qDistinctCounts(s, d)),
     "q_approx_distinct" -> ((s, d) => Tpch.qApproxDistinct(s, d)),
+    // deterministic-sample approximate aggregation with HT error bars;
+    // content-addressed sample makes it SQL-oracle-exact
+    "q_approx_agg_sample" -> ((s, d) => Tpch.qApproxAggSample(s, d)),
     "q_percentiles" -> ((s, d) => Tpch.qPercentiles(s, d)),
     // mergeable KLL-style sketch (rows-only: deterministic but approximate;
     // QuantileSketchSpec pins the rank-error bound vs the exact query)
@@ -1149,6 +1152,32 @@ object SparkEntry {
         |SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty, count(*) AS n_rows
         |FROM eff GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_approx_agg_sample" ->
+      """WITH k AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    substr(md5(concat(CAST(l_orderkey AS VARCHAR), '_',
+        |      CAST(l_linenumber AS VARCHAR))), 1, 1) AS h
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag,
+        |    sum(l_quantity) AS exact_sum,
+        |    sum(CASE WHEN h = '0' THEN l_quantity END) AS s_sum,
+        |    sum(CASE WHEN h = '0' THEN 1 ELSE 0 END) AS n_sampled,
+        |    sum(CASE WHEN h = '0' THEN l_quantity * l_quantity END) AS s_sumsq
+        |  FROM k GROUP BY l_returnflag),
+        |o AS (
+        |  SELECT l_returnflag,
+        |    CAST(16 * coalesce(s_sum, 0) AS BIGINT) AS est_sum_qty,
+        |    CAST(exact_sum AS BIGINT) AS exact_sum_qty,
+        |    CAST(n_sampled AS BIGINT) AS n_sampled,
+        |    abs(CAST(16 * coalesce(s_sum, 0) AS BIGINT)
+        |      - CAST(exact_sum AS BIGINT)) * 1000000
+        |      // CAST(exact_sum AS BIGINT) AS err_ppm,
+        |    CAST(floor(2.0 * sqrt(240.0 * coalesce(s_sumsq, 0))) AS BIGINT)
+        |      AS ci95_halfwidth
+        |  FROM g)
+        |SELECT *, CAST(abs(est_sum_qty - exact_sum_qty) <= ci95_halfwidth
+        |  AS INT) AS covered FROM o""".stripMargin,
     "q_integrity_orphans" ->
       """SELECT 'orders_customer' AS rel, count(*) AS n_orphans
         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey

@@ -848,4 +848,43 @@ object Tpch {
         (col("prevmin").isNull || col("size") < col("prevmin")))
       .select(col("p_partkey"), col("price_c"), col("size"))
   }
+
+  /** #313 Error-bounded approximate aggregation by deterministic sampling
+    * (the BlinkDB move, re-expressed engine-portably): a 1/16 Bernoulli
+    * sample keyed on `md5(orderkey_linenumber)` — content-addressed, so
+    * both engines and every rerun draw the SAME sample — scales its sum
+    * by 16 and prices its own uncertainty with the Horvitz–Thompson
+    * variance estimate ((1−p)/p² · Σ_s x² at p=1/16 is 240·Σ_s x²).
+    * The exact side rides the SAME single scan (conditional aggregates)
+    * purely to measure realized error; at 100 TB you would scan ONLY the
+    * sample partition — that is the point of the operator — and publish
+    * est ± ci95. All inputs integral, so every reported number is
+    * bit-identical across engines (floor() pins the one sqrt rounding).
+    */
+  def qApproxAggSample(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"),
+        substring(md5(concat(col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string"))), 1, 1).as("h"))
+    li.groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity")).as("exact_sum"),
+        sum(when(col("h") === "0", col("l_quantity"))).as("s_sum"),
+        sum(when(col("h") === "0", 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("h") === "0", col("l_quantity") * col("l_quantity")))
+          .as("s_sumsq"))
+      .select(col("l_returnflag"),
+        (lit(16) * coalesce(col("s_sum"), lit(0.0))).cast("bigint")
+          .as("est_sum_qty"),
+        col("exact_sum").cast("bigint").as("exact_sum_qty"),
+        col("n_sampled"),
+        expr("""abs(CAST(16 * coalesce(s_sum, 0) AS BIGINT)
+          |  - CAST(exact_sum AS BIGINT)) * 1000000
+          |  DIV CAST(exact_sum AS BIGINT)""".stripMargin).as("err_ppm"),
+        floor(lit(2.0) * sqrt(lit(240.0) * coalesce(col("s_sumsq"), lit(0.0))))
+          .cast("bigint").as("ci95_halfwidth"))
+      .withColumn("covered",
+        (abs(col("est_sum_qty") - col("exact_sum_qty"))
+          <= col("ci95_halfwidth")).cast("int"))
+  }
 }

@@ -7,6 +7,20 @@ import graft.operators.{Events, Profile, Skew, Tpch}
 /** Skew-salted aggregation, JSON/CSV envelope ingestion, partitioned write. */
 class UtilSpec extends SparkSpec {
 
+  test("approx-agg sample: estimates carry positive error bars and land within 3x ci95") {
+    val rows = graft.operators.Tpch.qApproxAggSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") > 0, r.toString)
+      assert(r.getAs[Long]("ci95_halfwidth") > 0, r.toString)
+      // 2*sigma ci => 3x ci is a 6-sigma bound; a deterministic sample
+      // either passes forever or the estimator is actually broken
+      val err = math.abs(r.getAs[Long]("est_sum_qty") - r.getAs[Long]("exact_sum_qty"))
+      assert(err <= 3 * r.getAs[Long]("ci95_halfwidth"),
+        s"estimate off by $err vs ci ${r.getAs[Long]("ci95_halfwidth")}: $r")
+    }
+  }
+
   test("salted aggregation equals direct aggregation") {
     val ev = Tables.events(spark, sf)
     val direct = ev.groupBy("event_type")
