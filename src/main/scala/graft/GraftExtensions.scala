@@ -59,6 +59,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (es.length > 2) intArg(es(2)) else 200)))
     e.injectOptimizerRule(_ => graft.plans.RewriteTopK)
     e.injectOptimizerRule(_ => graft.plans.RewriteAggToMv)
+    e.injectOptimizerRule(_ => graft.plans.RewriteExactView)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

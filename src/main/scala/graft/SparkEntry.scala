@@ -134,6 +134,9 @@ object SparkEntry {
     // workload-driven MV advisor: candidate grain/measures extracted from
     // analyzed plans, sized with one scan per base table
     "q_mv_advisor" -> ((s, d) => graft.plans.Mv.advisorDemo(s, d)),
+    // exact view matching: star-join aggregate collapses to the stored
+    // nation-cardinality summary via canonicalized sameResult
+    "q_mv_star_rewrite" -> ((s, d) => graft.plans.Mv.starDemo(s, d)),
     "ev_blast_radius" -> ((s, d) => graft.operators.Ranges.errorBlastRadius(s, d)),
     // sketch estimates not SQL-expressible → rows-only (deterministic seed)
     "ev_heavy_hitters" -> ((s, d) => graft.operators.Sketches.heavyHitters(s, d)),
@@ -1119,6 +1122,15 @@ object SparkEntry {
         |  count(*) AS n_rows, avg(l_quantity) AS avg_qty
         |FROM lineitem WHERE l_returnflag <> 'N'
         |GROUP BY l_linestatus""".stripMargin,
+    "q_mv_star_rewrite" ->
+      """SELECT n.n_name,
+        |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l, supplier s, nation n
+        |WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin,
     "q_mv_advisor" ->
       """WITH li AS (SELECT count(*) AS n FROM lineitem),
         |     o AS (SELECT count(*) AS n FROM orders)

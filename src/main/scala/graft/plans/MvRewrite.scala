@@ -151,6 +151,58 @@ object RewriteAggToMv extends Rule[LogicalPlan] with PredicateHelper {
   } catch { case _: Bail => None }
 }
 
+/** Exact view matching — the join-shape complement of [[RewriteAggToMv]].
+  *
+  * [[RewriteAggToMv]] re-rolls single-table summaries under subset
+  * grouping; this rule instead matches a query's WHOLE Aggregate subtree
+  * against a registered definition with Catalyst's own
+  * `LogicalPlan.sameResult` (canonicalized comparison: ExprIds, aliases,
+  * and cosmetic differences normalized away) and swaps in the stored
+  * result. Because the match is semantic equality of the full subtree, it
+  * covers shapes the derivation rule cannot — star joins, filtered joins,
+  * arbitrary grouping expressions — at the price of no re-rolling: the
+  * query must BE the view. That trade (exact match over arbitrary plans,
+  * derivation over single scans) is the standard two-tier design of
+  * warehouse MV engines (Goldstein & Larson §3: "view-matching on
+  * canonical forms").
+  *
+  * Both sides compare post-main-optimizer (the stored plan is the
+  * definition's `optimizedPlan`; the rule runs in the user batch after
+  * the main batches), so both saw the same filter pushdown and join
+  * ordering. Output attributes keep the query's ExprIds via positional
+  * re-aliasing — canonical equality implies positionally equal outputs.
+  */
+object RewriteExactView extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (ViewCatalog.isEmpty) plan
+    else plan.transformDown {
+      case agg: Aggregate =>
+        ViewCatalog.all.find(e => agg.sameResult(e.defPlan)) match {
+          case Some(e) =>
+            val mv = e.relation.newInstance()
+            Project(agg.output.zip(mv.output).map { case (o, m) =>
+              Alias(m, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+            }, mv)
+          case None => agg
+        }
+    }
+}
+
+/** A registered exact view: the optimized definition plan and the scan of
+  * its stored result.
+  */
+case class ViewEntry(name: String, defPlan: LogicalPlan,
+    relation: LogicalRelation)
+
+object ViewCatalog {
+  private val entries = new scala.collection.concurrent.TrieMap[String, ViewEntry]()
+  def register(e: ViewEntry): Unit = entries.put(e.name, e)
+  def deregister(name: String): Unit = entries.remove(name)
+  def clear(): Unit = entries.clear()
+  def isEmpty: Boolean = entries.isEmpty
+  def all: Iterable[ViewEntry] = entries.values
+}
+
 /** One registered materialized view: which fact-table path it summarizes,
   * its grouping keys, which measures it stores, and the analyzed scan of
   * the stored summary.
@@ -279,6 +331,59 @@ object Mv {
     * exactness proof. l_quantity is integer-valued, so its double sums
     * are order-independent and bit-exact across engines and plans.
     */
+  /** Materialize an arbitrary definition frame and register it for
+    * [[RewriteExactView]]. Any query whose Aggregate subtree is
+    * `sameResult` with the definition reads the stored parquet instead
+    * of recomputing — joins and all.
+    */
+  def createExact(spark: SparkSession, name: String, defDf: DataFrame,
+      mvPath: String): ViewEntry = {
+    // deregister first: otherwise re-creating the same view would let the
+    // rewrite fire inside its own definition and store a self-referential
+    // plan that never matches an Aggregate again
+    ViewCatalog.deregister(name)
+    defDf.write.mode("overwrite").parquet(mvPath)
+    val entry = ViewEntry(name, defDf.queryExecution.optimizedPlan,
+      scanOf(spark, mvPath))
+    ViewCatalog.register(entry)
+    entry
+  }
+
+  /** #314 Registered query: star-join exact view. The definition is
+    * supplier-side revenue by nation (lineitem ⋈ supplier ⋈ nation, the
+    * Q5 family); the returned query is built independently by the same
+    * builder and matches via canonicalized sameResult, so the three-table
+    * join collapses to a nation-cardinality scan. Oracle recomputes the
+    * join + aggregation from the base tables in DuckDB.
+    */
+  def starDemo(spark: SparkSession, dir: String): DataFrame = {
+    RewriteTopK.enable(spark)
+    val mvPath = Files.createTempDirectory("graft-mv-star").toString
+    createExact(spark, "star_nation_rev", starQuery(spark, dir),
+      s"$mvPath/mv.parquet")
+    starQuery(spark, dir)
+  }
+
+  /** The Q5-family supplier-side star aggregate (def and query both come
+    * from here — exact view matching's contract is "the query IS the
+    * view"; sameResult still has to see through fresh ExprIds, alias
+    * positions, and both sides' independent optimizer runs).
+    */
+  private[graft] def starQuery(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    import org.apache.spark.sql.functions.{broadcast, round, sum => fsum}
+    l.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round(fsum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** #311 Streaming MV maintenance: a weighted-delta stream keeps the
     * summary current through per-micro-batch [[refresh]] inside
     * foreachBatch. Each batch writes generation `gen<batchId>` under

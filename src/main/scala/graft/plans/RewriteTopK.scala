@@ -55,6 +55,10 @@ object RewriteTopK extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteAggToMv
     }
+    if (!spark.experimental.extraOptimizations.contains(RewriteExactView)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteExactView
+    }
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy

@@ -172,6 +172,33 @@ class MvRewriteSpec extends SparkSpec {
     assert(byGrain(("orders", "o_orderpriority")).getAs[Long]("n_queries") == 1L)
   }
 
+  test("exact view matching collapses the star join to the stored summary") {
+    val rewritten = Mv.starDemo(spark, sf)
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-mv-star"), plan)
+    assert(!plan.contains("lineitem"), s"still scans the fact table:\n$plan")
+    val a = rewritten.collect().map(_.toSeq).toSet
+    graft.plans.ViewCatalog.deregister("star_nation_rev")
+    val direct = Mv.starQuery(spark, sf)
+    assert(direct.queryExecution.executedPlan.toString.contains("lineitem"))
+    val b = direct.collect().map(_.toSeq).toSet
+    assert(a == b, s"rewritten=$a direct=$b")
+  }
+
+  test("a near-miss star query (different measure) is not matched") {
+    val root = java.nio.file.Files.createTempDirectory("mv-star-neg").toString
+    Mv.createExact(spark, "star_neg", Mv.starQuery(spark, sf), s"$root/mv.parquet")
+    // same join, same grouping, but avg instead of the registered sum
+    val near = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/supplier.parquet"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(avg("l_quantity").as("a"))
+    assert(near.queryExecution.executedPlan.toString.contains("lineitem"))
+    graft.plans.ViewCatalog.deregister("star_neg")
+  }
+
   test("rewritten result equals un-rewritten result on the demo query") {
     val rewritten = Mv.demoQuery(spark, sf)
     assert(rewritten.queryExecution.executedPlan.toString.contains("graft-mv"),
