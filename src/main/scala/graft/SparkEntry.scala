@@ -137,6 +137,9 @@ object SparkEntry {
     // exact view matching: star-join aggregate collapses to the stored
     // nation-cardinality summary via canonicalized sameResult
     "q_mv_star_rewrite" -> ((s, d) => graft.plans.Mv.starDemo(s, d)),
+    // ROLLUP lowered to Aggregate-over-Expand, served from the MV: all
+    // grouping-set levels priced at group-by cardinality
+    "q_mv_rollup_rewrite" -> ((s, d) => graft.plans.Mv.rollupDemo(s, d)),
     "ev_blast_radius" -> ((s, d) => graft.operators.Ranges.errorBlastRadius(s, d)),
     // sketch estimates not SQL-expressible → rows-only (deterministic seed)
     "ev_heavy_hitters" -> ((s, d) => graft.operators.Sketches.heavyHitters(s, d)),
@@ -1122,6 +1125,11 @@ object SparkEntry {
         |  count(*) AS n_rows, avg(l_quantity) AS avg_qty
         |FROM lineitem WHERE l_returnflag <> 'N'
         |GROUP BY l_linestatus""".stripMargin,
+    "q_mv_rollup_rewrite" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows, avg(l_quantity) AS avg_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q_mv_star_rewrite" ->
       """SELECT n.n_name,
         |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))

@@ -76,9 +76,153 @@ object RewriteAggToMv extends Rule[LogicalPlan] with PredicateHelper {
         case BaseScan(filters, rel) =>
           scanPath(rel).flatMap(MvCatalog.find)
             .flatMap(e => tryRewrite(agg, filters, e)).getOrElse(agg)
+        case exp @ Expand(_, _, BaseScan(filters, rel)) =>
+          scanPath(rel).flatMap(MvCatalog.find)
+            .flatMap(e => tryRewriteExpand(agg, exp, filters, e)).getOrElse(agg)
         case _ => agg
       }
     }
+
+  /** ROLLUP / CUBE / GROUPING SETS over the fact table, served from the
+    * MV: the analyzer lowers them to `Aggregate ← Expand ← scan`, where
+    * Expand replicates each input row once per grouping set (null-masking
+    * the absent keys, appending spark_grouping_id). Replication commutes
+    * with re-aggregation, so the SAME Expand shape over MV rows — with
+    * measures swapped for their pre-aggregates and count(1) for
+    * sum(__cnt) — yields identical results at group-by-cardinality input
+    * size. The Expand's own output layout is Spark-internal but stable:
+    * measure positions pass the base attribute through under its own
+    * ExprId, grouping positions get fresh ExprIds; we bail on anything
+    * that doesn't look exactly like that.
+    */
+  private def tryRewriteExpand(agg: Aggregate, exp: Expand,
+      filters: Seq[Expression], e: MvEntry): Option[Aggregate] = try {
+    val mvRel = e.relation.newInstance()
+    val mvAttr = mvRel.output.map(a => a.name -> a).toMap
+    def bail(): Nothing = throw new Bail
+
+    // classify each Expand output position
+    sealed trait Pos
+    case class Constant(idx: Int) extends Pos
+    case class Measure(src: AttributeReference) extends Pos
+    case class Grouping(idx: Int, src: AttributeReference) extends Pos
+    val positions: Seq[Pos] = exp.output.indices.map { i =>
+      val vals = exp.projections.map(_(i))
+      if (vals.forall(_.isInstanceOf[Literal])) Constant(i)
+      else {
+        val srcs = vals.collect { case a: AttributeReference => a }.distinct
+        if (srcs.size != 1) bail()
+        val ok = vals.forall {
+          case _: AttributeReference => true
+          case l: Literal => l.value == null
+          case _ => false
+        }
+        if (!ok) bail()
+        if (exp.output(i).exprId == srcs.head.exprId) Measure(srcs.head)
+        else Grouping(i, srcs.head)
+      }
+    }
+    val measureIds = positions.collect { case Measure(s) => s.exprId }.toSet
+    val groupingIds = positions.collect { case Grouping(i, _) =>
+      exp.output(i).exprId }.toSet
+    positions.foreach {
+      case Grouping(_, s) if !e.groupCols.contains(s.name) => bail()
+      case _ => ()
+    }
+    filters.foreach { f =>
+      if (!f.references.forall(r => e.groupCols.contains(r.name))) bail()
+    }
+
+    // which mv measure columns the aggregates need (each becomes one
+    // passthrough position in the rebuilt Expand)
+    val needed = scala.collection.mutable.LinkedHashMap[String, AttributeReference]()
+    def need(mvCol: String): AttributeReference =
+      needed.getOrElseUpdate(mvCol,
+        mvAttr.getOrElse(mvCol, bail()))
+    def fresh(f: AggregateFunction): AggregateExpression =
+      AggregateExpression(f, Complete, isDistinct = false)
+    def rwAgg(ae: AggregateExpression): Expression = {
+      if (ae.isDistinct || ae.filter.nonEmpty) bail()
+      ae.aggregateFunction match {
+        case Sum(a: AttributeReference, _)
+            if measureIds.contains(a.exprId) && e.sumCols.contains(a.name) =>
+          fresh(Sum(need("__sum_" + a.name)))
+        case c: Count if c.children.nonEmpty && c.children.forall {
+            case l: Literal => l.value != null
+            case _ => false } =>
+          Coalesce(Seq(fresh(Sum(need("__cnt"))), Literal(0L)))
+        case Min(a: AttributeReference)
+            if measureIds.contains(a.exprId) && e.minCols.contains(a.name) =>
+          fresh(Min(need("__min_" + a.name)))
+        case Max(a: AttributeReference)
+            if measureIds.contains(a.exprId) && e.maxCols.contains(a.name) =>
+          fresh(Max(need("__max_" + a.name)))
+        case Min(a: AttributeReference) if groupingIds.contains(a.exprId) => ae
+        case Max(a: AttributeReference) if groupingIds.contains(a.exprId) => ae
+        case Average(a: AttributeReference, _)
+            if measureIds.contains(a.exprId) && e.sumCols.contains(a.name) &&
+              ae.dataType == DoubleType =>
+          Divide(Cast(fresh(Sum(need("__sum_" + a.name))), DoubleType),
+            Cast(fresh(Sum(need("__cnt"))), DoubleType))
+        case _ => bail()
+      }
+    }
+    def rw(x: Expression): Expression = x match {
+      case ae: AggregateExpression =>
+        val r = rwAgg(ae)
+        if (r.dataType == ae.dataType) r else Cast(r, ae.dataType)
+      case a: AttributeReference =>
+        if (groupingIds.contains(a.exprId)) a
+        else if (measureIds.contains(a.exprId)) bail()  // raw measure outside agg
+        else a
+      case other => other.mapChildren(rw)
+    }
+    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        if (groupingIds.contains(a.exprId) || !measureIds.contains(a.exprId)) a
+        else bail()
+      case al: Alias =>
+        val nc = rw(al.child)
+        val typed =
+          if (nc.dataType == al.child.dataType) nc else Cast(nc, al.child.dataType)
+        Alias(typed, al.name)(exprId = al.exprId, qualifier = al.qualifier,
+          explicitMetadata = al.explicitMetadata)
+      case _ => bail()
+    }
+    // grouping expressions may only touch grouping/constant outputs
+    agg.groupingExpressions.foreach(_.references.foreach { r =>
+      if (measureIds.contains(r.exprId)) bail()
+    })
+
+    // rebuild the Expand: needed mv measures pass through every
+    // projection row; grouping/constant positions keep their original
+    // output attrs with base attrs swapped for mv attrs
+    val keptPositions = positions.collect {
+      case g: Grouping => g
+      case c: Constant => c
+    }
+    val newOutput: Seq[Attribute] = needed.values.toSeq ++ keptPositions.map {
+      case Grouping(i, _) => exp.output(i)
+      case Constant(i) => exp.output(i)
+    }
+    val newProjections = exp.projections.map { row =>
+      needed.values.toSeq ++ keptPositions.map {
+        case Grouping(i, src) => row(i) match {
+          case _: AttributeReference => mvAttr.getOrElse(src.name, bail())
+          case l: Literal => l
+          case _ => bail()
+        }
+        case Constant(i) => row(i)
+      }
+    }
+    val newFilters = filters.map(_.transformUp {
+      case a: AttributeReference => mvAttr.getOrElse(a.name, bail())
+    })
+    val child =
+      if (newFilters.isEmpty) mvRel else Filter(newFilters.reduce(And), mvRel)
+    Some(agg.copy(aggregateExpressions = newAggExprs,
+      child = Expand(newProjections, newOutput, child)))
+  } catch { case _: Bail => None }
 
   private def tryRewrite(agg: Aggregate, filters: Seq[Expression],
       e: MvEntry): Option[Aggregate] = try {
@@ -538,6 +682,25 @@ object Mv {
         .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n")),
       li.groupBy("l_returnflag").agg(sum(col("l_extendedprice")).as("s")),
       ords.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))))
+  }
+
+  /** #315 Registered query: ROLLUP served from the MV. The rollup's
+    * Expand replicates MV rows instead of fact rows (replication commutes
+    * with re-aggregation), so all three grouping-set levels price at
+    * group-by cardinality. DuckDB recomputes `GROUP BY ROLLUP` from the
+    * base table.
+    */
+  def rollupDemo(spark: SparkSession, dir: String): DataFrame = {
+    RewriteTopK.enable(spark)
+    val mvPath = Files.createTempDirectory("graft-mv-rollup").toString
+    create(spark, "lineitem_rf_ls", s"$dir/lineitem.parquet", mvPath,
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      sumCols = Seq("l_quantity"))
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        favg(col("l_quantity")).as("avg_qty"))
   }
 
   def demoQuery(spark: SparkSession, dir: String): DataFrame = {

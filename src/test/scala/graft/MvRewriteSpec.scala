@@ -172,6 +172,32 @@ class MvRewriteSpec extends SparkSpec {
     assert(byGrain(("orders", "o_orderpriority")).getAs[Long]("n_queries") == 1L)
   }
 
+  test("rollup and cube re-aggregate the MV through the rebuilt Expand") {
+    val q = fact.rollup("g1", "g2")
+      .agg(sum("qty").as("s"), count(lit(1)).as("n"),
+        avg(col("qty").cast("double")).as("bad_avg"))
+    // avg over a cast isn't a plain-attribute measure — whole query bails
+    assert(scansFact(q))
+    val roll = fact.rollup("g1", "g2")
+      .agg(sum("qty").as("s"), count(lit(1)).as("n"))
+    assert(scansMv(roll), roll.queryExecution.executedPlan.toString)
+    val got = roll.collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (Some("a"), Some("x"), 3L, 2L), (Some("a"), Some("y"), 3L, 1L),
+      (Some("b"), Some("x"), 4L, 1L), (Some("b"), Some("y"), 11L, 2L),
+      (Some("a"), None, 6L, 3L), (Some("b"), None, 15L, 3L),
+      (None, None, 21L, 6L)), got.toString)
+    val cube = fact.cube("g1", "g2")
+      .agg(sum("qty").as("s"), min("qty").as("mn"), max("qty").as("mx"))
+    assert(scansMv(cube), cube.queryExecution.executedPlan.toString)
+    // spot-check the g2-only slice only a CUBE emits
+    val g2x = cube.collect().find(r => r.isNullAt(0) &&
+      Option(r.getString(1)).contains("x")).get
+    assert((g2x.getLong(2), g2x.getLong(3), g2x.getLong(4)) == (7L, 1L, 4L))
+  }
+
   test("exact view matching collapses the star join to the stored summary") {
     val rewritten = Mv.starDemo(spark, sf)
     val plan = rewritten.queryExecution.executedPlan.toString
