@@ -140,6 +140,9 @@ object SparkEntry {
     // ROLLUP lowered to Aggregate-over-Expand, served from the MV: all
     // grouping-set levels priced at group-by cardinality
     "q_mv_rollup_rewrite" -> ((s, d) => graft.plans.Mv.rollupDemo(s, d)),
+    // column-level lineage from the analyzed plan — impact analysis /
+    // PII propagation as one driver-side traversal
+    "q_lineage_audit" -> ((s, d) => graft.plans.Lineage.lineageDemo(s, d)),
     "ev_blast_radius" -> ((s, d) => graft.operators.Ranges.errorBlastRadius(s, d)),
     // sketch estimates not SQL-expressible → rows-only (deterministic seed)
     "ev_heavy_hitters" -> ((s, d) => graft.operators.Sketches.heavyHitters(s, d)),
@@ -1125,6 +1128,13 @@ object SparkEntry {
         |  count(*) AS n_rows, avg(l_quantity) AS avg_qty
         |FROM lineitem WHERE l_returnflag <> 'N'
         |GROUP BY l_linestatus""".stripMargin,
+    "q_lineage_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('n_items', '', '', 'literal'),
+        |  ('n_name', 'nation', 'n_name', 'direct'),
+        |  ('revenue', 'lineitem', 'l_discount', 'aggregate'),
+        |  ('revenue', 'lineitem', 'l_extendedprice', 'aggregate'))
+        |  AS t(out_col, src_table, src_col, via)""".stripMargin,
     "q_mv_rollup_rewrite" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n_rows, avg(l_quantity) AS avg_qty
