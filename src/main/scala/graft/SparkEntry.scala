@@ -619,6 +619,9 @@ object SparkEntry {
     "cdc_ivm_join_delta" -> ((s, d) => Cdc.ivmJoinDelta(s, d)),
     // Brown's double-exponential level+trend forecast, exact fixed-point
     "ts_brown_forecast" -> ((s, d) => TimeSeries.brownForecast(s, d)),
+    // rolling-origin backtest of naive / seasonal-naive / MA-7 forecasters
+    // (exact integer MAE + sMAPE; the model-selection readout)
+    "ts_backtest" -> ((s, d) => TimeSeries.backtest(s, d)),
     // Jaccard decile histogram + survivors curve over scored candidates
     // (rows-only: the winnowing blocking key is hash-seeded; DedupSpec
     // pins conservation + monotonicity + the planted high bucket)
@@ -3262,6 +3265,7 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS mismatch
         |FROM j GROUP BY c_nationkey""".stripMargin,
     "ts_brown_forecast" -> graft.operators.TimeSeries.brownOracle,
+    "ts_backtest" -> graft.operators.TimeSeries.backtestOracle,
     "cdc_backlog_eta" ->
       s"""$registryCte,
          |thr AS (SELECT epoch_us(ts) // 60000000 AS m, count(*) AS n

@@ -434,4 +434,87 @@ object TimeSeries {
        |  round((CAST(2 AS DOUBLE) * s1 - s2 + CAST(7 AS DOUBLE) * (s1 - s2)) / CAST(100 AS DOUBLE), 4) AS forecast_7d
        |FROM s""".stripMargin
   }
+
+  /** #317 Rolling-origin forecast backtest: the model-selection readout
+    * that tells you WHICH forecaster ([[brownForecast]], seasonal
+    * adjustment, or nothing at all) has earned its keep on this series.
+    * Three reference forecasters are scored out-of-sample on the per-type
+    * daily cents series:
+    *   - `naive`   : ŷ(d) = y(d−1)
+    *   - `snaive`  : ŷ(d) = y(d−7)   (the day-of-week baseline)
+    *   - `ma7`     : ŷ(d) = mean(y(d−7..d−1)), scored only on days whose
+    *                 full 7-day history exists (no partial means)
+    * Metrics are EXACT integers on both engines: MAE as ×100 cents
+    * (`Σ|y−ŷ|·100 DIV n`, with ma7 kept in 7ths: `Σ|7y−Σ₇|·100 DIV 7n`)
+    * and sMAPE as a ×10⁴ ratio where the per-day division is integer DIV
+    * with non-negative numerators (floor == truncate, engine-agnostic).
+    *
+    * Scale: pairing is calendar self-join on the (types × days)-bounded
+    * daily frame — the acf/trend pattern — so the only corpus-scale work
+    * is the shared daily aggregate (localCheckpointed, scanned once).
+    */
+  def backtest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .localCheckpoint()
+    val y = daily.select(col("event_type"), col("day"), col("cents").as("y"))
+    def lagPairs(l: Int, name: String): DataFrame =
+      daily.select(col("event_type"), (col("day") + l).as("day"),
+          col("cents").as("f"))
+        .join(y, Seq("event_type", "day"))
+        .select(col("event_type"), lit(name).as("method"),
+          abs(col("y") - col("f")).as("ae"),
+          expr("CASE WHEN abs(y) + abs(f) = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE 2 * abs(y - f) * 10000 DIV (abs(y) + abs(f)) END").as("sm"),
+          lit(1L).as("den"))
+    val offsets = spark.range(1, 8).select(col("id").as("off"))
+    val ma7 = daily.join(broadcast(offsets))
+      .select(col("event_type"), (col("day") + col("off")).as("day"), col("cents"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("k"), sum(col("cents")).as("f7"))
+      .filter(col("k") === 7)
+      .join(y, Seq("event_type", "day"))
+      .select(col("event_type"), lit("ma7").as("method"),
+        abs(expr("7 * y - f7")).as("ae"),
+        expr("CASE WHEN 7 * abs(y) + abs(f7) = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE 2 * abs(7 * y - f7) * 10000 DIV (7 * abs(y) + abs(f7)) END").as("sm"),
+        lit(7L).as("den"))
+    lagPairs(1, "naive").unionByName(lagPairs(7, "snaive")).unionByName(ma7)
+      .groupBy("event_type", "method")
+      .agg(count(lit(1)).as("n_days"),
+        expr("CAST(sum(ae) * 100 DIV sum(den) AS BIGINT)").as("mae_e2"),
+        expr("CAST(sum(sm) DIV count(1) AS BIGINT)").as("smape_e4"))
+  }
+
+  def backtestOracle: String =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |n1 AS (SELECT y.event_type, 'naive' AS method, abs(y.cents - f.cents) AS ae,
+      |    CASE WHEN abs(y.cents) + abs(f.cents) = 0 THEN 0
+      |      ELSE 2 * abs(y.cents - f.cents) * 10000 // (abs(y.cents) + abs(f.cents)) END AS sm,
+      |    1 AS den
+      |  FROM daily y JOIN daily f ON y.event_type = f.event_type AND y.day = f.day + 1),
+      |n7 AS (SELECT y.event_type, 'snaive' AS method, abs(y.cents - f.cents) AS ae,
+      |    CASE WHEN abs(y.cents) + abs(f.cents) = 0 THEN 0
+      |      ELSE 2 * abs(y.cents - f.cents) * 10000 // (abs(y.cents) + abs(f.cents)) END AS sm,
+      |    1 AS den
+      |  FROM daily y JOIN daily f ON y.event_type = f.event_type AND y.day = f.day + 7),
+      |m AS (SELECT d.event_type, d.day + o.off AS day, count(*) AS k, sum(d.cents) AS f7
+      |  FROM daily d CROSS JOIN (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS off) o
+      |  GROUP BY 1, 2 HAVING count(*) = 7),
+      |m7 AS (SELECT y.event_type, 'ma7' AS method, abs(7 * y.cents - m.f7) AS ae,
+      |    CASE WHEN 7 * abs(y.cents) + abs(m.f7) = 0 THEN 0
+      |      ELSE 2 * abs(7 * y.cents - m.f7) * 10000 // (7 * abs(y.cents) + abs(m.f7)) END AS sm,
+      |    7 AS den
+      |  FROM daily y JOIN m ON y.event_type = m.event_type AND y.day = m.day),
+      |u AS (SELECT * FROM n1 UNION ALL SELECT * FROM n7 UNION ALL SELECT * FROM m7)
+      |SELECT event_type, method, count(*) AS n_days,
+      |  CAST(sum(ae) * 100 // sum(den) AS BIGINT) AS mae_e2,
+      |  CAST(sum(sm) // count(*) AS BIGINT) AS smape_e4
+      |FROM u GROUP BY 1, 2""".stripMargin
 }

@@ -326,4 +326,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(fc - (lvl + 7 * tr)) < 1e-3, "forecast must be level + 7·trend")
     assert(math.abs(lvl - 40.0) < 0.1, s"ramp level $lvl should track the last value")
   }
+
+  test("backtest: hand-computed MAE/sMAPE for naive, snaive and ma7 on a $1/day ramp") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val dayNs = 86400L * 1000000000L
+    // days 0..9 at $(d+1)/day: every hand value below follows from v(d) = 100·(d+1) cents
+    var id = 0L
+    val ramp = (0 until 10).map { d => id += 1; (id, d * dayNs, 1L, "c", 1.0 * (d + 1), "{}") }
+    val dir = java.nio.file.Files.createTempDirectory("backtest").toString
+    ramp.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = TimeSeries.backtest(spark, dir).collect()
+      .map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("mae_e2"), r.getAs[Long]("smape_e4")))).toMap
+    assert(rows.keySet === Set("naive", "snaive", "ma7"))
+    // naive: 9 pairs, each off by exactly $1 → MAE = 100 cents ×100
+    assert(rows("naive") === ((9L, 10000L, 2518L)), s"naive got ${rows("naive")}")
+    // snaive: 3 pairs (days 7..9), each off by $7
+    assert(rows("snaive") === ((3L, 70000L, 13017L)), s"snaive got ${rows("snaive")}")
+    // ma7: 3 full-history days, forecast trails actual by exactly $4
+    assert(rows("ma7") === ((3L, 40000L, 5793L)), s"ma7 got ${rows("ma7")}")
+  }
 }
