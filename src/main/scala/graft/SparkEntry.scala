@@ -617,6 +617,14 @@ object SparkEntry {
     // join-view IVM: three-term delta algebra, fold proven against the
     // direct join per nation (mismatch must be 0)
     "cdc_ivm_join_delta" -> ((s, d) => Cdc.ivmJoinDelta(s, d)),
+    // incremental top-k maintenance: stored head ∪ touched re-rank, with
+    // the refill fallback when deletes could promote an untouched user
+    "cdc_topk_ivm" -> ((s, d) => Cdc.topkIvm(s, d)),
+    // run-length layout advisor: what each candidate sort order buys each
+    // payload column in RLE/zone-map terms (exact adjacent-pair runs)
+    "tbl_sort_advisor" -> ((s, d) => Profile.sortRunsAdvisor(
+      Tables.lineitem(s, d), SortAdvisorCandidates, SortAdvisorPayloads,
+      SortAdvisorTiebreak)),
     // Brown's double-exponential level+trend forecast, exact fixed-point
     "ts_brown_forecast" -> ((s, d) => TimeSeries.brownForecast(s, d)),
     // rolling-origin backtest of naive / seasonal-naive / MA-7 forecasters
@@ -632,6 +640,18 @@ object SparkEntry {
     // ScaleSpec pins monotone recall + full-probe exactness)
     "ann_ivf_tuning" -> ((s, d) => Similarity.annIvfTuning(s, d))
   )
+
+  /** Shared sort-advisor configuration — the Spark entry and the oracle
+    * generator must see the SAME candidates/payloads.
+    */
+  private val SortAdvisorCandidates: Seq[Seq[String]] =
+    Seq(Seq("l_shipdate"), Seq("l_suppkey"), Seq("l_returnflag", "l_linestatus"))
+  private val SortAdvisorPayloads: Seq[String] =
+    Seq("l_returnflag", "l_linestatus", "l_quantity", "l_partkey")
+  // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+  // appending the payloads makes the adjacency deterministic on both engines
+  private val SortAdvisorTiebreak: Seq[String] =
+    Seq("l_orderkey", "l_linenumber") ++ SortAdvisorPayloads
 
   /** Shared DuckDB fragment: exact-DECIMAL discounted revenue over a
     * lineitem aliased `l` (mirror of Tpch.revenue).
@@ -3266,6 +3286,9 @@ object SparkEntry {
         |FROM j GROUP BY c_nationkey""".stripMargin,
     "ts_brown_forecast" -> graft.operators.TimeSeries.brownOracle,
     "ts_backtest" -> graft.operators.TimeSeries.backtestOracle,
+    "cdc_topk_ivm" -> Cdc.topkIvmOracle(),
+    "tbl_sort_advisor" -> graft.operators.Profile.sortRunsOracle("lineitem",
+      SortAdvisorCandidates, SortAdvisorPayloads, SortAdvisorTiebreak),
     "cdc_backlog_eta" ->
       s"""$registryCte,
          |thr AS (SELECT epoch_us(ts) // 60000000 AS m, count(*) AS n

@@ -763,4 +763,104 @@ object Cdc {
         col("n_view") - col("n_old") - col("n_delta_a") -
           col("n_delta_b") - col("n_delta_ab"))
   }
+
+  /** #319 Incremental TOP-K maintenance under CDC deltas — the ranked
+    * leaderboard as a maintained view. The maintained state is the
+    * per-user net-cents summary plus its top-(k+buffer) head; a delta
+    * batch (signed: DELETE retracts) updates ONLY the touched users and
+    * re-ranks the candidate set = stored head ∪ touched. That is exact
+    * unless deletions could promote an untouched user from below the
+    * buffer: detected by comparing the best untouched non-candidate
+    * total against the new k-th total (ties INCLUDED — the user_id
+    * tiebreak can promote an equal-cents outsider), in which case the
+    * view falls back to one full re-rank (the REFILL every bounded-state
+    * top-k maintenance scheme needs; Space-Saving in
+    * [[graft.streaming.SketchStream]] is the no-refill approximate
+    * alternative). Batch boundary = midpoint of the sequence range, so
+    * the oracle replays the identical split.
+    *
+    * Scale: summary update + candidate join shuffle on user_id (delta-
+    * sized); top selection is TakeOrdered (partial per-partition top-k,
+    * never a global sort); driver sees only the k-row head and one
+    * 1-row outside-max aggregate.
+    */
+  def topkIvm(spark: SparkSession, dir: String, k: Int = 10,
+      buffer: Int = 10): DataFrame = {
+    val lg = log(spark, dir).select(col("user_id"), col("seq_us"),
+      when(col("operation") === "DELETE", -1L).otherwise(1L).as("sign"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val pivot = lg.agg(expr("(min(seq_us) + max(seq_us)) DIV 2").as("p"))
+    val split = lg.crossJoin(broadcast(pivot))
+    val base = split.filter(col("seq_us") <= col("p"))
+    val delta = split.filter(col("seq_us") > col("p"))
+    val summary = base.groupBy("user_id")
+      .agg(sum(col("sign") * col("cents")).as("cents"))
+      .localCheckpoint() // the maintained MV: read by head, join, and outside-max
+    val head = summary.orderBy(col("cents").desc, col("user_id"))
+      .limit(k + buffer)
+    val touched = delta.groupBy("user_id")
+      .agg(sum(col("sign") * col("cents")).as("dcents"))
+    val updatedTouched = touched.join(summary, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (coalesce(col("cents"), lit(0L)) + col("dcents")).as("cents"))
+    val candidates = head.join(updatedTouched.select("user_id"), Seq("user_id"), "left_anti")
+      .unionByName(updatedTouched)
+    val candTop = candidates.orderBy(col("cents").desc, col("user_id"))
+      .limit(k).collect() // bounded: k rows
+    val threshold = if (candTop.length < k) Long.MinValue
+      else candTop.last.getAs[Long]("cents")
+    val outsideMax = summary
+      .join(candidates.select("user_id"), Seq("user_id"), "left_anti")
+      .agg(max(col("cents")).as("m")).collect().head // bounded: 1 row
+    val refill = !outsideMax.isNullAt(0) && outsideMax.getAs[Long]("m") >= threshold
+    val topk =
+      if (refill) {
+        val full = summary.join(touched, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("cents"), lit(0L)) + coalesce(col("dcents"), lit(0L))).as("cents"))
+        full.orderBy(col("cents").desc, col("user_id")).limit(k)
+      } else {
+        import spark.implicits._
+        candTop.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cents")))
+          .toSeq.toDF("user_id", "cents")
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cents").desc, col("user_id")) // k-row frame only
+    topk.withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("refill", lit(if (refill) 1L else 0L))
+      .select("rnk", "user_id", "cents", "refill")
+  }
+
+  /** DuckDB oracle for [[topkIvm]]: full recompute of the ranked head
+    * (which the incremental path must equal by construction) plus the
+    * same refill-detection algebra replayed over the same split.
+    */
+  def topkIvmOracle(k: Int = 10, buffer: Int = 10): String =
+    s"""WITH lg AS (SELECT user_id, epoch_us(ts) AS seq_us,
+       |    CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS sign,
+       |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+       |p AS (SELECT (min(seq_us) + max(seq_us)) // 2 AS pv FROM lg),
+       |base AS (SELECT user_id, sum(sign * cents) AS cents
+       |  FROM lg, p WHERE seq_us <= pv GROUP BY 1),
+       |delta AS (SELECT user_id, sum(sign * cents) AS dcents
+       |  FROM lg, p WHERE seq_us > pv GROUP BY 1),
+       |head AS (SELECT user_id, cents FROM base
+       |  ORDER BY cents DESC, user_id LIMIT ${k + buffer}),
+       |ut AS (SELECT d.user_id, COALESCE(b.cents, 0) + d.dcents AS cents
+       |  FROM delta d LEFT JOIN base b USING (user_id)),
+       |cand AS (SELECT * FROM ut UNION ALL
+       |  SELECT * FROM head WHERE user_id NOT IN (SELECT user_id FROM ut)),
+       |ctop AS (SELECT cents FROM cand ORDER BY cents DESC, user_id LIMIT $k),
+       |thr AS (SELECT CASE WHEN (SELECT count(*) FROM ctop) < $k
+       |    THEN -9223372036854775808 ELSE (SELECT min(cents) FROM ctop) END AS t),
+       |om AS (SELECT max(cents) AS m FROM base
+       |  WHERE user_id NOT IN (SELECT user_id FROM cand)),
+       |rf AS (SELECT CASE WHEN m IS NOT NULL AND m >= t THEN 1 ELSE 0 END AS refill
+       |  FROM om, thr),
+       |fl AS (SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+       |    COALESCE(b.cents, 0) + COALESCE(d.dcents, 0) AS cents
+       |  FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id)
+       |SELECT CAST(row_number() OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS rnk,
+       |  user_id, CAST(cents AS BIGINT) AS cents, CAST(refill AS BIGINT) AS refill
+       |FROM fl, rf ORDER BY cents DESC, user_id LIMIT $k""".stripMargin
 }

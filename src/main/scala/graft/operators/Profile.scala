@@ -193,4 +193,110 @@ object Profile {
           .when(col("n_left") <= broadcastMaxRows, "broadcast_left")
           .when(col("skew_ratio_e2") >= skewRatioE2, "shuffle_salted")
           .otherwise("shuffle_hash"))
+
+  /** #318 Sort-order layout advisor: for each candidate sort key, the
+    * EXACT number of value runs each payload column would have if the
+    * table were rewritten sorted by that key — the quantity that decides
+    * RLE/dictionary compressibility and data-skipping effectiveness of a
+    * layout rewrite ([[graft.Tables.compact]] / Layout.mortonLayout pick
+    * the order; this measures what each order buys). avg_run_e2 =
+    * rows×100/runs: a payload at 100 (run length 1) gains nothing; large
+    * values mean long constant stretches → tiny RLE output + tight
+    * zone maps.
+    *
+    * Distributed shape: ONE range-repartition + local sort per candidate
+    * (exactly what the rewrite itself would do — no global window).
+    * Adjacent-pair transitions are counted inside each partition under a
+    * partition-local window; the cross-partition seams are reconciled
+    * from each partition's (first, last) payload tuple — a ≤2·P-row
+    * frame collected to the driver (bounded by partition COUNT, never
+    * data size). The frozen `localCheckpoint` guards Pid consistency
+    * across the two consuming branches (the [[Distributed]] AQE gotcha).
+    * The tiebreak must make the PAYLOAD assignment deterministic: either
+    * a total order, or (when the table carries duplicate keys) include
+    * the payload columns themselves in the tiebreak — equal-key rows then
+    * have equal payloads and the run count is well-defined. At 100 TB run
+    * it on a contiguous block sample per candidate instead of the full
+    * table.
+    */
+  def sortRunsAdvisor(df: DataFrame, candidates: Seq[Seq[String]],
+      payloads: Seq[String], tiebreak: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val pid = "__graft_pid"
+    val out = candidates.flatMap { cand =>
+      val orderCols = (cand ++ tiebreak).distinct
+      val needed = (orderCols ++ payloads).distinct
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val sorted = df.select(needed.map(col): _*)
+        .repartitionByRange(parts, orderCols.map(col): _*)
+        .sortWithinPartitions(orderCols.map(col): _*)
+        .withColumn(pid, spark_partition_id())
+        .localCheckpoint()
+      val w = Window.partitionBy(col(pid)).orderBy(orderCols.map(col): _*)
+      // lag of a CONSTANT distinguishes "no previous row" from "previous
+      // value is NULL" — lag(p).isNull conflates the two and undercounts
+      // runs whenever a NULL stretch is followed by a value
+      val hasPrev = lag(lit(1), 1).over(w).isNotNull
+      val withChg = payloads.foldLeft(sorted) { (d, p) =>
+        d.withColumn(s"__chg_$p",
+          when(!hasPrev, 0L)
+            .otherwise(when(col(p) <=> lag(col(p), 1).over(w), 0L).otherwise(1L)))
+      }
+      val aggRow = withChg.agg(
+        count(lit(1)).as("__n"),
+        payloads.map(p => sum(col(s"__chg_$p")).as(s"__s_$p")): _*).collect().head
+      val nRows = aggRow.getAs[Long]("__n")
+      // partition seams: first/last payload tuple per partition, in key order
+      val bounds = sorted.groupBy(col(pid))
+        .agg(min_by(struct(payloads.map(col): _*), struct(orderCols.map(col): _*)).as("__first"),
+          max_by(struct(payloads.map(col): _*), struct(orderCols.map(col): _*)).as("__last"))
+        .orderBy(col(pid)).collect()
+      val seamChg = payloads.indices.map { i =>
+        bounds.sliding(2).count {
+          case Array(a, b) =>
+            val prev = a.getAs[org.apache.spark.sql.Row]("__last").get(i)
+            val next = b.getAs[org.apache.spark.sql.Row]("__first").get(i)
+            !((prev == null && next == null) || (prev != null && prev == next))
+          case _ => false
+        }.toLong
+      }
+      payloads.zipWithIndex.map { case (p, i) =>
+        val runs =
+          if (nRows == 0L) 0L
+          else 1L + aggRow.getAs[Long](s"__s_$p") + seamChg(i)
+        (cand.mkString(","), p, nRows, runs,
+          if (runs == 0L) 0L else nRows * 100L / runs)
+      }
+    }
+    import spark.implicits._
+    out.toDF("sort_key", "payload", "n_rows", "n_runs", "avg_run_e2")
+  }
+
+  /** DuckDB oracle for [[sortRunsAdvisor]]: the per-candidate global
+    * window formulation (fine at oracle SF; the Spark side exists
+    * precisely because this window is single-partition at scale).
+    */
+  def sortRunsOracle(table: String, candidates: Seq[Seq[String]],
+      payloads: Seq[String], tiebreak: Seq[String]): String =
+    candidates.map { cand =>
+      val ord = (cand ++ tiebreak).distinct.mkString(", ")
+      val lags = (payloads.map(p => s"lag($p) OVER (ORDER BY $ord) AS __l_$p") :+
+        s"lag(1) OVER (ORDER BY $ord) AS __hp").mkString(", ")
+      val runs = payloads.map(p =>
+        s"1 + sum(CASE WHEN __hp IS NULL THEN 0 WHEN $p IS NOT DISTINCT FROM __l_$p " +
+          s"THEN 0 ELSE 1 END) AS __r_$p").mkString(", ")
+      val legs = payloads.map(p =>
+        s"SELECT '${cand.mkString(",")}' AS sort_key, '$p' AS payload, " +
+          s"CAST(n_rows AS BIGINT) AS n_rows, CAST(__r_$p AS BIGINT) AS n_runs, " +
+          s"CAST(n_rows * 100 // __r_$p AS BIGINT) AS avg_run_e2 FROM a_${cand.mkString("_")}")
+      s"""c_${cand.mkString("_")} AS (SELECT ${payloads.mkString(", ")}, $lags FROM $table),
+         |a_${cand.mkString("_")} AS (SELECT count(*) AS n_rows, $runs FROM c_${cand.mkString("_")})
+         |""".stripMargin -> legs
+    } match {
+      case ctesAndLegs =>
+        val ctes = ctesAndLegs.map(_._1).mkString(",\n")
+        val legs = ctesAndLegs.flatMap(_._2).mkString("\nUNION ALL\n")
+        s"WITH $ctes\n$legs"
+    }
 }

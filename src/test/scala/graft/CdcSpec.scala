@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.cdc.Cdc
 
@@ -316,5 +317,38 @@ class CdcSpec extends SparkSpec {
       .agg(sum(col("n_old")), sum(col("n_delta_a")),
         sum(col("n_delta_b")), sum(col("n_delta_ab"))).head()
     (0 until 4).foreach(i => assert(tot.getLong(i) > 0L, s"term $i empty"))
+  }
+
+  test("topk IVM: candidate path when buffer holds, refill fallback when deletes promote an outsider") {
+    import spark.implicits._
+    val ms = 1000000L // 1ms in ns → 1000 in seq_us
+    // base: five users at $1.00..$0.60, timestamps well below the pivot;
+    // one far-future marker pushes the (min+max)/2 pivot past the base
+    def write(delta: Seq[(Long, Long, String, Double)]): String = {
+      var id = 0L
+      val base = Seq(1L -> 1.00, 2L -> 0.90, 3L -> 0.80, 4L -> 0.70, 5L -> 0.60)
+        .map { case (u, v) => id += 1; (id, ms * id, u, "purchase", v, "{}") }
+      val d = delta.map { case (u, at, typ, v) =>
+        id += 1; (id, at, u, typ, v, "{}") }
+      val dir = Files.createTempDirectory("topkivm").toString
+      (base ++ d).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    val far = 1000000L * ms // seq_us 10^9: pivot lands mid-range
+    // A: delta only adds to the reigning leader → no refill, head stands
+    val a = Cdc.topkIvm(spark, write(Seq((1L, far, "purchase", 0.10))),
+      k = 2, buffer = 1).collect()
+    assert(a.map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("user_id"),
+      r.getAs[Long]("cents"), r.getAs[Long]("refill"))).toSeq ===
+      Seq((1L, 1L, 110L), (2L, 2L, 90L)).map(t => (t._1, t._2, t._3, 0L)))
+    // B: deletes gut the entire stored head → untouched u4/u5 must surface,
+    // which only the refill fallback can see
+    val b = Cdc.topkIvm(spark, write(Seq(
+      (1L, far, "error", 0.95), (2L, far + ms, "error", 0.85),
+      (3L, far + 2 * ms, "error", 0.75))), k = 2, buffer = 1).collect()
+    assert(b.map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("user_id"),
+      r.getAs[Long]("cents"), r.getAs[Long]("refill"))).toSeq ===
+      Seq((1L, 4L, 70L, 1L), (2L, 5L, 60L, 1L)))
   }
 }

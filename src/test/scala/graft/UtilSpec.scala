@@ -977,4 +977,23 @@ class UtilSpec extends SparkSpec {
     val one = labels.withColumn("community", lit(1L))
     assert(Graph.modularityFrom(edges, one).head().getAs[Long]("q_ppm") === 0L)
   }
+
+  test("sort advisor: hand-counted runs incl. nulls and cross-partition seams") {
+    import spark.implicits._
+    // id is the tiebreak; sorted by k the payload reads a,a,b,a,NULL,NULL
+    // → 4 runs; sorted by g it reads a,a,a,b,NULL,NULL → 3 runs. Six rows
+    // over 4 shuffle partitions forces seam reconciliation to fire.
+    val df = Seq(
+      (1L, 1L, 6L, "a"), (2L, 2L, 5L, "a"), (3L, 3L, 4L, "b"),
+      (4L, 4L, 2L, "a"), (5L, 5L, 1L, null), (6L, 6L, 3L, null))
+      .toDF("id", "k", "g", "p")
+    // g order: g=1→NULL, 2→a, 3→NULL, 4→b, 5→a, 6→a → NULL,a,NULL,b,a,a = 5 runs
+    val out = Profile.sortRunsAdvisor(df, Seq(Seq("k"), Seq("g")),
+      Seq("p"), Seq("id")).collect()
+      .map(r => r.getAs[String]("sort_key") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_runs"),
+          r.getAs[Long]("avg_run_e2")))).toMap
+    assert(out("k") === ((6L, 4L, 150L)), s"k got ${out("k")}")
+    assert(out("g") === ((6L, 5L, 120L)), s"g got ${out("g")}")
+  }
 }
