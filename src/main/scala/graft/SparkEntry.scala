@@ -620,6 +620,16 @@ object SparkEntry {
     // incremental top-k maintenance: stored head ∪ touched re-rank, with
     // the refill fallback when deletes could promote an untouched user
     "cdc_topk_ivm" -> ((s, d) => Cdc.topkIvm(s, d)),
+    // multi-source field-level LWW convergence (replica a outranks b)
+    "cdc_lww_merge" -> ((s, d) => Cdc.lwwMerge(s, d)),
+    // HLL-sketch distinct-count MV: delta fold == full rebuild, audited
+    // (rows-only: sketch estimates aren't DuckDB-reproducible; the
+    // est_mismatch column and UtilSpec pin incremental == rebuild)
+    "mv_hll_refresh" -> ((s, d) => Sketches.hllMvRefresh(s, d)),
+    // incremental connected components on the contracted supernode graph
+    // (rows-only: CC needs recursion DuckDB-side; mismatch column pins
+    // the incremental fold == full recompute corpus-wide)
+    "graph_cc_delta" -> ((s, d) => Graph.ccDelta(s, d)),
     // run-length layout advisor: what each candidate sort order buys each
     // payload column in RLE/zone-map terms (exact adjacent-pair runs)
     "tbl_sort_advisor" -> ((s, d) => Profile.sortRunsAdvisor(
@@ -3287,6 +3297,7 @@ object SparkEntry {
     "ts_brown_forecast" -> graft.operators.TimeSeries.brownOracle,
     "ts_backtest" -> graft.operators.TimeSeries.backtestOracle,
     "cdc_topk_ivm" -> Cdc.topkIvmOracle(),
+    "cdc_lww_merge" -> Cdc.lwwMergeOracle(logCte),
     "tbl_sort_advisor" -> graft.operators.Profile.sortRunsOracle("lineitem",
       SortAdvisorCandidates, SortAdvisorPayloads, SortAdvisorTiebreak),
     "cdc_backlog_eta" ->

@@ -831,6 +831,61 @@ object Cdc {
       .select("rnk", "user_id", "cents", "refill")
   }
 
+  /** #322 Multi-source field-level LWW merge — two replicas of the same
+    * entity stream (split deterministically; replica `a` outranks `b` at
+    * equal timestamps, modeling a primary/standby pair) converge to one
+    * row per entity where EACH FIELD independently keeps its last write:
+    * the LWW-register-map CRDT every multi-region CDC fan-in resolves
+    * with. Writer sets differ per field (field A: purchase/click, field
+    * B: view/signup); a DELETE writes a tombstone (NULL) into both
+    * registers. Total order = (seq_us, priority, event_id) — ties cannot
+    * diverge across engines.
+    *
+    * Scale: two window branches sharing the user_id hash partitioning,
+    * each a partial filter of the log — one shuffle each, merged by a
+    * key-cardinality full-outer join. No state beyond the winner row.
+    */
+  def lwwMerge(spark: SparkSession, dir: String): DataFrame = {
+    val lg = log(spark, dir)
+      .withColumn("src", when(col("event_id") % 2 === 0, "a").otherwise("b"))
+      .withColumn("prio", when(col("event_id") % 2 === 0, 2).otherwise(1))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("seq_us").desc, col("prio").desc, col("event_id").desc)
+    def register(types: Seq[String], vOut: String, sOut: String): DataFrame =
+      lg.filter(col("operation") === "DELETE" || col("event_type").isin(types: _*))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"),
+          round(when(col("operation") === "DELETE", lit(null)).otherwise(col("value")), 2)
+            .as(vOut),
+          col("src").as(sOut))
+    register(Seq("purchase", "click"), "value_a", "src_a")
+      .join(register(Seq("view", "signup"), "value_b", "src_b"),
+        Seq("user_id"), "full_outer")
+  }
+
+  /** DuckDB oracle for [[lwwMerge]]: identical per-field winner windows. */
+  def lwwMergeOracle(logCte: String): String =
+    s"""$logCte,
+       |lg AS (SELECT *, CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS src,
+       |    CASE WHEN event_id % 2 = 0 THEN 2 ELSE 1 END AS prio FROM log),
+       |wa AS (SELECT user_id,
+       |    round(CASE WHEN operation = 'DELETE' THEN NULL ELSE value END, 2) AS value_a,
+       |    src AS src_a,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY seq_us DESC, prio DESC, event_id DESC) AS rn
+       |  FROM lg WHERE operation = 'DELETE' OR event_type IN ('purchase', 'click')),
+       |wb AS (SELECT user_id,
+       |    round(CASE WHEN operation = 'DELETE' THEN NULL ELSE value END, 2) AS value_b,
+       |    src AS src_b,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY seq_us DESC, prio DESC, event_id DESC) AS rn
+       |  FROM lg WHERE operation = 'DELETE' OR event_type IN ('view', 'signup'))
+       |SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       |  a.value_a, a.src_a, b.value_b, b.src_b
+       |FROM (SELECT * FROM wa WHERE rn = 1) a
+       |FULL OUTER JOIN (SELECT * FROM wb WHERE rn = 1) b ON a.user_id = b.user_id""".stripMargin
+
   /** DuckDB oracle for [[topkIvm]]: full recompute of the ranked head
     * (which the incremental path must equal by construction) plus the
     * same refill-detection algebra replayed over the same split.

@@ -164,8 +164,11 @@ object Dedup {
         // round and the optimizer itself becomes the bottleneck
         .localCheckpoint(true)
       // convergence: component-id sum is monotonically decreasing; a cheap
-      // agg on the just-materialized labels ends the loop in O(diameter)
-      val s = labels.agg(sum(col("comp"))).first().getLong(0)
+      // agg on the just-materialized labels ends the loop in O(diameter).
+      // NULL-safe read: an EMPTY pair graph (legal — e.g. a delta whose
+      // edges are all intra-component after contraction) sums to NULL
+      val s = Option(labels.agg(sum(col("comp"))).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       converged = s == prevSum
       prevSum = s
       i += 1

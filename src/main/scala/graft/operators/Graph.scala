@@ -219,4 +219,72 @@ object Graph {
     val edges = Similarity.knnGraph(spark, dir, k)
     modularityFrom(edges, labelPropagationFrom(edges))
   }
+
+  /** #320 Incremental connected components: fold a batch of DELTA edges
+    * into existing component labels WITHOUT re-running CC on the full
+    * graph. Each old component is contracted to its label (supernode);
+    * delta edges map their endpoints to those labels (nodes never seen
+    * before stand for themselves); CC runs on the CONTRACTED graph —
+    * whose size is bounded by the delta edge count + touched components,
+    * not the corpus — and the result joins back over the stored labels.
+    * Labels are min-ids, and min is associative, so the incremental
+    * labels are IDENTICAL to a full recompute over base ∪ delta (the
+    * spec pins this on planted merge/extend/new-island cases; the
+    * registered query audits it corpus-wide).
+    *
+    * Scale: the O(log d)-round CC loop runs on the contracted frame
+    * only; the full label table is touched by exactly ONE join (the
+    * relabel side is delta-sized — broadcastable in the common case).
+    */
+  def incrementalComponentsFrom(oldLabels: DataFrame, deltaEdges: DataFrame): DataFrame = {
+    val lbl = oldLabels.select(col("id"), col("comp"))
+    val mapped = deltaEdges
+      .join(lbl.select(col("id").as("src"), col("comp").as("scomp")), Seq("src"), "left")
+      .join(lbl.select(col("id").as("dst"), col("comp").as("dcomp")), Seq("dst"), "left")
+      .select(coalesce(col("scomp"), col("src")).as("doc_a"),
+        coalesce(col("dcomp"), col("dst")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val contracted = Dedup.connectedComponents(mapped)
+    val relabel = contracted.select(col("doc_id").as("comp"), col("cluster_id").as("newcomp"))
+      .localCheckpoint() // read twice: old-label rewrite + new-node labeling
+    val updatedOld = lbl.join(relabel, Seq("comp"), "left")
+      .select(col("id"), coalesce(col("newcomp"), col("comp")).as("comp"))
+    val newNodes = deltaEdges.select(col("src").as("id"))
+      .unionAll(deltaEdges.select(col("dst").as("id")))
+      .distinct()
+      .join(lbl.select("id"), Seq("id"), "left_anti")
+    val newLabeled = newNodes
+      .join(relabel.withColumnRenamed("comp", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("newcomp"), col("id")).as("comp"))
+    updatedOld.unionByName(newLabeled)
+  }
+
+  /** #320 Registered query: incremental CC over the corpus k-NN graph
+    * with a deterministic base/delta split, audited against the full
+    * recompute — mismatch comes from Spark's own two paths and must be
+    * 0; the histogram is the component-size census after the delta fold.
+    */
+  def ccDelta(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val edges = Similarity.knnGraph(spark, dir, k)
+      .select(col("src"), col("dst")).localCheckpoint()
+    // the delta holds EVERY edge touching a node id divisible by 10 —
+    // those nodes are "new arrivals", so the fold genuinely adds nodes
+    // and merges components (a random edge split on a well-connected kNN
+    // graph yields an all-intra-component, no-op delta)
+    val base = edges.filter(col("src") % 10 =!= 0 && col("dst") % 10 =!= 0)
+    val delta = edges.filter(col("src") % 10 === 0 || col("dst") % 10 === 0)
+    val old = Dedup.connectedComponents(
+        base.select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      .select(col("doc_id").as("id"), col("cluster_id").as("comp"))
+    val inc = incrementalComponentsFrom(old, delta)
+    val full = Dedup.connectedComponents(
+        edges.select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      .select(col("doc_id").as("id"), col("cluster_id").as("fcomp"))
+    val audit = inc.join(full, Seq("id"), "full_outer")
+      .agg(sum(when(!(col("comp") <=> col("fcomp")), 1L).otherwise(0L)).as("mismatch"))
+    inc.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+      .groupBy("comp_size").agg(count(lit(1)).as("n_components"))
+      .crossJoin(broadcast(audit))
+      .select(col("comp_size"), col("n_components"), col("mismatch"))
+  }
 }

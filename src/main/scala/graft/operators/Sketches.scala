@@ -131,4 +131,45 @@ object Sketches {
     val mid = (d1 - d0) / 4
     hllRangeQuery(spark, path, d0 + mid, d1 - mid)
   }
+
+  /** #321 Sketch-backed DISTINCT-COUNT MV refresh — the
+    * `approx_count_distinct` measure [[graft.plans.Mv.refresh]] cannot
+    * maintain (sum/count fold under retraction; distinct does not). The
+    * summary stores one HLL sketch per group; a delta batch folds in via
+    * `hll_union` over DELTA-sized work only. Register-wise max is
+    * associative and commutative, so the folded sketch yields the SAME
+    * estimate as a from-scratch build over base ∪ delta — est_mismatch
+    * is computed from Spark's own two paths and must be 0. Insert-only
+    * by nature: HLL cannot retract, deletes force a rebuild (the same
+    * caveat as min/max in Mv.refresh, stated rather than hidden).
+    *
+    * Scale: base is scanned once to SEED the summary (in production the
+    * stored sketch table, a few KB per group); each refresh then costs
+    * one aggregation of the delta + a group-cardinality merge join.
+    */
+  def hllMvRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"))
+    val base = ev.filter(col("event_id") % 4 =!= 0)
+    val delta = ev.filter(col("event_id") % 4 === 0)
+    val baseSk = base.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk_base"))
+    val deltaSk = delta.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk_delta"))
+    val merged = baseSk.join(deltaSk, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        when(col("sk_base").isNull, col("sk_delta"))
+          .when(col("sk_delta").isNull, col("sk_base"))
+          .otherwise(expr("hll_union(sk_base, sk_delta)")).as("sk_inc"))
+    val full = ev.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk_full"),
+        countDistinct(col("user_id")).as("n_exact"))
+    merged.join(full, "event_type")
+      .select(col("event_type"),
+        expr("hll_sketch_estimate(sk_inc)").as("est_incremental"),
+        expr("hll_sketch_estimate(sk_full)").as("est_full"),
+        col("n_exact"),
+        (expr("hll_sketch_estimate(sk_inc)") -
+          expr("hll_sketch_estimate(sk_full)")).as("est_mismatch"))
+  }
 }

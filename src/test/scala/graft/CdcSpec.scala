@@ -351,4 +351,35 @@ class CdcSpec extends SparkSpec {
       r.getAs[Long]("cents"), r.getAs[Long]("refill"))).toSeq ===
       Seq((1L, 4L, 70L, 1L), (2L, 5L, 60L, 1L)))
   }
+
+  test("lww merge: per-field winners, priority tiebreak, delete tombstones both registers") {
+    import spark.implicits._
+    val ms = 1000000L
+    // event_id % 2 == 0 → replica a (prio 2); odd → replica b (prio 1)
+    val rows = Seq(
+      // u1: purchase(a)@1 then click(b)@2 → field A follows the later click;
+      //     view(b)@3 writes field B
+      (2L, 1 * ms, 1L, "purchase", 5.0, "{}"),
+      (3L, 2 * ms, 1L, "click", 7.0, "{}"),
+      (5L, 3 * ms, 1L, "view", 9.0, "{}"),
+      // u2: two purchases at the SAME timestamp — replica a must win on
+      //     priority even though b carries the larger event_id
+      (6L, 1 * ms, 2L, "purchase", 1.0, "{}"),
+      (7L, 1 * ms, 2L, "purchase", 2.0, "{}"),
+      // u3: purchase then DELETE → tombstones in BOTH registers
+      (8L, 1 * ms, 3L, "purchase", 4.0, "{}"),
+      (9L, 2 * ms, 3L, "error", 0.0, "{}"))
+    val dir = Files.createTempDirectory("lww").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Cdc.lwwMerge(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.getAs[java.lang.Double]("value_a")).map(_.toDouble),
+          r.getAs[String]("src_a"),
+          Option(r.getAs[java.lang.Double]("value_b")).map(_.toDouble),
+          r.getAs[String]("src_b")))).toMap
+    assert(out(1L) === ((Some(7.0), "b", Some(9.0), "b")), s"u1 got ${out(1L)}")
+    assert(out(2L) === ((Some(1.0), "a", None, null)), s"u2 got ${out(2L)}")
+    assert(out(3L) === ((None, "b", None, "b")), s"u3 got ${out(3L)}")
+  }
 }

@@ -978,6 +978,38 @@ class UtilSpec extends SparkSpec {
     assert(Graph.modularityFrom(edges, one).head().getAs[Long]("q_ppm") === 0L)
   }
 
+  test("incremental CC equals full recompute on planted merge/extend/new-island deltas") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Graph}
+    val base = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("src", "dst")
+    val old = Dedup.connectedComponents(
+        base.select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      .select(col("doc_id").as("id"), col("cluster_id").as("comp"))
+    // delta: 2-3 merges {1,2}+{3,4}; 7-8 is a brand-new island; 6-9 extends {5,6}
+    val delta = Seq((2L, 3L), (7L, 8L), (6L, 9L)).toDF("src", "dst")
+    val inc = Graph.incrementalComponentsFrom(old, delta).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(inc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 9L -> 5L, 7L -> 7L, 8L -> 7L))
+    // parity with the one-shot CC over base ∪ delta
+    val full = Dedup.connectedComponents(base.unionAll(delta)
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(inc === full)
+  }
+
+  test("hll MV refresh: delta fold equals from-scratch rebuild, estimates near exact") {
+    val out = graft.operators.Sketches.hllMvRefresh(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("est_mismatch") === 0L, s"fold diverged: $r")
+      val est = r.getAs[Long]("est_incremental")
+      val n = r.getAs[Long]("n_exact")
+      // lgConfigK=14 at test cardinalities: estimate is essentially exact
+      assert(math.abs(est - n) <= math.max(2L, n / 20), s"est $est vs exact $n: $r")
+    }
+  }
+
   test("sort advisor: hand-counted runs incl. nulls and cross-partition seams") {
     import spark.implicits._
     // id is the tiebreak; sorted by k the payload reads a,a,b,a,NULL,NULL
