@@ -240,6 +240,11 @@ object SparkEntry {
     "q_rank_family" -> ((s, d) => Tpch.qRankFamily(s, d)),
     // Event-stream analytics (#25-28)
     "ev_sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    // incremental sessionization: delta folds into stored sessions via
+    // per-user bounded state; oracle = the full-recompute sessionize SQL
+    "ev_sessionize_delta" -> ((s, d) => Events.sessionizeDelta(s, d)),
+    // exact sliding-window distinct: DAU / trailing-7d WAU / stickiness
+    "ev_sliding_distinct" -> ((s, d) => Events.slidingDistinct(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
     // DAU / trailing-7-day WAU / stickiness via map-side day fan-out
     "ev_active_users" -> ((s, d) => Events.activeUsers(s, d)),
@@ -728,6 +733,18 @@ object SparkEntry {
     // the Avro path must land on EXACTLY the silver rows the JSON path
     // produces — one oracle serves both ingestion formats
     "cdc_avro_parse" -> oracleSqlBase("cdc_debezium_parse"),
+    // incremental fold must land on EXACTLY the full-recompute sessions
+    "ev_sessionize_delta" -> oracleSqlBase("ev_sessionize"),
+    "ev_sliding_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |f AS (SELECT DISTINCT user_id, day + off AS day FROM ud
+        |  CROSS JOIN (SELECT CAST(unnest(range(0, 7)) AS BIGINT) AS off) o),
+        |wau AS (SELECT day, count(*) AS wau_trailing7 FROM f GROUP BY 1)
+        |SELECT day, dau, wau_trailing7,
+        |  CAST(dau * 10000 // wau_trailing7 AS BIGINT) AS stickiness_e4
+        |FROM dau JOIN wau USING (day)""".stripMargin,
     // the custom merge exec must land on EXACTLY the rows the
     // union+window path produces — one ASOF oracle serves both
     "cdc_asof_exec" -> oracleSqlBase("cdc_asof_join")

@@ -24,9 +24,13 @@ object Events {
     * then one aggregate per (user, session). Two window passes over the
     * same (user_id, ts) partitioning — Catalyst reuses the single sort.
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeFrom(withTs(spark, dir))
+
+  /** [[sessionize]] over any (user_id, event_id, ts_us, value) frame. */
+  private[operators] def sessionizeFrom(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-    withTs(spark, dir)
+    ev
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > GapUs, 1).otherwise(0))
@@ -1227,5 +1231,91 @@ object Events {
         if (reSum <= 0) 0.0
         else math.rint(nConv * re / reSum * 100) / 100)
     }.toDF("channel", "removal_effect_ppm", "attributed_conversions")
+  }
+
+  /** #323 INCREMENTAL sessionization — the batch counterpart of the
+    * streaming session state in [[graft.streaming.CdcStreams]]: a new
+    * (append-only in event time) micro-batch folds into a STORED session
+    * table using only per-user bounded state — the session count and the
+    * open last session — never the historical events. The head delta
+    * session merges into the stored open session when the gap allows;
+    * remaining delta sessions renumber on top. Gap chaining is local, so
+    * the folded table is IDENTICAL to re-sessionizing all events — the
+    * oracle is literally the `ev_sessionize` full-recompute SQL, and the
+    * spec plants both the merge and the new-session boundary cases.
+    *
+    * Scale: the delta path touches only delta events + one per-user state
+    * row; every join shares the user_id hash partitioning. The batch
+    * boundary is the midpoint of the event-time range so the oracle can
+    * replay the identical split.
+    */
+  def sessionizeDelta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val ev = withTs(spark, dir).select("user_id", "event_id", "ts_us", "value")
+    val pivot = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2").as("pv"))
+    val sp = ev.crossJoin(broadcast(pivot))
+    val bs = sessionizeFrom(sp.filter(col("ts_us") <= col("pv")).drop("pv"))
+      .localCheckpoint() // the stored session table (read by keep + state)
+    val ds = sessionizeFrom(sp.filter(col("ts_us") > col("pv")).drop("pv"))
+    val state = bs.groupBy("user_id").agg(
+      max(col("session_id")).as("m"),
+      max_by(struct(col("n_events"), col("session_value"), col("start_us"),
+        col("end_us")), col("session_id")).as("lastS"))
+    val d1 = ds.filter(col("session_id") === 1)
+      .select(col("user_id"), col("n_events").as("d_n"),
+        col("session_value").as("d_v"), col("start_us").as("d_start"),
+        col("end_us").as("d_end"))
+    val dec = d1.join(state, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("m"), lit(0L)).as("m"),
+        coalesce(col("m").isNotNull &&
+          col("d_start") - col("lastS.end_us") <= GapUs, lit(false)).as("mrg"),
+        col("lastS"), col("d_n"), col("d_v"), col("d_end"))
+      .localCheckpoint() // read three ways: drop-last, merged rows, renumber
+    val baseKeep = bs.join(
+        dec.filter(col("mrg")).select(col("user_id"), col("m").as("__drop_id")),
+        Seq("user_id"), "left")
+      .filter(col("__drop_id").isNull || col("session_id") =!= col("__drop_id"))
+      .drop("__drop_id")
+    val mergedRows = dec.filter(col("mrg")).select(
+      col("user_id"), col("m").as("session_id"),
+      (col("lastS.n_events") + col("d_n")).as("n_events"),
+      // decimal re-add: both inputs are exact 2-dp, the sum must equal the
+      // full recompute's round(sum(decimal), 2) bit-for-bit
+      (col("lastS.session_value").cast(DecimalType(12, 2)) +
+        col("d_v").cast(DecimalType(12, 2))).cast("double").as("session_value"),
+      col("lastS.start_us").as("start_us"), col("d_end").as("end_us"))
+    val dsShifted = ds.join(dec.select(col("user_id"), col("m"), col("mrg")),
+        Seq("user_id"), "left")
+      .filter(!(coalesce(col("mrg"), lit(false)) && col("session_id") === 1))
+      .select(col("user_id"),
+        (col("session_id") + coalesce(col("m"), lit(0L)) -
+          when(coalesce(col("mrg"), lit(false)), 1L).otherwise(0L)).as("session_id"),
+        col("n_events"), col("session_value"), col("start_us"), col("end_us"))
+    baseKeep.unionByName(mergedRows).unionByName(dsShifted)
+  }
+
+  /** #324 DAU / trailing-7-day WAU / stickiness — the sliding-window
+    * DISTINCT that a naive `count(distinct) OVER (RANGE 7 days)` cannot
+    * express and a per-day loop cannot scale: the deduped user-day frame
+    * fans out to the ≤7 target days it supports (map-side, broadcast
+    * offsets), one distinct + one count per target day. Exact, two
+    * shuffles, work ∝ 7×user-days regardless of event volume.
+    */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("(ts DIV 1000) DIV 86400000000").as("day"))
+      .distinct()
+      .localCheckpoint() // feeds both the DAU and the fan-out branch
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val offsets = spark.range(0, 7).select(col("id").as("off"))
+    val wau = ud.join(broadcast(offsets))
+      .select(col("user_id"), (col("day") + col("off")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau_trailing7"))
+    // inner join: days with zero events have no DAU row on either engine
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau_trailing7"),
+        expr("dau * 10000 DIV wau_trailing7").as("stickiness_e4"))
   }
 }

@@ -978,6 +978,48 @@ class UtilSpec extends SparkSpec {
     assert(Graph.modularityFrom(edges, one).head().getAs[Long]("q_ppm") === 0L)
   }
 
+  test("incremental sessionize: head merges across the batch boundary, others renumber") {
+    import spark.implicits._
+    val mn = 60L * 1000000000L // minute in ns
+    // global pivot = (0+200)/2 = 100 min; base ≤ 100, delta > 100
+    val rows = Seq(
+      (1L, 95 * mn, 1L), (2L, 99 * mn, 1L),   // u1 base session [95,99]
+      (3L, 105 * mn, 1L), (4L, 180 * mn, 1L), // u1 delta: 105 merges (gap 6'), 180 opens
+      (5L, 0 * mn, 2L), (6L, 200 * mn, 2L),   // u2: no merge (gap 200')
+      (7L, 150 * mn, 3L))                     // u3: delta-only user
+      .map { case (id, ts, u) => (id, ts, u, "click", 1.0, "{}") }
+    val dir = Files.createTempDirectory("sessdelta").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("session_value"),
+        r.getAs[Long]("start_us"), r.getAs[Long]("end_us"))).toSet
+    val inc = key(Events.sessionizeDelta(spark, dir))
+    val mus = 60L * 1000000L // minute in µs
+    assert(inc === Set(
+      (1L, 1L, 3L, 3.0, 95 * mus, 105 * mus),
+      (1L, 2L, 1L, 1.0, 180 * mus, 180 * mus),
+      (2L, 1L, 1L, 1.0, 0L, 0L),
+      (2L, 2L, 1L, 1.0, 200 * mus, 200 * mus),
+      (3L, 1L, 1L, 1.0, 150 * mus, 150 * mus)), s"got $inc")
+    assert(inc === key(Events.sessionize(spark, dir)), "must equal full recompute")
+  }
+
+  test("sliding distinct: trailing-7d WAU window covers exactly d-6..d") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    val rows = Seq((1L, 0L * dayNs, 1L), (2L, 0L * dayNs, 2L), (3L, 3L * dayNs, 1L))
+      .map { case (id, ts, u) => (id, ts, u, "click", 1.0, "{}") }
+    val dir = Files.createTempDirectory("slidist").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.slidingDistinct(spark, dir).collect().map(r =>
+      (r.getAs[Long]("day"), r.getAs[Long]("dau"),
+        r.getAs[Long]("wau_trailing7"), r.getAs[Long]("stickiness_e4"))).toSet
+    assert(out === Set((0L, 2L, 2L, 10000L), (3L, 1L, 2L, 5000L)), s"got $out")
+  }
+
   test("incremental CC equals full recompute on planted merge/extend/new-island deltas") {
     import spark.implicits._
     import graft.operators.{Dedup, Graph}
