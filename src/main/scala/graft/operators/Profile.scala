@@ -204,59 +204,61 @@ object Profile {
     * values mean long constant stretches → tiny RLE output + tight
     * zone maps.
     *
-    * Distributed shape: ONE range-repartition + local sort per candidate
-    * (exactly what the rewrite itself would do — no global window).
-    * Adjacent-pair transitions are counted inside each partition under a
-    * partition-local window; the cross-partition seams are reconciled
-    * from each partition's (first, last) payload tuple — a ≤2·P-row
-    * frame collected to the driver (bounded by partition COUNT, never
-    * data size). The frozen `localCheckpoint` guards Pid consistency
-    * across the two consuming branches (the [[Distributed]] AQE gotcha).
-    * The tiebreak must make the PAYLOAD assignment deterministic: either
-    * a total order, or (when the table carries duplicate keys) include
-    * the payload columns themselves in the tiebreak — equal-key rows then
-    * have equal payloads and the run count is well-defined. At 100 TB run
-    * it on a contiguous block sample per candidate instead of the full
-    * table.
+    * Distributed shape: ONE range-repartition + local sort + ONE
+    * mapPartitions pass per candidate (exactly the shuffle/sort the
+    * rewrite itself would do — no global window, no second read of the
+    * sorted data). Each partition emits one bounded stat row (adjacent
+    * transition counts + its first/last payload tuple); the driver
+    * reconciles the ≤P cross-partition seams — bounded by partition
+    * COUNT, never data size. The tiebreak must make the PAYLOAD
+    * assignment deterministic: either a total order, or (when the table
+    * carries duplicate keys) include the payload columns themselves in
+    * the tiebreak — equal-key rows then have equal payloads and the run
+    * count is well-defined. At 100 TB run it on a contiguous block
+    * sample per candidate instead of the full table.
     */
   def sortRunsAdvisor(df: DataFrame, candidates: Seq[Seq[String]],
       payloads: Seq[String], tiebreak: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
-    val pid = "__graft_pid"
+    def enc(v: Any): String = if (v == null) null else v.toString
+    def same(a: Any, b: Any): Boolean =
+      (a == null && b == null) || (a != null && a == b)
     val out = candidates.flatMap { cand =>
       val orderCols = (cand ++ tiebreak).distinct
       val needed = (orderCols ++ payloads).distinct
       val parts = spark.sessionState.conf.numShufflePartitions
-      val sorted = df.select(needed.map(col): _*)
+      val pidx = payloads.map(needed.indexOf).toArray
+      val k = pidx.length
+      // stats: (pid, n, perPayloadChanges, firstEnc, lastEnc) — one element
+      // per non-empty partition, gathered in a single job
+      val stats = df.select(needed.map(col): _*)
         .repartitionByRange(parts, orderCols.map(col): _*)
         .sortWithinPartitions(orderCols.map(col): _*)
-        .withColumn(pid, spark_partition_id())
-        .localCheckpoint()
-      val w = Window.partitionBy(col(pid)).orderBy(orderCols.map(col): _*)
-      // lag of a CONSTANT distinguishes "no previous row" from "previous
-      // value is NULL" — lag(p).isNull conflates the two and undercounts
-      // runs whenever a NULL stretch is followed by a value
-      val hasPrev = lag(lit(1), 1).over(w).isNotNull
-      val withChg = payloads.foldLeft(sorted) { (d, p) =>
-        d.withColumn(s"__chg_$p",
-          when(!hasPrev, 0L)
-            .otherwise(when(col(p) <=> lag(col(p), 1).over(w), 0L).otherwise(1L)))
-      }
-      val aggRow = withChg.agg(
-        count(lit(1)).as("__n"),
-        payloads.map(p => sum(col(s"__chg_$p")).as(s"__s_$p")): _*).collect().head
-      val nRows = aggRow.getAs[Long]("__n")
-      // partition seams: first/last payload tuple per partition, in key order
-      val bounds = sorted.groupBy(col(pid))
-        .agg(min_by(struct(payloads.map(col): _*), struct(orderCols.map(col): _*)).as("__first"),
-          max_by(struct(payloads.map(col): _*), struct(orderCols.map(col): _*)).as("__last"))
-        .orderBy(col(pid)).collect()
+        .rdd.mapPartitionsWithIndex { (pid, it) =>
+          val chg = new Array[Long](k)
+          val first = new Array[Any](k)
+          val last = new Array[Any](k)
+          var n = 0L
+          it.foreach { row =>
+            var i = 0
+            while (i < k) {
+              val v = row.get(pidx(i))
+              if (n == 0L) first(i) = v
+              else if (!same(last(i), v)) chg(i) += 1L
+              last(i) = v
+              i += 1
+            }
+            n += 1L
+          }
+          if (n == 0L) Iterator.empty
+          else Iterator.single((pid, n, chg.toSeq,
+            first.map(enc).toSeq, last.map(enc).toSeq))
+        }.collect().sortBy(_._1)
+      val nRows = stats.map(_._2).sum
       val seamChg = payloads.indices.map { i =>
-        bounds.sliding(2).count {
-          case Array(a, b) =>
-            val prev = a.getAs[org.apache.spark.sql.Row]("__last").get(i)
-            val next = b.getAs[org.apache.spark.sql.Row]("__first").get(i)
+        stats.toSeq.sliding(2).count {
+          case Seq(a, b) =>
+            val prev = a._5(i); val next = b._4(i)
             !((prev == null && next == null) || (prev != null && prev == next))
           case _ => false
         }.toLong
@@ -264,7 +266,7 @@ object Profile {
       payloads.zipWithIndex.map { case (p, i) =>
         val runs =
           if (nRows == 0L) 0L
-          else 1L + aggRow.getAs[Long](s"__s_$p") + seamChg(i)
+          else 1L + stats.map(_._3(i)).sum + seamChg(i)
         (cand.mkString(","), p, nRows, runs,
           if (runs == 0L) 0L else nRows * 100L / runs)
       }
