@@ -245,6 +245,10 @@ object SparkEntry {
     "ev_sessionize_delta" -> ((s, d) => Events.sessionizeDelta(s, d)),
     // exact sliding-window distinct: DAU / trailing-7d WAU / stickiness
     "ev_sliding_distinct" -> ((s, d) => Events.slidingDistinct(s, d)),
+    // staggered-rollout DiD readout: 2×2 cells + did_e4, one scan
+    "ev_diff_in_diff" -> ((s, d) => Events.diffInDiff(s, d)),
+    // conversion rate by attribution window (1h / 1d / 7d), exact ppm
+    "ev_conversion_windows" -> ((s, d) => Events.conversionWindows(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
     // DAU / trailing-7-day WAU / stickiness via map-side day fan-out
     "ev_active_users" -> ((s, d) => Events.activeUsers(s, d)),
@@ -735,6 +739,8 @@ object SparkEntry {
     "cdc_avro_parse" -> oracleSqlBase("cdc_debezium_parse"),
     // incremental fold must land on EXACTLY the full-recompute sessions
     "ev_sessionize_delta" -> oracleSqlBase("ev_sessionize"),
+    "ev_diff_in_diff" -> Events.diffInDiffOracle,
+    "ev_conversion_windows" -> Events.conversionWindowsOracle,
     "ev_sliding_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
         |  FROM events),

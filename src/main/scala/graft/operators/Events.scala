@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -1293,6 +1293,120 @@ object Events {
         col("n_events"), col("session_value"), col("start_us"), col("end_us"))
     baseKeep.unionByName(mergedRows).unionByName(dsShifted)
   }
+
+  /** #325 Difference-in-differences — the experiment readout run when a
+    * rollout is staggered instead of randomized: treated cohort (here the
+    * deterministic user-id parity, standing in for an assignment column)
+    * vs control, before vs after the cutover (event-time midpoint, so the
+    * oracle replays the same split). did_e4 = (post_T − pre_T) −
+    * (post_C − pre_C) over exact ×10⁴-cents cell means with sign-safe
+    * integer DIV (floor == truncate only for non-negative numerators, so
+    * the sign is split out first — the ts_trend convention).
+    *
+    * Scale: ONE fact scan + one single-row conditional aggregation; the
+    * pivot is a broadcast scalar. Nothing is per-cohort replayed.
+    */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val e = Tables.events(spark, dir).select(col("user_id"),
+      expr("ts DIV 1000").as("ts_us"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val pivot = e.agg(expr("(min(ts_us) + max(ts_us)) DIV 2").as("pv"))
+    def cell(name: String, cond: String): Seq[Column] = Seq(
+      expr(s"count(CASE WHEN $cond THEN 1 END)").as(s"n_$name"),
+      expr(s"coalesce(sum(CASE WHEN $cond THEN cents END), 0)").as(s"s_$name"))
+    val cells = Seq(
+      "pre_t" -> "user_id % 2 = 0 AND ts_us <= pv",
+      "post_t" -> "user_id % 2 = 0 AND ts_us > pv",
+      "pre_c" -> "user_id % 2 = 1 AND ts_us <= pv",
+      "post_c" -> "user_id % 2 = 1 AND ts_us > pv")
+    val aggs = cells.flatMap { case (n, c) => cell(n, c) }
+    def meanE4(n: String): String =
+      s"CASE WHEN n_$n = 0 THEN NULL WHEN s_$n < 0 " +
+        s"THEN -((-s_$n) * 10000 DIV n_$n) ELSE s_$n * 10000 DIV n_$n END"
+    e.crossJoin(broadcast(pivot))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((cells.map { case (n, _) => col(s"n_$n") } ++
+        cells.map { case (n, _) =>
+          expr(meanE4(n)).cast("long").as(s"mean_${n}_e4") }): _*)
+      .withColumn("did_e4", expr(
+        "(mean_post_t_e4 - mean_pre_t_e4) - (mean_post_c_e4 - mean_pre_c_e4)"))
+  }
+
+  /** DuckDB oracle for [[diffInDiff]]: same cells, same sign-safe DIV. */
+  def diffInDiffOracle: String = {
+    val cells = Seq(
+      "pre_t" -> "user_id % 2 = 0 AND ts_us <= pv",
+      "post_t" -> "user_id % 2 = 0 AND ts_us > pv",
+      "pre_c" -> "user_id % 2 = 1 AND ts_us <= pv",
+      "post_c" -> "user_id % 2 = 1 AND ts_us > pv")
+    val aggs = cells.map { case (n, c) =>
+      s"count(CASE WHEN $c THEN 1 END) AS n_$n, " +
+        s"coalesce(sum(CASE WHEN $c THEN cents END), 0) AS s_$n"
+    }.mkString(", ")
+    val means = cells.map { case (n, _) =>
+      s"CAST(CASE WHEN n_$n = 0 THEN NULL WHEN s_$n < 0 " +
+        s"THEN -((-s_$n) * 10000 // n_$n) ELSE s_$n * 10000 // n_$n END AS BIGINT)" +
+        s" AS mean_${n}_e4"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+       |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+       |p AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS pv FROM e),
+       |a AS (SELECT $aggs FROM e, p),
+       |m AS (SELECT n_pre_t, n_post_t, n_pre_c, n_post_c, $means FROM a)
+       |SELECT *, (mean_post_t_e4 - mean_pre_t_e4) -
+       |  (mean_post_c_e4 - mean_pre_c_e4) AS did_e4 FROM m""".stripMargin
+  }
+
+  /** #326 Conversion rate by attribution window — the product question
+    * "how long do we wait before calling a signup lost": for each window
+    * (1 h / 1 d / 7 d), how many first-signups converted (first purchase
+    * at-or-after signup, [[timeToConvert]] semantics) within it. Two
+    * per-user aggregations + one 3-row broadcast fan-out — rates come out
+    * exact as ppm.
+    */
+  def conversionWindows(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val ev = withTs(spark, dir)
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts_us")).as("signup_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ts_us")).as("purchase_us"))
+    val u = s.join(p, Seq("user_id"), "left").localCheckpoint()
+    val wins = Seq(("1h", 3600000000L), ("1d", 86400000000L),
+      ("7d", 7L * 86400000000L))
+    import ev.sparkSession.implicits._
+    val wdf = wins.toDF("window_label", "window_us")
+    u.crossJoin(broadcast(wdf))
+      .groupBy("window_label", "window_us")
+      .agg(count(lit(1)).as("n_signed_up"),
+        sum(when(col("purchase_us") >= col("signup_us") &&
+          col("purchase_us") - col("signup_us") <= col("window_us"), 1L)
+          .otherwise(0L)).as("n_converted"))
+      .select(col("window_label"), col("window_us"), col("n_signed_up"),
+        col("n_converted"),
+        expr("n_converted * 1000000 DIV n_signed_up").as("rate_ppm"))
+  }
+
+  /** DuckDB oracle for [[conversionWindows]]. */
+  def conversionWindowsOracle: String =
+    """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |pp AS (SELECT user_id, min(epoch_us(ts)) AS purchase_us FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |u AS (SELECT s.user_id, signup_us, purchase_us
+      |  FROM s LEFT JOIN pp ON s.user_id = pp.user_id),
+      |w AS (SELECT * FROM (VALUES ('1h', 3600000000), ('1d', 86400000000),
+      |  ('7d', 604800000000)) AS t(window_label, window_us))
+      |SELECT window_label, CAST(window_us AS BIGINT) AS window_us,
+      |  count(*) AS n_signed_up,
+      |  CAST(sum(CASE WHEN purchase_us >= signup_us
+      |    AND purchase_us - signup_us <= window_us THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_converted,
+      |  CAST(sum(CASE WHEN purchase_us >= signup_us
+      |    AND purchase_us - signup_us <= window_us THEN 1 ELSE 0 END)
+      |    * 1000000 // count(*) AS BIGINT) AS rate_ppm
+      |FROM u CROSS JOIN w GROUP BY 1, 2""".stripMargin
 
   /** #324 DAU / trailing-7-day WAU / stickiness — the sliding-window
     * DISTINCT that a naive `count(distinct) OVER (RANGE 7 days)` cannot

@@ -501,4 +501,28 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet|FileScan".r.findAllIn(pg).isEmpty,
       s"trigram total probe re-scans events:\n$pg")
   }
+
+  test("sliding distinct: offsets broadcast, day branches never sort-merge") {
+    val p = planOf("ev_sliding_distinct")
+    assert(p.contains("Broadcast"), s"offset fan-out lost the broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastNestedLoop"),
+      s"sliding distinct picked a sort-merge shape where hash suffices:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 5, s"sliding distinct re-shuffled ($exchanges exchanges):\n$p")
+  }
+
+  test("diff-in-diff: one fact aggregation, broadcast pivot, no join blowup") {
+    val p = planOf("ev_diff_in_diff")
+    assert(!p.contains("SortMergeJoin"), s"DiD planned a sort-merge join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // pivot single-row agg + its broadcast + the final single-row agg
+    assert(exchanges <= 4, s"DiD re-shuffled the facts ($exchanges exchanges):\n$p")
+  }
+
+  test("lww merge: both field registers and the merge ride the user partitioning") {
+    val p = planOf("cdc_lww_merge")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // one shuffle per register window; the full-outer merge must reuse it
+    assert(exchanges <= 2, s"lww merge re-partitioned a side ($exchanges exchanges):\n$p")
+  }
 }

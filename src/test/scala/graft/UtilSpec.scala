@@ -1020,6 +1020,50 @@ class UtilSpec extends SparkSpec {
     assert(out === Set((0L, 2L, 2L, 10000L), (3L, 1L, 2L, 5000L)), s"got $out")
   }
 
+  test("diff-in-diff: hand-computed 2x2 cells and did_e4") {
+    import spark.implicits._
+    val mn = 60L * 1000000000L
+    // pivot = (0+200)/2 = 100 min; user 2 treated (even), user 1 control
+    val rows = Seq(
+      (1L, 0 * mn, 2L, "click", 1.0, "{}"),    // pre_t:  100c
+      (2L, 10 * mn, 1L, "click", 2.0, "{}"),   // pre_c:  200c
+      (3L, 190 * mn, 2L, "click", 3.0, "{}"),  // post_t: 300c
+      (4L, 200 * mn, 1L, "click", 2.5, "{}"))  // post_c: 250c
+    val dir = Files.createTempDirectory("did").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Events.diffInDiff(spark, dir).collect().head
+    assert(Seq("n_pre_t", "n_post_t", "n_pre_c", "n_post_c")
+      .forall(c => r.getAs[Long](c) == 1L), r.toString)
+    assert(r.getAs[Long]("mean_pre_t_e4") === 1000000L, r.toString)
+    assert(r.getAs[Long]("mean_post_t_e4") === 3000000L, r.toString)
+    assert(r.getAs[Long]("mean_pre_c_e4") === 2000000L, r.toString)
+    assert(r.getAs[Long]("mean_post_c_e4") === 2500000L, r.toString)
+    // (300 − 100) − (250 − 200) = 150 cents uplift
+    assert(r.getAs[Long]("did_e4") === 1500000L, r.toString)
+  }
+
+  test("conversion windows: 30-minute and 2-day converters land in the right windows") {
+    import spark.implicits._
+    val mn = 60L * 1000000000L
+    val rows = Seq(
+      (1L, 0 * mn, 1L, "signup", 0.0, "{}"),
+      (2L, 30 * mn, 1L, "purchase", 1.0, "{}"),       // converts within 1h
+      (3L, 0 * mn, 2L, "signup", 0.0, "{}"),
+      (4L, 2880 * mn, 2L, "purchase", 1.0, "{}"),     // 2 days: 7d window only
+      (5L, 0 * mn, 3L, "signup", 0.0, "{}"))          // never converts
+    val dir = Files.createTempDirectory("convwin").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.conversionWindows(spark, dir).collect()
+      .map(r => r.getAs[String]("window_label") ->
+        ((r.getAs[Long]("n_signed_up"), r.getAs[Long]("n_converted"),
+          r.getAs[Long]("rate_ppm")))).toMap
+    assert(out("1h") === ((3L, 1L, 333333L)), s"1h got ${out("1h")}")
+    assert(out("1d") === ((3L, 1L, 333333L)), s"1d got ${out("1d")}")
+    assert(out("7d") === ((3L, 2L, 666666L)), s"7d got ${out("7d")}")
+  }
+
   test("incremental CC equals full recompute on planted merge/extend/new-island deltas") {
     import spark.implicits._
     import graft.operators.{Dedup, Graph}
