@@ -646,6 +646,12 @@ object SparkEntry {
       SortAdvisorTiebreak)),
     // Brown's double-exponential level+trend forecast, exact fixed-point
     "ts_brown_forecast" -> ((s, d) => TimeSeries.brownForecast(s, d)),
+    // additive Holt-Winters with dow seasonality (rows-only: seeded
+    // recursive fold; TimeSeriesSpec pins flat/ramp/weekly series)
+    "ts_holt_winters" -> ((s, d) => TimeSeries.holtWinters(s, d)),
+    // near-dup families named by cluster-grain tf-idf keywords
+    // (rows-only: hash-seeded clustering; planted-family spec)
+    "doc_cluster_keywords" -> ((s, d) => Text.clusterKeywords(s, d)),
     // rolling-origin backtest of naive / seasonal-naive / MA-7 forecasters
     // (exact integer MAE + sMAPE; the model-selection readout)
     "ts_backtest" -> ((s, d) => TimeSeries.backtest(s, d)),

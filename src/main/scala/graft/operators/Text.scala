@@ -1213,4 +1213,42 @@ object Text {
       .select(col("decile"), expr("n * decile DIV 10").as("n_docs"),
         col("new_terms"), col("vocab_size"))
   }
+
+  /** #328 Cluster labeling — the human-readable readout of
+    * [[Dedup.dedupClusters]]: each near-dup family named by its top-k
+    * most DISTINCTIVE terms, where distinctiveness is term frequency
+    * inside the cluster × bit-length idf over CLUSTERS (how few other
+    * families use the term — the [[tfidfTopK]] integer-idf convention at
+    * cluster grain). The triage view a dedup audit actually reads:
+    * "family 17 = the spark-join boilerplate, family 40 = the
+    * error-page template".
+    *
+    * Scale: term explode is map-side; both aggregations shuffle on
+    * (cluster, term) / term; the scalar cluster count broadcasts; top-k
+    * per cluster rides the partial-then-final TopKPerGroupExec.
+    */
+  def clusterKeywordsFrom(clusters: DataFrame, texts: DataFrame,
+      k: Int = 3): DataFrame = {
+    val tf = clusters.select("doc_id", "cluster_id").join(texts, "doc_id")
+      .select(col("cluster_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("cluster_id", "term").agg(count(lit(1)).as("tf"))
+    val cdf = tf.groupBy("term").agg(count(lit(1)).as("cdf"))
+    val n = clusters.agg(countDistinct(col("cluster_id")).as("n_clusters"))
+    val scored = tf.join(cdf, "term").crossJoin(broadcast(n))
+      .withColumn("idf_bits",
+        expr("CAST(length(bin(n_clusters DIV cdf)) - 1 AS BIGINT)"))
+      .withColumn("score", col("tf") * col("idf_bits"))
+    graft.plans.TopK.topKPerGroup(scored, Seq("cluster_id"),
+      Seq(("score", true), ("term", false)), k)
+      .select("cluster_id", "term", "tf", "cdf", "idf_bits", "score", "rnk")
+  }
+
+  /** #328 Registered query: keyword labels for the MinHash near-dup
+    * clusters (rows-only: the clustering is hash-seeded; DedupSpec +
+    * the planted-family spec pin semantics).
+    */
+  def clusterKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    clusterKeywordsFrom(Dedup.dedupClusters(spark, dir),
+      Dedup.corpusWithPlants(spark, dir).select("doc_id", "text"), k)
 }

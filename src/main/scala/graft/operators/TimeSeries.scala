@@ -435,6 +435,60 @@ object TimeSeries {
        |FROM s""".stripMargin
   }
 
+  /** #327 Additive Holt-Winters (α=1/2, β=1/4, γ=1/4, season = day-of-
+    * week) over the per-type daily series — the SEASONAL member of the
+    * forecasting suite ([[brownForecast]] is the non-seasonal one,
+    * [[backtest]] picks between them). Warm-up: level = first-week mean,
+    * trend = 0, seasonals = first-week deviations (dow-indexed, missing
+    * dows seed 0); then the standard recursion over the OBSERVED day
+    * sequence with calendar-dow seasonal indexing (documented choice for
+    * gapped series). Forecast h days out = level + h·trend +
+    * seasonal(dow(last_day + h)).
+    *
+    * The recursion is inherently sequential per series, so the state fold
+    * runs DRIVER-SIDE over the collected CALENDAR-BOUNDED daily frame
+    * (types × days — the [[graft.operators.Events.markovAttribution]]
+    * boundedness argument; the corpus-scale work is the one shared daily
+    * aggregate). Rows-only at the driver gate: the oracle engine cannot
+    * replay a seeded recursive fold; the spec pins flat/ramp/weekly
+    * planted series instead.
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.5; val beta = 0.25; val gamma = 0.25
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .collect() // calendar-bounded: types × days, never event-scale
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def dow(day: Long): Int = ((day + 4) % 7).toInt
+    val rows = daily.groupBy(_._1).toSeq.sortBy(_._1).map { case (tpe, rs) =>
+      val series = rs.sortBy(_._2).map { case (_, d, c) => (d, c / 100.0) }
+      val warm = series.take(7)
+      var l = warm.map(_._2).sum / warm.length
+      var b = 0.0
+      val s = Array.fill(7)(0.0)
+      warm.foreach { case (d, y) => s(dow(d)) = y - l }
+      series.drop(7).foreach { case (d, y) =>
+        val si = dow(d)
+        val lPrev = l
+        l = alpha * (y - s(si)) + (1 - alpha) * (l + b)
+        b = beta * (l - lPrev) + (1 - beta) * b
+        s(si) = gamma * (y - l) + (1 - gamma) * s(si)
+      }
+      val lastDay = series.last._1
+      def fc(h: Int): Double =
+        math.rint((l + h * b + s(dow(lastDay + h))) * 10000) / 10000
+      (tpe, series.length.toLong, lastDay,
+        math.rint(l * 10000) / 10000, math.rint(b * 10000) / 10000,
+        fc(1), fc(7))
+    }
+    import spark.implicits._
+    rows.toDF("event_type", "n_days", "last_day", "level", "trend",
+      "fc_1d", "fc_7d")
+  }
+
   /** #317 Rolling-origin forecast backtest: the model-selection readout
     * that tells you WHICH forecaster ([[brownForecast]], seasonal
     * adjustment, or nothing at all) has earned its keep on this series.

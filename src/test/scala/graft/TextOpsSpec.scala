@@ -643,4 +643,21 @@ class TextOpsSpec extends SparkSpec {
       ("A", "B", "C") -> ((1L, 500000L)),
       ("B", "C", "D") -> ((1L, 500000L))), s"got $out")
   }
+
+  test("cluster keywords: each planted family is labeled by its distinctive term") {
+    import spark.implicits._
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 40L), (4L, 40L))
+      .toDF("doc_id", "cluster_id")
+    val texts = Seq(
+      (1L, "alpha alpha beta"), (2L, "alpha beta"),
+      (3L, "gamma beta"), (4L, "gamma gamma beta"))
+      .toDF("doc_id", "text")
+    val top1 = Text.clusterKeywordsFrom(clusters, texts, k = 1).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[String]("term"), r.getAs[Long]("score")))).toMap
+    // beta appears in BOTH clusters → idf_bits = len(bin(2/2))-1 = 0 → score 0;
+    // alpha/gamma are exclusive → idf_bits = 1, score = their tf (3)
+    assert(top1(10L) === (("alpha", 3L)), s"got ${top1(10L)}")
+    assert(top1(40L) === (("gamma", 3L)), s"got ${top1(40L)}")
+  }
 }

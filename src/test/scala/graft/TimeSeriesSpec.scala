@@ -327,6 +327,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(lvl - 40.0) < 0.1, s"ramp level $lvl should track the last value")
   }
 
+  test("holt-winters: flat is exact, ramp learns the trend, weekly pattern lands in seasonals") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val dayNs = 86400L * 1000000000L
+    def write(vals: Seq[Double]): String = {
+      var id = 0L
+      val rows = vals.zipWithIndex.map { case (v, d) =>
+        id += 1; (id, d * dayNs, 1L, "c", v, "{}") }
+      val dir = java.nio.file.Files.createTempDirectory("hw").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // flat $2/day: warm-up seeds level 2 / seasonals 0; recursion is a
+    // fixed point, forecasts exactly 2
+    val flat = TimeSeries.holtWinters(spark, write(Seq.fill(28)(2.0))).collect().head
+    assert(flat.getAs[Double]("level") === 2.0 && flat.getAs[Double]("trend") === 0.0, flat.toString)
+    assert(flat.getAs[Double]("fc_1d") === 2.0 && flat.getAs[Double]("fc_7d") === 2.0, flat.toString)
+    // $1/day ramp: trend converges toward 1 (slowly — warm-up seasonals
+    // absorb slope and decay at γ per weekly visit, hence the long series)
+    val ramp = TimeSeries.holtWinters(spark,
+      write((1 to 126).map(_.toDouble))).collect().head
+    assert(math.abs(ramp.getAs[Double]("trend") - 1.0) < 0.1, ramp.toString)
+    assert(math.abs(ramp.getAs[Double]("fc_1d") - 127.0) < 1.0, ramp.toString)
+    // pure weekly pulse (7.0 on one dow, 0 otherwise): the 1-day-ahead
+    // forecast must track the dow pattern, not the 1.0 mean
+    val pulse = TimeSeries.holtWinters(spark,
+      write((0 until 42).map(d => if (d % 7 == 0) 7.0 else 0.0))).collect().head
+    // last day = 41 (dow pattern position 6); day 42 is a pulse day
+    assert(math.abs(pulse.getAs[Double]("fc_1d") - 7.0) < 1.5, pulse.toString)
+    assert(math.abs(pulse.getAs[Double]("fc_7d") - 0.0) < 1.5, pulse.toString)
+  }
+
   test("backtest: hand-computed MAE/sMAPE for naive, snaive and ma7 on a $1/day ramp") {
     import spark.implicits._
     import graft.operators.TimeSeries
