@@ -247,6 +247,10 @@ object SparkEntry {
     "ev_sliding_distinct" -> ((s, d) => Events.slidingDistinct(s, d)),
     // staggered-rollout DiD readout: 2×2 cells + did_e4, one scan
     "ev_diff_in_diff" -> ((s, d) => Events.diffInDiff(s, d)),
+    // SRE error-budget burn: fast (day) + slow (7d) windows, exact e2
+    "ev_burn_rate" -> ((s, d) => Events.burnRate(s, d)),
+    // exact integer STL: trend / dow-seasonal / residual split
+    "ts_stl_decompose" -> ((s, d) => TimeSeries.stlDecompose(s, d)),
     // conversion rate by attribution window (1h / 1d / 7d), exact ppm
     "ev_conversion_windows" -> ((s, d) => Events.conversionWindows(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
@@ -746,6 +750,8 @@ object SparkEntry {
     // incremental fold must land on EXACTLY the full-recompute sessions
     "ev_sessionize_delta" -> oracleSqlBase("ev_sessionize"),
     "ev_diff_in_diff" -> Events.diffInDiffOracle,
+    "ev_burn_rate" -> Events.burnRateOracle,
+    "ts_stl_decompose" -> graft.operators.TimeSeries.stlOracle,
     "ev_conversion_windows" -> Events.conversionWindowsOracle,
     "ev_sliding_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

@@ -1408,6 +1408,55 @@ object Events {
       |    * 1000000 // count(*) AS BIGINT) AS rate_ppm
       |FROM u CROSS JOIN w GROUP BY 1, 2""".stripMargin
 
+  /** #330 Error-budget burn rate (SRE multiwindow alerting): against a
+    * 99% SLO (1% budget), each day's burn = error_ratio / budget as an
+    * exact ×100 integer, both for the day itself (fast window) and the
+    * trailing 7 days (slow window, via the calendar fan-out —
+    * [[slidingDistinct]]'s trick on counts). `page` fires only when BOTH
+    * windows burn hot (day ≥ 14.4×, week ≥ 6×) — the standard
+    * fast+slow guard against paging on a blip or ignoring a slow leak.
+    * One corpus aggregate; everything after is calendar-sized.
+    */
+  def burnRate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val daily = Tables.events(spark, dir)
+      .select(expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        col("event_type"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("tot"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"))
+      .localCheckpoint() // feeds the day branch and the 7d fan-out
+    val offs = spark.range(0, 7).select(col("id").as("off"))
+    val w7 = daily.join(broadcast(offs))
+      .select((col("day") + col("off")).as("day"), col("tot"), col("err"))
+      .groupBy("day")
+      .agg(sum(col("tot")).as("tot7"), sum(col("err")).as("err7"))
+    daily.join(w7, Seq("day"))
+      .select(col("day"), col("tot").as("n_events"), col("err").as("n_errors"),
+        expr("err * 10000 DIV tot").as("burn_day_e2"),
+        col("tot7").as("n_events_7d"), col("err7").as("n_errors_7d"),
+        expr("err7 * 10000 DIV tot7").as("burn_7d_e2"))
+      .withColumn("page",
+        (col("burn_day_e2") >= 1440 && col("burn_7d_e2") >= 600).cast("long"))
+  }
+
+  /** DuckDB oracle for [[burnRate]]. */
+  def burnRateOracle: String =
+    """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |    count(*) AS tot,
+      |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
+      |  FROM events GROUP BY 1),
+      |w7 AS (SELECT d.day + o.off AS day, sum(d.tot) AS tot7, sum(d.err) AS err7
+      |  FROM daily d CROSS JOIN (SELECT CAST(unnest(range(0, 7)) AS BIGINT) AS off) o
+      |  GROUP BY 1)
+      |SELECT day, tot AS n_events, CAST(err AS BIGINT) AS n_errors,
+      |  CAST(err * 10000 // tot AS BIGINT) AS burn_day_e2,
+      |  CAST(tot7 AS BIGINT) AS n_events_7d, CAST(err7 AS BIGINT) AS n_errors_7d,
+      |  CAST(err7 * 10000 // tot7 AS BIGINT) AS burn_7d_e2,
+      |  CAST(CASE WHEN err * 10000 // tot >= 1440
+      |    AND err7 * 10000 // tot7 >= 600 THEN 1 ELSE 0 END AS BIGINT) AS page
+      |FROM daily JOIN w7 USING (day)""".stripMargin
+
   /** #324 DAU / trailing-7-day WAU / stickiness — the sliding-window
     * DISTINCT that a naive `count(distinct) OVER (RANGE 7 days)` cannot
     * express and a per-day loop cannot scale: the deduped user-day frame

@@ -435,6 +435,69 @@ object TimeSeries {
        |FROM s""".stripMargin
   }
 
+  /** #329 STL-style decomposition (exact integer variant): the per-type
+    * daily series splits into trend + dow-seasonal + residual, each an
+    * EXACT ×7-cents integer so both engines agree bit-for-bit —
+    * trend_c7 = centered 7-day sum (defined only where the full ±3-day
+    * neighborhood exists, the classic centered-MA edge rule),
+    * detrended = 7·y − trend_c7, seasonal_c7 = sign-safe per-dow mean of
+    * the detrended values, resid_c7 = detrended − seasonal_c7. The
+    * decomposition that turns "the series moved" into "trend moved vs a
+    * normal Friday vs something actually happened" — the input
+    * [[residualAnomaly]] fences and [[holtWinters]] assume.
+    *
+    * Scale: calendar self-joins on the (types×days)-bounded daily frame
+    * (the acf pattern) — one corpus-scale aggregate, everything else is
+    * calendar-sized.
+    */
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .localCheckpoint()
+    val offs = spark.range(-3, 4).select(col("id").as("off"))
+    val trend = daily.join(broadcast(offs))
+      .select(col("event_type"), (col("day") + col("off")).as("day"), col("cents"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("k"), sum(col("cents")).as("trend_c7"))
+      .filter(col("k") === 7).drop("k")
+    val det = daily.join(trend, Seq("event_type", "day"))
+      .withColumn("detr_c7", expr("7 * cents - trend_c7"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+      .localCheckpoint() // feeds the seasonal mean AND the final join
+    val seasonal = det.groupBy("event_type", "dow")
+      .agg(sum(col("detr_c7")).as("s"), count(lit(1)).as("n"))
+      .withColumn("seasonal_c7", expr(
+        "CASE WHEN s < 0 THEN -((-s) DIV n) ELSE s DIV n END"))
+      .select("event_type", "dow", "seasonal_c7")
+    det.join(seasonal, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("cents"), col("trend_c7"),
+        col("seasonal_c7"), (col("detr_c7") - col("seasonal_c7")).as("resid_c7"))
+  }
+
+  def stlOracle: String =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT d.event_type, d.day + o.off AS day, count(*) AS k,
+      |    sum(d.cents) AS trend_c7
+      |  FROM daily d CROSS JOIN (SELECT CAST(unnest(range(-3, 4)) AS BIGINT) AS off) o
+      |  GROUP BY 1, 2 HAVING count(*) = 7),
+      |det AS (SELECT y.event_type, y.day, y.cents, t.trend_c7,
+      |    7 * y.cents - t.trend_c7 AS detr_c7, (y.day + 4) % 7 AS dow
+      |  FROM daily y JOIN t ON y.event_type = t.event_type AND y.day = t.day),
+      |se AS (SELECT event_type, dow,
+      |    CASE WHEN sum(detr_c7) < 0 THEN -((-sum(detr_c7)) // count(*))
+      |      ELSE sum(detr_c7) // count(*) END AS seasonal_c7
+      |  FROM det GROUP BY 1, 2)
+      |SELECT det.event_type, day, cents, CAST(trend_c7 AS BIGINT) AS trend_c7,
+      |  CAST(seasonal_c7 AS BIGINT) AS seasonal_c7,
+      |  CAST(detr_c7 - seasonal_c7 AS BIGINT) AS resid_c7
+      |FROM det JOIN se ON det.event_type = se.event_type AND det.dow = se.dow""".stripMargin
+
   /** #327 Additive Holt-Winters (α=1/2, β=1/4, γ=1/4, season = day-of-
     * week) over the per-type daily series — the SEASONAL member of the
     * forecasting suite ([[brownForecast]] is the non-seasonal one,

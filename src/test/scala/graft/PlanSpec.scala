@@ -525,4 +525,25 @@ class PlanSpec extends SparkSpec {
     // one shuffle per register window; the full-outer merge must reuse it
     assert(exchanges <= 2, s"lww merge re-partitioned a side ($exchanges exchanges):\n$p")
   }
+
+  test("backtest/stl: branches reuse the checkpointed daily frame — no corpus re-scan") {
+    for (q <- Seq("ts_backtest", "ts_stl_decompose")) {
+      val p = planOf(q)
+      assert("Scan parquet|FileScan".r.findAllIn(p).isEmpty,
+        s"$q re-scans events per branch:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q calendar joins regressed to sort-merge:\n$p")
+    }
+  }
+
+  test("burn rate and conversion windows: broadcast fan-outs, bounded exchanges") {
+    val pb = planOf("ev_burn_rate")
+    assert("Scan parquet|FileScan".r.findAllIn(pb).isEmpty,
+      s"burn rate re-scans events for the 7d window:\n$pb")
+    assert(pb.contains("Broadcast"), s"burn rate lost the offset broadcast:\n$pb")
+    val pc = planOf("ev_conversion_windows")
+    assert(pc.contains("Broadcast"), s"conversion windows lost the broadcast:\n$pc")
+    assert(!pc.contains("SortMergeJoin"),
+      s"conversion windows joined the 3-row window table by sort-merge:\n$pc")
+  }
 }

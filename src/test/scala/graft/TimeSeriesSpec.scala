@@ -327,6 +327,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(lvl - 40.0) < 0.1, s"ramp level $lvl should track the last value")
   }
 
+  test("stl: a single spike decomposes into dow-seasonal and edge residuals exactly") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val dayNs = 86400L * 1000000000L
+    // $2/day for 14 days with one +$7 spike on day 7
+    var id = 0L
+    val rows = (0 until 14).map { d =>
+      id += 1; (id, d * dayNs, 1L, "c", if (d == 7) 9.0 else 2.0, "{}") }
+    val dir = java.nio.file.Files.createTempDirectory("stl").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = TimeSeries.stlDecompose(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("trend_c7"), r.getAs[Long]("seasonal_c7"),
+          r.getAs[Long]("resid_c7")))).toMap
+    // trend defined only on days 3..10 (centered ±3 neighborhood)
+    assert(out.keySet === (3L to 10L).toSet, s"got ${out.keySet}")
+    // hand arithmetic: t(3)=1400, t(4..10)=2100; detr: d3=0, d7=+4200, else −700;
+    // dow(3)=dow(10)=0 → seasonal −350; dow(7)=4 → seasonal 4200
+    assert(out(3L) === ((1400L, -350L, 350L)), s"d3 got ${out(3L)}")
+    assert(out(7L) === ((2100L, 4200L, 0L)), s"d7 got ${out(7L)}")
+    assert(out(10L) === ((2100L, -350L, -350L)), s"d10 got ${out(10L)}")
+    assert(out(5L) === ((2100L, -700L, 0L)), s"d5 got ${out(5L)}")
+  }
+
   test("holt-winters: flat is exact, ramp learns the trend, weekly pattern lands in seasonals") {
     import spark.implicits._
     import graft.operators.TimeSeries

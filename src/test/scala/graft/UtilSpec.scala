@@ -1020,6 +1020,27 @@ class UtilSpec extends SparkSpec {
     assert(out === Set((0L, 2L, 2L, 10000L), (3L, 1L, 2L, 5000L)), s"got $out")
   }
 
+  test("burn rate: fast window pages only when the slow window also burns") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    var id = 0L
+    // day 0: 10 events / 2 errors (burn 20x); day 1: 10 events clean
+    val rows = (0 until 10).map { i =>
+      id += 1; (id, 0 * dayNs + i, 1L, if (i < 2) "error" else "click", 1.0, "{}")
+    } ++ (0 until 10).map { i => id += 1; (id, 1 * dayNs + i, 1L, "click", 1.0, "{}") }
+    val dir = Files.createTempDirectory("burn").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.burnRate(spark, dir).collect().map(r =>
+      (r.getAs[Long]("day"), r.getAs[Long]("n_events"), r.getAs[Long]("n_errors"),
+        r.getAs[Long]("burn_day_e2"), r.getAs[Long]("n_events_7d"),
+        r.getAs[Long]("n_errors_7d"), r.getAs[Long]("burn_7d_e2"),
+        r.getAs[Long]("page"))).toSet
+    assert(out === Set(
+      (0L, 10L, 2L, 2000L, 10L, 2L, 2000L, 1L),
+      (1L, 10L, 0L, 0L, 20L, 2L, 1000L, 0L)), s"got $out")
+  }
+
   test("diff-in-diff: hand-computed 2x2 cells and did_e4") {
     import spark.implicits._
     val mn = 60L * 1000000000L
