@@ -648,6 +648,13 @@ object SparkEntry {
     "tbl_sort_advisor" -> ((s, d) => Profile.sortRunsAdvisor(
       Tables.lineitem(s, d), SortAdvisorCandidates, SortAdvisorPayloads,
       SortAdvisorTiebreak)),
+    // measured per-operator cardinalities off the FINAL adaptive plan
+    // (rows-only: runtime metrics; spec pins determinism + scan counts)
+    "q_exec_metrics_audit" -> ((s, d) =>
+      graft.plans.PlanAudit.executionAuditDemo(s, d)),
+    // FFD dry-run bin pack of data files into target-size rewrite groups
+    // (rows-only: file metadata; spec pins the packing on planted sizes)
+    "tbl_compaction_plan" -> ((s, d) => Tables.compactionPlanDemo(s, d)),
     // Brown's double-exponential level+trend forecast, exact fixed-point
     "ts_brown_forecast" -> ((s, d) => TimeSeries.brownForecast(s, d)),
     // additive Holt-Winters with dow seasonality (rows-only: seeded

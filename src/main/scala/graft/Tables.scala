@@ -272,4 +272,64 @@ object Tables {
     rows.toDF("leaf", "n_files", "total_mb", "max_file_mb", "small_files")
       .orderBy("leaf")
   }
+
+  /** #332 Compaction PLAN — the dry-run between [[fileAudit]] (detect)
+    * and [[compact]] (execute): deterministic first-fit-decreasing bin
+    * pack of the table's data files into target-size groups, so an
+    * operator can see exactly which files merge, how full each output
+    * lands, and how many rewrite tasks the job needs BEFORE burning the
+    * I/O. Files already at/above target stay singleton groups (rewriting
+    * them buys nothing). Runs on file METADATA only — the listing is
+    * bounded by file count, no data pages are read.
+    */
+  def compactionPlan(spark: SparkSession, path: String,
+      targetFileMB: Int = 128): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = targetFileMB * 1024L * 1024L
+    val it = fs.listFiles(p, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) files += ((n, s.getLen))
+    }
+    // FFD: size desc (name tiebreak for determinism), first group with room
+    val sorted = files.sortBy { case (n, sz) => (-sz, n) }
+    val groups = scala.collection.mutable.ArrayBuffer.empty[
+      (scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
+    sorted.foreach { case (n, sz) =>
+      val slot =
+        if (sz >= target) -1 // oversized files stay put
+        else groups.indexWhere { case (_, used) => used + sz <= target }
+      if (slot >= 0) {
+        val (buf, used) = groups(slot)
+        buf += ((n, sz)); groups(slot) = (buf, used + sz)
+      } else {
+        groups += ((scala.collection.mutable.ArrayBuffer((n, sz)), sz))
+      }
+    }
+    val rows = groups.zipWithIndex.map { case ((buf, used), gid) =>
+      (gid.toLong, buf.length.toLong, used,
+        used * 10000L / target, // fill as e4 fraction of target
+        buf.map(_._1).sorted.mkString(","))
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("group_id", "n_files", "group_bytes", "fill_e4", "files")
+  }
+
+  private val compactDemoMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Demo: lineitem deliberately shattered into 12 small files (memoized
+    * per corpus snapshot), then planned against a 4 MB target.
+    */
+  def compactionPlanDemo(spark: SparkSession, dir: String): DataFrame = {
+    val path = compactDemoMemo.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("cplan").toString + "/t"
+      lineitem(spark, dir).repartition(12).write.parquet(p)
+      p
+    })
+    compactionPlan(spark, path, targetFileMB = 4)
+  }
 }

@@ -60,4 +60,45 @@ object PlanAudit {
     */
   def auditDemo(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     summarize(graft.operators.Tpch.q5RegionRevenue(spark, dir))
+
+  /** #331 RUNTIME execution audit — the post-run counterpart of
+    * [[summarize]]: execute the frame once, then read the engine's own
+    * per-operator `numOutputRows` metrics off the FINAL adaptive plan
+    * (inside query stages, after AQE re-planning — the plan that actually
+    * ran, not the one that was proposed). Rows per node class, so a CI
+    * gate can pin "the probe side shrank to N rows after pushdown" or
+    * "the build side really was dimension-sized" with MEASURED numbers —
+    * the `.explain` habit upgraded from shapes to cardinalities. Only
+    * row counts are reported (deterministic); bytes/timing metrics are
+    * machine-dependent and deliberately excluded.
+    */
+  def executionAudit(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    // executes df's OWN queryExecution (Dataset.foreach would build a
+    // fresh plan and leave these metrics at zero)
+    df.queryExecution.toRdd.foreach(_ => ())
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case other => other
+    }
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val u = unwrap(p)
+      u +: u.children.flatMap(walk)
+    }
+    val rows = walk(df.queryExecution.executedPlan)
+      .groupBy(_.getClass.getSimpleName).toSeq.sortBy(_._1)
+      .map { case (cls, ns) =>
+        (cls, ns.size.toLong,
+          ns.flatMap(_.metrics.get("numOutputRows").map(_.value)).sum)
+      }
+    import spark.implicits._
+    rows.toDF("node", "n_nodes", "output_rows")
+  }
+
+  /** #331 Registered query: measured cardinalities of the q5 star join. */
+  def executionAuditDemo(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    executionAudit(graft.operators.Tpch.q5RegionRevenue(spark, dir))
 }

@@ -31,4 +31,16 @@ class PlanAuditSpec extends SparkSpec {
       Tables.lineitem(spark, sf).groupBy("l_returnflag").agg(sum("l_quantity")))
     assert(m("shuffle_exchanges") == 1, s"plain agg should shuffle once: $m")
   }
+
+  test("execution audit: measured cardinalities are deterministic and non-trivial") {
+    import graft.plans.PlanAudit
+    def run() = PlanAudit.executionAuditDemo(spark, sf).collect()
+      .map(r => (r.getAs[String]("node"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("output_rows"))).toSet
+    val a = run()
+    assert(a.exists(_._3 > 0L), s"no node reported output rows: $a")
+    assert(a.exists(t => t._1.contains("Scan") || t._1.contains("FileSource")),
+      s"no scan node surfaced: $a")
+    assert(a === run(), "re-running the same query must measure identical cardinalities")
+  }
 }

@@ -1020,6 +1020,22 @@ class UtilSpec extends SparkSpec {
     assert(out === Set((0L, 2L, 2L, 10000L), (3L, 1L, 2L, 5000L)), s"got $out")
   }
 
+  test("compaction plan: FFD packs planted sizes, oversized files stay singleton") {
+    val dir = Files.createTempDirectory("cpack")
+    def put(name: String, kb: Int): Unit =
+      java.nio.file.Files.write(dir.resolve(name), new Array[Byte](kb * 1024))
+    put("a", 700); put("b", 600); put("c", 300); put("d", 100); put("e", 2048)
+    put("_SUCCESS", 0) // metadata files must be ignored
+    val out = Tables.compactionPlan(spark, dir.toString, targetFileMB = 1)
+      .collect().map(r => (r.getAs[Long]("group_id"), r.getAs[Long]("n_files"),
+        r.getAs[Long]("group_bytes"), r.getAs[Long]("fill_e4"),
+        r.getAs[String]("files"))).toSet
+    assert(out === Set(
+      (0L, 1L, 2097152L, 20000L, "e"),   // ≥ target → never rewritten together
+      (1L, 2L, 1024000L, 9765L, "a,c"),  // 700K seed + 300K first-fit
+      (2L, 2L, 716800L, 6835L, "b,d")), s"got $out")
+  }
+
   test("burn rate: fast window pages only when the slow window also burns") {
     import spark.implicits._
     val dayNs = 86400L * 1000000000L
