@@ -251,6 +251,10 @@ object SparkEntry {
     "ev_burn_rate" -> ((s, d) => Events.burnRate(s, d)),
     // exact integer STL: trend / dow-seasonal / residual split
     "ts_stl_decompose" -> ((s, d) => TimeSeries.stlDecompose(s, d)),
+    // Hyndman STL features: seasonal/trend strength, exact ×10⁴
+    "ts_seasonal_strength" -> ((s, d) => TimeSeries.seasonalStrength(s, d)),
+    // A/B guardrail: user-grain sample-ratio-mismatch chi-square
+    "ev_srm_check" -> ((s, d) => Events.srmCheck(s, d)),
     // conversion rate by attribution window (1h / 1d / 7d), exact ppm
     "ev_conversion_windows" -> ((s, d) => Events.conversionWindows(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
@@ -759,6 +763,8 @@ object SparkEntry {
     "ev_diff_in_diff" -> Events.diffInDiffOracle,
     "ev_burn_rate" -> Events.burnRateOracle,
     "ts_stl_decompose" -> graft.operators.TimeSeries.stlOracle,
+    "ts_seasonal_strength" -> graft.operators.TimeSeries.seasonalStrengthOracle,
+    "ev_srm_check" -> Events.srmCheckOracle,
     "ev_conversion_windows" -> Events.conversionWindowsOracle,
     "ev_sliding_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

@@ -1408,6 +1408,39 @@ object Events {
       |    * 1000000 // count(*) AS BIGINT) AS rate_ppm
       |FROM u CROSS JOIN w GROUP BY 1, 2""".stripMargin
 
+  /** #333 Sample-ratio mismatch (SRM) check — the guardrail every A/B
+    * readout ([[diffInDiff]], ev_ab_test, ev_ab_cuped) silently assumes:
+    * is the 50/50 assignment ACTUALLY 50/50 at the user grain? A skewed
+    * split means the bucketing (or logging) is broken and every
+    * downstream effect estimate is garbage. One-degree chi-square against
+    * the even split, exact: χ² = (n_a − n_b)²/n as a ×10⁴ integer;
+    * flag at the 3.8415 critical value (p < 0.05).
+    */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("chi2_e4", expr(
+        "CASE WHEN n_users = 0 THEN NULL " +
+          "ELSE (n_a - n_b) * (n_a - n_b) * 10000 DIV n_users END"))
+      .withColumn("srm_flag",
+        (col("chi2_e4") > 38415L).cast("long"))
+
+  /** DuckDB oracle for [[srmCheck]]. */
+  def srmCheckOracle: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |a AS (SELECT count(*) AS n_users,
+      |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+      |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b FROM u)
+      |SELECT n_users, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(CASE WHEN n_users = 0 THEN NULL
+      |    ELSE (n_a - n_b) * (n_a - n_b) * 10000 // n_users END AS BIGINT) AS chi2_e4,
+      |  CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 10000 // n_users > 38415
+      |    THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+      |FROM a""".stripMargin
+
   /** #330 Error-budget burn rate (SRE multiwindow alerting): against a
     * 99% SLO (1% budget), each day's burn = error_ratio / budget as an
     * exact ×100 integer, both for the day itself (fast window) and the

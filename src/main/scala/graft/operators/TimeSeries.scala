@@ -498,6 +498,61 @@ object TimeSeries {
       |  CAST(detr_c7 - seasonal_c7 AS BIGINT) AS resid_c7
       |FROM det JOIN se ON det.event_type = se.event_type AND det.dow = se.dow""".stripMargin
 
+  /** #334 Seasonality / trend STRENGTH (Hyndman's STL-feature pair) from
+    * the [[stlDecompose]] components, exact fixed-point:
+    * F_seasonal = 1 − Var(R)/Var(S+R) (how much the dow pattern explains
+    * of the detrended series), F_trend = 1 − Var(R)/Var(T+R) (ditto for
+    * trend in the deseasonalized series), both as ×10⁴ integers clamped
+    * at 0 via the (nΣx²−(Σx)²) DECIMAL variance cross-products — the
+    * one-number answer to "is a seasonal forecaster even worth running
+    * here" that feeds the [[backtest]] choice.
+    */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    val stl = stlDecompose(spark, dir)
+      // D = detrended = S + R; A = deseasonalized = T + R (all ×7 cents)
+      .select(col("event_type"), col("resid_c7").as("r"),
+        (col("seasonal_c7") + col("resid_c7")).as("d"),
+        (col("trend_c7") + col("resid_c7")).as("a"))
+    stl.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(CAST(r AS DECIMAL(38,0)))").as("sr"),
+        expr("sum(CAST(r AS DECIMAL(38,0)) * r)").as("srr"),
+        expr("sum(CAST(d AS DECIMAL(38,0)))").as("sd"),
+        expr("sum(CAST(d AS DECIMAL(38,0)) * d)").as("sdd"),
+        expr("sum(CAST(a AS DECIMAL(38,0)))").as("sa"),
+        expr("sum(CAST(a AS DECIMAL(38,0)) * a)").as("saa"))
+      .withColumn("vr", expr("CAST(n AS DECIMAL(38,0)) * srr - sr * sr"))
+      .withColumn("vd", expr("CAST(n AS DECIMAL(38,0)) * sdd - sd * sd"))
+      .withColumn("va", expr("CAST(n AS DECIMAL(38,0)) * saa - sa * sa"))
+      .select(col("event_type"), col("n").as("n_days"),
+        expr("CASE WHEN vd <= 0 THEN NULL " +
+          "ELSE CAST(greatest(10000 - vr * 10000 DIV vd, 0) AS BIGINT) END")
+          .as("f_seasonal_e4"),
+        expr("CASE WHEN va <= 0 THEN NULL " +
+          "ELSE CAST(greatest(10000 - vr * 10000 DIV va, 0) AS BIGINT) END")
+          .as("f_trend_e4"))
+  }
+
+  def seasonalStrengthOracle: String =
+    s"""WITH stl AS ($stlOracle),
+       |x AS (SELECT event_type, resid_c7 AS r,
+       |    seasonal_c7 + resid_c7 AS d, trend_c7 + resid_c7 AS a FROM stl),
+       |s AS (SELECT event_type, count(*) AS n,
+       |    sum(CAST(r AS HUGEINT)) AS sr, sum(CAST(r AS HUGEINT) * r) AS srr,
+       |    sum(CAST(d AS HUGEINT)) AS sd, sum(CAST(d AS HUGEINT) * d) AS sdd,
+       |    sum(CAST(a AS HUGEINT)) AS sa, sum(CAST(a AS HUGEINT) * a) AS saa
+       |  FROM x GROUP BY 1),
+       |v AS (SELECT event_type, n,
+       |    CAST(n AS HUGEINT) * srr - sr * sr AS vr,
+       |    CAST(n AS HUGEINT) * sdd - sd * sd AS vd,
+       |    CAST(n AS HUGEINT) * saa - sa * sa AS va FROM s)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       |  CASE WHEN vd <= 0 THEN NULL
+       |    ELSE CAST(greatest(10000 - vr * 10000 // vd, 0) AS BIGINT) END AS f_seasonal_e4,
+       |  CASE WHEN va <= 0 THEN NULL
+       |    ELSE CAST(greatest(10000 - vr * 10000 // va, 0) AS BIGINT) END AS f_trend_e4
+       |FROM v""".stripMargin
+
   /** #327 Additive Holt-Winters (α=1/2, β=1/4, γ=1/4, season = day-of-
     * week) over the per-type daily series — the SEASONAL member of the
     * forecasting suite ([[brownForecast]] is the non-seasonal one,

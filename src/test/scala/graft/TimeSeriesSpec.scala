@@ -352,6 +352,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(5L) === ((2100L, -700L, 0L)), s"d5 got ${out(5L)}")
   }
 
+  test("seasonal strength: pure ramp is all trend, pure weekly pulse is all seasonality") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val dayNs = 86400L * 1000000000L
+    def write(vals: Seq[Double]): String = {
+      var id = 0L
+      val rows = vals.zipWithIndex.map { case (v, d) =>
+        id += 1; (id, d * dayNs, 1L, "c", v, "{}") }
+      val dir = java.nio.file.Files.createTempDirectory("sstr").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // ramp: centered MA-7 IS the series → detrended 0 → F_trend exact 1,
+    // F_seasonal undefined (nothing left to explain)
+    val ramp = TimeSeries.seasonalStrength(spark,
+      write((1 to 14).map(_.toDouble))).collect().head
+    assert(ramp.isNullAt(ramp.fieldIndex("f_seasonal_e4")), ramp.toString)
+    assert(ramp.getAs[Long]("f_trend_e4") === 10000L, ramp.toString)
+    // weekly pulse: the dow means absorb everything → F_seasonal exact 1,
+    // trend is constant → F_trend undefined
+    val pulse = TimeSeries.seasonalStrength(spark,
+      write((0 until 21).map(d => if (d % 7 == 0) 7.0 else 0.0))).collect().head
+    assert(pulse.getAs[Long]("f_seasonal_e4") === 10000L, pulse.toString)
+    assert(pulse.isNullAt(pulse.fieldIndex("f_trend_e4")), pulse.toString)
+  }
+
   test("holt-winters: flat is exact, ramp learns the trend, weekly pattern lands in seasonals") {
     import spark.implicits._
     import graft.operators.TimeSeries

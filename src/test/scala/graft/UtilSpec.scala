@@ -1057,6 +1057,26 @@ class UtilSpec extends SparkSpec {
       (1L, 10L, 0L, 0L, 20L, 2L, 1000L, 0L)), s"got $out")
   }
 
+  test("srm check: balanced split passes, gutted arm trips the chi-square flag") {
+    import spark.implicits._
+    def write(users: Seq[Long]): String = {
+      val rows = users.zipWithIndex.map { case (u, i) =>
+        (i.toLong + 1, i.toLong * 1000000L, u, "click", 1.0, "{}") }
+      val dir = Files.createTempDirectory("srm").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // 4 even vs 1 odd user: chi2 = 9*1e4/5 = 18000 < 38415 → no flag
+    val ok = Events.srmCheck(spark, write(Seq(2L, 4L, 6L, 8L, 1L))).collect().head
+    assert((ok.getAs[Long]("n_a"), ok.getAs[Long]("n_b"),
+      ok.getAs[Long]("chi2_e4"), ok.getAs[Long]("srm_flag")) === ((4L, 1L, 18000L, 0L)))
+    // 30 even vs 2 odd: chi2 = 784*1e4/32 = 245000 → flagged
+    val bad = Events.srmCheck(spark,
+      write((1L to 30L).map(_ * 2) ++ Seq(1L, 3L))).collect().head
+    assert((bad.getAs[Long]("chi2_e4"), bad.getAs[Long]("srm_flag")) === ((245000L, 1L)))
+  }
+
   test("diff-in-diff: hand-computed 2x2 cells and did_e4") {
     import spark.implicits._
     val mn = 60L * 1000000000L
