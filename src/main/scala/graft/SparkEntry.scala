@@ -667,6 +667,12 @@ object SparkEntry {
     // near-dup families named by cluster-grain tf-idf keywords
     // (rows-only: hash-seeded clustering; planted-family spec)
     "doc_cluster_keywords" -> ((s, d) => Text.clusterKeywords(s, d)),
+    // SentencePiece-style unigram-LM tokenizer: substring seed + EM
+    // Viterbi rounds + top-V prune (rows-only: FP recursion; spec pins
+    // a planted corpus where the optimal piece must survive)
+    "doc_unigram_train" -> ((s, d) => Text.unigramTrain(s, d)),
+    // encode pass under the trained unigram vocab: per-doc fertility
+    "doc_unigram_encode" -> ((s, d) => Text.unigramEncodeStats(s, d)),
     // rolling-origin backtest of naive / seasonal-naive / MA-7 forecasters
     // (exact integer MAE + sMAPE; the model-selection readout)
     "ts_backtest" -> ((s, d) => TimeSeries.backtest(s, d)),

@@ -264,6 +264,9 @@ object Graph {
     * recompute — mismatch comes from Spark's own two paths and must be
     * 0; the histogram is the component-size census after the delta fold.
     */
+  private val ccBaseMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), DataFrame]
+
   def ccDelta(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val edges = Similarity.knnGraph(spark, dir, k)
       .select(col("src"), col("dst")).localCheckpoint()
@@ -273,9 +276,14 @@ object Graph {
     // graph yields an all-intra-component, no-op delta)
     val base = edges.filter(col("src") % 10 =!= 0 && col("dst") % 10 =!= 0)
     val delta = edges.filter(col("src") % 10 === 0 || col("dst") % 10 === 0)
-    val old = Dedup.connectedComponents(
-        base.select(col("src").as("doc_a"), col("dst").as("doc_b")))
-      .select(col("doc_id").as("id"), col("cluster_id").as("comp"))
+    // the base labels are the STORED artifact the incremental fold exists
+    // to avoid recomputing — memoized per corpus snapshot (the knnMemo
+    // lifecycle); only the fold and its audit run per invocation
+    val old = ccBaseMemo.getOrElseUpdate((dir, k),
+      Dedup.connectedComponents(
+          base.select(col("src").as("doc_a"), col("dst").as("doc_b")))
+        .select(col("doc_id").as("id"), col("cluster_id").as("comp"))
+        .localCheckpoint(eager = true))
     val inc = incrementalComponentsFrom(old, delta)
     val full = Dedup.connectedComponents(
         edges.select(col("src").as("doc_a"), col("dst").as("doc_b")))

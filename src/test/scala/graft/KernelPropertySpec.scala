@@ -221,4 +221,23 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(got == want)
     }
   }
+
+  test("unigramSegment always reconstructs the word and never exceeds maxLen") {
+    val word: Gen[String] = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val unk = -25.0 * math.log(2)
+    forAll2(word, Gen.chooseNum(0, 30), n = 300) { (w, nPieces) =>
+      // vocab: random substrings of the word itself + unrelated noise
+      val subs = (for {
+        i <- 0 until w.length
+        l <- 1 to math.min(6, w.length - i)
+      } yield w.substring(i, i + l)).distinct
+      val vocab = (subs.take(nPieces) ++ Seq("zz", "qqq"))
+        .map(p => p -> math.log(0.5) * p.length).toMap
+      val pieces = graft.operators.Text.unigramSegment(w, vocab, 6, unk)
+      assert(pieces.mkString("") === w, s"'$w' segmented to $pieces")
+      assert(pieces.forall(_.length <= 6), s"overlong piece in $pieces")
+      assert(pieces.forall(_.nonEmpty))
+    }
+  }
 }

@@ -644,6 +644,29 @@ class TextOpsSpec extends SparkSpec {
       ("B", "C", "D") -> ((1L, 500000L))), s"got $out")
   }
 
+  test("unigram tokenizer: planted pieces survive EM+prune, whole words encode at fertility 100") {
+    import spark.implicits._
+    import graft.operators.Text
+    val docs = (1 to 10).map(i => (i.toLong, "abcabc abc xy abcabc", "en", "s", 20L))
+    val dir = java.nio.file.Files.createTempDirectory("unigram").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val vocab = Text.unigramTrain(spark, dir, vocabSize = 8, iters = 2).collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("n_uses")).toMap
+    assert(vocab.keys.forall(_.length <= 6), s"overlong piece in $vocab")
+    assert(vocab.contains("abc") || vocab.contains("abcabc"),
+      s"the planted repeat must survive pruning: $vocab")
+    assert(vocab.values.forall(_ > 0L), s"zero-use piece kept: $vocab")
+    // every distinct word lands in the tiny vocab → one piece per word
+    val enc = Text.unigramEncodeStats(spark, dir, vocabSize = 8).collect()
+    assert(enc.length === 10)
+    enc.foreach { r =>
+      assert(r.getAs[Long]("n_words") === 4L, r.toString)
+      assert(r.getAs[Long]("n_pieces") === 4L, r.toString)
+      assert(r.getAs[Long]("fertility_e2") === 100L, r.toString)
+    }
+  }
+
   test("cluster keywords: each planted family is labeled by its distinctive term") {
     import spark.implicits._
     val clusters = Seq((1L, 10L), (2L, 10L), (3L, 40L), (4L, 40L))
