@@ -673,6 +673,18 @@ object SparkEntry {
     "doc_unigram_train" -> ((s, d) => Text.unigramTrain(s, d)),
     // encode pass under the trained unigram vocab: per-doc fertility
     "doc_unigram_encode" -> ((s, d) => Text.unigramEncodeStats(s, d)),
+    // whitespace vs BPE vs unigram on one corpus: fertility + compression
+    "doc_tokenizer_compare" -> ((s, d) => Text.tokenizerCompare(s, d)),
+    // skew-salted two-stage aggregation must equal the plain group-by —
+    // proven against the DuckDB oracle, not just the spec
+    "q_salted_agg" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Skew.saltedSumCount(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity", salts = 8)
+        .select(col("l_returnflag"),
+          round(col("sum_l_quantity"), 2).cast("double").as("sum_qty"),
+          col("cnt").as("n_rows"))
+    }),
     // rolling-origin backtest of naive / seasonal-naive / MA-7 forecasters
     // (exact integer MAE + sMAPE; the model-selection readout)
     "ts_backtest" -> ((s, d) => TimeSeries.backtest(s, d)),
@@ -771,6 +783,9 @@ object SparkEntry {
     "ts_stl_decompose" -> graft.operators.TimeSeries.stlOracle,
     "ts_seasonal_strength" -> graft.operators.TimeSeries.seasonalStrengthOracle,
     "ev_srm_check" -> Events.srmCheckOracle,
+    "q_salted_agg" ->
+      """SELECT l_returnflag, CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows FROM lineitem GROUP BY 1""".stripMargin,
     "ev_conversion_windows" -> Events.conversionWindowsOracle,
     "ev_sliding_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

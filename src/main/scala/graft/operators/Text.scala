@@ -1358,6 +1358,35 @@ object Text {
       rows.map(r => r.getString(1) -> math.log(r.getLong(2) / tot)).toMap
     })
 
+  /** #337 Tokenizer shootout — whitespace vs BPE vs unigram-LM on the
+    * SAME corpus, one comparable row each: total pieces, fertility
+    * (pieces per word ×100) and compression (chars per piece ×100). The
+    * table that actually decides which tokenizer ships: whitespace is
+    * the fertility floor (1 piece/word) with the worst OOV story; the
+    * subword rows show what their vocab budget buys. Three bounded
+    * aggregates (each an existing encode pass), driver-composed.
+    */
+  def tokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .agg(count(lit(1)).as("words"), sum(length(col("w"))).as("chars"))
+      .head()
+    val (words, chars) = (base.getLong(0), base.getLong(1))
+    val b = bpeEncodeStats(spark, dir)
+      .agg(sum(col("n_bpe_tokens")).as("p")).head().getLong(0)
+    val u = unigramEncodeStats(spark, dir)
+      .agg(sum(col("n_pieces")).as("p")).head().getLong(0)
+    def row(method: String, pieces: Long) =
+      (method, pieces, words, chars,
+        if (words == 0) 0L else pieces * 100L / words,
+        if (pieces == 0) 0L else chars * 100L / pieces)
+    Seq(row("whitespace", words), row("bpe", b), row("unigram", u))
+      .toDF("method", "n_pieces", "n_words", "n_chars",
+        "fertility_e2", "chars_per_piece_e2")
+  }
+
   /** #336 Encode pass under the trained unigram vocab: per-document piece
     * counts + fertility (pieces per word ×100) — the tokenizer-cost
     * readout that decides whether the vocab fits the corpus (fertility

@@ -667,6 +667,18 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer compare: whitespace is the fertility floor, all methods populated") {
+    val rows = graft.operators.Text.tokenizerCompare(spark, sf).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows.keySet === Set("whitespace", "bpe", "unigram"))
+    assert(rows("whitespace").getAs[Long]("fertility_e2") === 100L)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_pieces") > 0L, r.toString)
+      // every word yields at least one piece → fertility ≥ the floor
+      assert(r.getAs[Long]("fertility_e2") >= 100L, r.toString)
+    }
+  }
+
   test("cluster keywords: each planted family is labeled by its distinctive term") {
     import spark.implicits._
     val clusters = Seq((1L, 10L), (2L, 10L), (3L, 40L), (4L, 40L))
