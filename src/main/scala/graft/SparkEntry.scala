@@ -675,6 +675,19 @@ object SparkEntry {
     "doc_unigram_encode" -> ((s, d) => Text.unigramEncodeStats(s, d)),
     // whitespace vs BPE vs unigram on one corpus: fertility + compression
     "doc_tokenizer_compare" -> ((s, d) => Text.tokenizerCompare(s, d)),
+    // skew-salted shuffle join must be row-identical to the plain join
+    "q_salted_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      Skew.saltedJoin(o, c, "c_custkey", salts = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(12, 2))), 2)
+            .cast("double").as("revenue"))
+    }),
     // skew-salted two-stage aggregation must equal the plain group-by —
     // proven against the DuckDB oracle, not just the spec
     "q_salted_agg" -> ((s, d) => {
@@ -786,6 +799,11 @@ object SparkEntry {
     "q_salted_agg" ->
       """SELECT l_returnflag, CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_rows FROM lineitem GROUP BY 1""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     "ev_conversion_windows" -> Events.conversionWindowsOracle,
     "ev_sliding_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

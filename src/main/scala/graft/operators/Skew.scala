@@ -53,4 +53,31 @@ object Skew {
       .groupBy(keys: _*)
       .agg(sum(col("__psum")).as(s"sum_$valueCol"), sum(col("__pcnt")).as("cnt"))
   }
+
+  /** #338 Skew-salted shuffle equi-join — the JOIN counterpart of
+    * [[saltedSumCount]], for the regime where the build side is too big
+    * to broadcast but ≪ the fact side, and one hot fact key would pin a
+    * reducer. The fact side tags each row with its [[retryStableSalt]];
+    * the build side replicates ×salts MAP-SIDE (explode of a literal
+    * sequence — no shuffle of its own); the join key becomes
+    * (key, salt), spreading each hot key over `salts` reducers. The
+    * shuffle-hash hint keeps the demonstration honest (Spark would
+    * otherwise broadcast a small build side and skip the salted shuffle
+    * entirely). Replication × salting is a partition of unity, so the
+    * result is row-identical to the plain equi-join — the registered
+    * query proves it against the plain-join DuckDB oracle. AQE's
+    * skew-join split repairs sort-merge skew after the fact; salting
+    * shapes the partitioning before it.
+    */
+  def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
+      salts: Int = 16, disambiguators: Seq[Column] = Nil): DataFrame = {
+    require(!fact.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "input already has a column named __salt")
+    val saltedFact = fact.withColumn("__salt",
+      retryStableSalt(fact, salts, disambiguators))
+    val replicated = build.withColumn("__salt",
+      explode(expr(s"sequence(0, ${salts - 1})")))
+      .hint("shuffle_hash")
+    saltedFact.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -536,6 +536,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("salted join: the join really shuffles on (key, salt) — no broadcast shortcut") {
+    val p = planOf("q_salted_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"salted join lost the shuffled-hash shape:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"build side broadcast — the salted partitioning never happened:\n$p")
+  }
+
   test("burn rate and conversion windows: broadcast fan-outs, bounded exchanges") {
     val pb = planOf("ev_burn_rate")
     assert("Scan parquet|FileScan".r.findAllIn(pb).isEmpty,

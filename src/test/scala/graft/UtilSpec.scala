@@ -1057,6 +1057,21 @@ class UtilSpec extends SparkSpec {
       (1L, 10L, 0L, 0L, 20L, 2L, 1000L, 0L)), s"got $out")
   }
 
+  test("salted join: row-identical to the plain equi-join incl. hot keys and misses") {
+    import spark.implicits._
+    // key 1 is hot (80 of 100 rows); 500 is a build-side orphan
+    val fact = (1 to 100).map(i => (if (i <= 80) 1L else i.toLong, i.toDouble))
+      .toDF("k", "v")
+    val build = Seq((1L, "a"), (85L, "b"), (99L, "x"), (500L, "never"))
+      .toDF("k", "name")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"), r.getAs[String]("name")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val plain = rows(fact.join(build, Seq("k")))
+    assert(plain.nonEmpty && plain.count(_._1 == 1L) === 80)
+    assert(rows(Skew.saltedJoin(fact, build, "k", salts = 4)) === plain)
+  }
+
   test("srm check: balanced split passes, gutted arm trips the chi-square flag") {
     import spark.implicits._
     def write(users: Seq[Long]): String = {
