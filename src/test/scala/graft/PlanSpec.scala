@@ -536,6 +536,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("salted agg: classic two-stage shape — exactly two exchanges") {
+    val p = planOf("q_salted_agg")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"salted agg should shuffle per stage exactly once ($exchanges exchanges):\n$p")
+  }
+
   test("salted join: the join really shuffles on (key, salt) — no broadcast shortcut") {
     val p = planOf("q_salted_join")
     assert(p.contains("ShuffledHashJoin"),
