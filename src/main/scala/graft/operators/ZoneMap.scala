@@ -85,18 +85,27 @@ object ZoneMap {
     * must come out with (near-)disjoint zone maps where the naive one is
     * all-overlapping. Output: one row per layout.
     */
+  private val layoutMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def zoneMapAudit(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("zonemap").toString
-    // one source scan: the frame feeds three passes (naive write, the
-    // layout's quantile probe, the clustered write)
-    val ev = graft.Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      ev.repartition(8).write.mode("overwrite").parquet(s"$root/naive")
-      Layout.mortonLayout(ev, "user_id", "ts_us", buckets = 8)
-        .write.mode("overwrite").parquet(s"$root/clustered")
-    } finally ev.unpersist()
+    // the two written layouts are deterministic artifacts of the corpus
+    // snapshot — write once per (dir), every audit re-reads footers only
+    // (the measurement itself stays per-invocation)
+    val root = layoutMemo.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("zonemap").toString
+      // one source scan: the frame feeds three passes (naive write, the
+      // layout's quantile probe, the clustered write)
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        ev.repartition(8).write.mode("overwrite").parquet(s"$r/naive")
+        Layout.mortonLayout(ev, "user_id", "ts_us", buckets = 8)
+          .write.mode("overwrite").parquet(s"$r/clustered")
+      } finally ev.unpersist()
+      r
+    })
     val naive = clusteringQuality(rowGroupStats(spark, s"$root/naive", "user_id"))
       .withColumn("layout", lit("naive"))
     val clustered = clusteringQuality(rowGroupStats(spark, s"$root/clustered", "user_id"))
