@@ -18,10 +18,17 @@ object Bench {
     val subset = if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val timed = SparkEntry.queries.filter { case (n, _) => subset.forall(_.contains(n)) }
     // two passes, min per query: this box is multi-tenant and a single
-    // pass can charge one query 10x machine noise
+    // pass can charge one query 10x machine noise. A failing query must
+    // NOT bench as "fast": record the error so a broken plan is visible
+    // in the JSON instead of greenwashed by a sub-second timing.
+    val errors = scala.collection.mutable.Map.empty[String, String]
     def pass(): Map[String, Double] = timed.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .takeWhile(_ != '\n').take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (p1, p2) = (pass(), pass())
@@ -29,7 +36,12 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}"""
     // full record to a file too: the driver's stdout tail capture truncates
     // long lines, which dropped the first ~17 timings in earlier rounds
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json)

@@ -559,7 +559,7 @@ object SparkEntry {
     "emb_dim_stats" -> ((s, d) => Similarity.embDimStats(s, d)),
     // PCA + whitening of the embedding corpus (rows-only: eigenbasis sign
     // is not cross-engine; ScaleSpec pins variance ordering/orthogonality)
-    "emb_pca" -> ((s, d) => Similarity.embPca(s, d)),
+    "emb_pca" -> ((s, d) => Similarity.embPcaAudit(s, d)),
     // contrastive hard negatives: top-k most-similar with a different label
     "emb_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     // kNN label-consistency audit (embedding quality score per label)
@@ -1522,13 +1522,14 @@ object SparkEntry {
         |FROM t""".stripMargin,
     "ts_cusum" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM events GROUP BY 1, 2),
         |mu AS (SELECT event_type,
         |    CAST(round(quantile_cont(cents, 0.5)) AS BIGINT) AS target_c
         |  FROM daily GROUP BY 1),
         |dv AS (SELECT daily.event_type, day, cents, target_c,
-        |    cents - target_c AS dev FROM daily JOIN mu USING (event_type)),
+        |    CAST(cents - target_c AS BIGINT) AS dev
+        |  FROM daily JOIN mu USING (event_type)),
         |md AS (SELECT event_type,
         |    CAST(round(quantile_cont(abs(dev), 0.5)) AS BIGINT) AS mad_c
         |  FROM dv GROUP BY 1),
@@ -1701,7 +1702,7 @@ object SparkEntry {
         |r AS (SELECT term, freq,
         |    row_number() OVER (ORDER BY -freq, term) AS rnk FROM tf)
         |SELECT rnk AS rank, term, freq, rnk * freq AS zipf_c,
-        |  freq * 1000000 // n_tokens AS share_ppm
+        |  CAST(freq * 1000000 // n_tokens AS BIGINT) AS share_ppm
         |FROM r CROSS JOIN t WHERE rnk <= 50""".stripMargin,
     "doc_vocab_growth" ->
       """WITH d AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rnk,
@@ -1766,7 +1767,7 @@ object SparkEntry {
         |    CAST(octet_length(encode(text)) AS BIGINT) AS b FROM documents),
         |c AS (SELECT *, sum(b) OVER (ORDER BY digest, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s)
-        |SELECT (cum - b) // 32768 AS shard_id, count(*) AS n_docs,
+        |SELECT CAST((cum - b) // 32768 AS BIGINT) AS shard_id, count(*) AS n_docs,
         |  CAST(sum(b) AS BIGINT) AS shard_bytes, min(digest) AS first_digest
         |FROM c GROUP BY 1""".stripMargin,
     "dim_surrogate_keys" ->
@@ -2739,7 +2740,7 @@ object SparkEntry {
         |        sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS n_match
         |      FROM r WHERE rnk <= 5 GROUP BY qid, qlabel)
         |SELECT CAST(qlabel AS BIGINT) AS label, count(*) AS n_queries,
-        |  sum(n_match) * 10000 // (count(*) * 5) AS consistency_e4
+        |  CAST(sum(n_match) * 10000 // (count(*) * 5) AS BIGINT) AS consistency_e4
         |FROM m GROUP BY qlabel""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, f AS frame_no,
@@ -3103,7 +3104,8 @@ object SparkEntry {
         |        CAST(sum(dv * dv * dv) AS DECIMAL(38,0)) AS s3,
         |        CAST(sum(dv * dv * dv * dv) AS DECIMAL(38,0)) AS s4
         |      FROM d GROUP BY event_type)
-        |SELECT event_type, n, mu_cents, s2, s3, s4,
+        |SELECT event_type, n, mu_cents,
+        |  CAST(s2 AS VARCHAR) AS s2, CAST(s3 AS VARCHAR) AS s3, CAST(s4 AS VARCHAR) AS s4,
         |  CASE WHEN s2 = 0 THEN NULL ELSE round(CAST(s3 AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / (CAST(s2 AS DOUBLE) * sqrt(CAST(s2 AS DOUBLE))), 4) END AS skewness,
         |  CASE WHEN s2 = 0 THEN NULL ELSE round(CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE) / (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)), 4) END AS kurtosis
         |FROM s""".stripMargin,

@@ -896,7 +896,13 @@ object Events {
         sum(expr("dv * dv")).cast(DecimalType(38, 0)).as("s2"),
         sum(expr("dv * dv * dv")).cast(DecimalType(38, 0)).as("s3"),
         sum(expr("dv * dv * dv * dv")).cast(DecimalType(38, 0)).as("s4"))
-      .selectExpr("event_type", "n", "mu_cents", "s2", "s3", "s4",
+      // the raw power sums are 38-digit integers: too wide for int64, and
+      // Decimal objects are dtype-unstable across the oracle harness's
+      // pandas bridge — ship them as STRINGS (exact, hash-identical on
+      // both engines); the float ratios are computed from the decimals
+      // BEFORE the cast so precision is untouched.
+      .selectExpr("event_type", "n", "mu_cents",
+        "CAST(s2 AS STRING) AS s2", "CAST(s3 AS STRING) AS s3", "CAST(s4 AS STRING) AS s4",
         "CASE WHEN s2 = 0 THEN NULL ELSE round(CAST(s3 AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / (CAST(s2 AS DOUBLE) * sqrt(CAST(s2 AS DOUBLE))), 4) END AS skewness",
         "CASE WHEN s2 = 0 THEN NULL ELSE round(CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE) / (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)), 4) END AS kurtosis")
   }

@@ -264,8 +264,12 @@ object Graph {
     * recompute — mismatch comes from Spark's own two paths and must be
     * 0; the histogram is the component-size census after the delta fold.
     */
+  // memoized as a written parquet PATH, not a live DataFrame: checkpointed
+  // blocks are bound to the SparkSession/executors, so a cached frame dies
+  // with a session restart or executor loss — a path survives both and each
+  // invocation re-reads it (the zone-map/compaction memos' lifecycle)
   private val ccBaseMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int), DataFrame]
+    .empty[(String, Int), String]
 
   def ccDelta(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val edges = Similarity.knnGraph(spark, dir, k)
@@ -279,11 +283,16 @@ object Graph {
     // the base labels are the STORED artifact the incremental fold exists
     // to avoid recomputing — memoized per corpus snapshot (the knnMemo
     // lifecycle); only the fold and its audit run per invocation
-    val old = ccBaseMemo.getOrElseUpdate((dir, k),
+    val oldPath = ccBaseMemo.getOrElseUpdate((dir, k), {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-cc-base").toString
       Dedup.connectedComponents(
           base.select(col("src").as("doc_a"), col("dst").as("doc_b")))
         .select(col("doc_id").as("id"), col("cluster_id").as("comp"))
-        .localCheckpoint(eager = true))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    val old = spark.read.parquet(oldPath)
     val inc = incrementalComponentsFrom(old, delta)
     val full = Dedup.connectedComponents(
         edges.select(col("src").as("doc_a"), col("dst").as("doc_b")))

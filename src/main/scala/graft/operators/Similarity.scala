@@ -961,6 +961,23 @@ object Similarity {
       .select(col("vec_id"), col("pc_r").as("pc"), col("white"))
   }
 
+  /** Driver-gate face of [[embPca]]: the raw projection carries
+    * `array<double>` columns the oracle harness cannot sort/hash (and the
+    * eigenbasis SIGN is not cross-engine stable anyway), so the gate row
+    * reports per-vector SCALAR invariants instead — the projected and
+    * whitened L2 norms (sign- and rotation-invariant) plus the component
+    * count. The geometry itself is pinned by the ScaleSpec test on the
+    * array output; this frame just has to be hashable and deterministic.
+    */
+  def embPcaAudit(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    embPca(spark, dir, k).select(
+      col("vec_id"),
+      lit(k).cast("long").as("k"),
+      expr("round(sqrt(aggregate(pc, CAST(0 AS DOUBLE), (a, x) -> a + x * x)), 4)")
+        .as("pc_norm"),
+      expr("round(sqrt(aggregate(white, CAST(0 AS DOUBLE), (a, x) -> a + x * x)), 4)")
+        .as("white_norm"))
+
   /** #301 FILTERED ANN — the "vector search with a WHERE clause" problem
     * every vector store struggles with: post-filtering an unfiltered ANN
     * result silently under-fills k when the predicate is selective, and

@@ -480,7 +480,7 @@ object TimeSeries {
 
   def stlOracle: String =
     """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-      |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       |  FROM events GROUP BY 1, 2),
       |t AS (SELECT d.event_type, d.day + o.off AS day, count(*) AS k,
       |    sum(d.cents) AS trend_c7

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions.{avg => favg, coalesce, col, count,
-  greatest, least, lit, max, min, sum}
+  greatest, least, lit, max, min, sum, when}
 import org.apache.spark.sql.types.DoubleType
 
 /** Aggregate-to-materialized-view rewrite.
@@ -64,7 +64,11 @@ object RewriteAggToMv extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def scanPath(l: LogicalRelation): Option[String] = l.relation match {
-    case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+    case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+        // a multi-path scan (read.parquet(a, b)) must never match an MV
+        // registered for its FIRST root alone — that would silently drop
+        // the other paths' rows from the rewritten aggregate
+        if fs.location.rootPaths.size == 1 =>
       fs.location.rootPaths.headOption.map(p => Mv.normalizePath(p.toString))
     case _ => None
   }
@@ -130,6 +134,10 @@ object RewriteAggToMv extends Rule[LogicalPlan] with PredicateHelper {
       case _ => ()
     }
     filters.foreach { f =>
+      // reference check alone lets a REFERENCE-FREE non-deterministic
+      // conjunct (rand() < 0.5) through — it would re-evaluate against
+      // MV rows instead of fact rows, changing the sample population
+      if (!f.deterministic) bail()
       if (!f.references.forall(r => e.groupCols.contains(r.name))) bail()
     }
 
@@ -162,8 +170,11 @@ object RewriteAggToMv extends Rule[LogicalPlan] with PredicateHelper {
         case Average(a: AttributeReference, _)
             if measureIds.contains(a.exprId) && e.sumCols.contains(a.name) &&
               ae.dataType == DoubleType =>
+          // Average divides by the NON-NULL count of the measure, not by
+          // count(*) — divide by the per-column non-null count the layout
+          // stores (need() bails on MVs predating __cntnn_)
           Divide(Cast(fresh(Sum(need("__sum_" + a.name))), DoubleType),
-            Cast(fresh(Sum(need("__cnt"))), DoubleType))
+            Cast(fresh(Sum(need("__cntnn_" + a.name))), DoubleType))
         case _ => bail()
       }
     }
@@ -237,6 +248,9 @@ object RewriteAggToMv extends Rule[LogicalPlan] with PredicateHelper {
       case a: AttributeReference => groupAttr(a)
       case _ => bail()
     }
+    // same non-determinism hole as the Expand path: a conjunct with no
+    // references (rand() < 0.5) passes the attribute transform untouched
+    filters.foreach(f => if (!f.deterministic) bail())
     val newFilters = filters.map(_.transformUp {
       case a: AttributeReference => groupAttr(a)
     })
@@ -263,9 +277,14 @@ object RewriteAggToMv extends Rule[LogicalPlan] with PredicateHelper {
           fresh(Max(mvAttr(a.name)))
         case Average(a: AttributeReference, _)
             if e.sumCols.contains(a.name) && ae.dataType == DoubleType =>
-          // avg is algebraic, not distributive: derive from (sum, count)
+          // avg is algebraic, not distributive: derive from (sum, count).
+          // The divisor must be the measure's NON-NULL count (__cntnn_),
+          // not __cnt = count(*): Spark's Average skips nulls, so for a
+          // nullable measure the two differ and count(*) silently skews
+          // the rewritten average low
           Divide(Cast(fresh(Sum(mvAttr("__sum_" + a.name))), DoubleType),
-            Cast(fresh(Sum(mvAttr("__cnt"))), DoubleType))
+            Cast(fresh(Sum(mvAttr.getOrElse("__cntnn_" + a.name, bail()))),
+              DoubleType))
         case _ => bail()
       }
     }
@@ -385,7 +404,10 @@ object Mv {
   /** Build the summary table (ONE shuffle over the fact table: partial
     * aggregation map-side, group-by-cardinality rows out), write it, and
     * register it for the rewrite. MV column layout: grouping keys under
-    * their own names, `__cnt`, `__sum_<c>`, `__min_<c>`, `__max_<c>`.
+    * their own names, `__cnt`, and per sum column `__sum_<c>` plus
+    * `__cntnn_<c>` (its NON-NULL count — what Average divides by; count(*)
+    * would be wrong whenever the measure is nullable), `__min_<c>`,
+    * `__max_<c>`.
     */
   def create(spark: SparkSession, name: String, basePath: String,
       mvPath: String, groupCols: Seq[String], sumCols: Seq[String],
@@ -393,6 +415,7 @@ object Mv {
     val base = spark.read.parquet(basePath)
     val aggs = Seq(count(lit(1)).as("__cnt")) ++
       sumCols.map(c => sum(col(c)).as(s"__sum_$c")) ++
+      sumCols.map(c => count(col(c)).as(s"__cntnn_$c")) ++
       minCols.map(c => min(col(c)).as(s"__min_$c")) ++
       maxCols.map(c => max(col(c)).as(s"__max_$c"))
     base.groupBy(groupCols.map(col): _*)
@@ -437,6 +460,9 @@ object Mv {
     val w = col(weightCol)
     val dAggs = Seq(sum(w).cast("long").as("__d_cnt")) ++
       e.sumCols.toSeq.sorted.map(c => sum(col(c) * w).as(s"__d_sum_$c")) ++
+      e.sumCols.toSeq.sorted.map(c =>
+        sum(when(col(c).isNotNull, w).otherwise(lit(0))).cast("long")
+          .as(s"__d_cntnn_$c")) ++
       (if (insertOnly)
         e.minCols.toSeq.sorted.map(c => min(col(c)).as(s"__d_min_$c")) ++
           e.maxCols.toSeq.sorted.map(c => max(col(c)).as(s"__d_max_$c"))
@@ -453,6 +479,9 @@ object Mv {
             coalesce(col(s"__d_sum_$c"), lit(0).cast(oldT)))
             .cast(oldT).as(s"__sum_$c")
         } ++
+        e.sumCols.toSeq.sorted.map(c =>
+          (coalesce(col(s"__cntnn_$c"), lit(0L)) +
+            coalesce(col(s"__d_cntnn_$c"), lit(0L))).as(s"__cntnn_$c")) ++
         e.minCols.toSeq.sorted.map(c =>
           (if (insertOnly) least(col(s"__min_$c"), col(s"__d_min_$c"))
           else col(s"__min_$c")).as(s"__min_$c")) ++
@@ -544,7 +573,12 @@ object Mv {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val genPath = s"$genRoot/gen$batchId"
-        if (new java.io.File(genPath, "_SUCCESS").exists()) {
+        // resolve the marker through the session's Hadoop FS — java.io.File
+        // only sees the local filesystem, so on hdfs://, s3a:// genRoots the
+        // replay guard would always miss and double-fold the delta
+        val marker = new org.apache.hadoop.fs.Path(genPath, "_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
           MvCatalog.get(name).foreach(e => MvCatalog.register(
             e.copy(mvPath = genPath, relation = scanOf(spark, genPath))))
         } else {

@@ -83,6 +83,56 @@ class MvRewriteSpec extends SparkSpec {
     assert(scansFact(fact.groupBy("qty").agg(count(lit(1)).as("n"))))
   }
 
+  test("avg over a NULLABLE measure divides by the non-null count") {
+    val root = java.nio.file.Files.createTempDirectory("mv-null-spec").toString
+    import spark.implicits._
+    val p = s"$root/fact.parquet"
+    // nulls in the measure: avg must be sum/2 for group a, not sum/3
+    Seq(("a", Some(4L)), ("a", None), ("a", Some(8L)),
+      ("b", Some(10L)), ("b", None))
+      .toDF("g", "qty").write.mode("overwrite").parquet(p)
+    Mv.create(spark, "null_mv", p, s"$root/mv.parquet",
+      groupCols = Seq("g"), sumCols = Seq("qty"))
+    val q = spark.read.parquet(p).groupBy("g")
+      .agg(avg("qty").as("m"), sum("qty").as("s"), count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("mv.parquet") && !plan.contains("fact.parquet"), plan)
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(("a", 6.0, 12L, 3L), ("b", 10.0, 10L, 2L)), got.toString)
+    // the rollup path must divide by the same non-null count
+    val roll = spark.read.parquet(p).rollup("g").agg(avg("qty").as("m"))
+    assert(roll.queryExecution.executedPlan.toString.contains("mv.parquet"))
+    val rgot = roll.collect()
+      .map(r => (Option(r.getString(0)), r.getDouble(1))).toSet
+    assert(rgot == Set((Some("a"), 6.0), (Some("b"), 10.0), (None, 22.0 / 3)),
+      rgot.toString)
+    MvCatalog.deregister("null_mv")
+  }
+
+  test("non-deterministic and multi-path shapes are never rewritten") {
+    // a reference-free non-deterministic conjunct passes the attribute
+    // check but must bail: re-evaluating rand() against MV rows samples a
+    // different population than sampling fact rows
+    // (rand < 2.0 would be constant-folded away — keep the bound inside
+    // rand's range so the Filter survives to the rewrite)
+    val nd = fact.filter(rand(7) < 0.5).groupBy("g1").agg(sum("qty").as("s"))
+    assert(scansFact(nd), nd.queryExecution.executedPlan.toString)
+    val ndRoll = fact.filter(rand(7) < 0.5).rollup("g1").agg(sum("qty").as("s"))
+    assert(scansFact(ndRoll), ndRoll.queryExecution.executedPlan.toString)
+    // a multi-path scan whose FIRST root is the registered base path must
+    // not be served from the MV built over that root alone
+    val root = java.nio.file.Files.createTempDirectory("mv-multi").toString
+    val extra = s"$root/extra.parquet"
+    fact.limit(2).write.mode("overwrite").parquet(extra)
+    val multi = spark.read.parquet(basePath, extra)
+      .groupBy("g1").agg(sum("qty").as("s"), count(lit(1)).as("n"))
+    val plan = multi.queryExecution.executedPlan.toString
+    assert(!plan.contains("mv.parquet"), plan)
+    assert(multi.agg(sum("n")).head().getLong(0) == 8L)
+  }
+
   test("incremental refresh folds retractions and the rewrite reads the new MV") {
     val root = java.nio.file.Files.createTempDirectory("mv-ivm-spec").toString
     import spark.implicits._

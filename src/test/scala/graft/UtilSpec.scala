@@ -689,8 +689,11 @@ class UtilSpec extends SparkSpec {
     val s = mo("s")
     assert(s.getAs[Long]("n") === 3L)
     assert(s.getAs[Long]("mu_cents") === 200L)
-    assert(s.getAs[java.math.BigDecimal]("s2").longValueExact() === 20000L)
-    assert(s.getAs[java.math.BigDecimal]("s3").longValueExact() === 0L)
+    // s2/s3/s4 ship as STRINGS (exact 38-digit integers; the oracle
+    // harness hashes dtype-sensitively and Decimal objects don't survive
+    // its pandas bridge)
+    assert(s.getAs[String]("s2") === "20000")
+    assert(s.getAs[String]("s3") === "0")
     assert(s.getAs[Double]("skewness") === 0.0)
     assert(s.getAs[Double]("kurtosis") === 1.5)
     val md = Events.valueMode(spark, dir).collect()
