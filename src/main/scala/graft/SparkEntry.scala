@@ -781,11 +781,242 @@ object SparkEntry {
       |  FROM c),
       |p AS (SELECT *, row_count * avg_row_size / (1024.0 * 1024.0) AS data_size_mb FROM m)""".stripMargin
 
+  // ---- splitmix64 replay in portable SQL --------------------------------
+  // The cdcgen DataSource synthesizes rows from the SplitMix64 finalizer
+  // (CdcGenSource.CdcGen.mix). DuckDB has no wrapping 64-bit arithmetic,
+  // but HUGEINT (int128) + explicit `% 2^64` reductions replay it exactly:
+  // the one overflow-prone step — 64×64-bit wrapping multiply — decomposes
+  // into 32-bit halves (a·b mod 2^64 = (al·bl + ((al·bh + ah·bl) mod 2^32)
+  // ·2^32) mod 2^64), every intermediate ≤ 2^65 and comfortably inside
+  // int128. That turns the "synthetic source, no oracle" rows into real
+  // hash-checked rows: the oracle independently regenerates the stream.
+  private val W64 = "18446744073709551616" // 2^64
+  private def mul64Sql(a: String, c: BigInt): String = {
+    val h = BigInt(2).pow(32)
+    val (cl, ch) = (c % h, c / h)
+    s"(($a) % 4294967296 * $cl + ((($a) % 4294967296 * $ch + " +
+      s"($a) // 4294967296 * $cl) % 4294967296) * 4294967296) % $W64"
+  }
+
+  /** SELECT-list stages computing `mix(in)` into lateral alias `pfx`. */
+  private def mixStagesSql(pfx: String, in: String): String = {
+    val c1 = BigInt("9e3779b97f4a7c15", 16)
+    val c2 = BigInt("bf58476d1ce4e5b9", 16)
+    val c3 = BigInt("94d049bb133111eb", 16)
+    Seq(
+      s"(($in) + $c1) % $W64 AS ${pfx}z0",
+      s"xor(${pfx}z0, ${pfx}z0 >> 30) AS ${pfx}x1",
+      s"${mul64Sql(s"${pfx}x1", c2)} AS ${pfx}z1",
+      s"xor(${pfx}z1, ${pfx}z1 >> 27) AS ${pfx}x2",
+      s"${mul64Sql(s"${pfx}x2", c3)} AS ${pfx}z2",
+      s"xor(${pfx}z2, ${pfx}z2 >> 31) AS $pfx"
+    ).mkString(",\n    ")
+  }
+
+  /** Java `Math.floorMod(signedView(e), m)` over an unsigned-64 value. */
+  private def floorMod64Sql(e: String, m: Long): String =
+    s"((((($e) - CASE WHEN ($e) >= 9223372036854775808 " +
+      s"THEN CAST($W64 AS HUGEINT) ELSE 0 END) % $m) + $m) % $m)"
+
+  /** CTE chain ending in `gen(event_id, user_id, event_type)` — the exact
+    * cdcgen batch output for (rows=n, seed=42, users=150).
+    */
+  private def cdcgenCte(rows: Long): String =
+    s"""ids AS (SELECT CAST(range AS HUGEINT) AS id FROM range(0, $rows)),
+       |gm AS (SELECT id,
+       |    ${mixStagesSql("mid", "id")}
+       |  FROM ids),
+       |gh AS (SELECT id,
+       |    ${mixStagesSql("gh", "xor(CAST(42 AS HUGEINT), mid)")}
+       |  FROM gm),
+       |gd AS (SELECT id,
+       |    ${mixStagesSql("gmu", s"xor(gh, ${0x5f5f5f5fL})")},
+       |    ${mixStagesSql("gme", s"xor(gh, ${0xa5a5a5a5L})")}
+       |  FROM gh),
+       |gen AS (SELECT id AS event_id,
+       |    CAST(${floorMod64Sql("gmu", 150)} AS BIGINT) AS user_id,
+       |    ['signup','click','view','purchase','error']
+       |      [CAST(${floorMod64Sql("gme", 5)} AS INT) + 1] AS event_type
+       |  FROM gd)""".stripMargin
+
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys (approx/LSH/hash-seeded ops) get the
     * driver's rows-only check.
     */
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "src_cdcgen_stats" ->
+      s"""WITH ${cdcgenCte(10000)}
+         |SELECT event_type, count(*) AS n,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM gen GROUP BY 1""".stripMargin,
+    "cdc_multi_table_stats" ->
+      s"""WITH ${cdcgenCte(5000)},
+         |un AS (
+         |  SELECT 'events' AS src_table,
+         |    CASE WHEN event_type = 'signup' THEN 'INSERT'
+         |         WHEN event_type = 'error' THEN 'DELETE'
+         |         ELSE 'UPDATE' END AS operation, user_id
+         |  FROM events
+         |  UNION ALL
+         |  SELECT 'synthetic',
+         |    CASE WHEN event_type = 'signup' THEN 'INSERT'
+         |         WHEN event_type = 'error' THEN 'DELETE'
+         |         ELSE 'UPDATE' END, user_id
+         |  FROM gen)
+         |SELECT src_table, operation, count(*) AS n,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM un GROUP BY 1, 2""".stripMargin,
+    // the two-batch partitioned merge must land on the same final state a
+    // declarative recomputation produces: all inserted keys, minus deleted
+    // customers, with the updated-orders payload census
+    "cdc_multi_table_merge" ->
+      """SELECT 'orders' AS src_table, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated
+        |FROM orders WHERE o_orderkey <= 500
+        |UNION ALL
+        |SELECT 'customer', count(*), CAST(0 AS BIGINT)
+        |FROM customer WHERE c_custkey > 50 AND c_custkey <= 200""".stripMargin,
+    // the medallion run's layer census: bronze = shipped envelopes + the 3
+    // planted junk lines (2 unparseable -> dlq, 1 parseable-but-invalid ->
+    // quarantine); gold = the CDC merge of the clean envelopes, replayed
+    // declaratively (latest per user at the envelope's ms-resolution
+    // sequence, event_id tiebreak, DELETE-latest keys dropped)
+    "cdc_medallion_stats" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_id <= 1000),
+        |g AS (SELECT user_id,
+        |    CASE WHEN event_type = 'signup' THEN 'INSERT'
+        |         WHEN event_type = 'error' THEN 'DELETE'
+        |         WHEN event_type = 'purchase' THEN 'SNAPSHOT'
+        |         ELSE 'UPDATE' END AS operation,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY (ts_us // 1000) * 1000 DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT 'bronze' AS layer, (SELECT count(*) + 3 FROM e) AS n_rows
+        |UNION ALL SELECT 'dlq', CAST(2 AS BIGINT)
+        |UNION ALL SELECT 'quarantine', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'gold',
+        |  (SELECT count(*) FROM g WHERE rn = 1 AND operation <> 'DELETE')
+        |""".stripMargin,
+    // streaming curation = distinct-text-per-language census through the
+    // quality gate; shipped = corpus + the re-shipped first-half thirds
+    "doc_stream_curate" ->
+      """WITH d AS (SELECT lang, md5(text) AS digest,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |      greatest(len(string_split(text, ' ')), 1) AS mwl
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |adm AS (SELECT lang, digest FROM d
+        |  WHERE n_tokens >= 5 AND mwl BETWEEN 2.0 AND 12.0
+        |  GROUP BY lang, digest)
+        |SELECT lang, count(*) AS n_admitted, count(*) AS n_distinct,
+        |  (SELECT n + ((n // 2) + 2) // 3 FROM tot) AS n_shipped_total
+        |FROM adm GROUP BY lang""".stripMargin,
+    // watermark-poll contract: poll 1 = backlog above watermark 0, poll 2 =
+    // exactly the late rows above poll 1's high watermark (-1 on empty)
+    "src_jdbc_incremental" ->
+      """WITH src AS (SELECT event_id FROM events WHERE event_id <= 5000),
+        |p1 AS (SELECT count(*) AS n_rows, coalesce(max(event_id), -1) AS wm
+        |  FROM src WHERE event_id > 0 AND event_id <= 4000),
+        |p2 AS (SELECT count(src.event_id) AS n_rows,
+        |    coalesce(max(src.event_id), -1) AS wm
+        |  FROM p1 LEFT JOIN src ON src.event_id > p1.wm)
+        |SELECT 1 AS poll, n_rows, wm AS high_watermark FROM p1
+        |UNION ALL SELECT 2, n_rows, wm FROM p2""".stripMargin,
+    // the resilient reader's documented split: stride = max(1,(hi-lo)/4),
+    // first/last ranges unbounded — the oracle rebuilds the same buckets
+    "src_jdbc_snapshot" ->
+      """WITH e AS (SELECT event_id FROM events WHERE event_id <= 20000),
+        |b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM e),
+        |s AS (SELECT lo, greatest(1, (hi - lo) // 4) AS stride FROM b),
+        |p AS (SELECT e.event_id,
+        |    CASE WHEN e.event_id < lo + stride THEN 0
+        |         WHEN e.event_id < lo + 2 * stride THEN 1
+        |         WHEN e.event_id < lo + 3 * stride THEN 2
+        |         ELSE 3 END AS jdbc_partition
+        |  FROM e, s)
+        |SELECT jdbc_partition, count(*) AS n_rows, min(event_id) AS min_id,
+        |  max(event_id) AS max_id, 'SNAPSHOT' AS operation
+        |FROM p GROUP BY 1""".stripMargin,
+    // final Derby target state == declarative latest-per-key fold over the
+    // same envelope slice (the currentScd1 shape); ledger booleans pinned
+    "snk_jdbc_upsert" ->
+      s"""$logCte,
+         |f AS (SELECT * FROM log WHERE event_id <= 20000),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY seq_us DESC, event_id DESC) AS rn FROM f),
+         |cur AS (SELECT * FROM r WHERE rn = 1 AND operation <> 'DELETE')
+         |SELECT count(*) AS n_keys,
+         |  CAST(sum(CAST(round(value, 2) AS DECIMAL(14,2))) AS DOUBLE)
+         |    AS sum_value,
+         |  max(seq_us) AS max_seq_us,
+         |  TRUE AS batch1_applied, TRUE AS batch2_applied,
+         |  TRUE AS replay_skipped
+         |FROM cur""".stripMargin,
+    // matryoshka recall replayed with list arithmetic over prefix slices;
+    // identical fold order (emb_norm_stats proved list_sum parity), so the
+    // per-(fraction, query) top-5 membership and its recall integers match
+    "emb_matryoshka_eval" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings),
+        |fr AS (SELECT unnest([1, 2, 4, 8]) AS frac),
+        |p AS (SELECT frac, qid, nid,
+        |    greatest(1, len(ce) // frac) AS d, qe, ce
+        |  FROM q, c, fr WHERE nid <> qid),
+        |sc AS (SELECT frac, qid, nid,
+        |    list_sum(list_transform(list_zip(qe[1:d], ce[1:d]),
+        |      x -> x[1] * x[2])) AS dot,
+        |    sqrt(list_sum(list_transform(qe[1:d], x -> x * x))) AS nq,
+        |    sqrt(list_sum(list_transform(ce[1:d], x -> x * x))) AS nn
+        |  FROM p),
+        |rk AS (SELECT frac, qid, nid,
+        |    row_number() OVER (PARTITION BY frac, qid ORDER BY
+        |      CASE WHEN nq = 0.0 OR nn = 0.0 THEN 0.0
+        |        ELSE dot / (nq * nn) END DESC, nid) AS rnk
+        |  FROM sc),
+        |t AS (SELECT frac, qid, nid FROM rk WHERE rnk <= 5),
+        |tr AS (SELECT qid, nid FROM t WHERE frac = 1),
+        |h AS (SELECT t.frac, t.qid, count(*) AS hits
+        |  FROM t JOIN tr ON t.qid = tr.qid AND t.nid = tr.nid
+        |  GROUP BY 1, 2)
+        |SELECT frac AS dim_fraction, count(*) AS n_queries,
+        |  CAST(sum(hits) AS BIGINT) AS total_hits,
+        |  CAST(sum(hits) * 10000 // (count(*) * 5) AS BIGINT) AS recall_e4
+        |FROM h GROUP BY 1""".stripMargin,
+    // record linkage replay: same trailing-6 blocking, same distinct
+    // byte-3-gram Jaccard (names are ASCII, so char grams == byte grams)
+    "q_entity_resolution" ->
+      """WITH c AS (SELECT c_custkey, c_name, substr(c_name, -6) AS blk
+        |  FROM customer),
+        |s AS (SELECT s_suppkey, s_name, substr(s_name, -6) AS blk
+        |  FROM supplier),
+        |cand AS (SELECT c_custkey, s_suppkey, c_name, s_name
+        |  FROM c JOIN s USING (blk)),
+        |cg AS (SELECT DISTINCT c_custkey, substr(c_name, CAST(g AS INT), 3) AS gram
+        |  FROM c, UNNEST(range(1, length(c_name) - 1)) AS t(g)),
+        |sg AS (SELECT DISTINCT s_suppkey, substr(s_name, CAST(g AS INT), 3) AS gram
+        |  FROM s, UNNEST(range(1, length(s_name) - 1)) AS t(g)),
+        |ccnt AS (SELECT c_custkey, count(*) AS na FROM cg GROUP BY 1),
+        |scnt AS (SELECT s_suppkey, count(*) AS nb FROM sg GROUP BY 1),
+        |inter AS (SELECT cand.c_custkey, cand.s_suppkey, count(*) AS ni
+        |  FROM cand
+        |  JOIN cg ON cg.c_custkey = cand.c_custkey
+        |  JOIN sg ON sg.s_suppkey = cand.s_suppkey AND sg.gram = cg.gram
+        |  GROUP BY 1, 2),
+        |j AS (SELECT cand.c_custkey, cand.s_suppkey, cand.c_name, cand.s_name,
+        |    round(CAST(coalesce(ni, 0) AS DOUBLE) /
+        |      (na + nb - coalesce(ni, 0)), 4) AS sim
+        |  FROM cand
+        |  JOIN ccnt ON ccnt.c_custkey = cand.c_custkey
+        |  JOIN scnt ON scnt.s_suppkey = cand.s_suppkey
+        |  LEFT JOIN inter ON inter.c_custkey = cand.c_custkey
+        |    AND inter.s_suppkey = cand.s_suppkey)
+        |SELECT c_custkey, s_suppkey, c_name, s_name, sim
+        |FROM j WHERE sim >= 0.25""".stripMargin,
     // the Avro path must land on EXACTLY the silver rows the JSON path
     // produces — one oracle serves both ingestion formats
     "cdc_avro_parse" -> oracleSqlBase("cdc_debezium_parse"),

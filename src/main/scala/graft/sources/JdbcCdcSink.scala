@@ -183,6 +183,11 @@ object JdbcCdcSink {
   /** #173 Registered demo: bounded envelope slice applied in two batches,
     * second batch replayed (ledger no-op), target read back. One summary
     * row proves keys, delete-drops, value sum, and the replay skip.
+    * Oracle-checked: the final target state must equal the declarative
+    * latest-per-key fold over the same envelope slice (the
+    * [[graft.cdc.Cdc.currentScd1]] shape), which DuckDB replays from the
+    * events table; sum_value ships as DOUBLE (exact decimal sum cast once
+    * at the end) so both engines render the identical float64.
     */
   def upsertStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.cdc.Cdc
@@ -204,7 +209,8 @@ object JdbcCdcSink {
     val state = readTarget(spark, url, table, props)
     state.agg(
       count(lit(1)).as("n_keys"),
-      sum(expr("CAST(round(last_value, 2) AS DECIMAL(14,2))")).as("sum_value"),
+      sum(expr("CAST(round(last_value, 2) AS DECIMAL(14,2))"))
+        .cast("double").as("sum_value"),
       max(col("seq_us")).as("max_seq_us"))
       .withColumn("batch1_applied", lit(a1))
       .withColumn("batch2_applied", lit(a2))

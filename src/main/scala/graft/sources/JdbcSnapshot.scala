@@ -284,10 +284,16 @@ object JdbcSnapshot {
     src.write.mode("append").jdbc(url, "events_snap", props)
 
     // quoted: the JDBC writer created case-sensitive lowercase columns,
-    // which an unquoted identifier would case-fold past
-    val snap = snapshot(spark, url, "events_snap", "\"event_id\"", numPartitions = 4)
+    // which an unquoted identifier would case-fold past. The RESILIENT
+    // reader (the reference-faithful pooled path) owns the split here: its
+    // stride arithmetic — stride = max(1, (hi-lo)/numPartitions), ends
+    // unbounded — is the documented contract the DuckDB oracle replays,
+    // and each row carries its jdbc_partition tag so the range proof needs
+    // no spark_partition_id introspection
+    val snap = resilientSnapshot(spark, url, "events_snap", "\"event_id\"",
+      numPartitions = 4)
     asCdcEnvelope(snap, "event_id")
-      .groupBy(spark_partition_id().as("jdbc_partition"))
+      .groupBy(col("jdbc_partition"))
       .agg(count(lit(1)).as("n_rows"),
         min("event_id").as("min_id"), max("event_id").as("max_id"),
         first("operation").as("operation"))
