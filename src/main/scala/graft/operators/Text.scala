@@ -745,7 +745,8 @@ object Text {
     * Returns the trained artifact: (rank, left, right, n_occ) — what a
     * tokenizer ships as merges.txt.
     */
-  def bpeTrain(spark: SparkSession, dir: String, merges: Int = 10): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String, merges: Int = 10,
+      batch: Int = 16): DataFrame = {
     import graft.functions.GraftFunctions
     var words = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("w"))
@@ -753,9 +754,11 @@ object Text {
       .select(col("cnt"), split(col("w"), "").as("syms"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var rank = 1
+    // candidate window per round: enough of the sorted pair list to find
+    // the batch's safe prefix AND its stop bound
+    val lookahead = math.max(64, 4 * batch)
     var done = false
-    while (rank <= merges && !done) {
+    while (learned.length < merges && !done) {
       val top = words
         // single-symbol words carry no pairs — and sequence(1, 0) counts
         // DOWN in Spark rather than being empty, so they must not reach
@@ -767,18 +770,60 @@ object Text {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("occ"))
         .orderBy(col("occ").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty || top.head.getLong(2) < 2) done = true
+        .limit(lookahead).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty || top.head._3 < 2) done = true
       else {
-        val (l, r, occ) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        learned += ((rank, l, r, occ))
+        // BATCHED merge selection (exact, proven by TextOpsSpec N=1
+        // parity): accept the maximal PREFIX of the sorted pair list
+        // whose members touch pairwise-disjoint symbols — their counts
+        // cannot change under each other's merges — and stop at the
+        // first pair sharing a symbol (or equal to a merged token) with
+        // an accepted one, because ITS count will change on recount.
+        // Pairs created by an accepted merge (x, l+r)/(l+r, y) inherit
+        // counts bounded by some interacting pair ≤ the stop pair's occ,
+        // so only accepted pairs with occ STRICTLY above the stop bound
+        // are sequential-safe; the round's top-1 is always correct and
+        // guarantees progress. Cuts driver round-trips from O(vocab) to
+        // O(vocab/batch) — the scale lever for a real 32k-merge run.
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stopOcc =
+          if (top.length == lookahead) top.last._3 // unseen tail starts here
+          else 1L // full list visible; occ<2 terminates anyway
+        var i = 0
+        var stopped = false
+        while (i < top.length && !stopped && accepted.length < batch &&
+            learned.length + accepted.length < merges) {
+          val (l, r, occ) = top(i)
+          if (occ < 2) { stopped = true }
+          else if (seen(l) || seen(r)) { stopOcc = occ; stopped = true }
+          else {
+            accepted += ((l, r, occ))
+            seen += l; seen += r; seen += (l + r)
+          }
+          i += 1
+        }
+        // batch/merge-cap exits leave unexamined pairs: they bound the
+        // safe occ exactly like an interacting pair would (an equal-count
+        // unexamined pair could interact and spawn an equal-count rival)
+        if (!stopped && i < top.length) stopOcc = top(i)._3
+        val safe = accepted.headOption.toSeq ++
+          accepted.drop(1).takeWhile(_._3 > stopOcc)
+        safe.foreach { case (l, r, occ) =>
+          learned += ((learned.length + 1, l, r, occ))
+        }
+        // one projection applies the whole batch: disjoint rules commute,
+        // and each is the same codegen'd single-rule rewrite as before
+        val rewritten = safe.foldLeft(col("syms")) { case (c, (l, r, _)) =>
+          GraftFunctions.bpeMergeStep(c, l, r)
+        }
         val next = words
-          .select(col("cnt"), GraftFunctions.bpeMergeStep(col("syms"), l, r).as("syms"))
+          .select(col("cnt"), rewritten.as("syms"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before dropping the parent
         words.unpersist()
         words = next
-        rank += 1
       }
     }
     words.unpersist()

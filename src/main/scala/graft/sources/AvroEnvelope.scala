@@ -39,6 +39,14 @@ object AvroEnvelope extends Serializable {
     */
   val avroSchema: Schema = toAvroRecord(Debezium.envelopeSchema, "envelope")
 
+  /** Public derivation seam for OTHER generations of the envelope (the
+    * [[SchemaRegistry]] path): same struct→Avro mapping, caller-chosen
+    * struct. Record names derive from `name` the same way, so Avro schema
+    * resolution between generations sees matching record identities.
+    */
+  def avroSchemaFor(st: StructType, name: String = "envelope"): Schema =
+    toAvroRecord(st, name)
+
   private def toAvroRecord(st: StructType, name: String): Schema = {
     val fields = st.fields.map { f =>
       val base = f.dataType match {
@@ -163,9 +171,14 @@ object AvroEnvelope extends Serializable {
     * streaming frame with a single `cdc_event` string column feeding
     * [[Debezium.parseEnvelope]]:
     *
-    *  - `"kafka"`  — `readStream.format("kafka")` + `value` cast; needs
-    *    the spark-sql-kafka package on the cluster classpath (not in this
-    *    sandbox — the arm is config-complete but unexercised here).
+    *  - `"kafka"`  — `readStream.format("kafka")` + `value` cast. With a
+    *    real broker this needs the spark-sql-kafka package on the cluster
+    *    classpath; `kafka.bootstrap.servers = embedded://<root>` instead
+    *    routes through [[KafkaLogSource]], the file-backed topic log with
+    *    the Kafka source's exact schema and offset contract — the SAME
+    *    value-cast arm runs against both, and StreamingSpec drives the
+    *    embedded one end-to-end (produce → offsets → silver → gold with
+    *    checkpoint restart).
     *  - `"text"`   — newline-delimited envelope files (what the specs and
     *    the file-based demo pipeline use).
     *  - `"parquet"`— envelope column in parquet files; pass
@@ -174,8 +187,18 @@ object AvroEnvelope extends Serializable {
   def readEnvelopeStream(spark: SparkSession, format: String,
       options: Map[String, String]): DataFrame = format match {
     case "kafka" =>
-      spark.readStream.format("kafka").options(options).load()
-        .selectExpr("CAST(value AS STRING) AS cdc_event")
+      val bootstrap = options.getOrElse("kafka.bootstrap.servers", "")
+      val reader =
+        if (bootstrap.startsWith("embedded://"))
+          spark.readStream.format("kafkalog")
+            .option("path", bootstrap.stripPrefix("embedded://"))
+            .option("topic", options.getOrElse("subscribe",
+              sys.error("kafka arm: 'subscribe' option required")))
+            .option("startingOffsets",
+              options.getOrElse("startingOffsets", "earliest"))
+            .load()
+        else spark.readStream.format("kafka").options(options).load()
+      reader.selectExpr("CAST(value AS STRING) AS cdc_event")
     case "text" =>
       spark.readStream.format("text").options(options - "path")
         .load(options("path"))

@@ -266,4 +266,60 @@ class DebeziumSpec extends SparkSpec {
     m.get("bad_id").foreach { case (_, rec) => assert(rec == 0L) }
     m.get("stale+bad_id").foreach { case (_, rec) => assert(rec == 0L) }
   }
+
+  test("schema registry decodes two envelope generations from one stream") {
+    import graft.sources.{AvroEnvelope, SchemaRegistry}
+    import org.apache.spark.sql.types.StructType
+    SchemaRegistry.clear()
+    val topic = "graft.cdc.events"
+    // v1: the envelope BEFORE transaction metadata shipped (a real
+    // Debezium connector evolution); v2: the current full envelope
+    val v1Struct = StructType(Debezium.envelopeSchema.fields.filterNot(_.name == "transaction"))
+    val v1 = SchemaRegistry.register(topic, AvroEnvelope.avroSchemaFor(v1Struct))
+    val v2 = SchemaRegistry.register(topic, AvroEnvelope.avroSchema)
+    assert(v1.version == 1 && v2.version == 2 && v1.id != v2.id)
+    // idempotent re-register returns the SAME entry, no version bump
+    assert(SchemaRegistry.register(topic, AvroEnvelope.avroSchema) == v2)
+
+    val env = Debezium.synthEnvelope(spark, sf).filter(col("event_id") <= 200)
+    val fromV1 = SchemaRegistry.encodeAs(
+      env.filter(col("event_id") % 2 === 0), "cdc_event", v1, v1Struct)
+    val fromV2 = SchemaRegistry.encodeAs(
+      env.filter(col("event_id") % 2 === 1), "cdc_event", v2, Debezium.envelopeSchema)
+    val mixed = fromV1.unionByName(fromV2)
+    val out = SchemaRegistry.decodeRegistered(mixed, "framed_bytes").cache()
+
+    val n = env.count()
+    assert(out.count() == n)
+    assert(out.filter(col("decode_error").isNotNull).count() == 0)
+    // every v1 message surfaces with a NULL transaction block (the field
+    // the writer never had), every v2 message carries it
+    val v1Rows = out.filter(col("writer_schema_id") === v1.id)
+    val v2Rows = out.filter(col("writer_schema_id") === v2.id)
+    assert(v1Rows.count() > 0 && v2Rows.count() > 0)
+    assert(v1Rows.filter(col("parsed.transaction").isNotNull).count() == 0)
+    assert(v2Rows.filter(col("parsed.transaction.id").isNull).count() == 0)
+    // the generation-independent fields decode identically to the JSON
+    // parse on BOTH generations
+    val silver = Debezium.parseEnvelope(env, "cdc_event")
+      .select(col("event_id"), col("operation"), col("source_ts_ms"))
+    val avroSide = out.select(col("event_id"),
+      Debezium.readableOp(col("parsed.op")).as("operation"),
+      col("parsed.source.ts_ms").as("source_ts_ms"))
+    assert(avroSide.exceptAll(silver).count() == 0)
+    assert(silver.exceptAll(avroSide).count() == 0)
+    // unknown id -> DLQ row, not a stream failure
+    import spark.implicits._
+    val rogue = Seq((9999L, Array[Byte](0, 0, 0, 3, 57, 1, 2))).toDF("event_id", "framed_bytes")
+    val dlq = SchemaRegistry.decodeRegistered(rogue, "framed_bytes").head()
+    assert(dlq.getString(3) != null && dlq.getString(3).contains("unknown schema id"))
+    // registry table round-trips through parquet
+    val p = java.nio.file.Files.createTempDirectory("schemareg").toString + "/reg"
+    SchemaRegistry.save(spark, p)
+    val before = SchemaRegistry.all
+    SchemaRegistry.clear()
+    SchemaRegistry.load(spark, p)
+    assert(SchemaRegistry.all == before)
+    out.unpersist()
+  }
 }

@@ -184,6 +184,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got == List((1, "l", "o", 3L), (2, "lo", "w", 3L)), s"got $got")
   }
 
+  test("bpeTrain: batched merge selection is byte-identical to single-merge") {
+    import spark.implicits._
+    // adversarial shapes: equal-count interacting pairs (aa runs, chained
+    // ab/bc overlaps), a merged token colliding with a pre-existing symbol,
+    // plus the real corpus below
+    val dir = java.nio.file.Files.createTempDirectory("bpe_batch").toString
+    Seq(
+      (1L, "aaaa aaaa abab bcbc abc abc cab", "en", "src0", 31L),
+      (2L, "low low lower lowest wide wider widest", "en", "src0", 38L),
+      (3L, "mississippi mississippi banana bandana", "en", "src0", 38L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    for (d <- Seq(dir, sf)) {
+      val seq = Text.bpeTrain(spark, d, merges = 12, batch = 1).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+      val bat = Text.bpeTrain(spark, d, merges = 12, batch = 16).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+      assert(bat == seq, s"batched merges diverge on $d:\nseq=$seq\nbat=$bat")
+    }
+  }
+
   test("bpeEncodeStats compresses the planted corpus under its own merges") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bpe_enc").toString
