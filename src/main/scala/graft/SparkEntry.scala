@@ -982,11 +982,14 @@ object SparkEntry {
         |tr AS (SELECT qid, nid FROM t WHERE frac = 1),
         |h AS (SELECT t.frac, t.qid, count(*) AS hits
         |  FROM t JOIN tr ON t.qid = tr.qid AND t.nid = tr.nid
-        |  GROUP BY 1, 2)
+        |  GROUP BY 1, 2),
+        |perq AS (SELECT fr.frac, q.qid, coalesce(h.hits, 0) AS hits
+        |  FROM q CROSS JOIN fr
+        |  LEFT JOIN h ON h.frac = fr.frac AND h.qid = q.qid)
         |SELECT frac AS dim_fraction, count(*) AS n_queries,
         |  CAST(sum(hits) AS BIGINT) AS total_hits,
         |  CAST(sum(hits) * 10000 // (count(*) * 5) AS BIGINT) AS recall_e4
-        |FROM h GROUP BY 1""".stripMargin,
+        |FROM perq GROUP BY 1""".stripMargin,
     // record linkage replay: same trailing-6 blocking, same distinct
     // byte-3-gram Jaccard (names are ASCII, so char grams == byte grams)
     "q_entity_resolution" ->

@@ -555,13 +555,18 @@ object Similarity {
         .select(col("qid"), col("nid"))
     }
     val truth = topkAt(1)
+    // recall denominator = ALL queries (the standard definition): counting
+    // only hit-bearing queries both skews recall upward and divides by
+    // zero under ANSI when a fraction scores no hits at all (seen at
+    // sf0.1 for the narrowest prefixes)
     Seq(1, 2, 4, 8).map { f =>
-      topkAt(f).join(truth, Seq("qid", "nid"), "left_semi")
+      val hits = topkAt(f).join(truth, Seq("qid", "nid"), "left_semi")
         .groupBy("qid").agg(count(lit(1)).as("hits"))
-        .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("total_hits"))
-        .select(lit(f).as("dim_fraction"), col("n_queries"),
-          coalesce(col("total_hits"), lit(0L)).as("total_hits"),
-          expr(s"coalesce(total_hits, 0) * 10000 DIV (n_queries * $k)").as("recall_e4"))
+      qs.select("qid").join(hits, Seq("qid"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          coalesce(sum(col("hits")), lit(0L)).as("total_hits"))
+        .select(lit(f).as("dim_fraction"), col("n_queries"), col("total_hits"),
+          expr(s"total_hits * 10000 DIV (n_queries * $k)").as("recall_e4"))
     }.reduce(_ unionByName _)
   }
 

@@ -10,10 +10,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * debezium-approach/notebooks/dlt_cdc_pipeline.py applied to a document
   * corpus instead of CDC envelopes). Crawl output lands as files; each
   * micro-batch is content-deduplicated against EVERYTHING previously
-  * admitted (streaming `dropDuplicates` on the md5 digest — state lives in
-  * the checkpoint, so a killed and restarted pipeline keeps refusing dups
-  * it admitted before the crash), then row-local quality gates drop junk,
-  * and survivors append to the curated store.
+  * admitted (streaming `dropDuplicates` on (lang, md5 digest) — state
+  * lives in the checkpoint, so a killed and restarted pipeline keeps
+  * refusing dups it admitted before the crash), then row-local quality
+  * gates drop junk, and survivors append to the curated store.
   *
   * Scale notes: digest state is one 128-bit key per admitted doc —
   * ~16 GB/billion docs across the cluster, partitioned by digest, no hot
@@ -41,7 +41,14 @@ object DocStream {
       .json(srcDir)
     val curated = src
       .withColumn("digest", md5(col("text")))
-      .dropDuplicates("digest")
+      // state key = (lang, digest): language corpora are curated
+      // independently (the per-language mixture weights downstream assume
+      // each lang's pool is internally deduped), and a GLOBAL digest key
+      // would make the surviving row's language attribution depend on
+      // micro-batch arrival order whenever the same text ships under two
+      // langs — nondeterministic per-language counts. The cross-lingual
+      // copy of a text is one extra state row, not a correctness issue.
+      .dropDuplicates("lang", "digest")
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .withColumn("mean_word_len",
         length(regexp_replace(col("text"), " ", "")).cast("double") /
