@@ -839,11 +839,225 @@ object SparkEntry {
        |      [CAST(${floorMod64Sql("gme", 5)} AS INT) + 1] AS event_type
        |  FROM gd)""".stripMargin
 
+  // ---- LSH / MinHash kernel replay in portable SQL ----------------------
+  // The hyperplane-LSH bucket (functions/TextHashes.hyperplaneBucket) and
+  // the MinHash aggregate (functions/MinHashAgg.mix) are pure integer/float
+  // arithmetic — an LCG-derived weight table and a SplitMix64 variant — so
+  // the "hash-seeded, no SQL analog" family is in fact replayable: the
+  // oracle regenerates the weight tables / signatures with the same int128
+  // machinery as the cdcgen replay, and the ordered list folds
+  // (list_sum∘list_transform∘list_zip) reproduce the kernels' left-to-right
+  // float accumulation bit-for-bit. MATERIALIZED pins each CTE to one
+  // evaluation — the iterative chains reference predecessors twice, and
+  // inlining would re-expand the whole subtree per reference.
+
+  /** Weight-table stages for hyperplaneBucket's LCG (expects `p`, `j`,
+    * `salt` columns in scope). */
+  private def lcgWeightSql: String = {
+    val m = BigInt("6364136223846793005")
+    val a = BigInt("1442695040888963407")
+    s"""(${mul64Sql("CAST(p * 1048573 + j * 31 + 42 + salt * 7919 AS HUGEINT)", m)} + $a) % $W64 AS s0,
+       |         xor(s0, s0 >> 33) AS s1,
+       |         CAST(s1 % 65536 AS DOUBLE) / 65536.0 - 0.5 AS wtv""".stripMargin
+  }
+
+  /** CTE chain ending in `cand(src, dst)` — the multi-table hyperplane-LSH
+    * candidate pairs over `embeddings`, plus `e(vec_id, emb)`.
+    */
+  private def lshCandCte(tables: Int, planes: Int): String =
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |pjs AS (SELECT CAST(s.range AS INT) AS salt, CAST(p.range AS INT) AS p, CAST(u.j AS INT) AS j
+       |       FROM range(0, $tables) s, range(0, $planes) p
+       |       CROSS JOIN (SELECT unnest(range(0, len(emb))) AS j
+       |                   FROM (SELECT emb FROM e ORDER BY vec_id LIMIT 1)) u),
+       |wt AS (SELECT salt, p, j,
+       |         $lcgWeightSql
+       |       FROM pjs),
+       |wl AS (SELECT salt, p, list(wtv ORDER BY j) AS wv FROM wt GROUP BY 1, 2),
+       |dots AS (SELECT e.vec_id, wl.salt, wl.p,
+       |           list_sum(list_transform(list_zip(e.emb, wl.wv), x -> x[1] * x[2])) AS dot
+       |         FROM e, wl),
+       |bkt AS (SELECT vec_id, salt, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+       |        FROM dots GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |         FROM bkt a JOIN bkt b ON a.salt = b.salt AND a.bucket = b.bucket
+       |           AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** CTE chain ending in `g(src, dst, cos, rnk)` — the corpus k-NN graph
+    * (Similarity.knnGraph defaults: k=5, planes=4, tables=8).
+    */
+  private def knnGraphCte: String =
+    s"""${lshCandCte(8, 4)},
+       |knsc AS (SELECT c.src, c.dst, list_cosine_similarity(es.emb, ed.emb) AS cosr
+       |       FROM cand c JOIN e es ON es.vec_id = c.src JOIN e ed ON ed.vec_id = c.dst),
+       |mir AS (SELECT src, dst, cosr FROM knsc UNION ALL SELECT dst, src, cosr FROM knsc),
+       |knrk AS (SELECT src, dst, cosr,
+       |        row_number() OVER (PARTITION BY src ORDER BY cosr DESC, dst) AS rnk
+       |      FROM mir),
+       |g AS MATERIALIZED (SELECT src, dst, round(cosr, 4) AS cos, rnk FROM knrk WHERE rnk <= 5)""".stripMargin
+
+  /** CTE chain ending in `l<iters>(id, lbl)` — synchronous min-tie-break
+    * self-inclusive label propagation over `g`. */
+  private def lpaCte(iters: Int = 6): String = {
+    val sb = new StringBuilder(
+      """und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM g UNION ALL SELECT dst, src FROM g)),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM und)""".stripMargin)
+    for (i <- 1 to iters) sb.append(
+      s""",
+         |v$i AS (SELECT nid, lbl, count(*) AS cnt FROM (
+         |    SELECT u.dst AS nid, l.lbl FROM und u JOIN l${i - 1} l ON l.id = u.src
+         |    UNION ALL SELECT id AS nid, lbl FROM l${i - 1}) GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT nid AS id, lbl FROM (
+         |    SELECT nid, lbl, row_number() OVER (PARTITION BY nid ORDER BY cnt DESC, lbl ASC) AS rn
+         |    FROM v$i) WHERE rn = 1)""".stripMargin)
+    sb.toString
+  }
+
+  /** CTE chain ending in `r<iters>(id, deg, pr)` — damped power iteration
+    * over `g`. The dangling-mass term is omitted: the k-NN construction
+    * gives every node out-edges (a future corpus violating that goes RED
+    * here, which is the safe direction). */
+  private def prCte(iters: Int = 8): String = {
+    val sb = new StringBuilder(
+      """prdeg AS (SELECT src AS id, count(*) AS deg FROM g GROUP BY 1),
+        |prnodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM g UNION ALL SELECT dst FROM g)),
+        |r0 AS MATERIALIZED (SELECT n2.id, coalesce(p2.deg, 0) AS deg, 1.0 AS pr
+        |  FROM prnodes n2 LEFT JOIN prdeg p2 USING (id))""".stripMargin)
+    for (i <- 1 to iters) sb.append(
+      s""",
+         |c$i AS (SELECT g.dst AS id, sum(r.pr / r.deg) AS inflow
+         |         FROM g JOIN r${i - 1} r ON r.id = g.src AND r.deg > 0 GROUP BY 1),
+         |r$i AS MATERIALIZED (SELECT r.id, r.deg, 0.15 + 0.85 * coalesce(c.inflow, 0.0) AS pr
+         |         FROM r${i - 1} r LEFT JOIN c$i c USING (id))""".stripMargin)
+    sb.toString
+  }
+
+  /** MinHashAgg.mix replay (j-dependent SplitMix64 increment); expects
+    * `l_partkey` and `j` in scope, yields signed `h`. */
+  private def minhashMixSql: String = {
+    val c1 = BigInt("9e3779b97f4a7c15", 16)
+    val c2 = BigInt("bf58476d1ce4e5b9", 16)
+    val c3 = BigInt("94d049bb133111eb", 16)
+    s"""(CAST(l_partkey AS HUGEINT) + ((j + 1) * $c1) % $W64) % $W64 AS z0,
+       |  xor(z0, z0 >> 30) AS x1,
+       |  ${mul64Sql("x1", c2)} AS z1,
+       |  xor(z1, z1 >> 27) AS x2,
+       |  ${mul64Sql("x2", c3)} AS z2,
+       |  xor(z2, z2 >> 31) AS u,
+       |  CAST(u - CASE WHEN u >= 9223372036854775808 THEN CAST($W64 AS HUGEINT) ELSE 0 END AS BIGINT) AS h""".stripMargin
+  }
+
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys (approx/LSH/hash-seeded ops) get the
     * driver's rows-only check.
     */
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "sim_supplier_assortment" ->
+      s"""WITH pk AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+         |jj AS (SELECT CAST(range AS HUGEINT) AS j FROM range(0, 64)),
+         |hh AS (SELECT l_suppkey, j,
+         |  $minhashMixSql
+         |  FROM pk, jj),
+         |sig AS MATERIALIZED (SELECT l_suppkey, j, min(h) AS mh FROM hh GROUP BY 1, 2),
+         |bk AS (SELECT l_suppkey, CAST(j // 2 AS INT) AS band,
+         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS bh
+         |       FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b
+         |         FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh
+         |           AND a.l_suppkey < b.l_suppkey),
+         |m AS (SELECT c.supp_a, c.supp_b,
+         |        sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS eq
+         |      FROM cand c
+         |      JOIN sig sa ON sa.l_suppkey = c.supp_a
+         |      JOIN sig sb ON sb.l_suppkey = c.supp_b AND sb.j = sa.j
+         |      GROUP BY 1, 2)
+         |SELECT supp_a, supp_b, round(CAST(eq AS DOUBLE) / 64, 4) AS est_jaccard
+         |FROM m""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH ${lshCandCte(1, 8)},
+         |eb AS (SELECT e.vec_id, e.emb, b.bucket FROM e
+         |       JOIN (SELECT vec_id, bucket FROM bkt WHERE salt = 0) b USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, emb AS qe, bucket FROM eb WHERE vec_id < 8),
+         |pr AS (SELECT q.qid, c.vec_id AS nid,
+         |        list_cosine_similarity(q.qe, c.emb) AS cosr
+         |      FROM q JOIN eb c USING (bucket) WHERE c.vec_id <> q.qid),
+         |r AS (SELECT qid, nid, cosr,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, nid) AS INT) AS rnk
+         |      FROM pr)
+         |SELECT qid, nid, round(cosr, 4) AS cos, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_knn_graph" ->
+      s"""WITH $knnGraphCte
+         |SELECT src, dst, cos, CAST(rnk AS INT) AS rnk FROM g""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH ${lshCandCte(8, 8)},
+         |sc AS (SELECT c.src AS id_a, c.dst AS id_b,
+         |         list_cosine_similarity(es.emb, ed.emb) AS cosr
+         |       FROM cand c JOIN e es ON es.vec_id = c.src
+         |       JOIN e ed ON ed.vec_id = c.dst)
+         |SELECT id_a, id_b, round(cosr, 4) AS cos FROM sc WHERE cosr > 0.4""".stripMargin,
+    "graph_triangles" ->
+      s"""WITH $knnGraphCte,
+         |tund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM g WHERE src <> dst),
+         |tdeg AS (SELECT id, count(*) AS degree FROM (
+         |          SELECT a AS id FROM tund UNION ALL SELECT b FROM tund) GROUP BY 1),
+         |wedges AS (SELECT w1.a AS x, w1.b AS y, w2.b AS z
+         |           FROM tund w1 JOIN tund w2 ON w1.b = w2.a),
+         |tri AS (SELECT x, y, z FROM wedges
+         |        JOIN tund ON tund.a = wedges.x AND tund.b = wedges.z),
+         |pn AS (SELECT id, count(*) AS n_triangles FROM (
+         |         SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+         |         UNION ALL SELECT z FROM tri) GROUP BY 1)
+         |SELECT tdeg.id, tdeg.degree, coalesce(pn.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN degree < 2 THEN 0
+         |    ELSE CAST(2 * coalesce(pn.n_triangles, 0) * 10000 // (degree * (degree - 1)) AS BIGINT)
+         |    END AS cc_e4
+         |FROM tdeg LEFT JOIN pn ON pn.id = tdeg.id""".stripMargin,
+    "emb_lof" ->
+      s"""WITH $knnGraphCte,
+         |edges AS MATERIALIZED (SELECT src, dst, 1.0 - cos AS d FROM g),
+         |kdist AS (SELECT src AS dst, max(d) AS kd FROM edges GROUP BY 1),
+         |reach AS (SELECT e2.src, e2.dst, greatest(coalesce(k.kd, e2.d), e2.d) AS reach_d
+         |          FROM edges e2 LEFT JOIN kdist k USING (dst)),
+         |lrd AS MATERIALIZED (SELECT src, 1.0 / avg(reach_d) AS lrd FROM reach GROUP BY 1),
+         |mn AS (SELECT e3.src, avg(l2.lrd) AS mean_lrd_n, count(*) AS n_neighbors
+         |       FROM (SELECT src, dst FROM edges) e3
+         |       JOIN lrd l2 ON l2.src = e3.dst GROUP BY 1)
+         |SELECT mn.src AS vec_id, round(mn.mean_lrd_n / l.lrd, 4) AS lof, mn.n_neighbors
+         |FROM mn JOIN lrd l ON l.src = mn.src""".stripMargin,
+    "graph_label_prop" ->
+      s"""WITH $knnGraphCte,
+         |${lpaCte(6)}
+         |SELECT lbl AS community, count(*) AS n_members, min(id) AS rep_vec_id
+         |FROM l6 GROUP BY 1""".stripMargin,
+    "graph_modularity" ->
+      s"""WITH $knnGraphCte,
+         |${lpaCte(6)},
+         |lab AS MATERIALIZED (SELECT id AS vec_id, lbl AS community FROM l6),
+         |undm AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |         FROM g WHERE src <> dst),
+         |tagged AS (SELECT u.a, u.b, la.community AS ca, lb.community AS cb
+         |           FROM undm u JOIN lab la ON la.vec_id = u.a
+         |           JOIN lab lb ON lb.vec_id = u.b),
+         |intra AS (SELECT ca AS community, count(*) AS e_c FROM tagged
+         |          WHERE ca = cb GROUP BY 1),
+         |degm AS (SELECT l2.community, count(*) AS d_c FROM (
+         |           SELECT a AS id FROM undm UNION ALL SELECT b FROM undm) n
+         |         JOIN lab l2 ON l2.vec_id = n.id GROUP BY 1),
+         |mm AS (SELECT count(*) AS m FROM undm),
+         |pc AS (SELECT d.community, coalesce(i.e_c, 0) AS e_c, d.d_c, mm.m,
+         |         CAST(4 AS HUGEINT) * mm.m * coalesce(i.e_c, 0)
+         |           - CAST(d.d_c AS HUGEINT) * d.d_c AS contrib
+         |       FROM degm d LEFT JOIN intra i USING (community), mm)
+         |SELECT CAST(max(m) AS BIGINT) AS n_edges, count(*) AS n_communities,
+         |  CAST(max(d_c) AS BIGINT) AS max_degree_mass,
+         |  CAST(sum(contrib) * 1000000 // (CAST(4 AS HUGEINT) * max(m) * max(m)) AS BIGINT) AS q_ppm
+         |FROM pc""".stripMargin,
+    "graph_pagerank" ->
+      s"""WITH $knnGraphCte,
+         |${prCte(8)}
+         |SELECT id AS vec_id, round(pr, 4) AS pagerank FROM r8""".stripMargin,
     "src_cdcgen_stats" ->
       s"""WITH ${cdcgenCte(10000)}
          |SELECT event_type, count(*) AS n,

@@ -193,10 +193,14 @@ object Similarity {
       .agg(MinHashAgg.minhashAgg(col("l_partkey"), k).as("sig"))
     // band the signatures so only likely-similar suppliers pair up — an
     // all-pairs crossJoin over entities is quadratic and dies at scale
+    // band key = the raw slice rendered as text, not a hash of it: the
+    // collision semantics are identical (equal hash ⟺ equal slice modulo
+    // hash collisions) and the textual key is replayable by the DuckDB
+    // oracle, which regenerates the SplitMix64 signatures in int128 SQL
     val banded = sigs.select(col("l_suppkey"), col("sig"),
       explode(expr(
         s"transform(sequence(0, ${bands - 1})," +
-          s" b -> struct(b AS band, xxhash64(array_join(slice(sig, b * $rows + 1, $rows), ','), b) AS bh))"))
+          s" b -> struct(b AS band, array_join(slice(sig, b * $rows + 1, $rows), ',') AS bh))"))
         .as("bk"))
       .select(col("l_suppkey"), col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val a = banded.select(col("band"), col("bh"), col("l_suppkey").as("supp_a"), col("sig").as("sig_a"))
