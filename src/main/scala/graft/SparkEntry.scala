@@ -442,10 +442,13 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(s, d)),
     // int8 quantization audit (rows-only: float-lambda arithmetic has no
     // exact SQL-oracle analog); codes digested for the harness
+    // codes ship as the raw CSV rendering, not an xxhash64 digest: same
+    // information, and the oracle can regenerate the string (the digest
+    // function has no DuckDB analog; the codes themselves do)
     "emb_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)
       .selectExpr("vec_id", "round(scale, 6) AS scale_r",
         "round(max_err, 6) AS max_err_r",
-        "xxhash64(concat_ws(',', transform(q, x -> CAST(x AS STRING)))) AS q_digest")),
+        "concat_ws(',', transform(q, x -> CAST(x AS STRING))) AS q_csv")),
     "ann_quantized_topk" -> ((s, d) => Similarity.annQuantizedTopK(s, d)),
     // two-stage retrieve-then-rerank (rows-only: coarse stage rides the
     // int8 codes; ScaleSpec pins recall vs the exact scan)
@@ -933,6 +936,68 @@ object SparkEntry {
     sb.toString
   }
 
+  /** CTE `qz(vec_id, emb, scale, q)` — the int8 per-vector quantization
+    * (Similarity.quantizeEmbeddings) replayed with list lambdas. */
+  private def quantizeCte: String =
+    """qz AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 1e-12) / 127.0 AS scale,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(round(x / (greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))), 1e-12) / 127.0)) AS TINYINT)) AS q
+      |  FROM embeddings)""".stripMargin
+
+  /** CTE chain ending in `rr(qid, nid, cosr, rnk)` — the de-scaled int8
+    * corpus scan of Similarity.annQuantizedTopK, unranked cut. */
+  private def quantTopkCte: String =
+    s"""$quantizeCte,
+       |nbr AS (SELECT vec_id AS nid, q, scale,
+       |    sqrt(list_sum(list_transform(q, qi -> CAST(qi AS DOUBLE) * qi * scale * scale))) AS nq
+       |  FROM qz),
+       |qvs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nqe
+       |  FROM embeddings WHERE vec_id < 8),
+       |qpr AS (SELECT qvs.qid, nbr.nid,
+       |    list_sum(list_transform(list_zip(qvs.qe, nbr.q), z -> z[1] * z[2] * nbr.scale)) AS dot,
+       |    nbr.nq, qvs.nqe
+       |  FROM nbr, qvs WHERE nbr.nid <> qvs.qid),
+       |rr AS (SELECT qid, nid,
+       |    CASE WHEN nq = 0.0 OR nqe = 0.0 THEN 0.0 ELSE dot / (nq * nqe) END AS cosr,
+       |    row_number() OVER (PARTITION BY qid ORDER BY
+       |      CASE WHEN nq = 0.0 OR nqe = 0.0 THEN 0.0 ELSE dot / (nq * nqe) END DESC, nid) AS rnk
+       |  FROM qpr)""".stripMargin
+
+  /** CTE chain ending in `sel<k>` — the greedy MMR selection
+    * (λ = 0.7, 4k over-fetch) as k chained argmax rounds. */
+  private def mmrCte(k: Int = 5): String = {
+    val sb = new StringBuilder(
+      """mem AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |mqs AS (SELECT vec_id AS qid, emb AS qe FROM mem WHERE vec_id < 8),
+        |mscored AS (SELECT mqs.qid, c.vec_id AS nid,
+        |    list_cosine_similarity(mqs.qe, c.emb) AS rel, c.emb AS ne
+        |  FROM mem c, mqs WHERE c.vec_id <> mqs.qid),
+        |mcand AS MATERIALIZED (SELECT qid, nid, rel, ne FROM (
+        |  SELECT qid, nid, rel, ne,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rnk
+        |  FROM mscored) WHERE rnk <= 20),
+        |sel1 AS MATERIALIZED (SELECT qid, nid, rel, ne, 0.7 * rel AS score, 1 AS rk FROM (
+        |  SELECT qid, nid, rel, ne,
+        |    row_number() OVER (PARTITION BY qid ORDER BY 0.7 * rel DESC, nid) AS rn
+        |  FROM mcand) WHERE rn = 1)""".stripMargin)
+    for (r <- 2 to k) sb.append(
+      s""",
+         |ms$r AS (SELECT c.qid, c.nid, c.rel, c.ne,
+         |    greatest(0.0, max(list_cosine_similarity(c.ne, s.ne))) AS msim
+         |  FROM mcand c JOIN sel${r - 1} s ON s.qid = c.qid
+         |  WHERE c.nid NOT IN (SELECT nid FROM sel${r - 1} p WHERE p.qid = c.qid)
+         |  GROUP BY c.qid, c.nid, c.rel, c.ne),
+         |pick$r AS (SELECT qid, nid, rel, ne, score, $r AS rk FROM (
+         |  SELECT qid, nid, rel, ne, 0.7 * rel - 0.3 * msim AS score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY 0.7 * rel - 0.3 * msim DESC, nid) AS rn
+         |  FROM ms$r) WHERE rn = 1),
+         |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)""".stripMargin)
+    sb.toString
+  }
+
   /** MinHashAgg.mix replay (j-dependent SplitMix64 increment); expects
     * `l_partkey` and `j` in scope, yields signed `h`. */
   private def minhashMixSql: String = {
@@ -1058,6 +1123,50 @@ object SparkEntry {
       s"""WITH $knnGraphCte,
          |${prCte(8)}
          |SELECT id AS vec_id, round(pr, 4) AS pagerank FROM r8""".stripMargin,
+    // incremental CC audits to the TRUE components (min-reachable-id) of
+    // the full graph: both the Spark inc path and the full recompute
+    // converge to them, and mismatch = 0 is the audited invariant
+    "graph_cc_delta" ->
+      s"""WITH RECURSIVE $knnGraphCte,
+         |ccund AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM g UNION ALL SELECT dst, src FROM g)),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM ccund
+         |  UNION
+         |  SELECT u.dst, reach.r FROM reach JOIN ccund u ON u.src = reach.id),
+         |ccomp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |cchist AS (SELECT comp, count(*) AS comp_size FROM ccomp GROUP BY 1)
+         |SELECT comp_size, count(*) AS n_components, CAST(0 AS BIGINT) AS mismatch
+         |FROM cchist GROUP BY 1""".stripMargin,
+    "emb_quantize" ->
+      s"""WITH $quantizeCte
+         |SELECT vec_id, round(scale, 6) AS scale_r,
+         |  round(list_max(list_transform(list_zip(emb, q),
+         |    z -> abs(z[1] - z[2] * scale))), 6) AS max_err_r,
+         |  array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',') AS q_csv
+         |FROM qz""".stripMargin,
+    "ann_quantized_topk" ->
+      s"""WITH $quantTopkCte
+         |SELECT qid, nid, round(cosr, 4) AS cos, CAST(rnk AS INT) AS rnk
+         |FROM rr WHERE rnk <= 5""".stripMargin,
+    "ann_rerank_topk" ->
+      s"""WITH $quantTopkCte,
+         |coarse AS (SELECT qid, nid FROM rr WHERE rnk <= 20),
+         |fullv AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+         |qf AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < 8),
+         |rescored AS (SELECT c.qid, c.nid, list_cosine_similarity(qf.qe, fullv.ne) AS cosr
+         |  FROM coarse c JOIN fullv ON fullv.nid = c.nid JOIN qf ON qf.qid = c.qid),
+         |rr2 AS (SELECT qid, nid, cosr,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, nid) AS rnk
+         |  FROM rescored)
+         |SELECT qid, nid, round(cosr, 4) AS cos, CAST(rnk AS INT) AS rnk
+         |FROM rr2 WHERE rnk <= 5""".stripMargin,
+    "ann_mmr_topk" ->
+      s"""WITH ${mmrCte(5)}
+         |SELECT qid, nid, round(rel, 4) AS rel, round(score, 4) AS mmr_score,
+         |  CAST(rk AS BIGINT) AS mmr_rank
+         |FROM sel5""".stripMargin,
     "src_cdcgen_stats" ->
       s"""WITH ${cdcgenCte(10000)}
          |SELECT event_type, count(*) AS n,
