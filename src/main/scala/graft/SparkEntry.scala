@@ -1167,6 +1167,62 @@ object SparkEntry {
          |SELECT qid, nid, round(rel, 4) AS rel, round(score, 4) AS mmr_score,
          |  CAST(rk AS BIGINT) AS mmr_rank
          |FROM sel5""".stripMargin,
+    // the per-series Holt-Winters state fold replayed as a recursive CTE
+    // carrying (level, trend, seasonal DOUBLE[7]) — the recursion follows
+    // the SAME day order with the SAME IEEE operation sequence, and
+    // round_even == math.rint for the fixed-point outputs
+    "ts_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |ser AS MATERIALIZED (SELECT event_type,
+        |    list(day ORDER BY day) AS days,
+        |    list(CAST(cents AS DOUBLE) / 100.0 ORDER BY day) AS ys,
+        |    count(*) AS n
+        |  FROM daily GROUP BY 1),
+        |l0 AS (SELECT event_type, list_sum(ys[1:least(n, 7)]) / least(n, 7) AS lv
+        |       FROM ser),
+        |warmx AS (SELECT ser.event_type, CAST(t.i AS INT) AS i,
+        |    days[CAST(t.i AS INT)] AS d, ys[CAST(t.i AS INT)] AS y
+        |  FROM ser, UNNEST(range(1, least(n, 7) + 1)) t(i)),
+        |s0e AS (SELECT event_type, CAST((d + 4) % 7 AS INT) AS k, y, i,
+        |    row_number() OVER (PARTITION BY event_type, (d + 4) % 7 ORDER BY i DESC) AS rn
+        |  FROM warmx),
+        |s0v AS (SELECT event_type, k, y FROM s0e WHERE rn = 1),
+        |slots AS (SELECT CAST(unnest(range(0, 7)) AS INT) AS k),
+        |s0 AS (SELECT l0.event_type,
+        |    list(coalesce(s0v.y - l0.lv, CAST(0.0 AS DOUBLE)) ORDER BY slots.k) AS s
+        |  FROM l0 CROSS JOIN slots
+        |  LEFT JOIN s0v ON s0v.event_type = l0.event_type AND s0v.k = slots.k
+        |  GROUP BY l0.event_type),
+        |rec(event_type, i, l, b, s) AS (
+        |  SELECT ser.event_type, CAST(least(ser.n, 7) AS BIGINT),
+        |    CAST(l0.lv AS DOUBLE), CAST(0.0 AS DOUBLE), s0.s
+        |  FROM ser JOIN l0 USING (event_type) JOIN s0 USING (event_type)
+        |  UNION ALL
+        |  SELECT r.event_type, r.i + 1,
+        |    CAST(0.5 * (ser.ys[CAST(r.i + 1 AS INT)] - r.s[CAST((ser.days[CAST(r.i + 1 AS INT)] + 4) % 7 AS INT) + 1])
+        |      + 0.5 * (r.l + r.b) AS DOUBLE),
+        |    CAST(0.25 * ((0.5 * (ser.ys[CAST(r.i + 1 AS INT)] - r.s[CAST((ser.days[CAST(r.i + 1 AS INT)] + 4) % 7 AS INT) + 1])
+        |      + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b AS DOUBLE),
+        |    r.s[1:CAST((ser.days[CAST(r.i + 1 AS INT)] + 4) % 7 AS INT)]
+        |      || [CAST(0.25 * (ser.ys[CAST(r.i + 1 AS INT)]
+        |           - (0.5 * (ser.ys[CAST(r.i + 1 AS INT)] - r.s[CAST((ser.days[CAST(r.i + 1 AS INT)] + 4) % 7 AS INT) + 1])
+        |              + 0.5 * (r.l + r.b)))
+        |          + 0.75 * r.s[CAST((ser.days[CAST(r.i + 1 AS INT)] + 4) % 7 AS INT) + 1] AS DOUBLE)]
+        |      || r.s[CAST((ser.days[CAST(r.i + 1 AS INT)] + 4) % 7 AS INT) + 2:7]
+        |  FROM rec r JOIN ser ON ser.event_type = r.event_type
+        |  WHERE r.i < ser.n),
+        |fin AS (SELECT r.event_type, ser.n, ser.days[CAST(ser.n AS INT)] AS last_day,
+        |    r.l, r.b, r.s
+        |  FROM rec r JOIN ser ON ser.event_type = r.event_type WHERE r.i = ser.n)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days, last_day,
+        |  round_even(l * 10000, 0) / 10000 AS level,
+        |  round_even(b * 10000, 0) / 10000 AS trend,
+        |  round_even((l + 1 * b + s[CAST((last_day + 1 + 4) % 7 AS INT) + 1]) * 10000, 0) / 10000 AS fc_1d,
+        |  round_even((l + 7 * b + s[CAST((last_day + 7 + 4) % 7 AS INT) + 1]) * 10000, 0) / 10000 AS fc_7d
+        |FROM fin""".stripMargin,
     "src_cdcgen_stats" ->
       s"""WITH ${cdcgenCte(10000)}
          |SELECT event_type, count(*) AS n,

@@ -567,9 +567,10 @@ object TimeSeries {
     * runs DRIVER-SIDE over the collected CALENDAR-BOUNDED daily frame
     * (types × days — the [[graft.operators.Events.markovAttribution]]
     * boundedness argument; the corpus-scale work is the one shared daily
-    * aggregate). Rows-only at the driver gate: the oracle engine cannot
-    * replay a seeded recursive fold; the spec pins flat/ramp/weekly
-    * planted series instead.
+    * aggregate). Hash-oracle checked (r5): the oracle replays the fold as
+    * a recursive CTE carrying (level, trend, seasonal[7]) — same day
+    * order, same IEEE operation sequence — and the spec pins
+    * flat/ramp/weekly planted series besides.
     */
   def holtWinters(spark: SparkSession, dir: String): DataFrame = {
     val alpha = 0.5; val beta = 0.25; val gamma = 0.25
