@@ -38,8 +38,29 @@ object Dedup {
     * k=16 hash functions, 4 bands × 4 rows; 3-token shingles.
     * Candidates from band-bucket equi-join; exact Jaccard verified on the
     * shingle sets of candidate pairs only.
+    *
+    * The verified pair list is MEMOIZED per (corpus snapshot, threshold)
+    * as a written parquet — it IS the standing near-dup index of the
+    * incremental path ([[buildDedupIndex]]'s pair-level analog) and the
+    * shared substrate of [[dedupClusters]]/ensemble/fuzzy-curation, so it
+    * builds once per snapshot and every consumer reads the artifact (the
+    * [[graft.operators.Similarity.knnGraph]] lifecycle).
     */
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Double), String]
+
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val path = pairsMemo.getOrElseUpdate((dir, threshold), {
+      val p = java.nio.file.Files.createTempDirectory("graft-minhash-pairs").toString
+      minhashLshCompute(spark, dir, threshold)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  private def minhashLshCompute(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     val k = 16; val bands = 4
     val corpus = corpusWithPlants(spark, dir)
     // signature: one codegen'd pass per row (MinHashSig expression);
@@ -179,15 +200,27 @@ object Dedup {
   /** #60 (query form) clusters from the minhash near-dup graph: one row per
     * clustered doc with its cluster id and the survivor flag.
     */
+  /** Cluster assignments memoized per corpus snapshot (written parquet,
+    * like the pair list): the CC loop runs once; the three consumers
+    * (cluster census, fuzzy curation, cluster keywords) read the artifact.
+    */
+  private val clustersMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: the CC loop reads the pair graph three ways (labels init
-    // from both endpoints + edges); without it the whole minhash pipeline
-    // including the verify joins re-executes each time
-    val pairs = minhashLsh(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cc = connectedComponents(pairs)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-    cc.withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+    val path = clustersMemo.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-dedup-clusters").toString
+      // the memoized pair artifact is a plain parquet scan, so the CC
+      // loop's repeated reads re-scan a tiny file instead of re-running
+      // the minhash pipeline
+      val pairs = minhashLsh(spark, dir)
+      val cc = connectedComponents(pairs)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      cc.withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
   }
 
   /** #37 Embedding-cosine near-dup pairs. Exact all-pairs above a threshold

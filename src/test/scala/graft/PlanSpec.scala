@@ -551,6 +551,33 @@ class PlanSpec extends SparkSpec {
       s"build side broadcast — the salted partitioning never happened:\n$p")
   }
 
+  test("net effect: one window, one generate, two exchanges — no union fan-out") {
+    val p = planOf("cdc_net_effect")
+    assert("Window".r.findAllIn(p).size == 1,
+      s"net effect runs the lag window more than once:\n$p")
+    assert("Generate".r.findAllIn(p).size == 1,
+      s"net effect lost (or duplicated) the contribution explode:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"net effect shuffles more than window + final agg ($exchanges):\n$p")
+  }
+
+  test("kafkalog batch read: partition-parallel scan, zero exchanges") {
+    import graft.sources.EmbeddedTopicLog
+    val root = java.nio.file.Files.createTempDirectory("kafkalog-plan").toString
+    EmbeddedTopicLog.produce(root, "t", (1L to 100L).map(i => (i.toString, s"v$i")),
+      partitions = 4)
+    val df = spark.read.format("kafkalog")
+      .option("path", root).option("topic", "t").load()
+      .selectExpr("CAST(value AS STRING) AS v", "partition", "offset")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"a plain topic-log projection should not shuffle:\n$p")
+    assert(df.count() == 100)
+    assert(df.rdd.getNumPartitions == 4,
+      "one input partition per topic partition")
+  }
+
   test("burn rate and conversion windows: broadcast fan-outs, bounded exchanges") {
     val pb = planOf("ev_burn_rate")
     assert("Scan parquet|FileScan".r.findAllIn(pb).isEmpty,
