@@ -708,6 +708,8 @@ object SparkEntry {
     // (rows-only: the winnowing blocking key is hash-seeded; DedupSpec
     // pins conservation + monotonicity + the planted high bucket)
     "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
+    "doc_split_leakage" -> ((s, d) => Dedup.splitLeakage(s, d)),
+    "doc_dup_inflation" -> ((s, d) => Dedup.dupInflation(s, d)),
     // per-table backlog catch-up ETA against the measured drain rate
     "cdc_backlog_eta" -> ((s, d) => graft.cdc.TableRegistry.backlogEta(s, d)),
     // IVF recall-vs-nProbe tuning curve (rows-only: k-means model;
@@ -1013,11 +1015,474 @@ object SparkEntry {
        |  CAST(u - CASE WHEN u >= 9223372036854775808 THEN CAST($W64 AS HUGEINT) ELSE 0 END AS BIGINT) AS h""".stripMargin
   }
 
+  // ---- text-kernel replay (FNV-1a / shingle MinHash / rolling hash) ----
+  // The near-dup text kernels (functions/TextHashes) are FNV-1a 64 over
+  // UTF-8 bytes, a SplitMix64 per-slot mix, and a Rabin-Karp rolling hash —
+  // all wrapping 64-bit integer arithmetic, so the same HUGEINT machinery
+  // that replays cdcgen/LSH replays them too: the oracle re-derives
+  // signatures, band keys, candidate pairs and exact verify scores from the
+  // raw text. The synthetic corpus is single-spaced ASCII (no multi-byte
+  // code points, no leading/trailing/double spaces), so string_split +
+  // ascii() reproduce the kernels' byte-level tokenization exactly.
+
+  private val FnvPrime = BigInt("100000001b3", 16)
+  private val FnvBasis = BigInt("cbf29ce484222325", 16)
+
+  /** FNV-1a 64 fold over the bytes of string column `in` (unsigned HUGEINT
+    * out). `in` must be a bare column reference — it is referenced twice. */
+  private def fnvFoldSql(in: String): String =
+    s"""list_reduce(list_prepend(CAST($FnvBasis AS HUGEINT),
+       |      list_transform(range(1, length($in) + 1), p -> CAST(ascii(($in)[p]) AS HUGEINT))),
+       |    (h, b) -> ${mul64Sql("xor(h, b)", FnvPrime)})""".stripMargin
+
+  /** Signed-BIGINT view of an unsigned (< 2^64) HUGEINT expression. */
+  private def signed64Sql(e: String): String =
+    s"CAST(($e) - CASE WHEN ($e) >= 9223372036854775808 " +
+      s"THEN CAST($W64 AS HUGEINT) ELSE 0 END AS BIGINT)"
+
+  /** CTE block replaying TextHashes.minhashSig (k=16, 3-token shingles) and
+    * the shingle-set verify kernel over a relation `docs(doc_id, text)`:
+    * `{p}sets` (distinct shingle hashes), `{p}sz` (set sizes), `{p}slot`
+    * (the 16 signature slots, signed) and `{p}bands` (4-slot band keys —
+    * RAW joined slices, the same collision semantics as the Spark side's
+    * xxhash64 of the slice minus the 2^-64 hash-collision tail). */
+  private def minhashCtes(p: String, docs: String): String = {
+    val c1 = BigInt("9e3779b97f4a7c15", 16)
+    val c2 = BigInt("bf58476d1ce4e5b9", 16)
+    val c3 = BigInt("94d049bb133111eb", 16)
+    s"""${p}sg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $docs) ${p}tk,
+       |       LATERAL unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)),
+       |${p}fnv AS MATERIALIZED (SELECT doc_id, ${fnvFoldSql("s")} AS h FROM ${p}sg),
+       |${p}sets AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM ${p}fnv),
+       |${p}sz AS (SELECT doc_id, count(*) AS n FROM ${p}sets GROUP BY 1),
+       |${p}mx AS (SELECT doc_id, j,
+       |    (h + CAST(j + 1 AS HUGEINT) * $c1) % $W64 AS z0,
+       |    xor(z0, z0 >> 30) AS x1, ${mul64Sql("x1", c2)} AS z1,
+       |    xor(z1, z1 >> 27) AS x2, ${mul64Sql("x2", c3)} AS z2,
+       |    xor(z2, z2 >> 31) AS z
+       |  FROM ${p}fnv, LATERAL unnest(range(0, 16)) AS u(j)),
+       |${p}slot AS MATERIALIZED (SELECT doc_id, j, min(${signed64Sql("z")}) AS sv
+       |  FROM ${p}mx GROUP BY doc_id, j),
+       |${p}bands AS (SELECT doc_id, j // 4 AS band,
+       |    string_agg(CAST(sv AS VARCHAR), ',' ORDER BY j) AS bh
+       |  FROM ${p}slot GROUP BY doc_id, j // 4)""".stripMargin
+  }
+
+  /** `mhdocs` = documents ∪ last-token-dropped plants of every 20th doc
+    * (Dedup.corpusWithPlants). */
+  private def mhDocsCte: String =
+    """mhbase AS (SELECT doc_id, text FROM documents),
+      |mhdocs AS (SELECT doc_id, text FROM mhbase
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    array_to_string(list_slice(string_split(text, ' '), 1,
+      |      greatest(len(string_split(text, ' ')) - 1, 1)), ' ')
+      |  FROM mhbase WHERE doc_id % 20 = 0)""".stripMargin
+
+  /** Band-bucket candidates + exact shingle-Jaccard verify over the `mh*`
+    * CTEs → `mhpairs(doc_a, doc_b, jaccard)` at `threshold`. */
+  private def mhPairsCte(threshold: Double): String =
+    s"""mhcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM mhbands a JOIN mhbands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |mhint AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+       |  FROM mhcand c JOIN mhsets x ON x.doc_id = c.doc_a
+       |  JOIN mhsets y ON y.doc_id = c.doc_b AND y.h = x.h
+       |  GROUP BY 1, 2),
+       |mhpairs AS MATERIALIZED (SELECT * FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |    round(CAST(coalesce(i.ni, 0) AS DOUBLE) /
+       |      (sa.n + sb.n - coalesce(i.ni, 0)), 4) AS jaccard
+       |  FROM mhcand c
+       |  LEFT JOIN mhint i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN mhsz sa ON sa.doc_id = c.doc_a
+       |  JOIN mhsz sb ON sb.doc_id = c.doc_b) WHERE jaccard >= $threshold)""".stripMargin
+
+  /** Min-label connected components over `mhpairs` as a recursive closure
+    * (the graph is tiny — verified-pair clusters of ≤ ~6 docs — so the
+    * transitive closure is bounded; Dedup.connectedComponents' iterative
+    * min-propagation provably converges to the same min-member labels).
+    * Yields `cc(doc_id, cluster_id)`. Requires WITH RECURSIVE. */
+  private def ccClosureCte: String =
+    """ccn AS (SELECT doc_a AS id FROM mhpairs UNION SELECT doc_b FROM mhpairs),
+      |ccu AS (SELECT doc_a AS src, doc_b AS dst FROM mhpairs
+      |  UNION SELECT doc_b, doc_a FROM mhpairs),
+      |reach(id, r) AS (SELECT id, id FROM ccn
+      |  UNION SELECT u.src, reach.r FROM ccu u JOIN reach ON reach.id = u.dst),
+      |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
+
+  /** TextHashes.rollingMinHash (window `w`) over `docs(doc_id, text)` →
+    * `{p}rfp(doc_id, len, rfp)` with rfp the unsigned min window hash.
+    * Assumes every text is ≥ `w` bytes (the synthetic corpus floor is ~19). */
+  private def rollingCtes(p: String, docs: String, w: Int): String = {
+    val base = BigInt(1099511628211L)
+    val m = BigInt(2).pow(64)
+    val pow = base.modPow(BigInt(w - 1), m)
+    val step = s"(${mul64Sql(s"(s[1] + $m - ${mul64Sql("zz[2]", pow)}) % $W64", base)} + zz[1]) % $W64"
+    s"""${p}bl AS (SELECT doc_id, length(text) AS len,
+       |    list_transform(range(1, length(text) + 1), q -> CAST(ascii(text[q]) AS HUGEINT)) AS bs
+       |  FROM $docs),
+       |${p}pre AS (SELECT doc_id, len, bs,
+       |    list_reduce(list_prepend(CAST(0 AS HUGEINT), bs[1:$w]),
+       |      (h, b) -> (${mul64Sql("h", base)} + b) % $W64) AS h0
+       |  FROM ${p}bl),
+       |${p}rfp AS MATERIALIZED (SELECT doc_id, len,
+       |    list_reduce(
+       |      list_prepend([h0, h0],
+       |        list_transform(list_zip(bs[${w + 1}:], bs[1:len(bs) - $w]),
+       |          zz -> [zz[1], zz[2]])),
+       |      (s, zz) -> [$step, least(s[2], $step)])[2] AS rfp
+       |  FROM ${p}pre)""".stripMargin
+  }
+
+  /** Distinct char-`n`-gram FNV hash sets over `docs(doc_id, text)` →
+    * `{p}sets(doc_id, h)`, `{p}sz(doc_id, n)` (TextHashes.gramSet). */
+  private def gramCtes(p: String, docs: String, n: Int): String =
+    s"""${p}g AS (SELECT doc_id, text[i:i + ${n - 1}] AS gs
+       |  FROM $docs, LATERAL unnest(range(1, greatest(length(text) - ${n - 1}, 1) + 1)) AS u(i)),
+       |${p}sets AS MATERIALIZED (SELECT DISTINCT doc_id, ${fnvFoldSql("gs")} AS h FROM ${p}g),
+       |${p}sz AS (SELECT doc_id, count(*) AS n FROM ${p}sets GROUP BY 1)""".stripMargin
+
+  /** The rolling-fingerprint blocking + length prefilter of Dedup
+    * .ngramJaccard → `ngcand(doc_a, doc_b)` over `mhdocs` (needs
+    * rollingCtes("ng", "mhdocs", 16)). */
+  private def ngCandCte: String =
+    """ngcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM ngrfp a JOIN ngrfp b ON a.rfp = b.rfp AND a.doc_id < b.doc_id
+      |    AND abs(a.len - b.len) <= 12)""".stripMargin
+
+  /** Char-4-gram Jaccard scores on `ngcand` → `ngsc(doc_a, doc_b, jaccard)`
+    * (needs gramCtes("g4", "mhdocs", 4)). */
+  private def ngScoreCte: String =
+    """ngint AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+      |  FROM ngcand c JOIN g4sets x ON x.doc_id = c.doc_a
+      |  JOIN g4sets y ON y.doc_id = c.doc_b AND y.h = x.h
+      |  GROUP BY 1, 2),
+      |ngsc AS (SELECT c.doc_a, c.doc_b,
+      |    round(CAST(coalesce(i.ni, 0) AS DOUBLE) /
+      |      (sa.n + sb.n - coalesce(i.ni, 0)), 4) AS jaccard
+      |  FROM ngcand c
+      |  LEFT JOIN ngint i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      |  JOIN g4sz sa ON sa.doc_id = c.doc_a
+      |  JOIN g4sz sb ON sb.doc_id = c.doc_b)""".stripMargin
+
+  /** CTE chain replaying sequential BPE training (Text.bpeTrain, whose
+    * batched selection is spec-proven byte-identical to the sequential
+    * run): `bw0(w, cnt, syms)` is the distinct-word frame with char
+    * symbols; each round `k` recounts adjacent pairs (`bp{k}`), picks the
+    * (occ DESC, l, r) top-1 rule (`br{k}`) and rewrites every word with
+    * the same left-to-right non-overlapping fusion as TextHashes.bpeMerge
+    * — a replace-last list fold is equivalent: a fused token `l||r` can
+    * never re-match `l` (that would need an empty `r`). Ends at `bw{n}`
+    * (encoded words) with `br1..br{n}` the rule table. */
+  private def bpeRoundsCte(merges: Int): String = {
+    val fuse = (prev: String) =>
+      s"""list_reduce(
+         |      list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+         |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = rl AND x[1] = rr
+         |        THEN list_append(acc[1:len(acc) - 1], rl || rr)
+         |        ELSE list_append(acc, x[1]) END)""".stripMargin
+    val sb = new StringBuilder(
+      """bw0 AS MATERIALIZED (SELECT w, cnt,
+        |    list_transform(range(1, length(w) + 1), i -> w[i:i]) AS syms
+        |  FROM (SELECT w, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |    GROUP BY 1))""".stripMargin)
+    for (k <- 1 to merges) sb.append(
+      s""",
+         |bp$k AS (SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS occ
+         |  FROM bw${k - 1}, LATERAL unnest(range(1, len(syms))) AS u(i)
+         |  WHERE len(syms) >= 2 GROUP BY 1, 2),
+         |br$k AS MATERIALIZED (SELECT l, r, occ FROM bp$k ORDER BY occ DESC, l, r LIMIT 1),
+         |bw$k AS MATERIALIZED (SELECT w, cnt, ${fuse(s"bw${k - 1}")} AS syms
+         |  FROM (SELECT bw.w, bw.cnt, bw.syms, br.l AS rl, br.r AS rr
+         |        FROM bw${k - 1} bw, br$k br))""".stripMargin)
+    sb.toString
+  }
+
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys (approx/LSH/hash-seeded ops) get the
     * driver's rows-only check.
     */
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "doc_bpe_train" ->
+      s"""WITH ${bpeRoundsCte(10)}
+         |${(1 to 10).map(k =>
+             s"""SELECT CAST($k AS INT) AS rank, l AS "left", r AS "right", occ AS n_occ FROM br$k""")
+            .mkString("\nUNION ALL\n")}""".stripMargin,
+    "doc_bpe_encode" ->
+      s"""WITH ${bpeRoundsCte(10)},
+         |betok AS (SELECT w, CAST(len(syms) AS INT) AS n_toks_w FROM bw10),
+         |bedoc AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |beagg AS (SELECT d.doc_id, d.lang,
+         |    CAST(sum(length(d.w)) AS BIGINT) AS n_chars,
+         |    CAST(sum(t.n_toks_w) AS BIGINT) AS n_bpe_tokens
+         |  FROM bedoc d JOIN betok t USING (w) GROUP BY 1, 2)
+         |SELECT doc_id, lang, n_chars, n_bpe_tokens,
+         |  CAST(n_chars * 10000 // n_bpe_tokens AS BIGINT) AS chars_per_token_e4
+         |FROM beagg""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH $mhDocsCte,
+         |${minhashCtes("mh", "mhdocs")},
+         |${mhPairsCte(0.5)}
+         |SELECT doc_a, doc_b, jaccard FROM mhpairs""".stripMargin,
+    "doc_split_leakage" ->
+      s"""WITH $mhDocsCte,
+         |${minhashCtes("mh", "mhdocs")},
+         |${mhPairsCte(0.5)},
+         |slsp AS (SELECT doc_id,
+         |    CASE WHEN substr(md5(text), 1, 2) < 'e0' THEN 'train'
+         |         WHEN substr(md5(text), 1, 2) < 'f0' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM mhdocs),
+         |slp AS (SELECT least(sa.split, sb.split) AS split_a,
+         |    greatest(sa.split, sb.split) AS split_b, p.jaccard
+         |  FROM mhpairs p JOIN slsp sa ON sa.doc_id = p.doc_a
+         |  JOIN slsp sb ON sb.doc_id = p.doc_b)
+         |SELECT split_a, split_b, split_a <> split_b AS is_leak,
+         |  count(*) AS n_pairs,
+         |  CAST(sum(CAST(round(jaccard * 10000) AS BIGINT)) AS BIGINT)
+         |    AS sum_jaccard_e4,
+         |  max(jaccard) AS max_jaccard
+         |FROM slp GROUP BY 1, 2""".stripMargin,
+    "doc_dup_inflation" ->
+      s"""WITH RECURSIVE $mhDocsCte,
+         |${minhashCtes("mh", "mhdocs")},
+         |${mhPairsCte(0.5)},
+         |$ccClosureCte,
+         |ditok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM mhdocs),
+         |diagg AS (SELECT cc.cluster_id, count(*) AS n_members,
+         |    CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(sum(CASE WHEN cc.doc_id = cc.cluster_id THEN t.n_tokens
+         |        ELSE 0 END) AS BIGINT) AS kept_tokens
+         |  FROM cc JOIN ditok t USING (doc_id) GROUP BY 1)
+         |SELECT cluster_id, n_members, total_tokens, kept_tokens,
+         |  CAST(total_tokens - kept_tokens AS BIGINT) AS wasted_tokens,
+         |  CAST((total_tokens - kept_tokens) * 10000 // total_tokens AS BIGINT)
+         |    AS waste_e4
+         |FROM diagg""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $mhDocsCte,
+         |${minhashCtes("mh", "mhdocs")},
+         |${mhPairsCte(0.5)},
+         |$ccClosureCte
+         |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM cc""".stripMargin,
+    "dedup_ensemble" ->
+      s"""WITH $mhDocsCte,
+         |${minhashCtes("mh", "mhdocs")},
+         |${mhPairsCte(0.5)},
+         |env AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(CAST(x * 0.98 + 0.01 AS FLOAT) AS DOUBLE))
+         |  FROM embeddings WHERE vec_id % 20 = 0)
+         |SELECT p.doc_a, p.doc_b, p.jaccard,
+         |  round(list_cosine_similarity(ea.emb, eb.emb), 4) AS cos,
+         |  p.jaccard >= 0.5 AND round(list_cosine_similarity(ea.emb, eb.emb), 4) >= 0.85
+         |    AS both_signals
+         |FROM mhpairs p JOIN env ea ON ea.vec_id = p.doc_a
+         |JOIN env eb ON eb.vec_id = p.doc_b""".stripMargin,
+    "dedup_incremental_near" ->
+      s"""WITH icdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+         |iddocs AS (
+         |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, text FROM icdocs WHERE doc_id % 7 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 4000000,
+         |    array_to_string(list_slice(string_split(text, ' '), 1,
+         |      greatest(len(string_split(text, ' ')) - 1, 1)), ' ')
+         |  FROM icdocs WHERE doc_id % 20 = 5),
+         |${minhashCtes("ic", "icdocs")},
+         |${minhashCtes("id", "iddocs")},
+         |incand AS (SELECT DISTINCT d.doc_id AS delta_doc, c.doc_id AS corpus_doc
+         |  FROM idbands d JOIN icbands c ON c.band = d.band AND c.bh = d.bh),
+         |inint AS (SELECT c.delta_doc, c.corpus_doc, count(*) AS ni
+         |  FROM incand c JOIN idsets x ON x.doc_id = c.delta_doc
+         |  JOIN icsets y ON y.doc_id = c.corpus_doc AND y.h = x.h GROUP BY 1, 2)
+         |SELECT delta_doc, corpus_doc, jaccard FROM (
+         |  SELECT c.delta_doc, c.corpus_doc,
+         |    round(CAST(coalesce(i.ni, 0) AS DOUBLE) /
+         |      (sa.n + sb.n - coalesce(i.ni, 0)), 4) AS jaccard
+         |  FROM incand c
+         |  LEFT JOIN inint i ON i.delta_doc = c.delta_doc AND i.corpus_doc = c.corpus_doc
+         |  JOIN idsz sa ON sa.doc_id = c.delta_doc
+         |  JOIN icsz sb ON sb.doc_id = c.corpus_doc)
+         |WHERE jaccard >= 0.5""".stripMargin,
+    "dedup_lsh_eval" ->
+      s"""WITH $mhDocsCte,
+         |lsbase AS (SELECT doc_id FROM mhdocs
+         |  ORDER BY md5('lsheval_' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 200),
+         |lsids AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_id FROM lsbase
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 FROM lsbase WHERE doc_id % 20 = 0 AND doc_id < 1000000
+         |  UNION ALL
+         |  SELECT doc_id - 1000000 FROM lsbase WHERE doc_id >= 1000000)),
+         |lsdocs AS (SELECT d.doc_id, d.text FROM mhdocs d JOIN lsids USING (doc_id)),
+         |${minhashCtes("ls", "lsdocs")},
+         |lsallp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb
+         |  FROM lssz a JOIN lssz b ON a.doc_id < b.doc_id),
+         |lsin AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS ni
+         |  FROM lssets x JOIN lssets y ON y.h = x.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |lstruth AS (SELECT p.doc_a, p.doc_b
+         |  FROM lsallp p LEFT JOIN lsin i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |  WHERE CAST(coalesce(i.ni, 0) AS DOUBLE)
+         |    / (p.na + p.nb - coalesce(i.ni, 0)) >= 0.5),
+         |lspred AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM lsbands a JOIN lsbands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |lsj AS (SELECT t.doc_a IS NOT NULL AS in_t, p2.doc_a IS NOT NULL AS in_p
+         |  FROM lstruth t FULL OUTER JOIN lspred p2
+         |    ON p2.doc_a = t.doc_a AND p2.doc_b = t.doc_b),
+         |lsagg AS (SELECT
+         |    CAST(sum(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN NOT in_p THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM lsj)
+         |SELECT (SELECT count(*) FROM lsdocs) AS n_docs, tp, fp, fn,
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |    ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT) END AS precision_ppm,
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |    ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT) END AS recall_ppm
+         |FROM lsagg""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $mhDocsCte,
+         |${rollingCtes("ng", "mhdocs", 16)},
+         |${gramCtes("g4", "mhdocs", 4)},
+         |$ngCandCte,
+         |$ngScoreCte
+         |SELECT doc_a, doc_b, jaccard FROM ngsc WHERE jaccard >= 0.4""".stripMargin,
+    "dedup_threshold_curve" ->
+      s"""WITH $mhDocsCte,
+         |${rollingCtes("ng", "mhdocs", 16)},
+         |${gramCtes("g4", "mhdocs", 4)},
+         |$ngCandCte,
+         |$ngScoreCte,
+         |tch AS (SELECT CAST(floor(jaccard * 10) AS BIGINT) AS decile,
+         |    count(*) AS n_pairs
+         |  FROM ngsc WHERE jaccard >= 0.0 GROUP BY 1)
+         |SELECT decile, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY decile DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_or_above
+         |FROM tch""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH ctbase AS (SELECT doc_id, text FROM documents),
+         |ctdocs AS (SELECT doc_id, text FROM ctbase
+         |  UNION ALL
+         |  SELECT doc_id + 3000000,
+         |    text || ' ' || regexp_replace(md5(text) || md5(text || 'x') || md5(text || 'y'),
+         |      '(....)', '\\1 ', 'g')
+         |  FROM ctbase WHERE doc_id % 20 = 5),
+         |${minhashCtes("ct", "ctdocs")},
+         |ctlen AS (SELECT doc_id, length(text) AS len FROM ctdocs),
+         |ctcand AS (SELECT DISTINCT a.doc_id AS inner_doc, b.doc_id AS outer_doc
+         |  FROM ctslot a JOIN ctslot b ON a.j = b.j AND a.sv = b.sv
+         |  JOIN ctlen la ON la.doc_id = a.doc_id
+         |  JOIN ctlen lb ON lb.doc_id = b.doc_id
+         |  WHERE la.len < lb.len),
+         |ctint AS (SELECT c.inner_doc, c.outer_doc, count(*) AS ni
+         |  FROM ctcand c JOIN ctsets x ON x.doc_id = c.inner_doc
+         |  JOIN ctsets y ON y.doc_id = c.outer_doc AND y.h = x.h GROUP BY 1, 2)
+         |SELECT inner_doc, outer_doc, containment, jaccard FROM (
+         |  SELECT c.inner_doc, c.outer_doc,
+         |    round(CAST(coalesce(i.ni, 0) AS DOUBLE) / sa.n, 4) AS containment,
+         |    round(CAST(coalesce(i.ni, 0) AS DOUBLE) /
+         |      (sa.n + sb.n - coalesce(i.ni, 0)), 4) AS jaccard
+         |  FROM ctcand c
+         |  LEFT JOIN ctint i ON i.inner_doc = c.inner_doc AND i.outer_doc = c.outer_doc
+         |  JOIN ctsz sa ON sa.doc_id = c.inner_doc
+         |  JOIN ctsz sb ON sb.doc_id = c.outer_doc)
+         |WHERE containment >= 0.85""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $mhDocsCte,
+         |${rollingCtes("sr", "mhdocs", 32)},
+         |shtok AS (SELECT doc_id, t[i] AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM mhdocs) shtk,
+         |  LATERAL unnest(range(1, len(t) + 1)) AS u(i)),
+         |shh AS MATERIALIZED (SELECT doc_id, ${fnvFoldSql("w")} AS h FROM shtok),
+         |shv AS (SELECT doc_id, b,
+         |    sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM shh, LATERAL unnest(range(0, 64)) AS u(b) GROUP BY 1, 2),
+         |shsig AS MATERIALIZED (SELECT doc_id,
+         |    sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << b
+         |        ELSE CAST(0 AS HUGEINT) END) AS sigu
+         |  FROM shv GROUP BY 1),
+         |shband AS (SELECT doc_id, b AS band, (sigu >> (b * 16)) % 65536 AS bh
+         |  FROM shsig, LATERAL unnest(range(0, 4)) AS u(b)),
+         |shcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shband a JOIN shband b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |shx AS (SELECT c.doc_a, c.doc_b, xor(sa.sigu, sb.sigu) AS xr,
+         |    ra.rfp = rb.rfp AS same_rolling_fp
+         |  FROM shcand c JOIN shsig sa ON sa.doc_id = c.doc_a
+         |  JOIN shsig sb ON sb.doc_id = c.doc_b
+         |  JOIN srrfp ra ON ra.doc_id = c.doc_a
+         |  JOIN srrfp rb ON rb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(CAST(xr % 4294967296 AS BIGINT)) +
+         |       bit_count(CAST(xr // 4294967296 AS BIGINT)) AS INT) AS hamming,
+         |  same_rolling_fp
+         |FROM shx
+         |WHERE bit_count(CAST(xr % 4294967296 AS BIGINT)) +
+         |      bit_count(CAST(xr // 4294967296 AS BIGINT)) <= 6""".stripMargin,
+    "doc_curation_fuzzy" ->
+      s"""WITH RECURSIVE $mhDocsCte,
+         |${minhashCtes("mh", "mhdocs")},
+         |${mhPairsCte(0.5)},
+         |$ccClosureCte,
+         |losers AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id),
+         |kept AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT doc_id, lang,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |q AS (
+         |  SELECT doc_id, n_tokens AS n_words FROM (
+         |    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |      CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         |      CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5
+         |         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) // 5
+         |         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) // 4
+         |         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' to ', ''))) // 4
+         |         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' in ', ''))) // 4
+         |         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) // 4
+         |         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' for ', ''))) // 5
+         |        AS BIGINT) AS stop_hits
+         |    FROM documents)
+         |  WHERE n_tokens >= 40 AND n_tokens <= 100000
+         |    AND (n_chars - n_tokens + 1) * 10000 // n_tokens BETWEEN 30000 AND 100000
+         |    AND stop_hits * 10000 // n_tokens >= 200)
+         |SELECT k.lang, count(*) AS n_docs, CAST(sum(q.n_words) AS BIGINT) AS n_tokens
+         |FROM kept k
+         |JOIN q USING (doc_id)
+         |WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)
+         |GROUP BY 1""".stripMargin,
+    "doc_cluster_keywords" ->
+      s"""WITH RECURSIVE $mhDocsCte,
+         |${minhashCtes("mh", "mhdocs")},
+         |${mhPairsCte(0.5)},
+         |$ccClosureCte,
+         |cktf AS (SELECT cc.cluster_id, term, count(*) AS tf
+         |  FROM cc JOIN mhdocs d USING (doc_id),
+         |       LATERAL unnest(string_split(d.text, ' ')) AS t(term)
+         |  WHERE term <> '' GROUP BY 1, 2),
+         |ckdf AS (SELECT term, count(*) AS cdf FROM cktf GROUP BY 1),
+         |ckn AS (SELECT count(DISTINCT cluster_id) AS n_clusters FROM cc),
+         |cks AS (SELECT cluster_id, term, tf, cdf,
+         |    CAST(length(bin(n_clusters // cdf)) - 1 AS BIGINT) AS idf_bits,
+         |    CAST(tf * (length(bin(n_clusters // cdf)) - 1) AS BIGINT) AS score
+         |  FROM cktf JOIN ckdf USING (term), ckn),
+         |ckr AS (SELECT *, CAST(row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY score DESC, term) AS INT) AS rnk FROM cks)
+         |SELECT cluster_id, term, CAST(tf AS BIGINT) AS tf,
+         |  CAST(cdf AS BIGINT) AS cdf, idf_bits, score, rnk
+         |FROM ckr WHERE rnk <= 3""".stripMargin,
     "sim_supplier_assortment" ->
       s"""WITH pk AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
          |jj AS (SELECT CAST(range AS HUGEINT) AS j FROM range(0, 64)),

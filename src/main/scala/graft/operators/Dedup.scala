@@ -510,8 +510,10 @@ object Dedup {
   }
 
   /** #190 driver entry: near-dup pairs of the delta batch against the
-    * corpus index (rows-only: MinHash banding is not oracle-expressible;
-    * DedupSpec pins plant recovery + index round-trip).
+    * corpus index (hash-oracle: the corpus/delta split is doc_id
+    * arithmetic and the banding replays in SQL like the rest of the
+    * MinHash family; DedupSpec additionally pins plant recovery + index
+    * round-trip).
     */
   def incrementalNearDemo(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
@@ -659,6 +661,72 @@ object Dedup {
           "ELSE tp * 1000000 DIV (tp + fp) END").as("precision_ppm"),
         expr("CASE WHEN tp + fn = 0 THEN NULL " +
           "ELSE tp * 1000000 DIV (tp + fn) END").as("recall_ppm"))
+  }
+
+  /** #339 Split-leakage audit — near-duplicate pairs that STRADDLE the
+    * content-hash train/val/test boundary. Exact-hash splitting (Text
+    * .docSplitAssign) guarantees a byte-identical document never lands in
+    * two splits, but a near-duplicate pair (reworded crawl, truncated
+    * re-render) hashes independently, so ~2·p·(1−p) of near-dup pairs
+    * leak eval content into training — the contamination mode Lee et al.
+    * (ACL'22) measure and exact dedup cannot see. One join of the
+    * memoized pair artifact against the split labels of both endpoints
+    * (ids travel; the pair list is the standing [[minhashLsh]] parquet,
+    * so the corpus-scale work was already paid once per snapshot) →
+    * the (split, split) leakage matrix with pair counts and similarity
+    * mass. `is_leak` rows are the actionable set: promote those pairs'
+    * members to the SAME split (or drop the eval member) before training.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+    val splits = corpusWithPlants(spark, dir)
+      .select(col("doc_id"), substring(md5(col("text")), 1, 2).as("hh"))
+      .selectExpr("doc_id",
+        """CASE WHEN hh < 'e0' THEN 'train'
+          |     WHEN hh < 'f0' THEN 'val'
+          |     ELSE 'test' END AS split""".stripMargin)
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sp_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sp_b")), "doc_b")
+      .select(least(col("sp_a"), col("sp_b")).as("split_a"),
+        greatest(col("sp_a"), col("sp_b")).as("split_b"),
+        col("jaccard"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(round(jaccard * 10000) AS BIGINT)")).cast("long")
+          .as("sum_jaccard_e4"),
+        max(col("jaccard")).as("max_jaccard"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
+      .select("split_a", "split_b", "is_leak", "n_pairs", "sum_jaccard_e4",
+        "max_jaccard")
+  }
+
+  /** #340 Duplication-inflation accounting — the "what does near-dedup
+    * buy" readout: per near-dup family, the token mass the corpus carries
+    * vs what the keep-first survivor contributes, i.e. the exact number
+    * of training tokens the cluster wastes if shipped undeduplicated.
+    * The corpus-scale inputs are both memoized snapshot artifacts (the
+    * cluster assignment parquet and a token-count projection); the output
+    * is one row per family — thousands, not corpus-sized. `waste_e4` is
+    * exact integer fixed-point, safe to threshold in a pipeline gate.
+    */
+  def dupInflation(spark: SparkSession, dir: String): DataFrame = {
+    val toks = corpusWithPlants(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    dedupClusters(spark, dir)
+      .join(toks, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).cast("long")
+          .as("kept_tokens"))
+      .withColumn("wasted_tokens",
+        (col("total_tokens") - col("kept_tokens")).cast("long"))
+      .withColumn("waste_e4",
+        expr("wasted_tokens * 10000 DIV total_tokens"))
+      .select("cluster_id", "n_members", "total_tokens", "kept_tokens",
+        "wasted_tokens", "waste_e4")
   }
 
   /** #307 Dedup threshold tuning curve — before picking the Jaccard

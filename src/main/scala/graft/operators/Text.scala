@@ -1290,8 +1290,10 @@ object Text {
   }
 
   /** #328 Registered query: keyword labels for the MinHash near-dup
-    * clusters (rows-only: the clustering is hash-seeded; DedupSpec +
-    * the planted-family spec pin semantics).
+    * clusters (hash-oracle: the clustering replays in SQL via the
+    * signature machinery + a recursive-CTE closure, and the scoring is
+    * integer arithmetic; DedupSpec + the planted-family spec pin
+    * semantics).
     */
   def clusterKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
     clusterKeywordsFrom(Dedup.dedupClusters(spark, dir),

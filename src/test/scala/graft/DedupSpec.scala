@@ -331,4 +331,46 @@ class DedupSpec extends SparkSpec {
     assert(rows.filter(_._1 >= 9L).map(_._2._1).sum > 0,
       "plants missing from the top deciles")
   }
+
+  test("split leakage: matrix conserves the pair list and leak rows straddle") {
+    val rows = Dedup.splitLeakage(spark, sf).collect()
+    val nPairs = Dedup.minhashLsh(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === nPairs,
+      "leakage matrix must conserve the full pair list")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("split_a"), r.getAs[String]("split_b"))
+      assert(Set("train", "val", "test")(a) && Set("train", "val", "test")(b))
+      assert(a <= b, "matrix keys must be canonically ordered")
+      assert(r.getAs[Boolean]("is_leak") === (a != b))
+      // e4 similarity mass is bounded by pair count at Jaccard = 1
+      assert(r.getAs[Long]("sum_jaccard_e4") <= r.getAs[Long]("n_pairs") * 10000L)
+      assert(r.getAs[Double]("max_jaccard") >= 0.5 &&
+        r.getAs[Double]("max_jaccard") <= 1.0)
+    }
+    // content-hash splits assign a perturbed plant independently of its
+    // original (~2·p·(1−p) of pairs straddle) — the corpus plants enough
+    // pairs that SOME leakage must show up; zero leak rows means the join
+    // broke, not that the corpus is clean
+    assert(rows.exists(_.getAs[Boolean]("is_leak")),
+      "near-dup plants must produce at least one cross-split pair")
+  }
+
+  test("dup inflation: per-family token accounting is exact") {
+    val rows = Dedup.dupInflation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val clusters = Dedup.dedupClusters(spark, sf).count()
+    assert(rows.length.toLong ===
+      Dedup.dedupClusters(spark, sf).select("cluster_id").distinct().count())
+    assert(clusters === rows.map(_.getAs[Long]("n_members")).sum,
+      "every clustered doc contributes to exactly one family row")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 2L,
+        "a near-dup family has at least two members")
+      val total = r.getAs[Long]("total_tokens")
+      val kept = r.getAs[Long]("kept_tokens")
+      val wasted = r.getAs[Long]("wasted_tokens")
+      assert(kept > 0L && kept < total && wasted === total - kept)
+      assert(r.getAs[Long]("waste_e4") === wasted * 10000L / total)
+    }
+  }
 }
