@@ -245,6 +245,7 @@ object SparkEntry {
     "ev_sessionize_delta" -> ((s, d) => Events.sessionizeDelta(s, d)),
     // exact sliding-window distinct: DAU / trailing-7d WAU / stickiness
     "ev_sliding_distinct" -> ((s, d) => Events.slidingDistinct(s, d)),
+    "ev_policy_replay" -> ((s, d) => Events.policyReplay(s, d)),
     // staggered-rollout DiD readout: 2×2 cells + did_e4, one scan
     "ev_diff_in_diff" -> ((s, d) => Events.diffInDiff(s, d)),
     // SRE error-budget burn: fast (day) + slow (7d) windows, exact e2
@@ -481,6 +482,7 @@ object SparkEntry {
     // sketch aggregate (rows-only: hash-seeded signature)
     "sim_supplier_assortment" -> ((s, d) => Similarity.supplierAssortmentSim(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     "mm_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     // arrays projected to a CSV digest: the driver's rows-only check sorts
@@ -1270,6 +1272,33 @@ object SparkEntry {
          |${mhPairsCte(0.5)},
          |$ccClosureCte
          |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM cc""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $mhDocsCte,
+         |${minhashCtes("mh", "mhdocs")},
+         |${mhPairsCte(0.5)},
+         |$ccClosureCte,
+         |kbq AS (SELECT doc_id,
+         |    CAST(least(100, n_tokens) * greatest(0, n_tokens - the_cnt) * 100
+         |      // n_tokens AS BIGINT) AS q_e4
+         |  FROM (SELECT doc_id,
+         |      CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+         |        AS n_tokens,
+         |      CAST(length(text) - length(replace(text, 'the', '')) AS BIGINT)
+         |        // 3 AS the_cnt
+         |    FROM mhdocs)),
+         |kbm AS (SELECT cc.doc_id, cc.cluster_id, q.q_e4,
+         |    row_number() OVER (PARTITION BY cc.cluster_id
+         |      ORDER BY q.q_e4 DESC, cc.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cc.cluster_id) AS n_members,
+         |    max(CASE WHEN cc.doc_id = cc.cluster_id THEN q.q_e4 END)
+         |      OVER (PARTITION BY cc.cluster_id) AS first_q_e4
+         |  FROM cc JOIN kbq q USING (doc_id))
+         |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(first_q_e4 AS BIGINT) AS first_q_e4, doc_id AS best_doc,
+         |  CAST(q_e4 AS BIGINT) AS best_q_e4,
+         |  CAST(q_e4 - first_q_e4 AS BIGINT) AS gain_e4,
+         |  doc_id <> cluster_id AS changed
+         |FROM kbm WHERE rn = 1""".stripMargin,
     "dedup_ensemble" ->
       s"""WITH $mhDocsCte,
          |${minhashCtes("mh", "mhdocs")},
@@ -1893,6 +1922,35 @@ object SparkEntry {
         |SELECT day, dau, wau_trailing7,
         |  CAST(dau * 10000 // wau_trailing7 AS BIGINT) AS stickiness_e4
         |FROM dau JOIN wau USING (day)""".stripMargin,
+    "ev_policy_replay" ->
+      """WITH pra AS (SELECT user_id % 8 AS segment, event_type AS action,
+        |    count(*) AS n_a,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents_a
+        |  FROM events GROUP BY 1, 2),
+        |prw AS (SELECT segment, action, n_a, cents_a,
+        |    row_number() OVER (PARTITION BY segment
+        |      ORDER BY n_a DESC, action) AS rk,
+        |    count(*) OVER (PARTITION BY segment) AS k,
+        |    sum(n_a) OVER (PARTITION BY segment) AS n_logs,
+        |    sum(cents_a) OVER (PARTITION BY segment) AS total_cents
+        |  FROM pra),
+        |prp AS (SELECT *,
+        |    CASE WHEN rk = 1 AND k = 1 THEN 1 WHEN rk = 1 THEN 4 ELSE 1 END AS pi_num,
+        |    CASE WHEN rk = 1 AND k = 1 THEN 1 WHEN rk = 1 THEN 5
+        |         ELSE 5 * (k - 1) END AS pi_den
+        |  FROM prw)
+        |SELECT segment, CAST(max(k) AS BIGINT) AS k_actions,
+        |  max(CASE WHEN rk = 1 THEN action END) AS modal_action,
+        |  CAST(max(n_logs) AS BIGINT) AS n_logs,
+        |  CAST(sum(CASE WHEN rk = 1 THEN n_a END) AS BIGINT) AS n_modal,
+        |  CAST(max(total_cents * 10000 // n_logs) AS BIGINT) AS logged_cents_e4,
+        |  CAST(sum(pi_num * cents_a * 10000 // (pi_den * n_a)) AS BIGINT)
+        |    AS ips_cents_e4,
+        |  CAST(sum(pi_num * cents_a * 10000 // (pi_den * n_a))
+        |    - max(total_cents * 10000 // n_logs) AS BIGINT) AS lift_e4,
+        |  CAST(1000000000000 // sum(pi_num * pi_num * 100000000
+        |    // (pi_den * pi_den * n_a)) AS BIGINT) AS ess_e4
+        |FROM prp GROUP BY segment""".stripMargin,
     // the custom merge exec must land on EXACTLY the rows the
     // union+window path produces — one ASOF oracle serves both
     "cdc_asof_exec" -> oracleSqlBase("cdc_asof_join")

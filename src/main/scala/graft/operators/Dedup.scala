@@ -223,6 +223,43 @@ object Dedup {
     spark.read.parquet(path)
   }
 
+  /** #341 Quality-aware representative selection per near-dup family:
+    * keep-first (min doc_id, what [[dedupClusters]] flags) is the cheap
+    * default, but the member worth shipping to training is the HIGHEST
+    * QUALITY one — a truncated re-render can carry the min id while the
+    * full original sits unkept. One row per family: the keep-first
+    * member's quality vs the argmax-quality member (ties broken by
+    * doc_id, fully deterministic), the fixed-point gain, and whether the
+    * choice actually changed. Both inputs are memoized snapshot artifacts
+    * (cluster parquet; quality is a projection) and the single shuffle is
+    * the cluster_id window — family count, not corpus count, bounds the
+    * output.
+    */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val q = corpusWithPlants(spark, dir)
+      .selectExpr("doc_id",
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens",
+        "CAST(length(text) - length(replace(text, 'the', '')) AS BIGINT) DIV 3 AS the_cnt")
+      .selectExpr("doc_id",
+        // the #44 quality score: least(1, n/100) * (1 - the/n), exact e4
+        // fixed point, numerator clamped non-negative so DIV == floor
+        "least(100, n_tokens) * greatest(0, n_tokens - the_cnt) * 100 DIV n_tokens AS q_e4")
+    val cl = dedupClusters(spark, dir).join(q, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    val wo = w.orderBy(col("q_e4").desc, col("doc_id").asc)
+    cl.withColumn("rn", row_number().over(wo))
+      .withColumn("n_members", count(lit(1)).over(w))
+      // cluster_id IS the min member label, so the keep-first survivor's
+      // quality is the q of the doc_id == cluster_id row
+      .withColumn("first_q_e4",
+        max(when(col("doc_id") === col("cluster_id"), col("q_e4"))).over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("n_members"), col("first_q_e4"),
+        col("doc_id").as("best_doc"), col("q_e4").as("best_q_e4"),
+        (col("q_e4") - col("first_q_e4")).as("gain_e4"),
+        (col("doc_id") =!= col("cluster_id")).as("changed"))
+  }
+
   /** #37 Embedding-cosine near-dup pairs. Exact all-pairs above a threshold
     * — the oracle-checkable baseline; Similarity.annLshTopK is the
     * LSH-bucketed variant that scales past all-pairs. Accumulates in double

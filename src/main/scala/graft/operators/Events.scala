@@ -1520,4 +1520,56 @@ object Events {
       .select(col("day"), col("dau"), col("wau_trailing7"),
         expr("dau * 10000 DIV wau_trailing7").as("stickiness_e4"))
   }
+
+  /** #344 Off-policy evaluation by inverse-propensity replay (IPS):
+    * "what would the ε-greedy-on-modal policy have earned on this logged
+    * traffic" — the counterfactual readout an experimentation pipeline
+    * wants BEFORE an online test. The logged behavior policy's propensity
+    * is its empirical action rate per segment (p = n_sa/n_s); the target
+    * policy plays the modal action with ε=0.2 spread over the others
+    * (all mass on modal when it's the only action). Because the weights
+    * depend only on (segment, action), the whole estimator folds onto the
+    * segment×action aggregate — per-event weights never materialize, so
+    * cost is two small shuffles at ANY event volume. Every output is
+    * exact integer fixed-point: per-action terms use one integer DIV each
+    * (non-negative numerators — values are positive cents) and sum, so
+    * Spark and the SQL replay agree bit-for-bit; ess_e4 is the effective
+    * sample size (Kish) — the estimator-health gauge that says how many
+    * logged events the reweighting actually kept.
+    */
+  def policyReplay(spark: SparkSession, dir: String): DataFrame = {
+    val sa = Tables.events(spark, dir)
+      .select((col("user_id") % 8).as("segment"), col("event_type").as("action"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+      .groupBy("segment", "action")
+      .agg(count(lit(1)).as("n_a"),
+        (sum(col("v")) * 100).cast("long").as("cents_a"))
+    val w = Window.partitionBy("segment")
+    val wo = w.orderBy(col("n_a").desc, col("action").asc)
+    sa.select(col("segment"), col("action"), col("n_a"), col("cents_a"),
+        row_number().over(wo).as("rk"),
+        count(lit(1)).over(w).as("k"),
+        sum(col("n_a")).over(w).as("n_logs"),
+        sum(col("cents_a")).over(w).as("total_cents"))
+      // ε-greedy target as exact rationals: modal gets 4/5 (1/1 when the
+      // segment logged a single action), each alternative 1/(5(k-1))
+      .selectExpr("segment", "action", "n_a", "cents_a", "rk", "k",
+        "n_logs", "total_cents",
+        "CASE WHEN rk = 1 AND k = 1 THEN 1 WHEN rk = 1 THEN 4 ELSE 1 END AS pi_num",
+        "CASE WHEN rk = 1 AND k = 1 THEN 1 WHEN rk = 1 THEN 5 ELSE 5 * (k - 1) END AS pi_den")
+      .groupBy("segment")
+      .agg(max(col("k")).as("k_actions"),
+        max(col("n_logs")).as("n_logs"),
+        max(when(col("rk") === 1, col("action"))).as("modal_action"),
+        sum(when(col("rk") === 1, col("n_a"))).as("n_modal"),
+        max(expr("total_cents * 10000 DIV n_logs")).as("logged_cents_e4"),
+        sum(expr("pi_num * cents_a * 10000 DIV (pi_den * n_a)"))
+          .cast("long").as("ips_cents_e4"),
+        sum(expr("pi_num * pi_num * 100000000 DIV (pi_den * pi_den * n_a)"))
+          .cast("long").as("s_e8"))
+      .selectExpr("segment", "k_actions", "modal_action", "n_logs", "n_modal",
+        "logged_cents_e4", "ips_cents_e4",
+        "CAST(ips_cents_e4 - logged_cents_e4 AS BIGINT) AS lift_e4",
+        "CAST(1000000000000 DIV s_e8 AS BIGINT) AS ess_e4")
+  }
 }

@@ -58,10 +58,18 @@ object EmbeddedTopicLog {
   /** Segment filename carries its offset range: seg-<start>-<endExcl>. */
   private val SegName = "seg-(\\d+)-(\\d+)\\.bin".r
 
+  // Files.list returns a Stream backed by an open directory handle; every
+  // micro-batch lists each partition dir, so the handle must be closed
+  // eagerly (not left to GC) or a long-running stream leaks descriptors
+  private def listDir[A](d: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(d)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   private[sources] def segments(root: String, topic: String, p: Int): Seq[(Long, Long, Path)] = {
     val d = partDir(root, topic, p)
     if (!Files.isDirectory(d)) Nil
-    else Files.list(d).iterator().asScala.toSeq.flatMap { f =>
+    else listDir(d)(_.toSeq).flatMap { f =>
       f.getFileName.toString match {
         case SegName(s, e) => Some((s.toLong, e.toLong, f))
         case _             => None
@@ -72,7 +80,7 @@ object EmbeddedTopicLog {
   def partitionCount(root: String, topic: String): Int = {
     val d = Paths.get(root, topic)
     if (!Files.isDirectory(d)) 0
-    else Files.list(d).iterator().asScala.count(_.getFileName.toString.startsWith("p="))
+    else listDir(d)(_.count(_.getFileName.toString.startsWith("p=")))
   }
 
   /** Next offset to be assigned in a partition (== current end offset). */

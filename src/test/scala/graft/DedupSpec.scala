@@ -355,6 +355,32 @@ class DedupSpec extends SparkSpec {
       "near-dup plants must produce at least one cross-split pair")
   }
 
+  test("keep-best: one row per family, argmax beats keep-first, ties break low") {
+    val rows = Dedup.keepBest(spark, sf).collect()
+    val cl = Dedup.dedupClusters(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(rows.length === cl.size, "exactly one representative per family")
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val best = r.getAs[Long]("best_doc")
+      assert(cl(cid)(best), "representative must be a member of its family")
+      assert(r.getAs[Long]("n_members") === cl(cid).size.toLong)
+      assert(r.getAs[Long]("best_q_e4") >= r.getAs[Long]("first_q_e4"),
+        "argmax quality can never fall below the keep-first member's")
+      assert(r.getAs[Long]("gain_e4") ===
+        r.getAs[Long]("best_q_e4") - r.getAs[Long]("first_q_e4"))
+      assert(r.getAs[Boolean]("changed") === (best != cid),
+        "changed flags exactly the families where the survivor moved")
+    }
+    // plants truncate the ORIGINAL doc (one token dropped), so in some
+    // family the members differ in quality and the argmax must actually
+    // migrate off the min-id member — all-unchanged means the quality
+    // join broke, not that keep-first was globally optimal
+    assert(rows.exists(_.getAs[Boolean]("changed")),
+      "at least one family must switch representatives")
+  }
+
   test("dup inflation: per-family token accounting is exact") {
     val rows = Dedup.dupInflation(spark, sf).collect()
     assert(rows.nonEmpty)
