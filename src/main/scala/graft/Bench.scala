@@ -36,8 +36,15 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // all control chars (< 0x20) must be \u-escaped or the emitted line is
+    // invalid JSON for downstream parsers (tabs/CRs in exception messages)
     def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+      s.flatMap {
+        case '"'            => "\\\""
+        case '\\'           => "\\\\"
+        case c if c < ' '   => "\\u%04x".format(c.toInt)
+        case c              => c.toString
+      }
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")

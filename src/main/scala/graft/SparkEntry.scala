@@ -427,6 +427,9 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Text.dedupExact(s, d)),
     "doc_fingerprint" -> ((s, d) => Text.docFingerprint(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    // hot-bucket accounting for every LSH band join (the capBuckets guard):
+    // per band, bucket census + the row mass the cap would sample away
+    "dedup_bucket_skew" -> ((s, d) => Dedup.bucketSkew(s, d)),
     // incremental (delta-vs-index) dedup: the 100 TB lifecycle — index the
     // standing corpus once, each crawl batch joins against the index
     "dedup_incremental_exact" -> ((s, d) => Dedup.incrementalExact(s, d)),
@@ -1230,6 +1233,19 @@ object SparkEntry {
          |${minhashCtes("mh", "mhdocs")},
          |${mhPairsCte(0.5)}
          |SELECT doc_a, doc_b, jaccard FROM mhpairs""".stripMargin,
+    // band-bucket census over the same banding the pair join shuffles on;
+    // bucket sizes are identical under raw-slice vs xxhash64 band keys
+    "dedup_bucket_skew" ->
+      s"""WITH $mhDocsCte,
+         |${minhashCtes("mh", "mhdocs")},
+         |bsz AS (SELECT band, bh, count(*) AS sz FROM mhbands GROUP BY 1, 2)
+         |SELECT CAST(band AS INT) AS band, CAST(1000 AS BIGINT) AS cap,
+         |  count(*) AS n_buckets, CAST(max(sz) AS BIGINT) AS max_bucket,
+         |  CAST(sum(CASE WHEN sz > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hot_buckets,
+         |  CAST(sum(CASE WHEN sz > 1000 THEN sz - 1000 ELSE 0 END) AS BIGINT)
+         |    AS dropped_rows
+         |FROM bsz GROUP BY band""".stripMargin,
     "doc_split_leakage" ->
       s"""WITH $mhDocsCte,
          |${minhashCtes("mh", "mhdocs")},
@@ -1773,7 +1789,8 @@ object SparkEntry {
         |  (SELECT count(*) FROM g WHERE rn = 1 AND operation <> 'DELETE')
         |""".stripMargin,
     // streaming curation = distinct-text-per-language census through the
-    // quality gate; shipped = corpus + the re-shipped first-half thirds
+    // quality gate; shipped = corpus + the re-shipped batch-1 thirds
+    // (doc_id % 2 = 0 ∧ doc_id % 3 = 0 ⟺ doc_id % 6 = 0)
     "doc_stream_curate" ->
       """WITH d AS (SELECT lang, md5(text) AS digest,
         |    len(string_split(text, ' ')) AS n_tokens,
@@ -1781,11 +1798,12 @@ object SparkEntry {
         |      greatest(len(string_split(text, ' ')), 1) AS mwl
         |  FROM documents),
         |tot AS (SELECT count(*) AS n FROM documents),
+        |resh AS (SELECT count(*) AS r FROM documents WHERE doc_id % 6 = 0),
         |adm AS (SELECT lang, digest FROM d
         |  WHERE n_tokens >= 5 AND mwl BETWEEN 2.0 AND 12.0
         |  GROUP BY lang, digest)
         |SELECT lang, count(*) AS n_admitted, count(*) AS n_distinct,
-        |  (SELECT n + ((n // 2) + 2) // 3 FROM tot) AS n_shipped_total
+        |  (SELECT n + r FROM tot, resh) AS n_shipped_total
         |FROM adm GROUP BY lang""".stripMargin,
     // watermark-poll contract: poll 1 = backlog above watermark 0, poll 2 =
     // exactly the late rows above poll 1's high watermark (-1 on empty)

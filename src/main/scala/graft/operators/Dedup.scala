@@ -23,6 +23,66 @@ object Dedup {
 
   private val PerturbOffset = 1000000L
 
+  /** Hot-bucket guard for every LSH candidate join in this file (and the
+    * hyperplane buckets in [[Similarity.knnGraphFrom]]). A bucket self-join
+    * is quadratic IN THE BUCKET, and web corpora produce mega-buckets:
+    * boilerplate families that survive exact dedup still share band keys,
+    * so one hot key turns the "linear" LSH plan into an O(B²) task that
+    * never finishes at 100 TB. The guard deterministically samples every
+    * bucket down to `cap` members (rank by xxhash64 of the member id —
+    * content-independent, reproducible across runs and engines; ties by
+    * id). Sampling, not dropping: a mega-bucket still yields candidate
+    * pairs among its sampled members, so its near-dup family is still
+    * detected (and the CC step then clusters it), just not exhaustively
+    * paired. NOT silent: [[bucketSkew]] is the registered accounting query
+    * reporting per-band bucket census + exactly how many member rows the
+    * cap would drop at the current corpus.
+    *
+    * Cost: one row_number window partitioned by the SAME key the join
+    * shuffles on — the exchange is shared, so the guard adds a per-bucket
+    * sort, no extra shuffle. At the test SFs no bucket reaches the default
+    * cap (bucketSkew proves it), so every oracle result is unchanged.
+    */
+  val DefaultBucketCap = 1000
+
+  private[graft] def capBuckets(banded: DataFrame, keyCols: Seq[String],
+      idCol: String, cap: Int = DefaultBucketCap): DataFrame = {
+    // rank hash salts with the bucket key so each band samples a DIFFERENT
+    // subset of a hot family — across b bands a capped family still gets
+    // ~b·C(cap,2) distinct candidate pairs instead of one repeated sample
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(xxhash64((idCol +: keyCols).map(col): _*), col(idCol))
+    banded.withColumn("__bkt_rn", row_number().over(w))
+      .filter(col("__bkt_rn") <= cap).drop("__bkt_rn")
+  }
+
+  /** #344 Band-bucket skew census over the MinHash banding — the accounting
+    * side of [[capBuckets]]: per band, the bucket count, the largest
+    * bucket, and the hot-bucket/dropped-row mass the cap would sample away
+    * at this corpus. Run it before trusting an LSH dedup pass at a new
+    * scale: `n_hot_buckets` > 0 means candidate generation is sampling
+    * (recall on those families is partial) and `max_bucket` tells you the
+    * worst self-join a task would have faced uncapped.
+    */
+  def bucketSkew(spark: SparkSession, dir: String,
+      cap: Int = DefaultBucketCap): DataFrame =
+    bucketSkewFrom(corpusWithPlants(spark, dir), cap)
+
+  def bucketSkewFrom(docs: DataFrame, cap: Int = DefaultBucketCap): DataFrame =
+    minhashBands(docs)
+      .groupBy("band", "bh").agg(count(lit(1)).as("sz"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("sz")).as("max_bucket"),
+        sum(when(col("sz") > cap, 1L).otherwise(0L)).cast("long")
+          .as("n_hot_buckets"),
+        sum(when(col("sz") > cap, col("sz") - cap).otherwise(0L)).cast("long")
+          .as("dropped_rows"))
+      .withColumn("cap", lit(cap.toLong))
+      .select("band", "cap", "n_buckets", "max_bucket", "n_hot_buckets",
+        "dropped_rows")
+
   /** Corpus ∪ deterministically-perturbed subset (near-dup planting). */
   private[operators] def corpusWithPlants(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
@@ -64,8 +124,9 @@ object Dedup {
     val k = 16; val bands = 4
     val corpus = corpusWithPlants(spark, dir)
     // signature: one codegen'd pass per row (MinHashSig expression);
-    // banding shared with the incremental index path (minhashBands)
-    val banded = minhashBands(corpus, k, bands)
+    // banding shared with the incremental index path (minhashBands);
+    // hot buckets sampled to the cap (see capBuckets/bucketSkew)
+    val banded = capBuckets(minhashBands(corpus, k, bands), Seq("band", "bh"), "doc_id")
     // candidates: equi-join on the band key only (ids travel, not documents)
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
@@ -101,11 +162,12 @@ object Dedup {
     val signed = corpusWithPlants(spark, dir)
       .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("sig"),
         GraftFunctions.rollingMinHash(col("text"), 32).as("rfp"))
-    val banded = signed.select(col("doc_id"), col("sig"), col("rfp"),
+    val banded = capBuckets(signed.select(col("doc_id"), col("sig"), col("rfp"),
       explode(expr(
         "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b * 16) & 65535 AS bh))"))
         .as("bk"))
-      .select(col("doc_id"), col("sig"), col("rfp"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .select(col("doc_id"), col("sig"), col("rfp"), col("bk.band").as("band"), col("bk.bh").as("bh")),
+      Seq("band", "bh"), "doc_id")
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("rfp").as("rfp_a"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("sig").as("sig_b"),
@@ -127,9 +189,9 @@ object Dedup {
     // stable under small edits, so near-dups land in the same (tiny) block —
     // unlike a prefix key, which degenerates on a small vocabulary.
     val corpus = corpusWithPlants(spark, dir)
-    val blocked = corpus.select(col("doc_id"),
+    val blocked = capBuckets(corpus.select(col("doc_id"),
       GraftFunctions.rollingMinHash(col("text"), 16).as("block"),
-      length(col("text")).as("len"))
+      length(col("text")).as("len")), Seq("block"), "doc_id")
     val a = blocked.select(col("block"), col("doc_id").as("doc_a"), col("len").as("len_a"))
     val b = blocked.select(col("block"), col("doc_id").as("doc_b"), col("len").as("len_b"))
     val candidates = a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
@@ -159,14 +221,56 @@ object Dedup {
     * O(log diameter) rounds; near-dup graphs have tiny diameters so the
     * fixed iteration count is safe at any corpus size.
     */
+  /** Edge-count bound under which CC solves in ONE task (union-find with
+    * path compression over ≤ ~2M edges ≈ tens of MB — the "solve the
+    * contracted residual locally" step of Kiveris et al. §4; min-root
+    * union yields exactly the min-member labels the iterative loop
+    * converges to). Verified-near-dup pair graphs and delta contractions
+    * sit orders of magnitude below this; only a genuinely corpus-scale
+    * edge set falls through to the O(log d)-round distributed loop, whose
+    * per-round fixed cost (3 shuffles + 2 actions) this path avoids.
+    */
+  private val SmallGraphEdges = 2000000L
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 6): DataFrame = {
-    // edges both directions; labels start as self
-    var labels = pairs.select(col("doc_a").as("id")).unionAll(pairs.select(col("doc_b").as("id")))
-      .distinct().withColumn("comp", col("id"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (edges.count() <= SmallGraphEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val out = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          it.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) {
+              // min root = min member id, matching the loop's labels
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+          val ks = parent.keys.toArray
+          ks.iterator.map(k => (k, find(k)))
+        }
+        .toDF("doc_id", "cluster_id")
+        .localCheckpoint(true) // materialize before the edge cache drops
+      edges.unpersist()
+      return out
+    }
+    // labels start as self
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
     var i = 0
     var prevSum = -1L
     var converged = false
@@ -289,11 +393,12 @@ object Dedup {
   def embeddingNearDupLsh(spark: SparkSession, dir: String, tau: Double = 0.4,
       planes: Int = 8, tables: Int = 8): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val banded = e.select(col("vec_id"),
+    val banded = capBuckets(e.select(col("vec_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
           GraftFunctions.hyperplaneBucket(col("embedding"), planes, t).as("bucket"))): _*)).as("bk"))
-      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket")),
+      Seq("tbl", "bucket"), "vec_id")
     val a = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
     val b = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
     val cand = a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
@@ -432,7 +537,7 @@ object Dedup {
     * index rows and fresh-delta rows MUST band identically or the join
     * misses).
     */
-  private[operators] def minhashBands(docs: DataFrame, k: Int = 16,
+  private[graft] def minhashBands(docs: DataFrame, k: Int = 16,
       bands: Int = 4): DataFrame = {
     val rows = k / bands
     docs.withColumn("sig", GraftFunctions.minhashSig(col("text"), k))
@@ -467,9 +572,13 @@ object Dedup {
   def incrementalNear(indexBands: DataFrame, corpusText: DataFrame,
       delta: DataFrame, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val dBands = minhashBands(delta, k, bands)
+    // both sides bucket-capped: a hot band key on the INDEX side is the
+    // one that would otherwise fan every matching delta row out by the
+    // full corpus-bucket size (see capBuckets)
+    val dBands = capBuckets(minhashBands(delta, k, bands), Seq("band", "bh"), "doc_id")
+    val iBands = capBuckets(indexBands, Seq("band", "bh"), "doc_id")
     val candidates = dBands.select(col("band"), col("bh"), col("doc_id").as("delta_doc"))
-      .join(indexBands.select(col("band"), col("bh"), col("doc_id").as("corpus_doc")),
+      .join(iBands.select(col("band"), col("bh"), col("doc_id").as("corpus_doc")),
         Seq("band", "bh"))
       .select("delta_doc", "corpus_doc").distinct()
     candidates
@@ -589,9 +698,11 @@ object Dedup {
     // the pair (P(miss) ≈ (1-|A|/|B|)^16, vanishing for real containment).
     // A single global winnowing fingerprint misses whenever the container's
     // tail happens to carry the new global min.
-    val blocked = corpus.select(col("doc_id"), length(col("text")).as("len"),
-      posexplode(GraftFunctions.minhashSig(col("text"), 16)))
-      .select(col("doc_id"), col("len"), col("pos").as("hf"), col("col").as("mh"))
+    val blocked = capBuckets(
+      corpus.select(col("doc_id"), length(col("text")).as("len"),
+        posexplode(GraftFunctions.minhashSig(col("text"), 16)))
+        .select(col("doc_id"), col("len"), col("pos").as("hf"), col("col").as("mh")),
+      Seq("hf", "mh"), "doc_id")
     val a = blocked.select(col("hf"), col("mh"), col("doc_id").as("inner_doc"),
       col("len").as("len_i"))
     val b = blocked.select(col("hf"), col("mh"), col("doc_id").as("outer_doc"),

@@ -65,11 +65,20 @@ object Similarity {
   def knnGraphFrom(input: DataFrame, k: Int = 5,
       planes: Int = 4, tables: Int = 8): DataFrame = {
     val e = input.select(col("vec_id"), col("embedding"))
-    val banded = e.select(col("vec_id"),
+    // hot buckets sampled to a cap before the self-join: one degenerate
+    // bucket (e.g. a mass of near-zero vectors all hashing alike) must not
+    // turn a task quadratic — Dedup.capBuckets is the shared guard. The cap
+    // here is higher than the text default because planes=4 means only
+    // 2^planes buckets per table and healthy buckets are deliberately big
+    // (recall knob); 4000² candidate pairs is still a bounded task, and a
+    // capped bucket degrades recall gracefully (sampled neighbours), never
+    // correctness of the top-k contract.
+    val banded = Dedup.capBuckets(e.select(col("vec_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
           GraftFunctions.hyperplaneBucket(col("embedding"), planes, t).as("bucket"))): _*)).as("bk"))
-      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket")),
+      Seq("tbl", "bucket"), "vec_id", cap = 4000)
     val a = banded.select(col("tbl"), col("bucket"), col("vec_id").as("src"))
     val b = banded.select(col("tbl"), col("bucket"), col("vec_id").as("dst"))
     val cand = a.join(b, Seq("tbl", "bucket")).filter(col("src") < col("dst"))

@@ -62,38 +62,52 @@ object DocStream {
   }
 
   /** Driver demo: ship the corpus as two file-batches where the second
-    * RE-SHIPS every third doc of the first (a crawler revisiting pages) —
-    * the stream must admit each distinct text once. Reports per-language
+    * RE-SHIPS part of the first (a crawler revisiting pages) — the stream
+    * must admit each distinct text once. Reports per-language
     * admitted/duplicate/low-quality accounting.
+    *
+    * The batch split is pure doc_id arithmetic (batch 1 = even ids,
+    * re-ship = ids ≡ 0 mod 6, i.e. "every third doc of batch 1") and the
+    * corpus NEVER touches the driver: each batch is a distributed
+    * `write.json` whose part files move into the stream's source dir.
+    * The writes coalesce to a couple of files per batch only to keep the
+    * demo's micro-batch count (and checkpoint round-trips) small — at
+    * crawl scale you'd drop the coalesce and raise maxFilesPerTrigger.
     */
   def streamCurateStats(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("doc_stream").toString
     val srcDir = s"$root/src"
     Files.createDirectories(Paths.get(srcDir))
-    val docs = graft.Tables.documents(spark, dir)
-      .select("doc_id", "lang", "text").collect()
-    val (a, b) = docs.splitAt(docs.length / 2)
-    // JSON-encode via the DataFrame writer instead of hand-escaping text
-    def writeBatch(rows: Array[org.apache.spark.sql.Row], path: String): Unit = {
-      val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, 1), docs.head.schema)
-      df.coalesce(1).write.mode("overwrite").json(path)
-      // move the part file into srcDir as one atomic batch file
-      val part = new java.io.File(path).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
-      Files.move(part.toPath, Paths.get(s"$srcDir/${new java.io.File(path).getName}.json"))
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val batch1 = docs.filter(col("doc_id") % 2 === 0)
+    val reship = docs.filter(col("doc_id") % 6 === 0)
+    val batch2 = docs.filter(col("doc_id") % 2 =!= 0).unionByName(reship)
+    // distributed JSON-encode (no hand-escaping, no driver materialization);
+    // part files move into srcDir as one named batch
+    def writeBatch(df: DataFrame, name: String): Unit = {
+      val tmp = s"$root/w$name"
+      df.coalesce(2).write.mode("overwrite").json(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, Paths.get(s"$srcDir/$name-$i.json"))
+        }
     }
-    val reshipped = a.zipWithIndex.collect { case (r, i) if i % 3 == 0 => r }
-    writeBatch(a, s"$root/wa")
-    writeBatch(b ++ reshipped, s"$root/wb")
+    writeBatch(batch1, "a")
+    writeBatch(batch2, "b")
+    // one action for both counts: total + the re-shipped subset
+    val cnt = docs.agg(count(lit(1)),
+      count(when(col("doc_id") % 6 === 0, 1))).head()
+    val nShipped = cnt.getLong(0) + cnt.getLong(1)
     val q = pipeline(spark, srcDir, s"$root/out", s"$root/ck",
-      s"doc_stream_${java.util.UUID.randomUUID().toString.take(8)}")
+      s"doc_stream_${java.util.UUID.randomUUID().toString.take(8)}",
+      maxFilesPerTrigger = Some(2))
     try q.processAllAvailable() finally q.stop()
     val admitted = spark.read.parquet(s"$root/out")
     admitted.groupBy("lang")
       .agg(count(lit(1)).as("n_admitted"),
         countDistinct(col("digest")).as("n_distinct"))
-      .withColumn("n_shipped_total", lit((docs.length + reshipped.length).toLong))
+      .withColumn("n_shipped_total", lit(nShipped))
   }
 }

@@ -317,6 +317,51 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lshEval(spark, sf).head() === r)
   }
 
+  test("hot-bucket cap: planted mega-bucket completes bounded and is accounted") {
+    // 10,000 byte-identical docs — a boilerplate mirror family that shares
+    // EVERY band key, the web-corpus failure mode: uncapped, the band
+    // self-join would materialize ~4 × 10⁸ candidate pairs in one task
+    val n = 10000
+    val boiler = "the same boilerplate page text repeated across a mirror farm"
+    val mega = spark.range(n).select(col("id").as("doc_id"), lit(boiler).as("text"))
+    val tail = spark.range(n, n + 50L).select(col("id").as("doc_id"),
+      concat(lit("unique tail "), col("id"), lit(" words here and there")).as("text"))
+    val docs = mega.unionByName(tail)
+    val cap = 100
+
+    // accounting first: the census must surface the hot bucket and its mass
+    val skew = Dedup.bucketSkewFrom(docs, cap).collect()
+    assert(skew.length === 4)
+    skew.foreach { r =>
+      assert(r.getAs[Long]("max_bucket") >= n.toLong, s"census missed the mega bucket: $r")
+      assert(r.getAs[Long]("n_hot_buckets") >= 1L)
+      assert(r.getAs[Long]("dropped_rows") >= (n - cap).toLong)
+    }
+
+    // capped candidate generation (the exact join shape minhashLsh runs):
+    // bounded output, and sampled members still pair fully within a band
+    val banded = Dedup.capBuckets(Dedup.minhashBands(docs), Seq("band", "bh"), "doc_id", cap)
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    val nCand = a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct().count()
+    val perBand = cap.toLong * (cap - 1) / 2
+    assert(nCand >= perBand, s"a capped bucket must still pair within itself ($nCand)")
+    assert(nCand <= 4 * perBand + 10000L,
+      s"cap failed to bound the mega-bucket self-join: $nCand pairs")
+
+    // the per-band salt samples DIFFERENT family members per band: distinct
+    // candidate coverage must exceed one band's sample alone
+    assert(nCand > perBand + 1000L,
+      "per-band sampling collapsed to a single repeated subset")
+
+    // corpus sanity: at test scale the default cap must never bind, so all
+    // oracle-checked dedup results are provably cap-invariant
+    val corpSkew = Dedup.bucketSkew(spark, sf).collect()
+    corpSkew.foreach(r => assert(r.getAs[Long]("n_hot_buckets") === 0L,
+      s"default cap binds at test scale — oracle parity at risk: $r"))
+  }
+
   test("threshold curve: survivors monotone, plants fill the top deciles") {
     val rows = Dedup.thresholdCurve(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).sortBy(_._1)

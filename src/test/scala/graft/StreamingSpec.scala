@@ -498,6 +498,78 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafkalog: explicit per-partition startingOffsets replay exactly [start, end)") {
+    import graft.sources.EmbeddedTopicLog
+    val root = tmpDir("kafkalog-offsets")
+    val topic = "offsets.topic"
+    // single partition → offsets are globally dense 0..29
+    EmbeddedTopicLog.produce(root, topic,
+      (0 until 30).map(i => (null: String, s"v$i")), partitions = 1)
+
+    // batch path honors the Kafka JSON form {"topic":{"0":N}}
+    val fromTen = spark.read.format("kafkalog")
+      .option("path", root).option("topic", topic)
+      .option("startingOffsets", s"""{"$topic":{"0":10}}""")
+      .load()
+    assert(fromTen.count() === 20)
+    assert(fromTen.agg(min("offset")).head.getLong(0) === 10L)
+
+    // -1 = latest (empty batch), -2 = earliest (everything)
+    assert(spark.read.format("kafkalog")
+      .option("path", root).option("topic", topic)
+      .option("startingOffsets", s"""{"$topic":{"0":-1}}""")
+      .load().count() === 0)
+    assert(spark.read.format("kafkalog")
+      .option("path", root).option("topic", topic)
+      .option("startingOffsets", s"""{"$topic":{"0":-2}}""")
+      .load().count() === 30)
+
+    // streaming path: a fresh checkpoint with explicit offsets starts the
+    // consumer mid-log — the precise-replay restart a real Debezium
+    // consumer performs after repositioning
+    val out = tmpDir("kafkalog-offsets-out")
+    val q = spark.readStream.format("kafkalog")
+      .option("path", root).option("topic", topic)
+      .option("startingOffsets", s"""{"$topic":{"0":25}}""")
+      .load()
+      .selectExpr("offset", "CAST(value AS STRING) AS v")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", s"$out-ck")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    assert(got.map(_._1).toSeq === (25L until 30L).toSeq,
+      s"expected offsets [25,30), got ${got.map(_._1).mkString(",")}")
+    assert(got.last._2 === "v29")
+  }
+
+  test("kafkalog: maxOffsetsPerTrigger splits one produce into capped micro-batches") {
+    import graft.sources.EmbeddedTopicLog
+    val root = tmpDir("kafkalog-cap")
+    val topic = "capped.topic"
+    // 100 records across 2 partitions, one produce call
+    EmbeddedTopicLog.produce(root, topic,
+      (0 until 100).map(i => (s"k$i", s"v$i")), partitions = 2)
+    val out = tmpDir("kafkalog-cap-out")
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("kafkalog")
+      .option("path", root).option("topic", topic)
+      .option("maxOffsetsPerTrigger", "16")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$out-ck")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += b.count() }; ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sizes = batchSizes.filter(_ > 0)
+    assert(sizes.sum === 100L, s"admission lost/duplicated rows: $sizes")
+    assert(sizes.forall(_ <= 16L), s"a trigger exceeded the cap: $sizes")
+    assert(sizes.length >= 7, s"cap did not split the backlog: $sizes")
+  }
+
   test("kafka arm end-to-end: produce -> offsets -> silver -> SCD1 gold, checkpoint restart") {
     import graft.sources.EmbeddedTopicLog
     import graft.cdc.Debezium

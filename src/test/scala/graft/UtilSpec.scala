@@ -1159,6 +1159,12 @@ class UtilSpec extends SparkSpec {
     assert(inc === full)
   }
 
+  test("incremental CC matches full recompute corpus-wide (the O(full) proof)") {
+    // the registered ccDelta query audits bounded invariants only
+    // (edge-consistency + min-label); this pins the full parity once
+    assert(graft.operators.Graph.ccDeltaFullMismatch(spark, sf) === 0L)
+  }
+
   test("hll MV refresh: delta fold equals from-scratch rebuild, estimates near exact") {
     val out = graft.operators.Sketches.hllMvRefresh(spark, sf).collect()
     assert(out.nonEmpty)

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Bench regression gate.
+
+Compares a fresh bench JSON (graft.Bench output: {"queries": {name: sec},
+"errors": {...}}) against the most recent BENCH_HISTORY snapshot and exits
+non-zero when any query regressed by BOTH ratio AND absolute-time margins
+(sub-second wobble on this multi-tenant box is ~0.3-0.5 s of fixed stage-
+scheduling overhead, so a pure ratio gate would false-positive constantly).
+
+Usage:
+    python3 tools/bench_diff.py NEW.json [OLD.json]
+        NEW.json  fresh bench output (e.g. target/bench.json)
+        OLD.json  baseline; default = lexicographically-last BENCH_HISTORY/*.json
+
+Gate: FAIL when new > 1.5 * old AND new - old > 0.5 s for any query, or
+when the new run has bench errors. New queries (absent in the baseline)
+and removed queries are reported but never fail the gate.
+"""
+import json
+import glob
+import os
+import sys
+
+RATIO = 1.5
+ABS_SEC = 0.5
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    new = load(sys.argv[1])
+    if len(sys.argv) > 2:
+        old_path = sys.argv[2]
+    else:
+        hist = sorted(glob.glob(
+            os.path.join(os.path.dirname(__file__), "..", "BENCH_HISTORY", "*.json")))
+        if not hist:
+            print("bench_diff: no BENCH_HISTORY baseline; skipping gate")
+            return 0
+        old_path = hist[-1]
+    old = load(old_path)
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+
+    failures, notes = [], []
+    for name, t in sorted(nq.items()):
+        if name not in oq:
+            notes.append(f"  NEW   {name}: {t:.2f}s (no baseline)")
+            continue
+        t0 = oq[name]
+        if t > RATIO * t0 and t - t0 > ABS_SEC:
+            failures.append(f"  SLOW  {name}: {t0:.2f}s -> {t:.2f}s ({t / max(t0, 1e-9):.2f}x)")
+    for name in sorted(set(oq) - set(nq)):
+        notes.append(f"  GONE  {name}: was {oq[name]:.2f}s")
+    errs = new.get("errors", {})
+    for name, msg in sorted(errs.items()):
+        failures.append(f"  ERROR {name}: {msg[:120]}")
+
+    print(f"bench_diff: {len(nq)} queries vs baseline {os.path.basename(old_path)} "
+          f"({len(oq)} queries); total {sum(nq.values()):.1f}s vs {sum(oq.values()):.1f}s")
+    for line in notes:
+        print(line)
+    if failures:
+        print(f"bench_diff: FAIL — {len(failures)} regression(s) "
+              f"(> {RATIO}x and > {ABS_SEC}s, or bench error):")
+        for line in failures:
+            print(line)
+        return 1
+    print("bench_diff: OK — no query regressed beyond the gate")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
