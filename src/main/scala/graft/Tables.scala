@@ -34,6 +34,34 @@ object Tables {
     StructField("props", StringType)
   ))
 
+  /** Cheap corpus-snapshot fingerprint: a hash over the sorted
+    * (relative path, size, mtime) listing of every regular file under
+    * `dir`. The in-process memo caches (near-dup pair/cluster artifacts,
+    * kNN graph, PQ/IVF codebooks, CC base labels) key on this alongside
+    * the path, so a corpus REGENERATED under the same directory — the
+    * round-4 testdata-regeneration incident, or any same-JVM append —
+    * rebuilds its artifacts instead of silently serving stale ones.
+    * Driver-side directory walk only (no data read): microseconds on a
+    * table directory, and at production scale a store's manifest/ETag
+    * serves the same role.
+    */
+  def snapshotFingerprint(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return "absent"
+    val s = Files.walk(root)
+    val listing =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(p => s"${root.relativize(p)}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}")
+          .toSeq.sorted.mkString("\n")
+      } finally s.close()
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(listing).toLong & 0xffffffffL)
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val path = s"$dir/events.parquet"
@@ -319,13 +347,14 @@ object Tables {
   }
 
   private val compactDemoMemo =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** Demo: lineitem deliberately shattered into 12 small files (memoized
     * per corpus snapshot), then planned against a 4 MB target.
     */
   def compactionPlanDemo(spark: SparkSession, dir: String): DataFrame = {
-    val path = compactDemoMemo.getOrElseUpdate(dir, {
+    val path = compactDemoMemo.getOrElseUpdate(
+      (dir, snapshotFingerprint(dir)), {
       val p = java.nio.file.Files.createTempDirectory("cplan").toString + "/t"
       lineitem(spark, dir).repartition(12).write.parquet(p)
       p

@@ -66,14 +66,16 @@ object BloomIndex {
     (matches, idx.length.toLong, hits.length.toLong)
   }
 
-  private val demoMemo = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private val demoMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
 
   /** #237 Driver demo: stage events as a multi-file table (memoized per
     * corpus snapshot), index user_id, probe a deterministic key set;
     * report the skipping rate and the (exactly correct) hit mass.
     */
   def pruneDemo(spark: SparkSession, dir: String): DataFrame = {
-    val (store, idx) = demoMemo.getOrElseUpdate(dir, {
+    val (store, idx) = demoMemo.getOrElseUpdate(
+      (dir, graft.Tables.snapshotFingerprint(dir)), {
       val root = java.nio.file.Files.createTempDirectory("bloomidx").toString
       graft.Tables.events(spark, dir)
         .repartition(16, col("user_id"))

@@ -57,7 +57,7 @@ object Dedup {
       .filter(col("__bkt_rn") <= cap).drop("__bkt_rn")
   }
 
-  /** #344 Band-bucket skew census over the MinHash banding — the accounting
+  /** #345 Band-bucket skew census over the MinHash banding — the accounting
     * side of [[capBuckets]]: per band, the bucket count, the largest
     * bucket, and the hot-bucket/dropped-row mass the cap would sample away
     * at this corpus. Run it before trusting an LSH dedup pass at a new
@@ -106,17 +106,29 @@ object Dedup {
     * builds once per snapshot and every consumer reads the artifact (the
     * [[graft.operators.Similarity.knnGraph]] lifecycle).
     */
+  // keyed on (dir, SNAPSHOT FINGERPRINT, threshold): a corpus regenerated
+  // under the same path rebuilds instead of serving the stale artifact
+  // (Tables.snapshotFingerprint; DedupSpec pins the invalidation)
   private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Double), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Double), String]
 
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val path = pairsMemo.getOrElseUpdate((dir, threshold), {
+    val fp = Tables.snapshotFingerprint(dir)
+    val path = pairsMemo.getOrElseUpdate((dir, fp, threshold), {
       val p = java.nio.file.Files.createTempDirectory("graft-minhash-pairs").toString
       minhashLshCompute(spark, dir, threshold)
         .write.mode("overwrite").parquet(p)
       p
     })
     spark.read.parquet(path)
+  }
+
+  /** Drop every in-process memoized artifact (tests / long-lived REPLs —
+    * the artifacts themselves are temp-dir parquet and are reclaimed by
+    * the OS tmp sweeper; this just forgets the pointers).
+    */
+  private[graft] def clearMemos(): Unit = {
+    pairsMemo.clear(); clustersMemo.clear()
   }
 
   private def minhashLshCompute(spark: SparkSession, dir: String,
@@ -309,10 +321,10 @@ object Dedup {
     * (cluster census, fuzzy curation, cluster keywords) read the artifact.
     */
   private val clustersMemo =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val path = clustersMemo.getOrElseUpdate(dir, {
+    val path = clustersMemo.getOrElseUpdate((dir, Tables.snapshotFingerprint(dir)), {
       val p = java.nio.file.Files.createTempDirectory("graft-dedup-clusters").toString
       // the memoized pair artifact is a plain parquet scan, so the CC
       // loop's repeated reads re-scan a tiny file instead of re-running

@@ -269,7 +269,10 @@ object Graph {
   // with a session restart or executor loss — a path survives both and each
   // invocation re-reads it (the zone-map/compaction memos' lifecycle)
   private val ccBaseMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int), String]
+    .empty[(String, String, Int), String]
+
+  /** Forget the memoized base-label artifact (tests / long-lived REPLs). */
+  private[graft] def clearMemos(): Unit = ccBaseMemo.clear()
 
   def ccDelta(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     // knnGraph is itself an eagerly-checkpointed memo; the projection is
@@ -285,7 +288,8 @@ object Graph {
     // the base labels are the STORED artifact the incremental fold exists
     // to avoid recomputing — memoized per corpus snapshot (the knnMemo
     // lifecycle); only the fold and its audit run per invocation
-    val oldPath = ccBaseMemo.getOrElseUpdate((dir, k), {
+    val oldPath = ccBaseMemo.getOrElseUpdate(
+      (dir, graft.Tables.snapshotFingerprint(dir), k), {
       val p = java.nio.file.Files
         .createTempDirectory("graft-cc-base").toString
       Dedup.connectedComponents(

@@ -48,18 +48,24 @@ object Similarity {
     * trades compute for recall explicitly.
     */
   private val knnMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Int, Int), DataFrame]
+    .empty[(String, String, Int, Int, Int), DataFrame]
 
   def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
       planes: Int = 4, tables: Int = 8): DataFrame =
     // the graph is the shared substrate of four audits (adjacency query,
     // PageRank, LPA communities, LOF) — build it once per corpus snapshot
     // + hyperparameters; eager localCheckpoint materializes node-sized
-    // blocks and truncates the LSH-join lineage for every reuse
-    knnMemo.getOrElseUpdate((dir, k, planes, tables),
+    // blocks and truncates the LSH-join lineage for every reuse. Snapshot
+    // fingerprint in the key: a regenerated corpus rebuilds the graph.
+    knnMemo.getOrElseUpdate((dir, Tables.snapshotFingerprint(dir), k, planes, tables),
       knnGraphFrom(
         Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
         k, planes, tables).localCheckpoint(eager = true))
+
+  /** Forget memoized models/graphs (tests / long-lived REPLs). */
+  private[graft] def clearMemos(): Unit = {
+    knnMemo.clear(); pqCbMemo.clear(); ivfPqMemo.clear(); pcaMemo.clear()
+  }
 
   /** [[knnGraph]] over any (vec_id, embedding) frame. */
   def knnGraphFrom(input: DataFrame, k: Int = 5,
@@ -637,13 +643,13 @@ object Similarity {
     * so repeated invocations pay encode+scan, not retraining.
     */
   private val pqCbMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), Array[Float]]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int, Int), Array[Float]]
   private val ivfPqMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), IvfPqModel]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int, Int), IvfPqModel]
 
   private[graft] def pqCodebook(spark: SparkSession, dir: String,
       m: Int, kCodes: Int, iters: Int = 5): Array[Float] =
-    pqCbMemo.getOrElseUpdate((dir, m, kCodes, iters),
+    pqCbMemo.getOrElseUpdate((dir, Tables.snapshotFingerprint(dir), m, kCodes, iters),
       pqCodebookTrain(spark, dir, m, kCodes, iters))
 
   private def pqCodebookTrain(spark: SparkSession, dir: String,
@@ -782,7 +788,7 @@ object Similarity {
     */
   def trainIvfPq(spark: SparkSession, dir: String, nClusters: Int = 16,
       m: Int = 8, kCodes: Int = 256): IvfPqModel =
-    ivfPqMemo.getOrElseUpdate((dir, nClusters, m, kCodes), {
+    ivfPqMemo.getOrElseUpdate((dir, Tables.snapshotFingerprint(dir), nClusters, m, kCodes), {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val e = Tables.embeddings(spark, dir)
@@ -931,11 +937,11 @@ object Similarity {
     * lifecycle as [[pqCbMemo]].
     */
   private val pcaMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int), org.apache.spark.ml.feature.PCAModel]
+    .empty[(String, String, Int), org.apache.spark.ml.feature.PCAModel]
 
   private[graft] def pcaModel(spark: SparkSession, dir: String,
       k: Int): org.apache.spark.ml.feature.PCAModel =
-    pcaMemo.getOrElseUpdate((dir, k), {
+    pcaMemo.getOrElseUpdate((dir, Tables.snapshotFingerprint(dir), k), {
       import org.apache.spark.ml.functions.array_to_vector
       new org.apache.spark.ml.feature.PCA().setK(k)
         .setInputCol("fv").setOutputCol("pc")

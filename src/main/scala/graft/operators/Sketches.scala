@@ -112,13 +112,14 @@ object Sketches {
         sum(col("n_events")).as("n_events"))
 
   private val hllIdxMemo =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** Demo query: build (memoized per corpus snapshot) + range-query the
     * middle two weeks of the observation window.
     */
   def hllRangeDemo(spark: SparkSession, dir: String): DataFrame = {
-    val path = hllIdxMemo.getOrElseUpdate(dir, {
+    val path = hllIdxMemo.getOrElseUpdate(
+      (dir, graft.Tables.snapshotFingerprint(dir)), {
       val p = java.nio.file.Files.createTempDirectory("hllidx").toString + "/idx"
       buildHllIndex(spark, dir, p)
       p

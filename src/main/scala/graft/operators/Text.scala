@@ -839,10 +839,10 @@ object Text {
     * each encode invocation silently re-runs the whole training loop.
     */
   private val bpeMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Array[(String, String)]]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), Array[(String, String)]]
 
   private def bpeTableFor(spark: SparkSession, dir: String, merges: Int): Array[(String, String)] =
-    bpeMemo.getOrElseUpdate((dir, merges),
+    bpeMemo.getOrElseUpdate((dir, graft.Tables.snapshotFingerprint(dir), merges),
       bpeTrain(spark, dir, merges).collect().sortBy(_.getInt(0))
         .map(r => (r.getString(1), r.getString(2))))
 
@@ -986,13 +986,14 @@ object Text {
         min(col("digest")).as("first_digest"))
   }
 
-  private val shardMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val shardMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   /** Driver demo: shard the documents table at 32 KiB and return the
     * manifest (write memoized per corpus snapshot).
     */
   def writeShardsDemo(spark: SparkSession, dir: String): DataFrame =
-    shardMemo.getOrElseUpdate(dir, {
+    shardMemo.getOrElseUpdate((dir, graft.Tables.snapshotFingerprint(dir)), {
       val out = java.nio.file.Files.createTempDirectory("shards").toString + "/corpus"
       writeShards(spark, Tables.documents(spark, dir).select("doc_id", "text"),
         out, targetBytes = 32768L)
@@ -1395,11 +1396,11 @@ object Text {
   }
 
   private val unigramMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int), Map[String, Double]]
+    .empty[(String, String, Int), Map[String, Double]]
 
   private def unigramTableFor(spark: SparkSession, dir: String,
       vocabSize: Int): Map[String, Double] =
-    unigramMemo.getOrElseUpdate((dir, vocabSize), {
+    unigramMemo.getOrElseUpdate((dir, graft.Tables.snapshotFingerprint(dir), vocabSize), {
       val rows = unigramTrain(spark, dir, vocabSize).collect()
       val tot = rows.map(_.getLong(2)).sum.toDouble
       rows.map(r => r.getString(1) -> math.log(r.getLong(2) / tot)).toMap

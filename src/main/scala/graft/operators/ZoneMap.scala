@@ -86,13 +86,14 @@ object ZoneMap {
     * all-overlapping. Output: one row per layout.
     */
   private val layoutMemo =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   def zoneMapAudit(spark: SparkSession, dir: String): DataFrame = {
     // the two written layouts are deterministic artifacts of the corpus
     // snapshot — write once per (dir), every audit re-reads footers only
     // (the measurement itself stays per-invocation)
-    val root = layoutMemo.getOrElseUpdate(dir, {
+    val root = layoutMemo.getOrElseUpdate(
+      (dir, graft.Tables.snapshotFingerprint(dir)), {
       val r = java.nio.file.Files.createTempDirectory("zonemap").toString
       // one source scan: the frame feeds three passes (naive write, the
       // layout's quantile probe, the clustered write)

@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * ([[JdbcSnapshot]] is the source half). The reference applies per-table
   * micro-batches with Delta `MERGE INTO` inside foreachBatch
   * (notebooks/demo/cdc_500_tables_streaming.py:151-227); here the target
-  * is a real SQL database and the merge is ANSI `MERGE` (Derby ≥10.11
-  * dialect), which is what "apply changes to the serving store" means
-  * outside a lakehouse (reverse ETL).
+  * is a real SQL database behind a dialect seam ([[UpsertDialect]]): ANSI
+  * `MERGE` for engines that speak it (Derby arm, executed in the specs)
+  * and `INSERT … ON DUPLICATE KEY UPDATE` for the reference's actual
+  * Aurora MySQL target, which has no MERGE. This is what "apply changes
+  * to the serving store" means outside a lakehouse (reverse ETL).
   *
   * Exactly-once = idempotence × a batch ledger, the standard recipe for a
   * non-transactional-with-the-checkpoint sink:
@@ -43,6 +45,133 @@ import org.apache.spark.sql.functions._
   * addBatch and flushed in windows), so the per-row cost is a bind + a
   * batch slot, not a statement compile + network round-trip.
   */
+/** SQL dialect seam for the sink's upsert/delete statement pair. The
+  * exactly-once machinery (batch ledger, latest-per-key reduction,
+  * sequence guard) is dialect-independent; only the statement TEXT and its
+  * parameter layout vary by target engine. The reference's actual serving
+  * target is Aurora **MySQL** (reference: scripts/setup_tpch_database.py),
+  * which has no ANSI `MERGE` — its native upsert is
+  * `INSERT … ON DUPLICATE KEY UPDATE` — so the sink ships both arms:
+  * [[DerbyMergeDialect]] (ANSI MERGE, executed against embedded Derby in
+  * the specs) and [[MySqlUpsertDialect]] (Aurora-MySQL syntax, verified by
+  * golden-SQL + a pinned-semantics executor in JdbcSinkSpec — no MySQL
+  * engine ships in this sandbox).
+  */
+trait UpsertDialect extends Serializable {
+  def name: String
+  def upsertSql(table: String): String
+  def deleteSql(table: String): String
+  def bindUpsert(ps: java.sql.PreparedStatement, key: Long, eid: Long,
+      op: String, value: Option[Double], seq: Long): Unit
+  def bindDelete(ps: java.sql.PreparedStatement, key: Long, eid: Long,
+      seq: Long): Unit
+}
+
+/** ANSI `MERGE` arm (Derby ≥10.11 syntax). The CASTs give Derby the
+  * parameter types it cannot infer inside MERGE.
+  */
+object DerbyMergeDialect extends UpsertDialect {
+  override def name: String = "derby-merge"
+
+  private val guard =
+    """(t.seq_us < CAST(? AS BIGINT)
+      | OR (t.seq_us = CAST(? AS BIGINT)
+      |     AND t.last_event_id <= CAST(? AS BIGINT)))""".stripMargin
+
+  override def upsertSql(table: String): String =
+    s"""MERGE INTO $table AS t
+       |USING SYSIBM.SYSDUMMY1 AS s ON t.user_id = CAST(? AS BIGINT)
+       |WHEN MATCHED AND $guard THEN UPDATE SET
+       |  last_event_id = CAST(? AS BIGINT),
+       |  last_op = CAST(? AS VARCHAR(16)),
+       |  last_value = CAST(? AS DOUBLE), seq_us = CAST(? AS BIGINT)
+       |WHEN NOT MATCHED THEN INSERT
+       |  (user_id, last_event_id, last_op, last_value, seq_us)
+       |  VALUES (CAST(? AS BIGINT), CAST(? AS BIGINT),
+       |          CAST(? AS VARCHAR(16)), CAST(? AS DOUBLE),
+       |          CAST(? AS BIGINT))""".stripMargin
+
+  override def deleteSql(table: String): String =
+    s"""MERGE INTO $table AS t
+       |USING SYSIBM.SYSDUMMY1 AS s ON t.user_id = CAST(? AS BIGINT)
+       |WHEN MATCHED AND $guard THEN DELETE""".stripMargin
+
+  override def bindUpsert(ps: java.sql.PreparedStatement, key: Long, eid: Long,
+      op: String, value: Option[Double], seq: Long): Unit = {
+    ps.setLong(1, key)
+    ps.setLong(2, seq); ps.setLong(3, seq); ps.setLong(4, eid)
+    ps.setLong(5, eid); ps.setString(6, op)
+    value.fold(ps.setNull(7, java.sql.Types.DOUBLE))(ps.setDouble(7, _))
+    ps.setLong(8, seq)
+    ps.setLong(9, key); ps.setLong(10, eid); ps.setString(11, op)
+    value.fold(ps.setNull(12, java.sql.Types.DOUBLE))(ps.setDouble(12, _))
+    ps.setLong(13, seq)
+  }
+
+  override def bindDelete(ps: java.sql.PreparedStatement, key: Long, eid: Long,
+      seq: Long): Unit = {
+    ps.setLong(1, key)
+    ps.setLong(2, seq); ps.setLong(3, seq); ps.setLong(4, eid)
+  }
+}
+
+/** Aurora-MySQL arm: `INSERT … ON DUPLICATE KEY UPDATE` with the sequence
+  * guard folded into per-column `IF(guard, new, old)` expressions (works
+  * on both Aurora MySQL 2/5.7 and 3/8.0 — no 8.0-only row alias, no
+  * deprecated `VALUES()`; every incoming value arrives as a bind).
+  *
+  * ORDERING HAZARD (MySQL refman "INSERT ... ON DUPLICATE KEY UPDATE",
+  * col assignments are evaluated LEFT TO RIGHT and later assignments SEE
+  * the updated values of earlier ones): the guard reads `seq_us` and
+  * `last_event_id`, so the columns the guard reads must be assigned
+  * LAST. Order here is last_op, last_value (guard reads untouched
+  * seq_us/last_event_id), then last_event_id, then seq_us. The final
+  * `seq_us` assignment's guard sees the NEW last_event_id — still
+  * equivalent: if the guard held, last_event_id was just set to the
+  * incoming event id, so `last_event_id <= ?incoming` holds by equality;
+  * if it failed, nothing changed and it fails again. JdbcSinkSpec pins
+  * this left-to-right semantics executor against the Derby MERGE arm on
+  * the same replay/crash/stale cases.
+  */
+object MySqlUpsertDialect extends UpsertDialect {
+  override def name: String = "mysql-upsert"
+
+  private val guard = "(seq_us < ? OR (seq_us = ? AND last_event_id <= ?))"
+
+  override def upsertSql(table: String): String =
+    s"""INSERT INTO $table (user_id, last_event_id, last_op, last_value, seq_us)
+       |VALUES (?, ?, ?, ?, ?)
+       |ON DUPLICATE KEY UPDATE
+       |  last_op = IF($guard, ?, last_op),
+       |  last_value = IF($guard, ?, last_value),
+       |  last_event_id = IF($guard, ?, last_event_id),
+       |  seq_us = IF($guard, ?, seq_us)""".stripMargin
+
+  override def deleteSql(table: String): String =
+    s"DELETE FROM $table WHERE user_id = ? AND $guard"
+
+  override def bindUpsert(ps: java.sql.PreparedStatement, key: Long, eid: Long,
+      op: String, value: Option[Double], seq: Long): Unit = {
+    // insert row
+    ps.setLong(1, key); ps.setLong(2, eid); ps.setString(3, op)
+    value.fold(ps.setNull(4, java.sql.Types.DOUBLE))(ps.setDouble(4, _))
+    ps.setLong(5, seq)
+    // four guarded assignments: (seq, seq, eid) guard + the new value
+    var i = 6
+    def g(): Unit = { ps.setLong(i, seq); ps.setLong(i + 1, seq); ps.setLong(i + 2, eid); i += 3 }
+    g(); ps.setString(i, op); i += 1                                    // last_op
+    g(); value.fold(ps.setNull(i, java.sql.Types.DOUBLE))(ps.setDouble(i, _)); i += 1 // last_value
+    g(); ps.setLong(i, eid); i += 1                                     // last_event_id
+    g(); ps.setLong(i, seq); i += 1                                     // seq_us
+  }
+
+  override def bindDelete(ps: java.sql.PreparedStatement, key: Long, eid: Long,
+      seq: Long): Unit = {
+    ps.setLong(1, key)
+    ps.setLong(2, seq); ps.setLong(3, seq); ps.setLong(4, eid)
+  }
+}
+
 object JdbcCdcSink {
 
   /** CREATE the target + ledger if missing (idempotent). */
@@ -63,7 +192,8 @@ object JdbcCdcSink {
     * already holds `batchId` (replayed epoch — nothing applied).
     */
   def applyBatch(batch: DataFrame, url: String, table: String, batchId: Long,
-      props: Properties = new Properties): Boolean = {
+      props: Properties = new Properties,
+      dialect: UpsertDialect = DerbyMergeDialect): Boolean = {
     ensureTables(url, table, props)
     val applied = withConn(url, props) { conn =>
       val rs = conn.createStatement().executeQuery(
@@ -71,7 +201,7 @@ object JdbcCdcSink {
       rs.next()
     }
     if (applied) return false
-    mergeReduced(batch, url, table, props)
+    mergeReduced(batch, url, table, props, dialect)
     withConn(url, props) { conn =>
       try conn.createStatement().execute(
         s"INSERT INTO ${table}_epochs VALUES ($batchId)")
@@ -84,7 +214,8 @@ object JdbcCdcSink {
     * Public to let specs prove merge-level idempotence directly.
     */
   def mergeReduced(batch: DataFrame, url: String, table: String,
-      props: Properties = new Properties): Unit = {
+      props: Properties = new Properties,
+      dialect: UpsertDialect = DerbyMergeDialect): Unit = {
     JdbcSnapshot.validIdent(table)
     val w = Window.partitionBy("user_id")
       .orderBy(col("seq_us").desc, col("event_id").desc)
@@ -98,30 +229,11 @@ object JdbcCdcSink {
         val conn = DriverManager.getConnection(url, props)
         try {
           conn.setAutoCommit(false)
-          // ONE prepared MERGE per shape, compiled once per partition; rows
-          // bind as parameters (no data ever lands in statement text) and
-          // flush in addBatch windows. The CASTs give Derby the parameter
-          // types it cannot infer inside MERGE.
-          val guard =
-            """(t.seq_us < CAST(? AS BIGINT)
-              | OR (t.seq_us = CAST(? AS BIGINT)
-              |     AND t.last_event_id <= CAST(? AS BIGINT)))""".stripMargin
-          val upsert = conn.prepareStatement(
-            s"""MERGE INTO $table AS t
-               |USING SYSIBM.SYSDUMMY1 AS s ON t.user_id = CAST(? AS BIGINT)
-               |WHEN MATCHED AND $guard THEN UPDATE SET
-               |  last_event_id = CAST(? AS BIGINT),
-               |  last_op = CAST(? AS VARCHAR(16)),
-               |  last_value = CAST(? AS DOUBLE), seq_us = CAST(? AS BIGINT)
-               |WHEN NOT MATCHED THEN INSERT
-               |  (user_id, last_event_id, last_op, last_value, seq_us)
-               |  VALUES (CAST(? AS BIGINT), CAST(? AS BIGINT),
-               |          CAST(? AS VARCHAR(16)), CAST(? AS DOUBLE),
-               |          CAST(? AS BIGINT))""".stripMargin)
-          val delete = conn.prepareStatement(
-            s"""MERGE INTO $table AS t
-               |USING SYSIBM.SYSDUMMY1 AS s ON t.user_id = CAST(? AS BIGINT)
-               |WHEN MATCHED AND $guard THEN DELETE""".stripMargin)
+          // ONE prepared statement per shape (dialect-supplied text),
+          // compiled once per partition; rows bind as parameters (no data
+          // ever lands in statement text) and flush in addBatch windows.
+          val upsert = conn.prepareStatement(dialect.upsertSql(table))
+          val delete = conn.prepareStatement(dialect.deleteSql(table))
           val window = 500
           var (nU, nD) = (0, 0)
           rows.foreach { r =>
@@ -134,28 +246,17 @@ object JdbcCdcSink {
               s"unknown CDC operation '$op' (expected INSERT/UPDATE/DELETE)")
             val seq = r.getLong(r.fieldIndex("seq_us"))
             val vIdx = r.fieldIndex("value")
+            // non-finite doubles are unrepresentable in SQL — store NULL
+            val value =
+              if (r.isNullAt(vIdx) || !java.lang.Double.isFinite(r.getDouble(vIdx))) None
+              else Some(r.getDouble(vIdx))
             if (op == "DELETE") {
-              delete.setLong(1, key)
-              delete.setLong(2, seq); delete.setLong(3, seq); delete.setLong(4, eid)
+              dialect.bindDelete(delete, key, eid, seq)
               delete.addBatch()
               nD += 1
               if (nD % window == 0) delete.executeBatch()
             } else {
-              upsert.setLong(1, key)
-              upsert.setLong(2, seq); upsert.setLong(3, seq); upsert.setLong(4, eid)
-              upsert.setLong(5, eid)
-              upsert.setString(6, op)
-              // non-finite doubles are unrepresentable in SQL — store NULL
-              if (r.isNullAt(vIdx) || !java.lang.Double.isFinite(r.getDouble(vIdx)))
-                upsert.setNull(7, java.sql.Types.DOUBLE)
-              else upsert.setDouble(7, r.getDouble(vIdx))
-              upsert.setLong(8, seq)
-              upsert.setLong(9, key); upsert.setLong(10, eid)
-              upsert.setString(11, op)
-              if (r.isNullAt(vIdx) || !java.lang.Double.isFinite(r.getDouble(vIdx)))
-                upsert.setNull(12, java.sql.Types.DOUBLE)
-              else upsert.setDouble(12, r.getDouble(vIdx))
-              upsert.setLong(13, seq)
+              dialect.bindUpsert(upsert, key, eid, op, value, seq)
               upsert.addBatch()
               nU += 1
               if (nU % window == 0) upsert.executeBatch()

@@ -317,6 +317,33 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lshEval(spark, sf).head() === r)
   }
 
+  test("memo invalidation: a regenerated corpus rebuilds instead of serving stale artifacts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("memo_fp").toString
+    def writeCorpus(n: Int): Unit =
+      (0 until n).map(i => (i.toLong,
+          (0 until 10).map(j => s"w${i}x$j").mkString(" ")))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // corpusWithPlants perturbs every 20th doc (last token dropped) →
+    // one near-dup pair per planted doc; pair count tracks corpus size
+    writeCorpus(40)
+    val first = Dedup.minhashLsh(spark, dir).count()
+    assert(first === 2L, s"40-doc corpus should plant 2 pairs, got $first")
+    // REGENERATE the corpus in place (the round-4 incident): the memo must
+    // rebuild off the new snapshot, not serve the 40-doc artifact
+    writeCorpus(100)
+    val second = Dedup.minhashLsh(spark, dir).count()
+    assert(second === 5L,
+      s"stale memo served after in-place regeneration: got $second, want 5")
+    // and the fingerprint itself moves only when content does
+    val fpA = Tables.snapshotFingerprint(dir)
+    assert(Tables.snapshotFingerprint(dir) === fpA)
+    writeCorpus(100)
+    assert(Tables.snapshotFingerprint(dir) !== fpA,
+      "rewrite must change the snapshot fingerprint")
+  }
+
   test("hot-bucket cap: planted mega-bucket completes bounded and is accounted") {
     // 10,000 byte-identical docs — a boilerplate mirror family that shares
     // EVERY band key, the web-corpus failure mode: uncapped, the band

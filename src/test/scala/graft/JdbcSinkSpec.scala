@@ -122,6 +122,147 @@ class JdbcSinkSpec extends SparkSpec {
       Set((1L, 3L, "UPDATE", 1.5), (3L, 5L, "INSERT", 3.0)))
   }
 
+  // ---- MySQL dialect arm ------------------------------------------------
+  // No MySQL engine ships in this sandbox, so the arm is verified by
+  // (a) golden SQL, (b) recorded bind layout, and (c) a pinned-semantics
+  // executor of MySQL's documented INSERT…ON DUPLICATE KEY UPDATE
+  // behavior (left-to-right assignment evaluation, later assignments see
+  // earlier results) replaying the same scenarios as the REAL Derby arm
+  // and landing in the identical final state.
+
+  /** Recording PreparedStatement: captures setX/addBatch as bind vectors. */
+  private class RecordingPs {
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Any]]
+    private var cur = scala.collection.mutable.Map.empty[Int, Any]
+    val ps: java.sql.PreparedStatement = java.lang.reflect.Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.PreparedStatement]),
+      (_, method, args) => method.getName match {
+        case "setLong" | "setString" | "setDouble" =>
+          cur(args(0).asInstanceOf[Int]) = args(1); null
+        case "setNull" => cur(args(0).asInstanceOf[Int]) = null; null
+        case "addBatch" => batches += cur.toMap; cur.clear(); null
+        case _ => null
+      }).asInstanceOf[java.sql.PreparedStatement]
+  }
+
+  /** MySQL ODKU semantics, pinned to the refman: one row per PK; on
+    * duplicate, SET clauses evaluate LEFT TO RIGHT over the CURRENT row
+    * (each assignment sees the previous ones' results). Bind layout from
+    * MySqlUpsertDialect: insert 1-5; then 4 groups of (seq, seq, eid,
+    * newValue) guarding last_op, last_value, last_event_id, seq_us.
+    */
+  private class MySqlSim {
+    case class R(eid: Long, op: String, value: Option[Double], seq: Long)
+    val t = scala.collection.mutable.Map.empty[Long, R]
+    private def long(v: Any) = v.asInstanceOf[Long]
+    def upsert(p: Map[Int, Any]): Unit = {
+      val key = long(p(1))
+      val ins = R(long(p(2)), p(3).asInstanceOf[String],
+        Option(p(4)).map(_.asInstanceOf[Double]), long(p(5)))
+      t.get(key) match {
+        case None => t(key) = ins
+        case Some(old) =>
+          var cur = old
+          // four guarded assignments, left to right, binds 6..21
+          for (g <- 0 until 4) {
+            val base = 6 + g * 4
+            val (gs1, gs2, ge) = (long(p(base)), long(p(base + 1)), long(p(base + 2)))
+            assert(gs1 == gs2, "guard binds must repeat seq")
+            val pass = cur.seq < gs1 || (cur.seq == gs2 && cur.eid <= ge)
+            if (pass) cur = g match {
+              case 0 => cur.copy(op = p(base + 3).asInstanceOf[String])
+              case 1 => cur.copy(value = Option(p(base + 3)).map(_.asInstanceOf[Double]))
+              case 2 => cur.copy(eid = long(p(base + 3)))
+              case 3 => cur.copy(seq = long(p(base + 3)))
+            }
+          }
+          t(key) = cur
+      }
+    }
+    def delete(p: Map[Int, Any]): Unit = {
+      val key = long(p(1))
+      t.get(key).foreach { cur =>
+        if (cur.seq < long(p(2)) || (cur.seq == long(p(3)) && cur.eid <= long(p(4))))
+          t.remove(key)
+      }
+    }
+    def state: Set[(Long, Long, String, Double)] =
+      t.map { case (k, r) =>
+        (k, r.eid, r.op, math.rint(r.value.getOrElse(0.0) * 100) / 100) }.toSet
+  }
+
+  /** Replay a reduced batch through the MySQL dialect's binder into the
+    * simulator — the exact (statement, bind) stream a MySQL server would
+    * receive from mergeReduced.
+    */
+  private def simApply(sim: MySqlSim,
+      rows: Seq[(Long, Long, String, Long, Double)]): Unit = {
+    import graft.sources.MySqlUpsertDialect
+    // latest-per-key reduction, as mergeReduced performs
+    val reduced = rows.groupBy(_._1).values.map(_.maxBy(r => (r._4, r._2))).toSeq
+    val up = new RecordingPs; val del = new RecordingPs
+    reduced.foreach { case (key, eid, op, seq, v) =>
+      if (op == "DELETE") MySqlUpsertDialect.bindDelete(del.ps, key, eid, seq)
+      else MySqlUpsertDialect.bindUpsert(up.ps, key, eid, op, Some(v), seq)
+      if (op == "DELETE") del.ps.addBatch() else up.ps.addBatch()
+    }
+    del.batches.foreach(sim.delete)
+    up.batches.foreach(sim.upsert)
+  }
+
+  test("MySQL dialect: golden SQL carries the ordered guarded assignments") {
+    import graft.sources.MySqlUpsertDialect
+    val sql = MySqlUpsertDialect.upsertSql("cdc_target")
+    assert(sql.startsWith(
+      "INSERT INTO cdc_target (user_id, last_event_id, last_op, last_value, seq_us)"))
+    assert(sql.contains("ON DUPLICATE KEY UPDATE"))
+    // guard-reading columns must be assigned last (left-to-right hazard)
+    val order = Seq("last_op = IF", "last_value = IF", "last_event_id = IF",
+      "seq_us = IF").map(sql.indexOf)
+    assert(order == order.sorted && order.forall(_ >= 0),
+      s"assignment order wrong in:\n$sql")
+    assert(!sql.contains("VALUES()") && !sql.contains(" AS new"),
+      "must stay 5.7-compatible (no row alias, no VALUES())")
+    assert(MySqlUpsertDialect.deleteSql("cdc_target") ==
+      "DELETE FROM cdc_target WHERE user_id = ? AND (seq_us < ? OR (seq_us = ? AND last_event_id <= ?))")
+  }
+
+  test("MySQL dialect parity: same replay/stale/delete cases, same state as Derby MERGE") {
+    val table = "sink_mysql_parity"
+    JdbcCdcSink.dropTables(url, table, props)
+    JdbcCdcSink.ensureTables(url, table, props)
+    import spark.implicits._
+    // scenario: insert epoch, update epoch, stale replay, same-seq
+    // tiebreaks both ways, delete + stale-resurrect attempt, merge replay
+    val b1 = Seq(
+      (1L, 1L, "INSERT", 100L, 1.0), (2L, 2L, "INSERT", 100L, 2.0),
+      (3L, 3L, "INSERT", 100L, 3.0))
+    val b2 = Seq(
+      (1L, 4L, "UPDATE", 200L, 1.5),   // newer seq: wins
+      (2L, 1L, "UPDATE", 100L, 9.9),   // same seq, LOWER eid: loses
+      (3L, 5L, "UPDATE", 100L, 3.5))   // same seq, higher eid: wins
+    val b3 = Seq(
+      (1L, 6L, "DELETE", 300L, 0.0),   // delete newest
+      (2L, 7L, "INSERT", 50L, 8.8))    // stale vs state 100: loses
+    val scenarios = Seq(b1, b2, b3, b2) // b2 replayed at merge level
+    scenarios.zipWithIndex.foreach { case (b, _) =>
+      JdbcCdcSink.mergeReduced(
+        b.toDF("user_id", "event_id", "operation", "seq_us", "value"),
+        url, table, props) // Derby arm (real engine)
+    }
+    val sim = new MySqlSim
+    scenarios.foreach(simApply(sim, _))
+    val derby = targetState(table)
+    assert(derby == sim.state,
+      s"dialect divergence: derby=$derby mysql=${sim.state}")
+    // and the state is the right one — including key 1's resurrection by
+    // the ledger-less b2 replay after its delete: the documented
+    // tombstone-less caveat, shared identically by BOTH dialect arms
+    // (the ledger prevents it for whole-batch replays)
+    assert(derby == Set((1L, 4L, "UPDATE", 1.5), (2L, 2L, "INSERT", 2.0),
+      (3L, 5L, "UPDATE", 3.5)))
+  }
+
   test("delete drops the key and wins over equal-or-older changes") {
     val table = "sink_t3"
     JdbcCdcSink.dropTables(url, table, props)
