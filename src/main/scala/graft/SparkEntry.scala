@@ -461,6 +461,11 @@ object SparkEntry {
     // (rows-only: greedy argmax not SQL-expressible; ScaleSpec plants
     // redundant candidates and pins the suppression)
     "ann_mmr_topk" -> ((s, d) => Similarity.annMmrTopK(s, d)),
+    // reciprocal-rank fusion of the vector (cosine) and lexical
+    // (bigram-Jaccard) rankings for the same query ids — hybrid retrieval
+    "ann_hybrid_rrf" -> ((s, d) => Similarity.annHybridRrf(s, d)),
+    // corpus-order n-gram novelty audit (first-occurrence fraction per doc)
+    "doc_ngram_novelty" -> ((s, d) => Text.ngramNovelty(s, d)),
     // DCT perceptual-hash near-dup audit over REAL decoded PNGs
     // (rows-only: codec + DCT; ImageDecodeSpec plants near-dup images)
     "mm_phash_dedup" -> ((s, d) => graft.operators.Multimodal.phashDedup(s, d)),
@@ -1211,6 +1216,43 @@ object SparkEntry {
     * driver's rows-only check.
     */
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "ann_hybrid_rrf" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |vp AS (SELECT qid, nid, list_cosine_similarity(qe, ce) AS cosr FROM q, c WHERE nid <> qid),
+        |vr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, nid) AS rv FROM vp),
+        |vtop AS (SELECT qid, nid, rv FROM vr WHERE rv <= 20),
+        |dg AS (SELECT DISTINCT doc_id, g FROM (
+        |         SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |           UNNEST(range(1, len(toks))) AS t(i))),
+        |dn AS (SELECT doc_id, count(*) AS n_g FROM dg GROUP BY 1),
+        |qg AS (SELECT doc_id AS qid, g FROM dg WHERE doc_id < 8),
+        |inter AS (SELECT qg.qid, dg.doc_id AS nid, count(*) AS inter
+        |          FROM qg JOIN dg ON qg.g = dg.g AND dg.doc_id <> qg.qid GROUP BY 1, 2),
+        |jac AS (SELECT i.qid, i.nid, (i.inter * 10000) // (a.n_g + b.n_g - i.inter) AS jac_e4
+        |        FROM inter i JOIN dn a ON a.doc_id = i.qid JOIN dn b ON b.doc_id = i.nid),
+        |lr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY jac_e4 DESC, nid) AS rl FROM jac),
+        |ltop AS (SELECT qid, nid, rl FROM lr WHERE rl <= 20),
+        |fused AS (SELECT coalesce(v.qid, l.qid) AS qid, coalesce(v.nid, l.nid) AS nid,
+        |            coalesce(1000000 // (60 + v.rv), 0) + coalesce(1000000 // (60 + l.rl), 0) AS rrf_e6,
+        |            coalesce(v.rv, 0) AS vec_rank, coalesce(l.rl, 0) AS lex_rank
+        |          FROM vtop v FULL OUTER JOIN ltop l ON v.qid = l.qid AND v.nid = l.nid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_e6 DESC, nid) AS rn FROM fused)
+        |SELECT qid, nid, CAST(rrf_e6 AS BIGINT) AS rrf_e6, CAST(vec_rank AS BIGINT) AS vec_rank,
+        |  CAST(lex_rank AS BIGINT) AS lex_rank, CAST(rn AS INT) AS rnk
+        |FROM r WHERE rn <= 5""".stripMargin,
+    "doc_ngram_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g8 AS (SELECT DISTINCT doc_id, md5(list_aggregate(toks[i:i+7], 'string_agg', ' ')) AS gd
+        |       FROM tok, UNNEST(range(1, len(toks) - 6)) AS t(i) WHERE len(toks) >= 8),
+        |firstd AS (SELECT gd, min(doc_id) AS first_doc FROM g8 GROUP BY 1),
+        |per AS (SELECT g8.doc_id, count(*) AS n_grams,
+        |          sum(CASE WHEN f.first_doc = g8.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |        FROM g8 JOIN firstd f ON g8.gd = f.gd GROUP BY 1)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_novel AS BIGINT) AS n_novel,
+        |  CAST((n_novel * 10000) // n_grams AS BIGINT) AS novelty_bp
+        |FROM per""".stripMargin,
     "doc_bpe_train" ->
       s"""WITH ${bpeRoundsCte(10)}
          |${(1 to 10).map(k =>

@@ -380,9 +380,23 @@ object Dedup {
     * — the oracle-checkable baseline; Similarity.annLshTopK is the
     * LSH-bucketed variant that scales past all-pairs. Accumulates in double
     * (bit-compatible with DuckDB's list_cosine_similarity on DOUBLE[]).
+    *
+    * The all-pairs crossJoin is quadratic BY DESIGN (it is the ground
+    * truth the blocked variants are measured against), so as a REGISTERED
+    * query it is sample-bounded: above [[BruteForceBound]] vectors, a
+    * deterministic id-stride sample (`vec_id % stride = 0`, stride =
+    * ⌈n/bound⌉ — pure arithmetic, replayable in any engine's SQL) bounds
+    * the crossJoin to ≤ bound² pairs. NOT silent: the stride is a pure
+    * function of the corpus count, and at every test SF (≤2000 vectors)
+    * stride = 1 — the oracle results are exactly the unbounded ones.
     */
+  private val BruteForceBound = 4096L
+
   def embeddingNearDup(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e0 = Tables.embeddings(spark, dir)
+    val n = e0.count()
+    val stride = ((n + BruteForceBound - 1) / BruteForceBound).max(1L)
+    val e = if (stride == 1L) e0 else e0.filter(col("vec_id") % stride === 0)
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -402,6 +416,17 @@ object Dedup {
     * survive blocking at ≪1%. This is the production path; the crossJoin
     * variant above remains the oracle baseline.
     */
+  /** Hyperplane buckets concentrate under SEMANTIC clustering (a tight
+    * angular cluster falls on one side of most origin hyperplanes, so
+    * more planes do NOT split it) — the vector-side analog of the
+    * boilerplate mega-bucket, observed live in the sf1 sweep (15× wall
+    * from bucket-join blowup at the default cap). 512 bounds any bucket's
+    * self-join to ≤512² pairs; at the oracle-checked SFs (≤2,125 banded
+    * vectors over 256 buckets/table) no bucket comes near it — DedupSpec
+    * pins that census, keeping every oracle result cap-invariant.
+    */
+  private[graft] val EmbBucketCap = 512
+
   def embeddingNearDupLsh(spark: SparkSession, dir: String, tau: Double = 0.4,
       planes: Int = 8, tables: Int = 8): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -410,7 +435,7 @@ object Dedup {
         struct(lit(t).as("tbl"),
           GraftFunctions.hyperplaneBucket(col("embedding"), planes, t).as("bucket"))): _*)).as("bk"))
       .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket")),
-      Seq("tbl", "bucket"), "vec_id")
+      Seq("tbl", "bucket"), "vec_id", cap = EmbBucketCap)
     val a = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
     val b = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
     val cand = a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))

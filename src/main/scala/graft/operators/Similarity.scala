@@ -50,17 +50,37 @@ object Similarity {
   private val knnMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int, Int, Int), DataFrame]
 
+  /** Default hyperplane count grows with the corpus so expected bucket
+    * size stays ≈[[TargetBucket]]: planes = max(4, ⌈log₂(n/target)⌉).
+    * Fixed planes would make buckets grow LINEARLY with the corpus and
+    * the bucket self-join quadratically — the scale knob has to move
+    * with n. At every test SF (≤2000 vectors) this resolves to 4, so all
+    * graph-family oracle results are unchanged; at 10× it picks 7
+    * (128 buckets, ~150/bucket).
+    */
+  private val TargetBucket = 250
+
+  private[graft] def autoPlanes(n: Long): Int =
+    math.max(4, math.ceil(math.log(math.max(1.0, n.toDouble / TargetBucket))
+      / math.log(2.0)).toInt)
+
   def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
-      planes: Int = 4, tables: Int = 8): DataFrame =
+      planes: Int = -1, tables: Int = 8): DataFrame = {
     // the graph is the shared substrate of four audits (adjacency query,
     // PageRank, LPA communities, LOF) — build it once per corpus snapshot
     // + hyperparameters; eager localCheckpoint materializes node-sized
     // blocks and truncates the LSH-join lineage for every reuse. Snapshot
     // fingerprint in the key: a regenerated corpus rebuilds the graph.
-    knnMemo.getOrElseUpdate((dir, Tables.snapshotFingerprint(dir), k, planes, tables),
-      knnGraphFrom(
-        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-        k, planes, tables).localCheckpoint(eager = true))
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val fp = Tables.snapshotFingerprint(dir)
+    val p = if (planes > 0) planes
+      else autoPlanes(corpusCountMemo.getOrElseUpdate((dir, fp), e.count()))
+    knnMemo.getOrElseUpdate((dir, fp, k, p, tables),
+      knnGraphFrom(e, k, p, tables).localCheckpoint(eager = true))
+  }
+
+  private val corpusCountMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 
   /** Forget memoized models/graphs (tests / long-lived REPLs). */
   private[graft] def clearMemos(): Unit = {
@@ -1035,5 +1055,69 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("label").as("want_label"), col("nid"),
         round(col("cos"), 4).as("cos"), col("rnk"), col("n_candidates"))
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack SIGIR'09) of a
+    * VECTOR ranking (cosine over embeddings) and a LEXICAL ranking
+    * (bigram-set Jaccard over the matching documents) for the same query
+    * ids — the standard RAG-retrieval fusion the reference's analytics
+    * surface feeds (cf. /root/reference README's search/serving framing).
+    * rrf = Σ_arms 1/(60+rank), evaluated as 10⁶-scaled integer division so
+    * the fused ordering replays bit-exactly in any SQL engine.
+    *
+    * Scale shape: both arms are broadcast-query × corpus-scan — the query
+    * frame (8 ids) broadcasts into the embedding scan and the bigram
+    * postings scan; per-query pool cut runs through the two-phase
+    * TopKPerGroupExec (map-side prune before the exchange), and the fusion
+    * join touches only 2·pool rows per query. No corpus×corpus join
+    * anywhere; the corpus-scale work is one distinct-bigram shuffle, same
+    * as any inverted-index build.
+    */
+  def annHybridRrf(spark: SparkSession, dir: String, k: Int = DefaultK,
+      pool: Int = 20, rrfK: Int = 60): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val vScored = e.select(col("vec_id").as("nid"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("qe"), col("embedding")))
+      .select("qid", "nid", "cos")
+    val vTop = graft.plans.TopK.topKPerGroup(vScored, Seq("qid"),
+      Seq(("cos", true), ("nid", false)), pool)
+      .select(col("qid"), col("nid"), col("rnk").cast("long").as("rv"))
+
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))")).as("g"))
+      .distinct()
+    val gn = grams.groupBy("doc_id").agg(count(lit(1)).as("n_g"))
+    val qGrams = grams.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("qid"), col("g"))
+    val inter = grams.join(broadcast(qGrams), Seq("g"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id").as("nid"))
+      .agg(count(lit(1)).as("inter"))
+    val qn = gn.select(col("doc_id").as("qid"), col("n_g").as("n_q"))
+    val lScored = inter
+      .join(broadcast(qn), Seq("qid"))
+      .join(gn.withColumnRenamed("doc_id", "nid"), Seq("nid"))
+      .selectExpr("qid", "nid",
+        "(inter * 10000) DIV (n_q + n_g - inter) AS jac_e4")
+    val lTop = graft.plans.TopK.topKPerGroup(lScored,
+      Seq("qid"), Seq(("jac_e4", true), ("nid", false)), pool)
+      .select(col("qid"), col("nid"), col("rnk").cast("long").as("rl"))
+
+    val fused = vTop.join(lTop, Seq("qid", "nid"), "full_outer")
+      .select(col("qid"), col("nid"),
+        (coalesce(expr(s"${1000000} DIV ($rrfK + rv)"), lit(0L)) +
+          coalesce(expr(s"${1000000} DIV ($rrfK + rl)"), lit(0L))).as("rrf_e6"),
+        coalesce(col("rv"), lit(0L)).as("vec_rank"),
+        coalesce(col("rl"), lit(0L)).as("lex_rank"))
+    graft.plans.TopK.topKPerGroup(fused, Seq("qid"),
+      Seq(("rrf_e6", true), ("nid", false)), k)
+      .select("qid", "nid", "rrf_e6", "vec_rank", "lex_rank", "rnk")
   }
 }

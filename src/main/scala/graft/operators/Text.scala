@@ -1462,4 +1462,34 @@ object Text {
       }
       .toDF("doc_id", "n_words", "n_pieces", "n_chars", "fertility_e2")
   }
+
+  /** Corpus-order n-gram novelty audit — for every document, the fraction
+    * of its distinct word n-grams whose FIRST corpus occurrence (min
+    * doc_id, the crawl-order proxy) is this document. Low novelty marks
+    * boilerplate-heavy or near-duplicate late arrivals; the corpus-level
+    * novelty decay curve is the standard memorization/contamination signal
+    * for training-data ordering (cf. Lee et al. ACL'22 dedup analyses).
+    *
+    * Scale shape: only md5 DIGESTS of grams travel, never gram text; the
+    * corpus-scale work is one groupBy(digest)→min(doc_id) shuffle (partial
+    * min map-side) plus one digest-keyed join back — the same cost class
+    * as building any inverted index. Per-doc aggregation is a second
+    * digest→doc shuffle. No window over the corpus, no driver state.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> md5(concat_ws(' ', slice(toks, i + 1, $n))))"))
+        .as("gd"))
+      .distinct()
+    val firstSeen = g.groupBy("gd").agg(min(col("doc_id")).as("first_doc"))
+    g.join(firstSeen, "gd")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .selectExpr("doc_id", "n_grams", "n_novel",
+        "(n_novel * 10000) DIV n_grams AS novelty_bp")
+  }
 }

@@ -387,6 +387,18 @@ class DedupSpec extends SparkSpec {
     val corpSkew = Dedup.bucketSkew(spark, sf).collect()
     corpSkew.foreach(r => assert(r.getAs[Long]("n_hot_buckets") === 0L,
       s"default cap binds at test scale — oracle parity at risk: $r"))
+
+    // same guarantee for the HYPERPLANE buckets (dedup_embedding_lsh's
+    // blocking at its tighter EmbBucketCap): semantic clustering
+    // concentrates vector buckets, so pin the census where oracles run
+    val maxHp = graft.operators.Dedup.embeddingsWithPlants(spark, sf)
+      .select(col("vec_id"), posexplode(array((0 until 8).map(t =>
+        graft.functions.GraftFunctions
+          .hyperplaneBucket(col("embedding"), 8, t)): _*)))
+      .groupBy("pos", "col").agg(count(lit(1)).as("sz"))
+      .agg(max(col("sz"))).head.getLong(0)
+    assert(maxHp <= graft.operators.Dedup.EmbBucketCap / 2,
+      s"hyperplane bucket census too close to the cap at test scale: $maxHp")
   }
 
   test("threshold curve: survivors monotone, plants fill the top deciles") {

@@ -407,4 +407,26 @@ class ScaleSpec extends SparkSpec {
     assert(rows.last._2._1 === 1000000L,
       s"full probe not exact: ${rows.last}")
   }
+
+  test("annHybridRrf: RRF arithmetic exact, pool bound held, arms genuinely fuse") {
+    val rows = graft.operators.Similarity.annHybridRrf(spark, sf).collect()
+    val perQ = rows.groupBy(_.getLong(0))
+    perQ.values.foreach { g =>
+      assert(g.length == 5 && g.map(_.getInt(5)).sorted.sameElements(1 to 5))
+    }
+    rows.foreach { r =>
+      val (rv, rl) = (r.getLong(3), r.getLong(4))
+      assert(rv >= 0 && rv <= 20 && rl >= 0 && rl <= 20 && (rv > 0 || rl > 0))
+      val want = (if (rv > 0) 1000000L / (60 + rv) else 0L) +
+        (if (rl > 0) 1000000L / (60 + rl) else 0L)
+      assert(r.getLong(2) == want, s"rrf_e6 mismatch: $r")
+    }
+    // fusion is real at this SF: some survivors ranked by BOTH arms, and
+    // within each query rrf_e6 is non-increasing in rnk
+    assert(rows.count(r => r.getLong(3) > 0 && r.getLong(4) > 0) >= 2)
+    perQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(5)).map(_.getLong(2))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }

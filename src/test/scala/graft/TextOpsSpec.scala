@@ -27,6 +27,26 @@ class TextOpsSpec extends SparkSpec {
     assert(five.getLong(2) == 2 && five.getLong(3) == 1 && five.getLong(4) == 0)
   }
 
+  test("ngramNovelty: first occurrence wins, copies score zero, tails pro-rate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("novelty").toString
+    val base = (1 to 9).map(i => s"t$i").mkString(" ")
+    Seq(
+      (1L, base, "en", "src0", base.length.toLong),              // 2 grams, both novel
+      (2L, base, "en", "src0", base.length.toLong),              // exact copy -> 0 novel
+      (3L, (2 to 9).map(i => s"t$i").mkString(" ") + " x1 x2",   // 3 grams, 2 novel
+        "en", "src0", 0L),
+      (4L, "a b c", "en", "src0", 5L))                           // <8 tokens -> absent
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Text.ngramNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((2L, 2L, 10000L)))
+    assert(out(2L) === ((2L, 0L, 0L)))
+    assert(out(3L) === ((3L, 2L, 6666L)))
+  }
+
   test("corpusDupNgrams flags shared spans and attributes originality") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("textops").toString
