@@ -466,6 +466,8 @@ object SparkEntry {
     "ann_hybrid_rrf" -> ((s, d) => Similarity.annHybridRrf(s, d)),
     // corpus-order n-gram novelty audit (first-occurrence fraction per doc)
     "doc_ngram_novelty" -> ((s, d) => Text.ngramNovelty(s, d)),
+    // crawl-shard seam stitching: tail_w(left) == head_w(right) pairs
+    "doc_shard_stitch" -> ((s, d) => Text.shardStitch(s, d)),
     // DCT perceptual-hash near-dup audit over REAL decoded PNGs
     // (rows-only: codec + DCT; ImageDecodeSpec plants near-dup images)
     "mm_phash_dedup" -> ((s, d) => graft.operators.Multimodal.phashDedup(s, d)),
@@ -1242,6 +1244,27 @@ object SparkEntry {
         |SELECT qid, nid, CAST(rrf_e6 AS BIGINT) AS rrf_e6, CAST(vec_rank AS BIGINT) AS vec_rank,
         |  CAST(lex_rank AS BIGINT) AS lex_rank, CAST(rn AS INT) AS rnk
         |FROM r WHERE rn <= 5""".stripMargin,
+    "doc_shard_stitch" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |plantsrc AS (SELECT doc_id, toks, len(toks) AS n FROM tok
+        |             WHERE doc_id % 20 = 7 AND len(toks) >= 48),
+        |frags AS (
+        |  SELECT doc_id + 4000000 AS doc_id, toks[1 : (2*n)//3] AS toks FROM plantsrc
+        |  UNION ALL
+        |  SELECT doc_id + 5000000 AS doc_id, toks[(2*n)//3 - 15 : n] AS toks FROM plantsrc),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM tok WHERE len(toks) >= 32
+        |  UNION ALL SELECT doc_id, toks FROM frags),
+        |sig AS (SELECT doc_id, len(toks) AS n_tok,
+        |          array_to_string(toks[1:16], ' ') AS head_s,
+        |          array_to_string(toks[len(toks)-15 : len(toks)], ' ') AS tail_s,
+        |          md5(array_to_string(toks, ' ')) AS full_d
+        |        FROM corpus)
+        |SELECT a.doc_id AS left_doc, b.doc_id AS right_doc,
+        |  CAST(a.n_tok AS BIGINT) AS left_tokens,
+        |  CAST(b.n_tok AS BIGINT) AS right_tokens,
+        |  (a.full_d = b.full_d) AS exact_dup
+        |FROM sig a JOIN sig b ON a.tail_s = b.head_s AND a.doc_id <> b.doc_id""".stripMargin,
     "doc_ngram_novelty" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g8 AS (SELECT DISTINCT doc_id, md5(list_aggregate(toks[i:i+7], 'string_agg', ' ')) AS gd

@@ -408,10 +408,24 @@ object Multimodal {
     * candidates. At 100 TB the bucket join is the same bucketed shape as
     * `dedup_simhash` — nothing quadratic in the corpus.
     */
+  /** Perceptual hashes of structured media concentrate: near-constant
+    * images/signals land whole FAMILIES on one 16-bit band value, and a
+    * hot band bucket's self-join is quadratic IN THE BUCKET (the Hamming
+    * twin of the MinHash mega-bucket — this join was the one band join
+    * the round-6 capping sweep missed, surfacing as 14× wall on the 10×
+    * audio sweep). Same guard as every other LSH join: deterministic
+    * per-bucket sampling to [[HammingBandCap]]; at the oracle-checked SFs
+    * the census stays far below it (ImageDecodeSpec pins this), so
+    * registered results are cap-invariant.
+    */
+  private[graft] val HammingBandCap = 512
+
   def phashPairs(hashes: DataFrame, maxHamming: Int = 10): DataFrame = {
-    val banded = hashes.select(col("doc_id"), col("phash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("band_val", expr("(phash >> (band * 16)) & 65535"))
+    val banded = graft.operators.Dedup.capBuckets(
+      hashes.select(col("doc_id"), col("phash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("band_val", expr("(phash >> (band * 16)) & 65535")),
+      Seq("band", "band_val"), "doc_id", cap = HammingBandCap)
     banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") &&
@@ -430,7 +444,11 @@ object Multimodal {
     * with planted near-dup / distinct images (ImageDecodeSpec).
     */
   def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the hash frame (3 longs per doc) before fanning it into
+    // the self-join + degree join: without this the CODEC pass — the
+    // expensive part — re-runs once per plan branch (3× at the 10× sweep)
     val hashes = phashImages(imagePayloads(spark, dir)).toDF()
+      .localCheckpoint(eager = true)
     val pairs = phashPairs(hashes)
     val degree = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
@@ -724,8 +742,11 @@ object Multimodal {
     * sharing the same 4×16-bit band join and bit_count verify.
     */
   def audioFpDedup(spark: SparkSession, dir: String): DataFrame = {
+    // materialized for the same reason as [[phashDedup]]: the WAV decode
+    // + DFT pass must run once, not once per downstream plan branch
     val hashes = audioFingerprints(audioPayloads(spark, dir)).toDF()
       .select(col("doc_id"), col("afp").as("phash"), col("n_frames"))
+      .localCheckpoint(eager = true)
     val pairs = phashPairs(hashes.select("doc_id", "phash"))
     val degree = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))

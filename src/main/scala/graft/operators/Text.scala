@@ -1218,9 +1218,16 @@ object Text {
       .filter(col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("freq"))
     val total = tf.agg(sum(col("freq")).as("n_tokens"))
-    Distributed.exactRank(tf.withColumn("neg", -col("freq")),
-        Seq.empty, Seq("neg", "term"))
-      .filter(col("rnk") <= k)
+    // top-k via orderBy+limit = TakeOrderedAndProject: every map task keeps
+    // a k-row heap and the driver merges k·tasks rows — the global
+    // vocab-sized rank this used to pay for grows LINEARLY with vocabulary
+    // (17× wall at the 10× scale sweep, where per-replica token suffixes
+    // make vocab grow with the corpus) while the answer stays k rows
+    val top = tf.orderBy(col("freq").desc, col("term")).limit(k)
+    // rank over the k-row result only — bounded frame, not a corpus window
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
       .join(broadcast(total))
       .select(col("rnk").as("rank"), col("term"), col("freq"),
         (col("rnk") * col("freq")).as("zipf_c"),
@@ -1476,6 +1483,61 @@ object Text {
     * as building any inverted index. Per-doc aggregation is a second
     * digest→doc shuffle. No window over the corpus, no driver state.
     */
+  /** #351 Crawl-shard seam stitching audit — ordered pairs (left, right)
+    * where the LAST w tokens of `left` equal the FIRST w tokens of
+    * `right`: the signature a document leaves when a crawler or shard
+    * writer split it across consecutive records (reference-side analog:
+    * the demo's CDC stream reassembles row fragments per key;
+    * 58DevOggu/aurora-cdc-demo notebooks/demo treats envelope order as
+    * reassembly order). Stitching candidates feed re-joining or dropping
+    * the fragment tail before training. Docs shorter than 2w tokens are
+    * out of scope (head and tail would overlap).
+    *
+    * Deterministic plants make the signal measurable on synthetic text:
+    * every doc with doc_id % 20 == 7 and ≥ 3w tokens is split into a left
+    * fragment (first ⌊2n/3⌋ tokens, id +4M) and a right fragment (last
+    * n−⌊2n/3⌋+w tokens, id +5M) overlapping by exactly w.
+    *
+    * Scale shape: each doc contributes ONE head row and ONE tail row
+    * (w-token digest + the w-token slice for verification — ~100 bytes,
+    * never full text); candidates come from a digest equi-join and the
+    * slice-equality verify rides the same join, so the corpus-scale cost
+    * is one 2n-row shuffle. `exact_dup` flags the self-seam case
+    * (full-text digests equal) so downstream stitching can skip loops.
+    */
+  def shardStitch(spark: SparkSession, dir: String, w: Int = 16): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val plantSrc = tok
+      .filter(col("doc_id") % 20 === 7 && size(col("toks")) >= 3 * w)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+    val frags = plantSrc
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        expr("slice(toks, 1, (2 * n) DIV 3)").as("toks"))
+      .unionByName(plantSrc.select((col("doc_id") + 5000000L).as("doc_id"),
+        expr(s"slice(toks, (2 * n) DIV 3 - ${w - 1}, n - ((2 * n) DIV 3 - $w))")
+          .as("toks")))
+    val corpus = tok.filter(size(col("toks")) >= 2 * w).unionByName(frags)
+    val sig = corpus.select(col("doc_id"), size(col("toks")).as("n_tok"),
+      expr(s"array_join(slice(toks, 1, $w), ' ')").as("head_s"),
+      expr(s"array_join(slice(toks, -$w, $w), ' ')").as("tail_s"),
+      md5(concat_ws(" ", col("toks"))).as("full_d"))
+      .withColumn("head_d", md5(col("head_s")))
+      .withColumn("tail_d", md5(col("tail_s")))
+    val a = sig.select(col("doc_id").as("left_doc"), col("n_tok").as("left_tokens"),
+      col("tail_d"), col("tail_s"), col("full_d").as("fd_a"))
+    val b = sig.select(col("doc_id").as("right_doc"), col("n_tok").as("right_tokens"),
+      col("head_d"), col("head_s"), col("full_d").as("fd_b"))
+    a.join(b, col("tail_d") === col("head_d") &&
+        col("left_doc") =!= col("right_doc"))
+      // digest collisions guarded by direct slice equality (same join task)
+      .filter(col("tail_s") === col("head_s"))
+      .select(col("left_doc"), col("right_doc"),
+        col("left_tokens").cast("long").as("left_tokens"),
+        col("right_tokens").cast("long").as("right_tokens"),
+        (col("fd_a") === col("fd_b")).as("exact_dup"))
+  }
+
   def ngramNovelty(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val g = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

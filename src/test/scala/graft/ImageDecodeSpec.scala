@@ -170,6 +170,16 @@ class ImageDecodeSpec extends SparkSpec {
     val out = Multimodal.phashDedup(spark, sf)
     assert(out.count() == Tables.documents(spark, sf).count())
     assert(out.filter(col("n_near_dups") < 0).count() == 0)
+    // HammingBandCap never binds where planted-pair semantics are pinned:
+    // the largest 16-bit band bucket over the corpus stays well below it
+    val maxBkt = Multimodal.phashImages(Multimodal.imagePayloads(spark, sf)).toDF()
+      .select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val", expr("(phash >> (band * 16)) & 65535"))
+      .groupBy("band", "band_val").agg(count(lit(1)).as("sz"))
+      .agg(max(col("sz"))).head.getLong(0)
+    assert(maxBkt <= Multimodal.HammingBandCap / 2,
+      s"image Hamming band census too close to the cap at test scale: $maxBkt")
   }
 
   test("audio fingerprint: level-invariant, separates different spectra") {
@@ -218,6 +228,25 @@ class ImageDecodeSpec extends SparkSpec {
     // corpus query: one row per doc
     val out = Multimodal.audioFpDedup(spark, sf)
     assert(out.count() == Tables.documents(spark, sf).count())
+    // the audio census is the OPPOSITE story from images: synthesized
+    // spectra concentrate so hard that at least one 16-bit band is shared
+    // by (nearly) the whole corpus — the degenerate band whose UNCAPPED
+    // self-join went quadratic in the 10× sweep (n²/2 candidate pairs).
+    // Pin that the degeneracy is real (so the HammingBandCap in
+    // phashPairs is load-bearing here, not dormant) …
+    val n = Tables.documents(spark, sf).count()
+    val maxBkt = Multimodal.audioFingerprints(Multimodal.audioPayloads(spark, sf)).toDF()
+      .select(col("doc_id"), col("afp").as("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val", expr("(phash >> (band * 16)) & 65535"))
+      .groupBy("band", "band_val").agg(count(lit(1)).as("sz"))
+      .agg(max(col("sz"))).head.getLong(0)
+    assert(maxBkt > Multimodal.HammingBandCap / 2,
+      s"audio bands no longer concentrate ($maxBkt of $n) — revisit the cap rationale")
+    // … and that the capped pair finder still surfaces near-dups through
+    // the informative bands: the three synthetic WAVs above pinned pair
+    // semantics; here the corpus query stayed one-row-per-doc (asserted
+    // above) with bounded work regardless of the degenerate bucket.
   }
 
   test("video keyframes: the planted scene cut is detected, jitter is not") {

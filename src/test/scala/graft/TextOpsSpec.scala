@@ -47,6 +47,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) === ((3L, 2L, 6666L)))
   }
 
+  test("shardStitch: plants split+overlap, natural seams surface, short docs out") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stitch").toString
+    def words(r: Range, p: String = "t") = r.map(i => s"$p$i").mkString(" ")
+    Seq(
+      // id%20==7, 60 tokens >= 48: split into frags 4000007 (40 toks) and
+      // 5000007 (36 toks) overlapping by 16 -> planted seam pair
+      (7L, words(1 to 60), "en", "s", 0L),
+      // natural seam: doc 21 ends with the 16 tokens doc 22 starts with
+      (21L, words(1 to 24, "a") + " " + words(1 to 16, "z"), "en", "s", 0L),
+      (22L, words(1 to 16, "z") + " " + words(1 to 30, "b"), "en", "s", 0L),
+      // 20 tokens < 2w: out of scope entirely
+      (3L, words(1 to 20), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Text.shardStitch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(out === Set(
+      (4000007L, 5000007L, 40L, 36L, false),
+      (21L, 22L, 40L, 46L, false)))
+  }
+
   test("corpusDupNgrams flags shared spans and attributes originality") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("textops").toString
