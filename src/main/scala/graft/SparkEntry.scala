@@ -468,6 +468,8 @@ object SparkEntry {
     "doc_ngram_novelty" -> ((s, d) => Text.ngramNovelty(s, d)),
     // crawl-shard seam stitching: tail_w(left) == head_w(right) pairs
     "doc_shard_stitch" -> ((s, d) => Text.shardStitch(s, d)),
+    // bounded-round k-core peel of the kNN graph (coreness round per node)
+    "graph_kcore" -> ((s, d) => graft.operators.Graph.kcore(s, d)),
     // DCT perceptual-hash near-dup audit over REAL decoded PNGs
     // (rows-only: codec + DCT; ImageDecodeSpec plants near-dup images)
     "mm_phash_dedup" -> ((s, d) => graft.operators.Multimodal.phashDedup(s, d)),
@@ -928,6 +930,28 @@ object SparkEntry {
          |l$i AS MATERIALIZED (SELECT nid AS id, lbl FROM (
          |    SELECT nid, lbl, row_number() OVER (PARTITION BY nid ORDER BY cnt DESC, lbl ASC) AS rn
          |    FROM v$i) WHERE rn = 1)""".stripMargin)
+    sb.toString
+  }
+
+  /** CTE chain ending in `p1..p<rounds>(id)` (nodes peeled per round) and
+    * `a<rounds>(id)` (survivors) — the bounded-round k-core peel over `g`
+    * (Graph.kcoreFrom semantics: simultaneous removal of surviving nodes
+    * with surviving-subgraph degree < k, isolated survivors peel at 0).
+    */
+  private def kcoreCte(k: Int = 3, rounds: Int = 8): String = {
+    val sb = new StringBuilder(
+      """kund AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM g UNION ALL SELECT dst, src FROM g)),
+        |a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM kund)""".stripMargin)
+    for (i <- 1 to rounds) sb.append(
+      s""",
+         |d$i AS (SELECT u.src AS id, count(*) AS deg FROM kund u
+         |        JOIN a${i - 1} x ON x.id = u.src
+         |        JOIN a${i - 1} y ON y.id = u.dst GROUP BY 1),
+         |p$i AS MATERIALIZED (SELECT a.id FROM a${i - 1} a
+         |        LEFT JOIN d$i d ON d.id = a.id WHERE coalesce(d.deg, 0) < $k),
+         |a$i AS MATERIALIZED (SELECT a.id FROM a${i - 1} a
+         |        LEFT JOIN p$i p ON p.id = a.id WHERE p.id IS NULL)""".stripMargin)
     sb.toString
   }
 
@@ -1636,6 +1660,13 @@ object SparkEntry {
          |       FROM cand c JOIN e es ON es.vec_id = c.src
          |       JOIN e ed ON ed.vec_id = c.dst)
          |SELECT id_a, id_b, round(cosr, 4) AS cos FROM sc WHERE cosr > 0.4""".stripMargin,
+    "graph_kcore" ->
+      s"""WITH $knnGraphCte,
+         |${kcoreCte(3, 8)}
+         |SELECT id AS vec_id, CAST(r AS INT) AS peel_round,
+         |  (r = 0) AS core_member FROM (
+         |  SELECT id, 0 AS r FROM a8
+         |${(1 to 8).map(i => s"  UNION ALL SELECT id, $i FROM p$i").mkString("\n")})""".stripMargin,
     "graph_triangles" ->
       s"""WITH $knnGraphCte,
          |tund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

@@ -168,6 +168,61 @@ object Graph {
       .groupBy(col("community"))
       .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("rep_vec_id"))
 
+  /** Bounded-round k-core peel over an undirected edge list: each round
+    * SIMULTANEOUSLY removes every surviving node whose degree within the
+    * surviving subgraph is < k (isolated survivors count degree 0), for a
+    * FIXED number of rounds. Output is one row per node with the round it
+    * was peeled (1..rounds) or 0 for nodes still standing — the coreness
+    * signal dense-community extraction and spam/boilerplate triage key
+    * off on near-dup graphs. Bounding the rounds (rather than iterating
+    * to fixpoint) is the deliberate at-scale formulation: each round is
+    * one degree aggregate + two node-sized semi-joins, the round count is
+    * a known cost ceiling, and `peel_round = 0` is then a certificate of
+    * "survived R rounds", monotone in R. GraphSpec pins a planted graph
+    * where R rounds provably REACH the fixpoint (clique + path tail).
+    *
+    * Scale notes: edges cached once, hash-partitioned on src; the alive
+    * set is node-sized and localCheckpoint truncates its lineage per
+    * round, so round 8 plans as one join, not a tower.
+    */
+  def kcoreFrom(edges: DataFrame, k: Int = 3, rounds: Int = 8): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var alive = und.select(col("src").as("id")).distinct()
+      .localCheckpoint(eager = true)
+    var peeledRounds = List.empty[DataFrame]
+    var r = 1
+    while (r <= rounds) {
+      // degree within the SURVIVING subgraph: both endpoints alive
+      val deg = und
+        .join(alive.withColumnRenamed("id", "src"), Seq("src"))
+        .join(alive.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val marked = alive.join(deg, Seq("id"), "left")
+        .select(col("id"), (coalesce(col("deg"), lit(0L)) < k).as("peel"))
+        .localCheckpoint(eager = true)
+      peeledRounds ::= marked.filter(col("peel"))
+        .select(col("id"), lit(r).as("peel_round"))
+      alive = marked.filter(!col("peel")).select("id")
+      r += 1
+    }
+    val out = (alive.select(col("id"), lit(0).as("peel_round")) :: peeledRounds)
+      .reduce(_ unionAll _)
+      .select(col("id").as("vec_id"), col("peel_round"),
+        (col("peel_round") === 0).as("core_member"))
+    und.unpersist()
+    out
+  }
+
+  /** #352 Registered query: k-core peel (k=3, 8 rounds) of the embedding
+    * k-NN graph — per-node coreness round + the survivor flag.
+    */
+  def kcore(spark: SparkSession, dir: String, k: Int = 3, rounds: Int = 8): DataFrame =
+    kcoreFrom(Similarity.knnGraph(spark, dir), k, rounds)
+
   /** #298 Newman modularity of a node partition — the one-number answer
     * to "did community detection actually find structure?": Q =
     * Σ_c (e_c/m − (d_c/2m)²), where e_c = intra-community edges, d_c =

@@ -794,6 +794,35 @@ class UtilSpec extends SparkSpec {
     assert(out(7L) === ((1L, 0L, 0L)))
   }
 
+  test("kcore: clique survives, path tail peels round by round, fixpoint reached") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // 4-clique (every node degree 3 -> 3-core) + a path tail 4-5-6-7
+    // hanging off node 4: degree-1 ends peel first, exposing the next —
+    // the multi-round cascade a single-pass degree filter would miss
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val out = Graph.kcoreFrom(edges, k = 3, rounds = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out.size === 7)
+    // cascade: 7 (deg 1) and 5,6? — round 1 peels every node with CURRENT
+    // degree < 3: 5 (deg 2), 6 (deg 2), 7 (deg 1) all go at once; the
+    // clique keeps degree 3 throughout (edge 4-5 dies WITH node 5)
+    Seq(5L, 6L, 7L).foreach(n => assert(out(n) === ((1, false)), s"$n: ${out(n)}"))
+    (1L to 4L).foreach(n => assert(out(n) === ((0, true)), s"$n: ${out(n)}"))
+    // genuine multi-round cascade with k=2: only 7 has deg<2 in round 1,
+    // then 6, then 5; the clique (+4) survives as the 2-core
+    val out2 = Graph.kcoreFrom(edges, k = 2, rounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out2(7L) === 1 && out2(6L) === 2 && out2(5L) === 3,
+      s"cascade: ${out2.toSeq.sorted}")
+    (1L to 4L).foreach(n => assert(out2(n) === 0))
+    // fixpoint certificate: rounds=3 already stabilizes (round 4+ peels none)
+    val out3 = Graph.kcoreFrom(edges, k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out3 === out2)
+  }
+
   test("watermarkImpact prices each candidate against planted lateness") {
     import spark.implicits._
     val dir = Files.createTempDirectory("wmi").toString
