@@ -332,6 +332,11 @@ object SparkEntry {
     "ev_lorenz_gini" -> ((s, d) => Events.lorenzGini(s, d)),
     // Zipf rank-frequency audit over the corpus vocabulary
     "doc_zipf_audit" -> ((s, d) => Text.zipfAudit(s, d)),
+    // corpus datasheet: totals + lang/source mix + dup census + length
+    // quantiles as one long-form (section, metric, value) data card
+    "doc_datasheet" -> ((s, d) => Text.docDatasheet(s, d)),
+    // per-source encoding-damage audit: non-printable ratio + U+FFFD scars
+    "doc_mojibake_audit" -> ((s, d) => Text.mojibakeAudit(s, d)),
     // Heaps-law vocabulary growth by corpus decile
     "doc_vocab_growth" -> ((s, d) => Text.vocabGrowth(s, d)),
     // 2-D Pareto frontier via the distributed exclusive running-min sweep
@@ -359,6 +364,11 @@ object SparkEntry {
     // O(1)-per-user forget: per-user-key encryption, registry row deletion
     "cdc_crypto_shred" -> ((s, d) => Forget.cryptoShredDemo(s, d)),
     "ev_ab_test" -> ((s, d) => Events.abTest(s, d)),
+    // always-valid sequential monitor over the same experiment: per-day
+    // looks, mSPRT llr + running-max p-value, no peeking penalty
+    "ev_sequential_ab" -> ((s, d) => Events.sequentialAb(s, d)),
+    // power analysis: observed-variance MDE + required n for a 1% lift
+    "ev_power_mde" -> ((s, d) => Events.powerMde(s, d)),
     // the delivery end: size-targeted JSONL shards + data-derived manifest
     "doc_write_shards" -> ((s, d) => Text.writeShardsDemo(s, d)),
     // content-addressed dense surrogate keys (distributed rank, no driver id gen)
@@ -470,6 +480,9 @@ object SparkEntry {
     "doc_shard_stitch" -> ((s, d) => Text.shardStitch(s, d)),
     // bounded-round k-core peel of the kNN graph (coreness round per node)
     "graph_kcore" -> ((s, d) => graft.operators.Graph.kcore(s, d)),
+    // link prediction: top-100 non-adjacent 2-hop pairs on the kNN graph,
+    // ranked by exact integer (jaccard_ppm, cn, ids) keys
+    "graph_linkpred" -> ((s, d) => graft.operators.Graph.linkPred(s, d)),
     // DCT perceptual-hash near-dup audit over REAL decoded PNGs
     // (rows-only: codec + DCT; ImageDecodeSpec plants near-dup images)
     "mm_phash_dedup" -> ((s, d) => graft.operators.Multimodal.phashDedup(s, d)),
@@ -1660,6 +1673,29 @@ object SparkEntry {
          |       FROM cand c JOIN e es ON es.vec_id = c.src
          |       JOIN e ed ON ed.vec_id = c.dst)
          |SELECT id_a, id_b, round(cosr, 4) AS cos FROM sc WHERE cosr > 0.4""".stripMargin,
+    // link prediction replay: ranking keys are exact integers; Adamic–Adar
+    // is a rounded score column and never decides the order
+    "graph_linkpred" ->
+      s"""WITH $knnGraphCte,
+         |lund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM g WHERE src <> dst),
+         |ladj AS MATERIALIZED (SELECT a AS x, b AS y FROM lund UNION ALL SELECT b, a FROM lund),
+         |ldeg AS MATERIALIZED (SELECT x AS id, count(*) AS deg FROM ladj GROUP BY 1),
+         |lw AS (SELECT l1.y AS hub, l1.x AS u, l2.x AS v
+         |       FROM ladj l1 JOIN ladj l2 ON l1.y = l2.y AND l1.x < l2.x),
+         |lcand AS (SELECT u, v, count(*) AS cn, sum(1.0 / ln(d.deg)) AS aa
+         |          FROM lw JOIN ldeg d ON d.id = lw.hub GROUP BY 1, 2),
+         |lne AS (SELECT c.* FROM lcand c LEFT JOIN lund e ON e.a = c.u AND e.b = c.v
+         |        WHERE e.a IS NULL),
+         |lsc AS (SELECT lne.u AS src, lne.v AS dst, cn,
+         |         cn * 1000000 // (du.deg + dv.deg - cn) AS jaccard_ppm,
+         |         round(aa, 4) AS aa_r
+         |       FROM lne JOIN ldeg du ON du.id = lne.u JOIN ldeg dv ON dv.id = lne.v),
+         |lrk AS (SELECT *, row_number() OVER (ORDER BY jaccard_ppm DESC, cn DESC, src, dst) AS rnk
+         |        FROM lsc)
+         |SELECT src, dst, CAST(cn AS BIGINT) AS common_neighbors,
+         |  CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm, aa_r, CAST(rnk AS INT) AS rnk
+         |FROM lrk WHERE rnk <= 100""".stripMargin,
     "graph_kcore" ->
       s"""WITH $knnGraphCte,
          |${kcoreCte(3, 8)}
@@ -2954,6 +2990,45 @@ object SparkEntry {
         |SELECT rnk AS rank, term, freq, rnk * freq AS zipf_c,
         |  CAST(freq * 1000000 // n_tokens AS BIGINT) AS share_ppm
         |FROM r CROSS JOIN t WHERE rnk <= 50""".stripMargin,
+    // mojibake replay: identical concat(chr(...))-built char class (the
+    // escape-free construction both engines parse identically)
+    "doc_mojibake_audit" ->
+      """WITH md AS (SELECT source, CAST(length(text) AS BIGINT) AS nch,
+        |    CAST(length(regexp_replace(text, concat('[', chr(9), chr(10), chr(13), ' -~]'), '', 'g')) AS BIGINT) AS n_bad,
+        |    CAST(CASE WHEN contains(text, '�') THEN 1 ELSE 0 END AS BIGINT) AS has_repl
+        |  FROM documents),
+        |mf AS (SELECT *, CAST(CASE WHEN n_bad * 10000 > nch * 100 THEN 1 ELSE 0 END AS BIGINT) AS flagged FROM md)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(flagged) AS BIGINT) AS n_flagged,
+        |  CAST(sum(has_repl) AS BIGINT) AS n_repl_docs,
+        |  CAST(sum(flagged) * 10000 // count(*) AS BIGINT) AS flag_bp,
+        |  CAST(sum(n_bad) * 1000000 // sum(nch) AS BIGINT) AS bad_ppm
+        |FROM mf GROUP BY source""".stripMargin,
+    // datasheet replay: every value is exact integer arithmetic; the
+    // quantiles come from the length histogram via cross-multiplication
+    "doc_datasheet" ->
+      """WITH dd AS (SELECT lang, source, CAST(length(text) AS BIGINT) AS nch,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ntok,
+        |    md5(text) AS dg FROM documents),
+        |base AS (SELECT count(*) AS n, sum(nch) AS chars, sum(ntok) AS toks FROM dd),
+        |hist AS (SELECT nch, count(*) AS c FROM dd GROUP BY 1),
+        |cum AS (SELECT nch, sum(c) OVER (ORDER BY nch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+        |ded AS (SELECT count(DISTINCT dg) AS dist, count(*) AS n FROM dd)
+        |SELECT section, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'corpus' AS section, 'n_docs' AS metric, CAST(n AS HUGEINT) AS value FROM base
+        |  UNION ALL SELECT 'corpus', 'total_chars', chars FROM base
+        |  UNION ALL SELECT 'corpus', 'total_tokens', toks FROM base
+        |  UNION ALL SELECT 'corpus', 'avg_chars_e2', chars * 100 // n FROM base
+        |  UNION ALL SELECT 'lang', lang, count(*) FROM dd GROUP BY lang
+        |  UNION ALL SELECT 'source', source, count(*) FROM dd GROUP BY source
+        |  UNION ALL SELECT 'dedup', 'distinct_texts', dist FROM ded
+        |  UNION ALL SELECT 'dedup', 'dup_docs', n - dist FROM ded
+        |  UNION ALL SELECT 'length', 'p50_chars',
+        |    min(CASE WHEN cum * 2 >= n THEN nch END) FROM cum, base
+        |  UNION ALL SELECT 'length', 'p90_chars',
+        |    min(CASE WHEN cum * 10 >= n * 9 THEN nch END) FROM cum, base
+        |)""".stripMargin,
     "doc_vocab_growth" ->
       """WITH d AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rnk,
         |    count(*) OVER () AS n FROM documents),
@@ -3129,6 +3204,85 @@ object SparkEntry {
         |    ELSE round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
         |      sqrt(pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b)), 4) END AS z_score
         |FROM z""".stripMargin,
+    // sequential monitor replay: exact integer cents/cents² cumsums, then
+    // float stats via the IDENTICAL expression text as the Spark side
+    "ev_sequential_ab" ->
+      """WITH pe AS (SELECT user_id % 2 AS arm, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+        |  FROM events WHERE event_type = 'purchase'),
+        |daily AS (SELECT day, arm, count(*) AS n, sum(v_c) AS s1,
+        |    sum(CAST(v_c AS HUGEINT) * v_c) AS s2 FROM pe GROUP BY 1, 2),
+        |grid AS (SELECT d.day, a.arm, coalesce(dl.n, 0) AS n,
+        |    coalesce(dl.s1, 0) AS s1, coalesce(dl.s2, 0) AS s2
+        |  FROM (SELECT DISTINCT day FROM pe) d
+        |  CROSS JOIN (SELECT 0 AS arm UNION ALL SELECT 1) a
+        |  LEFT JOIN daily dl ON dl.day = d.day AND dl.arm = a.arm),
+        |cum AS (SELECT day, arm,
+        |    sum(n) OVER (PARTITION BY arm ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |    sum(s1) OVER (PARTITION BY arm ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs1,
+        |    sum(s2) OVER (PARTITION BY arm ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs2
+        |  FROM grid),
+        |wide AS (SELECT day,
+        |    max(CASE WHEN arm = 0 THEN cn END) AS cn_a,
+        |    max(CASE WHEN arm = 0 THEN cs1 END) AS cs1_a,
+        |    max(CASE WHEN arm = 0 THEN cs2 END) AS cs2_a,
+        |    max(CASE WHEN arm = 1 THEN cn END) AS cn_b,
+        |    max(CASE WHEN arm = 1 THEN cs1 END) AS cs1_b,
+        |    max(CASE WHEN arm = 1 THEN cs2 END) AS cs2_b
+        |  FROM cum GROUP BY day),
+        |st AS (SELECT day, cn_a, cn_b,
+        |    CAST(cs1_a AS DOUBLE) / cn_a / 100.0 AS mean_a,
+        |    CAST(cs1_b AS DOUBLE) / cn_b / 100.0 AS mean_b,
+        |    (CAST(cs2_a AS DOUBLE) / 10000.0 - cn_a * (CAST(cs1_a AS DOUBLE) / cn_a / 100.0) * (CAST(cs1_a AS DOUBLE) / cn_a / 100.0)) / (cn_a - 1) AS var_a,
+        |    (CAST(cs2_b AS DOUBLE) / 10000.0 - cn_b * (CAST(cs1_b AS DOUBLE) / cn_b / 100.0) * (CAST(cs1_b AS DOUBLE) / cn_b / 100.0)) / (cn_b - 1) AS var_b
+        |  FROM wide),
+        |lr AS (SELECT day, cn_a, cn_b, mean_a, mean_b,
+        |    CASE WHEN cn_a >= 2 AND cn_b >= 2
+        |        AND var_a / cn_a + var_b / cn_b > 0 THEN
+        |      0.5 * ln((var_a / cn_a + var_b / cn_b) / (var_a / cn_a + var_b / cn_b + 100.0))
+        |      + (mean_b - mean_a) * (mean_b - mean_a) * 100.0
+        |        / (2.0 * (var_a / cn_a + var_b / cn_b) * (var_a / cn_a + var_b / cn_b + 100.0))
+        |      END AS llr
+        |  FROM st),
+        |mx AS (SELECT *, max(llr) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_llr FROM lr)
+        |SELECT day, CAST(cn_a AS BIGINT) AS n_a, CAST(cn_b AS BIGINT) AS n_b,
+        |  round(mean_a, 4) AS mean_a_r, round(mean_b, 4) AS mean_b_r,
+        |  round(llr, 4) AS llr_r,
+        |  round(least(1.0, exp(-max_llr)), 4) AS pval_r,
+        |  CAST(CASE WHEN max_llr > ln(20.0) THEN 1 ELSE 0 END AS BIGINT) AS signif
+        |FROM mx""".stripMargin,
+    "ev_power_mde" ->
+      """WITH pe AS (SELECT user_id % 2 AS arm,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+        |  FROM events WHERE event_type = 'purchase'),
+        |arms AS (SELECT arm, count(*) AS n, sum(v_c) AS s1,
+        |    sum(CAST(v_c AS HUGEINT) * v_c) AS s2 FROM pe GROUP BY 1),
+        |wide AS (SELECT
+        |    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |    max(CASE WHEN arm = 0 THEN s1 END) AS s1_a,
+        |    max(CASE WHEN arm = 0 THEN s2 END) AS s2_a,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |    max(CASE WHEN arm = 1 THEN s1 END) AS s1_b,
+        |    max(CASE WHEN arm = 1 THEN s2 END) AS s2_b
+        |  FROM arms),
+        |st AS (SELECT n_a, n_b,
+        |    CAST(s1_a AS DOUBLE) / n_a / 100.0 AS mean_a,
+        |    CAST(s1_b AS DOUBLE) / n_b / 100.0 AS mean_b,
+        |    (CAST(s1_a AS DOUBLE) + s1_b) / (n_a + n_b) / 100.0 AS mean_p,
+        |    (CAST(s2_a AS DOUBLE) / 10000.0 - n_a * (CAST(s1_a AS DOUBLE) / n_a / 100.0) * (CAST(s1_a AS DOUBLE) / n_a / 100.0)) / (n_a - 1) AS var_a,
+        |    (CAST(s2_b AS DOUBLE) / 10000.0 - n_b * (CAST(s1_b AS DOUBLE) / n_b / 100.0) * (CAST(s1_b AS DOUBLE) / n_b / 100.0)) / (n_b - 1) AS var_b
+        |  FROM wide)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round(mean_a, 4) AS mean_a_r, round(mean_b, 4) AS mean_b_r,
+        |  round(sqrt(var_a), 4) AS sd_a_r, round(sqrt(var_b), 4) AS sd_b_r,
+        |  round((1.959964 + 0.841621) * sqrt(var_a / n_a + var_b / n_b), 4) AS mde_abs_r,
+        |  CAST(floor((1.959964 + 0.841621) * sqrt(var_a / n_a + var_b / n_b) / mean_p * 10000 + 0.5) AS BIGINT) AS mde_rel_bp,
+        |  CAST(ceil(2.0 * ((var_a * (n_a - 1) + var_b * (n_b - 1)) / (n_a + n_b - 2)) * (1.959964 + 0.841621) * (1.959964 + 0.841621) / (mean_p * 0.01 * mean_p * 0.01)) AS BIGINT) AS n_req_1pct
+        |FROM st""".stripMargin,
     "q_copurchase_lift" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
         |n AS (SELECT count(DISTINCT okey) AS n_orders FROM op),
@@ -4523,6 +4677,70 @@ object SparkEntry {
         |  CAST(churned * 1000000 // at_risk AS BIGINT) AS hazard_ppm,
         |  CAST((at_risk - churned) * 1000000 // n_total AS BIGINT) AS survival_ppm
         |FROM ar, t""".stripMargin,
+    // Markov removal-effect attribution: the chain build is plain window
+    // SQL; the absorption solve replays as ten matmul CTEs (T^1024 by
+    // repeated squaring over (scenario, i, j, v) rows — CONV absorbing,
+    // transitions to END/removed have no column), the identical
+    // fixed-op-count arithmetic the Scala side runs. Probabilities are
+    // exact integer ratios; outputs floor(x+0.5) to ppm/cents, coarser
+    // by ~1e7× than cross-engine summation-order noise.
+    "ev_markov_attribution" ->
+      ("""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
+        |j AS (SELECT user_id, ts_us, event_id, event_type,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS purch_before
+        |  FROM ev),
+        |st AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_t
+        |  FROM j WHERE purch_before = 0),
+        |trans AS (
+        |  SELECT 'START' AS src,
+        |    CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS dst
+        |  FROM st WHERE rn = 1
+        |  UNION ALL
+        |  SELECT event_type,
+        |    coalesce(CASE WHEN next_t = 'purchase' THEN 'CONV' ELSE next_t END, 'END')
+        |  FROM st WHERE event_type <> 'purchase'),
+        |cnt AS MATERIALIZED (SELECT src, dst, count(*) AS n FROM trans GROUP BY 1, 2),
+        |outm AS (SELECT src, sum(n) AS outn FROM cnt GROUP BY 1),
+        |chan AS MATERIALIZED (SELECT DISTINCT src AS c FROM cnt WHERE src <> 'START'),
+        |scen AS (SELECT c AS removed FROM chan UNION ALL SELECT ''),
+        |states AS MATERIALIZED (
+        |  SELECT s.removed, x.state FROM scen s CROSS JOIN
+        |    (SELECT 'START' AS state UNION ALL SELECT c FROM chan
+        |     UNION ALL SELECT 'CONV') x
+        |  WHERE x.state <> s.removed),
+        |m0 AS MATERIALIZED (
+        |  SELECT s1.removed, s1.state AS i, s2.state AS jj,
+        |    CASE WHEN s1.state = 'CONV'
+        |         THEN CASE WHEN s2.state = 'CONV' THEN 1.0 ELSE 0.0 END
+        |         ELSE coalesce(CAST(c.n AS DOUBLE) / o.outn, 0.0) END AS v
+        |  FROM states s1 JOIN states s2 USING (removed)
+        |  LEFT JOIN cnt c ON c.src = s1.state AND c.dst = s2.state
+        |  LEFT JOIN outm o ON o.src = s1.state),
+        |""" +
+        (1 to 10).map(k =>
+          s"""m$k AS (SELECT a.removed, a.i, b.jj, sum(a.v * b.v) AS v
+             |  FROM m${k - 1} a JOIN m${k - 1} b
+             |    ON a.removed = b.removed AND a.jj = b.i
+             |  GROUP BY 1, 2, 3),""".stripMargin).mkString("\n") +
+        """
+        |pconv AS (SELECT removed, v AS p FROM m10 WHERE i = 'START' AND jj = 'CONV'),
+        |pfull AS (SELECT p FROM pconv WHERE removed = ''),
+        |re AS (SELECT ch.c AS channel,
+        |    CASE WHEN pfull.p <= 0 THEN 0.0
+        |         ELSE greatest(0.0, 1.0 - pc.p / pfull.p) END AS re
+        |  FROM chan ch JOIN pconv pc ON pc.removed = ch.c, pfull),
+        |nc AS (SELECT coalesce(sum(n), 0) AS nconv FROM cnt WHERE dst = 'CONV'),
+        |rs AS (SELECT sum(re) AS resum FROM re)
+        |SELECT channel,
+        |  CAST(floor(re * 1000000 + 0.5) AS BIGINT) AS removal_effect_ppm,
+        |  CASE WHEN rs.resum <= 0 THEN 0
+        |       ELSE CAST(floor(nc.nconv * re / rs.resum * 100 + 0.5) AS BIGINT)
+        |       END AS attributed_conv_c2
+        |FROM re, rs, nc""").stripMargin,
     "cdc_op_sequence_audit" ->
       s"""$logCte,
          |lg AS (SELECT *, lag(operation) OVER (

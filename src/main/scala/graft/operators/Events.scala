@@ -707,6 +707,117 @@ object Events {
         .otherwise(round(num / den, 4)).as("z_score"))
   }
 
+  /** #355 Sequential A/B monitor — always-valid inference for the running
+    * experiment [[abTest]] reads once: per-day looks at the purchase-value
+    * metric under the mSPRT normal-mixture log-likelihood ratio (Johari
+    * et al., KDD'17 shape): with per-arm cumulative mean/variance,
+    * se² = v_a/n_a + v_b/n_b, θ̂ = mean_b − mean_a, prior τ² = 100
+    * (τ = $10 effect scale),
+    * llr = ½·ln(se²/(se²+τ²)) + θ̂²τ²/(2·se²·(se²+τ²)); the
+    * always-valid p-value is exp(−max llr so far) capped at 1, and the
+    * experiment is significant once that running max crosses ln(1/α),
+    * α = 0.05 — valid at EVERY look, no peeking penalty.
+    *
+    * Scale: one corpus aggregate to (day, arm) — everything after is
+    * calendar-sized (the [[burnRate]] shape). Determinism: values enter
+    * as exact integer cents (floor(v·100+0.5) per row), cumulative sums
+    * are exact integers (cents² in DECIMAL(38,0) ↔ DuckDB HUGEINT), and
+    * the float stats are computed by the IDENTICAL expression text on
+    * both engines from those exact integers, then rounded ×10⁴.
+    */
+  def sequentialAb(spark: SparkSession, dir: String): DataFrame = {
+    val pe = withTs(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id % 2 AS arm", "ts_us DIV 86400000000 AS day",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c")
+    val daily = pe.groupBy("day", "arm").agg(count(lit(1)).as("n"),
+      sum(col("v_c")).as("s1"),
+      sum(expr("CAST(v_c AS DECIMAL(38,0)) * v_c")).as("s2"))
+    val grid = pe.select("day").distinct()
+      .crossJoin(spark.range(2).select(col("id").as("arm")))
+      .join(daily, Seq("day", "arm"), "left")
+      .selectExpr("day", "arm", "coalesce(n, 0) AS n", "coalesce(s1, 0) AS s1",
+        "coalesce(s2, CAST(0 AS DECIMAL(38,0))) AS s2")
+    val w = Window.partitionBy("arm").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.select(col("day"), col("arm"),
+      sum("n").over(w).as("cn"), sum("s1").over(w).as("cs1"),
+      sum("s2").over(w).as("cs2"))
+    val wide = cum.groupBy("day").agg(
+      max(when(col("arm") === 0, col("cn"))).as("cn_a"),
+      max(when(col("arm") === 0, col("cs1"))).as("cs1_a"),
+      max(when(col("arm") === 0, col("cs2"))).as("cs2_a"),
+      max(when(col("arm") === 1, col("cn"))).as("cn_b"),
+      max(when(col("arm") === 1, col("cs1"))).as("cs1_b"),
+      max(when(col("arm") === 1, col("cs2"))).as("cs2_b"))
+    // identical expression TEXT to the DuckDB oracle — float ops on the
+    // same exact-integer inputs in the same order are IEEE-deterministic
+    val st = wide.selectExpr("day", "cn_a", "cn_b",
+      "CAST(cs1_a AS DOUBLE) / cn_a / 100.0 AS mean_a",
+      "CAST(cs1_b AS DOUBLE) / cn_b / 100.0 AS mean_b",
+      "(CAST(cs2_a AS DOUBLE) / 10000.0 - cn_a * (CAST(cs1_a AS DOUBLE) / cn_a / 100.0) * (CAST(cs1_a AS DOUBLE) / cn_a / 100.0)) / (cn_a - 1) AS var_a",
+      "(CAST(cs2_b AS DOUBLE) / 10000.0 - cn_b * (CAST(cs1_b AS DOUBLE) / cn_b / 100.0) * (CAST(cs1_b AS DOUBLE) / cn_b / 100.0)) / (cn_b - 1) AS var_b")
+    val llr = st.selectExpr("day", "cn_a", "cn_b", "mean_a", "mean_b",
+      """CASE WHEN cn_a >= 2 AND cn_b >= 2
+           AND var_a / cn_a + var_b / cn_b > 0 THEN
+         0.5 * ln((var_a / cn_a + var_b / cn_b) / (var_a / cn_a + var_b / cn_b + 100.0))
+         + (mean_b - mean_a) * (mean_b - mean_a) * 100.0
+           / (2.0 * (var_a / cn_a + var_b / cn_b) * (var_a / cn_a + var_b / cn_b + 100.0))
+         END AS llr""")
+    val wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    llr.withColumn("max_llr", max(col("llr")).over(wd))
+      .selectExpr("day", "cn_a AS n_a", "cn_b AS n_b",
+        "round(mean_a, 4) AS mean_a_r", "round(mean_b, 4) AS mean_b_r",
+        "round(llr, 4) AS llr_r",
+        "round(least(1.0, exp(-max_llr)), 4) AS pval_r",
+        "CAST(CASE WHEN max_llr > ln(20.0) THEN 1 ELSE 0 END AS BIGINT) AS signif")
+  }
+
+  /** #356 Power analysis for the running experiment: from the observed
+    * per-arm purchase-value variance, (a) the minimum detectable effect
+    * at the CURRENT sample size and (b) the per-arm sample size required
+    * to detect a 1%-of-mean lift — both at α = 0.05 two-sided, power
+    * 0.8 (z constants 1.959964 + 0.841621 as shared literals). The
+    * "should we keep running?" readout next to [[abTest]] (point
+    * estimate) and [[sequentialAb]] (always-valid monitor):
+    * mde = (z_α/2+z_β)·√(σ²_a/n_a + σ²_b/n_b), n_req = 2σ̄²(z_α/2+z_β)²/δ².
+    *
+    * One corpus aggregate; determinism as [[sequentialAb]]: exact integer
+    * cents/cents² sums, float stats via identical expression text both
+    * engines, rounded outputs.
+    */
+  def powerMde(spark: SparkSession, dir: String): DataFrame = {
+    val pe = withTs(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id % 2 AS arm",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c")
+    val arms = pe.groupBy("arm").agg(count(lit(1)).as("n"),
+      sum(col("v_c")).as("s1"),
+      sum(expr("CAST(v_c AS DECIMAL(38,0)) * v_c")).as("s2"))
+    val wide = arms.agg(
+      max(when(col("arm") === 0, col("n"))).as("n_a"),
+      max(when(col("arm") === 0, col("s1"))).as("s1_a"),
+      max(when(col("arm") === 0, col("s2"))).as("s2_a"),
+      max(when(col("arm") === 1, col("n"))).as("n_b"),
+      max(when(col("arm") === 1, col("s1"))).as("s1_b"),
+      max(when(col("arm") === 1, col("s2"))).as("s2_b"))
+    wide.selectExpr("n_a", "n_b",
+        "CAST(s1_a AS DOUBLE) / n_a / 100.0 AS mean_a",
+        "CAST(s1_b AS DOUBLE) / n_b / 100.0 AS mean_b",
+        "(CAST(s1_a AS DOUBLE) + s1_b) / (n_a + n_b) / 100.0 AS mean_p",
+        "(CAST(s2_a AS DOUBLE) / 10000.0 - n_a * (CAST(s1_a AS DOUBLE) / n_a / 100.0) * (CAST(s1_a AS DOUBLE) / n_a / 100.0)) / (n_a - 1) AS var_a",
+        "(CAST(s2_b AS DOUBLE) / 10000.0 - n_b * (CAST(s1_b AS DOUBLE) / n_b / 100.0) * (CAST(s1_b AS DOUBLE) / n_b / 100.0)) / (n_b - 1) AS var_b")
+      .selectExpr("n_a", "n_b",
+        "round(mean_a, 4) AS mean_a_r", "round(mean_b, 4) AS mean_b_r",
+        "round(sqrt(var_a), 4) AS sd_a_r", "round(sqrt(var_b), 4) AS sd_b_r",
+        // MDE at the current n
+        "round((1.959964 + 0.841621) * sqrt(var_a / n_a + var_b / n_b), 4) AS mde_abs_r",
+        // MDE relative to the pooled mean, in basis points
+        "CAST(floor((1.959964 + 0.841621) * sqrt(var_a / n_a + var_b / n_b) / mean_p * 10000 + 0.5) AS BIGINT) AS mde_rel_bp",
+        // per-arm n to detect a 1%-of-pooled-mean lift (pooled variance)
+        "CAST(ceil(2.0 * ((var_a * (n_a - 1) + var_b * (n_b - 1)) / (n_a + n_b - 2)) * (1.959964 + 0.841621) * (1.959964 + 0.841621) / (mean_p * 0.01 * mean_p * 0.01)) AS BIGINT) AS n_req_1pct")
+  }
+
   /** #247 Interval union (gaps-and-islands overlap merge): each event is
     * an activity interval `[ts, ts + value seconds)` and the per-user
     * union of those intervals is the user's true covered wall-clock —
@@ -1168,11 +1279,18 @@ object Events {
     * channel's removal effect, and conversions are attributed
     * proportionally to the normalized effects. The corpus-scale work is
     * ONE window pass + one (src,dst) count aggregation; the chain itself
-    * is (#event types)² ≈ tiny, so the linear solves are a bounded
-    * driver-side Gaussian elimination over a deterministic state order —
-    * the same "distributed counts, driver-side argmax" shape as BPE
-    * training. Rows-only (no SQL analog of a matrix solve); UtilSpec
-    * pins a hand-solvable two-channel chain.
+    * is (#event types)² ≈ tiny, so the absorption probabilities are a
+    * bounded driver-side solve — the same "distributed counts,
+    * driver-side argmax" shape as BPE training. The solve is matrix-power
+    * DOUBLING (T^1024 via 10 squarings over states ∪ {CONV}, CONV
+    * absorbing, END/removed transitions dropping mass) rather than
+    * elimination: a fixed operation count with no data-dependent
+    * pivoting, so the DuckDB oracle replays the identical arithmetic as
+    * ten matmul CTEs over (scenario, i, j, v) rows and the entry is
+    * hash-verified end to end. Transition probabilities are exact
+    * integer ratios n/out on both sides; outputs round to integer
+    * ppm/cents, far coarser than the ~1e-13 summation-order noise a
+    * contraction admits. UtilSpec pins a hand-solvable two-channel chain.
     */
   def markovAttribution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1198,32 +1316,29 @@ object Events {
     val channels = counts.keys.map(_._1).filter(_ != "START").toSeq.sorted
     val nConv = counts.collect { case ((_, "CONV"), n) => n }.sum.toDouble
     // absorption probability START → CONV with `removed` channels absent
-    // (transitions into them leak to END): Gaussian elimination on the
-    // ≤(#types+1)² dense system (I − P_TT) x = P_T,CONV
+    // (transitions into them leak to END): T^1024 by repeated squaring
+    // over states ∪ {CONV} (CONV absorbing; mass into END/removed simply
+    // has no column). 2^10 steps bounds the residual by ρ^1024 for any
+    // substochastic ρ < 1 — far below the ppm rounding grain — and the
+    // fixed op count (no pivoting) replays in SQL.
     def pConv(removed: Set[String]): Double = {
-      val ts = ("START" +: channels.filterNot(removed)).toArray
+      val ts = ("START" +: channels.filterNot(removed)) :+ "CONV"
       val idx = ts.zipWithIndex.toMap
       val n = ts.length
-      val a = Array.ofDim[Double](n, n + 1)
-      for (i <- 0 until n) {
+      var m = Array.ofDim[Double](n, n)
+      for (i <- 0 until n if ts(i) != "CONV") {
         val out = counts.collect { case ((s, _), c) if s == ts(i) => c }.sum.toDouble
-        a(i)(i) = 1.0
-        if (out > 0) for (((s, d), c) <- counts if s == ts(i)) {
-          if (d == "CONV") a(i)(n) += c / out
-          else idx.get(d).foreach(j => a(i)(j) -= c / out)
-        }
+        if (out > 0) for (((s, d), c) <- counts if s == ts(i))
+          idx.get(d).foreach(j => m(i)(j) += c / out)
       }
-      for (p <- 0 until n) { // partial-pivot elimination, fixed state order
-        val piv = (p until n).maxBy(r => math.abs(a(r)(p)))
-        val t = a(p); a(p) = a(piv); a(piv) = t
-        if (math.abs(a(p)(p)) > 1e-12) {
-          for (r <- 0 until n if r != p) {
-            val f = a(r)(p) / a(p)(p)
-            for (c2 <- p to n) a(r)(c2) -= f * a(p)(c2)
-          }
-        }
+      m(n - 1)(n - 1) = 1.0
+      for (_ <- 0 until 10) {
+        val sq = Array.ofDim[Double](n, n)
+        for (i <- 0 until n; k <- 0 until n if m(i)(k) != 0.0; j <- 0 until n)
+          sq(i)(j) += m(i)(k) * m(k)(j)
+        m = sq
       }
-      if (math.abs(a(0)(0)) < 1e-12) 0.0 else a(0)(n) / a(0)(0)
+      m(0)(n - 1)
     }
     val pFull = pConv(Set.empty)
     val effects = channels.map { c =>
@@ -1232,11 +1347,14 @@ object Events {
       (c, re)
     }
     val reSum = effects.map(_._2).sum
+    // floor(x + 0.5) on BOTH sides (here and the DuckDB oracle) — a single
+    // deterministic rounding formula instead of engine-specific
+    // HALF_UP/HALF_EVEN round(); conversions ship as integer cents
     effects.map { case (c, re) =>
-      (c, math.round(re * 1000000).toLong,
-        if (reSum <= 0) 0.0
-        else math.rint(nConv * re / reSum * 100) / 100)
-    }.toDF("channel", "removal_effect_ppm", "attributed_conversions")
+      (c, math.floor(re * 1000000 + 0.5).toLong,
+        if (reSum <= 0) 0L
+        else math.floor(nConv * re / reSum * 100 + 0.5).toLong)
+    }.toDF("channel", "removal_effect_ppm", "attributed_conv_c2")
   }
 
   /** #323 INCREMENTAL sessionization — the batch counterpart of the

@@ -406,4 +406,67 @@ object Graph {
         .otherwise(0L)), lit(0L)))
       .first().getLong(0)
   }
+
+  /** #353 Link prediction over an undirected edge list: score NON-adjacent
+    * node pairs reachable in 2 hops by the three classic neighborhood
+    * metrics — common-neighbor count, Jaccard overlap of neighborhoods,
+    * and Adamic–Adar (Σ_hub 1/ln deg(hub), down-weighting promiscuous
+    * hubs) — and keep the global top-N. On the corpus k-NN graph this
+    * surfaces "documents that SHOULD be near-dup/related but the kNN cut
+    * missed" (candidate mining for the dedup verify stage) and is the
+    * standard recommender primitive.
+    *
+    * Scale: candidates come from ONE self-equi-join of the adjacency list
+    * on the hub node — Σ_hub deg(hub)² pairs, bounded because a kNN graph
+    * has bounded degree (≈2k after mirroring), so the expansion is linear
+    * in nodes at fixed k, never corpus-quadratic. Everything downstream is
+    * equi-joins + one aggregate; the global top-N is TakeOrderedAndProject
+    * (no single-reducer window over the full candidate set). RANKING keys
+    * are exact integers (jaccard_ppm, common_neighbors, ids) so the order
+    * replays bit-exactly cross-engine; Adamic–Adar ships as a rounded
+    * score column but never decides the order.
+    */
+  def linkPredFrom(edges: DataFrame, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val adj = und.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(und.select(col("b").as("x"), col("a").as("y")))
+    val deg = adj.groupBy(col("x").as("id")).agg(count(lit(1)).as("deg"))
+    val half = adj.select(col("y").as("hub"), col("x").as("u"))
+    val wedges = half.join(half.withColumnRenamed("u", "v"), "hub")
+      .filter(col("u") < col("v"))
+    val aaHub = deg.filter(col("deg") >= 2)
+      .select(col("id").as("hub"), (lit(1.0) / log(col("deg"))).as("aa_w"))
+    val cand = wedges.join(aaHub, "hub")
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"), sum(col("aa_w")).as("aa"))
+    val nonEdge = cand.join(und,
+      cand("u") === und("a") && cand("v") === und("b"), "left_anti")
+    val scored = nonEdge
+      .join(deg.select(col("id").as("u"), col("deg").as("deg_u")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("deg_v")), "v")
+      .select(col("u").as("src"), col("v").as("dst"), col("common_neighbors"),
+        expr("common_neighbors * 1000000 DIV (deg_u + deg_v - common_neighbors)")
+          .as("jaccard_ppm"),
+        round(col("aa"), 4).as("aa_r"))
+    // global top-N first (distributed TakeOrdered), THEN the rank window
+    // over the ≤topN survivors — never a global window over all candidates
+    scored
+      .orderBy(col("jaccard_ppm").desc, col("common_neighbors").desc,
+        col("src"), col("dst"))
+      .limit(topN)
+      .withColumn("rnk", row_number().over(Window.orderBy(
+        col("jaccard_ppm").desc, col("common_neighbors").desc,
+        col("src"), col("dst"))))
+  }
+
+  /** #353 Registered query: link prediction (top 100) over the embedding
+    * k-NN graph. */
+  def linkPred(spark: SparkSession, dir: String): DataFrame =
+    linkPredFrom(Similarity.knnGraph(spark, dir))
 }

@@ -1554,4 +1554,90 @@ object Text {
       .selectExpr("doc_id", "n_grams", "n_novel",
         "(n_novel * 10000) DIV n_grams AS novelty_bp")
   }
+
+  /** #357 Encoding-damage (mojibake) audit per crawl source: fraction of
+    * characters outside printable ASCII + whitespace, docs containing the
+    * U+FFFD replacement character (the scar a lossy decode leaves), and
+    * the per-source share of docs past 1% damaged chars — the standard
+    * "which crawl batch came in with the wrong charset" gate (CCNet /
+    * RefinedWeb-style pipelines drop these up front). Distinct from the
+    * TOKEN-statistics gates ([[docQuality]]/[[docQualityGopher]]): those
+    * score fluency, this catches byte-level corruption fluent stats miss.
+    *
+    * One row-local projection + one source-sized aggregate; all outputs
+    * exact integer fixed-point. The character class is written with RAW
+    * whitespace characters (no backslash escapes) because Spark and
+    * DuckDB string literals un-escape differently — the one cross-engine
+    * regex trap ([[docTokens]]'s note).
+    */
+  def mojibakeAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("source", "CAST(length(text) AS BIGINT) AS nch",
+        "CAST(length(regexp_replace(text, concat('[', chr(9), chr(10), chr(13), ' -~]'), '')) AS BIGINT) AS n_bad",
+        "CAST(CASE WHEN contains(text, '�') THEN 1 ELSE 0 END AS BIGINT) AS has_repl")
+      .selectExpr("source", "nch", "n_bad", "has_repl",
+        "CAST(CASE WHEN n_bad * 10000 > nch * 100 THEN 1 ELSE 0 END AS BIGINT) AS flagged")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("flagged")).as("n_flagged"),
+        sum(col("has_repl")).as("n_repl_docs"),
+        sum(col("nch")).as("t_ch"), sum(col("n_bad")).as("t_bad"))
+      .selectExpr("source", "n_docs", "n_flagged", "n_repl_docs",
+        "n_flagged * 10000 DIV n_docs AS flag_bp",
+        "t_bad * 1000000 DIV t_ch AS bad_ppm")
+
+  /** #354 Corpus datasheet ("data card"): the one-table summary a dataset
+    * release ships — corpus totals, language mix, source mix, exact-dup
+    * census, and length quantiles — in long (section, metric, value)
+    * form, every value an exact BIGINT. What "Datasheets for Datasets"
+    * (Gebru et al., CACM'21) asks a publisher to report, computed from
+    * the corpus instead of hand-written.
+    *
+    * Scale: corpus totals + lang mix + source mix come from ONE
+    * grouping-sets pass (one shuffle, three grouping levels — Catalyst
+    * expands, no triple scan); the dup census is one distinct-digest
+    * aggregate (digests travel, never text); the quantiles come from a
+    * length HISTOGRAM (distinct lengths ≤ max doc length, corpus-size
+    * independent) so the only window runs over the bounded histogram,
+    * never a global row sort. p_q = smallest length with cum ≥ ⌈qn⌉ via
+    * integer cross-multiplication — exact on both engines.
+    */
+  def docDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).selectExpr(
+      "lang", "source", "CAST(length(text) AS BIGINT) AS nch",
+      s"$nTokens AS ntok", "md5(text) AS dg")
+    val gs = d
+      .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq()),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("nch")).as("chars"),
+        sum(col("ntok")).as("toks"),
+        grouping(col("lang")).as("gl"), grouping(col("source")).as("gsr"))
+    val corpus = gs.filter(col("gl") === 1 && col("gsr") === 1)
+      .selectExpr("""stack(4,
+        'corpus', 'n_docs', n,
+        'corpus', 'total_chars', chars,
+        'corpus', 'total_tokens', toks,
+        'corpus', 'avg_chars_e2', chars * 100 DIV n) AS (section, metric, value)""")
+    val langRows = gs.filter(col("gl") === 0)
+      .select(lit("lang").as("section"), col("lang").as("metric"),
+        col("n").as("value"))
+    val srcRows = gs.filter(col("gsr") === 0)
+      .select(lit("source").as("section"), col("source").as("metric"),
+        col("n").as("value"))
+    val ded = d.agg(countDistinct(col("dg")).as("dist"), count(lit(1)).as("n"))
+      .selectExpr("""stack(2,
+        'dedup', 'distinct_texts', dist,
+        'dedup', 'dup_docs', n - dist) AS (section, metric, value)""")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("nch"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val qs = d.groupBy(col("nch")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+      .agg(min(when(expr("cum * 2 >= n"), col("nch"))).as("p50"),
+        min(when(expr("cum * 10 >= n * 9"), col("nch"))).as("p90"))
+      .selectExpr("""stack(2,
+        'length', 'p50_chars', p50,
+        'length', 'p90_chars', p90) AS (section, metric, value)""")
+    corpus.unionByName(langRows).unionByName(srcRows)
+      .unionByName(ded).unionByName(qs)
+  }
 }

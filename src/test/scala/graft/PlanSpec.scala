@@ -32,6 +32,15 @@ class PlanSpec extends SparkSpec {
       "order-date window not pushed to the orders scan")
   }
 
+  test("link prediction: wedge expansion is an equi-join, never cartesian") {
+    val p = planOf("graph_linkpred")
+    assert(!p.contains("CartesianProduct"),
+      s"linkpred planned a cartesian product:\n$p")
+    // the global top-N must be TakeOrdered, not a full-candidate window sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"linkpred top-N did not plan as TakeOrdered:\n$p")
+  }
+
   test("q3/q5: dimension joins broadcast, no sort-merge join") {
     for (q <- Seq("q3_shipping_priority", "q5_region_revenue")) {
       val p = planOf(q)

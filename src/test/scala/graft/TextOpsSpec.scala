@@ -10,6 +10,52 @@ import graft.operators.{Redact, Text}
   */
 class TextOpsSpec extends SparkSpec {
 
+  test("docDatasheet reports exact corpus/lang/dedup/length rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("datasheet").toString
+    // 4 docs: one exact-dup pair, two langs, lengths 3,3,5,11
+    Seq((1L, "a b", "en", "s0", 3L), (2L, "a b", "en", "s0", 3L),
+      (3L, "c d e", "de", "s1", 5L), (4L, "f g h i j k", "en", "s1", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Text.docDatasheet(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("corpus", "n_docs")) === 4L)
+    assert(out(("corpus", "total_chars")) === 22L)
+    assert(out(("corpus", "total_tokens")) === 2L + 2L + 3L + 6L)
+    assert(out(("corpus", "avg_chars_e2")) === 550L)
+    assert(out(("lang", "en")) === 3L)
+    assert(out(("lang", "de")) === 1L)
+    assert(out(("source", "s0")) === 2L)
+    assert(out(("dedup", "distinct_texts")) === 3L)
+    assert(out(("dedup", "dup_docs")) === 1L)
+    // sorted lengths 3,3,5,11: p50 = 2nd (cum2*2>=4 at nch=3), p90 = 4th
+    assert(out(("length", "p50_chars")) === 3L)
+    assert(out(("length", "p90_chars")) === 11L)
+    // 4 corpus + 2 lang + 2 source + 2 dedup + 2 length
+    assert(out.size === 12)
+  }
+
+  test("mojibakeAudit counts damaged chars, not legitimate whitespace") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mojibake").toString
+    Seq(
+      (1L, "hello\nworld\t!", "en", "s0", 13L), // \n and \t are NOT damage
+      (2L, "ab�cd", "en", "s0", 5L), // 1/5 bad + replacement scar
+      (3L, "éééééééééé", "fr", "s1", 10L)) // 100% outside printable ASCII
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Text.mojibakeAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s0 = out("s0")
+    assert((s0.getLong(1), s0.getLong(2), s0.getLong(3)) === ((2L, 1L, 1L)))
+    assert(s0.getLong(4) === 5000L) // 1 of 2 docs flagged
+    assert(s0.getLong(5) === 1000000L / 18L) // 1 bad char of 18
+    val s1 = out("s1")
+    assert((s1.getLong(1), s1.getLong(2), s1.getLong(3)) === ((1L, 1L, 0L)))
+    assert((s1.getLong(4), s1.getLong(5)) === ((10000L, 1000000L)))
+  }
+
   test("docRepetition computes exact gram counts on planted text") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("textops").toString

@@ -976,9 +976,9 @@ class UtilSpec extends SparkSpec {
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/events.parquet")
     val out = Events.markovAttribution(spark, dir).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
-    assert(out("view") === ((500000L, 1.0)), s"view got ${out("view")}")
-    assert(out("click") === ((500000L, 1.0)), s"click got ${out("click")}")
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("view") === ((500000L, 100L)), s"view got ${out("view")}")
+    assert(out("click") === ((500000L, 100L)), s"click got ${out("click")}")
     // events after the first purchase never count: a post-purchase error
     // for u1 must not create an 'error' channel
     val rows2 = rows :+ (6L, 3000000000L, 1L, "error", 1.0, "{}")
@@ -988,6 +988,75 @@ class UtilSpec extends SparkSpec {
     val out2 = Events.markovAttribution(spark, dir2).collect()
       .map(r => r.getString(0)).toSet
     assert(out2 === Set("view", "click"))
+  }
+
+  test("power/MDE analysis matches the closed form on planted arms") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("powermde").toString
+    // arm 0 (even users): 10,12,14; arm 1: 20,22,24 → sd = 2 both arms,
+    // pooled mean 17
+    val rows = Seq(
+      (1L, 1L, 2L, "purchase", 10.0), (2L, 2L, 2L, "purchase", 12.0),
+      (3L, 3L, 2L, "purchase", 14.0), (4L, 1L, 1L, "purchase", 20.0),
+      (5L, 2L, 1L, "purchase", 22.0), (6L, 3L, 1L, "purchase", 24.0),
+      (7L, 1L, 1L, "view", 999.0)) // ignored
+      .map { case (e, t, u, ty, v) => (e, t * 1000000000L, u, ty, v, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Events.powerMde(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 3L)))
+    assert((r.getDouble(2), r.getDouble(3)) === ((12.0, 22.0)))
+    assert((r.getDouble(4), r.getDouble(5)) === ((2.0, 2.0)))
+    val z = 1.959964 + 0.841621
+    val mde = z * math.sqrt(4.0 / 3 + 4.0 / 3)
+    assert(math.abs(r.getDouble(6) - mde) < 1e-4)
+    assert(r.getLong(7) === math.floor(mde / 17.0 * 10000 + 0.5).toLong)
+    assert(r.getLong(8) === math.ceil(2.0 * 4.0 * z * z / (0.17 * 0.17)).toLong)
+  }
+
+  test("sequential A/B monitor stays quiet on noise, fires on planted uplift") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("seqab").toString
+    // day 0: both arms ≈ $10 (no signal). day 1: arm 1 (odd users) gets a
+    // consistent $20 purchase 50× while arm 0 stays at $10 — an uplift
+    // whose llr is far past ln(20)
+    val day0 = Seq(
+      (1L, 1000000000000L, 2L, "purchase", 10.0, "{}"),
+      (2L, 2000000000000L, 2L, "purchase", 10.0, "{}"),
+      (3L, 1000000000000L, 1L, "purchase", 10.0, "{}"),
+      (4L, 2000000000000L, 1L, "purchase", 10.2, "{}"),
+      (100L, 1500000000000L, 1L, "view", 999.0, "{}")) // non-purchase: ignored
+    val day1 = Seq(
+      (5L, 90000000000000L, 2L, "purchase", 10.0, "{}"),
+      (6L, 91000000000000L, 2L, "purchase", 10.0, "{}")) ++
+      (0 until 50).map(i =>
+        (10L + i, 90000000000000L + i * 1000000L, 1L, "purchase", 20.0, "{}"))
+    (day0 ++ day1).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.sequentialAb(spark, dir).collect().sortBy(_.getLong(0))
+    assert(out.length === 2)
+    val (d0, d1) = (out(0), out(1))
+    assert((d0.getLong(1), d0.getLong(2), d0.getLong(7)) === ((2L, 2L, 0L)))
+    assert(d0.getDouble(6) === 1.0, s"day-0 always-valid p should cap at 1: $d0")
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(7)) === ((4L, 52L, 1L)))
+    assert(d1.getDouble(3) === 10.0)
+    assert(d1.getDouble(6) < 0.05, s"day-1 p: ${d1.getDouble(6)}")
+  }
+
+  test("link prediction scores the planted open pair exactly") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // triangle 1-2-3 plus 2-4, 3-4: the ONLY non-adjacent 2-hop pair is
+    // (1,4) — cn = |{2,3}| = 2, deg(1) = deg(4) = 2 → Jaccard = 2/2 = 1,
+    // AA = 2/ln 3 (both hubs have degree 3)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.linkPredFrom(edges).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(5)) ===
+      ((1L, 4L, 2L, 1000000L, 1)))
+    assert(math.abs(r.getDouble(4) - math.rint(2.0 / math.log(3.0) * 10000) / 10000) < 1e-9)
   }
 
   test("modularity: two planted cliques score Q = 0.5 exactly") {
