@@ -112,6 +112,9 @@ object Graph {
         .groupBy(col("nid").as("id"))
         .agg(max_by(col("lbl"), struct(col("cnt"), -col("lbl"))).as("lbl"))
         .localCheckpoint(eager = true)
+      // no convergence early-exit here (unlike kcoreFrom): measured on the
+      // corpus kNN graph, labels still move at iteration 6, so a per-round
+      // changed-check is pure overhead (+0.4s at sf0.1) with nothing to skip
       labels = next
       i += 1
     }
@@ -178,8 +181,11 @@ object Graph {
     * to fixpoint) is the deliberate at-scale formulation: each round is
     * one degree aggregate + two node-sized semi-joins, the round count is
     * a known cost ceiling, and `peel_round = 0` is then a certificate of
-    * "survived R rounds", monotone in R. GraphSpec pins a planted graph
-    * where R rounds provably REACH the fixpoint (clique + path tail).
+    * "survived R rounds", monotone in R. When a round peels zero nodes
+    * the loop exits early (output-identical: every later round would
+    * peel zero too) — R stays the ceiling, the fixpoint the usual cost.
+    * GraphSpec pins a planted graph where R rounds provably REACH the
+    * fixpoint (clique + path tail).
     *
     * Scale notes: edges cached once, hash-partitioned on src; the alive
     * set is node-sized and localCheckpoint truncates its lineage per
@@ -195,7 +201,8 @@ object Graph {
       .localCheckpoint(eager = true)
     var peeledRounds = List.empty[DataFrame]
     var r = 1
-    while (r <= rounds) {
+    var fixpoint = false
+    while (r <= rounds && !fixpoint) {
       // degree within the SURVIVING subgraph: both endpoints alive
       val deg = und
         .join(alive.withColumnRenamed("id", "src"), Seq("src"))
@@ -204,9 +211,18 @@ object Graph {
       val marked = alive.join(deg, Seq("id"), "left")
         .select(col("id"), (coalesce(col("deg"), lit(0L)) < k).as("peel"))
         .localCheckpoint(eager = true)
-      peeledRounds ::= marked.filter(col("peel"))
+      val peeled = marked.filter(col("peel"))
         .select(col("id"), lit(r).as("peel_round"))
-      alive = marked.filter(!col("peel")).select("id")
+      // fixpoint early-exit is OUTPUT-IDENTICAL to running all R rounds:
+      // once a round peels zero nodes every later round peels zero too,
+      // and empty per-round frames contribute no rows. The count is one
+      // job over the already-checkpointed node-sized frame — far cheaper
+      // than the checkpoint+join rounds it skips.
+      if (peeled.isEmpty) fixpoint = true
+      else {
+        peeledRounds ::= peeled
+        alive = marked.filter(!col("peel")).select("id")
+      }
       r += 1
     }
     val out = (alive.select(col("id"), lit(0).as("peel_round")) :: peeledRounds)
