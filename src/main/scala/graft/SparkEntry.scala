@@ -467,6 +467,8 @@ object SparkEntry {
     // two-stage retrieve-then-rerank (rows-only: coarse stage rides the
     // int8 codes; ScaleSpec pins recall vs the exact scan)
     "ann_rerank_topk" -> ((s, d) => Similarity.annRerankTopK(s, d)),
+    // 1-bit sign quantization: Hamming coarse scan + exact cosine rerank
+    "ann_binary_topk" -> ((s, d) => Similarity.annBinaryTopK(s, d)),
     // MMR-diversified rerank: bounded per-query greedy over 4k over-fetch
     // (rows-only: greedy argmax not SQL-expressible; ScaleSpec plants
     // redundant candidates and pins the suppression)
@@ -1791,6 +1793,28 @@ object SparkEntry {
       s"""WITH $quantTopkCte
          |SELECT qid, nid, round(cosr, 4) AS cos, CAST(rnk AS INT) AS rnk
          |FROM rr WHERE rnk <= 5""".stripMargin,
+    // binary-quantization replay: identical sign-bit word packing (integer
+    // fold), integer Hamming coarse order, exact cosine rerank
+    "ann_binary_topk" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |bw AS MATERIALIZED (SELECT vec_id, emb,
+        |    CAST(list_sum(list_transform(range(0, 32), j ->
+        |      CASE WHEN emb[0 * 32 + j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS b0,
+        |    CAST(list_sum(list_transform(range(0, 32), j ->
+        |      CASE WHEN emb[1 * 32 + j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS b1
+        |  FROM e),
+        |q AS (SELECT vec_id AS qid, emb AS qe, b0 AS q0, b1 AS q1 FROM bw WHERE vec_id < 8),
+        |h AS (SELECT q.qid, c.vec_id AS nid, c.emb AS ce, q.qe,
+        |    bit_count(xor(c.b0, q.q0)) + bit_count(xor(c.b1, q.q1)) AS hamming
+        |  FROM bw c CROSS JOIN q WHERE c.vec_id <> q.qid),
+        |hr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hamming, nid) AS hrnk FROM h),
+        |rr AS (SELECT qid, nid, hamming, list_cosine_similarity(qe, ce) AS cosr
+        |       FROM hr WHERE hrnk <= 20),
+        |rk AS (SELECT qid, nid, hamming, cosr,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, nid) AS rnk FROM rr)
+        |SELECT qid, nid, CAST(hamming AS INT) AS hamming, round(cosr, 4) AS cos,
+        |  CAST(rnk AS INT) AS rnk
+        |FROM rk WHERE rnk <= 5""".stripMargin,
     "ann_rerank_topk" ->
       s"""WITH $quantTopkCte,
          |coarse AS (SELECT qid, nid FROM rr WHERE rnk <= 20),

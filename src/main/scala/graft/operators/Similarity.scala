@@ -441,6 +441,48 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** #358 Binary (sign-bit) quantization ANN — the THIRD point on the
+    * quantization curve (fp32 → int8 [[quantizeEmbeddings]] → 1 bit):
+    * each embedding's sign bits pack into two 32-bit words, the coarse
+    * scan ranks by Hamming distance (xor + popcount — 32× smaller than
+    * int8, the scan is POPCNT-bound, Hamming ≈ angle for centered data),
+    * and exact cosine reranks the per-query pool. At 100 TB the 1-bit
+    * sketch (dim/8 bytes/vector) fits in memory where even int8 can't;
+    * the rerank touches pool·queries full vectors only. Charikar
+    * (STOC'02) sign-random-projection without the projection: the basis
+    * is the identity, which keeps the packing a row-local codegen'd
+    * fold both engines replay bit-exactly (integer words, integer
+    * Hamming, integer-keyed coarse order).
+    */
+  def annBinaryTopK(spark: SparkSession, dir: String, k: Int = DefaultK,
+      pool: Int = 20): DataFrame = {
+    def word(w: Int): String =
+      s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) ->
+         |  acc + CASE WHEN element_at(embedding, ${w * 32} + j + 1) > 0
+         |             THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    val packed = Tables.embeddings(spark, dir)
+      .withColumn("b0", expr(word(0)))
+      .withColumn("b1", expr(word(1)))
+    val corpus = packed.select(col("vec_id").as("nid"), col("embedding"),
+      col("b0").as("c0"), col("b1").as("c1"))
+    val qs = packed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("b0").as("q0"), col("b1").as("q1"))
+    val wh = Window.partitionBy("qid").orderBy(col("hamming"), col("nid"))
+    val coarse = corpus.crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("hamming", expr("bit_count(c0 ^ q0) + bit_count(c1 ^ q1)"))
+      .withColumn("hrnk", row_number().over(wh))
+      .filter(col("hrnk") <= pool)
+    val wc = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    coarse
+      .withColumn("cos", GraftFunctions.cosineSim(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(wc))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("hamming"),
+        round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
   /** Two-stage retrieve-then-rerank ANN — the production 100 TB shape: the
     * cheap int8 scan over-fetches `cand` coarse candidates per query (4×k
     * here), then ONLY those rows come back at full precision for an exact

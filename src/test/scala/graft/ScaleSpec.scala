@@ -33,6 +33,33 @@ class ScaleSpec extends SparkSpec {
     assert(recall >= 0.9, s"quantized-scan recall $recall below 0.9")
   }
 
+  test("binary (sign-bit) ANN: exact word packing, positive recall, exact rerank") {
+    import spark.implicits._
+    // packing: a known sign pattern maps to known words — bits 0,2 set in
+    // word 0 (dims 1,3 positive), bit 1 set in word 1 (dim 34 positive)
+    val emb = Array.tabulate(64)(i =>
+      if (i == 0 || i == 2 || i == 33) 1.0f else -1.0f)
+    val dir = java.nio.file.Files.createTempDirectory("binann").toString
+    Seq((0L, emb.toSeq, 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val p = Similarity.annBinaryTopK(spark, dir) // empty result (1 vector)
+    assert(p.collect().isEmpty)
+    // the packing itself, via the same expression the operator uses
+    val words = Tables.embeddings(spark, dir).selectExpr(
+      "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc + CASE WHEN element_at(embedding, 0 + j + 1) > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END) AS b0",
+      "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc + CASE WHEN element_at(embedding, 32 + j + 1) > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END) AS b1")
+      .collect().head
+    assert((words.getLong(0), words.getLong(1)) === ((5L, 2L)))
+    // on the corpus: coarse Hamming pool + exact rerank recovers most of
+    // the brute top-k (sign sketch ≈ angle)
+    val brute = Similarity.annCosineTopK(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bin = Similarity.annBinaryTopK(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bin.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.4, s"binary-sketch recall $recall below 0.4 (1-bit/dim coarse)")
+  }
+
   test("two-stage rerank beats-or-matches single-stage quantized recall") {
     val brute = Similarity.annCosineTopK(spark, sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
