@@ -485,6 +485,9 @@ object SparkEntry {
     // link prediction: top-100 non-adjacent 2-hop pairs on the kNN graph,
     // ranked by exact integer (jaccard_ppm, cn, ids) keys
     "graph_linkpred" -> ((s, d) => graft.operators.Graph.linkPred(s, d)),
+    // sparse-anchor label spreading: bounded multi-source BFS, nearest
+    // seed's label within 6 hops, (hops, lbl) arg-min tie-break
+    "graph_seed_distance" -> ((s, d) => graft.operators.Graph.seedDistance(s, d)),
     // DCT perceptual-hash near-dup audit over REAL decoded PNGs
     // (rows-only: codec + DCT; ImageDecodeSpec plants near-dup images)
     "mm_phash_dedup" -> ((s, d) => graft.operators.Multimodal.phashDedup(s, d)),
@@ -1675,6 +1678,26 @@ object SparkEntry {
          |       FROM cand c JOIN e es ON es.vec_id = c.src
          |       JOIN e ed ON ed.vec_id = c.dst)
          |SELECT id_a, id_b, round(cosr, 4) AS cos FROM sc WHERE cosr > 0.4""".stripMargin,
+    // seed-distance replay: six unrolled BFS relaxations, each one
+    // edge-join + per-node (hops, lbl) arg-min — deterministic integers
+    "graph_seed_distance" ->
+      (s"""WITH $knnGraphCte,
+          |sund AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+          |  SELECT src, dst FROM g UNION ALL SELECT dst, src FROM g)),
+          |sd0 AS MATERIALIZED (SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl, 0 AS hops
+          |       FROM embeddings WHERE vec_id % 97 = 0),
+          |""".stripMargin +
+        (1 to 6).map(i =>
+          s"""su$i AS (SELECT id, lbl, hops FROM sd${i - 1}
+             |  UNION ALL SELECT u.dst, d.lbl, d.hops + 1
+             |  FROM sund u JOIN sd${i - 1} d ON d.id = u.src),
+             |sd$i AS MATERIALIZED (SELECT id, lbl, hops FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY hops, lbl) AS rn
+             |  FROM su$i) WHERE rn = 1),""".stripMargin).mkString("\n")
+          .stripSuffix(",") +
+        """
+          |SELECT id AS vec_id, lbl AS nearest_label, CAST(hops AS INT) AS hops
+          |FROM sd6""".stripMargin),
     // link prediction replay: ranking keys are exact integers; Adamic–Adar
     // is a rounded score column and never decides the order
     "graph_linkpred" ->

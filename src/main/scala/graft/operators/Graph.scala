@@ -485,4 +485,53 @@ object Graph {
     * k-NN graph. */
   def linkPred(spark: SparkSession, dir: String): DataFrame =
     linkPredFrom(Similarity.knnGraph(spark, dir))
+
+  /** #359 Sparse-anchor label spreading — bounded multi-source BFS: from a
+    * small SEED set of labeled nodes, assign every reachable node the
+    * label of its nearest seed (hop distance, label id as the
+    * deterministic tie-break) within R rounds. The semi-supervised move a
+    * labeling pipeline runs when human labels are scarce: anchors are
+    * expensive, the similarity graph is free, and "nearest anchor within
+    * R hops" is the defensible transfer. Nodes unreached in R rounds stay
+    * absent — R is both the cost ceiling and the trust radius.
+    *
+    * Scale: the [[pagerankFrom]] shape — per round ONE edge⋈state hash
+    * join + one node-sized arg-min (min over the (hops, lbl) struct, so
+    * ties are deterministic), state localCheckpointed per round. No
+    * frontier bookkeeping: full relaxation per round costs the same one
+    * join and keeps the plan identical every round.
+    */
+  def seedDistanceFrom(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = 6): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    var best = seeds.select(col("id"), col("lbl"), lit(0).as("hops"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val prop = und.join(best, und("src") === best("id"))
+        .select(und("dst").as("id"), col("lbl"), (col("hops") + 1).as("hops"))
+      best = best.unionByName(prop)
+        .groupBy("id").agg(min(struct(col("hops"), col("lbl"))).as("m"))
+        .select(col("id"), col("m.lbl").as("lbl"), col("m.hops").as("hops"))
+        .localCheckpoint(eager = true)
+    }
+    und.unpersist()
+    best
+  }
+
+  /** #359 Registered query: spread the sparse anchor labels (every 97th
+    * vector keeps its true label) over the embedding k-NN graph, 6 rounds.
+    */
+  def seedDistance(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("id"), col("label").cast("long").as("lbl"))
+    seedDistanceFrom(Similarity.knnGraph(spark, dir), seeds)
+      .select(col("id").as("vec_id"), col("lbl").as("nearest_label"),
+        col("hops"))
+  }
 }

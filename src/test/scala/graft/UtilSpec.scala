@@ -1059,6 +1059,24 @@ class UtilSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - math.rint(2.0 / math.log(3.0) * 10000) / 10000) < 1e-9)
   }
 
+  test("seed distance: BFS hops, deterministic equidistant tie, trust radius") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // path 1-2-3-4-5 with seeds 1(lbl 10) and 5(lbl 20); 3 is equidistant
+    // → min label wins. 99-100 is disconnected from any seed → absent.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (99L, 100L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("id", "lbl")
+    val out = Graph.seedDistanceFrom(edges, seeds).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out === Map(1L -> ((10L, 0)), 2L -> ((10L, 1)), 3L -> ((10L, 2)),
+      4L -> ((20L, 1)), 5L -> ((20L, 0))))
+    // trust radius: rounds = 1 reaches only direct neighbors
+    val near = Graph.seedDistanceFrom(edges, seeds, rounds = 1).collect()
+      .map(_.getLong(0)).toSet
+    assert(near === Set(1L, 2L, 4L, 5L))
+  }
+
   test("modularity: two planted cliques score Q = 0.5 exactly") {
     import spark.implicits._
     import graft.operators.Graph
