@@ -337,6 +337,8 @@ object SparkEntry {
     "doc_datasheet" -> ((s, d) => Text.docDatasheet(s, d)),
     // per-source encoding-damage audit: non-printable ratio + U+FFFD scars
     "doc_mojibake_audit" -> ((s, d) => Text.mojibakeAudit(s, d)),
+    // count-min sketch term frequencies + top-50 exactness audit
+    "doc_countmin_freq" -> ((s, d) => Text.countMinFreq(s, d)),
     // Heaps-law vocabulary growth by corpus decile
     "doc_vocab_growth" -> ((s, d) => Text.vocabGrowth(s, d)),
     // 2-D Pareto frontier via the distributed exclusive running-min sweep
@@ -3037,6 +3039,33 @@ object SparkEntry {
         |SELECT rnk AS rank, term, freq, rnk * freq AS zipf_c,
         |  CAST(freq * 1000000 // n_tokens AS BIGINT) AS share_ppm
         |FROM r CROSS JOIN t WHERE rnk <= 50""".stripMargin,
+    // count-min replay: md5-nibble bucket hashing (the weighted-sample
+    // trick) rebuilds the identical 4x1024 integer grid cell-for-cell
+    "doc_countmin_freq" -> {
+      def hex24(h: String): String =
+        (0 until 6).map(i =>
+          s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${1L << (4 * (5 - i))}")
+          .mkString("(", " + ", ")")
+      def bkt(r: Int): String =
+        s"${hex24(s"md5('cm${r}_' || term)")} % 1024"
+      s"""WITH cmt AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |cmt2 AS (SELECT term FROM cmt WHERE term <> ''),
+         |cells AS MATERIALIZED (SELECT r, bucket, count(*) AS cnt FROM (
+         |${(0 until 4).map(r => s"  SELECT $r AS r, ${bkt(r)} AS bucket FROM cmt2")
+             .mkString("\n  UNION ALL\n")}
+         |) GROUP BY 1, 2),
+         |cmexact AS MATERIALIZED (SELECT term, count(*) AS freq FROM cmt2
+         |  GROUP BY 1 ORDER BY freq DESC, term LIMIT 50),
+         |cmprobe AS (
+         |${(0 until 4).map(r => s"  SELECT term, freq, $r AS r, ${bkt(r)} AS bucket FROM cmexact")
+             .mkString("\n  UNION ALL\n")}
+         |)
+         |SELECT term, CAST(freq AS BIGINT) AS freq,
+         |  CAST(min(cnt) AS BIGINT) AS cm_est,
+         |  CAST(min(cnt) - freq AS BIGINT) AS overestimate
+         |FROM cmprobe JOIN cells USING (r, bucket)
+         |GROUP BY term, freq""".stripMargin
+    },
     // mojibake replay: identical concat(chr(...))-built char class (the
     // escape-free construction both engines parse identically)
     "doc_mojibake_audit" ->

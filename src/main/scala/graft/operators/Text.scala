@@ -1555,6 +1555,49 @@ object Text {
         "(n_novel * 10000) DIV n_grams AS novelty_bp")
   }
 
+  /** #360 Count-Min sketch word frequencies + exactness audit (Cormode &
+    * Muthukrishnan, J.Alg'05): every token occurrence increments d=4
+    * hashed cells of a 4×1024 counter grid; a term's estimate is the MIN
+    * of its 4 cells — never below the true count, above it only by
+    * collision mass (≤ e·N/w w.p. 1−e⁻ᵈ). The registered query builds
+    * the sketch corpus-wide, then audits the top-50 exact terms:
+    * est ≥ freq ALWAYS (the CM guarantee, asserted in the spec) and the
+    * overestimate column is the measured collision noise.
+    *
+    * The sketch is THE bounded-memory substitute for a full term
+    * histogram at 100 TB: the grid is 4096 cells regardless of corpus
+    * size, partial aggregation collapses each partition to ≤4096 rows
+    * before the shuffle, and merging shards is cell-wise addition.
+    * Unlike the HLL/Misra-Gries entries (rows-only: engine-specific
+    * internals), every CM cell is plain integer arithmetic on md5 nibbles
+    * — the whole sketch hash-replays in DuckDB.
+    */
+  def countMinFreq(spark: SparkSession, dir: String, d: Int = 4,
+      w: Int = 1024, topN: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    def bucket(r: Int, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(s"cm${r}_"), c)), 1, 6), 16, 10)
+        .cast("long") % w
+    // every token occurrence → d cells; partial agg collapses each
+    // partition to ≤ d·w rows before the exchange
+    val cells = (0 until d).map(r =>
+        toks.select(lit(r).as("r"), bucket(r, col("term")).as("bucket")))
+      .reduce(_ unionAll _)
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(topN)
+    val probes = (0 until d).map(r =>
+        exact.select(col("term"), col("freq"), lit(r).as("r"),
+          bucket(r, col("term")).as("bucket")))
+      .reduce(_ unionAll _)
+    probes.join(cells, Seq("r", "bucket"))
+      .groupBy("term", "freq").agg(min(col("cnt")).as("cm_est"))
+      .select(col("term"), col("freq"), col("cm_est"),
+        (col("cm_est") - col("freq")).as("overestimate"))
+  }
+
   /** #357 Encoding-damage (mojibake) audit per crawl source: fraction of
     * characters outside printable ASCII + whitespace, docs containing the
     * U+FFFD replacement character (the scar a lossy decode leaves), and

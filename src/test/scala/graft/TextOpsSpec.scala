@@ -36,6 +36,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size === 12)
   }
 
+  test("countMinFreq: estimate never undercounts; exact when collision-free") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cmfreq").toString
+    // 3 distinct terms in a 4x1024 grid: collisions are possible but the
+    // CM guarantee est >= freq must hold regardless
+    Seq((1L, "a a a b b c", "en", "s0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Text.countMinFreq(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set("a", "b", "c"))
+    assert(out("a")._1 === 3L && out("b")._1 === 2L && out("c")._1 === 1L)
+    out.foreach { case (t, (freq, est, over)) =>
+      assert(est >= freq, s"CM undercounted $t: est $est < freq $freq")
+      assert(over === est - freq)
+    }
+    // on the corpus: the guarantee holds for every audited term
+    val corpus = graft.operators.Text.countMinFreq(spark, sf).collect()
+    // top-50 cap; the tiny spec corpus has fewer distinct terms
+    assert(corpus.nonEmpty && corpus.length <= 50)
+    corpus.foreach(r => assert(r.getLong(2) >= r.getLong(1), r.toString))
+  }
+
   test("mojibakeAudit counts damaged chars, not legitimate whitespace") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mojibake").toString
