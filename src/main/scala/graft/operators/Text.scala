@@ -1648,12 +1648,19 @@ object Text {
     val d = Tables.documents(spark, dir).selectExpr(
       "lang", "source", "CAST(length(text) AS BIGINT) AS nch",
       s"$nTokens AS ntok", "md5(text) AS dg")
+    // localCheckpoint: the three section branches below each re-reference
+    // this frame, and without it Catalyst re-expands the whole
+    // scan+Expand+aggregate subtree PER BRANCH (5 parquet scans, seen in
+    // the executed plan). The frame is tiny (one row per lang + per
+    // source + 1), so materializing it costs nothing and the corpus scan
+    // runs once.
     val gs = d
       .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq()),
         col("lang"), col("source"))
       .agg(count(lit(1)).as("n"), sum(col("nch")).as("chars"),
         sum(col("ntok")).as("toks"),
         grouping(col("lang")).as("gl"), grouping(col("source")).as("gsr"))
+      .localCheckpoint()
     val corpus = gs.filter(col("gl") === 1 && col("gsr") === 1)
       .selectExpr("""stack(4,
         'corpus', 'n_docs', n,
@@ -1672,9 +1679,11 @@ object Text {
         'dedup', 'dup_docs', n - dist) AS (section, metric, value)""")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("nch"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // total n comes from the checkpointed corpus row — no recount scan
     val qs = d.groupBy(col("nch")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(w))
-      .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+      .crossJoin(broadcast(gs.filter(col("gl") === 1 && col("gsr") === 1)
+        .select(col("n"))))
       .agg(min(when(expr("cum * 2 >= n"), col("nch"))).as("p50"),
         min(when(expr("cum * 10 >= n * 9"), col("nch"))).as("p90"))
       .selectExpr("""stack(2,
