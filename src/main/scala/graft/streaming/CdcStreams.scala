@@ -394,6 +394,67 @@ object CdcStreams {
       }
   }
 
+  case class AbState(nA: Long, s1A: Long, s2A: Long, nB: Long, s1B: Long,
+      s2B: Long, maxLlr: Double)
+  case class AbLook(experiment: String, n_a: Long, n_b: Long,
+      mean_a: Double, mean_b: Double, llr: Double, pval: Double,
+      signif: Boolean)
+
+  /** #361 Streaming always-valid A/B monitor — the live realization of
+    * [[graft.operators.Events.sequentialAb]]: per-experiment state holds
+    * the six cumulative integers (n, Σcents, Σcents² per arm) plus the
+    * running-max mSPRT log-likelihood ratio; every micro-batch is a
+    * "look" that folds its purchases in and emits the current
+    * always-valid p-value and significance flag. Because the p-value is
+    * valid at EVERY look, emitting one per micro-batch is statistically
+    * sound — no peeking penalty, the whole point of the sequential test.
+    *
+    * Scale: state is O(1) per experiment (seven numbers), keyed by
+    * experiment id so thousands of concurrent experiments shard across
+    * the state store; arithmetic matches the batch operator exactly
+    * (integer cents in, identical float formula out).
+    */
+  def sequentialAbStream(normalized: DataFrame, tau2: Double = 100.0,
+      lnInvAlpha: Double = math.log(20.0))(
+      implicit spark: SparkSession): Dataset[AbLook] = {
+    import spark.implicits._
+    normalized
+      .filter(col("event_type") === "purchase")
+      .select(lit("exp0").as("experiment"),
+        (col("user_id") % 2).cast("long").as("arm"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v_c"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[AbState, AbLook](GroupStateTimeout.NoTimeout) {
+        (exp, rows, state) =>
+          var st = state.getOption
+            .getOrElse(AbState(0, 0, 0, 0, 0, 0, Double.NegativeInfinity))
+          rows.foreach { case (_, arm, v) =>
+            if (arm == 0)
+              st = st.copy(nA = st.nA + 1, s1A = st.s1A + v, s2A = st.s2A + v * v)
+            else
+              st = st.copy(nB = st.nB + 1, s1B = st.s1B + v, s2B = st.s2B + v * v)
+          }
+          val look = if (st.nA >= 2 && st.nB >= 2) {
+            val mA = st.s1A.toDouble / st.nA / 100.0
+            val mB = st.s1B.toDouble / st.nB / 100.0
+            val vA = (st.s2A.toDouble / 10000.0 - st.nA * mA * mA) / (st.nA - 1)
+            val vB = (st.s2B.toDouble / 10000.0 - st.nB * mB * mB) / (st.nB - 1)
+            val se2 = vA / st.nA + vB / st.nB
+            if (se2 > 0) {
+              val th = mB - mA
+              val llr = 0.5 * math.log(se2 / (se2 + tau2)) +
+                th * th * tau2 / (2.0 * se2 * (se2 + tau2))
+              st = st.copy(maxLlr = math.max(st.maxLlr, llr))
+              AbLook(exp, st.nA, st.nB, mA, mB, llr,
+                math.min(1.0, math.exp(-st.maxLlr)), st.maxLlr > lnInvAlpha)
+            } else AbLook(exp, st.nA, st.nB, mA, mB, 0.0, 1.0, signif = false)
+          } else AbLook(exp, st.nA, st.nB, 0.0, 0.0, 0.0, 1.0, signif = false)
+          state.update(st)
+          look
+      }
+  }
+
   /** Stream-stream interval join: purchases matched to the same user's
     * signup within the preceding 7 days. Both sides watermarked, so join
     * state is bounded by watermark + interval — the streaming analog of

@@ -40,6 +40,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sequential A/B: each micro-batch is a valid look; uplift fires") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val looks = CdcStreams.sequentialAbStream(ms.toDF())
+    val q = looks.writeStream.format("memory").queryName("seqab")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // look 1: both arms ~$10 — no evidence
+      ms.addData(
+        evRow(1, 1L, 2, "purchase", 10.0), evRow(2, 2L, 2, "purchase", 10.0),
+        evRow(3, 1L, 1, "purchase", 10.0), evRow(4, 2L, 1, "purchase", 10.2),
+        evRow(5, 3L, 1, "view", 999.0)) // non-purchase ignored
+      q.processAllAvailable()
+      val l1 = spark.table("seqab").collect()
+      assert(l1.length === 1)
+      assert((l1.head.getAs[Long]("n_a"), l1.head.getAs[Long]("n_b"),
+        l1.head.getAs[Boolean]("signif")) === ((2L, 2L, false)))
+      assert(l1.head.getAs[Double]("pval") === 1.0)
+      // look 2: arm 1 gets a consistent $20 x50 — always-valid p collapses
+      ms.addData((0 until 50).map(i =>
+        evRow(10L + i, 10L + i, 1, "purchase", 20.0)) ++
+        Seq(evRow(100, 60L, 2, "purchase", 10.0), evRow(101, 61L, 2, "purchase", 10.0)): _*)
+      q.processAllAvailable()
+      val l2 = spark.table("seqab").collect().sortBy(_.getAs[Long]("n_b"))
+      assert(l2.length === 2)
+      val last = l2.last
+      assert((last.getAs[Long]("n_a"), last.getAs[Long]("n_b")) === ((4L, 52L)))
+      assert(last.getAs[Boolean]("signif"), s"uplift look did not fire: $last")
+      assert(last.getAs[Double]("pval") < 0.05)
+    } finally q.stop()
+  }
+
   test("streaming anomaly monitor flags windows whose extreme breaches the z-fence") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
