@@ -339,6 +339,8 @@ object SparkEntry {
     "doc_mojibake_audit" -> ((s, d) => Text.mojibakeAudit(s, d)),
     // count-min sketch term frequencies + top-50 exactness audit
     "doc_countmin_freq" -> ((s, d) => Text.countMinFreq(s, d)),
+    // Cohen's kappa between the Gopher gate and the token-stats score
+    "doc_quality_agreement" -> ((s, d) => Text.qualityAgreement(s, d)),
     // Heaps-law vocabulary growth by corpus decile
     "doc_vocab_growth" -> ((s, d) => Text.vocabGrowth(s, d)),
     // 2-D Pareto frontier via the distributed exclusive running-min sweep
@@ -371,6 +373,8 @@ object SparkEntry {
     "ev_sequential_ab" -> ((s, d) => Events.sequentialAb(s, d)),
     // power analysis: observed-variance MDE + required n for a 1% lift
     "ev_power_mde" -> ((s, d) => Events.powerMde(s, d)),
+    // period-over-period mix-shift: volume vs rate effects per segment
+    "ev_revenue_decomp" -> ((s, d) => Events.revenueDecomp(s, d)),
     // the delivery end: size-targeted JSONL shards + data-derived manifest
     "doc_write_shards" -> ((s, d) => Text.writeShardsDemo(s, d)),
     // content-addressed dense surrogate keys (distributed rank, no driver id gen)
@@ -3039,6 +3043,46 @@ object SparkEntry {
         |SELECT rnk AS rank, term, freq, rnk * freq AS zipf_c,
         |  CAST(freq * 1000000 // n_tokens AS BIGINT) AS share_ppm
         |FROM r CROSS JOIN t WHERE rnk <= 50""".stripMargin,
+    // kappa replay: both flags are the existing row-local gate arithmetic;
+    // kappa from exact integer cells via identical double expression text
+    // (integer DIV truncation differs cross-engine on NEGATIVE kappa)
+    "doc_quality_agreement" ->
+      """WITH qa AS (
+        |  SELECT CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) // 5
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) // 4
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' to ', ''))) // 4
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' in ', ''))) // 4
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) // 4
+        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' for ', ''))) // 5
+        |      AS BIGINT) AS stop_hits,
+        |    CAST(length(text) - length(replace(text, 'the', '')) AS BIGINT) // 3 AS the_cnt
+        |  FROM documents),
+        |fl AS (SELECT
+        |    CASE WHEN n_tokens >= 40 AND n_tokens <= 100000
+        |      AND (n_chars - n_tokens + 1) * 10000 // n_tokens >= 30000
+        |      AND (n_chars - n_tokens + 1) * 10000 // n_tokens <= 100000
+        |      AND stop_hits * 10000 // n_tokens >= 200 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN least(100, n_tokens) * greatest(0, n_tokens - the_cnt) * 100 // n_tokens >= 5000
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM qa),
+        |c AS (SELECT sum(a * b) AS n11, sum(a * (1 - b)) AS n10,
+        |    sum((1 - a) * b) AS n01, sum((1 - a) * (1 - b)) AS n00 FROM fl)
+        |SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+        |  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+        |  CAST(n11 + n10 + n01 + n00 AS BIGINT) AS n_docs,
+        |  CAST((n11 + n00) * 10000 // (n11 + n10 + n01 + n00) AS BIGINT) AS po_e4,
+        |  CASE WHEN CAST(n11 + n10 + n01 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00)
+        |       - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) = 0
+        |     THEN NULL
+        |     ELSE CAST(floor((CAST(n11 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00)
+        |       - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
+        |      / (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00)
+        |       - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
+        |      * 1000000 + 0.5) AS BIGINT) END AS kappa_ppm
+        |FROM c""".stripMargin,
     // count-min replay: md5-nibble bucket hashing (the weighted-sample
     // trick) rebuilds the identical 4x1024 integer grid cell-for-cell
     "doc_countmin_freq" -> {
@@ -3331,6 +3375,28 @@ object SparkEntry {
         |  round(least(1.0, exp(-max_llr)), 4) AS pval_r,
         |  CAST(CASE WHEN max_llr > ln(20.0) THEN 1 ELSE 0 END AS BIGINT) AS signif
         |FROM mx""".stripMargin,
+    // mix-shift replay: same midpoint split, exact cents cells, effect
+    // terms via identical double expression text
+    "ev_revenue_decomp" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c FROM events),
+        |mid AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS t_mid FROM ev),
+        |cells AS (SELECT event_type,
+        |    sum(CASE WHEN ts_us <= t_mid THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN ts_us <= t_mid THEN v_c ELSE 0 END) AS rev_a_c,
+        |    sum(CASE WHEN ts_us > t_mid THEN 1 ELSE 0 END) AS n_b,
+        |    sum(CASE WHEN ts_us > t_mid THEN v_c ELSE 0 END) AS rev_b_c
+        |  FROM ev, mid GROUP BY 1)
+        |SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(rev_a_c AS BIGINT) AS rev_a_c, CAST(rev_b_c AS BIGINT) AS rev_b_c,
+        |  CAST(rev_b_c - rev_a_c AS BIGINT) AS delta_c,
+        |  CAST(CASE WHEN n_a = 0 THEN rev_b_c
+        |    ELSE CAST(floor((n_b - n_a) * (CAST(rev_a_c AS DOUBLE) / n_a) + 0.5) AS BIGINT)
+        |    END AS BIGINT) AS volume_eff_c,
+        |  CAST(CASE WHEN n_a = 0 THEN 0 WHEN n_b = 0 THEN 0
+        |    ELSE CAST(floor(n_b * (CAST(rev_b_c AS DOUBLE) / n_b - CAST(rev_a_c AS DOUBLE) / n_a) + 0.5) AS BIGINT)
+        |    END AS BIGINT) AS rate_eff_c
+        |FROM cells""".stripMargin,
     "ev_power_mde" ->
       """WITH pe AS (SELECT user_id % 2 AS arm,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c

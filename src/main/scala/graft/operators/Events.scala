@@ -818,6 +818,45 @@ object Events {
         "CAST(ceil(2.0 * ((var_a * (n_a - 1) + var_b * (n_b - 1)) / (n_a + n_b - 2)) * (1.959964 + 0.841621) * (1.959964 + 0.841621) / (mean_p * 0.01 * mean_p * 0.01)) AS BIGINT) AS n_req_1pct")
   }
 
+  /** #362 Period-over-period revenue decomposition: split the event-time
+    * range at its midpoint (the [[graft.cdc.Cdc]] incremental-snapshot
+    * convention, so the oracle replays the identical split) and explain
+    * each segment's revenue delta as VOLUME effect (count moved at the
+    * old rate) + RATE effect (new count at the rate change):
+    * Δ = (n_B − n_A)·r_A + n_B·(r_B − r_A), which telescopes exactly to
+    * rev_B − rev_A per segment. The standard mix-shift readout — "did
+    * revenue move because we got more events or richer events?" — per
+    * event-type segment.
+    *
+    * One corpus aggregate to (segment, period); everything after is
+    * segment-sized. Values enter as exact integer cents; the two effect
+    * terms are rational (they divide by n_A) and ship as
+    * floor(x+0.5)-rounded cents computed by identical expression text on
+    * both engines. A segment absent in period A attributes its whole
+    * revenue to volume (r_A defined 0).
+    */
+  def revenueDecomp(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withTs(spark, dir)
+      .select(col("event_type"), col("ts_us"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v_c"))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2").as("t_mid"))
+    val cells = ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("ts_us") <= col("t_mid"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("ts_us") <= col("t_mid"), col("v_c")).otherwise(0L)).as("rev_a_c"),
+        sum(when(col("ts_us") > col("t_mid"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("ts_us") > col("t_mid"), col("v_c")).otherwise(0L)).as("rev_b_c"))
+    cells.selectExpr("event_type", "n_a", "n_b", "rev_a_c", "rev_b_c",
+      "rev_b_c - rev_a_c AS delta_c",
+      """CASE WHEN n_a = 0 THEN rev_b_c
+         ELSE CAST(floor((n_b - n_a) * (CAST(rev_a_c AS DOUBLE) / n_a) + 0.5) AS BIGINT)
+         END AS volume_eff_c""",
+      """CASE WHEN n_a = 0 THEN CAST(0 AS BIGINT)
+         WHEN n_b = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(floor(n_b * (CAST(rev_b_c AS DOUBLE) / n_b - CAST(rev_a_c AS DOUBLE) / n_a) + 0.5) AS BIGINT)
+         END AS rate_eff_c""")
+  }
+
   /** #247 Interval union (gaps-and-islands overlap merge): each event is
     * an activity interval `[ts, ts + value seconds)` and the per-user
     * union of those intervals is the user's true covered wall-clock —

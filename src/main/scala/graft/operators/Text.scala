@@ -1555,6 +1555,48 @@ object Text {
         "(n_novel * 10000) DIV n_grams AS novelty_bp")
   }
 
+  /** #363 Inter-gate agreement audit (Cohen's κ): do the corpus's two
+    * independent quality signals — the Gopher heuristic gate
+    * ([[docQualityGopher]]) and the token-statistics score
+    * ([[docQuality]], binarized at 0.5) — agree beyond chance? κ ≈ 1
+    * means one gate is redundant; κ ≈ 0 means they measure different
+    * things and the curation pipeline should keep both. The standard
+    * inter-rater statistic, pointed at quality classifiers.
+    *
+    * One row-local pass computes both flags (no joins — the signals share
+    * the token arithmetic), one 4-cell aggregate, then pure algebra:
+    * po and pe come from exact integer cells; κ is emitted as
+    * floor(·10⁶+0.5) of a double computed from those exact integers by
+    * identical expression text on both engines (κ can be negative, and
+    * integer DIV truncation differs cross-engine on negatives — the
+    * [[docQuality]] trap).
+    */
+  def qualityAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val flags = gopherAudit(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
+      .withColumn("the_cnt",
+        expr("CAST(length(text) - length(replace(text, 'the', '')) AS BIGINT) DIV 3"))
+      .withColumn("score_e4", expr(
+        "least(100, n_words) * greatest(0, n_words - the_cnt) * 100 DIV n_words"))
+      .select(col("passes_gopher").cast("long").as("a"),
+        (col("score_e4") >= 5000).cast("long").as("b"))
+    flags
+      .agg(sum(expr("a * b")).as("n11"), sum(expr("a * (1 - b)")).as("n10"),
+        sum(expr("(1 - a) * b")).as("n01"),
+        sum(expr("(1 - a) * (1 - b)")).as("n00"))
+      .selectExpr("n11", "n10", "n01", "n00",
+        "n11 + n10 + n01 + n00 AS n_docs",
+        "(n11 + n00) * 10000 DIV (n11 + n10 + n01 + n00) AS po_e4",
+        """CASE WHEN CAST(n11 + n10 + n01 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00)
+             - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) = 0
+           THEN NULL
+           ELSE CAST(floor((CAST(n11 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00)
+             - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
+            / (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00)
+             - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
+            * 1000000 + 0.5) AS BIGINT) END AS kappa_ppm""")
+  }
+
   /** #360 Count-Min sketch word frequencies + exactness audit (Cormode &
     * Muthukrishnan, J.Alg'05): every token occurrence increments d=4
     * hashed cells of a 4×1024 counter grid; a term's estimate is the MIN

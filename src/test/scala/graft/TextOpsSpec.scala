@@ -36,6 +36,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size === 12)
   }
 
+  test("qualityAgreement: perfect gate agreement scores kappa = 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kappa").toString
+    // pass-both: 50 words ("word and" x25), mean len 3.5, stop ratio 50%,
+    // score exactly 5000. fail-both: single short word.
+    val good = ("word and " * 25).trim
+    val docs = (1 to 3).map(i => (i.toLong, good, "en", "s0", good.length.toLong)) ++
+      (4 to 5).map(i => (i.toLong, "xx", "en", "s0", 2L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Text.qualityAgreement(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 0L, 0L, 2L)))
+    assert((r.getLong(4), r.getLong(5), r.getLong(6)) === ((5L, 10000L, 1000000L)))
+  }
+
   test("countMinFreq: estimate never undercounts; exact when collision-free") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cmfreq").toString

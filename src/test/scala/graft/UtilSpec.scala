@@ -990,6 +990,29 @@ class UtilSpec extends SparkSpec {
     assert(out2 === Set("view", "click"))
   }
 
+  test("revenue decomposition: volume + rate telescopes to the exact delta") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("revdecomp").toString
+    // mid = (1e9 + 9e9)/2 µs = 5e9. x: 2x$10 in A, 3x$12 in B;
+    // y: only in B (all-volume convention)
+    val rows = Seq(
+      (1L, 1000000000000L, 1L, "x", 10.0), (2L, 2000000000000L, 1L, "x", 10.0),
+      (3L, 8000000000000L, 1L, "x", 12.0), (4L, 8500000000000L, 1L, "x", 12.0),
+      (5L, 9000000000000L, 1L, "x", 12.0), (6L, 9000000000000L, 2L, "y", 5.0))
+      .map { case (e, t, u, ty, v) => (e, t, u, ty, v, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.revenueDecomp(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val x = out("x")
+    assert((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)) ===
+      ((2L, 3L, 2000L, 3600L)))
+    assert((x.getLong(5), x.getLong(6), x.getLong(7)) === ((1600L, 1000L, 600L)))
+    val y = out("y")
+    assert((y.getLong(1), y.getLong(2), y.getLong(5), y.getLong(6), y.getLong(7)) ===
+      ((0L, 1L, 500L, 500L, 0L)))
+  }
+
   test("power/MDE analysis matches the closed form on planted arms") {
     import spark.implicits._
     val dir = Files.createTempDirectory("powermde").toString
