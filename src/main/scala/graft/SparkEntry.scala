@@ -177,6 +177,10 @@ object SparkEntry {
     "doc_reservoir_sample" -> ((s, d) => Text.reservoirSample(s, d)),
     "doc_curation_pipeline" -> ((s, d) => Text.curationPipeline(s, d)),
     "pii_redact" -> ((s, d) => Redact.piiRedact(s, d)),
+    // PII exposure rate per source: the measurement next to the masking
+    "doc_pii_audit" -> ((s, d) => Redact.piiAudit(s, d)),
+    // two-level hierarchy shares: nation-within-region, region-of-global
+    "q_share_of_parent" -> ((s, d) => Tpch.qShareOfParent(s, d)),
     "doc_len_hist" -> ((s, d) => Text.docLenHist(s, d)),
     "doc_quality_gopher" -> ((s, d) => Text.docQualityGopher(s, d)),
     // fastText-style LR distillation of the Gopher gate (rows-only: float
@@ -3674,6 +3678,33 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_words) AS BIGINT) AS total_tokens
         |FROM sampled GROUP BY 1""".stripMargin,
+    // PII audit replay: identical RE2∩Java patterns
+    "doc_pii_audit" ->
+      """WITH pa AS (SELECT source,
+        |    CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+        |    CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS BIGINT) AS n_phone
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_email) AS BIGINT) AS email_hits,
+        |  CAST(sum(n_phone) AS BIGINT) AS phone_hits,
+        |  CAST(sum(CASE WHEN n_email > 0 OR n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exposed,
+        |  CAST(sum(CASE WHEN n_email > 0 OR n_phone > 0 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS exposure_bp
+        |FROM pa GROUP BY source""".stripMargin,
+    // share-of-parent replay: exact cent sums, integer ppm ratios
+    "q_share_of_parent" ->
+      """WITH natrev AS (SELECT r.r_name, n.n_name,
+        |    sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS rev_c
+        |  FROM orders o, customer c, nation n, region r
+        |  WHERE o.o_custkey = c.c_custkey AND c.c_nationkey = n.n_nationkey
+        |    AND n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT *, sum(rev_c) OVER (PARTITION BY r_name) AS region_rev_c,
+        |    sum(rev_c) OVER () AS global_rev_c FROM natrev)
+        |SELECT r_name, n_name, CAST(rev_c AS BIGINT) AS rev_c,
+        |  CAST(rev_c * 1000000 // region_rev_c AS BIGINT) AS nation_share_ppm,
+        |  CAST(region_rev_c AS BIGINT) AS region_rev_c,
+        |  CAST(region_rev_c * 1000000 // global_rev_c AS BIGINT) AS region_share_ppm
+        |FROM w""".stripMargin,
     "pii_redact" ->
       """WITH raw AS (
         |  SELECT c_custkey,

@@ -33,4 +33,33 @@ object Redact {
           "|| substr(email, instr(email, '@')) AS email_masked",
         "CAST(length(regexp_replace(substr(phone, 1, length(phone) - 4), " +
           "'[^0-9]', '')) AS BIGINT) AS n_digits_masked")
+
+  /** #364 PII exposure audit per crawl source — the governance gate run
+    * BEFORE a corpus ships: per source, documents containing an email or
+    * a phone-shaped string, total hit counts, and the exposure rate in
+    * basis points. Zero rows-with-hits is the desired production readout;
+    * the spec plants positives to prove the detectors. Patterns stay in
+    * the RE2∩Java-regex common dialect (character classes + bounded
+    * quantifiers, no lookaround) — same portability rule as
+    * [[graft.operators.Text.mojibakeAudit]]'s char class.
+    *
+    * Row-local regexp_extract_all counts + one source-sized aggregate;
+    * complements [[piiRedact]] (masking) with MEASUREMENT — the audit
+    * says whether there is anything left to redact.
+    */
+  def piiAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("source",
+        "CAST(size(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}', 0)) AS BIGINT) AS n_email",
+        "CAST(size(regexp_extract_all(text, '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', 0)) AS BIGINT) AS n_phone")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum("n_email").as("email_hits"),
+        org.apache.spark.sql.functions.sum("n_phone").as("phone_hits"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "CASE WHEN n_email > 0 OR n_phone > 0 THEN 1 ELSE 0 END")).as("n_exposed"))
+      .selectExpr("source", "n_docs", "email_hits", "phone_hits", "n_exposed",
+        "n_exposed * 10000 DIV n_docs AS exposure_bp")
 }

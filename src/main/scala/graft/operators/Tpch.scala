@@ -887,4 +887,35 @@ object Tpch {
         (abs(col("est_sum_qty") - col("exact_sum_qty"))
           <= col("ci95_halfwidth")).cast("int"))
   }
+
+  /** #365 Share-of-parent hierarchy readout — the standard drill-down
+    * report shape: per nation its order revenue, its share WITHIN its
+    * region (ppm), and the region's share of global — two levels of the
+    * geo hierarchy in one result, every share an exact integer ratio of
+    * exact cent sums (DECIMAL(38,0) cross-multiplication so the ppm math
+    * cannot overflow at any revenue scale).
+    *
+    * One fact aggregate (orders ⋈ broadcast dims → nation cells); both
+    * share windows run over the NATION-sized frame (≤ dim cardinality,
+    * never fact-sized), so the "global window" anti-pattern doesn't
+    * apply — the partition-less window sees 25 rows.
+    */
+  def qShareOfParent(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).selectExpr("o_custkey",
+      "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS rev_c")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    val nat = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name").agg(sum(col("rev_c")).as("rev_c"))
+    nat
+      .withColumn("region_rev_c", sum(col("rev_c")).over(Window.partitionBy("r_name")))
+      .withColumn("global_rev_c", sum(col("rev_c")).over(Window.partitionBy()))
+      .selectExpr("r_name", "n_name", "CAST(rev_c AS BIGINT) AS rev_c",
+        "CAST(CAST(rev_c AS DECIMAL(38,0)) * 1000000 DIV region_rev_c AS BIGINT) AS nation_share_ppm",
+        "CAST(region_rev_c AS BIGINT) AS region_rev_c",
+        "CAST(CAST(region_rev_c AS DECIMAL(38,0)) * 1000000 DIV global_rev_c AS BIGINT) AS region_share_ppm")
+  }
 }

@@ -36,6 +36,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size === 12)
   }
 
+  test("piiAudit counts planted emails and phones; clean source reads zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("piiaudit").toString
+    Seq(
+      (1L, "contact me at jane.doe+x@example.co.uk or 555-123-4567", "en", "s0", 10L),
+      (2L, "two mails a@b.io c@d.org", "en", "s0", 10L),
+      (3L, "all clean text here", "en", "s0", 10L),
+      (4L, "nothing to see", "en", "s1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Redact.piiAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s0 = out("s0")
+    assert((s0.getLong(1), s0.getLong(2), s0.getLong(3), s0.getLong(4), s0.getLong(5)) ===
+      ((3L, 3L, 1L, 2L, 6666L)))
+    val s1 = out("s1")
+    assert((s1.getLong(2), s1.getLong(3), s1.getLong(4), s1.getLong(5)) ===
+      ((0L, 0L, 0L, 0L)))
+  }
+
   test("qualityAgreement: perfect gate agreement scores kappa = 1") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("kappa").toString

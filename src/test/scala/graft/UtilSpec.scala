@@ -990,6 +990,24 @@ class UtilSpec extends SparkSpec {
     assert(out2 === Set("view", "click"))
   }
 
+  test("share-of-parent: nation shares partition their region exactly") {
+    val rows = Tpch.qShareOfParent(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byRegion = rows.groupBy(_.getString(0))
+    byRegion.foreach { case (region, ns) =>
+      // nations partition the region revenue exactly
+      assert(ns.map(_.getLong(2)).sum === ns.head.getLong(4),
+        s"$region: nation revenues do not sum to region revenue")
+      // truncated ppm shares sum to 1e6 within one ulp per nation
+      val s = ns.map(_.getLong(3)).sum
+      assert(s <= 1000000L && s > 1000000L - ns.length,
+        s"$region: nation shares sum to $s")
+    }
+    val regionShares = rows.map(r => (r.getString(0), r.getLong(5))).distinct
+    val rs = regionShares.map(_._2).sum
+    assert(rs <= 1000000L && rs > 1000000L - regionShares.length)
+  }
+
   test("revenue decomposition: volume + rate telescopes to the exact delta") {
     import spark.implicits._
     val dir = Files.createTempDirectory("revdecomp").toString
