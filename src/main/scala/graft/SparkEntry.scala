@@ -479,6 +479,9 @@ object SparkEntry {
     "ann_rerank_topk" -> ((s, d) => Similarity.annRerankTopK(s, d)),
     // 1-bit sign quantization: Hamming coarse scan + exact cosine rerank
     "ann_binary_topk" -> ((s, d) => Similarity.annBinaryTopK(s, d)),
+    // silence profile of the WAV arm (rows-only: codec output; planted
+    // runs pinned in ImageDecodeSpec)
+    "mm_audio_silence" -> ((s, d) => Multimodal.audioSilence(s, d)),
     // MMR-diversified rerank: bounded per-query greedy over 4k over-fetch
     // (rows-only: greedy argmax not SQL-expressible; ScaleSpec plants
     // redundant candidates and pins the suppression)

@@ -765,4 +765,70 @@ object Multimodal {
     decodeAudio(audioPayloads(spark, dir))
       .toDF()
       .select("doc_id", "sample_rate", "n_channels", "n_frames", "duration_ms")
+
+  case class AudioSilence(doc_id: Long, n_samples: Long, n_silent: Long,
+      silent_bp: Long, longest_run: Long, lead_silence: Long,
+      trail_silence: Long, mostly_silent: Boolean)
+
+  /** #366 Silence profile over REAL decoded WAVs — the trim/drop gate an
+    * audio-curation pipeline runs before paying for transcription:
+    * per clip the silent-sample mass, the longest silent run, and the
+    * leading/trailing silence a trimmer would cut. "Silent" is relative
+    * to the clip's OWN peak (|s| < peak/20 ≈ −26 dB), so the gate is
+    * level-invariant like [[audioFingerprints]]' double difference —
+    * a quiet-but-active clip is not flagged. All-zero clips degenerate
+    * to thr = 1 and read 100% silent.
+    *
+    * One row-local partition pass (two scans of the sample buffer: peak,
+    * then runs); undecodable payloads DLQ-drop like every codec path.
+    */
+  def audioSilenceFrom(payloads: Dataset[MediaIn]): Dataset[AudioSilence] = {
+    implicit val enc = Encoders.product[AudioSilence]
+    payloads.mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          var peak = 0
+          var i = 0
+          while (i + 1 < data.length) {
+            val s = ((data(i) & 0xff) | (data(i + 1).toInt << 8)).toShort.toInt
+            if (math.abs(s) > peak) peak = math.abs(s)
+            i += 2
+          }
+          val thr = math.max(1, peak / 20)
+          var silent = 0L; var run = 0L; var longest = 0L
+          var lead = -1L; var trailRun = 0L
+          i = 0
+          var idx = 0
+          while (i + 1 < data.length) {
+            val s = ((data(i) & 0xff) | (data(i + 1).toInt << 8)).toShort.toInt
+            if (math.abs(s) < thr) {
+              silent += 1; run += 1; trailRun += 1
+              if (run > longest) longest = run
+            } else {
+              if (lead < 0) lead = idx
+              run = 0; trailRun = 0
+            }
+            i += 2; idx += 1
+          }
+          if (lead < 0) lead = n // never loud: all leading silence
+          Some(AudioSilence(m.doc_id, n, silent,
+            if (n == 0) 0L else silent * 10000L / n, longest, lead, trailRun,
+            silent * 2 > n))
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        }
+      }
+    }
+  }
+
+  /** #366 Registered query: silence profile of the corpus WAV arm
+    * (rows-only: codec output, no SQL analog; ImageDecodeSpec plants
+    * known silence runs).
+    */
+  def audioSilence(spark: SparkSession, dir: String): DataFrame =
+    audioSilenceFrom(audioPayloads(spark, dir)).toDF()
 }

@@ -182,6 +182,43 @@ class ImageDecodeSpec extends SparkSpec {
       s"image Hamming band census too close to the cap at test scale: $maxBkt")
   }
 
+  test("audio silence profile: planted runs measured exactly, level-invariant") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaIn]
+    def wavOf(id: Long, samples: Array[Int]): Multimodal.MediaIn = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      Multimodal.MediaIn(id, baos.toByteArray)
+    }
+    // 100 silence + 50 loud + 30 silence; a half-level copy must read the
+    // same profile (threshold is relative to the clip's own peak)
+    val pattern = Array.fill(100)(0) ++ Array.fill(50)(16000) ++ Array.fill(30)(0)
+    val half = pattern.map(_ / 2)
+    val allZero = Array.fill(80)(0)
+    val out = Multimodal.audioSilenceFrom(
+        Seq(wavOf(1L, pattern), wavOf(2L, half), wavOf(3L, allZero)).toDS())
+      .collect().map(s => s.doc_id -> s).toMap
+    val p = out(1L)
+    assert((p.n_samples, p.n_silent, p.longest_run, p.lead_silence,
+      p.trail_silence, p.mostly_silent) === ((180L, 130L, 100L, 100L, 30L, true)))
+    assert(p.silent_bp === 130L * 10000 / 180)
+    val h = out(2L)
+    assert((h.n_silent, h.longest_run, h.lead_silence, h.trail_silence) ===
+      ((130L, 100L, 100L, 30L)), "half-level copy profile moved")
+    val z = out(3L)
+    assert((z.n_silent, z.silent_bp, z.lead_silence, z.mostly_silent) ===
+      ((80L, 10000L, 80L, true)))
+  }
+
   test("audio fingerprint: level-invariant, separates different spectra") {
     import spark.implicits._
     implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaIn]
