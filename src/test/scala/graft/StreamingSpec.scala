@@ -100,6 +100,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState (state v2) carries typed ValueState across batches on RocksDB") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val normalized = ms.toDF().select(col("event_id"), col("ts_us"),
+      col("user_id"), col("event_type").as("operation"), col("value"))
+    val q = CdcStreams.latestStateTws(normalized)
+      .writeStream.format("memory").queryName("tws")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ms.addData(evRow(1, 1000L, 1, "INSERT", 1.0),
+        evRow(2, 2000L, 1, "UPDATE", 2.0), evRow(3, 1000L, 2, "INSERT", 5.0))
+      q.processAllAvailable()
+      ms.addData(evRow(4, 3000L, 1, "UPDATE", 7.0))
+      q.processAllAvailable()
+      val fin = spark.table("tws").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) => u -> rows.maxBy(_.getAs[Long]("n_events")) }
+      // same fold as latestState v1: batch-2 event folds ON TOP of the
+      // batch-1 state (n_events carried), proving the ValueState survived
+      assert(fin(1L).getAs[Long]("last_event_id") === 4L)
+      assert(fin(1L).getAs[Long]("n_events") === 3L)
+      assert(fin(1L).getAs[Double]("last_value") === 7.0)
+      assert(fin(2L).getAs[Long]("n_events") === 1L)
+      val metrics = q.lastProgress.stateOperators.apply(0).customMetrics
+      assert(metrics.keySet().toArray.exists(_.toString.startsWith("rocksdb")),
+        s"transformWithState not RocksDB-backed: ${metrics.keySet()}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("windowed counts run on the RocksDB state store (production state backend)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
