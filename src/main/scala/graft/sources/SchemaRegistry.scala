@@ -90,6 +90,73 @@ object SchemaRegistry {
       }
   }
 
+  // ---- Compatibility enforcement ---------------------------------------
+
+  /** Confluent-style compatibility modes for [[registerChecked]]:
+    * BACKWARD = the candidate (as reader) can decode data written with the
+    * latest registered generation (consumers upgrade first); FORWARD = the
+    * latest generation can decode data the candidate writes (producers
+    * upgrade first); FULL = both; BACKWARD_TRANSITIVE = backward against
+    * EVERY registered generation, not just the latest (required when old
+    * messages replay from the beginning of a compacted topic).
+    */
+  sealed trait CompatMode
+  object CompatMode {
+    case object Backward extends CompatMode
+    case object Forward extends CompatMode
+    case object Full extends CompatMode
+    case object BackwardTransitive extends CompatMode
+  }
+
+  final case class CompatReport(compatible: Boolean, mode: String,
+      checkedVersions: Seq[Int], incompatibilities: Seq[String])
+
+  private def readerCanRead(reader: Schema, writer: Schema): Seq[String] = {
+    val res = org.apache.avro.SchemaCompatibility
+      .checkReaderWriterCompatibility(reader, writer)
+    if (res.getType ==
+        org.apache.avro.SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE) Nil
+    else res.getResult.getIncompatibilities.asScala.toSeq
+      .map(i => s"${i.getType} at ${i.getLocation}: ${i.getMessage}")
+  }
+
+  /** Check a candidate generation against the registered history under
+    * `mode` — Avro's own resolution rules decide (added field needs a
+    * default to stay BACKWARD; removed field needs the READER to default
+    * it to stay FORWARD; type promotions follow Avro's matrix).
+    */
+  def checkCompatibility(topic: String, candidate: Schema,
+      mode: CompatMode): CompatReport = synchronized {
+    val history = all.filter(_.topic == topic)
+    val targets = mode match {
+      case CompatMode.BackwardTransitive => history
+      case _ => history.sortBy(_.version).lastOption.toSeq
+    }
+    val problems = targets.flatMap { e =>
+      val prior = new Schema.Parser().parse(e.schemaJson)
+      val errs = mode match {
+        case CompatMode.Backward | CompatMode.BackwardTransitive =>
+          readerCanRead(candidate, prior)
+        case CompatMode.Forward => readerCanRead(prior, candidate)
+        case CompatMode.Full =>
+          readerCanRead(candidate, prior) ++ readerCanRead(prior, candidate)
+      }
+      errs.map(m => s"vs v${e.version}: $m")
+    }
+    CompatReport(problems.isEmpty, mode.toString, targets.map(_.version), problems)
+  }
+
+  /** [[register]] with enforcement — the registry refuses an incompatible
+    * generation instead of letting a producer break every consumer (what
+    * a Confluent registry does on POST /subjects/:s/versions).
+    */
+  def registerChecked(topic: String, schema: Schema,
+      mode: CompatMode = CompatMode.Backward): Either[CompatReport, Entry] =
+    synchronized {
+      val report = checkCompatibility(topic, schema, mode)
+      if (report.compatible) Right(register(topic, schema)) else Left(report)
+    }
+
   // ---- Confluent wire framing ------------------------------------------
 
   private def frame(id: Int, body: Array[Byte]): Array[Byte] = {

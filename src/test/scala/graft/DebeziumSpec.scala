@@ -322,4 +322,39 @@ class DebeziumSpec extends SparkSpec {
     assert(SchemaRegistry.all == before)
     out.unpersist()
   }
+
+  test("schema registry enforces compatibility modes on registration") {
+    import graft.sources.SchemaRegistry
+    import graft.sources.SchemaRegistry.CompatMode
+    import org.apache.avro.Schema
+    SchemaRegistry.clear()
+    def rec(fields: String): Schema = new Schema.Parser().parse(
+      s"""{"type":"record","name":"E","fields":[$fields]}""")
+    val topic = "compat.events"
+    val v1 = rec("""{"name":"id","type":"long"},{"name":"v","type":"string"}""")
+    assert(SchemaRegistry.registerChecked(topic, v1).isRight)
+    // added field WITH default: new reader defaults it on old data → BACKWARD ok
+    val v2ok = rec("""{"name":"id","type":"long"},{"name":"v","type":"string"},
+      {"name":"src","type":"string","default":"unknown"}""")
+    assert(SchemaRegistry.registerChecked(topic, v2ok, CompatMode.Backward).isRight)
+    // added field WITHOUT default: new reader cannot decode old data → rejected
+    val v3bad = rec("""{"name":"id","type":"long"},{"name":"v","type":"string"},
+      {"name":"src","type":"string","default":"u"},{"name":"must","type":"string"}""")
+    val rej = SchemaRegistry.registerChecked(topic, v3bad, CompatMode.Backward)
+    assert(rej.isLeft)
+    assert(rej.left.exists(r => !r.compatible &&
+      r.incompatibilities.exists(_.contains("must"))), s"report: $rej")
+    // the rejected generation must NOT have entered the registry
+    assert(SchemaRegistry.all.count(_.topic == topic) === 2)
+    // FORWARD: dropping a field the OLD reader has no default for → rejected
+    val v3drop = rec("""{"name":"id","type":"long"}""")
+    assert(SchemaRegistry.registerChecked(topic, v3drop, CompatMode.Forward).isLeft)
+    // widening long→string id breaks even the LATEST check; transitive
+    // backward checks every generation
+    val v3widen = rec("""{"name":"id","type":"string"},{"name":"v","type":"string"},
+      {"name":"src","type":"string","default":"u"}""")
+    val tr = SchemaRegistry.checkCompatibility(topic, v3widen, CompatMode.BackwardTransitive)
+    assert(!tr.compatible && tr.checkedVersions === Seq(1, 2))
+    SchemaRegistry.clear()
+  }
 }
