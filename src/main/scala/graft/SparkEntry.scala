@@ -345,6 +345,8 @@ object SparkEntry {
     "doc_countmin_freq" -> ((s, d) => Text.countMinFreq(s, d)),
     // Cohen's kappa between the Gopher gate and the token-stats score
     "doc_quality_agreement" -> ((s, d) => Text.qualityAgreement(s, d)),
+    // language-mix chi-square per source vs the corpus mix (zero cells in)
+    "doc_lang_drift" -> ((s, d) => Text.langDrift(s, d)),
     // Heaps-law vocabulary growth by corpus decile
     "doc_vocab_growth" -> ((s, d) => Text.vocabGrowth(s, d)),
     // 2-D Pareto frontier via the distributed exclusive running-min sweep
@@ -3050,6 +3052,32 @@ object SparkEntry {
         |SELECT rnk AS rank, term, freq, rnk * freq AS zipf_c,
         |  CAST(freq * 1000000 // n_tokens AS BIGINT) AS share_ppm
         |FROM r CROSS JOIN t WHERE rnk <= 50""".stripMargin,
+    // lang-drift replay: full grid incl. zero cells, exact HUGEINT
+    // numerators, identical double division text
+    "doc_lang_drift" ->
+      """WITH ldc AS MATERIALIZED (SELECT source, lang, count(*) AS obs
+        |  FROM documents GROUP BY 1, 2),
+        |bys AS (SELECT source, sum(obs) AS n_s FROM ldc GROUP BY 1),
+        |byl AS (SELECT lang, sum(obs) AS n_l FROM ldc GROUP BY 1),
+        |tot AS (SELECT sum(obs) AS n_tot FROM ldc),
+        |dom AS (SELECT source, lang AS dominant_lang, obs AS dom_n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY obs DESC, lang) AS rn
+        |    FROM ldc) WHERE rn = 1),
+        |grid AS (SELECT s.source, l.lang, s.n_s, l.n_l, coalesce(c.obs, 0) AS obs
+        |  FROM bys s CROSS JOIN byl l
+        |  LEFT JOIN ldc c ON c.source = s.source AND c.lang = l.lang),
+        |terms AS (SELECT source, n_s,
+        |    CAST(CAST(obs AS HUGEINT) * n_tot - CAST(n_s AS HUGEINT) * n_l AS DOUBLE)
+        |    * CAST(CAST(obs AS HUGEINT) * n_tot - CAST(n_s AS HUGEINT) * n_l AS DOUBLE)
+        |    / (CAST(n_tot AS DOUBLE) * n_s * n_l) AS term
+        |  FROM grid, tot),
+        |lda AS (SELECT source, max(n_s) AS n_docs, count(*) AS n_langs,
+        |    sum(term) AS chi2 FROM terms GROUP BY 1)
+        |SELECT a.source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_langs AS BIGINT) AS n_langs,
+        |  CAST(floor(chi2 * 10000 + 0.5) AS BIGINT) AS chi2_e4,
+        |  d.dominant_lang, CAST(dom_n * 10000 // n_docs AS BIGINT) AS dom_share_bp
+        |FROM lda a JOIN dom d ON d.source = a.source""".stripMargin,
     // kappa replay: both flags are the existing row-local gate arithmetic;
     // kappa from exact integer cells via identical double expression text
     // (integer DIV truncation differs cross-engine on NEGATIVE kappa)

@@ -1555,6 +1555,53 @@ object Text {
         "(n_novel * 10000) DIV n_grams AS novelty_bp")
   }
 
+  /** #368 Language-mix drift per crawl source: χ² of each source's
+    * language distribution against the corpus-wide mix — the audit that
+    * catches a crawler suddenly fetching the wrong geo/language long
+    * before a human reads samples. The [[graft.operators.Events]] drift
+    * alarms (TVD/KS) watch the event stream; this is their documents-side
+    * sibling over a categorical column.
+    *
+    * χ² = Σ_l (obs·N − n_s·n_l)² / (N·n_s·n_l) — the numerator stays in
+    * DECIMAL(38,0) exact integer algebra (obs·N alone can pass 2⁶³ at
+    * corpus scale), only the final division runs in doubles with
+    * identical expression text both engines, rounded ×10⁴. One
+    * (source, lang) aggregate; everything after is dimension-sized.
+    */
+  def langDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("source", "lang")
+    val cells = d.groupBy("source", "lang").agg(count(lit(1)).as("obs"))
+      .localCheckpoint() // referenced by three aggregates below
+    val bySource = cells.groupBy("source").agg(sum(col("obs")).as("n_s"))
+    val byLang = cells.groupBy("lang").agg(sum(col("obs")).as("n_l"))
+    val total = cells.agg(sum(col("obs")).as("n_tot"))
+    val dom = cells
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("obs").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("dominant_lang"),
+        col("obs").as("dom_n"))
+    // FULL source×lang grid: a source that never emits a language is the
+    // clearest drift signal, and skipping its zero cell would understate
+    // χ² exactly there
+    bySource.crossJoin(broadcast(byLang))
+      .join(cells, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("obs"))
+      .crossJoin(broadcast(total))
+      .selectExpr("source", "n_s",
+        """CAST(CAST(obs AS DECIMAL(38,0)) * n_tot - CAST(n_s AS DECIMAL(38,0)) * n_l AS DOUBLE)
+           * CAST(CAST(obs AS DECIMAL(38,0)) * n_tot - CAST(n_s AS DECIMAL(38,0)) * n_l AS DOUBLE)
+           / (CAST(n_tot AS DOUBLE) * n_s * n_l) AS term""")
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_docs"), count(lit(1)).as("n_langs"),
+        sum(col("term")).as("chi2"))
+      .join(broadcast(dom), "source")
+      .selectExpr("source", "n_docs", "n_langs",
+        "CAST(floor(chi2 * 10000 + 0.5) AS BIGINT) AS chi2_e4",
+        "dominant_lang", "dom_n * 10000 DIV n_docs AS dom_share_bp")
+  }
+
   /** #363 Inter-gate agreement audit (Cohen's κ): do the corpus's two
     * independent quality signals — the Gopher heuristic gate
     * ([[docQualityGopher]]) and the token-statistics score

@@ -36,6 +36,33 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size === 12)
   }
 
+  test("langDrift: corpus-mix sources score zero, disjoint source spikes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("langdrift").toString
+    // s0 and s1 mirror the corpus mix exactly ONLY in each other; s2 is
+    // all-fr, which also shifts the corpus mix — so assert relative order
+    // and the dominant readouts rather than a hand chi2
+    val docs =
+      Seq((1L, "t", "en", "s0"), (2L, "t", "en", "s0"), (3L, "t", "de", "s0"),
+        (4L, "t", "en", "s1"), (5L, "t", "en", "s1"), (6L, "t", "de", "s1"),
+        (7L, "t", "fr", "s2"), (8L, "t", "fr", "s2"), (9L, "t", "fr", "s2"))
+        .map { case (i, t, l, s) => (i, t, l, s, 1L) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Text.langDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // identical-mix twins score identically; the disjoint source scores
+    // strictly higher (it both lacks en/de and monopolizes fr)
+    assert(out("s0").getLong(3) === out("s1").getLong(3))
+    assert(out("s2").getLong(3) > out("s0").getLong(3))
+    assert(out("s2").getString(4) === "fr")
+    assert(out("s2").getLong(5) === 10000L)
+    assert(out("s0").getString(4) === "en")
+    assert(out("s0").getLong(5) === 6666L)
+    // zero cells count: every source is scored over ALL 3 corpus langs
+    assert(out.values.forall(_.getLong(2) === 3L))
+  }
+
   test("piiAudit counts planted emails and phones; clean source reads zero") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("piiaudit").toString
