@@ -56,6 +56,8 @@ object SparkEntry {
     "cdc_expect_audit" -> ((s, d) => Debezium.expectationAudit(s, d)),
     // DLQ redrive pre-flight: repair, re-check, recovered-vs-dead counts
     "cdc_dlq_replay" -> ((s, d) => Debezium.dlqReplay(s, d)),
+    // SMT topic route + keyed partition assignment with per-partition order
+    "cdc_outbox_route" -> ((s, d) => Debezium.outboxRoute(s, d)),
     "cdc_latency_metrics" -> ((s, d) => Debezium.latencyAudit(s, d)),
     "cdc_table_batch" -> ((s, d) => TableRegistry.tableBatch(s, d)),
     "cdc_table_groups" -> ((s, d) => TableRegistry.tableGroups(TableRegistry.discover(s, d))),
@@ -2463,6 +2465,24 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN NOT bad_id THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
         |  CAST(count(*) - sum(CASE WHEN NOT bad_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
         |FROM r GROUP BY 1""".stripMargin,
+    // outbox-route replay: identical md5-nibble keyed hash (the
+    // countmin hex24 construction), window order pinned by (seq_us,
+    // event_id) so the per-partition sequence is deterministic
+    "cdc_outbox_route" -> {
+      val hex24 = (0 until 6).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5('ob_' || CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (5 - i))}")
+        .mkString("(", " + ", ")")
+      s"""$logCte,
+         |ob AS (SELECT event_id, user_id AS aggregate_id,
+         |    'cdc.tpch.' || event_type AS topic, seq_us,
+         |    $hex24 % 8 AS kafka_partition
+         |  FROM log)
+         |SELECT event_id, topic, CAST(kafka_partition AS BIGINT) AS kafka_partition,
+         |  aggregate_id, seq_us,
+         |  CAST(row_number() OVER (PARTITION BY topic, kafka_partition
+         |    ORDER BY seq_us, event_id) AS BIGINT) AS seq_in_partition
+         |FROM ob""".stripMargin
+    },
     "cdc_latency_metrics" ->
       """WITH f AS (
         |  SELECT CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' WHEN 'purchase' THEN 'r' ELSE 'u' END AS op_raw,

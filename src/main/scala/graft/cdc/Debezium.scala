@@ -367,4 +367,48 @@ object Debezium {
         col("parsed.transaction.id").as("transaction_id"))
     txnSummary(lite)
   }
+
+  /** #369 Topic routing + keyed partition assignment — the Kafka Connect
+    * SMT route the reference configures (RegexRouter rewriting
+    * `aurora-cdc.tpch.*` → `cdc.tpch.*`, reference:
+    * debezium-approach/config/aurora-connector.json:33-36) fused with the
+    * Kafka producer's keyed partitioner (`hash(key) % n`), which is what
+    * fixes the per-key total order the reference's DLT consumers rely on
+    * (dlt_cdc_pipeline.py:126-127 keeps kafka_topic/kafka_partition for
+    * exactly this audit). Each change event routes to
+    * `cdc.tpch.<aggregate_type>`; the partition comes from an md5-derived
+    * key hash (NOT murmur2 — md5 is the one keyed hash both engines
+    * evaluate identically, so the assignment replays cross-engine; the
+    * CONTRACT — stable key → stable partition — is the thing under test,
+    * not Kafka's exact polynomial).
+    *
+    * Output is the full routed stream plus each message's delivery
+    * sequence within its (topic, partition) — the invariant downstream
+    * consumers assume: all events for one aggregate id land in one
+    * partition, in commit order. ONE shuffle (the window on
+    * topic × partition, bounded-cardinality keys, rows spread by the
+    * hash); everything before it is row-local codegen. At 100 TB the
+    * window key space is topics × partitions — thousands of cells with
+    * balanced mass by construction of the hash.
+    */
+  def outboxRoute(spark: SparkSession, dir: String,
+      nPartitions: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val routed = Cdc.log(spark, dir).select(
+        col("event_id"),
+        col("user_id").as("aggregate_id"),
+        col("event_type").as("aggregate_type"),
+        col("seq_us"))
+      .withColumn("topic", concat(lit("cdc.tpch."), col("aggregate_type")))
+      .withColumn("kafka_partition",
+        conv(substring(md5(concat(lit("ob_"),
+          col("aggregate_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long") % nPartitions)
+    val w = Window.partitionBy("topic", "kafka_partition")
+      .orderBy(col("seq_us"), col("event_id"))
+    routed
+      .withColumn("seq_in_partition", row_number().over(w).cast("long"))
+      .select("event_id", "topic", "kafka_partition", "aggregate_id",
+        "seq_us", "seq_in_partition")
+  }
 }

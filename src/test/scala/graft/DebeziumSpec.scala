@@ -357,4 +357,29 @@ class DebeziumSpec extends SparkSpec {
     assert(!tr.compatible && tr.checkedVersions === Seq(1, 2))
     SchemaRegistry.clear()
   }
+
+  test("outboxRoute: keyed partitioner contract + per-partition commit order") {
+    val df = Debezium.outboxRoute(spark, sf).cache()
+    try {
+      // partitions live in [0, 8)
+      assert(df.filter(col("kafka_partition") < 0 || col("kafka_partition") >= 8)
+        .count() == 0)
+      // the Kafka keyed-partitioner contract: one key → one partition,
+      // across every topic (the hash sees only the key)
+      assert(df.groupBy("aggregate_id")
+        .agg(countDistinct(col("kafka_partition")).as("np"))
+        .filter(col("np") > 1).count() == 0)
+      // delivery sequence is dense 1..n within each (topic, partition)
+      assert(df.groupBy("topic", "kafka_partition")
+        .agg(count(lit(1)).as("n"), min(col("seq_in_partition")).as("mn"),
+          max(col("seq_in_partition")).as("mx"))
+        .filter(col("mn") =!= 1L || col("mx") =!= col("n")).count() == 0)
+      // within a partition the sequence follows commit order: walking up
+      // seq_in_partition never walks seq_us backwards
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("topic", "kafka_partition").orderBy("seq_in_partition")
+      assert(df.withColumn("prev_us", lag(col("seq_us"), 1).over(w))
+        .filter(col("prev_us") > col("seq_us")).count() == 0)
+    } finally df.unpersist()
+  }
 }
