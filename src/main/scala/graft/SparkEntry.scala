@@ -349,6 +349,8 @@ object SparkEntry {
     "doc_quality_agreement" -> ((s, d) => Text.qualityAgreement(s, d)),
     // language-mix chi-square per source vs the corpus mix (zero cells in)
     "doc_lang_drift" -> ((s, d) => Text.langDrift(s, d)),
+    // Flesch / Flesch-Kincaid readability in exact fixed-point
+    "doc_readability" -> ((s, d) => Text.readability(s, d)),
     // Heaps-law vocabulary growth by corpus decile
     "doc_vocab_growth" -> ((s, d) => Text.vocabGrowth(s, d)),
     // 2-D Pareto frontier via the distributed exclusive running-min sweep
@@ -505,6 +507,8 @@ object SparkEntry {
     // sparse-anchor label spreading: bounded multi-source BFS, nearest
     // seed's label within 6 hops, (hops, lbl) arg-min tie-break
     "graph_seed_distance" -> ((s, d) => graft.operators.Graph.seedDistance(s, d)),
+    // degree-mixing audit: Newman assortativity of the kNN graph
+    "graph_assortativity" -> ((s, d) => graft.operators.Graph.degreeAssortativity(s, d)),
     // DCT perceptual-hash near-dup audit over REAL decoded PNGs
     // (rows-only: codec + DCT; ImageDecodeSpec plants near-dup images)
     "mm_phash_dedup" -> ((s, d) => graft.operators.Multimodal.phashDedup(s, d)),
@@ -662,6 +666,8 @@ object SparkEntry {
     "ev_peak_concurrency" -> ((s, d) => Events.peakConcurrency(s, d)),
     // discrete-time churn hazard/survival, exact integer ppm
     "ev_churn_hazard" -> ((s, d) => Events.churnHazard(s, d)),
+    // right-censored survival: Nelson-Aalen cumulative hazard, exact ppm
+    "ev_survival_censored" -> ((s, d) => Events.survivalCensored(s, d)),
     // binlog op-chain grammar audit (create-missing / post-delete / dup-create)
     "cdc_op_sequence_audit" -> ((s, d) => Cdc.opSequenceAudit(s, d)),
     // DBLog chunked snapshot + live log interleave with consistency proof
@@ -1745,6 +1751,29 @@ object SparkEntry {
          |  (r = 0) AS core_member FROM (
          |  SELECT id, 0 AS r FROM a8
          |${(1 to 8).map(i => s"  UNION ALL SELECT id, $i FROM p$i").mkString("\n")})""".stripMargin,
+    // assortativity replay: exact HUGEINT edge sums, one double division
+    // with identical text, floor(x*1e6+0.5) both engines
+    "graph_assortativity" ->
+      s"""WITH $knnGraphCte,
+         |aund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM g WHERE src <> dst),
+         |adeg AS (SELECT id, count(*) AS degree FROM (
+         |          SELECT a AS id FROM aund UNION ALL SELECT b FROM aund) GROUP BY 1),
+         |asum AS (SELECT count(*) AS m,
+         |    sum(CAST(da.degree AS HUGEINT) * db.degree) AS s1,
+         |    sum(CAST(da.degree AS HUGEINT) + db.degree) AS s2,
+         |    sum(CAST(da.degree AS HUGEINT) * da.degree
+         |      + CAST(db.degree AS HUGEINT) * db.degree) AS s3
+         |  FROM aund JOIN adeg da ON da.id = aund.a JOIN adeg db ON db.id = aund.b),
+         |ann AS (SELECT count(*) AS n_nodes FROM adeg)
+         |SELECT CAST(m AS BIGINT) AS n_edges, CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(s1 AS BIGINT) AS s_jk, CAST(s2 AS BIGINT) AS s_j_plus_k,
+         |  CAST(s3 AS BIGINT) AS s_j2_plus_k2,
+         |  CASE WHEN 2 * m * s3 - s2 * s2 = 0 THEN 0
+         |    ELSE CAST(floor(CAST(4 * m * s1 - s2 * s2 AS DOUBLE)
+         |      / CAST(2 * m * s3 - s2 * s2 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+         |    END AS assortativity_e6
+         |FROM asum, ann""".stripMargin,
     "graph_triangles" ->
       s"""WITH $knnGraphCte,
          |tund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -3098,6 +3127,33 @@ object SparkEntry {
         |  CAST(floor(chi2 * 10000 + 0.5) AS BIGINT) AS chi2_e4,
         |  d.dominant_lang, CAST(dom_n * 10000 // n_docs AS BIGINT) AS dom_share_bp
         |FROM lda a JOIN dom d ON d.source = a.source""".stripMargin,
+    // readability replay: identical word/sentence/vowel-group counting
+    // via list lambdas, all-integer fixed-point scores (positive-operand
+    // divisions so DIV and // agree)
+    "doc_readability" ->
+      """WITH rr0 AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |rr1 AS (SELECT doc_id,
+        |    len(list_filter(string_split(t, ' '), w -> w <> '')) AS n_words_raw,
+        |    len(regexp_extract_all(t, '[.!?]+')) AS n_sent_raw,
+        |    coalesce(list_sum(list_transform(list_filter(string_split(t, ' '), w -> w <> ''),
+        |      w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0) AS n_syllables
+        |  FROM rr0),
+        |rr2 AS (SELECT doc_id, greatest(1, n_words_raw) AS n_words,
+        |    greatest(1, n_sent_raw) AS n_sentences, n_syllables FROM rr1),
+        |rr3 AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+        |    206835 - (1015 * n_words) // n_sentences - (84600 * n_syllables) // n_words AS fre_e3,
+        |    (39 * n_words) // n_sentences + (1180 * n_syllables) // n_words - 1559 AS fk_grade_e2
+        |  FROM rr2)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  CAST(fre_e3 AS BIGINT) AS fre_e3,
+        |  CAST(fk_grade_e2 AS BIGINT) AS fk_grade_e2,
+        |  CASE WHEN fre_e3 >= 90000 THEN 'very_easy'
+        |       WHEN fre_e3 >= 60000 THEN 'standard'
+        |       WHEN fre_e3 >= 30000 THEN 'difficult'
+        |       ELSE 'very_confusing' END AS band
+        |FROM rr3""".stripMargin,
     // kappa replay: both flags are the existing row-local gate arithmetic;
     // kappa from exact integer cells via identical double expression text
     // (integer DIV truncation differs cross-engine on NEGATIVE kappa)
@@ -4901,6 +4957,30 @@ object SparkEntry {
         |  CAST(churned * 1000000 // at_risk AS BIGINT) AS hazard_ppm,
         |  CAST((at_risk - churned) * 1000000 // n_total AS BIGINT) AS survival_ppm
         |FROM ar, t""".stripMargin,
+    // censored-survival replay: censor flag vs the global max ts, exact
+    // integer Nelson-Aalen cumsum (per-day positive DIV terms, integer
+    // addition order-independent — no float product chain)
+    "ev_survival_censored" ->
+      """WITH oe AS (SELECT max(epoch_us(ts)) AS obs_us FROM events),
+        |lifec AS (SELECT (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS day,
+        |    CASE WHEN (SELECT obs_us FROM oe) - max(epoch_us(ts))
+        |         < CAST(7 AS BIGINT) * 86400000000 THEN 1 ELSE 0 END AS censored
+        |  FROM events GROUP BY user_id),
+        |pd AS (SELECT day, count(*) AS n_ending,
+        |    sum(censored) AS n_censored,
+        |    sum(1 - censored) AS n_churned
+        |  FROM lifec GROUP BY day),
+        |arc AS (SELECT *, sum(n_ending) OVER (ORDER BY day DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk FROM pd),
+        |hz AS (SELECT day, at_risk, n_churned, n_censored,
+        |    n_churned * 1000000 // at_risk AS hazard_ppm FROM arc)
+        |SELECT day, CAST(at_risk AS BIGINT) AS at_risk,
+        |  CAST(n_churned AS BIGINT) AS n_churned,
+        |  CAST(n_censored AS BIGINT) AS n_censored,
+        |  CAST(hazard_ppm AS BIGINT) AS hazard_ppm,
+        |  CAST(sum(hazard_ppm) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hazard_ppm
+        |FROM hz""".stripMargin,
     // Markov removal-effect attribution: the chain build is plain window
     // SQL; the absorption solve replays as ten matmul CTEs (T^1024 by
     // repeated squaring over (scenario, i, j, v) rows — CONV absorbing,

@@ -1309,6 +1309,51 @@ object Events {
         expr("(at_risk - churned) * 1000000 DIV n_total").as("survival_ppm"))
   }
 
+  /** #372 Right-censored survival — the honesty fix [[churnHazard]]
+    * deliberately skips: a user whose LAST activity falls within the
+    * trailing `horizonDays` of the observation window hasn't churned,
+    * we just stopped watching (right-censoring; Kaplan & Meier JASA'58).
+    * Censored users leave the risk set at their observed lifetime
+    * WITHOUT counting as a churn event — treating them as churned (the
+    * uncensored estimator's implicit move) biases every hazard upward,
+    * worst in the newest cohorts.
+    *
+    * Cumulative hazard is Nelson–Aalen, H(t) = Σ_{t_i≤t} d_i/n_i, kept
+    * as an EXACT integer cumsum of per-day ppm terms (each term one
+    * positive integer DIV; integer addition is order-independent, so no
+    * cross-engine float drift — the reason NA is reported rather than
+    * the KM product, whose running ln/exp fold would drift). S(t) ≈
+    * exp(−H(t)) for a reader who wants the curve.
+    *
+    * One user_id exchange for lifetimes; both windows run on the
+    * day-indexed frame — calendar-bounded at any corpus size.
+    */
+  def survivalCensored(spark: SparkSession, dir: String,
+      horizonDays: Int = 7): DataFrame = {
+    val ev = withTs(spark, dir)
+    val obsEnd = ev.agg(max(col("ts_us")).as("obs_us"))
+    val life = ev.groupBy("user_id")
+      .agg(max(col("ts_us")).as("max_us"), min(col("ts_us")).as("min_us"))
+      .crossJoin(broadcast(obsEnd))
+      .select(expr("(max_us - min_us) DIV 86400000000").as("day"),
+        expr(s"CASE WHEN obs_us - max_us < CAST($horizonDays AS BIGINT) * 86400000000 " +
+          "THEN 1L ELSE 0L END").as("censored"))
+    val perDay = life.groupBy("day")
+      .agg(count(lit(1)).as("n_ending"),
+        sum(col("censored")).as("n_censored"),
+        sum(lit(1L) - col("censored")).as("n_churned"))
+    val wAtRisk = Window.orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .withColumn("at_risk", sum(col("n_ending")).over(wAtRisk))
+      .withColumn("hazard_ppm", expr("n_churned * 1000000 DIV at_risk"))
+      .withColumn("cum_hazard_ppm", sum(col("hazard_ppm")).over(wCum))
+      .select("day", "at_risk", "n_churned", "n_censored",
+        "hazard_ppm", "cum_hazard_ppm")
+  }
+
   /** #297 Markov removal-effect attribution — the data-driven alternative
     * to the positional heuristics in [[attributionCompare]]: model each
     * user journey (truncated at the first purchase) as a first-order

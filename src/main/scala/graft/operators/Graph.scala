@@ -534,4 +534,56 @@ object Graph {
       .select(col("id").as("vec_id"), col("lbl").as("nearest_label"),
         col("hops"))
   }
+
+  /** #371 Degree assortativity (Newman, Phys. Rev. Lett. 89, 2002): the
+    * Pearson correlation of endpoint degrees across undirected edges —
+    * POSITIVE when hubs attach to hubs (social-network shape), NEGATIVE
+    * when hubs fan out to leaves (hub-and-spoke: star graphs score
+    * exactly −1). On a near-dup / kNN similarity graph this is the
+    * one-scalar structure audit: a strongly negative score means a few
+    * template families dominate the neighborhoods (boilerplate hubs), a
+    * near-zero score means dup mass is spread evenly.
+    *
+    * With S1=Σ jk, S2=Σ (j+k), S3=Σ (j²+k²) over edges and M edges,
+    * r = (4M·S1 − S2²) / (2M·S3 − S2²) — every sum exact DECIMAL(38,0),
+    * ONE double division with identical expression text both engines,
+    * floor(x·10⁶+0.5) fixed-point. Degenerate regular graphs (zero
+    * degree variance) report 0 by convention. Cost: the [[trianglesFrom]]
+    * prefix (degree aggregate + two node-sized joins) and a single global
+    * aggregate — no wedge materialization at all.
+    */
+  def degreeAssortativityFrom(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    und
+      .join(deg.select(col("id").as("a"), col("degree").as("ja")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("jb")), "b")
+      .agg(count(lit(1)).as("m"),
+        sum(expr("CAST(ja AS DECIMAL(38,0)) * jb")).as("s1"),
+        sum(expr("CAST(ja AS DECIMAL(38,0)) + jb")).as("s2"),
+        sum(expr("CAST(ja AS DECIMAL(38,0)) * ja + CAST(jb AS DECIMAL(38,0)) * jb")).as("s3"))
+      .crossJoin(broadcast(nNodes))
+      .selectExpr(
+        "CAST(m AS BIGINT) AS n_edges",
+        "CAST(n_nodes AS BIGINT) AS n_nodes",
+        "CAST(s1 AS BIGINT) AS s_jk",
+        "CAST(s2 AS BIGINT) AS s_j_plus_k",
+        "CAST(s3 AS BIGINT) AS s_j2_plus_k2",
+        """CASE WHEN 2 * m * s3 - s2 * s2 = 0 THEN 0
+           ELSE CAST(floor(CAST(4 * m * s1 - s2 * s2 AS DOUBLE)
+             / CAST(2 * m * s3 - s2 * s2 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           END AS assortativity_e6""")
+  }
+
+  /** #371 Registered query: degree-mixing audit of the corpus kNN graph. */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
+    degreeAssortativityFrom(Similarity.knnGraph(spark, dir))
 }

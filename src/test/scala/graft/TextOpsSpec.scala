@@ -63,6 +63,36 @@ class TextOpsSpec extends SparkSpec {
     assert(out.values.forall(_.getLong(2) === 3L))
   }
 
+  test("readability: hand-checked Flesch/FK fixed-point on planted docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("readability").toString
+    Seq(
+      // 2 words, 1 sentence; syllables hello=2 world=1 → 3
+      (1L, "hello world.", "en", "s0", 12L),
+      // vowel-less fragment: words=1, sentences clamp to 1, syllable clamp to 1
+      (2L, "wrld", "en", "s0", 4L),
+      // 5 words, 2 sentences; per-word clamps: a=1 bb=1 ccc!=1 dd=1 ee?=1 → 5
+      (3L, "a bb ccc! dd ee?", "en", "s0", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Text.readability(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3)) === ((2L, 1L, 3L)))
+    // 206835 - 1015*2/1 - 84600*3/2 = 77905; 39*2/1 + 1180*3/2 - 1559 = 289
+    assert(d1.getLong(4) === 77905L)
+    assert(d1.getLong(5) === 289L)
+    assert(d1.getString(6) === "standard")
+    val d2 = out(2L)
+    assert((d2.getLong(1), d2.getLong(2), d2.getLong(3)) === ((1L, 1L, 1L)))
+    assert(d2.getLong(4) === 206835L - 1015L - 84600L)
+    assert(d2.getString(6) === "very_easy")
+    val d3 = out(3L)
+    assert((d3.getLong(1), d3.getLong(2), d3.getLong(3)) === ((5L, 2L, 5L)))
+    assert(d3.getLong(4) === 206835L - 2537L - 84600L)
+    assert(d3.getLong(5) === 97L + 1180L - 1559L)
+  }
+
   test("piiAudit counts planted emails and phones; clean source reads zero") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("piiaudit").toString

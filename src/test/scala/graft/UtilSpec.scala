@@ -794,6 +794,28 @@ class UtilSpec extends SparkSpec {
     assert(out(7L) === ((1L, 0L, 0L)))
   }
 
+  test("assortativity: star scores exactly -1, clique degenerates to 0, mixed hand value") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // star K_{1,4}: every edge joins deg-4 hub to deg-1 leaf -> r = -1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val s = Graph.degreeAssortativityFrom(star).collect()(0)
+    assert(s.getAs[Long]("n_edges") === 4L)
+    assert(s.getAs[Long]("n_nodes") === 5L)
+    assert(s.getAs[Long]("assortativity_e6") === -1000000L)
+    // 3-clique: zero degree variance -> degenerate, 0 by convention
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.degreeAssortativityFrom(clique).collect()(0)
+      .getAs[Long]("assortativity_e6") === 0L)
+    // triangle + pendant: S1=19 S2=18 S3=44 M=4 ->
+    // r = (4*4*19 - 324)/(2*4*44 - 324) = -20/28, e6 = -714286
+    val mixed = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val m = Graph.degreeAssortativityFrom(mixed).collect()(0)
+    assert((m.getAs[Long]("s_jk"), m.getAs[Long]("s_j_plus_k"),
+      m.getAs[Long]("s_j2_plus_k2")) === ((19L, 18L, 44L)))
+    assert(m.getAs[Long]("assortativity_e6") === -714286L)
+  }
+
   test("kcore: clique survives, path tail peels round by round, fixpoint reached") {
     import spark.implicits._
     import graft.operators.Graph
@@ -959,6 +981,30 @@ class UtilSpec extends SparkSpec {
     assert(out(0L) === ((4L, 2L, 500000L, 500000L)))
     assert(out(1L) === ((2L, 1L, 500000L, 250000L)))
     assert(out(3L) === ((1L, 1L, 1000000L, 0L)))
+  }
+
+  test("censored survival: censoring leaves the risk set without a churn event") {
+    import spark.implicits._
+    import graft.operators.Events
+    val dir = Files.createTempDirectory("surv").toString
+    val dayNs = 86400L * 1000000000L
+    // obs end = day 12; horizon 7d → u3 (last day 10) and u4 (last day 12)
+    // are censored; u1 (lifetime 0) and u2 (lifetime 3) churned
+    val rows = Seq(
+      (1L, 0L, 1L, "c", 1.0, "{}"),
+      (2L, 0L, 2L, "c", 1.0, "{}"), (3L, 3 * dayNs, 2L, "c", 1.0, "{}"),
+      (4L, 0L, 3L, "c", 1.0, "{}"), (5L, 10 * dayNs, 3L, "c", 1.0, "{}"),
+      (6L, 5 * dayNs, 4L, "c", 1.0, "{}"), (7L, 12 * dayNs, 4L, "c", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.survivalCensored(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out(0L) === ((4L, 1L, 0L, 250000L, 250000L)))
+    assert(out(3L) === ((3L, 1L, 0L, 333333L, 583333L)))
+    // censored exits: at risk shrinks, hazard stays 0, cum hazard flat
+    assert(out(7L) === ((2L, 0L, 1L, 0L, 583333L)))
+    assert(out(10L) === ((1L, 0L, 1L, 0L, 583333L)))
   }
 
   test("markov attribution solves the two-channel chain exactly") {
