@@ -351,6 +351,8 @@ object SparkEntry {
     "doc_lang_drift" -> ((s, d) => Text.langDrift(s, d)),
     // Flesch / Flesch-Kincaid readability in exact fixed-point
     "doc_readability" -> ((s, d) => Text.readability(s, d)),
+    // Kneser-Ney bigram surprise (exact-rational whole-bit quantization)
+    "doc_kn_score" -> ((s, d) => Text.knScore(s, d)),
     // Heaps-law vocabulary growth by corpus decile
     "doc_vocab_growth" -> ((s, d) => Text.vocabGrowth(s, d)),
     // 2-D Pareto frontier via the distributed exclusive running-min sweep
@@ -620,6 +622,8 @@ object SparkEntry {
     "emb_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     // kNN label-consistency audit (embedding quality score per label)
     "emb_knn_consistency" -> ((s, d) => Similarity.embKnnConsistency(s, d)),
+    // label-separability AUC over kNN candidate pairs (exact rank-sum)
+    "emb_pair_auc" -> ((s, d) => Similarity.pairAuc(s, d)),
     // transaction reassembly from the Debezium envelope
     "cdc_txn_summary" -> ((s, d) => Debezium.txnAudit(s, d)),
     // retention curve via per-user activity bitmaps
@@ -4411,6 +4415,33 @@ object SparkEntry {
         |      FROM p)
         |SELECT qid, nid, CAST(label AS BIGINT) AS neg_label, round(cosr, 4) AS cos, rnk
         |FROM r WHERE rnk <= 5""".stripMargin,
+    // pair-AUC replay: identical e4 quantization off the shared knn CTE,
+    // tie-averaged rank-sum over the bounded score domain, non-negative
+    // numerator so // and DIV agree
+    "emb_pair_auc" ->
+      s"""WITH $knnGraphCte,
+         |pund AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b, cos
+         |         FROM g WHERE src <> dst),
+         |pu2 AS (SELECT a, b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_e4 FROM pund),
+         |pl AS (SELECT p.cos_e4,
+         |    CASE WHEN CAST(ea.label AS BIGINT) = CAST(eb.label AS BIGINT) THEN 1 ELSE 0 END AS is_pos
+         |  FROM pu2 p JOIN embeddings ea ON ea.vec_id = p.a
+         |  JOIN embeddings eb ON eb.vec_id = p.b),
+         |pbs AS (SELECT cos_e4, count(*) AS n, sum(is_pos) AS n_pos_s FROM pl GROUP BY 1),
+         |pcb AS (SELECT *, coalesce(sum(n) OVER (ORDER BY cos_e4
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM pbs),
+         |pag AS (SELECT sum(n) AS n_pairs, sum(n_pos_s) AS n_pos,
+         |    sum(CAST(n_pos_s AS HUGEINT) * (2 * cum_before + n + 1)) AS r2_pos,
+         |    sum(cos_e4 * n_pos_s) AS sum_pos, sum(cos_e4 * (n - n_pos_s)) AS sum_neg
+         |  FROM pcb)
+         |SELECT CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_pos AS BIGINT) AS n_pos,
+         |  CAST(n_pairs - n_pos AS BIGINT) AS n_neg,
+         |  CASE WHEN n_pos = 0 OR n_pairs = n_pos THEN NULL
+         |    ELSE CAST((r2_pos - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+         |      // (2 * n_pos * (n_pairs - n_pos)) AS BIGINT) END AS auc_ppm,
+         |  CAST(sum_pos AS BIGINT) AS sum_pos_cos_e4,
+         |  CAST(sum_neg AS BIGINT) AS sum_neg_cos_e4
+         |FROM pag""".stripMargin,
     "emb_knn_consistency" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, label AS qlabel
         |           FROM embeddings WHERE vec_id % 10 = 0),
@@ -4516,6 +4547,26 @@ object SparkEntry {
         |  CAST(sum(surprise_lg2) * 10000 // count(*) AS BIGINT) AS mean_surprise_e4
         |FROM tok JOIN s USING (tok)
         |GROUP BY 1""".stripMargin,
+    // KN replay: identical indexed-lambda bigram build, exact-rational
+    // probability, whole-bit surprise via the bitlen(D div N) identity
+    "doc_kn_score" ->
+      """WITH kd AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |kbg AS (SELECT doc_id, unnest(list_transform(l[1:len(l)-1],
+        |    (w, i) -> {'w1': w, 'w2': l[i+1]})) AS b FROM kd),
+        |kb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM kbg),
+        |kc12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM kb GROUP BY 1, 2),
+        |kc1 AS (SELECT w1, sum(c12) AS c1, count(*) AS n1fw FROM kc12 GROUP BY 1),
+        |kpw AS (SELECT w2, count(*) AS n1pw FROM kc12 GROUP BY 1),
+        |kt AS (SELECT count(*) AS t_types FROM kc12),
+        |ks AS (SELECT w1, w2,
+        |    CAST(length(bin(CAST((CAST(4 AS HUGEINT) * c1 * t_types) //
+        |      ((CAST(4 AS HUGEINT) * c12 - 3) * t_types
+        |       + CAST(3 AS HUGEINT) * n1fw * n1pw) AS BIGINT))) - 1 AS BIGINT) AS kn_bits
+        |  FROM kc12 JOIN kc1 USING (w1) JOIN kpw USING (w2), kt)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(kn_bits) AS BIGINT) AS sum_kn_bits,
+        |  CAST(sum(kn_bits) * 10000 // count(*) AS BIGINT) AS mean_kn_bits_e4
+        |FROM kb JOIN ks USING (w1, w2) GROUP BY 1""".stripMargin,
     "doc_ppl_buckets" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),

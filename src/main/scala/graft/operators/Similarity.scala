@@ -1162,4 +1162,62 @@ object Similarity {
       Seq(("rrf_e6", true), ("nid", false)), k)
       .select("qid", "nid", "rrf_e6", "vec_rank", "lex_rank", "rnk")
   }
+
+  /** #373 Embedding separability AUC — do cosine scores actually rank
+    * same-label pairs above cross-label pairs? The one-number retrieval
+    * QA readout (AUC = P(random positive pair outscores a random
+    * negative), the Mann–Whitney rank-sum identity) over the kNN graph's
+    * candidate pairs, labels as ground truth. AUC ≈ 0.5 means the encoder
+    * carries no label signal at candidate grain; the gap to 1.0 is what
+    * reranking has to recover.
+    *
+    * Exactness: scores quantized to e4 ints (the graph's own round-4
+    * grain), so the rank-sum needs no per-row global sort — the score
+    * DOMAIN is bounded (≤ 20001 distinct values), one groupBy collapses
+    * the corpus to that frame and tie-AVERAGED ranks come from a prefix
+    * sum over it (2·avgrank = 2·cum_before + n + 1 stays integer). The
+    * only division is the final AUC ppm with a provably non-negative
+    * numerator (min rank-sum = n_pos(n_pos+1)/2), so Spark DIV ≡ DuckDB
+    * `//`. Scales as one edge aggregate + a 20k-row window.
+    */
+  def pairAucFrom(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("cos"))
+      .filter(col("a") =!= col("b")).distinct()
+      .withColumn("cos_e4", expr("CAST(floor(cos * 10000 + 0.5) AS BIGINT)"))
+    val la = labels.select(col("vec_id").as("a"), col("label").as("la"))
+    val lb = labels.select(col("vec_id").as("b"), col("label").as("lb"))
+    val byScore = und.join(la, "a").join(lb, "b")
+      .select(col("cos_e4"),
+        (col("la") === col("lb")).cast("long").as("is_pos"))
+      .groupBy("cos_e4")
+      .agg(count(lit(1)).as("n"), sum(col("is_pos")).as("n_pos_s"))
+    // bounded frame (≤ 20001 rows): the global window is safe by domain
+    val w = Window.orderBy("cos_e4").rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cum_before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .agg(sum(col("n")).as("n_pairs"),
+        sum(col("n_pos_s")).as("n_pos"),
+        sum(expr("CAST(n_pos_s AS DECIMAL(38,0)) * (2 * cum_before + n + 1)"))
+          .as("r2_pos"),
+        sum(expr("cos_e4 * n_pos_s")).as("sum_pos_cos_e4"),
+        sum(expr("cos_e4 * (n - n_pos_s)")).as("sum_neg_cos_e4"))
+      .selectExpr(
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(n_pos AS BIGINT) AS n_pos",
+        "CAST(n_pairs - n_pos AS BIGINT) AS n_neg",
+        """CASE WHEN n_pos = 0 OR n_pairs = n_pos THEN NULL
+           ELSE CAST((r2_pos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000
+             DIV (2 * n_pos * (n_pairs - n_pos)) AS BIGINT) END AS auc_ppm""",
+        "CAST(sum_pos_cos_e4 AS BIGINT) AS sum_pos_cos_e4",
+        "CAST(sum_neg_cos_e4 AS BIGINT) AS sum_neg_cos_e4")
+  }
+
+  /** #373 Registered query: label-separability AUC of the corpus kNN
+    * candidate pairs. */
+  def pairAuc(spark: SparkSession, dir: String): DataFrame =
+    pairAucFrom(knnGraph(spark, dir),
+      Tables.embeddings(spark, dir).select(col("vec_id"),
+        col("label").cast("long").as("label")))
 }

@@ -1782,6 +1782,55 @@ object Text {
       .unionByName(ded).unionByName(qs)
   }
 
+  /** #374 Kneser–Ney bigram LM scoring — the statistically-serious
+    * upgrade of [[docLmScore]]'s unigram surprise, and the family CCNet's
+    * KenLM filter actually belongs to (Kneser & Ney ICASSP'95; absolute
+    * discounting d = 3/4 with continuation-probability backoff, which
+    * fixes the "San Francisco" pathology: 'Francisco' is frequent but
+    * follows almost nothing, so a unigram model over-rewards it).
+    *
+    * Scored on seen bigrams (the corpus scores itself, c₁₂ ≥ 1), the KN
+    * probability is one exact rational:
+    *   p = ((4c₁₂−3)·T + 3·N1+(w1·)·N1+(·w2)) / (4·c(w1)·T)
+    * so per-bigram surprise uses the [[docLmScore]] whole-bit identity
+    * floor(log₂ D/N) = bitlen(D div N) − 1 — exact integers end to end,
+    * no float log to drift cross-engine. The D div N ratio is ≤ 4·c(w1),
+    * so it fits a BIGINT at any corpus size (the division itself runs in
+    * DECIMAL(38,0)).
+    *
+    * Shape: bigrams build row-locally from the token array (no
+    * positional self-join); the model is three vocab-sized aggregates
+    * off ONE bigram-type frame; scoring is one equi-join back. Docs with
+    * fewer than two tokens have no bigrams and drop out (documented).
+    */
+  def knScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(toks, 1, size(toks) - 1),
+           (w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2))"""))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // feeds four aggregates + the scoring join
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("n1fw"))
+    val n1pw = c12.groupBy("w2").agg(count(lit(1)).as("n1pw"))
+    val t = c12.agg(count(lit(1)).as("t_types"))
+    val scored = c12.join(c1, "w1").join(n1pw, "w2")
+      .crossJoin(broadcast(t))
+      .selectExpr("w1", "w2",
+        """CAST(length(bin(CAST(
+             (CAST(4 AS DECIMAL(38,0)) * c1 * t_types) DIV
+             ((CAST(4 AS DECIMAL(38,0)) * c12 - 3) * t_types + CAST(3 AS DECIMAL(38,0)) * n1fw * n1pw)
+           AS BIGINT))) - 1 AS BIGINT) AS kn_bits""")
+    bg.join(scored, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("kn_bits")).as("sum_kn_bits"),
+        expr("sum(kn_bits) * 10000 DIV count(1)").as("mean_kn_bits_e4"))
+  }
+
   /** #370 Readability scoring — Flesch reading-ease (Flesch 1948) and
     * Flesch–Kincaid grade level (Kincaid et al. 1975), the century-old
     * pair that still gates instruction-tuning corpora (too-hard and

@@ -483,4 +483,27 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("waste_e4") === wasted * 10000L / total)
     }
   }
+
+  test("pairAuc: tie-averaged rank-sum matches the hand value; perfect split = 1.0") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L))
+      .toDF("vec_id", "label")
+    // pos pairs score {0.3, 0.2}, neg {0.1, 0.2}: one pos/neg tie at 0.2
+    // → AUC = (1 + 0.5 + 1 + 1)/4 = 0.875 (also proves the mirrored-edge
+    // distinct: (2,1) duplicates (1,2))
+    val edges = Seq((1L, 2L, 0.3), (2L, 1L, 0.3), (3L, 4L, 0.2),
+      (1L, 3L, 0.1), (2L, 4L, 0.2)).toDF("src", "dst", "cos")
+    val r = Similarity.pairAucFrom(edges, labels).collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 4L)
+    assert(r.getAs[Long]("n_pos") === 2L)
+    assert(r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Long]("auc_ppm") === 875000L)
+    assert(r.getAs[Long]("sum_pos_cos_e4") === 5000L)
+    assert(r.getAs[Long]("sum_neg_cos_e4") === 3000L)
+    // perfect separation reads exactly 1.0
+    val sep = Seq((1L, 2L, 0.9), (3L, 4L, 0.8), (1L, 3L, 0.2), (2L, 4L, 0.1))
+      .toDF("src", "dst", "cos")
+    assert(Similarity.pairAucFrom(sep, labels).collect()(0)
+      .getAs[Long]("auc_ppm") === 1000000L)
+  }
 }

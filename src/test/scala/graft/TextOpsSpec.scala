@@ -63,6 +63,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out.values.forall(_.getLong(2) === 3L))
   }
 
+  test("knScore: hand-computed KN bigram table; sub-2-token docs drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("knscore").toString
+    // corpus: doc1 "a b a b", doc2 "a c", doc3 "x" (no bigrams).
+    // model: c12 (a,b)=2 (b,a)=1 (a,c)=1; c1 a=3 b=1; T=3;
+    // n1fw a=2 b=1; n1pw b=1 a=1 c=1.
+    // p(a,b) = ((8-3)*3 + 3*2*1)/(4*3*3) = 21/36 -> D div N = 1 -> 0 bits
+    // p(b,a) = ((4-3)*3 + 3*1*1)/(4*1*3) =  6/12 -> 2 -> 1 bit
+    // p(a,c) = ((4-3)*3 + 3*2*1)/(4*3*3) =  9/36 -> 4 -> 2 bits
+    Seq((1L, "a b a b", "en", "s0", 7L), (2L, "a c", "en", "s0", 3L),
+      (3L, "x", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Text.knScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 1L, 3333L))) // bits 0+1+0, mean 10000/3
+    assert(out(2L) === ((1L, 2L, 20000L)))
+    assert(!out.contains(3L))
+  }
+
   test("readability: hand-checked Flesch/FK fixed-point on planted docs") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("readability").toString
