@@ -252,6 +252,10 @@ object SparkEntry {
     // exact sliding-window distinct: DAU / trailing-7d WAU / stickiness
     "ev_sliding_distinct" -> ((s, d) => Events.slidingDistinct(s, d)),
     "ev_policy_replay" -> ((s, d) => Events.policyReplay(s, d)),
+    // gains/lift table: engagement-score deciles vs purchaser capture
+    "ev_decile_lift" -> ((s, d) => Events.decileLift(s, d)),
+    // stratified ATT: signup effect on spend within activity strata
+    "ev_att_stratified" -> ((s, d) => Events.attStratified(s, d)),
     // staggered-rollout DiD readout: 2×2 cells + did_e4, one scan
     "ev_diff_in_diff" -> ((s, d) => Events.diffInDiff(s, d)),
     // SRE error-budget burn: fast (day) + slow (7d) windows, exact e2
@@ -309,6 +313,8 @@ object SparkEntry {
     "cdc_snapshot_diff" -> ((s, d) => Cdc.snapshotDiff(s, d)),
     // exact-arithmetic trend + seasonality over the daily series
     "ts_trend" -> ((s, d) => TimeSeries.trend(s, d)),
+    // Theil-Sen robust trend: exact median-of-pairwise-slopes per type
+    "ts_theil_sen" -> ((s, d) => TimeSeries.theilSen(s, d)),
     "ts_seasonality" -> ((s, d) => TimeSeries.seasonality(s, d)),
     // lag-1..7 autocorrelation of the daily series (exact cross-products)
     "ts_acf" -> ((s, d) => TimeSeries.acf(s, d)),
@@ -767,6 +773,9 @@ object SparkEntry {
     // (rows-only: the winnowing blocking key is hash-seeded; DedupSpec
     // pins conservation + monotonicity + the planted high bucket)
     "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
+    // crawl-frontier URL dedup: canonicalize (case/port/fragment/utm/
+    // trailing slash) then collapse per canonical page
+    "doc_url_dedup" -> ((s, d) => Dedup.urlDedup(s, d)),
     "doc_split_leakage" -> ((s, d) => Dedup.splitLeakage(s, d)),
     "doc_dup_inflation" -> ((s, d) => Dedup.dupInflation(s, d)),
     // per-table backlog catch-up ETA against the measured drain rate
@@ -1550,6 +1559,36 @@ object SparkEntry {
          |  CAST(sum(n_pairs) OVER (ORDER BY decile DESC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_or_above
          |FROM tch""".stripMargin,
+    "doc_url_dedup" ->
+      """WITH uraw AS (SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'Http' ELSE 'http' END
+        |     || '://' ||
+        |     CASE doc_id % 2 WHEN 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END
+        |     || CASE doc_id % 3 WHEN 0 THEN ':80' ELSE '' END
+        |     || '/crawl/page-' || CAST(doc_id // 3 AS VARCHAR)
+        |     || CASE doc_id % 2 WHEN 0 THEN '/' ELSE '' END
+        |     || CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&ref=rss'
+        |                        WHEN 1 THEN '?ref=rss&utm_campaign=x'
+        |                        ELSE '?ref=rss' END
+        |     || CASE doc_id % 2 WHEN 1 THEN '#sec-2' ELSE '' END) AS url
+        |  FROM documents),
+        |uc1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '', 'g') AS nofrag FROM uraw),
+        |uc2 AS (SELECT doc_id, url,
+        |    regexp_extract(nofrag, '^([a-zA-Z]+://[^/?]+)', 1) AS pre,
+        |    substr(nofrag, length(regexp_extract(nofrag, '^([a-zA-Z]+://[^/?]+)', 1)) + 1) AS rest
+        |  FROM uc1),
+        |uc3 AS (SELECT doc_id, url,
+        |    regexp_replace(lower(pre), ':80$', '', 'g')
+        |    || regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
+        |         'utm_[a-z]+=[^&]*(&|$)', '', 'g'), '[?&]$', '', 'g'),
+        |         '/\?', '?', 'g'), '/$', '', 'g')
+        |    AS canonical_url
+        |  FROM uc2)
+        |SELECT canonical_url, count(*) AS n_docs,
+        |  count(DISTINCT url) AS n_raw_variants,
+        |  min(doc_id) AS keeper_doc_id,
+        |  count(*) - 1 AS n_dropped
+        |FROM uc3 GROUP BY 1""".stripMargin,
     "dedup_containment" ->
       s"""WITH ctbase AS (SELECT doc_id, text FROM documents),
          |ctdocs AS (SELECT doc_id, text FROM ctbase
@@ -2198,6 +2237,58 @@ object SparkEntry {
         |  CAST(1000000000000 // sum(pi_num * pi_num * 100000000
         |    // (pi_den * pi_den * n_a)) AS BIGINT) AS ess_e4
         |FROM prp GROUP BY segment""".stripMargin,
+    "ev_decile_lift" ->
+      """WITH dlu AS (SELECT user_id,
+        |    sum(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+        |  FROM events GROUP BY 1),
+        |dld AS (SELECT CAST(ntile(10) OVER (ORDER BY score DESC, user_id ASC)
+        |      AS BIGINT) AS decile, pos
+        |  FROM dlu),
+        |dlg AS (SELECT decile, count(*) AS n_users,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos
+        |  FROM dld GROUP BY 1)
+        |SELECT decile, n_users, n_pos,
+        |  CAST(n_pos * 10000 // n_users AS BIGINT) AS pos_rate_e4,
+        |  CAST(sum(n_pos) OVER (ORDER BY decile ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+        |    // sum(n_pos) OVER () AS BIGINT) AS capture_e4,
+        |  CAST(n_pos * sum(n_users) OVER () * 10000
+        |    // (n_users * sum(n_pos) OVER ()) AS BIGINT) AS lift_e4
+        |FROM dlg""".stripMargin,
+    "ev_att_stratified" ->
+      """WITH atu AS (SELECT user_id, count(*) AS n_events,
+        |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS treated,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |ats AS (SELECT CAST(length(bin(n_events)) - 1 AS BIGINT) AS stratum,
+        |    treated, cents FROM atu),
+        |atg AS (SELECT stratum,
+        |    CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+        |    CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+        |    CAST(sum(CASE WHEN treated = 1 THEN cents ELSE 0 END) AS BIGINT) AS t_cents,
+        |    CAST(sum(CASE WHEN treated = 0 THEN cents ELSE 0 END) AS BIGINT) AS c_cents
+        |  FROM ats GROUP BY 1),
+        |atm AS (SELECT stratum, n_treated, n_control,
+        |    CASE WHEN n_treated > 0 THEN t_cents * 10000 // n_treated END AS t_mean_e4,
+        |    CASE WHEN n_control > 0 THEN c_cents * 10000 // n_control END AS c_mean_e4
+        |  FROM atg),
+        |ate AS (SELECT stratum, n_treated, n_control, t_mean_e4, c_mean_e4,
+        |    CASE WHEN n_treated > 0 AND n_control > 0
+        |      THEN t_mean_e4 - c_mean_e4 END AS effect_e4
+        |  FROM atm)
+        |SELECT stratum, n_treated, n_control,
+        |  CAST(t_mean_e4 AS BIGINT) AS t_mean_e4,
+        |  CAST(c_mean_e4 AS BIGINT) AS c_mean_e4,
+        |  CAST(effect_e4 AS BIGINT) AS effect_e4
+        |FROM ate
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(sum(n_treated) AS BIGINT),
+        |  CAST(sum(n_control) AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT),
+        |  CAST(sum(effect_e4 * n_treated) // sum(n_treated) AS BIGINT)
+        |FROM ate WHERE n_treated > 0 AND n_control > 0""".stripMargin,
     // the custom merge exec must land on EXACTLY the rows the
     // union+window path produces — one ASOF oracle serves both
     "cdc_asof_exec" -> oracleSqlBase("cdc_asof_join")
@@ -2856,6 +2947,26 @@ object SparkEntry {
          |  CAST(round(sum(COALESCE(CAST(v2 AS DECIMAL(12,2)), 0) -
          |    COALESCE(CAST(v1 AS DECIMAL(12,2)), 0)), 2) AS DOUBLE) AS net_value_delta
          |FROM j GROUP BY 1""".stripMargin,
+    "ts_theil_sen" ->
+      """WITH tsd AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tsp AS (SELECT a.event_type, b.n - a.n AS num, b.day - a.day AS den,
+        |    a.day AS d1, b.day AS d2,
+        |    CAST(b.n - a.n AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM tsd a JOIN tsd b
+        |    ON a.event_type = b.event_type AND b.day > a.day),
+        |tsr AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope ASC, num ASC, den ASC, d1 ASC, d2 ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM tsp)
+        |SELECT event_type, CAST(cnt AS BIGINT) AS n_pairs,
+        |  CAST(num AS BIGINT) AS slope_num, CAST(den AS BIGINT) AS slope_den,
+        |  CAST(d1 AS BIGINT) AS x1, CAST(d2 AS BIGINT) AS x2,
+        |  CAST(CASE WHEN num < 0 THEN -((-num) * 10000 // den)
+        |       ELSE num * 10000 // den END AS BIGINT) AS slope_e4
+        |FROM tsr WHERE rn = (cnt + 1) // 2""".stripMargin,
     "ts_trend" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    sum(CAST(round(value * 100) AS BIGINT)) AS cents

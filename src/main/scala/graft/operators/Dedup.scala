@@ -935,4 +935,68 @@ object Dedup {
     hist.withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
       .select("decile", "n_pairs", "n_at_or_above")
   }
+
+  /** URL canonicalization: fold the surface variations that make one web
+    * page look like many distinct crawl records — scheme/host case, the
+    * default :80 port, fragments, `utm_*` tracking parameters, and a
+    * trailing path slash — while PRESERVING everything meaningful (real
+    * query params, the path itself, a non-default port). The steps are a
+    * fixed regexp pipeline in the Java∩RE2 common dialect (anchors +
+    * character classes, no lookaround), so the DuckDB oracle replays the
+    * identical expression text byte-for-byte.
+    */
+  def canonicalUrl(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // 1. drop the fragment
+    val noFrag = regexp_replace(raw, "#.*$", "")
+    // 2. case-fold scheme://host[:port] (the authority is case-insensitive
+    //    per RFC 3986; the path/query are NOT and stay untouched)
+    val pre = regexp_extract(noFrag, "^([a-zA-Z]+://[^/?]+)", 1)
+    val rest = noFrag.substr(length(pre) + lit(1), lit(1 << 20))
+    val canonPre = regexp_replace(lower(pre), ":80$", "")
+    // 3. strip utm_* params (value up to the next & ; the param's own
+    //    trailing & goes with it, a dangling ? or & is swept after)
+    val noUtm = regexp_replace(rest, "utm_[a-z]+=[^&]*(&|$)", "")
+    val sweep = regexp_replace(noUtm, "[?&]$", "")
+    // 4. trailing path slash: bare end or immediately before the query
+    val noSlash = regexp_replace(regexp_replace(sweep, "/\\?", "?"), "/$", "")
+    concat(canonPre, noSlash)
+  }
+
+  /** #375 `doc_url_dedup` — crawl-frontier URL dedup: canonicalize, then
+    * collapse records that differ only in tracking noise. The testdata
+    * documents carry no URL column, so a deterministic URL is synthesized
+    * from `doc_id` with the three classic variant axes planted (case +
+    * default port, utm params in different positions, fragment + trailing
+    * slash) and three doc_ids sharing each canonical page — identically in
+    * the oracle, byte-exact cross-engine input, same convention as
+    * [[graft.operators.Redact.piiRedact]]'s synthesized contacts. Output:
+    * one row per canonical URL with the crawl-dedup decision (keeper =
+    * min doc_id) and the variant census.
+    *
+    * Scale: canonicalization is row-local codegen'd regexp; the collapse
+    * is ONE hash aggregate on the canonical key. At 100 TB the canonical
+    * URL replaces the raw URL as the dedup/bucketing key everywhere
+    * downstream, so this runs as a scan-projection, not a join.
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.documents(spark, dir).selectExpr(
+      "doc_id",
+      """CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'Http' ELSE 'http' END
+        || '://' ||
+        CASE doc_id % 2 WHEN 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END
+        || CASE doc_id % 3 WHEN 0 THEN ':80' ELSE '' END
+        || '/crawl/page-' || CAST(doc_id DIV 3 AS STRING)
+        || CASE doc_id % 2 WHEN 0 THEN '/' ELSE '' END
+        || CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&ref=rss'
+                           WHEN 1 THEN '?ref=rss&utm_campaign=x'
+                           ELSE '?ref=rss' END
+        || CASE doc_id % 2 WHEN 1 THEN '#sec-2' ELSE '' END AS url""")
+    raw
+      .withColumn("canonical_url", canonicalUrl(col("url")))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw_variants"),
+        min(col("doc_id")).as("keeper_doc_id"))
+      .withColumn("n_dropped", (col("n_docs") - 1L).cast("long"))
+  }
 }

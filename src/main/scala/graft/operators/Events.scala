@@ -1774,4 +1774,92 @@ object Events {
         "CAST(ips_cents_e4 - logged_cents_e4 AS BIGINT) AS lift_e4",
         "CAST(1000000000000 DIV s_e8 AS BIGINT) AS ess_e4")
   }
+
+  /** #376 `ev_decile_lift` — gains/lift table: rank users by an
+    * engagement score (click+view volume), cut into deciles, and report
+    * how the positives (purchasers) concentrate — cumulative capture and
+    * lift-vs-base-rate per decile, the standard readout for "is this
+    * score worth targeting on". Deterministic decile assignment:
+    * ntile(10) over (score DESC, user_id) — a total order, so both
+    * engines cut identically; all rates exact ×10⁴ integers.
+    *
+    * Scale: one user-sized aggregate, then ntile over the USER frame —
+    * at 100 TB the user frame is the small output of the first
+    * aggregate, and a single-reducer rank over users is the
+    * by-construction-bounded case (same argument as the RFM segmenter);
+    * the decile frame itself is 10 rows.
+    */
+  def decileLift(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type").isin("click", "view"), 1L).otherwise(0L))
+          .as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("pos"))
+    val deciled = perUser
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("score").desc, col("user_id").asc))
+          .cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("pos")).as("n_pos"))
+    val w = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciled
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .withColumn("total_pos", sum(col("n_pos")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("total_users", sum(col("n_users")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .selectExpr("decile", "n_users", "n_pos",
+        "n_pos * 10000 DIV n_users AS pos_rate_e4",
+        "cum_pos * 10000 DIV total_pos AS capture_e4",
+        "n_pos * total_users * 10000 DIV (n_users * total_pos) AS lift_e4")
+  }
+
+  /** #377 `ev_att_stratified` — stratified average-treatment-effect on
+    * the treated: treatment = the user signed up, outcome = purchase
+    * spend (exact cents), confounder = engagement volume. Users are
+    * stratified into activity buckets (floor(log2(n_events)) — the
+    * bit-length trick, integer-exact both engines); within each stratum
+    * treated and control means are compared, and the per-stratum effects
+    * combine weighted by TREATED counts (the ATT estimand). Strata with
+    * no control users report null effect and are excluded from the
+    * pooled row (`stratum = -1` carries the pooled ATT) — the standard
+    * common-support rule made explicit in the output.
+    *
+    * All arithmetic is exact: cents are integers, means stay as
+    * (sum, n) pairs until the final ×10⁴ division, so the oracle
+    * replays bit-for-bit. One user-sized aggregate + one stratum-sized
+    * aggregate; nothing data-sized past the first groupBy.
+    */
+  def attStratified(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("treated"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("cents"))
+      // floor(log2(n_events)) via bit length: length(bin(x)) - 1
+      .withColumn("stratum",
+        expr("CAST(length(bin(n_events)) - 1 AS BIGINT)"))
+    val strata = perUser.groupBy("stratum")
+      .agg(sum(when(col("treated") === 1L, 1L).otherwise(0L)).as("n_treated"),
+        sum(when(col("treated") === 0L, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("treated") === 1L, col("cents")).otherwise(0L)).as("t_cents"),
+        sum(when(col("treated") === 0L, col("cents")).otherwise(0L)).as("c_cents"))
+      .selectExpr("stratum", "n_treated", "n_control",
+        "CASE WHEN n_treated > 0 THEN t_cents * 10000 DIV n_treated END AS t_mean_e4",
+        "CASE WHEN n_control > 0 THEN c_cents * 10000 DIV n_control END AS c_mean_e4")
+      .withColumn("effect_e4",
+        expr("CASE WHEN n_treated > 0 AND n_control > 0 " +
+          "THEN t_mean_e4 - c_mean_e4 END"))
+    val pooled = strata
+      .filter(col("n_treated") > 0 && col("n_control") > 0)
+      .agg(sum(col("n_treated")).as("n_treated"),
+        sum(col("n_control")).as("n_control"),
+        sum(expr("effect_e4 * n_treated")).as("wsum"))
+      .selectExpr("CAST(-1 AS BIGINT) AS stratum", "n_treated", "n_control",
+        "CAST(NULL AS BIGINT) AS t_mean_e4", "CAST(NULL AS BIGINT) AS c_mean_e4",
+        "wsum DIV n_treated AS effect_e4")
+    strata.unionByName(pooled)
+  }
 }

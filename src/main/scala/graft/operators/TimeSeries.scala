@@ -663,6 +663,48 @@ object TimeSeries {
         expr("CAST(sum(sm) DIV count(1) AS BIGINT)").as("smape_e4"))
   }
 
+  /** #378 `ts_theil_sen` — Theil-Sen robust trend per event type over
+    * the daily-count series: the median of all pairwise slopes
+    * (y_j−y_i)/(x_j−x_i), the estimator that shrugs off the outlier days
+    * OLS ([[trend]]) gets dragged by (up to ~29% contamination). The
+    * median is selected EXACTLY: slopes order by their double value
+    * (identical IEEE division both engines) with full integer tiebreaks
+    * (num, den, d1, d2 — a total order), and the lower median's own
+    * integer numerator/denominator are reported, so the output is pure
+    * integers — no float ever lands in the frame.
+    *
+    * Scale: the pairwise frame is D²/2 per type for D = DAYS OBSERVED —
+    * calendar-bounded (a year of data is ~66k pairs/type), never
+    * data-sized; the slope rank runs per-type on that bounded frame. The
+    * daily aggregate is the only data-sized pass.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+    val a = daily.select(col("event_type"), col("day").as("d1"), col("n").as("n1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"), col("n").as("n2"))
+    val pairs = a.join(b, Seq("event_type"))
+      .filter(col("d2") > col("d1"))
+      .select(col("event_type"),
+        (col("n2") - col("n1")).as("num"),
+        (col("d2") - col("d1")).as("den"),
+        col("d1"), col("d2"))
+      .withColumn("slope", col("num").cast("double") / col("den").cast("double"))
+    val wRank = Window.partitionBy("event_type")
+      .orderBy(col("slope").asc, col("num").asc, col("den").asc,
+        col("d1").asc, col("d2").asc)
+    pairs
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+      .selectExpr("event_type", "cnt AS n_pairs",
+        "num AS slope_num", "den AS slope_den", "d1 AS x1", "d2 AS x2",
+        "CAST(CASE WHEN num < 0 THEN -((-num) * 10000 DIV den) " +
+          "ELSE num * 10000 DIV den END AS BIGINT) AS slope_e4")
+  }
+
   def backtestOracle: String =
     """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |    sum(CAST(round(value * 100) AS BIGINT)) AS cents

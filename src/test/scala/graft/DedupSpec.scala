@@ -506,4 +506,47 @@ class DedupSpec extends SparkSpec {
     assert(Similarity.pairAucFrom(sep, labels).collect()(0)
       .getAs[Long]("auc_ppm") === 1000000L)
   }
+
+  test("url canonicalization folds tracking noise and preserves meaning") {
+    import spark.implicits._
+    val cases = Seq(
+      // authority case + default port + utm + trailing slash + fragment
+      ("HTTP://WWW.Example.COM:80/a/?utm_source=x&ref=1#frag",
+        "http://www.example.com/a?ref=1"),
+      // already canonical: fixpoint
+      ("http://www.example.com/a?ref=1", "http://www.example.com/a?ref=1"),
+      // non-default port and path case SURVIVE canonicalization
+      ("https://Example.com:8080/B/c/", "https://example.com:8080/B/c"),
+      // utm as the only param: the dangling '?' is swept
+      ("http://example.com/p?utm_campaign=x", "http://example.com/p"),
+      // utm in the middle: neighbors keep their separators
+      ("http://example.com/p?a=1&utm_medium=m&b=2",
+        "http://example.com/p?a=1&b=2"),
+      // bare root slash
+      ("http://example.com/", "http://example.com"))
+    val got = cases.toDF("url", "want")
+      .withColumn("canon", Dedup.canonicalUrl(col("url"))).collect()
+    got.foreach(r =>
+      assert(r.getAs[String]("canon") === r.getAs[String]("want"), r.toString))
+  }
+
+  test("urlDedup collapses the three planted surface variants per page") {
+    val out = Dedup.urlDedup(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    // conservation: every doc lands in exactly one canonical group
+    assert(out.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(n >= 1 && n <= 3, r.toString)
+      // the three variants differ as raw strings whenever present
+      assert(r.getAs[Long]("n_raw_variants") === n, r.toString)
+      assert(r.getAs[Long]("n_dropped") === n - 1, r.toString)
+      val u = r.getAs[String]("canonical_url")
+      assert(u.startsWith("http://www.example.com/crawl/page-"), u)
+      assert(!u.contains("utm_") && !u.contains("#") && !u.contains(":80"), u)
+      assert(u.endsWith("?ref=rss"), u)
+    }
+    // full groups exist: doc_ids {0,1,2} share page-0
+    assert(out.count(_.getAs[Long]("n_docs") === 3L) >= 1)
+  }
 }

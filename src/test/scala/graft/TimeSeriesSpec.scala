@@ -29,6 +29,51 @@ class TimeSeriesSpec extends SparkSpec {
     filled.unpersist()
   }
 
+  test("theil-sen: planted exponential series yields the hand-computed median slope") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L // one day in the ns ts unit
+    // daily counts 1,2,4,8 on days 0..3 -> pairwise slopes
+    // {1, 1.5, 2, 7/3, 3, 4}; lower median (rank 3 of 6) = 2 = (4-2)/(2-1)
+    var id = 0L
+    val rows = Seq(0 -> 1, 1 -> 2, 2 -> 4, 3 -> 8).flatMap { case (d, n) =>
+      (1 to n).map { _ => id += 1; (id, d * dayNs + id, 1L, "click", 0.0, "{}") }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("theil").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = TimeSeries.theilSen(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_pairs") === 6L, r.head.toString)
+    assert(r.head.getAs[Long]("slope_num") === 2L, r.head.toString)
+    assert(r.head.getAs[Long]("slope_den") === 1L, r.head.toString)
+    assert(r.head.getAs[Long]("x1") === 1L && r.head.getAs[Long]("x2") === 2L)
+    assert(r.head.getAs[Long]("slope_e4") === 20000L)
+  }
+
+  test("theil-sen on the corpus: selected slope is a true median of the pairwise set") {
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts DIV 1000) DIV 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val a = daily.select(col("event_type"), col("day").as("d1"), col("n").as("n1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"), col("n").as("n2"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("d2") > col("d1"))
+      .select(col("event_type"),
+        (col("n2") - col("n1")).cast("double")./((col("d2") - col("d1")).cast("double"))
+          .as("slope"))
+    val out = TimeSeries.theilSen(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val sel = r.getAs[Long]("slope_num").toDouble / r.getAs[Long]("slope_den")
+      val cnt = r.getAs[Long]("n_pairs")
+      val below = pairs.filter(col("event_type") === et && col("slope") < sel).count()
+      val above = pairs.filter(col("event_type") === et && col("slope") > sel).count()
+      // lower median: strictly-below < half the set, strictly-above <= half
+      assert(below <= (cnt - 1) / 2, s"$et below=$below cnt=$cnt")
+      assert(above <= cnt / 2, s"$et above=$above cnt=$cnt")
+    }
+  }
+
   test("gapFill carries the last seen value across a gap") {
     val filled = TimeSeries.gapFill(spark, sf)
     val w = org.apache.spark.sql.expressions.Window

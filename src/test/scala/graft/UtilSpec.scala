@@ -1321,6 +1321,68 @@ class UtilSpec extends SparkSpec {
     assert(r.getAs[Long]("did_e4") === 1500000L, r.toString)
   }
 
+  test("decile lift: planted top-heavy score puts every positive in deciles 1-5") {
+    import spark.implicits._
+    // user u (1..20) has 21-u clicks; users 1..10 also purchase once.
+    // ntile(10) over 20 users -> 2 per decile; positives fill deciles 1-5.
+    var id = 0L
+    val rows = (1L to 20L).flatMap { u =>
+      val clicks = (1L to (21 - u)).map { _ =>
+        id += 1; (id, id * 1000000000L, u, "click", 0.0, "{}")
+      }
+      val buy = if (u <= 10) { id += 1; Seq((id, id * 1000000000L, u, "purchase", 1.0, "{}")) }
+                else Seq.empty
+      clicks ++ buy
+    }
+    val dir = Files.createTempDirectory("dlift").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.decileLift(spark, dir).collect()
+      .map(r => r.getAs[Long]("decile") -> r).toMap
+    assert(out.size === 10)
+    (1L to 10L).foreach { d =>
+      assert(out(d).getAs[Long]("n_users") === 2L)
+      assert(out(d).getAs[Long]("n_pos") === (if (d <= 5) 2L else 0L), s"decile $d")
+    }
+    assert(out(5L).getAs[Long]("capture_e4") === 10000L)
+    assert(out(10L).getAs[Long]("capture_e4") === 10000L)
+    // lift in the positive deciles = total_users/ (users_per_decile * totpos/pos_per_decile)
+    // = 2*20*10000 / (2*10) = 20000; zero after
+    (1L to 5L).foreach(d => assert(out(d).getAs[Long]("lift_e4") === 20000L))
+    (6L to 10L).foreach(d => assert(out(d).getAs[Long]("lift_e4") === 0L))
+  }
+
+  test("stratified ATT: hand-computed per-stratum and pooled effects; no-control stratum excluded") {
+    import spark.implicits._
+    val s = 1000000000L
+    // stratum 1 (n_events=2): treated A,B spend 300/500c; control C,D spend 100/200c
+    // stratum 2 (n_events=4): treated E only -> off common support
+    val rows = Seq(
+      (1L, 1 * s, 1L, "signup", 0.0, "{}"), (2L, 2 * s, 1L, "purchase", 3.0, "{}"),
+      (3L, 1 * s, 2L, "signup", 0.0, "{}"), (4L, 2 * s, 2L, "purchase", 5.0, "{}"),
+      (5L, 1 * s, 3L, "click", 0.0, "{}"), (6L, 2 * s, 3L, "purchase", 1.0, "{}"),
+      (7L, 1 * s, 4L, "click", 0.0, "{}"), (8L, 2 * s, 4L, "purchase", 2.0, "{}"),
+      (9L, 1 * s, 5L, "signup", 0.0, "{}"), (10L, 2 * s, 5L, "signup", 0.0, "{}"),
+      (11L, 3 * s, 5L, "signup", 0.0, "{}"), (12L, 4 * s, 5L, "purchase", 1.0, "{}"))
+    val dir = Files.createTempDirectory("att").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.attStratified(spark, dir).collect()
+      .map(r => r.getAs[Long]("stratum") -> r).toMap
+    val s1 = out(1L)
+    assert(s1.getAs[Long]("n_treated") === 2L && s1.getAs[Long]("n_control") === 2L)
+    assert(s1.getAs[Long]("t_mean_e4") === 4000000L, s1.toString)   // (300+500)/2 c
+    assert(s1.getAs[Long]("c_mean_e4") === 1500000L, s1.toString)   // (100+200)/2 c
+    assert(s1.getAs[Long]("effect_e4") === 2500000L, s1.toString)
+    // stratum 2: treated-only -> null effect, off support
+    assert(out(2L).getAs[Long]("n_control") === 0L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("effect_e4")))
+    // pooled ATT over common support = stratum 1's effect
+    val pooled = out(-1L)
+    assert(pooled.getAs[Long]("n_treated") === 2L)
+    assert(pooled.getAs[Long]("effect_e4") === 2500000L, pooled.toString)
+  }
+
   test("conversion windows: 30-minute and 2-day converters land in the right windows") {
     import spark.implicits._
     val mn = 60L * 1000000000L
