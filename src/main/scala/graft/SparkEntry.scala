@@ -53,6 +53,8 @@ object SparkEntry {
     "cdc_debezium_parse" -> ((s, d) => Debezium.silverParsed(s, d)),
     // same silver projection via the Avro wire format — round-trip parity
     "cdc_avro_parse" -> ((s, d) => graft.sources.AvroEnvelope.avroSilverParsed(s, d)),
+    // Burrow-style consumer-lag monitor over kafkalog segment metadata
+    "cdc_consumer_lag" -> ((s, d) => graft.sources.KafkaLag.lagDemo(s, d)),
     "cdc_expect_audit" -> ((s, d) => Debezium.expectationAudit(s, d)),
     // DLQ redrive pre-flight: repair, re-check, recovered-vs-dead counts
     "cdc_dlq_replay" -> ((s, d) => Debezium.dlqReplay(s, d)),
@@ -2182,6 +2184,18 @@ object SparkEntry {
     // the Avro path must land on EXACTLY the silver rows the JSON path
     // produces — one oracle serves both ingestion formats
     "cdc_avro_parse" -> oracleSqlBase("cdc_debezium_parse"),
+    // replays the keyed partitioner (single-digit keys "0".."3" land on
+    // partition d) + the 3/4-committed consumer against the segment store
+    "cdc_consumer_lag" ->
+      """WITH klr AS (SELECT unnest(range(0, 256)) AS i),
+        |kle AS (SELECT i % 4 AS p, count(*) AS end_offset FROM klr GROUP BY 1)
+        |SELECT CAST(p AS BIGINT) AS partition,
+        |  CAST(end_offset AS BIGINT) AS end_offset,
+        |  CAST(end_offset * 3 // 4 AS BIGINT) AS committed_offset,
+        |  CAST(end_offset - end_offset * 3 // 4 AS BIGINT) AS lag,
+        |  CAST((end_offset - end_offset * 3 // 4) * 10000 // end_offset
+        |    AS BIGINT) AS lag_bp
+        |FROM kle""".stripMargin,
     // incremental fold must land on EXACTLY the full-recompute sessions
     "ev_sessionize_delta" -> oracleSqlBase("ev_sessionize"),
     "ev_diff_in_diff" -> Events.diffInDiffOracle,

@@ -132,6 +132,83 @@ object CdcStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** #380 [[sessionState]] on transformWithState — the state-v2 twin of
+    * the v1 sessionizer, and the op that exercises the part of the new
+    * API the latest-state twin doesn't: EVENT-TIME TIMERS as first-class
+    * callbacks. In-batch gap splits emit from `handleInputRows` (same
+    * fold, same (ts, event_id) ordering as v1); the final close of an
+    * idle session comes from a registered timer at `last + gap` firing in
+    * `handleExpiredTimer` once the watermark passes. A session extended
+    * after its timer was registered leaves a STALE timer behind —
+    * guarded on fire (close only if the watermark really cleared
+    * `last + gap`), the standard pattern instead of tracking the old
+    * expiry for deleteTimer. Requires RocksDB + watermark, like every
+    * transformWithState operator.
+    */
+  class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvW, SessionOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("session",
+        Encoders.product[SessState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, evs: Iterator[EvW],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      var closed = List.empty[SessionOut]
+      var cur = if (st.exists()) Some(st.get()) else None
+      evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        cur match {
+          case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+            cur = Some(SessState(s.n + 1, s.value + e.value, s.startUs, e.ts_us))
+          case Some(s) =>
+            closed ::= SessionOut(uid, s.n, s.value, s.startUs, s.lastUs)
+            cur = Some(SessState(1, e.value, e.ts_us, e.ts_us))
+          case None =>
+            cur = Some(SessState(1, e.value, e.ts_us, e.ts_us))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        getHandle.registerTimer(s.lastUs / 1000 + gapUs / 1000)
+      }
+      closed.reverseIterator
+    }
+    override def handleExpiredTimer(uid: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!st.exists()) Iterator.empty
+      else {
+        val s = st.get()
+        // stale-timer guard: the session may have been extended since
+        // this timer was registered — only close once truly idle
+        if (tv.getCurrentWatermarkInMs() >= s.lastUs / 1000 + gapUs / 1000) {
+          st.clear()
+          Iterator.single(SessionOut(uid, s.n, s.value, s.startUs, s.lastUs))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /** #380 Registered transform: [[SessionProcessor]] wired through
+    * `transformWithState` with `TimeMode.EventTime` (timers keyed to the
+    * watermark) — output = CLOSED sessions only, matching the v1
+    * [[sessionState]] twin row-for-row on any stream.
+    */
+  def sessionStateTws(normalized: DataFrame)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    implicit val evEnc = Encoders.product[EvW]
+    implicit val outEnc = Encoders.product[SessionOut]
+    val gapUs = 30L * 60 * 1000000
+    normalized
+      .withColumn("tsx", timestamp_micros(col("ts_us")))
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("value"), col("tsx"))
+      .withWatermark("tsx", "10 minutes")
+      .as[EvW]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   case class Scd2Out(user_id: Long, event_id: Long, operation: String,
     value: Double, valid_from_us: Long, valid_to_us: Long, is_current: Boolean)
 

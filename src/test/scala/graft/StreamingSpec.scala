@@ -290,6 +290,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer closes on timer and matches the v1 twin") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val normalized = ms.toDF().select(col("event_id"), col("user_id"),
+      col("event_type").as("operation"), col("ts_us"), col("value"))
+    val q = CdcStreams.sessionStateTws(normalized)
+      .toDF().writeStream.format("memory").queryName("twsess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val base = 1704067200L * 1000000L
+      // batch 1 keeps the watermark low (max event = base+60s) so batch 2
+      // can still extend user 6; user 5 then splits on an in-batch 2h gap
+      // in batch 2, leaving a STALE batch-1 timer behind for user 5
+      ms.addData(
+        evRow(1, base, 5, "UPDATE", 1.0),
+        evRow(2, base + 60L * 1000000, 5, "UPDATE", 2.0),
+        evRow(4, base, 6, "UPDATE", 10.0))
+      q.processAllAvailable()
+      ms.addData(
+        evRow(5, base + 60L * 1000000, 6, "UPDATE", 20.0),
+        evRow(3, base + 2L * 3600 * 1000000, 5, "UPDATE", 4.0))
+      q.processAllAvailable()
+      // watermark pushers let the event-time timers fire
+      ms.addData(evRow(6, base + 24L * 3600 * 1000000, 99, "UPDATE", 0.0))
+      q.processAllAvailable()
+      ms.addData(evRow(7, base + 48L * 3600 * 1000000, 99, "UPDATE", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("twsess").collect()
+      val u5 = rows.filter(_.getAs[Long]("user_id") == 5L)
+        .sortBy(_.getAs[Long]("start_us"))
+      assert(u5.length == 2, s"user 5 expected 2 sessions, got ${u5.length}")
+      assert(u5(0).getAs[Long]("n_events") == 2 &&
+        u5(0).getAs[Double]("session_value") == 3.0)
+      assert(u5(1).getAs[Long]("n_events") == 1 &&
+        u5(1).getAs[Double]("session_value") == 4.0)
+      val u6 = rows.filter(_.getAs[Long]("user_id") == 6L)
+      assert(u6.length == 1, s"user 6 expected 1 merged session, got ${u6.length}")
+      assert(u6.head.getAs[Long]("n_events") == 2 &&
+        u6.head.getAs[Double]("session_value") == 30.0)
+      val metrics = q.lastProgress.stateOperators.apply(0).customMetrics
+      assert(metrics.keySet().toArray.exists(_.toString.startsWith("rocksdb")))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup drops redelivered event ids within the watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
@@ -618,6 +675,54 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._1).toSeq === (25L until 30L).toSeq,
       s"expected offsets [25,30), got ${got.map(_._1).mkString(",")}")
     assert(got.last._2 === "v29")
+  }
+
+  test("consumer lag drains to zero as a checkpointed stream consumes the topic") {
+    import graft.sources.{EmbeddedTopicLog, KafkaLag}
+    val root = tmpDir("kafkalag")
+    val topic = "lag.topic"
+    // single-digit keys "0".."2" land on partitions 0..2 (hash 48+d mod 3)
+    EmbeddedTopicLog.produce(root, topic,
+      (0 until 90).map(i => ((i % 3).toString, s"v$i")), partitions = 3)
+
+    // unread consumer: lag == end everywhere
+    val fresh = KafkaLag.consumerLag(spark, root, topic, Map.empty).collect()
+    assert(fresh.length === 3)
+    fresh.foreach { r =>
+      assert(r.getAs[Long]("end_offset") === 30L, r.toString)
+      assert(r.getAs[Long]("lag") === 30L)
+      assert(r.getAs[Long]("lag_bp") === 10000L)
+    }
+
+    // drive a real capped stream for a few batches, then read its
+    // committed offsets back from the checkpoint contract the source
+    // wrote, and check the monitor agrees with what was consumed
+    val out = tmpDir("kafkalag-out")
+    var consumed = 0L
+    val q = spark.readStream.format("kafkalog")
+      .option("path", root).option("topic", topic)
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$out-ck")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        consumed += b.count(); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(consumed === 90L)
+    val drained = KafkaLag.consumerLag(spark, root, topic,
+      (0 until 3).map(p => p -> EmbeddedTopicLog.endOffset(root, topic, p)).toMap)
+      .collect()
+    drained.foreach { r =>
+      assert(r.getAs[Long]("lag") === 0L, r.toString)
+      assert(r.getAs[Long]("lag_bp") === 0L)
+    }
+
+    // a committed offset past the end clamps (restart-after-truncate safety)
+    val clamped = KafkaLag.consumerLag(spark, root, topic, Map(0 -> 999L)).collect()
+      .find(_.getAs[Long]("partition") == 0L).get
+    assert(clamped.getAs[Long]("committed_offset") === 30L)
+    assert(clamped.getAs[Long]("lag") === 0L)
   }
 
   test("kafkalog: maxOffsetsPerTrigger splits one produce into capped micro-batches") {
