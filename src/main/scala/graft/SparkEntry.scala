@@ -256,6 +256,10 @@ object SparkEntry {
     "ev_policy_replay" -> ((s, d) => Events.policyReplay(s, d)),
     // gains/lift table: engagement-score deciles vs purchaser capture
     "ev_decile_lift" -> ((s, d) => Events.decileLift(s, d)),
+    // leakage-safe point-in-time training-set assembly (feature store)
+    "ml_pit_training_set" -> ((s, d) => Events.pitTrainingSet(s, d)),
+    // ABC/Pareto inventory classes on the distributed exact cumsum
+    "q_abc_parts" -> ((s, d) => Tpch.qAbcParts(s, d)),
     // stratified ATT: signup effect on spend within activity strata
     "ev_att_stratified" -> ((s, d) => Events.attStratified(s, d)),
     // staggered-rollout DiD readout: 2×2 cells + did_e4, one scan
@@ -2251,6 +2255,50 @@ object SparkEntry {
         |  CAST(1000000000000 // sum(pi_num * pi_num * 100000000
         |    // (pi_den * pi_den * n_a)) AS BIGINT) AS ess_e4
         |FROM prp GROUP BY segment""".stripMargin,
+    "ml_pit_training_set" ->
+      """WITH pte AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_id, user_id, ts_us, cents AS label_cents,
+        |  f_last_value_c, f_last_type, f_events_7d, f_prior_purchases,
+        |  f_days_active
+        |FROM (SELECT event_id, user_id, event_type, ts_us, cents,
+        |    lag(cents, 1) OVER w AS f_last_value_c,
+        |    lag(event_type, 1) OVER w AS f_last_type,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+        |      AS f_events_7d,
+        |    CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS f_prior_purchases,
+        |    (ts_us - min(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // 86400000000
+        |      AS f_days_active
+        |  FROM pte
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)) t
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "q_abc_parts" ->
+      """WITH abr AS (SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) * 10000 AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |abc AS (SELECT rev_c,
+        |    sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+        |    sum(rev_c) OVER () AS total_c
+        |  FROM abr),
+        |abk AS (SELECT rev_c,
+        |    CASE WHEN CAST(cum_c AS HUGEINT) * 1000000 // total_c <= 800000 THEN 'A'
+        |         WHEN CAST(cum_c AS HUGEINT) * 1000000 // total_c <= 950000 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM abc)
+        |SELECT abc_class, count(*) AS n_parts,
+        |  CAST(sum(rev_c) AS BIGINT) AS class_rev_c,
+        |  CAST(CAST(sum(rev_c) AS HUGEINT) * 1000000
+        |    // (SELECT sum(rev_c) FROM abk) AS BIGINT) AS share_ppm
+        |FROM abk GROUP BY 1""".stripMargin,
     "ev_decile_lift" ->
       """WITH dlu AS (SELECT user_id,
         |    sum(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) AS score,

@@ -1862,4 +1862,42 @@ object Events {
         "wsum DIV n_treated AS effect_e4")
     strata.unionByName(pooled)
   }
+
+  /** #382 `ml_pit_training_set` — point-in-time training-set assembly,
+    * the feature-store query every supervised pipeline on event data
+    * needs and every leaky pipeline gets wrong: one row per label event
+    * (purchase, label = exact cents) carrying ONLY features computable
+    * STRICTLY BEFORE the label timestamp — last prior event's value and
+    * type (lag over the key-ordered log), trailing-7-day activity count
+    * (range frame ending at −1 µs, so same-instant events never leak),
+    * prior purchase count, and days since the user's first event. The
+    * whole assembly is window functions over ONE user_id shuffle — the
+    * same partitioning the sessionizer uses; nothing joins, nothing is
+    * data-sized twice. Rows with no history keep null features (the
+    * cold-start reality), never silently drop.
+    */
+  def pitTrainingSet(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = withTs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val byKey = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val trailing7d = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-7L * dayUs, -1L)
+    ev
+      .withColumn("f_last_value_c", lag(col("cents"), 1).over(byKey))
+      .withColumn("f_last_type", lag(col("event_type"), 1).over(byKey))
+      .withColumn("f_events_7d", count(lit(1)).over(trailing7d))
+      .withColumn("f_prior_purchases",
+        coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(byKey.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("f_days_active",
+        expr(s"(ts_us - min(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) DIV $dayUs"))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("cents").as("label_cents"), col("f_last_value_c"),
+        col("f_last_type"), col("f_events_7d"), col("f_prior_purchases"),
+        col("f_days_active"))
+  }
 }

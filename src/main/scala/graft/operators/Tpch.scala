@@ -918,4 +918,37 @@ object Tpch {
         "CAST(region_rev_c AS BIGINT) AS region_rev_c",
         "CAST(CAST(region_rev_c AS DECIMAL(38,0)) * 1000000 DIV global_rev_c AS BIGINT) AS region_share_ppm")
   }
+
+  /** #381 `q_abc_parts` — ABC inventory classification (the Pareto cut
+    * every supply-chain review starts from): parts ranked by exact-cents
+    * lineitem revenue, classed by cumulative share — A carries the first
+    * 80% of revenue, B to 95%, C the tail — reported as a 3-row class
+    * census. The global ordered cumsum runs on the DISTRIBUTED range-sort
+    * primitive ([[Distributed.exactCumSum]]: per-partition sums offset by
+    * a broadcast prefix — never a single-reducer global window), ordered
+    * by (−revenue, partkey) so ties are deterministic. The part frame is
+    * dimension-sized; lineitem is touched exactly once by the revenue
+    * aggregate.
+    */
+  def qAbcParts(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      // exact ×10⁴ integer units via the file's DECIMAL money convention
+      .agg((sum(revenue) * 10000).cast("decimal(38,0)").cast("long").as("rev_c"))
+      .withColumn("neg_rev", -col("rev_c"))
+    val cum = Distributed.exactCumSum(rev, Seq("neg_rev", "l_partkey"), "rev_c", "cum_c")
+      .withColumn("total_c", sum(col("rev_c")).over(Window.partitionBy()))
+      .withColumn("cum_ppm",
+        expr("CAST(CAST(cum_c AS DECIMAL(38,0)) * 1000000 DIV total_c AS BIGINT)"))
+      .withColumn("abc_class",
+        expr("CASE WHEN cum_ppm <= 800000 THEN 'A' " +
+          "WHEN cum_ppm <= 950000 THEN 'B' ELSE 'C' END"))
+    cum.groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev_c")).as("class_rev"))
+      .withColumn("total_c", sum(col("class_rev")).over(Window.partitionBy()))
+      .selectExpr("abc_class", "n_parts",
+        "CAST(class_rev AS BIGINT) AS class_rev_c",
+        "CAST(CAST(class_rev AS DECIMAL(38,0)) * 1000000 DIV total_c AS BIGINT) AS share_ppm")
+  }
 }

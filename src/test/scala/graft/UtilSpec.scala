@@ -1321,6 +1321,54 @@ class UtilSpec extends SparkSpec {
     assert(r.getAs[Long]("did_e4") === 1500000L, r.toString)
   }
 
+  test("pit training set: features are strictly point-in-time, cold start keeps nulls") {
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    val rows = Seq(
+      (1L, 0 * day, 1L, "click", 1.0, "{}"),
+      (2L, 1 * day, 1L, "purchase", 2.0, "{}"),
+      (3L, 10 * day, 1L, "purchase", 3.0, "{}"),
+      // same-instant pair: row-ordered lag sees e4, the range frame must not
+      (4L, 0 * day, 2L, "click", 9.0, "{}"),
+      (5L, 0 * day, 2L, "purchase", 4.0, "{}"))
+    val dir = Files.createTempDirectory("pit").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.pitTrainingSet(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(out.keySet === Set(2L, 3L, 5L))
+    val e2 = out(2L)
+    assert(e2.getAs[Long]("label_cents") === 200L)
+    assert(e2.getAs[Long]("f_last_value_c") === 100L)
+    assert(e2.getAs[String]("f_last_type") === "click")
+    assert(e2.getAs[Long]("f_events_7d") === 1L)
+    assert(e2.getAs[Long]("f_prior_purchases") === 0L)
+    assert(e2.getAs[Long]("f_days_active") === 1L)
+    val e3 = out(3L)
+    assert(e3.getAs[Long]("f_events_7d") === 0L, "7d window must have aged out")
+    assert(e3.getAs[Long]("f_prior_purchases") === 1L)
+    assert(e3.getAs[Long]("f_days_active") === 10L)
+    val e5 = out(5L)
+    assert(e5.getAs[Long]("f_events_7d") === 0L,
+      "same-instant event must NOT leak into the trailing range frame")
+    assert(e5.getAs[Long]("f_last_value_c") === 900L)
+  }
+
+  test("abc classification: planted 80/15/5 revenue split lands one part per class") {
+    import spark.implicits._
+    val li = Seq((1L, 80.0, 0.0), (2L, 15.0, 0.0), (3L, 5.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val dir = Files.createTempDirectory("abc").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+    val out = Tpch.qAbcParts(spark, dir).collect()
+      .map(r => r.getAs[String]("abc_class") -> r).toMap
+    assert(out.keySet === Set("A", "B", "C"))
+    assert(out("A").getAs[Long]("n_parts") === 1L)
+    assert(out("A").getAs[Long]("share_ppm") === 800000L)
+    assert(out("B").getAs[Long]("share_ppm") === 150000L)
+    assert(out("C").getAs[Long]("share_ppm") === 50000L)
+  }
+
   test("decile lift: planted top-heavy score puts every positive in deciles 1-5") {
     import spark.implicits._
     // user u (1..20) has 21-u clicks; users 1..10 also purchase once.
