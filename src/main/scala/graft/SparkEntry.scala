@@ -726,6 +726,8 @@ object SparkEntry {
     "tbl_sort_advisor" -> ((s, d) => Profile.sortRunsAdvisor(
       Tables.lineitem(s, d), SortAdvisorCandidates, SortAdvisorPayloads,
       SortAdvisorTiebreak)),
+    // ANALYZE-style per-column stats: one stack-unpivot shuffle, exact NDV
+    "tbl_column_stats" -> ((s, d) => Profile.tableColumnStats(s, d)),
     // measured per-operator cardinalities off the FINAL adaptive plan
     // (rows-only: runtime metrics; spec pins determinism + scan counts)
     "q_exec_metrics_audit" -> ((s, d) =>
@@ -5385,6 +5387,28 @@ object SparkEntry {
     "cdc_lww_merge" -> Cdc.lwwMergeOracle(logCte),
     "tbl_sort_advisor" -> graft.operators.Profile.sortRunsOracle("lineitem",
       SortAdvisorCandidates, SortAdvisorPayloads, SortAdvisorTiebreak),
+    "tbl_column_stats" ->
+      """WITH tcs AS (SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+        |    CAST(o_custkey AS VARCHAR) AS o_custkey,
+        |    o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |    o_orderpriority
+        |  FROM orders),
+        |tcu AS (
+        |  SELECT 'o_orderkey' AS col_name, o_orderkey AS v FROM tcs
+        |  UNION ALL SELECT 'o_custkey', o_custkey FROM tcs
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM tcs
+        |  UNION ALL SELECT 'o_totalprice', o_totalprice FROM tcs
+        |  UNION ALL SELECT 'o_orderdate', o_orderdate FROM tcs
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM tcs)
+        |SELECT col_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  count(DISTINCT v) AS ndv,
+        |  min(v) AS min_val, max(v) AS max_val,
+        |  CAST(CASE WHEN count(v) > 0
+        |    THEN sum(length(v)) * 100 // count(v) ELSE 0 END AS BIGINT) AS avg_len_e2
+        |FROM tcu GROUP BY 1""".stripMargin,
     "cdc_backlog_eta" ->
       s"""$registryCte,
          |thr AS (SELECT epoch_us(ts) // 60000000 AS m, count(*) AS n

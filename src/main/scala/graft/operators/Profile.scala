@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -301,4 +301,45 @@ object Profile {
         val legs = ctesAndLegs.flatMap(_._2).mkString("\nUNION ALL\n")
         s"WITH $ctes\n$legs"
     }
+
+  /** #383 `tbl_column_stats` — ANALYZE-TABLE-style per-column statistics
+    * (the numbers a cost-based optimizer and every data-quality dashboard
+    * key off): row count, null count, EXACT NDV, lexicographic min/max
+    * over a canonical string form, and mean canonical width ×100. Columns
+    * are first rendered to engine-stable canonical strings (integers
+    * verbatim, money through DECIMAL(12,2) — never raw double repr, which
+    * diverges cross-engine at 1e7 — timestamps as yyyy-MM-dd), then
+    * UNPIVOTED map-side (`stack`) so the whole profile is ONE shuffle
+    * with `n_columns` keys — the shape that survives a 100 TB scan,
+    * unlike one count-distinct job per column. Min/max are over the
+    * canonical form and therefore lexicographic — documented, and what a
+    * prefix-index/zonemap over the rendered form would see.
+    */
+  def tableColumnStats(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    val unpiv = df.select(expr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', `$c`").mkString(", ") + ") AS (col_name, v)"))
+    unpiv.groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("ndv"),
+        min(col("v")).as("min_val"),
+        max(col("v")).as("max_val"),
+        sum(length(col("v")).cast("long")).as("tot_len"))
+      .selectExpr("col_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val",
+        "CASE WHEN n_rows - n_nulls > 0 " +
+          "THEN tot_len * 100 DIV (n_rows - n_nulls) ELSE 0 END AS avg_len_e2")
+  }
+
+  /** #383 Registered entry: the orders table through the canonical
+    * rendering (ints verbatim, price via DECIMAL, date as yyyy-MM-dd). */
+  def tableColumnStats(spark: SparkSession, dir: String): DataFrame =
+    tableColumnStats(graft.Tables.orders(spark, dir).selectExpr(
+      "CAST(o_orderkey AS STRING) AS o_orderkey",
+      "CAST(o_custkey AS STRING) AS o_custkey",
+      "o_orderstatus",
+      "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING) AS o_totalprice",
+      "date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate",
+      "o_orderpriority"))
 }

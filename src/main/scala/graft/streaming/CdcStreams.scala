@@ -209,6 +209,57 @@ object CdcStreams {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  case class RecentEv(ts_us: Long, event_id: Long, cents: Long)
+  case class RecentOut(user_id: Long, event_id: Long, n_recent: Long,
+    sum_recent_c: Long)
+
+  /** #384 Rolling last-N activity cache on transformWithState LIST state —
+    * the third state-v2 primitive after the ValueState twin (#367) and the
+    * timer-driven sessionizer (#380): per user, a bounded buffer of the
+    * most recent N events (ts, id, exact cents), trimmed on every append,
+    * emitting each event's rolling census (how many of the last N exist
+    * yet, their cents sum) — the online feature `ml_pit_training_set`
+    * computes offline. ListState keeps the buffer as N SEPARATE store
+    * rows (append = one RocksDB put, no read-modify-write of a blob),
+    * which is the point of the API; the trim rewrite only pays when the
+    * buffer is full. State is O(N) per key by construction.
+    */
+  class RecentEventsProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, RecentOut] {
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[RecentEv] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      recent = getHandle.getListState[RecentEv]("recent",
+        Encoders.product[RecentEv], org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, evs: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[RecentOut] = {
+      var buf = recent.get().toVector
+      val out = evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        buf = (buf :+ RecentEv(e.ts_us, e.event_id,
+          math.round(e.value * 100))).takeRight(n)
+        RecentOut(uid, e.event_id, buf.length.toLong, buf.map(_.cents).sum)
+      }
+      recent.clear()
+      recent.appendList(buf.toArray)
+      out.iterator
+    }
+  }
+
+  /** #384 Registered transform for [[RecentEventsProcessor]] (RocksDB
+    * required, like every transformWithState operator). */
+  def recentEventsTws(normalized: DataFrame, n: Int = 5)(
+      implicit spark: SparkSession): Dataset[RecentOut] = {
+    implicit val evEnc = Encoders.product[Ev]
+    implicit val outEnc = Encoders.product[RecentOut]
+    normalized
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("operation").as("event_type"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new RecentEventsProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   case class Scd2Out(user_id: Long, event_id: Long, operation: String,
     value: Double, valid_from_us: Long, valid_to_us: Long, is_current: Boolean)
 

@@ -347,6 +347,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState ListState keeps a bounded last-N buffer across batches") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val normalized = ms.toDF().select(col("event_id"), col("user_id"),
+      col("event_type").as("operation"), col("ts_us"), col("value"))
+    val q = CdcStreams.recentEventsTws(normalized, n = 3)
+      .toDF().writeStream.format("memory").queryName("twrecent")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val base = 1704067200L * 1000000L
+      ms.addData(evRow(1, base + 1, 1, "UPDATE", 1.0),
+        evRow(2, base + 2, 1, "UPDATE", 2.0))
+      q.processAllAvailable()
+      // batch 2 pushes the buffer past N=3: event 1 must age out
+      ms.addData(evRow(3, base + 3, 1, "UPDATE", 4.0),
+        evRow(4, base + 4, 1, "UPDATE", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("twrecent").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[Long]("n_recent"), r.getAs[Long]("sum_recent_c")))).toMap
+      assert(rows(1L) === ((1L, 100L)))
+      assert(rows(2L) === ((2L, 300L)))   // {1,2}
+      assert(rows(3L) === ((3L, 700L)))   // {1,2,4} cents 100+200+400
+      assert(rows(4L) === ((3L, 1400L)),  // {2,4,8} — event 1 trimmed
+        s"got ${rows(4L)}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup drops redelivered event ids within the watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

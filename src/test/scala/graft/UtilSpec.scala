@@ -1321,6 +1321,24 @@ class UtilSpec extends SparkSpec {
     assert(r.getAs[Long]("did_e4") === 1500000L, r.toString)
   }
 
+  test("column stats: exact ndv, null accounting, lexicographic min/max, width") {
+    import spark.implicits._
+    val df = Seq(("x", "10"), ("x", "9"), (null, "100"))
+      .toDF("a", "b")
+    val out = Profile.tableColumnStats(df).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_rows") === 3L && a.getAs[Long]("n_nulls") === 1L)
+    assert(a.getAs[Long]("ndv") === 1L)
+    assert(a.getAs[String]("min_val") === "x" && a.getAs[String]("max_val") === "x")
+    assert(a.getAs[Long]("avg_len_e2") === 100L)
+    val b = out("b")
+    assert(b.getAs[Long]("n_nulls") === 0L && b.getAs[Long]("ndv") === 3L)
+    // canonical-form ordering is LEXICOGRAPHIC by design: "10" < "100" < "9"
+    assert(b.getAs[String]("min_val") === "10" && b.getAs[String]("max_val") === "9")
+    assert(b.getAs[Long]("avg_len_e2") === 200L) // (2+1+3)*100/3
+  }
+
   test("pit training set: features are strictly point-in-time, cold start keeps nulls") {
     import spark.implicits._
     val day = 86400L * 1000000000L
