@@ -258,6 +258,10 @@ object SparkEntry {
     "ev_decile_lift" -> ((s, d) => Events.decileLift(s, d)),
     // leakage-safe point-in-time training-set assembly (feature store)
     "ml_pit_training_set" -> ((s, d) => Events.pitTrainingSet(s, d)),
+    // period-over-period spend-quartile transition census
+    "ev_segment_migration" -> ((s, d) => Events.segmentMigration(s, d)),
+    // trailing-10-minute count/amount velocity flags
+    "ev_velocity_rules" -> ((s, d) => Events.velocityRules(s, d)),
     // ABC/Pareto inventory classes on the distributed exact cumsum
     "q_abc_parts" -> ((s, d) => Tpch.qAbcParts(s, d)),
     // stratified ATT: signup effect on spend within activity strata
@@ -2257,6 +2261,40 @@ object SparkEntry {
         |  CAST(1000000000000 // sum(pi_num * pi_num * 100000000
         |    // (pi_den * pi_den * n_a)) AS BIGINT) AS ess_e4
         |FROM prp GROUP BY segment""".stripMargin,
+    "ev_segment_migration" ->
+      """WITH sme AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |smm AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM sme),
+        |smh1 AS (SELECT user_id,
+        |    CAST(ntile(4) OVER (ORDER BY sum(cents) DESC, user_id ASC) AS BIGINT)
+        |      AS seg_from
+        |  FROM sme, smm WHERE ts_us <= mid GROUP BY user_id, mid),
+        |smh2 AS (SELECT user_id,
+        |    CAST(ntile(4) OVER (ORDER BY sum(cents) DESC, user_id ASC) AS BIGINT)
+        |      AS seg_to
+        |  FROM sme, smm WHERE ts_us > mid GROUP BY user_id, mid),
+        |smu AS (SELECT DISTINCT user_id FROM sme),
+        |smj AS (SELECT COALESCE(seg_from, 0) AS seg_from,
+        |    COALESCE(seg_to, 0) AS seg_to
+        |  FROM smu LEFT JOIN smh1 USING (user_id) LEFT JOIN smh2 USING (user_id)),
+        |smg AS (SELECT seg_from, seg_to, count(*) AS n_users FROM smj GROUP BY 1, 2)
+        |SELECT seg_from, seg_to, n_users,
+        |  CAST(n_users * 1000000 // sum(n_users) OVER () AS BIGINT) AS share_ppm
+        |FROM smg""".stripMargin,
+    "ev_velocity_rules" ->
+      """WITH vre AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |vrw AS (SELECT event_id, user_id, ts_us,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS n_10m,
+        |    CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cents_10m
+        |  FROM vre)
+        |SELECT event_id, user_id, ts_us, n_10m, cents_10m,
+        |  CASE WHEN n_10m >= 5 AND cents_10m >= 5000 THEN 'both'
+        |       WHEN n_10m >= 5 THEN 'count' ELSE 'amount' END AS rule_fired
+        |FROM vrw WHERE n_10m >= 5 OR cents_10m >= 5000""".stripMargin,
     "ml_pit_training_set" ->
       """WITH pte AS (SELECT event_id, user_id, event_type,
         |    epoch_us(ts) AS ts_us,

@@ -1863,6 +1863,66 @@ object Events {
     strata.unionByName(pooled)
   }
 
+  /** #385 `ev_segment_migration` — period-over-period segment flow (the
+    * customer-migration matrix every retention review reads): the event
+    * timeline splits at its midpoint (exact integer µs, reproducible — no
+    * wall clock), each user gets a spend quartile per half (ntile over
+    * (cents desc, user_id) — total order, engines cut identically; users
+    * silent in a half land in segment 0 = inactive), and the output is
+    * the (from, to) transition census with exact ppm of the user base.
+    * Scale: two user-sized aggregates + one user-sized self-join; the
+    * quartile rank runs on the user frame, not the event frame.
+    */
+  def segmentMigration(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withTs(spark, dir).select(col("user_id"), col("ts_us"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2"))
+      .head().getLong(0)
+    def half(cond: org.apache.spark.sql.Column, name: String): DataFrame =
+      ev.filter(cond).groupBy("user_id")
+        .agg(sum(col("cents")).as("spend"))
+        .withColumn(name,
+          ntile(4).over(Window.orderBy(col("spend").desc, col("user_id").asc))
+            .cast("long"))
+        .select("user_id", name)
+    val h1 = half(col("ts_us") <= mid, "seg_from")
+    val h2 = half(col("ts_us") > mid, "seg_to")
+    val users = ev.select("user_id").distinct()
+    val joined = users
+      .join(h1, Seq("user_id"), "left").na.fill(0L, Seq("seg_from"))
+      .join(h2, Seq("user_id"), "left").na.fill(0L, Seq("seg_to"))
+    joined.groupBy("seg_from", "seg_to")
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("total_users",
+        sum(col("n_users")).over(Window.partitionBy()))
+      .selectExpr("seg_from", "seg_to", "n_users",
+        "n_users * 1000000 DIV total_users AS share_ppm")
+  }
+
+  /** #386 `ev_velocity_rules` — sliding-window velocity flags (the
+    * fraud/abuse rule pack every CDC consumer feeds): per event, the SAME
+    * user's event count and exact cents in the trailing 10 minutes
+    * (range frame [t−10min, t], value-based so ties are engine-identical),
+    * emitting only events that trip a rule — count ≥ 5 or cents ≥ 50_00 —
+    * with which rule fired. One user_id shuffle; the range frame runs on
+    * the same sort the sessionizer uses.
+    */
+  def velocityRules(spark: SparkSession, dir: String,
+      maxN: Long = 5, maxCents: Long = 5000): DataFrame = {
+    val winUs = 10L * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-winUs, 0)
+    withTs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("n_10m", count(lit(1)).over(w))
+      .withColumn("cents_10m", sum(col("cents")).over(w))
+      .filter(col("n_10m") >= maxN || col("cents_10m") >= maxCents)
+      .selectExpr("event_id", "user_id", "ts_us", "n_10m", "cents_10m",
+        s"CASE WHEN n_10m >= $maxN AND cents_10m >= $maxCents THEN 'both' " +
+          s"WHEN n_10m >= $maxN THEN 'count' ELSE 'amount' END AS rule_fired")
+  }
+
   /** #382 `ml_pit_training_set` — point-in-time training-set assembly,
     * the feature-store query every supervised pipeline on event data
     * needs and every leaky pipeline gets wrong: one row per label event

@@ -1321,6 +1321,50 @@ class UtilSpec extends SparkSpec {
     assert(r.getAs[Long]("did_e4") === 1500000L, r.toString)
   }
 
+  test("segment migration: planted spend reversal flips quartiles, dropout lands in 0") {
+    import spark.implicits._
+    val us = 1000L // ns per µs
+    // h1 (ts_us 1000): spends 40,30,20,10,5 -> quartiles 1,1,2,3,4
+    // h2 (ts_us 9000): spends 10,20,30,40, user 5 silent -> 4,3,2,1,0
+    var id = 0L
+    def ev(u: Long, tsUs: Long, v: Double) = { id += 1; (id, tsUs * us, u, "purchase", v, "{}") }
+    val rows = Seq(
+      ev(1, 1000, 0.40), ev(2, 1000, 0.30), ev(3, 1000, 0.20),
+      ev(4, 1000, 0.10), ev(5, 1000, 0.05),
+      ev(1, 9000, 0.10), ev(2, 9000, 0.20), ev(3, 9000, 0.30), ev(4, 9000, 0.40))
+    val dir = Files.createTempDirectory("segmig").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.segmentMigration(spark, dir).collect()
+      .map(r => (r.getAs[Long]("seg_from"), r.getAs[Long]("seg_to")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(out === Map((1L, 4L) -> 1L, (1L, 3L) -> 1L, (2L, 2L) -> 1L,
+      (3L, 1L) -> 1L, (4L, 0L) -> 1L), out.toString)
+  }
+
+  test("velocity rules: count burst and amount spike flag, spaced activity does not") {
+    import spark.implicits._
+    val mn = 60L * 1000000000L
+    var id = 0L
+    def ev(u: Long, tNs: Long, v: Double) = { id += 1; (id, tNs, u, "click", v, "{}") }
+    val rows =
+      (1 to 5).map(i => ev(1, i * mn, 0.01)) ++          // 5 in 5 min -> count
+      Seq(ev(2, 0, 100.0)) ++                            // 10000c -> amount
+      Seq(ev(3, 0, 0.01), ev(3, 20 * mn, 0.01))          // spaced -> clean
+    val dir = Files.createTempDirectory("velo").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.velocityRules(spark, dir).collect()
+    val byUser = out.groupBy(_.getAs[Long]("user_id"))
+    assert(!byUser.contains(3L), "spaced user must not flag")
+    val u1 = byUser(1L)
+    assert(u1.length === 1 && u1.head.getAs[Long]("n_10m") === 5L)
+    assert(u1.head.getAs[String]("rule_fired") === "count")
+    val u2 = byUser(2L)
+    assert(u2.length === 1 && u2.head.getAs[String]("rule_fired") === "amount")
+    assert(u2.head.getAs[Long]("cents_10m") === 10000L)
+  }
+
   test("column stats: exact ndv, null accounting, lexicographic min/max, width") {
     import spark.implicits._
     val df = Seq(("x", "10"), ("x", "9"), (null, "100"))
