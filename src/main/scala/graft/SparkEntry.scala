@@ -264,6 +264,10 @@ object SparkEntry {
     "ev_velocity_rules" -> ((s, d) => Events.velocityRules(s, d)),
     // ABC/Pareto inventory classes on the distributed exact cumsum
     "q_abc_parts" -> ((s, d) => Tpch.qAbcParts(s, d)),
+    // per-brand exact-integer OLS of quantity on discount points
+    "q_discount_elasticity" -> ((s, d) => Tpch.qDiscountElasticity(s, d)),
+    // multi-master same-second conflicting-write census per entity
+    "cdc_conflict_audit" -> ((s, d) => Cdc.conflictAudit(s, d)),
     // stratified ATT: signup effect on spend within activity strata
     "ev_att_stratified" -> ((s, d) => Events.attStratified(s, d)),
     // staggered-rollout DiD readout: 2×2 cells + did_e4, one scan
@@ -527,6 +531,8 @@ object SparkEntry {
     "graph_seed_distance" -> ((s, d) => graft.operators.Graph.seedDistance(s, d)),
     // degree-mixing audit: Newman assortativity of the kNN graph
     "graph_assortativity" -> ((s, d) => graft.operators.Graph.degreeAssortativity(s, d)),
+    // mutual-kNN reciprocity census: hub vectors score low by design
+    "graph_reciprocity" -> ((s, d) => graft.operators.Graph.reciprocity(s, d)),
     // DCT perceptual-hash near-dup audit over REAL decoded PNGs
     // (rows-only: codec + DCT; ImageDecodeSpec plants near-dup images)
     "mm_phash_dedup" -> ((s, d) => graft.operators.Multimodal.phashDedup(s, d)),
@@ -1808,6 +1814,17 @@ object SparkEntry {
          |${(1 to 8).map(i => s"  UNION ALL SELECT id, $i FROM p$i").mkString("\n")})""".stripMargin,
     // assortativity replay: exact HUGEINT edge sums, one double division
     // with identical text, floor(x*1e6+0.5) both engines
+    "graph_reciprocity" ->
+      s"""WITH $knnGraphCte,
+         |rce AS MATERIALIZED (SELECT DISTINCT src, dst FROM g WHERE src <> dst),
+         |rcj AS (SELECT e1.src,
+         |    CASE WHEN e2.src IS NOT NULL THEN 1 ELSE 0 END AS rec
+         |  FROM rce e1 LEFT JOIN rce e2
+         |    ON e2.src = e1.dst AND e2.dst = e1.src)
+         |SELECT src AS vec_id, count(*) AS out_deg,
+         |  CAST(sum(rec) AS BIGINT) AS n_reciprocal,
+         |  CAST(sum(rec) * 1000000 // count(*) AS BIGINT) AS recip_ppm
+         |FROM rcj GROUP BY 1""".stripMargin,
     "graph_assortativity" ->
       s"""WITH $knnGraphCte,
          |aund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -2319,6 +2336,43 @@ object SparkEntry {
         |  FROM pte
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)) t
         |WHERE event_type = 'purchase'""".stripMargin,
+    "q_discount_elasticity" ->
+      """WITH dle AS (SELECT l_partkey,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x,
+        |    CAST(round(l_quantity) AS BIGINT) AS y
+        |  FROM lineitem),
+        |dlj AS (SELECT p_brand, x, y FROM dle
+        |  JOIN part ON l_partkey = p_partkey),
+        |dls AS (SELECT p_brand, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM dlj GROUP BY 1),
+        |dlt AS (SELECT p_brand, n,
+        |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS den,
+        |    CAST(n AS HUGEINT) * syy - sy * sy AS deny
+        |  FROM dls)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n_rows,
+        |  CASE WHEN den = 0 THEN NULL
+        |    ELSE CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 // den)
+        |      ELSE num * 1000000 // den END AS BIGINT) END AS slope_e6,
+        |  CASE WHEN den * deny = 0 THEN NULL
+        |    ELSE CAST(num * num * 10000 // (den * deny) AS BIGINT) END AS r2_e4
+        |FROM dlt""".stripMargin,
+    "cdc_conflict_audit" ->
+      """WITH cfb AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+        |    count(*) AS n_writes,
+        |    count(DISTINCT CAST(round(value * 100) AS BIGINT)) AS n_values,
+        |    min(CAST(round(value * 100) AS BIGINT)) AS min_c,
+        |    max(CAST(round(value * 100) AS BIGINT)) AS max_c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_conflict_buckets,
+        |  CAST(sum(n_writes) AS BIGINT) AS n_conflict_writes,
+        |  CAST(max(n_writes) AS BIGINT) AS worst_bucket_writes,
+        |  CAST(max(max_c - min_c) AS BIGINT) AS max_divergence_c
+        |FROM cfb WHERE n_values > 1 GROUP BY 1""".stripMargin,
     "q_abc_parts" ->
       """WITH abr AS (SELECT l_partkey,
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -881,6 +881,33 @@ object Cdc {
         Seq("user_id"), "full_outer")
   }
 
+  /** #388 `cdc_conflict_audit` — concurrent-write conflict detection, the
+    * measurement that tells you whether [[lwwMerge]]'s tie-breaking is a
+    * theoretical nicety or is actively dropping writes: per (entity,
+    * 1-second bucket), flag buckets where two or more DIFFERENT values
+    * landed — the multi-master race a last-writer-wins resolver silently
+    * collapses. Reports the contention census per entity: conflicted
+    * buckets, total conflicting writes, worst bucket, and the value
+    * divergence (min/max cents) inside the worst bucket. One (entity,
+    * bucket) aggregate then one entity aggregate — both key-sized; no
+    * pair joins, no range explosion.
+    */
+  def conflictAudit(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = graft.Tables.events(spark, dir)
+      .selectExpr("user_id", "(ts DIV 1000) DIV 1000000 AS sec",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .groupBy("user_id", "sec")
+      .agg(count(lit(1)).as("n_writes"),
+        countDistinct(col("cents")).as("n_values"),
+        min(col("cents")).as("min_c"), max(col("cents")).as("max_c"))
+      .filter(col("n_values") > 1)
+    buckets.groupBy("user_id")
+      .agg(count(lit(1)).as("n_conflict_buckets"),
+        sum(col("n_writes")).as("n_conflict_writes"),
+        max(col("n_writes")).as("worst_bucket_writes"),
+        max(col("max_c") - col("min_c")).as("max_divergence_c"))
+  }
+
   /** DuckDB oracle for [[lwwMerge]]: identical per-field winner windows. */
   def lwwMergeOracle(logCte: String): String =
     s"""$logCte,

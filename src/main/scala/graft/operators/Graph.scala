@@ -586,4 +586,31 @@ object Graph {
   /** #371 Registered query: degree-mixing audit of the corpus kNN graph. */
   def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
     degreeAssortativityFrom(Similarity.knnGraph(spark, dir))
+
+  /** #387 Edge reciprocity of the DIRECTED kNN graph — per node, how many
+    * of its k nearest neighbors point back. A mutual (reciprocated) kNN
+    * edge is the classic high-precision near-dup signal (mutual-kNN
+    * filtering); low reciprocity marks hub vectors that everything is
+    * near but that are near nothing in return (the embedding-space
+    * analog of crawl boilerplate). One self-join on the edge list keyed
+    * by the reversed pair + a node-sized aggregate — no wedges, no
+    * degree-squared anything.
+    */
+  def reciprocityFrom(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst")
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1L).as("rec"))
+    e.join(rev, Seq("src", "dst"), "left")
+      .groupBy(col("src").as("vec_id"))
+      .agg(count(lit(1)).as("out_deg"),
+        sum(coalesce(col("rec"), lit(0L))).as("n_reciprocal"))
+      .selectExpr("vec_id", "out_deg", "n_reciprocal",
+        "n_reciprocal * 1000000 DIV out_deg AS recip_ppm")
+  }
+
+  /** #387 Registered query: reciprocity census of the corpus kNN graph. */
+  def reciprocity(spark: SparkSession, dir: String): DataFrame =
+    reciprocityFrom(Similarity.knnGraph(spark, dir))
 }

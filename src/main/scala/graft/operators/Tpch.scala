@@ -919,6 +919,39 @@ object Tpch {
         "CAST(CAST(region_rev_c AS DECIMAL(38,0)) * 1000000 DIV global_rev_c AS BIGINT) AS region_share_ppm")
   }
 
+  /** #389 `q_discount_elasticity` — per-brand discount sensitivity: exact
+    * integer OLS of quantity on discount points (x = discount ×100 ∈
+    * 0..10, y = quantity) over lineitem×part, the "does discounting move
+    * volume for this brand" readout. Same exactness discipline as
+    * [[graft.operators.TimeSeries.trend]]: DECIMAL(38,0) normal-equation
+    * terms, sign-split truncating DIV, slope ×10⁶ + r² ×10⁴ — bit-equal
+    * on any engine/partitioning. Part is broadcast; one brand-sized
+    * aggregate after the map-side join.
+    */
+  def qDiscountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).selectExpr("l_partkey",
+      "CAST(round(l_discount * 100) AS BIGINT) AS x",
+      "CAST(round(l_quantity) AS BIGINT) AS y")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(CAST(x AS DECIMAL(38,0)))").as("sx"),
+        expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
+        expr("sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))").as("sxx"),
+        expr("sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))").as("sxy"),
+        expr("sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))").as("syy"))
+      .withColumn("num", expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy"))
+      .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx"))
+      .withColumn("deny", expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy"))
+      .select(col("p_brand"), col("n").as("n_rows"),
+        when(col("den") === 0, lit(null).cast("long")).otherwise(
+          expr("CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 DIV den) " +
+            "ELSE (num * 1000000 DIV den) END AS BIGINT)")).as("slope_e6"),
+        when(expr("den * deny") === 0, lit(null).cast("long")).otherwise(
+          expr("CAST((num * num * 10000) DIV (den * deny) AS BIGINT)")).as("r2_e4"))
+  }
+
   /** #381 `q_abc_parts` — ABC inventory classification (the Pareto cut
     * every supply-chain review starts from): parts ranked by exact-cents
     * lineitem revenue, classed by cumulative share — A carries the first

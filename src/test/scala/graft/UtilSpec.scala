@@ -1321,6 +1321,54 @@ class UtilSpec extends SparkSpec {
     assert(r.getAs[Long]("did_e4") === 1500000L, r.toString)
   }
 
+  test("conflict audit: same-second divergent writes flag, agreeing writes do not") {
+    import spark.implicits._
+    val s = 1000000000L
+    val rows = Seq(
+      // user 1, second 0: three writes, two distinct values -> conflict
+      (1L, 1L, 1L, "click", 1.0, "{}"), (2L, 2L, 1L, "click", 1.0, "{}"),
+      (3L, 3L, 1L, "click", 2.0, "{}"),
+      // user 1, second 5: lone write -> clean
+      (4L, 5 * s, 1L, "click", 9.0, "{}"),
+      // user 2: same second, same value twice -> NOT a conflict
+      (5L, 1L, 2L, "click", 3.0, "{}"), (6L, 2L, 2L, "click", 3.0, "{}"))
+    val dir = Files.createTempDirectory("conflict").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.cdc.Cdc.conflictAudit(spark, dir).collect()
+    assert(out.length === 1 && out.head.getAs[Long]("user_id") === 1L)
+    assert(out.head.getAs[Long]("n_conflict_buckets") === 1L)
+    assert(out.head.getAs[Long]("n_conflict_writes") === 3L)
+    assert(out.head.getAs[Long]("max_divergence_c") === 100L)
+  }
+
+  test("discount elasticity: planted linear response recovers slope 2 with r2 = 1") {
+    import spark.implicits._
+    val li = Seq((1L, 0.00, 10.0), (1L, 0.01, 12.0), (1L, 0.02, 14.0))
+      .toDF("l_partkey", "l_discount", "l_quantity")
+    val p = Seq((1L, "Brand#11")).toDF("p_partkey", "p_brand")
+    val dir = Files.createTempDirectory("elast").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+    p.write.parquet(s"$dir/part.parquet")
+    val r = Tpch.qDiscountElasticity(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_rows") === 3L)
+    assert(r.head.getAs[Long]("slope_e6") === 2000000L, r.head.toString)
+    assert(r.head.getAs[Long]("r2_e4") === 10000L)
+  }
+
+  test("reciprocity: mutual pair maxes out, one-way edges score zero") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val out = graft.operators.Graph.reciprocityFrom(e).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("out_deg"), r.getAs[Long]("n_reciprocal"),
+          r.getAs[Long]("recip_ppm")))).toMap
+    assert(out(1L) === ((2L, 1L, 500000L)))
+    assert(out(2L) === ((1L, 1L, 1000000L)))
+    assert(!out.contains(3L), "sink-only nodes have no out-edges to census")
+  }
+
   test("segment migration: planted spend reversal flips quartiles, dropout lands in 0") {
     import spark.implicits._
     val us = 1000L // ns per µs
