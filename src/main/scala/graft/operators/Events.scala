@@ -1795,10 +1795,14 @@ object Events {
       .agg(sum(when(col("event_type").isin("click", "view"), 1L).otherwise(0L))
           .as("score"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("pos"))
-    val deciled = perUser
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("score").desc, col("user_id").asc))
-          .cast("long"))
+    // exact distributed NTILE (range-sort + broadcast offsets) — never a
+    // single-reducer global ntile window; (−score, user_id) is the same
+    // total order as (score DESC, user_id ASC), so the bucket cut is
+    // identical to SQL ntile and the DuckDB oracle replays it verbatim
+    val deciled = Distributed.exactNtile(
+        perUser.withColumn("neg_score", -col("score")),
+        Seq.empty, Seq("neg_score", "user_id"), 10, "decile")
+      .withColumn("decile", col("decile").cast("long"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_users"), sum(col("pos")).as("n_pos"))
     val w = Window.orderBy(col("decile").asc)
@@ -1878,12 +1882,15 @@ object Events {
       expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
     val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2"))
       .head().getLong(0)
+    // quartiles via the distributed exact NTILE (same cut as SQL ntile —
+    // the oracle replays it), not a single-reducer global window
     def half(cond: org.apache.spark.sql.Column, name: String): DataFrame =
-      ev.filter(cond).groupBy("user_id")
-        .agg(sum(col("cents")).as("spend"))
-        .withColumn(name,
-          ntile(4).over(Window.orderBy(col("spend").desc, col("user_id").asc))
-            .cast("long"))
+      Distributed.exactNtile(
+          ev.filter(cond).groupBy("user_id")
+            .agg(sum(col("cents")).as("spend"))
+            .withColumn("neg_spend", -col("spend")),
+          Seq.empty, Seq("neg_spend", "user_id"), 4, name)
+        .withColumn(name, col(name).cast("long"))
         .select("user_id", name)
     val h1 = half(col("ts_us") <= mid, "seg_from")
     val h2 = half(col("ts_us") > mid, "seg_to")
