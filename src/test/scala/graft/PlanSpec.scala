@@ -587,6 +587,25 @@ class PlanSpec extends SparkSpec {
       "one input partition per topic partition")
   }
 
+  test("new session ops: broadcast dims, shared user partitioning, no nested loops") {
+    // elasticity: part is broadcast against lineitem, never sort-merged
+    val pe = planOf("q_discount_elasticity")
+    assert(pe.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$pe")
+    assert(!pe.contains("SortMergeJoin"), s"elasticity sort-merged the dim:\n$pe")
+    // velocity rules + pit training set: all windows ride ONE user_id
+    // exchange each — no per-feature re-shuffle
+    Seq("ev_velocity_rules", "ml_pit_training_set").foreach { q =>
+      val p = planOf(q)
+      val nEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(nEx <= 1, s"$q re-shuffles per window ($nEx exchanges):\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q nested-loops:\n$p")
+    }
+    // url dedup: row-local canonicalization + one hash aggregate — the
+    // plan must not contain any join at all
+    val pu = planOf("doc_url_dedup")
+    assert(!pu.contains("Join"), s"url dedup grew a join:\n$pu")
+  }
+
   test("burn rate and conversion windows: broadcast fan-outs, bounded exchanges") {
     val pb = planOf("ev_burn_rate")
     assert("Scan parquet|FileScan".r.findAllIn(pb).isEmpty,
