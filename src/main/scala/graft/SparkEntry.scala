@@ -329,6 +329,10 @@ object SparkEntry {
     "ts_trend" -> ((s, d) => TimeSeries.trend(s, d)),
     // Theil-Sen robust trend: exact median-of-pairwise-slopes per type
     "ts_theil_sen" -> ((s, d) => TimeSeries.theilSen(s, d)),
+    // naive-forecast residual P10/P90 band + its own empirical coverage
+    "ts_forecast_pi" -> ((s, d) => TimeSeries.forecastPi(s, d)),
+    // corpus concentration: HHI + effective group count per dimension
+    "doc_source_hhi" -> ((s, d) => Text.sourceHhi(s, d)),
     "ts_seasonality" -> ((s, d) => TimeSeries.seasonality(s, d)),
     // lag-1..7 autocorrelation of the daily series (exact cross-products)
     "ts_acf" -> ((s, d) => TimeSeries.acf(s, d)),
@@ -3103,6 +3107,47 @@ object SparkEntry {
          |  CAST(round(sum(COALESCE(CAST(v2 AS DECIMAL(12,2)), 0) -
          |    COALESCE(CAST(v1 AS DECIMAL(12,2)), 0)), 2) AS DOUBLE) AS net_value_delta
          |FROM j GROUP BY 1""".stripMargin,
+    "ts_forecast_pi" ->
+      """WITH fpd AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |fpr AS (SELECT event_type, day,
+        |    cents - lag(cents, 1) OVER (PARTITION BY event_type ORDER BY day) AS r
+        |  FROM fpd),
+        |fpk AS (SELECT event_type, day, r,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY r, day) AS rnk,
+        |    count(*) OVER (PARTITION BY event_type) AS n_total
+        |  FROM fpr WHERE r IS NOT NULL),
+        |fpb AS (SELECT event_type, max(n_total) AS n_resid,
+        |    min(CASE WHEN rnk = (10 * n_total + 99) // 100 THEN r END) AS p10_c,
+        |    min(CASE WHEN rnk = (90 * n_total + 99) // 100 THEN r END) AS p90_c
+        |  FROM fpk GROUP BY 1)
+        |SELECT k.event_type, CAST(max(n_resid) AS BIGINT) AS n_resid,
+        |  CAST(max(p10_c) AS BIGINT) AS p10_resid_c,
+        |  CAST(max(p90_c) AS BIGINT) AS p90_resid_c,
+        |  CAST(sum(CASE WHEN r >= p10_c AND r <= p90_c THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_in_band,
+        |  CAST(sum(CASE WHEN r >= p10_c AND r <= p90_c THEN 1 ELSE 0 END)
+        |    * 10000 // max(n_resid) AS BIGINT) AS coverage_e4
+        |FROM fpk k JOIN fpb b ON k.event_type = b.event_type
+        |GROUP BY 1""".stripMargin,
+    "doc_source_hhi" ->
+      """WITH hs AS (SELECT source AS g FROM documents),
+        |hl AS (SELECT lang AS g FROM documents),
+        |hhs AS (SELECT 'source' AS dimension, count(*) AS n
+        |  FROM hs GROUP BY g),
+        |hhl AS (SELECT 'lang' AS dimension, count(*) AS n
+        |  FROM hl GROUP BY g),
+        |hu AS (SELECT * FROM hhs UNION ALL SELECT * FROM hhl)
+        |SELECT dimension, count(*) AS n_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(n AS HUGEINT) * n) * 1000000
+        |    // (sum(CAST(n AS HUGEINT)) * sum(CAST(n AS HUGEINT))) AS BIGINT)
+        |    AS hhi_ppm,
+        |  CAST(100000000 // (sum(CAST(n AS HUGEINT) * n) * 1000000
+        |    // (sum(CAST(n AS HUGEINT)) * sum(CAST(n AS HUGEINT)))) AS BIGINT)
+        |    AS effective_n_e2
+        |FROM hu GROUP BY 1""".stripMargin,
     "ts_theil_sen" ->
       """WITH tsd AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    count(*) AS n

@@ -1867,4 +1867,29 @@ object Text {
                 WHEN fre_e3 >= 60000 THEN 'standard'
                 WHEN fre_e3 >= 30000 THEN 'difficult'
                 ELSE 'very_confusing' END"""))
+
+  /** #391 `doc_source_hhi` — corpus concentration as a Herfindahl–
+    * Hirschman index per grouping dimension (source, lang): HHI =
+    * Σ shareᵢ² in exact ppm (Σnᵢ²·10⁶ ÷ N², DECIMAL(38,0) cross-
+    * multiplication — no per-group division, so truncation can't
+    * accumulate), plus the effective group count 10⁶/HHI ×100 — the
+    * one-scalar "is this corpus really diverse or is it three domains
+    * in a trench coat" governance readout next to `doc_source_caps`'s
+    * enforcement. Cost: one dimension-sized aggregate per dimension over
+    * a count frame that is itself one groupBy of the scan.
+    */
+  def sourceHhi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def hhi(dim: String): DataFrame =
+      docs.groupBy(col(dim)).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"),
+          expr("sum(CAST(n AS DECIMAL(38,0)))").as("n_total"),
+          expr("sum(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))").as("ss"))
+        .selectExpr(s"'$dim' AS dimension", "n_groups",
+          "CAST(n_total AS BIGINT) AS n_docs",
+          "CAST(ss * 1000000 DIV (n_total * n_total) AS BIGINT) AS hhi_ppm")
+        .selectExpr("dimension", "n_groups", "n_docs", "hhi_ppm",
+          "100000000 DIV hhi_ppm AS effective_n_e2")
+    hhi("source").unionByName(hhi("lang"))
+  }
 }

@@ -705,6 +705,47 @@ object TimeSeries {
           "ELSE num * 10000 DIV den END AS BIGINT) AS slope_e4")
   }
 
+  /** #390 `ts_forecast_pi` — empirical prediction intervals for the naive
+    * forecast ([[backtest]]'s baseline): per type, the day-over-day
+    * residual distribution's exact-rank P10/P90 band (ceil-rank
+    * convention shared with `ev_watermark_advice`, ranks from
+    * [[Distributed.exactRank]] — no single-reducer percentile sort) and
+    * the band's own empirical coverage (≈80% by construction, exact ×10⁴
+    * — the self-audit that the band math is right). Residuals are over
+    * OBSERVED days (a gap day contributes one long-horizon residual, not
+    * a fabricated zero). Everything integer cents until the final ppm
+    * divisions.
+    */
+  def forecastPi(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val wd = Window.partitionBy("event_type").orderBy("day")
+    val resid = daily
+      .withColumn("prev", lag(col("cents"), 1).over(wd))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), col("day"),
+        (col("cents") - col("prev")).as("r"))
+    val ranked = Distributed.exactRank(resid, Seq("event_type"), Seq("r", "day"))
+    val bands = ranked.groupBy("event_type")
+      .agg(max(col("n_total")).as("n_resid"),
+        min(when(col("rnk") === expr("(10 * n_total + 99) DIV 100"), col("r")))
+          .as("p10_c"),
+        min(when(col("rnk") === expr("(90 * n_total + 99) DIV 100"), col("r")))
+          .as("p90_c"))
+    ranked.join(broadcast(bands), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n_resid")).as("n_resid"),
+        max(col("p10_c")).as("p10_resid_c"),
+        max(col("p90_c")).as("p90_resid_c"),
+        sum(when(col("r") >= col("p10_c") && col("r") <= col("p90_c"), 1L)
+          .otherwise(0L)).as("n_in_band"))
+      .selectExpr("event_type", "n_resid", "p10_resid_c", "p90_resid_c",
+        "n_in_band", "n_in_band * 10000 DIV n_resid AS coverage_e4")
+  }
+
   def backtestOracle: String =
     """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |    sum(CAST(round(value * 100) AS BIGINT)) AS cents

@@ -941,4 +941,23 @@ class TextOpsSpec extends SparkSpec {
     assert(top1(10L) === (("alpha", 3L)), s"got ${top1(10L)}")
     assert(top1(40L) === (("gamma", 3L)), s"got ${top1(40L)}")
   }
+
+  test("source HHI: planted 3-1 split scores 625000 ppm; monoculture scores 1e6") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t", "en", "a", 1L), (2L, "t", "en", "a", 1L),
+      (3L, "t", "en", "a", 1L), (4L, "t", "en", "b", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("hhi").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Text.sourceHhi(spark, dir).collect()
+      .map(r => r.getAs[String]("dimension") -> r).toMap
+    val src = out("source")
+    assert(src.getAs[Long]("n_groups") === 2L && src.getAs[Long]("n_docs") === 4L)
+    assert(src.getAs[Long]("hhi_ppm") === 625000L)   // (9+1)/16
+    assert(src.getAs[Long]("effective_n_e2") === 160L) // 1.6 effective sources
+    val lang = out("lang")
+    assert(lang.getAs[Long]("hhi_ppm") === 1000000L, "monoculture must max out")
+    assert(lang.getAs[Long]("effective_n_e2") === 100L)
+  }
 }

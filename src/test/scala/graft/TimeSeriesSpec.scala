@@ -50,6 +50,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.head.getAs[Long]("slope_e4") === 20000L)
   }
 
+  test("forecast PI: planted 1..10 residual ladder yields exact rank band and coverage") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // cents walk: +1, +2, ..., +10 over 11 days -> residuals {1..10}
+    var cents = 100L; var id = 0L
+    val rows = (0 to 10).flatMap { d =>
+      if (d > 0) cents += d
+      id += 1
+      Seq((id, d * dayNs, 1L, "click", cents / 100.0, "{}"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("fpi").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = TimeSeries.forecastPi(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_resid") === 10L)
+    assert(r.head.getAs[Long]("p10_resid_c") === 1L, r.head.toString)
+    assert(r.head.getAs[Long]("p90_resid_c") === 9L, r.head.toString)
+    assert(r.head.getAs[Long]("n_in_band") === 9L)
+    assert(r.head.getAs[Long]("coverage_e4") === 9000L)
+  }
+
   test("theil-sen on the corpus: selected slope is a true median of the pairwise set") {
     val daily = Tables.events(spark, sf)
       .select(col("event_type"), expr("(ts DIV 1000) DIV 86400000000").as("day"))
