@@ -333,6 +333,12 @@ object SparkEntry {
     "ts_forecast_pi" -> ((s, d) => TimeSeries.forecastPi(s, d)),
     // corpus concentration: HHI + effective group count per dimension
     "doc_source_hhi" -> ((s, d) => Text.sourceHhi(s, d)),
+    // dow seasonal adjustment applied as one exact cross-multiplication
+    "ts_dow_adjust" -> ((s, d) => TimeSeries.dowAdjust(s, d)),
+    // code/markup/prose routing census per source (detectors spec-planted)
+    "doc_format_mix" -> ((s, d) => Text.formatMix(s, d)),
+    // log2 degree histogram of the kNN graph: the scale-free-tail readout
+    "graph_degree_hist" -> ((s, d) => graft.operators.Graph.degreeHist(s, d)),
     "ts_seasonality" -> ((s, d) => TimeSeries.seasonality(s, d)),
     // lag-1..7 autocorrelation of the daily series (exact cross-products)
     "ts_acf" -> ((s, d) => TimeSeries.acf(s, d)),
@@ -3107,6 +3113,57 @@ object SparkEntry {
          |  CAST(round(sum(COALESCE(CAST(v2 AS DECIMAL(12,2)), 0) -
          |    COALESCE(CAST(v1 AS DECIMAL(12,2)), 0)), 2) AS DOUBLE) AS net_value_delta
          |FROM j GROUP BY 1""".stripMargin,
+    "ts_dow_adjust" ->
+      """WITH dad AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |daw AS (SELECT event_type, (day + 4) % 7 AS dow,
+        |    count(*) AS days_dow, sum(cents) AS t_dow
+        |  FROM dad GROUP BY 1, 2),
+        |dao AS (SELECT event_type, sum(days_dow) AS days_all,
+        |    sum(t_dow) AS t_all
+        |  FROM daw GROUP BY 1)
+        |SELECT d.event_type, d.day, (d.day + 4) % 7 AS dow,
+        |  CAST(d.cents AS BIGINT) AS cents,
+        |  CASE WHEN w.t_dow = 0 THEN NULL ELSE
+        |    CAST(CAST(d.cents AS HUGEINT) * o.t_all * w.days_dow * 10000
+        |      // (CAST(o.days_all AS HUGEINT) * w.t_dow) AS BIGINT) END
+        |    AS adj_cents_e4
+        |FROM dad d
+        |JOIN daw w ON w.event_type = d.event_type AND w.dow = (d.day + 4) % 7
+        |JOIN dao o ON o.event_type = d.event_type""".stripMargin,
+    "doc_format_mix" ->
+      """WITH fms AS (SELECT source,
+        |    CAST(len(regexp_extract_all(text, '[{}();=]')) AS BIGINT) AS n_code,
+        |    CAST(len(regexp_extract_all(text, '</?[a-zA-Z]+>')) AS BIGINT) AS n_tags,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |fmc AS (SELECT source,
+        |    CASE WHEN n_tags * 1000 >= n_chars THEN 'markup'
+        |         WHEN n_code * 100 >= n_chars * 2 THEN 'code'
+        |         ELSE 'prose' END AS format_class
+        |  FROM fms),
+        |fmg AS (SELECT source, format_class, count(*) AS n_docs
+        |  FROM fmc GROUP BY 1, 2)
+        |SELECT source, format_class, n_docs,
+        |  CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY source)
+        |    AS BIGINT) AS share_ppm
+        |FROM fmg""".stripMargin,
+    "graph_degree_hist" ->
+      s"""WITH $knnGraphCte,
+         |dhu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+         |    greatest(src, dst) AS b FROM g WHERE src <> dst),
+         |dhd AS (SELECT id, count(*) AS degree FROM (
+         |    SELECT a AS id FROM dhu UNION ALL SELECT b FROM dhu) GROUP BY 1),
+         |dhb AS (SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS bucket,
+         |    count(*) AS n_nodes, min(degree) AS min_degree,
+         |    max(degree) AS max_degree
+         |  FROM dhd GROUP BY 1)
+         |SELECT bucket, n_nodes,
+         |  CAST(min_degree AS BIGINT) AS min_degree,
+         |  CAST(max_degree AS BIGINT) AS max_degree,
+         |  CAST(n_nodes * 1000000 // sum(n_nodes) OVER () AS BIGINT) AS share_ppm
+         |FROM dhb""".stripMargin,
     "ts_forecast_pi" ->
       """WITH fpd AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    sum(CAST(round(value * 100) AS BIGINT)) AS cents

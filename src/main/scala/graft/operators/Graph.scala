@@ -613,4 +613,37 @@ object Graph {
   /** #387 Registered query: reciprocity census of the corpus kNN graph. */
   def reciprocity(spark: SparkSession, dir: String): DataFrame =
     reciprocityFrom(Similarity.knnGraph(spark, dir))
+
+  /** #393 Log₂-bucketed degree histogram of the undirected kNN graph —
+    * the scale-free-or-not readout (a heavy power-law tail here means hub
+    * documents/templates dominating similarity space, the thing the
+    * hot-bucket caps and reciprocity audit exist for): per
+    * floor(log₂(degree)) bucket via the bit-length trick (integer-exact
+    * both engines), node count, exact degree bounds, share ppm. Degree
+    * aggregate + a buckets-sized aggregate; nothing edge-squared.
+    */
+  def degreeHistFrom(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg
+      .withColumn("bucket", expr("CAST(length(bin(degree)) - 1 AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("degree")).as("min_degree"),
+        max(col("degree")).as("max_degree"))
+      .withColumn("total_nodes", sum(col("n_nodes")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .selectExpr("bucket", "n_nodes", "min_degree", "max_degree",
+        "n_nodes * 1000000 DIV total_nodes AS share_ppm")
+  }
+
+  /** #393 Registered query: degree histogram of the corpus kNN graph. */
+  def degreeHist(spark: SparkSession, dir: String): DataFrame =
+    degreeHistFrom(Similarity.knnGraph(spark, dir))
 }

@@ -1878,6 +1878,36 @@ object Text {
     * enforcement. Cost: one dimension-sized aggregate per dimension over
     * a count frame that is itself one groupBy of the scan.
     */
+  /** #392 `doc_format_mix` — format routing census (The-Stack-style
+    * code/markup/prose triage before format-specific pipelines): per doc,
+    * row-local signal counts in the RE2∩Java common dialect — code
+    * punctuation (`{ } ( ) ; =`), markup tags (`<tag>` / `</tag>`), digit
+    * mass — then a threshold class and a per-(source, class) census with
+    * exact ppm. On this corpus everything classes as prose (the desired
+    * readout, the [[graft.operators.Redact.piiAudit]] convention); the
+    * spec plants code and markup docs to prove the detectors. Scan
+    * projection + one small aggregate.
+    */
+  def formatMix(spark: SparkSession, dir: String): DataFrame =
+    formatMixFrom(Tables.documents(spark, dir))
+
+  def formatMixFrom(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("source",
+        "CAST(size(regexp_extract_all(text, '[{}();=]', 0)) AS BIGINT) AS n_code",
+        "CAST(size(regexp_extract_all(text, '</?[a-zA-Z]+>', 0)) AS BIGINT) AS n_tags",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .selectExpr("source",
+        """CASE WHEN n_tags * 1000 >= n_chars THEN 'markup'
+                WHEN n_code * 100 >= n_chars * 2 THEN 'code'
+                ELSE 'prose' END AS format_class""")
+      .groupBy("source", "format_class")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("src_docs", sum(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .selectExpr("source", "format_class", "n_docs",
+        "n_docs * 1000000 DIV src_docs AS share_ppm")
+
   def sourceHhi(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     def hhi(dim: String): DataFrame =

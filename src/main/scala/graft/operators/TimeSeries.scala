@@ -746,6 +746,37 @@ object TimeSeries {
         "n_in_band", "n_in_band * 10000 DIV n_resid AS coverage_e4")
   }
 
+  /** #394 `ts_dow_adjust` — day-of-week seasonal adjustment of the daily
+    * series: each (type, day)'s cents rescaled by its dow's inverse
+    * seasonal index, adj = cents · (t_all·days_dow) / (days_all·t_dow),
+    * in ONE exact cross-multiplied ×10⁴ integer (no per-dow division
+    * first, so truncation can't compound) — the series a trend/anomaly
+    * pass should consume when weekends are structurally quiet
+    * ([[seasonality]] measures the index; this applies it). Day-sized
+    * frames after the one daily aggregate; dow index joins broadcast.
+    */
+  def dowAdjust(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val byDow = daily
+      .groupBy(col("event_type"), expr("(day + 4) % 7").as("dow"))
+      .agg(count(lit(1)).as("days_dow"), sum(col("cents")).as("t_dow"))
+    val overall = byDow.groupBy("event_type")
+      .agg(sum(col("days_dow")).as("days_all"), sum(col("t_dow")).as("t_all"))
+    daily
+      .withColumn("dow", expr("(day + 4) % 7"))
+      .join(broadcast(byDow), Seq("event_type", "dow"))
+      .join(broadcast(overall), Seq("event_type"))
+      .selectExpr("event_type", "day", "dow", "cents",
+        "CASE WHEN t_dow = 0 THEN NULL ELSE " +
+          "CAST(CAST(cents AS DECIMAL(38,0)) * t_all * days_dow * 10000 " +
+          "DIV (CAST(days_all AS DECIMAL(38,0)) * t_dow) AS BIGINT) END " +
+          "AS adj_cents_e4")
+  }
+
   def backtestOracle: String =
     """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |    sum(CAST(round(value * 100) AS BIGINT)) AS cents

@@ -942,6 +942,18 @@ class TextOpsSpec extends SparkSpec {
     assert(top1(40L) === (("gamma", 3L)), s"got ${top1(40L)}")
   }
 
+  test("format mix: planted code and markup docs route out of prose") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "plain prose words only here and more of them to read"),
+      ("s1", "x=1; if(a){b();} while(c){d(e);} f=g; h=(i); j={k};"),
+      ("s1", "<p>hi</p><div>x</div><span>y</span><a>z</a><b>w</b>"))
+      .toDF("source", "text")
+    val out = Text.formatMixFrom(docs).collect()
+      .map(r => r.getAs[String]("format_class") -> r.getAs[Long]("n_docs")).toMap
+    assert(out === Map("prose" -> 1L, "code" -> 1L, "markup" -> 1L), out.toString)
+  }
+
   test("source HHI: planted 3-1 split scores 625000 ppm; monoculture scores 1e6") {
     import spark.implicits._
     val docs = Seq(

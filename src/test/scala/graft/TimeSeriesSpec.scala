@@ -72,6 +72,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.head.getAs[Long]("coverage_e4") === 9000L)
   }
 
+  test("dow adjust: an exact weekly pattern flattens to one constant adjusted level") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    var id = 0L
+    // 14 days (every dow exactly twice): weekends 50c, weekdays 100c
+    val rows = (0 to 13).map { d =>
+      val dow = (d + 4) % 7
+      val v = if (dow == 0 || dow == 6) 0.50 else 1.00
+      id += 1; (id, d * dayNs, 1L, "click", v, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("dowadj").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = TimeSeries.dowAdjust(spark, dir).collect()
+    assert(out.length === 14)
+    // t_all=1200, days_all=14: every day adjusts to 1200*2*10^4*c/(14*t_dow)
+    // = 857142 for both weekday (100c/200) and weekend (50c/100) days
+    out.foreach(r =>
+      assert(r.getAs[Long]("adj_cents_e4") === 857142L, r.toString))
+  }
+
   test("theil-sen on the corpus: selected slope is a true median of the pairwise set") {
     val daily = Tables.events(spark, sf)
       .select(col("event_type"), expr("(ts DIV 1000) DIV 86400000000").as("day"))

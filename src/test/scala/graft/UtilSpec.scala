@@ -1357,6 +1357,18 @@ class UtilSpec extends SparkSpec {
     assert(r.head.getAs[Long]("r2_e4") === 10000L)
   }
 
+  test("degree histogram: star graph fills bucket 0 leaves and one hub bucket") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val out = graft.operators.Graph.degreeHistFrom(e).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("min_degree"),
+          r.getAs[Long]("max_degree"), r.getAs[Long]("share_ppm")))).toMap
+    assert(out(0L) === ((4L, 1L, 1L, 800000L)), out.toString) // four leaves
+    assert(out(2L) === ((1L, 4L, 4L, 200000L)), out.toString) // the hub
+    assert(out.size === 2)
+  }
+
   test("reciprocity: mutual pair maxes out, one-way edges score zero") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
