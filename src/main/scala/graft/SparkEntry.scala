@@ -2372,7 +2372,7 @@ object SparkEntry {
         |    ELSE CAST(num * num * 10000 // (den * deny) AS BIGINT) END AS r2_e4
         |FROM dlt""".stripMargin,
     "cdc_conflict_audit" ->
-      """WITH cfb AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+      """WITH cfb AS (SELECT user_id, epoch_us(ts) // 600000000 AS win,
         |    count(*) AS n_writes,
         |    count(DISTINCT CAST(round(value * 100) AS BIGINT)) AS n_values,
         |    min(CAST(round(value * 100) AS BIGINT)) AS min_c,

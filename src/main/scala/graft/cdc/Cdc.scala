@@ -884,7 +884,8 @@ object Cdc {
   /** #388 `cdc_conflict_audit` — concurrent-write conflict detection, the
     * measurement that tells you whether [[lwwMerge]]'s tie-breaking is a
     * theoretical nicety or is actively dropping writes: per (entity,
-    * 1-second bucket), flag buckets where two or more DIFFERENT values
+    * 10-minute window by default — the eventual-consistency horizon a
+    * multi-region audit cares about), flag windows where ≥2 DIFFERENT values
     * landed — the multi-master race a last-writer-wins resolver silently
     * collapses. Reports the contention census per entity: conflicted
     * buckets, total conflicting writes, worst bucket, and the value
@@ -892,11 +893,12 @@ object Cdc {
     * bucket) aggregate then one entity aggregate — both key-sized; no
     * pair joins, no range explosion.
     */
-  def conflictAudit(spark: SparkSession, dir: String): DataFrame = {
+  def conflictAudit(spark: SparkSession, dir: String,
+      windowUs: Long = 600000000L): DataFrame = {
     val buckets = graft.Tables.events(spark, dir)
-      .selectExpr("user_id", "(ts DIV 1000) DIV 1000000 AS sec",
+      .selectExpr("user_id", s"(ts DIV 1000) DIV $windowUs AS win",
         "CAST(round(value * 100) AS BIGINT) AS cents")
-      .groupBy("user_id", "sec")
+      .groupBy("user_id", "win")
       .agg(count(lit(1)).as("n_writes"),
         countDistinct(col("cents")).as("n_values"),
         min(col("cents")).as("min_c"), max(col("cents")).as("max_c"))

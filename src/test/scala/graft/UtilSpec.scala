@@ -1321,16 +1321,16 @@ class UtilSpec extends SparkSpec {
     assert(r.getAs[Long]("did_e4") === 1500000L, r.toString)
   }
 
-  test("conflict audit: same-second divergent writes flag, agreeing writes do not") {
+  test("conflict audit: same-window divergent writes flag, agreeing writes do not") {
     import spark.implicits._
-    val s = 1000000000L
+    val mn = 60L * 1000000000L
     val rows = Seq(
-      // user 1, second 0: three writes, two distinct values -> conflict
+      // user 1, window 0: three writes, two distinct values -> conflict
       (1L, 1L, 1L, "click", 1.0, "{}"), (2L, 2L, 1L, "click", 1.0, "{}"),
       (3L, 3L, 1L, "click", 2.0, "{}"),
-      // user 1, second 5: lone write -> clean
-      (4L, 5 * s, 1L, "click", 9.0, "{}"),
-      // user 2: same second, same value twice -> NOT a conflict
+      // user 1, 20 min later (next 10-min window): lone write -> clean
+      (4L, 20 * mn, 1L, "click", 9.0, "{}"),
+      // user 2: same window, same value twice -> NOT a conflict
       (5L, 1L, 2L, "click", 3.0, "{}"), (6L, 2L, 2L, "click", 3.0, "{}"))
     val dir = Files.createTempDirectory("conflict").toString
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
