@@ -687,6 +687,19 @@ object SparkEntry {
     // registered-vs-observed payload column reconciliation: the registry
     // deliberately lags the data (o_orderpriority unregistered) and carries
     // a dropped column (o_legacy_flag) to exercise both drift arms
+    // the DDL plan the drift census calls for: ADD COLUMN with types
+    // inferred from observed payload values; absent columns go to review
+    "cdc_schema_migration" -> ((s, d) => {
+      import graft.streaming.CdcStreams
+      val env = CdcStreams.heterogeneousUnion(Seq(
+        ("orders", Tables.orders(s, d).select("o_orderkey", "o_custkey",
+          "o_orderstatus", "o_totalprice"), "o_orderkey", "o_orderkey"),
+        ("customer", Tables.customer(s, d).select("c_custkey", "c_name"),
+          "c_custkey", "c_custkey")))
+      CdcStreams.schemaMigration(env, Map(
+        "orders" -> Seq("o_custkey", "o_orderstatus", "o_legacy_flag"),
+        "customer" -> Seq("c_name", "c_phone")))
+    }),
     "cdc_schema_drift" -> ((s, d) => {
       import graft.streaming.CdcStreams
       val env = CdcStreams.heterogeneousUnion(Seq(
@@ -5109,6 +5122,55 @@ object SparkEntry {
         |  CAST(CASE WHEN mad_r > 0 AND abs(residual - med_r) > 5.0 * mad_r
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM dev JOIN mad USING (event_type)""".stripMargin,
+    "cdc_schema_migration" ->
+      """WITH smo AS (
+        |  SELECT * FROM (
+        |    SELECT 'orders' AS src_table, 'o_custkey' AS col_name,
+        |      count(o_custkey) AS n_rows_present,
+        |      sum(CASE WHEN regexp_matches(CAST(o_custkey AS VARCHAR), '^-?[0-9]+$') THEN 1 ELSE 0 END) AS n_int,
+        |      count(try_cast(CAST(o_custkey AS VARCHAR) AS DOUBLE)) AS n_num
+        |    FROM orders
+        |    UNION ALL SELECT 'orders', 'o_orderstatus', count(o_orderstatus),
+        |      sum(CASE WHEN regexp_matches(o_orderstatus, '^-?[0-9]+$') THEN 1 ELSE 0 END),
+        |      count(try_cast(o_orderstatus AS DOUBLE)) FROM orders
+        |    UNION ALL SELECT 'orders', 'o_totalprice', count(o_totalprice),
+        |      sum(CASE WHEN regexp_matches(CAST(o_totalprice AS VARCHAR), '^-?[0-9]+$') THEN 1 ELSE 0 END),
+        |      count(try_cast(CAST(o_totalprice AS VARCHAR) AS DOUBLE)) FROM orders
+        |    UNION ALL SELECT 'customer', 'c_name', count(c_name),
+        |      sum(CASE WHEN regexp_matches(c_name, '^-?[0-9]+$') THEN 1 ELSE 0 END),
+        |      count(try_cast(c_name AS DOUBLE)) FROM customer)
+        |  WHERE n_rows_present > 0),
+        |smt AS (SELECT 'orders' AS src_table, count(*) AS n_table_rows FROM orders
+        |  UNION ALL SELECT 'customer', count(*) FROM customer),
+        |smr(src_table, col_name) AS (
+        |  VALUES ('orders', 'o_custkey'), ('orders', 'o_orderstatus'),
+        |         ('orders', 'o_legacy_flag'),
+        |         ('customer', 'c_name'), ('customer', 'c_phone')),
+        |smj AS (SELECT coalesce(o.src_table, r.src_table) AS src_table,
+        |    coalesce(o.col_name, r.col_name) AS col_name,
+        |    o.n_rows_present, o.n_int, o.n_num,
+        |    CASE WHEN r.col_name IS NULL THEN 'unregistered'
+        |         WHEN o.col_name IS NULL THEN 'missing_in_data'
+        |         ELSE 'ok' END AS status
+        |  FROM smo o FULL OUTER JOIN smr r
+        |    ON o.src_table = r.src_table AND o.col_name = r.col_name),
+        |smf AS (SELECT j.*, t.n_table_rows,
+        |    CASE WHEN n_rows_present IS NULL THEN NULL
+        |         WHEN n_int = n_rows_present THEN 'BIGINT'
+        |         WHEN n_num = n_rows_present THEN 'DOUBLE'
+        |         ELSE 'STRING' END AS inferred_type,
+        |    CASE WHEN n_rows_present IS NULL THEN 0
+        |         ELSE n_rows_present * 1000000 // n_table_rows END AS fill_ppm
+        |  FROM smj j LEFT JOIN smt t ON t.src_table = j.src_table)
+        |SELECT src_table, col_name, status,
+        |  CAST(coalesce(n_rows_present, 0) AS BIGINT) AS n_rows_present,
+        |  inferred_type, CAST(fill_ppm AS BIGINT) AS fill_ppm,
+        |  CASE WHEN status = 'unregistered' THEN
+        |    'ALTER TABLE ' || src_table || ' ADD COLUMN ' || col_name || ' '
+        |      || inferred_type
+        |      || CASE WHEN fill_ppm = 1000000 THEN '' ELSE ' NULL' END
+        |  END AS ddl
+        |FROM smf""".stripMargin,
     "cdc_schema_drift" ->
       """WITH obs AS (
         |  SELECT * FROM (

@@ -502,6 +502,64 @@ object CdcStreams {
           .otherwise("ok").as("status"))
   }
 
+  /** #395 `cdc_schema_migration` — the DDL plan [[schemaDrift]]'s census
+    * calls for: per (table, column), unregistered columns get an
+    * `ALTER TABLE … ADD COLUMN` statement with the type INFERRED from the
+    * observed payload values (all-BIGINT-castable → BIGINT, else
+    * all-DOUBLE-castable → DOUBLE, else STRING — inference through the
+    * JSON string form, the only form a CDC consumer actually sees) and a
+    * nullability verdict from the fill rate; registered-but-absent
+    * columns report for review with no destructive DDL (dropping is a
+    * human decision). One payload key-space aggregate (schema-sized
+    * output) + a broadcast table-total join — the 500-table onboarding
+    * loop closed as column arithmetic.
+    */
+  def schemaMigration(env: DataFrame,
+      registry: Map[String, Seq[String]]): DataFrame = {
+    val spark = env.sparkSession
+    import spark.implicits._
+    val totals = env.groupBy("src_table").agg(count(lit(1)).as("n_table_rows"))
+    val observed = env
+      .select(col("src_table"),
+        explode(expr("json_object_keys(payload)")).as("col_name"), col("payload"))
+      .withColumn("v", expr("get_json_object(payload, concat('$.', col_name))"))
+      .groupBy("src_table", "col_name")
+      // integerness by REGEX, not try_cast: DuckDB's string→BIGINT cast
+      // rounds '81137.29' where Spark's returns NULL — the one string-cast
+      // divergence between the engines, dodged entirely by the char class
+      .agg(count(lit(1)).as("n_rows_present"),
+        sum(expr("CASE WHEN v RLIKE '^-?[0-9]+$' THEN 1 ELSE 0 END"))
+          .as("n_int"),
+        sum(expr("CASE WHEN try_cast(v AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END"))
+          .as("n_num"))
+    val registered = registry.toSeq
+      .flatMap { case (t, cols) => cols.map(c => (t, c)) }
+      .toDF("src_table", "col_name")
+      .withColumn("registered", lit(true))
+    observed.join(registered, Seq("src_table", "col_name"), "full_outer")
+      .join(broadcast(totals), Seq("src_table"), "left")
+      .withColumn("status",
+        when(col("registered").isNull, "unregistered")
+          .when(col("n_rows_present").isNull, "missing_in_data")
+          .otherwise("ok"))
+      .withColumn("inferred_type",
+        when(col("n_rows_present").isNull, lit(null))
+          .when(col("n_int") === col("n_rows_present"), "BIGINT")
+          .when(col("n_num") === col("n_rows_present"), "DOUBLE")
+          .otherwise("STRING"))
+      .withColumn("fill_ppm",
+        expr("CASE WHEN n_rows_present IS NULL THEN 0 " +
+          "ELSE n_rows_present * 1000000 DIV n_table_rows END"))
+      .withColumn("ddl",
+        when(col("status") === "unregistered",
+          concat(lit("ALTER TABLE "), col("src_table"), lit(" ADD COLUMN "),
+            col("col_name"), lit(" "), col("inferred_type"),
+            when(col("fill_ppm") === 1000000L, lit("")).otherwise(lit(" NULL")))))
+      .select(col("src_table"), col("col_name"), col("status"),
+        coalesce(col("n_rows_present"), lit(0L)).as("n_rows_present"),
+        col("inferred_type"), col("fill_ppm"), col("ddl"))
+  }
+
   /** Stream-static enrichment: join the CDC stream against a broadcast
     * dimension snapshot (the reference resolves table/PK metadata per event
     * the same way, aurora_cdc_datasource_v2.py:387-399). Stream-static

@@ -1357,6 +1357,31 @@ class UtilSpec extends SparkSpec {
     assert(r.head.getAs[Long]("r2_e4") === 10000L)
   }
 
+  test("schema migration: inferred types, nullability from fill, no destructive ddl") {
+    import spark.implicits._
+    import graft.streaming.CdcStreams
+    val t = Seq(
+      (1L, 10L, "x", Some(1.5)),
+      (2L, 20L, "7", None),        // b mixed digits+string -> STRING
+      (3L, 30L, "y", Some(2.5)))   // c has a null -> nullable DOUBLE
+      .toDF("id", "a", "b", "c")
+    val env = CdcStreams.heterogeneousUnion(Seq(("t", t, "id", "id")))
+    val out = CdcStreams.schemaMigration(env, Map("t" -> Seq("a", "gone")))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out("a").getAs[String]("status") === "ok")
+    assert(out("a").getAs[String]("inferred_type") === "BIGINT")
+    assert(out("b").getAs[String]("status") === "unregistered")
+    assert(out("b").getAs[String]("inferred_type") === "STRING")
+    assert(out("b").getAs[String]("ddl") === "ALTER TABLE t ADD COLUMN b STRING")
+    val c = out("c")
+    assert(c.getAs[String]("inferred_type") === "DOUBLE")
+    assert(c.getAs[Long]("fill_ppm") === 666666L)
+    assert(c.getAs[String]("ddl") === "ALTER TABLE t ADD COLUMN c DOUBLE NULL")
+    val gone = out("gone")
+    assert(gone.getAs[String]("status") === "missing_in_data")
+    assert(gone.isNullAt(gone.fieldIndex("ddl")), "absent columns get NO destructive ddl")
+  }
+
   test("degree histogram: star graph fills bucket 0 leaves and one hub bucket") {
     import spark.implicits._
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
