@@ -337,6 +337,8 @@ object SparkEntry {
     "ts_dow_adjust" -> ((s, d) => TimeSeries.dowAdjust(s, d)),
     // code/markup/prose routing census per source (detectors spec-planted)
     "doc_format_mix" -> ((s, d) => Text.formatMix(s, d)),
+    // categorized blocklist gate: license/toxicity/spam policy census
+    "doc_policy_filter" -> ((s, d) => Text.policyFilter(s, d)),
     // log2 degree histogram of the kNN graph: the scale-free-tail readout
     "graph_degree_hist" -> ((s, d) => graft.operators.Graph.degreeHist(s, d)),
     "ts_seasonality" -> ((s, d) => TimeSeries.seasonality(s, d)),
@@ -3145,6 +3147,25 @@ object SparkEntry {
         |FROM dad d
         |JOIN daw w ON w.event_type = d.event_type AND w.dow = (d.day + 4) % 7
         |JOIN dao o ON o.event_type = d.event_type""".stripMargin,
+    "doc_policy_filter" ->
+      """WITH pfh AS (SELECT source,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '(all rights reserved|proprietary and confidential)')) AS BIGINT) AS hits_license,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '(badword1|badword2)')) AS BIGINT) AS hits_toxicity,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '(buy now|click here|limited time offer)')) AS BIGINT) AS hits_spam
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN hits_license > 0 OR hits_toxicity > 0
+        |    OR hits_spam > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(hits_license) AS BIGINT) AS hits_license,
+        |  CAST(sum(hits_toxicity) AS BIGINT) AS hits_toxicity,
+        |  CAST(sum(hits_spam) AS BIGINT) AS hits_spam,
+        |  CAST(sum(CASE WHEN hits_license > 0 OR hits_toxicity > 0
+        |    OR hits_spam > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+        |    AS dropped_ppm
+        |FROM pfh GROUP BY 1""".stripMargin,
     "doc_format_mix" ->
       """WITH fms AS (SELECT source,
         |    CAST(len(regexp_extract_all(text, '[{}();=]')) AS BIGINT) AS n_code,

@@ -1878,6 +1878,44 @@ object Text {
     * enforcement. Cost: one dimension-sized aggregate per dimension over
     * a count frame that is itself one groupBy of the scan.
     */
+  /** #396 `doc_policy_filter` — categorized blocklist gate (the
+    * license/toxicity/spam policy filter every corpus release runs):
+    * per category, a term list compiled into ONE alternation regex
+    * (word-bounded, case-insensitive via a char-class-free lower()
+    * match — the RE2∩Java common dialect), per-doc hit counts per
+    * category, a keep/drop verdict (any category hit drops), and the
+    * per-source filtered census with exact ppm. Zero hits is this
+    * corpus's desired readout (the piiAudit convention); the spec plants
+    * each category. Row-local regexp over the scan + one source-sized
+    * aggregate.
+    */
+  val PolicyCategories: Seq[(String, Seq[String])] = Seq(
+    "license" -> Seq("all rights reserved", "proprietary and confidential"),
+    "toxicity" -> Seq("badword1", "badword2"),
+    "spam" -> Seq("buy now", "click here", "limited time offer"))
+
+  def policyFilter(spark: SparkSession, dir: String): DataFrame =
+    policyFilterFrom(Tables.documents(spark, dir))
+
+  def policyFilterFrom(docs: DataFrame): DataFrame = {
+    // terms are plain lowercase words/phrases — the alternation is its
+    // own regex, no quoting needed (and none would survive RE2∩Java)
+    val hitCols = PolicyCategories.map { case (cat, terms) =>
+      s"CAST(size(regexp_extract_all(lower(text), '(${terms.mkString("|")})', 0)) AS BIGINT) AS hits_$cat"
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped")) ++
+      PolicyCategories.map(c => sum(col(s"hits_${c._1}")).as(s"hits_${c._1}"))
+    docs
+      .selectExpr(("source" +: hitCols): _*)
+      .withColumn("dropped",
+        expr(PolicyCategories.map(c => s"hits_${c._1} > 0").mkString(" OR ")))
+      .groupBy("source")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("dropped_ppm", expr("n_dropped * 1000000 DIV n_docs"))
+  }
+
   /** #392 `doc_format_mix` — format routing census (The-Stack-style
     * code/markup/prose triage before format-specific pipelines): per doc,
     * row-local signal counts in the RE2∩Java common dialect — code

@@ -260,6 +260,52 @@ object CdcStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class TypeCountOut(user_id: Long, event_type: String, n: Long)
+
+  /** #397 Per-(user, event-type) running counts on transformWithState MAP
+    * state — the fourth and last state-v2 primitive after ValueState
+    * (#367), timers (#380), and ListState (#384): MapState keys
+    * (event_type) are SEPARATE store rows, so bumping one type is a
+    * point get+put — never a read-modify-write of the whole per-user
+    * census, which is the reason MapState exists over a ValueState map
+    * blob. Emits the updated rows only (Update-mode delta, what a
+    * downstream upsert sink wants). State is O(types)/key.
+    */
+  class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, TypeCountOut] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, evs: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCountOut] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCountOut(uid, t, counts.getValue(t)))
+    }
+  }
+
+  /** #397 Registered transform for [[TypeCountsProcessor]] (RocksDB
+    * required, like every transformWithState operator). */
+  def typeCountsTws(normalized: DataFrame)(
+      implicit spark: SparkSession): Dataset[TypeCountOut] = {
+    implicit val evEnc = Encoders.product[Ev]
+    implicit val outEnc = Encoders.product[TypeCountOut]
+    normalized
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("operation").as("event_type"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   case class Scd2Out(user_id: Long, event_id: Long, operation: String,
     value: Double, valid_from_us: Long, valid_to_us: Long, is_current: Boolean)
 

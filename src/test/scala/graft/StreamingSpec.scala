@@ -388,6 +388,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState bumps per-type counts as point updates") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val normalized = ms.toDF().select(col("event_id"), col("user_id"),
+      col("event_type").as("operation"), col("ts_us"), col("value"))
+    val q = CdcStreams.typeCountsTws(normalized)
+      .toDF().writeStream.format("memory").queryName("twcounts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ms.addData(evRow(1, 1000L, 1, "click", 0.0), evRow(2, 2000L, 1, "click", 0.0),
+        evRow(3, 3000L, 1, "view", 0.0))
+      q.processAllAvailable()
+      ms.addData(evRow(4, 4000L, 1, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("twcounts").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n")))
+      // batch 1 emits click=2 and view=1; batch 2 emits click=3 ON TOP of
+      // the map state (proving the per-key map row survived the boundary)
+      assert(rows.contains(("click", 2L)) && rows.contains(("view", 1L)))
+      assert(rows.contains(("click", 3L)), s"got ${rows.toSeq}")
+      assert(!rows.contains(("view", 2L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup drops redelivered event ids within the watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

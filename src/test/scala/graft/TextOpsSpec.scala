@@ -942,6 +942,25 @@ class TextOpsSpec extends SparkSpec {
     assert(top1(40L) === (("gamma", 3L)), s"got ${top1(40L)}")
   }
 
+  test("policy filter: each planted category drops its doc, clean docs pass") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "totally clean text about spark joins"),
+      ("s1", "this work is All Rights Reserved by the author"),
+      ("s1", "badword1 appears here and badword2 too"),
+      ("s1", "Buy Now for a limited time offer"),
+      ("s2", "another clean one")).toDF("source", "text")
+    val out = Text.policyFilterFrom(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_docs") === 4L && s1.getAs[Long]("n_dropped") === 3L)
+    assert(s1.getAs[Long]("hits_license") === 1L)
+    assert(s1.getAs[Long]("hits_toxicity") === 2L)
+    assert(s1.getAs[Long]("hits_spam") === 2L)
+    assert(s1.getAs[Long]("dropped_ppm") === 750000L)
+    assert(out("s2").getAs[Long]("n_dropped") === 0L)
+  }
+
   test("format mix: planted code and markup docs route out of prose") {
     import spark.implicits._
     val docs = Seq(
