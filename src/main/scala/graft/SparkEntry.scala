@@ -266,6 +266,8 @@ object SparkEntry {
     "q_abc_parts" -> ((s, d) => Tpch.qAbcParts(s, d)),
     // per-brand exact-integer OLS of quantity on discount points
     "q_discount_elasticity" -> ((s, d) => Tpch.qDiscountElasticity(s, d)),
+    // monthly revenue momentum: MoM/YoY bp + trailing-12M, month frame
+    "q_revenue_momentum" -> ((s, d) => Tpch.qRevenueMomentum(s, d)),
     // multi-master same-second conflicting-write census per entity
     "cdc_conflict_audit" -> ((s, d) => Cdc.conflictAudit(s, d)),
     // stratified ATT: signup effect on spend within activity strata
@@ -2361,6 +2363,26 @@ object SparkEntry {
         |  FROM pte
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)) t
         |WHERE event_type = 'purchase'""".stripMargin,
+    "q_revenue_momentum" ->
+      """WITH rmm AS (SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |rmw AS (SELECT ym, rev_c,
+        |    lag(rev_c, 1) OVER (ORDER BY ym) AS prev_m,
+        |    lag(rev_c, 12) OVER (ORDER BY ym) AS prev_y,
+        |    CAST(sum(rev_c) OVER (ORDER BY ym
+        |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS ttm_c
+        |  FROM rmm)
+        |SELECT CAST(ym AS BIGINT) AS ym, rev_c,
+        |  CAST(CASE WHEN prev_m IS NULL THEN NULL
+        |    WHEN rev_c - prev_m < 0 THEN -((-(rev_c - prev_m)) * 10000 // prev_m)
+        |    ELSE (rev_c - prev_m) * 10000 // prev_m END AS BIGINT) AS mom_bp,
+        |  CAST(CASE WHEN prev_y IS NULL THEN NULL
+        |    WHEN rev_c - prev_y < 0 THEN -((-(rev_c - prev_y)) * 10000 // prev_y)
+        |    ELSE (rev_c - prev_y) * 10000 // prev_y END AS BIGINT) AS yoy_bp,
+        |  ttm_c
+        |FROM rmw""".stripMargin,
     "q_discount_elasticity" ->
       """WITH dle AS (SELECT l_partkey,
         |    CAST(round(l_discount * 100) AS BIGINT) AS x,

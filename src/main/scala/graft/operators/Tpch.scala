@@ -919,6 +919,35 @@ object Tpch {
         "CAST(CAST(region_rev_c AS DECIMAL(38,0)) * 1000000 DIV global_rev_c AS BIGINT) AS region_share_ppm")
   }
 
+  /** #398 `q_revenue_momentum` — the monthly revenue momentum report
+    * every finance review opens with: per calendar month (integer
+    * y·100+m key, no date strings cross engines), exact-cents revenue,
+    * month-over-month and year-over-year growth in basis points
+    * (sign-split truncating DIV — engine-identical on negatives), and
+    * the trailing-12-month total over the MONTH-ORDERED frame (a rows
+    * frame over the month-sized series, not the fact table). One fact
+    * aggregate; everything after runs on ≤ n_months rows.
+    */
+  def qRevenueMomentum(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .selectExpr("year(o_orderdate) * 100 + month(o_orderdate) AS ym",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents")
+      .groupBy("ym").agg(sum(col("cents")).as("rev_c"))
+    val w = Window.orderBy("ym")
+    val signedBp = (num: String, den: String) =>
+      s"CASE WHEN $den IS NULL THEN NULL " +
+        s"WHEN $num < 0 THEN -((-($num)) * 10000 DIV $den) " +
+        s"ELSE ($num) * 10000 DIV $den END"
+    monthly
+      .withColumn("prev_m", lag(col("rev_c"), 1).over(w))
+      .withColumn("prev_y", lag(col("rev_c"), 12).over(w))
+      .withColumn("ttm_c", sum(col("rev_c")).over(w.rowsBetween(-11, 0)))
+      .selectExpr("ym", "rev_c",
+        s"CAST(${signedBp("rev_c - prev_m", "prev_m")} AS BIGINT) AS mom_bp",
+        s"CAST(${signedBp("rev_c - prev_y", "prev_y")} AS BIGINT) AS yoy_bp",
+        "ttm_c")
+  }
+
   /** #389 `q_discount_elasticity` — per-brand discount sensitivity: exact
     * integer OLS of quantity on discount points (x = discount ×100 ∈
     * 0..10, y = quantity) over lineitem×part, the "does discounting move

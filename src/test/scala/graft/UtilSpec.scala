@@ -1357,6 +1357,28 @@ class UtilSpec extends SparkSpec {
     assert(r.head.getAs[Long]("r2_e4") === 10000L)
   }
 
+  test("revenue momentum: flat series reads zero growth; final spike reads 10000 bp") {
+    import spark.implicits._
+    val months = (1 to 12).map(m => f"2024-$m%02d-01") ++ Seq("2025-01-01", "2025-02-01")
+    val rows = months.zipWithIndex.map { case (d, i) =>
+      val price = if (i == months.length - 1) 200.0 else 100.0
+      (i.toLong, java.sql.Timestamp.valueOf(d + " 00:00:00"), price)
+    }
+    val dir = Files.createTempDirectory("mom").toString
+    rows.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = Tpch.qRevenueMomentum(spark, dir).collect()
+      .map(r => r.getAs[Long]("ym") -> r).toMap
+    assert(out(202401L).isNullAt(out(202401L).fieldIndex("mom_bp")))
+    assert(out(202406L).getAs[Long]("mom_bp") === 0L)
+    assert(out(202501L).getAs[Long]("yoy_bp") === 0L)     // vs 202401, both 100
+    assert(out(202412L).getAs[Long]("ttm_c") === 120000L) // 12 flat months
+    val last = out(202502L)
+    assert(last.getAs[Long]("mom_bp") === 10000L)         // 100 -> 200
+    assert(last.getAs[Long]("yoy_bp") === 10000L)         // vs 202402
+    assert(last.getAs[Long]("ttm_c") === 130000L)
+  }
+
   test("schema migration: inferred types, nullability from fill, no destructive ddl") {
     import spark.implicits._
     import graft.streaming.CdcStreams
