@@ -268,6 +268,10 @@ object SparkEntry {
     "q_discount_elasticity" -> ((s, d) => Tpch.qDiscountElasticity(s, d)),
     // monthly revenue momentum: MoM/YoY bp + trailing-12M, month frame
     "q_revenue_momentum" -> ((s, d) => Tpch.qRevenueMomentum(s, d)),
+    // repeat-purchase loyalty per brand, exact ppm on the pair frame
+    "q_repeat_purchase_rate" -> ((s, d) => Tpch.qRepeatPurchaseRate(s, d)),
+    // feed-health gap census: missing days + longest dark stretch
+    "ts_gap_audit" -> ((s, d) => TimeSeries.gapAudit(s, d)),
     // multi-master same-second conflicting-write census per entity
     "cdc_conflict_audit" -> ((s, d) => Cdc.conflictAudit(s, d)),
     // stratified ATT: signup effect on spend within activity strata
@@ -2363,6 +2367,33 @@ object SparkEntry {
         |  FROM pte
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)) t
         |WHERE event_type = 'purchase'""".stripMargin,
+    "q_repeat_purchase_rate" ->
+      """WITH rpp AS (SELECT o_custkey, l_partkey,
+        |    count(DISTINCT l_orderkey) AS n_orders
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT p_brand, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repeat,
+        |  CAST(max(n_orders) AS BIGINT) AS max_orders,
+        |  CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS repeat_ppm
+        |FROM rpp JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    "ts_gap_audit" ->
+      """WITH gad AS (SELECT DISTINCT event_type,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |gag AS (SELECT event_type, day,
+        |    day - lag(day, 1) OVER (PARTITION BY event_type ORDER BY day) - 1
+        |      AS gap
+        |  FROM gad)
+        |SELECT event_type, count(*) AS days_observed,
+        |  CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
+        |  CAST(max(day) - min(day) + 1 - count(*) AS BIGINT) AS missing_days,
+        |  CAST((max(day) - min(day) + 1 - count(*)) * 1000000
+        |    // (max(day) - min(day) + 1) AS BIGINT) AS missing_ppm,
+        |  CAST(coalesce(max(gap), 0) AS BIGINT) AS longest_gap_days
+        |FROM gag GROUP BY 1""".stripMargin,
     "q_revenue_momentum" ->
       """WITH rmm AS (SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))

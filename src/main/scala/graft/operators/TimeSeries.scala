@@ -705,6 +705,31 @@ object TimeSeries {
           "ELSE num * 10000 DIV den END AS BIGINT) AS slope_e4")
   }
 
+  /** #400 `ts_gap_audit` — feed-health gap census, the READOUT behind
+    * [[gapFill]]'s repair: per type, calendar span vs days observed,
+    * missing-day count and ppm, and the longest dark stretch (max
+    * day-over-day jump on the observed sequence, minus one) — the number
+    * that distinguishes "weekends are quiet" from "the connector was
+    * down for a week". One daily aggregate; the audit runs on the
+    * day-sized frame with a per-type lag.
+    */
+  def gapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"))
+      .distinct()
+    val wd = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(wd) - 1L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("days_observed"),
+        (max(col("day")) - min(col("day")) + 1L).as("span_days"),
+        coalesce(max(col("gap")), lit(0L)).as("longest_gap_days"))
+      .selectExpr("event_type", "days_observed", "span_days",
+        "span_days - days_observed AS missing_days",
+        "(span_days - days_observed) * 1000000 DIV span_days AS missing_ppm",
+        "longest_gap_days")
+  }
+
   /** #390 `ts_forecast_pi` — empirical prediction intervals for the naive
     * forecast ([[backtest]]'s baseline): per type, the day-over-day
     * residual distribution's exact-rank P10/P90 band (ceil-rank

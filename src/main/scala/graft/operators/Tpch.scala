@@ -919,6 +919,30 @@ object Tpch {
         "CAST(CAST(region_rev_c AS DECIMAL(38,0)) * 1000000 DIV global_rev_c AS BIGINT) AS region_share_ppm")
   }
 
+  /** #399 `q_repeat_purchase_rate` — repeat-purchase loyalty per brand:
+    * of the (customer, part) pairs that ever bought, how many bought in
+    * TWO OR MORE distinct orders — the retention metric behind
+    * replenishment forecasting. Pair frame from one lineitem⋈orders
+    * equi-join aggregated to (cust, part, n_orders); brand join
+    * broadcast; rates exact ppm. Nothing bigger than the pair frame
+    * shuffles.
+    */
+  def qRepeatPurchaseRate(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey", "l_partkey")
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    pairs.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"),
+        max(col("n_orders")).as("max_orders"))
+      .selectExpr("p_brand", "n_pairs", "n_repeat", "max_orders",
+        "n_repeat * 1000000 DIV n_pairs AS repeat_ppm")
+  }
+
   /** #398 `q_revenue_momentum` — the monthly revenue momentum report
     * every finance review opens with: per calendar month (integer
     * y·100+m key, no date strings cross engines), exact-cents revenue,

@@ -1357,6 +1357,44 @@ class UtilSpec extends SparkSpec {
     assert(r.head.getAs[Long]("r2_e4") === 10000L)
   }
 
+  test("repeat purchase: two-order pair counts as repeat, lone pair does not") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("repeat").toString
+    Seq((10L, 1L), (20L, 1L), (30L, 2L))
+      .toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    Seq((10L, 7L), (20L, 7L), (30L, 7L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    Seq((1L, "Brand#1"), (2L, "Brand#1"))
+      .toDF("p_partkey", "p_brand").write.parquet(s"$dir/part.parquet")
+    val r = Tpch.qRepeatPurchaseRate(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_pairs") === 2L)
+    assert(r.head.getAs[Long]("n_repeat") === 1L)
+    assert(r.head.getAs[Long]("max_orders") === 2L)
+    assert(r.head.getAs[Long]("repeat_ppm") === 500000L)
+  }
+
+  test("gap audit: planted dark week measured exactly; same-day events dedupe") {
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    val rows = Seq(
+      (1L, 0 * day, 1L, "click", 0.0, "{}"),
+      (2L, 0 * day + 5, 1L, "click", 0.0, "{}"),   // same day, must dedupe
+      (3L, 1 * day, 1L, "click", 0.0, "{}"),
+      (4L, 2 * day, 1L, "click", 0.0, "{}"),
+      (5L, 10 * day, 1L, "click", 0.0, "{}"))
+    val dir = Files.createTempDirectory("gapaudit").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = graft.operators.TimeSeries.gapAudit(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("days_observed") === 4L)
+    assert(r.head.getAs[Long]("span_days") === 11L)
+    assert(r.head.getAs[Long]("missing_days") === 7L)
+    assert(r.head.getAs[Long]("missing_ppm") === 636363L)
+    assert(r.head.getAs[Long]("longest_gap_days") === 7L)
+  }
+
   test("revenue momentum: flat series reads zero growth; final spike reads 10000 bp") {
     import spark.implicits._
     val months = (1 to 12).map(m => f"2024-$m%02d-01") ++ Seq("2025-01-01", "2025-02-01")
