@@ -270,6 +270,8 @@ object SparkEntry {
     "q_revenue_momentum" -> ((s, d) => Tpch.qRevenueMomentum(s, d)),
     // repeat-purchase loyalty per brand, exact ppm on the pair frame
     "q_repeat_purchase_rate" -> ((s, d) => Tpch.qRepeatPurchaseRate(s, d)),
+    // GDPR erasure plan: FK cascade order + per-table churn cost
+    "cdc_forget_cascade" -> ((s, d) => graft.operators.Forget.forgetCascade(s, d)),
     // feed-health gap census: missing days + longest dark stretch
     "ts_gap_audit" -> ((s, d) => TimeSeries.gapAudit(s, d)),
     // multi-master same-second conflicting-write census per entity
@@ -2367,6 +2369,28 @@ object SparkEntry {
         |  FROM pte
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)) t
         |WHERE event_type = 'purchase'""".stripMargin,
+    "cdc_forget_cascade" ->
+      """WITH fcs AS (SELECT c_custkey AS subject FROM customer
+        |  WHERE c_custkey % 100 = 7),
+        |fco AS (SELECT o_orderkey, subject FROM orders
+        |  JOIN fcs ON o_custkey = subject)
+        |SELECT 'lineitem' AS tbl, CAST(2 AS BIGINT) AS fk_depth,
+        |  CAST(1 AS BIGINT) AS delete_order,
+        |  count(*) AS n_rows_affected,
+        |  count(DISTINCT subject) AS n_subjects,
+        |  CAST(count(*) * 1000000 // (SELECT count(*) FROM lineitem)
+        |    AS BIGINT) AS churn_ppm
+        |FROM lineitem JOIN fco ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'orders', CAST(1 AS BIGINT), CAST(2 AS BIGINT), count(*),
+        |  count(DISTINCT subject),
+        |  CAST(count(*) * 1000000 // (SELECT count(*) FROM orders) AS BIGINT)
+        |FROM orders JOIN fcs ON o_custkey = subject
+        |UNION ALL
+        |SELECT 'customer', CAST(0 AS BIGINT), CAST(3 AS BIGINT), count(*),
+        |  count(DISTINCT subject),
+        |  CAST(count(*) * 1000000 // (SELECT count(*) FROM customer) AS BIGINT)
+        |FROM customer JOIN fcs ON c_custkey = subject""".stripMargin,
     "q_repeat_purchase_rate" ->
       """WITH rpp AS (SELECT o_custkey, l_partkey,
         |    count(DISTINCT l_orderkey) AS n_orders

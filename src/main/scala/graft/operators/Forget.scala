@@ -163,4 +163,50 @@ object Forget {
     custRows.unionByName(ordRows).unionByName(liRows)
       .select("subject", "tbl", "n_rows", "first_us", "last_us")
   }
+
+  /** #401 `cdc_forget_cascade` — the erasure EXECUTION PLAN [[dsarExport]]
+    * 's holdings report feeds: for the same subject set, the FK-cascade
+    * order (children before parents — lineitem → orders → customer, so no
+    * orphaned references survive mid-run) with per-table affected-row
+    * counts, distinct subjects touched, and the share of each table the
+    * rewrite will churn (the partition-rewrite cost driver for
+    * [[forgetKeys]]). The FK closure reuses the subject-orders broadcast;
+    * table totals come from the same scans' aggregates — one pass per
+    * table, subject set always broadcast.
+    */
+  def forgetCascade(spark: SparkSession, dir: String): DataFrame = {
+    val subjects = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 100 === 7)
+      .select(col("c_custkey").as("subject"))
+    def leg(df: org.apache.spark.sql.DataFrame, joinKey: String,
+        tbl: String, depth: Int, order: Int): org.apache.spark.sql.DataFrame = {
+      val total = df.count()
+      df.join(broadcast(subjects), col(joinKey) === col("subject"))
+        .agg(count(lit(1)).as("n_rows_affected"),
+          countDistinct(col("subject")).as("n_subjects"))
+        .selectExpr(s"'$tbl' AS tbl", s"CAST($depth AS BIGINT) AS fk_depth",
+          s"CAST($order AS BIGINT) AS delete_order",
+          "n_rows_affected", "n_subjects",
+          s"n_rows_affected * 1000000 DIV ${total}L AS churn_ppm")
+    }
+    val subjOrders = Tables.orders(spark, dir)
+      .join(broadcast(subjects), col("o_custkey") === col("subject"))
+      .select(col("o_orderkey"), col("subject"))
+    val liLeg = {
+      val li = Tables.lineitem(spark, dir).select("l_orderkey")
+      val total = li.count()
+      li.join(broadcast(subjOrders), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_rows_affected"),
+          countDistinct(col("subject")).as("n_subjects"))
+        .selectExpr("'lineitem' AS tbl", "CAST(2 AS BIGINT) AS fk_depth",
+          "CAST(1 AS BIGINT) AS delete_order",
+          "n_rows_affected", "n_subjects",
+          s"n_rows_affected * 1000000 DIV ${total}L AS churn_ppm")
+    }
+    liLeg
+      .unionByName(leg(Tables.orders(spark, dir).select("o_custkey"),
+        "o_custkey", "orders", 1, 2))
+      .unionByName(leg(Tables.customer(spark, dir).select("c_custkey"),
+        "c_custkey", "customer", 0, 3))
+  }
 }

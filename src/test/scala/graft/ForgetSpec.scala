@@ -76,4 +76,27 @@ class ForgetSpec extends SparkSpec {
     out.filter(r => !r.isNullAt(r.fieldIndex("first_us"))).foreach { r =>
       assert(r.getAs[Long]("first_us") <= r.getAs[Long]("last_us")) }
   }
+
+  test("forget cascade: children delete first, churn counted per table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cascade").toString
+    Seq((7L, "a"), (8L, "b")).toDF("c_custkey", "c_name")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 7L), (2L, 7L), (3L, 8L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (3L, 1L))
+      .toDF("l_orderkey", "l_linenumber").write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Forget.forgetCascade(spark, dir).collect()
+      .map(r => r.getAs[String]("tbl") -> r).toMap
+    assert(out("lineitem").getAs[Long]("delete_order") === 1L)
+    assert(out("orders").getAs[Long]("delete_order") === 2L)
+    assert(out("customer").getAs[Long]("delete_order") === 3L)
+    assert(out("lineitem").getAs[Long]("n_rows_affected") === 3L)
+    assert(out("lineitem").getAs[Long]("churn_ppm") === 750000L)
+    assert(out("orders").getAs[Long]("n_rows_affected") === 2L)
+    assert(out("orders").getAs[Long]("churn_ppm") === 666666L)
+    assert(out("customer").getAs[Long]("n_rows_affected") === 1L)
+    assert(out("customer").getAs[Long]("churn_ppm") === 500000L)
+    assert(out.values.forall(_.getAs[Long]("n_subjects") === 1L))
+  }
 }
