@@ -347,6 +347,8 @@ object SparkEntry {
     "doc_format_mix" -> ((s, d) => Text.formatMix(s, d)),
     // categorized blocklist gate: license/toxicity/spam policy census
     "doc_policy_filter" -> ((s, d) => Text.policyFilter(s, d)),
+    // crawl-over-crawl snapshot diff: digests travel, never text twice
+    "doc_corpus_diff" -> ((s, d) => Text.corpusDiff(s, d)),
     // log2 degree histogram of the kNN graph: the scale-free-tail readout
     "graph_degree_hist" -> ((s, d) => graft.operators.Graph.degreeHist(s, d)),
     "ts_seasonality" -> ((s, d) => TimeSeries.seasonality(s, d)),
@@ -3224,6 +3226,20 @@ object SparkEntry {
         |FROM dad d
         |JOIN daw w ON w.event_type = d.event_type AND w.dow = (d.day + 4) % 7
         |JOIN dao o ON o.event_type = d.event_type""".stripMargin,
+    "doc_corpus_diff" ->
+      """WITH cda AS (SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 19 = 4 THEN text || ' legacy' ELSE text END)
+        |      AS dig_a
+        |  FROM documents WHERE doc_id % 23 <> 5),
+        |cdb AS (SELECT doc_id, source, md5(text) AS dig_b FROM documents),
+        |cdj AS (SELECT coalesce(b.source, a.source) AS source,
+        |    CASE WHEN a.dig_a IS NULL THEN 'added'
+        |         WHEN b.dig_b IS NULL THEN 'removed'
+        |         WHEN a.dig_a = b.dig_b THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM cda a FULL OUTER JOIN cdb b ON a.doc_id = b.doc_id)
+        |SELECT source, status, count(*) AS n_docs
+        |FROM cdj GROUP BY 1, 2""".stripMargin,
     "doc_policy_filter" ->
       """WITH pfh AS (SELECT source,
         |    CAST(len(regexp_extract_all(lower(text),

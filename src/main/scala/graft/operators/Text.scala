@@ -1878,6 +1878,43 @@ object Text {
     * enforcement. Cost: one dimension-sized aggregate per dimension over
     * a count frame that is itself one groupBy of the scan.
     */
+  /** #402 `doc_corpus_diff` — corpus snapshot diff, the data-versioning
+    * readout between crawls (what `cdc_snapshot_diff` is for SCD2 state,
+    * done for documents): a full-outer join of two snapshots on doc_id
+    * comparing CONTENT DIGESTS (md5 — only digests travel, never two
+    * copies of the text through the shuffle), each doc classed
+    * added / removed / changed / unchanged, censused per (source,
+    * status). The registered entry reconstructs "the previous crawl"
+    * deterministically from the current corpus (every 23rd doc absent =
+    * added since; every 19th doc with perturbed text = changed), so the
+    * diff machinery is exercised with a replayable oracle.
+    */
+  def corpusDiffFrom(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val a = prev.select(col("doc_id"), col("source").as("src_a"),
+      md5(col("text")).as("dig_a"))
+    val b = cur.select(col("doc_id"), col("source").as("src_b"),
+      md5(col("text")).as("dig_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("dig_a").isNull, "added")
+          .when(col("dig_b").isNull, "removed")
+          .when(col("dig_a") === col("dig_b"), "unchanged")
+          .otherwise("changed"))
+      .withColumn("source", coalesce(col("src_b"), col("src_a")))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cur = Tables.documents(spark, dir)
+    val prev = cur
+      .filter(col("doc_id") % 23 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 19 === 4, concat(col("text"), lit(" legacy")))
+          .otherwise(col("text")))
+    corpusDiffFrom(prev, cur)
+  }
+
   /** #396 `doc_policy_filter` — categorized blocklist gate (the
     * license/toxicity/spam policy filter every corpus release runs):
     * per category, a term list compiled into ONE alternation regex

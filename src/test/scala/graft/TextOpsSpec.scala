@@ -942,6 +942,18 @@ class TextOpsSpec extends SparkSpec {
     assert(top1(40L) === (("gamma", 3L)), s"got ${top1(40L)}")
   }
 
+  test("corpus diff: planted add/remove/change classify exactly") {
+    import spark.implicits._
+    val prev = Seq((1L, "same", "s"), (2L, "old text", "s"), (3L, "gone", "s"))
+      .toDF("doc_id", "text", "source")
+    val cur = Seq((1L, "same", "s"), (2L, "new text", "s"), (4L, "fresh", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Text.corpusDiffFrom(prev, cur).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_docs")).toMap
+    assert(out === Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L), out.toString)
+  }
+
   test("policy filter: each planted category drops its doc, clean docs pass") {
     import spark.implicits._
     val docs = Seq(
