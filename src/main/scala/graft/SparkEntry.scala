@@ -513,6 +513,8 @@ object SparkEntry {
     // bucket fn not expressible in the oracle's SQL)
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "ann_cosine_topk" -> ((s, d) => Similarity.annCosineTopK(s, d)),
+    // radius retrieval: every neighbor with cosine >= tau, not top-k
+    "ann_range_search" -> ((s, d) => Similarity.annRangeSearch(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(s, d)),
     // int8 quantization audit (rows-only: float-lambda arithmetic has no
     // exact SQL-oracle analog); codes digested for the harness
@@ -4894,6 +4896,17 @@ object SparkEntry {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.4""".stripMargin,
+    "ann_range_search" ->
+      """WITH rsq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 8),
+        |rsc AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings),
+        |rsp AS (SELECT qid, nid, list_cosine_similarity(qe, ce) AS cosr
+        |  FROM rsq, rsc WHERE nid <> qid),
+        |rsf AS (SELECT qid, nid, cosr FROM rsp WHERE cosr >= 0.25)
+        |SELECT qid, nid, round(cosr, 4) AS cos,
+        |  count(*) OVER (PARTITION BY qid) AS n_matches
+        |FROM rsf""".stripMargin,
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 8),
         |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),

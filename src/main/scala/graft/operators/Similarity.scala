@@ -35,6 +35,33 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** #403 `ann_range_search` — radius (threshold) retrieval: ALL
+    * neighbors with cosine ≥ τ rather than a fixed k — the retrieval
+    * mode dedup sweeps and recall-sensitive RAG filters want when match
+    * QUALITY gates inclusion, not a context budget (top-k pads weak
+    * matches in sparse regions and truncates dense ones; radius does
+    * neither). Same broadcast-queries × one-pass scan as the brute top-k
+    * baseline; per-match rows carry the query's total match count so
+    * downstream capping is explicit. τ defaults to 0.25 — above this
+    * corpus's P99 background similarity, so matches mean something at
+    * every SF.
+    */
+  def annRangeSearch(spark: SparkSession, dir: String,
+      tau: Double = 0.25): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    e.select(col("vec_id").as("nid"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("qe"), col("embedding")))
+      .filter(col("cos") >= tau)
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy("qid")))
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"),
+        col("n_matches"))
+  }
+
   /** Approximate k-NN GRAPH over the whole corpus — every vector's top-k
     * neighbours, the substrate graph-based curation builds on (SemDeDup
     * clusters it, connected-components dedup walks it, label-propagation

@@ -6,6 +6,24 @@ import graft.operators.{Bucketing, Similarity}
 /** Scale-path operators: IVF ANN recall, bucketed shuffle-free joins. */
 class ScaleSpec extends SparkSpec {
 
+  test("range search returns every neighbor past tau and nothing weaker") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("range").toString
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // the query (vec_id < 8)
+      (10L, Array(1.0f, 0.0f), 0),  // cos 1.0 -> in
+      (11L, Array(0.8f, 0.6f), 0),  // cos 0.8 -> in
+      (12L, Array(0.0f, 1.0f), 0))  // cos 0.0 -> out
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.annRangeSearch(spark, dir, tau = 0.5).collect()
+      .map(r => r.getAs[Long]("nid") ->
+        ((r.getAs[Double]("cos"), r.getAs[Long]("n_matches")))).toMap
+    assert(out.keySet === Set(10L, 11L), out.toString)
+    assert(out(10L) === ((1.0, 2L)))
+    assert(out(11L) === ((0.8, 2L)))
+  }
+
   test("IVF ANN reaches high recall against brute force") {
     val brute = Similarity.annCosineTopK(spark, sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
