@@ -272,6 +272,8 @@ object SparkEntry {
     "q_repeat_purchase_rate" -> ((s, d) => Tpch.qRepeatPurchaseRate(s, d)),
     // GDPR erasure plan: FK cascade order + per-table churn cost
     "cdc_forget_cascade" -> ((s, d) => graft.operators.Forget.forgetCascade(s, d)),
+    // per-day op-mix TVD vs the corpus mix: the delete-storm alarm
+    "cdc_op_mix_drift" -> ((s, d) => Cdc.opMixDrift(s, d)),
     // feed-health gap census: missing days + longest dark stretch
     "ts_gap_audit" -> ((s, d) => TimeSeries.gapAudit(s, d)),
     // multi-master same-second conflicting-write census per entity
@@ -2373,6 +2375,28 @@ object SparkEntry {
         |  FROM pte
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)) t
         |WHERE event_type = 'purchase'""".stripMargin,
+    "cdc_op_mix_drift" ->
+      s"""$logCte,
+         |omd AS (SELECT seq_us // 86400000000 AS day, operation,
+         |    count(*) AS n_op
+         |  FROM log GROUP BY 1, 2),
+         |omn AS (SELECT day, sum(n_op) AS n_day FROM omd GROUP BY 1),
+         |omo AS (SELECT operation, sum(n_op) AS n_all FROM omd GROUP BY 1),
+         |omt AS (SELECT count(*) AS total FROM log),
+         |omg AS (SELECT d.day, o.operation, o.n_all,
+         |    coalesce(x.n_op, 0) AS n_op
+         |  FROM (SELECT DISTINCT day FROM omd) d
+         |  CROSS JOIN omo o
+         |  LEFT JOIN omd x ON x.day = d.day AND x.operation = o.operation)
+         |SELECT g.day, CAST(max(n.n_day) AS BIGINT) AS n_events,
+         |  CAST(sum(abs(CAST(g.n_op AS HUGEINT) * t.total
+         |      - CAST(g.n_all AS HUGEINT) * n.n_day)) * 10000
+         |    // (2 * CAST(max(n.n_day) AS HUGEINT) * max(t.total)) AS BIGINT)
+         |    AS tvd_e4,
+         |  max(CASE WHEN g.n_op * 2 > n.n_day THEN g.operation END)
+         |    AS majority_op
+         |FROM omg g JOIN omn n ON n.day = g.day CROSS JOIN omt t
+         |GROUP BY 1""".stripMargin,
     "cdc_forget_cascade" ->
       """WITH fcs AS (SELECT c_custkey AS subject FROM customer
         |  WHERE c_custkey % 100 = 7),

@@ -910,6 +910,42 @@ object Cdc {
         max(col("max_c") - col("min_c")).as("max_divergence_c"))
   }
 
+  /** #404 `cdc_op_mix_drift` — operation-mix drift per day: each day's
+    * INSERT/UPDATE/DELETE share vs the corpus-wide mix as an exact ×10⁴
+    * total-variation distance (cross-multiplied integers — Σ|day_op·N −
+    * all_op·n| over 2·n·N, no per-share division), plus the day's
+    * dominant op. The CDC health alarm [[throughput]] can't see: volume
+    * stays flat while a delete storm or a backfill's INSERT wave rewrites
+    * the mix. Day×op aggregate (bounded), then day-frame algebra; the
+    * log is scanned once.
+    */
+  def opMixDrift(spark: SparkSession, dir: String): DataFrame = {
+    val byDayOp = log(spark, dir)
+      .selectExpr("seq_us DIV 86400000000 AS day", "operation")
+      .groupBy("day", "operation")
+      .agg(count(lit(1)).as("n_op"))
+    val byDay = byDayOp.groupBy("day").agg(sum(col("n_op")).as("n_day"))
+    val overall = byDayOp.groupBy("operation").agg(sum(col("n_op")).as("n_all"))
+    val total = log(spark, dir).count()
+    // FULL day×op grid — a day missing an op entirely contributes its
+    // |0 − q_op| mass (the langDrift zero-cells rule; a pure-DELETE day
+    // must score maximal drift, not skip the other ops' terms)
+    byDayOp.select("day").distinct()
+      .crossJoin(broadcast(overall))
+      .join(byDayOp, Seq("day", "operation"), "left").na.fill(0L, Seq("n_op"))
+      .join(byDay, "day")
+      .groupBy("day")
+      .agg(max(col("n_day")).as("n_events"),
+        // Σ|day_op/n_day − all_op/N| computed as integers over 2·n_day·N
+        sum(abs(expr(s"CAST(n_op AS DECIMAL(38,0)) * ${total}L - " +
+          "CAST(n_all AS DECIMAL(38,0)) * n_day"))).as("num"),
+        max(expr("CASE WHEN n_op * 2 > n_day THEN operation END"))
+          .as("majority_op"))
+      .selectExpr("day", "n_events",
+        s"CAST(num * 10000 DIV (2 * CAST(n_events AS DECIMAL(38,0)) * ${total}L) AS BIGINT) AS tvd_e4",
+        "majority_op")
+  }
+
   /** DuckDB oracle for [[lwwMerge]]: identical per-field winner windows. */
   def lwwMergeOracle(logCte: String): String =
     s"""$logCte,

@@ -1357,6 +1357,27 @@ class UtilSpec extends SparkSpec {
     assert(r.head.getAs[Long]("r2_e4") === 10000L)
   }
 
+  test("op-mix drift: a pure-DELETE day scores the hand-computed TVD and majority") {
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    val rows = Seq(
+      (1L, 0 * day, 1L, "signup", 0.0, "{}"), (2L, 0 * day + 1, 2L, "signup", 0.0, "{}"),
+      (3L, 0 * day + 2, 3L, "click", 0.0, "{}"), (4L, 0 * day + 3, 4L, "click", 0.0, "{}"),
+      (5L, 1 * day, 1L, "error", 0.0, "{}"), (6L, 1 * day + 1, 2L, "error", 0.0, "{}"),
+      (7L, 1 * day + 2, 3L, "error", 0.0, "{}"), (8L, 1 * day + 3, 4L, "error", 0.0, "{}"))
+    val dir = Files.createTempDirectory("opmix").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.cdc.Cdc.opMixDrift(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") -> r).toMap
+    // corpus mix I/U/D = 1/4, 1/4, 1/2; both days sit at TVD 1/2 from it
+    assert(out(0L).getAs[Long]("tvd_e4") === 5000L, out(0L).toString)
+    assert(out(0L).isNullAt(out(0L).fieldIndex("majority_op")),
+      "a 50/50 day has no STRICT majority")
+    assert(out(1L).getAs[Long]("tvd_e4") === 5000L)
+    assert(out(1L).getAs[String]("majority_op") === "DELETE")
+  }
+
   test("repeat purchase: two-order pair counts as repeat, lone pair does not") {
     import spark.implicits._
     val dir = Files.createTempDirectory("repeat").toString
