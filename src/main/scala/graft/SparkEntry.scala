@@ -262,6 +262,8 @@ object SparkEntry {
     "ev_segment_migration" -> ((s, d) => Events.segmentMigration(s, d)),
     // trailing-10-minute count/amount velocity flags
     "ev_velocity_rules" -> ((s, d) => Events.velocityRules(s, d)),
+    // dwell-time distribution per step: exact-rank P50/P90, capped tail
+    "ev_dwell_time" -> ((s, d) => Events.dwellTime(s, d)),
     // ABC/Pareto inventory classes on the distributed exact cumsum
     "q_abc_parts" -> ((s, d) => Tpch.qAbcParts(s, d)),
     // per-brand exact-integer OLS of quantity on discount points
@@ -2337,6 +2339,28 @@ object SparkEntry {
         |SELECT seg_from, seg_to, n_users,
         |  CAST(n_users * 1000000 // sum(n_users) OVER () AS BIGINT) AS share_ppm
         |FROM smg""".stripMargin,
+    "ev_dwell_time" ->
+      """WITH dwn AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_us
+        |  FROM events),
+        |dwf AS (SELECT event_type, event_id,
+        |    least(next_us - ts_us, 1800000000) AS dwell_us,
+        |    CASE WHEN next_us - ts_us >= 1800000000 THEN 1 ELSE 0 END AS capped
+        |  FROM dwn WHERE next_us IS NOT NULL),
+        |dwr AS (SELECT event_type, dwell_us, capped,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dwell_us, event_id) AS rnk,
+        |    count(*) OVER (PARTITION BY event_type) AS n_total
+        |  FROM dwf)
+        |SELECT event_type, CAST(max(n_total) AS BIGINT) AS n_dwells,
+        |  CAST(min(CASE WHEN rnk = (50 * n_total + 99) // 100
+        |    THEN dwell_us END) AS BIGINT) AS p50_dwell_us,
+        |  CAST(min(CASE WHEN rnk = (90 * n_total + 99) // 100
+        |    THEN dwell_us END) AS BIGINT) AS p90_dwell_us,
+        |  CAST(sum(capped) AS BIGINT) AS n_capped,
+        |  CAST(sum(capped) * 1000000 // max(n_total) AS BIGINT) AS capped_ppm
+        |FROM dwr GROUP BY 1""".stripMargin,
     "ev_velocity_rules" ->
       """WITH vre AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

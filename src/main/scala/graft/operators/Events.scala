@@ -1867,6 +1867,36 @@ object Events {
     strata.unionByName(pooled)
   }
 
+  /** #405 `ev_dwell_time` — dwell (time-on-step) distribution per event
+    * type: each event's gap to the SAME user's next event, capped at the
+    * session gap (30 min — past that the user left, the tail is absence
+    * not engagement), summarized as exact-rank P50/P90 (ceil-rank
+    * convention, [[Distributed.exactRank]] — no single-reducer
+    * percentile sort) plus the capped-tail share. The product metric
+    * behind "which step loses people": one lead() over the user
+    * partitioning the sessionizer already uses, then a type-sized
+    * aggregate.
+    */
+  def dwellTime(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val dwells = withTs(spark, dir)
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        least(col("next_us") - col("ts_us"), lit(GapUs)).as("dwell_us"),
+        (col("next_us") - col("ts_us") >= GapUs).cast("long").as("capped"))
+    val ranked = Distributed.exactRank(dwells, Seq("event_type"),
+      Seq("dwell_us", "event_id"))
+    ranked.groupBy("event_type")
+      .agg(max(col("n_total")).as("n_dwells"),
+        min(when(col("rnk") === expr("(50 * n_total + 99) DIV 100"),
+          col("dwell_us"))).as("p50_dwell_us"),
+        min(when(col("rnk") === expr("(90 * n_total + 99) DIV 100"),
+          col("dwell_us"))).as("p90_dwell_us"),
+        sum(col("capped")).as("n_capped"))
+      .withColumn("capped_ppm", expr("n_capped * 1000000 DIV n_dwells"))
+  }
+
   /** #385 `ev_segment_migration` — period-over-period segment flow (the
     * customer-migration matrix every retention review reads): the event
     * timeline splits at its midpoint (exact integer µs, reproducible — no

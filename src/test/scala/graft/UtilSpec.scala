@@ -1357,6 +1357,27 @@ class UtilSpec extends SparkSpec {
     assert(r.head.getAs[Long]("r2_e4") === 10000L)
   }
 
+  test("dwell time: gaps cap at the session bound, last events don't dwell") {
+    import spark.implicits._
+    val mn = 60L * 1000000000L
+    val rows = Seq(
+      (1L, 0 * mn, 1L, "view", 0.0, "{}"),   // dwell 5 min to e2
+      (2L, 5 * mn, 1L, "view", 0.0, "{}"),   // dwell 10 min to e3
+      (3L, 15 * mn, 1L, "view", 0.0, "{}"),  // dwell caps: 2h -> 30 min
+      (4L, 135 * mn, 1L, "view", 0.0, "{}")) // last: no dwell row
+    val dir = Files.createTempDirectory("dwell").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Events.dwellTime(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_dwells") === 3L)
+    // ranks asc: 5m, 10m, 30m(capped); p50 = ceil-rank 2 -> 10 min
+    assert(r.head.getAs[Long]("p50_dwell_us") === 10L * 60 * 1000000)
+    assert(r.head.getAs[Long]("p90_dwell_us") === 30L * 60 * 1000000)
+    assert(r.head.getAs[Long]("n_capped") === 1L)
+    assert(r.head.getAs[Long]("capped_ppm") === 333333L)
+  }
+
   test("op-mix drift: a pure-DELETE day scores the hand-computed TVD and majority") {
     import spark.implicits._
     val day = 86400L * 1000000000L
