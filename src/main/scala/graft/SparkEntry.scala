@@ -1639,7 +1639,7 @@ object SparkEntry {
         |uc3 AS (SELECT doc_id, url,
         |    regexp_replace(lower(pre), ':80$', '', 'g')
         |    || regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
-        |         'utm_[a-z]+=[^&]*(&|$)', '', 'g'), '[?&]$', '', 'g'),
+        |         '([?&])(utm_[a-z]+=[^&]*(&|$))+', '\1', 'g'), '[?&]$', '', 'g'),
         |         '/\?', '?', 'g'), '/$', '', 'g')
         |    AS canonical_url
         |  FROM uc2)
@@ -2597,7 +2597,9 @@ object SparkEntry {
         |SELECT CAST(-1 AS BIGINT), CAST(sum(n_treated) AS BIGINT),
         |  CAST(sum(n_control) AS BIGINT), CAST(NULL AS BIGINT),
         |  CAST(NULL AS BIGINT),
-        |  CAST(sum(effect_e4 * n_treated) // sum(n_treated) AS BIGINT)
+        |  CAST(CASE WHEN sum(effect_e4 * n_treated) < 0
+        |    THEN -((-sum(effect_e4 * n_treated)) // sum(n_treated))
+        |    ELSE sum(effect_e4 * n_treated) // sum(n_treated) END AS BIGINT)
         |FROM ate WHERE n_treated > 0 AND n_control > 0""".stripMargin,
     // the custom merge exec must land on EXACTLY the rows the
     // union+window path produces — one ASOF oracle serves both

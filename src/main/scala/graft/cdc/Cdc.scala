@@ -926,7 +926,10 @@ object Cdc {
       .agg(count(lit(1)).as("n_op"))
     val byDay = byDayOp.groupBy("day").agg(sum(col("n_op")).as("n_day"))
     val overall = byDayOp.groupBy("operation").agg(sum(col("n_op")).as("n_all"))
-    val total = log(spark, dir).count()
+    // the corpus total derives LAZILY from the already-aggregated op mix
+    // (a 1-row agg broadcast into the grid) — no second driver-side scan
+    // of the log, and building this frame triggers no job
+    val totalFrame = overall.agg(sum(col("n_all")).as("n_total"))
     // FULL day×op grid — a day missing an op entirely contributes its
     // |0 − q_op| mass (the langDrift zero-cells rule; a pure-DELETE day
     // must score maximal drift, not skip the other ops' terms)
@@ -934,15 +937,17 @@ object Cdc {
       .crossJoin(broadcast(overall))
       .join(byDayOp, Seq("day", "operation"), "left").na.fill(0L, Seq("n_op"))
       .join(byDay, "day")
+      .crossJoin(broadcast(totalFrame))
       .groupBy("day")
       .agg(max(col("n_day")).as("n_events"),
         // Σ|day_op/n_day − all_op/N| computed as integers over 2·n_day·N
-        sum(abs(expr(s"CAST(n_op AS DECIMAL(38,0)) * ${total}L - " +
+        sum(abs(expr("CAST(n_op AS DECIMAL(38,0)) * n_total - " +
           "CAST(n_all AS DECIMAL(38,0)) * n_day"))).as("num"),
+        max(col("n_total")).as("n_total"),
         max(expr("CASE WHEN n_op * 2 > n_day THEN operation END"))
           .as("majority_op"))
       .selectExpr("day", "n_events",
-        s"CAST(num * 10000 DIV (2 * CAST(n_events AS DECIMAL(38,0)) * ${total}L) AS BIGINT) AS tvd_e4",
+        "CAST(num * 10000 DIV (2 * CAST(n_events AS DECIMAL(38,0)) * n_total) AS BIGINT) AS tvd_e4",
         "majority_op")
   }
 

@@ -45,25 +45,45 @@ object BloomIndex {
       .write.mode("overwrite").parquet(idxPath)
   }
 
+  /** Distributed shortlist: evaluate `mightContain` over the index frame
+    * ON THE EXECUTORS and ship only (file_name, hit_flag) pairs back —
+    * the driver NEVER materializes a bloom payload. At 100 TB (~1 MB
+    * blooms × 10⁵ files ≈ 100 GB of filters) the old collect-everything
+    * shape was a driver OOM; names + flags are a few MB.
+    * Returns (filesTotal, hitFileNames).
+    */
+  def shortlist(spark: SparkSession, idxPath: String,
+      keys: Seq[Long]): (Long, Array[String]) = {
+    val keysArr = keys.toArray // small, serialized into the task closure
+    implicit val rowEnc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    implicit val outEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaBoolean)
+    val flagged = spark.read.parquet(idxPath)
+      .select(col("file"), col("bloom"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (file, blob) =>
+          val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(blob))
+          (file, keysArr.exists(bf.mightContainLong))
+        }
+      }
+      .collect() // names + booleans only; blobs die executor-side
+    (flagged.length.toLong, flagged.collect { case (f, true) => f })
+  }
+
   /** Point lookup THROUGH the index: shortlist files whose Bloom might
-    * contain any probe key, scan only those, exact-filter the survivors.
+    * contain any probe key (distributed — see [[shortlist]]), scan only
+    * those, exact-filter the survivors.
     * Returns (matches, filesTotal, filesRead).
     */
   def lookup(spark: SparkSession, tablePath: String, idxPath: String,
       keyCol: String, keys: Seq[Long]): (DataFrame, Long, Long) = {
-    val idx = spark.read.parquet(idxPath)
-      .select("file", "bloom").collect()
-    val hits = idx.filter { r =>
-      val bf = BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-      keys.exists(bf.mightContainLong)
-    }.map(_.getString(0))
+    val (total, hits) = shortlist(spark, idxPath, keys)
     val matches =
       if (hits.isEmpty) spark.read.parquet(tablePath).limit(0)
         .filter(col(keyCol).isin(keys: _*))
       else spark.read.parquet(hits.toIndexedSeq: _*)
         .filter(col(keyCol).isin(keys: _*))
-    (matches, idx.length.toLong, hits.length.toLong)
+    (matches, total, hits.length.toLong)
   }
 
   private val demoMemo =

@@ -943,7 +943,8 @@ object Dedup {
     * query params, the path itself, a non-default port). The steps are a
     * fixed regexp pipeline in the Java∩RE2 common dialect (anchors +
     * character classes, no lookaround), so the DuckDB oracle replays the
-    * identical expression text byte-for-byte.
+    * identical PATTERN text byte-for-byte (rewrite-group syntax is the
+    * one divergence: Java `$1` vs RE2 `\1`).
     */
   def canonicalUrl(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     // 1. drop the fragment
@@ -953,9 +954,14 @@ object Dedup {
     val pre = regexp_extract(noFrag, "^([a-zA-Z]+://[^/?]+)", 1)
     val rest = noFrag.substr(length(pre) + lit(1), lit(1 << 20))
     val canonPre = regexp_replace(lower(pre), ":80$", "")
-    // 3. strip utm_* params (value up to the next & ; the param's own
-    //    trailing & goes with it, a dangling ? or & is swept after)
-    val noUtm = regexp_replace(rest, "utm_[a-z]+=[^&]*(&|$)", "")
+    // 3. strip utm_* params — anchored to a ?/& separator so a param
+    //    whose NAME merely ends in "utm_" (?xutm_source=1) or a path
+    //    segment containing "utm_...=" is never touched; a run of
+    //    consecutive utm params is consumed in one match (the (...)+),
+    //    the kept separator may dangle and is swept after. The one
+    //    cross-engine divergence is rewrite-group syntax ($1 here,
+    //    \1 in the DuckDB oracle) — the PATTERN text is identical.
+    val noUtm = regexp_replace(rest, "([?&])(utm_[a-z]+=[^&]*(&|$))+", "$1")
     val sweep = regexp_replace(noUtm, "[?&]$", "")
     // 4. trailing path slash: bare end or immediately before the query
     val noSlash = regexp_replace(regexp_replace(sweep, "/\\?", "?"), "/$", "")

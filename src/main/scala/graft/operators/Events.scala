@@ -1861,9 +1861,13 @@ object Events {
       .agg(sum(col("n_treated")).as("n_treated"),
         sum(col("n_control")).as("n_control"),
         sum(expr("effect_e4 * n_treated")).as("wsum"))
+      // sign-split: Spark DIV truncates toward zero, DuckDB // floors —
+      // a negative pooled effect (treated spend < control) would diverge
+      // by one ULP without this (same guard as qRevenueMomentum)
       .selectExpr("CAST(-1 AS BIGINT) AS stratum", "n_treated", "n_control",
         "CAST(NULL AS BIGINT) AS t_mean_e4", "CAST(NULL AS BIGINT) AS c_mean_e4",
-        "wsum DIV n_treated AS effect_e4")
+        "CASE WHEN wsum < 0 THEN -((-wsum) DIV n_treated) " +
+          "ELSE wsum DIV n_treated END AS effect_e4")
     strata.unionByName(pooled)
   }
 

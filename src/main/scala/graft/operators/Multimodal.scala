@@ -587,10 +587,36 @@ object Multimodal {
 
   private val SampleRate = 8000f
 
+  /** The canonical 44-byte RIFF/WAVE framing over a raw PCM buffer —
+    * byte-identical to what `AudioSystem.write(…, Type.WAVE, …)` emits
+    * for integer PCM (RIFF size = 36+data, 16-byte fmt chunk, format
+    * tag 1), hand-rolled because the AudioSystem path re-streams the
+    * PCM through an AudioInputStream per row and dominated the encode
+    * constant at sf1 (~8-9× family wall at 10× data was all container
+    * framing). ImageDecodeSpec pins byte-parity against AudioSystem.
+    */
+  private[graft] def wavBytes(pcm: Array[Byte], sampleRate: Int,
+      channels: Int, bits: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(36 + pcm.length)
+      .put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+      .put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(pcm.length).put(pcm)
+    bb.array()
+  }
+
   /** Synthesize REAL WAV binaries executor-side: 16-bit little-endian
     * mono PCM whose samples cycle through the document's bytes, wrapped
-    * in a genuine RIFF/WAVE container by javax.sound.sampled — the audio
-    * twin of [[imagePayloads]].
+    * in the genuine RIFF/WAVE container frame ([[wavBytes]] — the direct
+    * 44-byte header write; the DECODE arm keeps javax.sound.sampled,
+    * that's the real-codec claim) — the audio twin of [[imagePayloads]].
     */
   def audioPayloads(spark: SparkSession, dir: String): Dataset[MediaIn] = {
     implicit val enc = Encoders.product[MediaIn]
@@ -603,7 +629,6 @@ object Multimodal {
       // rest idle (measured 10.9 s -> ~2 s for the video census at sf0.1)
       .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
-        val baos = new java.io.ByteArrayOutputStream(4096)
         it.map { case (id, text) =>
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val n = audioFrames(id)
@@ -617,14 +642,7 @@ object Multimodal {
             pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
             i += 1
           }
-          val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1,
-            true, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-          baos.reset()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-          MediaIn(id, baos.toByteArray)
+          MediaIn(id, wavBytes(pcm, SampleRate.toInt, channels = 1, bits = 16))
         }
       }
   }

@@ -223,7 +223,23 @@ object Profile {
     def enc(v: Any): String = if (v == null) null else v.toString
     def same(a: Any, b: Any): Boolean =
       (a == null && b == null) || (a != null && a == b)
-    val out = candidates.flatMap { cand =>
+    // the candidate jobs are INDEPENDENT (each is its own range-shuffle +
+    // stats pass over the same projection), so they submit CONCURRENTLY
+    // from a candidate-sized thread pool over one shared cached
+    // projection — the scheduler interleaves their sampling/shuffle/stat
+    // stages instead of serializing ~candidate-count wall-clock
+    val allNeeded =
+      (candidates.flatten ++ tiebreak ++ payloads).distinct
+    val base = df.select(allNeeded.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.foreach(_ => ()) // materialize ONCE, before the fork (no cache races)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, candidates.length))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val out = try {
+      Await.result(Future.sequence(candidates.map { cand => Future {
       val orderCols = (cand ++ tiebreak).distinct
       val needed = (orderCols ++ payloads).distinct
       val parts = spark.sessionState.conf.numShufflePartitions
@@ -231,7 +247,7 @@ object Profile {
       val k = pidx.length
       // stats: (pid, n, perPayloadChanges, firstEnc, lastEnc) — one element
       // per non-empty partition, gathered in a single job
-      val stats = df.select(needed.map(col): _*)
+      val stats = base.select(needed.map(col): _*)
         .repartitionByRange(parts, orderCols.map(col): _*)
         .sortWithinPartitions(orderCols.map(col): _*)
         .rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -270,6 +286,10 @@ object Profile {
         (cand.mkString(","), p, nRows, runs,
           if (runs == 0L) 0L else nRows * 100L / runs)
       }
+      }}), Duration.Inf).flatten
+    } finally {
+      pool.shutdown()
+      base.unpersist(blocking = false)
     }
     import spark.implicits._
     out.toDF("sort_key", "payload", "n_rows", "n_runs", "avg_run_e2")

@@ -48,13 +48,29 @@ object KafkaLag {
     * as a checkpointed stream drains the topic).
     */
   def lagDemo(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-kafkalag").toString
+    val rootPath = java.nio.file.Files.createTempDirectory("graft-kafkalag")
+    val root = rootPath.toString
     val topic = "orders_cdc"
     val recs = (0 until 256).map(i => ((i % 4).toString, s"""{"i":$i}"""))
     EmbeddedTopicLog.produce(root, topic, recs, partitions = 4)
     val committed = (0 until 4).map { p =>
       p -> EmbeddedTopicLog.endOffset(root, topic, p) * 3 / 4
     }.toMap
-    consumerLag(spark, root, topic, committed)
+    val lag = consumerLag(spark, root, topic, committed)
+    // consumerLag materializes the metadata rows eagerly (the frame is a
+    // LocalRelation — no lazy file access survives), so the embedded topic
+    // is garbage the moment the frame exists: delete it NOW rather than
+    // leaking one temp tree per invocation across 352-query sweeps
+    deleteRecursively(rootPath)
+    lag
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(c => deleteRecursively(c)) finally s.close()
+    }
+    Files.deleteIfExists(p)
   }
 }

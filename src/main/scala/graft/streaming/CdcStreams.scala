@@ -233,14 +233,23 @@ object CdcStreams {
         Encoders.product[RecentEv], org.apache.spark.sql.streaming.TTLConfig.NONE)
     override def handleInputRows(uid: Long, evs: Iterator[Ev],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[RecentOut] = {
-      var buf = recent.get().toVector
+      val prior = recent.get().toVector
+      var buf = prior
       val out = evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
         buf = (buf :+ RecentEv(e.ts_us, e.event_id,
           math.round(e.value * 100))).takeRight(n)
         RecentOut(uid, e.event_id, buf.length.toLong, buf.map(_.cents).sum)
       }
-      recent.clear()
-      recent.appendList(buf.toArray)
+      // common (non-full) case: the prior rows are an untrimmed prefix of
+      // the new buffer → append ONLY the new suffix as individual puts
+      // (the reason ListState exists); full clear+rewrite pays only when
+      // trimming actually dropped a head element
+      if (buf.startsWith(prior)) {
+        buf.drop(prior.length).foreach(recent.appendValue)
+      } else {
+        recent.clear()
+        recent.appendList(buf.toArray)
+      }
       out.iterator
     }
   }

@@ -523,7 +523,14 @@ class DedupSpec extends SparkSpec {
       ("http://example.com/p?a=1&utm_medium=m&b=2",
         "http://example.com/p?a=1&b=2"),
       // bare root slash
-      ("http://example.com/", "http://example.com"))
+      ("http://example.com/", "http://example.com"),
+      // a param NAME merely ending in utm_ is NOT tracking noise
+      ("http://example.com/p?xutm_source=1", "http://example.com/p?xutm_source=1"),
+      // a path segment containing utm_...= is untouched
+      ("http://example.com/utm_source=1/p?a=1", "http://example.com/utm_source=1/p?a=1"),
+      // consecutive utm params collapse in one pass
+      ("http://example.com/p?utm_a=1&utm_b=2&ref=x", "http://example.com/p?ref=x"),
+      ("http://example.com/p?utm_a=1&utm_b=2", "http://example.com/p"))
     val got = cases.toDF("url", "want")
       .withColumn("canon", Dedup.canonicalUrl(col("url"))).collect()
     got.foreach(r =>

@@ -124,6 +124,29 @@ class ImageDecodeSpec extends SparkSpec {
     payloads.unpersist(); feats.unpersist()
   }
 
+  test("hand-rolled RIFF framing is byte-identical to AudioSystem.write") {
+    // the encode arm frames PCM with the direct 44-byte header (wavBytes);
+    // this pins it against the javax.sound.sampled writer it replaced —
+    // any drift in the container layout fails here, not in a decoder
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(0, 1, 64, 193)) {
+      val pcm = new Array[Byte](n * 2)
+      rnd.nextBytes(pcm)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      val expected = baos.toByteArray
+      val got = Multimodal.wavBytes(pcm, 8000, channels = 1, bits = 16)
+      assert(java.util.Arrays.equals(got, expected),
+        s"n=$n: ${got.length} vs ${expected.length} bytes, " +
+          s"header got=${got.take(44).mkString(",")} " +
+          s"want=${expected.take(44).mkString(",")}")
+    }
+  }
+
   test("pHash: brightness-shift invariant, noise-tolerant, separates distinct images") {
     import spark.implicits._
     implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaIn]

@@ -66,4 +66,36 @@ class ZoneMapSpec extends SparkSpec {
     assert(none.count() === 0L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("bloom shortlist is distributed: driver sees file NAMES, never payloads") {
+    import spark.implicits._
+    import graft.operators.BloomIndex
+    val root = java.nio.file.Files.createTempDirectory("bfidx2").toString
+    // a many-file table (64 files) — the shape where collecting the bloom
+    // payloads to the driver would be the 100 GB mistake at 100 TB scale
+    val df = (1L to 16000L).map(i => (i % 800, i)).toDF("k", "payload")
+    df.repartition(64, col("k")).write.parquet(s"$root/t")
+    BloomIndex.build(spark, s"$root/t", "k", s"$root/idx")
+    val probes = Seq(3L, 42L)
+    val (total, hits) = BloomIndex.shortlist(spark, s"$root/idx", probes)
+    assert(total === 64L)
+    // shortlist carries ONLY path strings (payloads die executor-side)
+    assert(hits.forall(_.endsWith(".parquet")), hits.mkString(","))
+    assert(hits.length < 64, s"no pruning: ${hits.length} of 64")
+    // no false negatives: every file that truly holds a probe key is listed
+    val truth = spark.read.parquet(s"$root/t")
+      .filter(col("k").isin(probes: _*))
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(truth.subsetOf(hits.toSet),
+      s"missed files: ${truth.diff(hits.toSet).mkString(",")}")
+    // end-to-end through lookup: identical answer to an unpruned scan
+    val (m, t2, r2) = BloomIndex.lookup(spark, s"$root/t", s"$root/idx", "k", probes)
+    assert(t2 === 64L && r2 === hits.length.toLong)
+    val expected = df.filter(col("k").isin(probes: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m.select("k", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
