@@ -1,0 +1,242 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.EmbeddedTopicLog
+import graft.streaming.CdcStreams
+
+/** Sustained streaming-throughput benchmark over the full CDC gold path:
+  * kafkalog produce → Debezium silver parse → SCD1 gold apply — the ONE
+  * reference number no batch bench can answer. The reference PUBLISHES
+  * its envelope: 10,000–50,000 events/sec through its custom datasource
+  * with a 45K events/sec peak and 87 ms average end-to-end latency
+  * (reference: COMPARISON.md:33-34,139-143). This main drives the same
+  * three-stage architecture this library claims — broker-less topic log
+  * with the Kafka read contract ([[graft.sources.KafkaLogSource]]),
+  * `from_json` envelope parse ([[graft.cdc.Debezium.parseEnvelope]]),
+  * latest-per-key MERGE with delete semantics
+  * ([[CdcStreams.applyCdcBatch]]) — under a sustained producer for
+  * ≥60 s of steady state, and prints ONE JSON line into
+  * `BENCH_STREAM.json`.
+  *
+  * Measurement protocol: a producer thread appends Debezium-envelope
+  * JSON continuously (rate-unbounded, backlog-capped so disk stays
+  * bounded and the consumer is never starved — the stream is always
+  * admission-controlled by `maxOffsetsPerTrigger`, never input-limited);
+  * a StreamingQueryListener stamps every micro-batch with (rows,
+  * trigger duration, wall end time). Batches completing inside the
+  * first `warmupSec` are discarded (JIT + codegen + first gold write);
+  * throughput = measured rows / measured wall window. p50/p95 batch
+  * latency is the micro-batch trigger duration — the honest analog of
+  * the reference's record-level 87 ms: Structured Streaming amortizes
+  * per-event cost into batches, so per-EVENT latency is bounded by the
+  * batch interval (reported), not comparable to a record-at-a-time
+  * engine's per-record clock.
+  *
+  * Scale notes (100 TB / real cluster): every stage here is the shape
+  * that scales — the topic read is partition-parallel (one task per
+  * partition per batch), the parse is whole-stage-codegen'd `from_json`,
+  * and the SCD1 apply shuffles the micro-batch against a key-bounded
+  * gold table. On a 1000-executor cluster the same plan widens by
+  * partition count; the single-node number below is the per-node
+  * contribution floor, measured on the same local[32] box the batch
+  * bench uses.
+  */
+object BenchStream {
+
+  /** One deterministic Debezium envelope (byte-stable given its inputs —
+    * reruns produce identical streams). Field layout mirrors
+    * [[graft.cdc.Debezium.envelopeSchema]]; before/after are the raw
+    * JSON images, op ∈ c/u/d, ts_ms monotone in event id so
+    * latest-per-key is well-defined without wall clocks.
+    */
+  def envelope(eventId: Long, userId: Long, op: Char, tsMs: Long,
+      valueCents: Long): String = {
+    val img =
+      s"""{"user_id":$userId,"event_id":$eventId,"value":${valueCents / 100.0}}"""
+    val before = if (op == 'c') "null" else img
+    val after = if (op == 'd') "null" else img
+    s"""{"before":$before,"after":$after,"source":{"version":"2.4.0","connector":"mysql","name":"graft","ts_ms":$tsMs,"snapshot":"false","db":"graftdb","table":"events","server_id":1,"gtid":"0-1-$eventId","file":"binlog.000001","pos":${eventId * 4},"row":0,"thread":7,"query":null},"op":"$op","ts_ms":$tsMs,"transaction":{"id":"tx-$userId","total_order":1,"data_collection_order":1}}"""
+  }
+
+  /** A produce chunk of `n` keyed records starting at `fromId`: user =
+    * id mod keySpace (key-sticky partitioning — Kafka's per-key ordering
+    * contract), op mix 5% DELETE / 19% INSERT / 76% UPDATE by id, ts_ms
+    * = id (monotone).
+    */
+  def chunk(fromId: Long, n: Int, keySpace: Int): Seq[(String, String)] =
+    (fromId until fromId + n).map { id =>
+      val user = id % keySpace
+      val op = if (id % 20 == 0) 'd' else if (id % 5 == 0) 'c' else 'u'
+      (user.toString, envelope(id, user, op, tsMs = id, valueCents = id % 10000))
+    }
+
+  /** Silver projection: raw Kafka-contract rows → parsed envelope →
+    * the (user_id, operation, ts_us, event_id, value) frame
+    * [[CdcStreams.applyCdcBatch]] merges. Identity fields come out of
+    * the captured image (after for upserts, before for deletes) — the
+    * same second-level extraction `cdc_debezium_parse` pins against the
+    * DuckDB oracle.
+    */
+  def silver(raw: DataFrame): DataFrame =
+    graft.cdc.Debezium
+      .parseEnvelope(raw.selectExpr("CAST(value AS STRING) AS cdc_event"), "cdc_event")
+      .selectExpr(
+        "CAST(get_json_object(coalesce(after_image, before_image), '$.user_id') AS BIGINT) AS user_id",
+        "operation",
+        "event_ts_ms * 1000 AS ts_us",
+        "CAST(get_json_object(coalesce(after_image, before_image), '$.event_id') AS BIGINT) AS event_id",
+        "CAST(coalesce(get_json_object(after_image, '$.value'), '0') AS DOUBLE) AS value")
+
+  /** Start the gold query: kafkalog micro-batch stream → silver →
+    * foreachBatch SCD1 apply onto `goldPath`. `maxPerTrigger` is the
+    * admission-control knob (lag-proportional across partitions inside
+    * the source).
+    */
+  def startGoldQuery(spark: SparkSession, logRoot: String, topic: String,
+      goldPath: String, checkpoint: String,
+      maxPerTrigger: Long): StreamingQuery = {
+    val raw = spark.readStream.format("kafkalog")
+      .option("path", logRoot).option("topic", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxPerTrigger.toString)
+      .load()
+    silver(raw).writeStream
+      .queryName("bench_stream_gold")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        CdcStreams.applyCdcBatch(spark, batch, goldPath)
+      }
+      .start()
+  }
+
+  private case class BatchStat(batchId: Long, rows: Long, durMs: Long,
+      endNanos: Long)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val warmupSec = sys.env.getOrElse("SPARK_GRAFT_STREAM_WARMUP", "20").toInt
+    val measureSec = sys.env.getOrElse("SPARK_GRAFT_STREAM_SEC", "60").toInt
+    val keySpace = sys.env.getOrElse("SPARK_GRAFT_STREAM_KEYS", "100000").toInt
+    val partitions = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "16").toInt
+    val maxPerTrigger =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_TRIGGER", "250000").toLong
+    val produceChunk = 25000
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = Files.createTempDirectory("graft-benchstream").toString
+    val (logRoot, topic) = (s"$root/log", "bench_cdc")
+    val (gold, ckpt) = (s"$root/gold", s"$root/ckpt")
+
+    val produced = new AtomicLong(0L)
+    val consumed = new AtomicLong(0L)
+    val stop = new AtomicBoolean(false)
+    // backlog cap: the producer stays 2-4 triggers ahead — the consumer
+    // is never input-starved, disk usage stays bounded (~4 triggers of
+    // ~350-byte envelopes), and throughput is consumer-limited by
+    // construction (the quantity under test)
+    val backlogCap = 4 * maxPerTrigger
+
+    val stats = new java.util.concurrent.ConcurrentLinkedQueue[BatchStat]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        consumed.addAndGet(p.numInputRows)
+        // triggerExecution is the batch's total wall; the other durationMs
+        // entries (addBatch, getBatch, walCommit, …) are its COMPONENTS —
+        // summing the map double-counts
+        val dur = Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue()).getOrElse(0L)
+        stats.add(BatchStat(p.batchId, p.numInputRows, dur, System.nanoTime()))
+      }
+    }
+    spark.streams.addListener(listener)
+
+    // seed the topic so batch 0 has data, then sustain from TWO producer
+    // threads (a single thread builds envelopes at ~180K/s — below what
+    // the consumer drains; two keep the bench consumer-limited, which is
+    // the quantity under test). Threads own disjoint alternating id
+    // blocks; produce() itself serializes per topic, so segment offsets
+    // never race. Cross-thread interleaving can reorder APPENDS but not
+    // SCD1 semantics: ts_ms = id and the gold window orders by
+    // (ts_us, event_id), so latest-per-key is append-order independent.
+    val nProducers = 2
+    produced.addAndGet(EmbeddedTopicLog.produce(logRoot, topic,
+      chunk(0L, produceChunk, keySpace), partitions))
+    val producers = (0 until nProducers).map { t =>
+      val th = new Thread(() => {
+        var block = 1L + t // block 0 was the seed
+        while (!stop.get()) {
+          if (produced.get() - consumed.get() > backlogCap) Thread.sleep(5)
+          else {
+            EmbeddedTopicLog.produce(logRoot, topic,
+              chunk(block * produceChunk, produceChunk, keySpace), partitions)
+            block += nProducers
+            produced.addAndGet(produceChunk)
+          }
+        }
+      }, s"benchstream-producer-$t")
+      th.setDaemon(true)
+      th
+    }
+
+    val q = startGoldQuery(spark, logRoot, topic, gold, ckpt, maxPerTrigger)
+    val t0 = System.nanoTime()
+    producers.foreach(_.start())
+    val cutoffNanos = t0 + warmupSec * 1000000000L
+    Thread.sleep((warmupSec + measureSec) * 1000L)
+    stop.set(true)
+    producers.foreach(_.join(5000))
+    val backlogEnd = produced.get() - consumed.get()
+    q.stop()
+    q.awaitTermination(30000)
+
+    val all = stats.toArray(Array.empty[BatchStat]).sortBy(_.batchId)
+    val measured = all.filter(s => s.endNanos >= cutoffNanos && s.rows > 0)
+    val tEnd = measured.lastOption.map(_.endNanos).getOrElse(cutoffNanos)
+    val wallSec = math.max((tEnd - cutoffNanos) / 1e9, 1e-9)
+    val nEvents = measured.map(_.rows).sum
+    val evPerSec = nEvents / wallSec
+    val durs = measured.map(_.durMs).sorted
+    def pct(p: Double): Long =
+      if (durs.isEmpty) 0L
+      else durs(math.min(durs.length - 1, math.ceil(p * durs.length).toInt - 1))
+    val procPerSec =
+      if (measured.isEmpty) 0.0
+      else nEvents.toDouble * 1000.0 / math.max(measured.map(_.durMs).sum, 1L)
+    val goldRows =
+      try spark.read.parquet(gold).count() catch { case _: Exception => -1L }
+
+    val json =
+      s"""{"metric":"stream_events_per_sec","value":${evPerSec.round},""" +
+        s""""unit":"events/sec","sustained_sec":${"%.1f".format(wallSec)},""" +
+        s""""events_measured":$nEvents,"batches_measured":${measured.length},""" +
+        s""""p50_batch_ms":${pct(0.50)},"p95_batch_ms":${pct(0.95)},""" +
+        s""""processing_events_per_sec":${procPerSec.round},""" +
+        s""""warmup_sec":$warmupSec,"max_offsets_per_trigger":$maxPerTrigger,""" +
+        s""""partitions":$partitions,"key_space":$keySpace,""" +
+        s""""gold_rows":$goldRows,"produced_total":${produced.get()},""" +
+        s""""backlog_end":$backlogEnd,""" +
+        s""""pipeline":"kafkalog -> debezium silver parse -> SCD1 gold apply",""" +
+        s""""reference_envelope":"10000-50000 ev/s sustained, 45000 peak, 87ms avg latency (COMPARISON.md:33-34,139-143)"}"""
+    Files.writeString(Paths.get("BENCH_STREAM.json"), json)
+    println(json)
+    // the embedded log/checkpoint/gold are scratch — delete like lagDemo
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    spark.stop()
+  }
+}

@@ -792,12 +792,26 @@ object CdcStreams {
     * (reference: unity_catalog_cdc_demo.py:300-447 does the same with Delta
     * MERGE/DELETE; parquet-overwrite stands in for the table format).
     */
+  /** True iff `e` means "the target doesn't exist yet" (first batch) —
+    * the ONLY failure an upsert may treat as an empty table. Any other
+    * read failure (interrupt during query stop, transient IO) must
+    * propagate: swallowing it as "empty" would silently merge the batch
+    * against nothing and TRUNCATE the target to the batch's keys.
+    */
+  private def isMissingTarget(e: Throwable): Boolean = e match {
+    case a: org.apache.spark.sql.AnalysisException =>
+      a.getErrorClass == "PATH_NOT_FOUND" ||
+        Option(a.getMessage).exists(_.contains("Path does not exist"))
+    case _: java.io.FileNotFoundException => true
+    case _ => false
+  }
+
   def applyCdcBatch(spark: SparkSession, batch: DataFrame, targetPath: String): Unit = {
     val incoming = batch.select("user_id", "operation", "ts_us", "event_id", "value")
     val existing =
       try spark.read.parquet(targetPath)
         .select("user_id", "operation", "ts_us", "event_id", "value")
-      catch { case _: Exception => spark.createDataFrame(
+      catch { case e: Exception if isMissingTarget(e) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
     val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
     val merged = existing.unionByName(incoming)
@@ -847,7 +861,7 @@ object CdcStreams {
       try spark.read.parquet(targetRoot)
         .filter(col("src_table").isin(affected: _*))
         .select(cols.map(col): _*)
-      catch { case _: Exception => spark.createDataFrame(
+      catch { case e: Exception if isMissingTarget(e) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
     val w = Window.partitionBy("src_table", "entity_key")
       .orderBy(col("seq").desc, col("operation"))

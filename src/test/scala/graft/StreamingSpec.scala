@@ -915,4 +915,49 @@ class StreamingSpec extends SparkSpec {
         s"offset gap in partition ${r.getInt(0)}: $r")
     }
   }
+
+  test("BenchStream gold path: multi-batch SCD1 equals a one-shot replay") {
+    // pins the throughput harness (#BENCH_STREAM.json): same producer
+    // chunks, same silver projection, same admission-controlled gold
+    // query — at toy scale, against a brute-force single-pass oracle
+    import graft.sources.EmbeddedTopicLog
+    val root = tmpDir("benchstream")
+    val (logRoot, topic) = (s"$root/log", "bench_cdc")
+    // small keyspace → heavy per-key collision (updates AND deletes land
+    // on keys that already have state)
+    (0 until 3).foreach { b =>
+      EmbeddedTopicLog.produce(logRoot, topic,
+        BenchStream.chunk(b * 1000L, 1000, keySpace = 97), partitions = 4)
+    }
+    val q = BenchStream.startGoldQuery(spark, logRoot, topic,
+      s"$root/gold", s"$root/ckpt", maxPerTrigger = 700L)
+    try q.processAllAvailable() finally q.stop()
+    // admission control actually split the log into several micro-batches
+    // (the incremental-apply path is what ran, not one big batch)
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(nBatches >= 4, s"expected >=4 admission-controlled batches, got $nBatches")
+    // oracle: one-shot latest-per-key over the SAME silver projection
+    val raw = spark.read.format("kafkalog")
+      .option("path", logRoot).option("topic", topic).load()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+    val expected = BenchStream.silver(raw)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("operation") =!= "DELETE").drop("rn")
+      .select("user_id", "operation", "ts_us", "event_id", "value")
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(s"$root/gold")
+      .select("user_id", "operation", "ts_us", "event_id", "value")
+      .collect().map(_.toSeq).toSet
+    assert(got === expected,
+      s"gold diverged: ${got.diff(expected).take(3)} vs ${expected.diff(got).take(3)}")
+    // delete semantics actually exercised: some keys' latest op is DELETE
+    // and they are absent from gold
+    val deleted = BenchStream.silver(raw)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("operation") === "DELETE")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(deleted.nonEmpty, "op mix planted no final deletes — weak test")
+    assert(got.forall(r => !deleted.contains(r.head.asInstanceOf[Long])))
+  }
 }
