@@ -516,6 +516,8 @@ object SparkEntry {
     // production path: LSH-blocked candidates + exact verify (rows-only:
     // bucket fn not expressible in the oracle's SQL)
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
+    // the banding funnel audit: vectors -> banded -> candidates -> verified
+    "dedup_lsh_accounting" -> ((s, d) => Dedup.embeddingLshAccounting(s, d)),
     "ann_cosine_topk" -> ((s, d) => Similarity.annCosineTopK(s, d)),
     // radius retrieval: every neighbor with cosine >= tau, not top-k
     "ann_range_search" -> ((s, d) => Similarity.annRangeSearch(s, d)),
@@ -1803,6 +1805,25 @@ object SparkEntry {
          |       FROM cand c JOIN e es ON es.vec_id = c.src
          |       JOIN e ed ON ed.vec_id = c.dst)
          |SELECT id_a, id_b, round(cosr, 4) AS cos FROM sc WHERE cosr > 0.4""".stripMargin,
+    // uncapped funnel replay — equality with the capped Spark run IS the
+    // cap-invariance proof at oracle SFs (no bucket near EmbBucketCap)
+    "dedup_lsh_accounting" ->
+      s"""WITH ${lshCandCte(8, 8)},
+         |lav AS (SELECT c.src, c.dst,
+         |         list_cosine_similarity(es.emb, ed.emb) AS cosr
+         |       FROM cand c JOIN e es ON es.vec_id = c.src
+         |       JOIN e ed ON ed.vec_id = c.dst),
+         |lac AS (SELECT
+         |    (SELECT count(*) FROM e) AS n_vectors,
+         |    (SELECT count(*) FROM bkt) AS n_banded,
+         |    (SELECT count(*) FROM cand) AS n_candidates,
+         |    (SELECT count(*) FROM lav WHERE cosr > 0.4) AS n_verified)
+         |SELECT n_vectors, n_banded, n_candidates, n_verified,
+         |  CASE WHEN n_vectors > 0
+         |    THEN n_candidates * 10000 // n_vectors END AS cand_per_vector_e4,
+         |  CASE WHEN n_candidates > 0
+         |    THEN n_verified * 10000 // n_candidates END AS precision_e4
+         |FROM lac""".stripMargin,
     // seed-distance replay: six unrolled BFS relaxations, each one
     // edge-join + per-node (hops, lbl) arg-min — deterministic integers
     "graph_seed_distance" ->

