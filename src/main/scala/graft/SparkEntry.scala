@@ -661,6 +661,21 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     }),
+    // FK-consistent multi-table transaction workload (cdcgen mode=txn):
+    // per (scenario, table, op) event/txn census + lineitem cents mass —
+    // the DuckDB oracle REGENERATES the workload from the same SplitMix64
+    // arithmetic (int128 replay), so the correlated generator itself is
+    // hash-gated, not just spec-gated
+    "cdc_txn_workload" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("cdcgen").option("mode", "txn").option("txns", 2000)
+        .option("partitions", 8).load()
+        .groupBy("scenario", "src_table", "operation")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("txn_id")).as("n_txns"),
+          sum(expr("CAST(get_json_object(payload, '$.l_extendedprice_c') AS BIGINT)"))
+            .as("line_cents"))
+    }),
     // unigram-LM quality scoring (quantized-log2 surprise)
     "doc_lm_score" -> ((s, d) => Text.docLmScore(s, d)),
     // winnowing (MOSS) fingerprint profile
@@ -972,6 +987,42 @@ object SparkEntry {
        |    ['signup','click','view','purchase','error']
        |      [CAST(${floorMod64Sql("gme", 5)} AS INT) + 1] AS event_type
        |  FROM gd)""".stripMargin
+
+  /** CTE chain replaying the cdcgen `mode=txn` workload plans (seed=42,
+    * parts=200): `tscen(t, scenario, n_lines, n_parts)` per txn and
+    * `tlines(t, l, price)` per new-order lineitem — enough to regenerate
+    * every count and cents mass the workload census aggregates.
+    */
+  private def cdcTxnCte(txns: Long): String =
+    s"""txids AS (SELECT CAST(range AS HUGEINT) AS t FROM range(0, $txns)),
+       |txm AS (SELECT t,
+       |    ${mixStagesSql("txmid", "t")}
+       |  FROM txids),
+       |txh AS (SELECT t,
+       |    ${mixStagesSql("txhh", "xor(CAST(42 AS HUGEINT), txmid)")}
+       |  FROM txm),
+       |txd AS (SELECT t, txhh,
+       |    ${mixStagesSql("txnl", s"xor(txhh, ${0x22222222L})")},
+       |    ${mixStagesSql("txnp", s"xor(txhh, ${0x44444444L})")}
+       |  FROM txh),
+       |tscen AS (SELECT t, txhh,
+       |    CASE WHEN t % 5 <= 2 THEN 'new_customer_order'
+       |         WHEN t % 5 = 3 THEN 'process_return'
+       |         ELSE 'update_prices' END AS scenario,
+       |    CAST(1 + ${floorMod64Sql("txnl", 5)} AS BIGINT) AS n_lines,
+       |    CAST(1 + ${floorMod64Sql("txnp", 3)} AS BIGINT) AS n_parts
+       |  FROM txd),
+       |tlraw AS (SELECT s.t, CAST(lr.range + 1 AS HUGEINT) AS l, s.txhh
+       |  FROM tscen s, range(0, 5) lr
+       |  WHERE s.scenario = 'new_customer_order' AND lr.range + 1 <= s.n_lines),
+       |tlmix AS (SELECT t, l,
+       |    ${mixStagesSql("tlpk", "xor(txhh, 256 + l)")},
+       |    ${mixStagesSql("tlq", "xor(txhh, 512 + l)")}
+       |  FROM tlraw),
+       |tlines AS (SELECT t, l,
+       |    (CAST(1 + ${floorMod64Sql("tlq", 10)} AS BIGINT)) *
+       |      (10000 + CAST(${floorMod64Sql("tlpk", 200)} AS BIGINT) % 90000) AS price
+       |  FROM tlmix)""".stripMargin
 
   // ---- LSH / MinHash kernel replay in portable SQL ----------------------
   // The hyperplane-LSH bucket (functions/TextHashes.hyperplaneBucket) and
@@ -2097,6 +2148,29 @@ object SparkEntry {
          |SELECT event_type, count(*) AS n,
          |  count(DISTINCT user_id) AS n_users
          |FROM gen GROUP BY 1""".stripMargin,
+    "cdc_txn_workload" ->
+      s"""WITH ${cdcTxnCte(2000)}
+         |SELECT 'new_customer_order' AS scenario, 'orders' AS src_table,
+         |  'INSERT' AS operation, count(*) AS n_events, count(*) AS n_txns,
+         |  CAST(NULL AS BIGINT) AS line_cents
+         |FROM tscen WHERE scenario = 'new_customer_order'
+         |UNION ALL
+         |SELECT 'new_customer_order', 'lineitem', 'INSERT',
+         |  count(*), count(DISTINCT t), CAST(sum(price) AS BIGINT)
+         |FROM tlines
+         |UNION ALL
+         |SELECT 'new_customer_order', 'customer', 'UPDATE',
+         |  count(*), count(*), CAST(NULL AS BIGINT)
+         |FROM tscen WHERE scenario = 'new_customer_order'
+         |UNION ALL
+         |SELECT 'process_return', u.tbl, 'UPDATE',
+         |  count(*), count(*), CAST(NULL AS BIGINT)
+         |FROM tscen, (SELECT unnest(['lineitem','orders','customer']) AS tbl) u
+         |WHERE scenario = 'process_return' GROUP BY u.tbl
+         |UNION ALL
+         |SELECT 'update_prices', 'part', 'UPDATE',
+         |  CAST(sum(n_parts) AS BIGINT), count(*), CAST(NULL AS BIGINT)
+         |FROM tscen WHERE scenario = 'update_prices'""".stripMargin,
     "cdc_multi_table_stats" ->
       s"""WITH ${cdcgenCte(5000)},
          |un AS (
