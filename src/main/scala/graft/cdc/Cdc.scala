@@ -932,9 +932,16 @@ object Cdc {
     val totalFrame = overall.agg(sum(col("n_all")).as("n_total"))
     // FULL day×op grid — a day missing an op entirely contributes its
     // |0 − q_op| mass (the langDrift zero-cells rule; a pure-DELETE day
-    // must score maximal drift, not skip the other ops' terms)
+    // must score maximal drift, not skip the other ops' terms). The grid's
+    // op axis is a LITERAL 3-row frame (the op domain is closed by
+    // [[log]]'s when/otherwise mapping), so the cross join is
+    // shape-bounded (3× amplification at any scale) and `overall`'s
+    // per-op totals attach by broadcast HASH join, not a nested loop.
+    import spark.implicits._
+    val opAxis = Seq("INSERT", "UPDATE", "DELETE").toDF("operation")
     byDayOp.select("day").distinct()
-      .crossJoin(broadcast(overall))
+      .crossJoin(broadcast(opAxis))
+      .join(broadcast(overall), Seq("operation"), "inner")
       .join(byDayOp, Seq("day", "operation"), "left").na.fill(0L, Seq("n_op"))
       .join(byDay, "day")
       .crossJoin(broadcast(totalFrame))

@@ -61,6 +61,101 @@ object PlanAudit {
   def auditDemo(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     summarize(graft.operators.Tpch.q5RegionRevenue(spark, dir))
 
+  /** Join-safety classification for the whole-inventory sweep gate
+    * (PlanAuditSpec): counts, off the pre-execution plan,
+    *
+    *  - `cartesian_products` — CartesianProductExec anywhere: a SHUFFLED
+    *    all-pairs product, never acceptable outside a scaladoc'd quadratic
+    *    oracle baseline;
+    *  - `scalar_bnlj`        — BroadcastNestedLoopJoinExec whose build side
+    *    bottoms out in a grouping-free aggregate (exactly one row by plan
+    *    shape): the `crossJoin(broadcast(scalarAgg))` denominator idiom;
+    *  - `bounded_bnlj`       — build side provably ≤1024 rows by shape
+    *    (small Range / LocalTableScan / global Limit under row-preserving
+    *    unary nodes): the lag-offset / calendar-frame idiom — constant row
+    *    amplification, independent of data scale;
+    *  - `filtered_bnlj`      — build side is a scan (or join of scans)
+    *    where EVERY leaf carries a pushed data filter: the ANN
+    *    "broadcast the small query set against the corpus" design. Not
+    *    provably bounded by shape, but bounded by the author's explicit
+    *    selection — distinguishable from an accidental whole-table
+    *    broadcast;
+    *  - `unsafe_bnlj`        — everything else, in particular a broadcast
+    *    of an UNFILTERED scan or of an unbounded intermediate result: the
+    *    shape that OOMs the driver or degenerates to O(n·m) at 100 TB.
+    *
+    * The four-way split matters for a CI gate: a naive "no BNLJ" assertion
+    * outlaws the cheapest way to attach a query-wide denominator or a
+    * 7-row offset frame to every row, while "BNLJ ok" waves through a
+    * genuine disaster. Shape-keyed, so deterministic at any scale factor.
+    */
+  def joinSafety(df: DataFrame): Map[String, Long] = {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case e: BroadcastExchangeExec => e.child
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r.child
+      case other => other
+    }
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val u = unwrap(p)
+      u +: u.children.flatMap(walk)
+    }
+    // rows this subtree provably emits, by shape alone (None = unbounded)
+    def boundShaped(p: SparkPlan): Option[Long] = {
+      val u = unwrap(p)
+      u match {
+        case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          if (agg.groupingExpressions.isEmpty) Some(1L) else None
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => Some(l.rows.size.toLong)
+        case r: org.apache.spark.sql.execution.RangeExec => Some(r.numElements.longValue)
+        case g: org.apache.spark.sql.execution.GlobalLimitExec => Some(g.limit.toLong)
+        case c: org.apache.spark.sql.execution.CollectLimitExec => Some(c.limit.toLong)
+        case j if j.children.length == 2 =>
+          // a join can only multiply its inputs' bounds
+          for (a <- boundShaped(j.children.head); b <- boundShaped(j.children.last))
+            yield a * b
+        case _ if u.children.length == 1 => boundShaped(u.children.head)
+        case _ => None
+      }
+    }
+    // every scan leaf under this subtree carries an author-written filter
+    def allLeavesFiltered(p: SparkPlan): Boolean = {
+      val leaves = walk(p).filter(_.children.isEmpty)
+      leaves.nonEmpty && leaves.forall { l =>
+        val s = l.toString
+        val name = l.getClass.getSimpleName
+        if (name.contains("FileSourceScan") || name.contains("BatchScan"))
+          s.contains("DataFilters: [") && !s.contains("DataFilters: []")
+        else true // RDD scans / ranges / local tables: already bounded upstream
+      }
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    var cart = 0L; var scalar = 0L; var bounded = 0L; var filtered = 0L; var unsafe = 0L
+    nodes.foreach { n =>
+      val name = n.getClass.getSimpleName
+      if (name.startsWith("CartesianProduct")) cart += 1
+      else n match {
+        case b: BroadcastNestedLoopJoinExec =>
+          val build = b.buildSide match {
+            case BuildLeft => b.left
+            case BuildRight => b.right
+          }
+          boundShaped(build) match {
+            case Some(k) if k <= 1L => scalar += 1
+            case Some(k) if k <= 1024L => bounded += 1
+            case _ if allLeavesFiltered(build) => filtered += 1
+            case _ => unsafe += 1
+          }
+        case _ =>
+      }
+    }
+    Map("cartesian_products" -> cart, "scalar_bnlj" -> scalar,
+      "bounded_bnlj" -> bounded, "filtered_bnlj" -> filtered,
+      "unsafe_bnlj" -> unsafe)
+  }
+
   /** #331 RUNTIME execution audit — the post-run counterpart of
     * [[summarize]]: execute the frame once, then read the engine's own
     * per-operator `numOutputRows` metrics off the FINAL adaptive plan
