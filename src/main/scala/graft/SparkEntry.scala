@@ -582,6 +582,10 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) => Similarity.annPqTopK(s, d)),
     // IVF cell pruning + PQ table-lookup scoring composed (rows-only)
     "ann_ivfpq_topk" -> ((s, d) => Similarity.annIvfPqTopK(s, d)),
+    // persisted IVF index lifecycle: build → delta add → partition-pruned
+    // search (rows-only: k-means centroids; ScaleSpec pins add≡bulk
+    // parity, recall floor, PartitionFilters pruning, zero-shuffle assign)
+    "ann_index_lifecycle" -> ((s, d) => Similarity.annIndexLifecycle(s, d)),
     "emb_norm_stats" -> ((s, d) => Similarity.embNormStats(s, d)),
     "emb_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     // sketch aggregate (rows-only: hash-seeded signature)
@@ -644,6 +648,11 @@ object SparkEntry {
     // and kill/restart dedup-state contract)
     "doc_stream_curate" -> ((s, d) =>
       graft.streaming.DocStream.streamCurateStats(s, d)),
+    // streaming NEAR-dup curation: winnowing-fingerprint admission key
+    // catches lightly-edited re-crawls the exact digest misses; census is
+    // deterministic (gate-before-dedup) so the oracle replays the funnel
+    "doc_stream_curate_near" -> ((s, d) =>
+      graft.streaming.DocStream.streamNearCurateStats(s, d)),
     // composed bronze→silver→gold pipeline demo (rows-only: streaming
     // runtime with planted corrupt/quarantine rows; MedallionSpec proves
     // the kill/restart exactly-once contract)
@@ -2238,6 +2247,25 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_admitted, count(*) AS n_distinct,
         |  (SELECT n + r FROM tot, resh) AS n_shipped_total
         |FROM adm GROUP BY lang""".stripMargin,
+    // near-dup stream funnel replay: same shipped multiset (batch split +
+    // the " (rev)" edit), same gates, winnowing fingerprint in int128 SQL
+    "doc_stream_curate_near" ->
+      s"""WITH ship AS (SELECT lang, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT lang, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT lang, text || ' (rev)' FROM documents
+        |    WHERE doc_id % 6 = 0),
+        |tot AS (SELECT count(*) AS n FROM ship),
+        |gd AS MATERIALIZED (SELECT row_number() OVER () AS doc_id, lang, text
+        |  FROM ship
+        |  WHERE len(string_split(text, ' ')) >= 5
+        |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |      greatest(len(string_split(text, ' ')), 1) BETWEEN 2.0 AND 12.0),
+        |${rollingCtes("nr", "gd", 32)},
+        |j AS (SELECT g.lang, r.rfp FROM gd g JOIN nrrfp r ON r.doc_id = g.doc_id)
+        |SELECT lang, count(DISTINCT rfp) AS n_admitted,
+        |  count(*) - count(DISTINCT rfp) AS n_refused_near,
+        |  (SELECT n FROM tot) AS n_shipped_total
+        |FROM j GROUP BY lang""".stripMargin,
     // watermark-poll contract: poll 1 = backlog above watermark 0, poll 2 =
     // exactly the late rows above poll 1's high watermark (-1 on empty)
     "src_jdbc_incremental" ->

@@ -61,6 +61,72 @@ object DocStream {
       .queryName(queryName).outputMode("append").start()
   }
 
+  /** Streaming NEAR-dup curation — [[pipeline]]'s fuzzy twin: the
+    * admission key is the winnowing fingerprint
+    * (`GraftFunctions.rollingMinHash(text, 32)` — the MOSS-style min of
+    * 64-bit rolling hashes over 32-char windows) instead of the exact
+    * md5 digest, so a crawler re-shipping a page with a small local edit
+    * (appended boilerplate, a tweaked footer) is REFUSED with high
+    * probability: a local edit only adds/perturbs a few windows, and the
+    * global min window survives unless the edit itself produces a
+    * smaller hash (≈ edited-window share of the doc). Recall caveats are
+    * inherent to single-key streaming dedup and scaladoc'd here: an edit
+    * that displaces the min window slips through (the batch-side
+    * [[graft.operators.Dedup]] band-verify family owns full near-dup
+    * recall); a fingerprint collision between genuinely different docs
+    * false-drops (min over ~hundreds of 64-bit window hashes — rare, and
+    * the same trade MOSS makes).
+    *
+    * The quality gate runs BEFORE the stateful dedup — opposite order to
+    * [[pipeline]] — for two reasons: (1) less state (junk never claims a
+    * fingerprint slot), and (2) a DETERMINISTIC census — with dedup
+    * first, whether a fingerprint family contributes an admitted row
+    * could depend on whether its first-ARRIVING member passes the gate,
+    * i.e. on micro-batch arrival order; with the gate first, admitted
+    * rows = distinct (lang, fingerprint) among gate-passers, a pure
+    * function of the shipped multiset that the DuckDB oracle replays
+    * exactly.
+    */
+  def pipelineNear(spark: SparkSession, srcDir: String, outDir: String,
+      ckDir: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = Some(1)): StreamingQuery = {
+    import graft.functions.GraftFunctions
+    val rd = spark.readStream.schema(docSchema)
+    val src = maxFilesPerTrigger.fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+      .json(srcDir)
+    val curated = src
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("mean_word_len",
+        length(regexp_replace(col("text"), " ", "")).cast("double") /
+          greatest(col("n_tokens"), lit(1)))
+      .filter(col("n_tokens") >= 5 &&
+        col("mean_word_len").between(2.0, 12.0))
+      .withColumn("rfp", GraftFunctions.rollingMinHash(col("text"), 32))
+      .dropDuplicates("lang", "rfp")
+      .select("doc_id", "lang", "text", "rfp", "n_tokens")
+    curated.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .queryName(queryName).outputMode("append").start()
+  }
+
+  /** Distributed JSON-encode of one named file-batch into the stream's
+    * source dir (no hand-escaping, no driver materialization). Coalesces
+    * to a couple of files per batch only to keep the demo's micro-batch
+    * count small — at crawl scale drop the coalesce and raise
+    * maxFilesPerTrigger.
+    */
+  private def writeBatch(root: String, srcDir: String)(
+      df: DataFrame, name: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tmp = s"$root/w$name"
+    df.coalesce(2).write.mode("overwrite").json(tmp)
+    new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+      .zipWithIndex.foreach { case (f, i) =>
+        Files.move(f.toPath, Paths.get(s"$srcDir/$name-$i.json"))
+      }
+  }
+
   /** Driver demo: ship the corpus as two file-batches where the second
     * RE-SHIPS part of the first (a crawler revisiting pages) — the stream
     * must admit each distinct text once. Reports per-language
@@ -70,9 +136,6 @@ object DocStream {
     * re-ship = ids ≡ 0 mod 6, i.e. "every third doc of batch 1") and the
     * corpus NEVER touches the driver: each batch is a distributed
     * `write.json` whose part files move into the stream's source dir.
-    * The writes coalesce to a couple of files per batch only to keep the
-    * demo's micro-batch count (and checkpoint round-trips) small — at
-    * crawl scale you'd drop the coalesce and raise maxFilesPerTrigger.
     */
   def streamCurateStats(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
@@ -83,19 +146,8 @@ object DocStream {
     val batch1 = docs.filter(col("doc_id") % 2 === 0)
     val reship = docs.filter(col("doc_id") % 6 === 0)
     val batch2 = docs.filter(col("doc_id") % 2 =!= 0).unionByName(reship)
-    // distributed JSON-encode (no hand-escaping, no driver materialization);
-    // part files move into srcDir as one named batch
-    def writeBatch(df: DataFrame, name: String): Unit = {
-      val tmp = s"$root/w$name"
-      df.coalesce(2).write.mode("overwrite").json(tmp)
-      new java.io.File(tmp).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
-        .zipWithIndex.foreach { case (f, i) =>
-          Files.move(f.toPath, Paths.get(s"$srcDir/$name-$i.json"))
-        }
-    }
-    writeBatch(batch1, "a")
-    writeBatch(batch2, "b")
+    writeBatch(root, srcDir)(batch1, "a")
+    writeBatch(root, srcDir)(batch2, "b")
     // one action for both counts: total + the re-shipped subset
     val cnt = docs.agg(count(lit(1)),
       count(when(col("doc_id") % 6 === 0, 1))).head()
@@ -109,5 +161,55 @@ object DocStream {
       .agg(count(lit(1)).as("n_admitted"),
         countDistinct(col("digest")).as("n_distinct"))
       .withColumn("n_shipped_total", lit(nShipped))
+  }
+
+  /** #410 `doc_stream_curate_near` driver demo: the near-dup stream under
+    * a crawler that RE-EDITS pages instead of re-shipping them verbatim —
+    * batch 1 = even doc_ids, batch 2 = odd doc_ids plus a lightly-EDITED
+    * copy of every third even doc (`text || " (rev)"`, the appended-
+    * boilerplate revisit [[pipeline]]'s exact-digest key cannot catch:
+    * the md5 changes, the winnowing fingerprint usually doesn't).
+    * Reports, per language: admitted docs, near-dup refusals (gate-passers
+    * minus admitted — exactly the fingerprint families collapsed), and
+    * the global shipped count. Deterministic by the gate-before-dedup
+    * argument on [[pipelineNear]], so the DuckDB oracle replays the whole
+    * funnel — shipped multiset (pure doc_id arithmetic + the same string
+    * edit), quality gates, rolling-fingerprint arithmetic in int128 SQL —
+    * and the hash must match.
+    */
+  def streamNearCurateStats(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("doc_stream_near").toString
+    val srcDir = s"$root/src"
+    Files.createDirectories(Paths.get(srcDir))
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val batch1 = docs.filter(col("doc_id") % 2 === 0)
+    val edits = docs.filter(col("doc_id") % 6 === 0)
+      .withColumn("text", concat(col("text"), lit(" (rev)")))
+    val batch2 = docs.filter(col("doc_id") % 2 =!= 0).unionByName(edits)
+    writeBatch(root, srcDir)(batch1, "a")
+    writeBatch(root, srcDir)(batch2, "b")
+    val q = pipelineNear(spark, srcDir, s"$root/out", s"$root/ck",
+      s"doc_stream_near_${java.util.UUID.randomUUID().toString.take(8)}",
+      maxFilesPerTrigger = Some(2))
+    try q.processAllAvailable() finally q.stop()
+    // batch replay of the same gates over the shipped multiset → the
+    // per-lang gate-passer counts the refusal accounting needs (the
+    // corpus never touches the driver; one scalar action for the total)
+    val shipped = batch1.unionByName(batch2)
+    val gated = shipped
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("mwl",
+        length(regexp_replace(col("text"), " ", "")).cast("double") /
+          greatest(col("n_tokens"), lit(1)))
+      .filter(col("n_tokens") >= 5 && col("mwl").between(2.0, 12.0))
+      .groupBy("lang").agg(count(lit(1)).as("n_gated"))
+    val nShipped = shipped.count()
+    spark.read.parquet(s"$root/out")
+      .groupBy("lang").agg(count(lit(1)).as("n_admitted"))
+      .join(gated, "lang")
+      .select(col("lang"), col("n_admitted"),
+        (col("n_gated") - col("n_admitted")).as("n_refused_near"),
+        lit(nShipped).as("n_shipped_total"))
   }
 }

@@ -34,6 +34,50 @@ class ScaleSpec extends SparkSpec {
     assert(ivf.size <= brute.size)
   }
 
+  test("IVF index lifecycle: delta add ≡ bulk assignment, recall floor, pruned scan, shuffle-free assign") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // lifecycle index: build on evens, add odds as a delta
+    val lifeDir = java.nio.file.Files.createTempDirectory("ivf_life").toString
+    Similarity.buildIvfIndex(spark, e.filter(col("vec_id") % 2 === 0), lifeDir)
+    Similarity.ivfIndexAdd(spark, e.filter(col("vec_id") % 2 =!= 0), lifeDir)
+    // bulk twin: SAME centroids (frozen by the build), whole corpus in one shot
+    val bulkDir = java.nio.file.Files.createTempDirectory("ivf_bulk").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$bulkDir"))
+    spark.read.parquet(s"$lifeDir/centroids").write
+      .parquet(s"$bulkDir/centroids")
+    Similarity.ivfIndexAdd(spark, e, bulkDir)
+    def postings(d: String) = spark.read.parquet(s"$d/postings")
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(postings(lifeDir) === postings(bulkDir),
+      "incremental add diverged from bulk assignment")
+    // search through the artifact: recall floor vs brute force
+    val queries = e.filter(col("vec_id") < 8)
+    val got = Similarity.ivfIndexSearch(spark, lifeDir, queries)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.annCosineTopK(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"index-search recall $recall too low (4/16 probed)")
+    // the postings scan must partition-prune on the probed clusters
+    val plan = Similarity.ivfIndexSearch(spark, lifeDir, queries)
+      .queryExecution.executedPlan.toString
+    // the postings scan (and only it) must carry a non-empty partition
+    // predicate — the probed-cluster INSET literal
+    assert("PartitionFilters: \\[[^\\]]*INSET".r.findFirstIn(plan).isDefined,
+      s"postings scan lost partition pruning:\n$plan")
+    // assignment is row-local: zero exchanges of either kind
+    val cents = spark.read.parquet(s"$lifeDir/centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val assignPlan = graft.plans.PlanAudit
+      .summarize(Similarity.assignRowLocal(e, cents))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(assignPlan("shuffle_exchanges") == 0 &&
+      assignPlan("broadcast_exchanges") == 0,
+      s"row-local assignment shuffled: $assignPlan")
+  }
+
   test("int8 quantization bounds reconstruction error; quantized search keeps recall") {
     val qd = Similarity.quantizeEmbeddings(spark, sf)
       .select("vec_id", "scale", "max_err").collect()

@@ -596,6 +596,52 @@ class StreamingSpec extends SparkSpec {
       "the genuinely new post-restart doc was not admitted")
   }
 
+  test("near-dup curation stream refuses edited re-crawls across batches and a restart") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("doc_stream_near_spec").toString
+    val srcDir = s"$root/src"; Files.createDirectories(Paths.get(srcDir))
+    def ship(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(s"$srcDir/$name.json"), lines.mkString("\n").getBytes)
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "lang": "en", "text": "$text"}"""
+    // long texts so the min window sits well inside the body: appending
+    // " (rev)" must not displace it (verified for these texts — the edit
+    // adds 6 windows against ~100)
+    val long1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega one"
+    val long2 = "quick brown foxes jump over lazy dogs while curious cats " +
+      "watch from warm windowsills during quiet autumn afternoons in the park two"
+    val long3 = "fresh document about entirely different topics such as sailing " +
+      "navigation celestial charts and the patience required for long voyages three"
+    val long4 = "post restart content concerning mountain trails alpine meadows " +
+      "and the slow deliberate pace of long distance hikers at altitude four"
+    ship("a", Seq(doc(1, long1), doc(2, long2)))
+    // batch 2: an EDITED copy of doc 1 (md5 differs — exact dedup would
+    // admit it; the winnowing fingerprint survives the appended suffix),
+    // a junk doc the gate drops, and a genuinely new doc
+    ship("b", Seq(doc(101, long1 + " (rev)"), doc(104, "tiny junk"),
+      doc(105, long3)))
+    val q1 = graft.streaming.DocStream.pipelineNear(spark, srcDir,
+      s"$root/out", s"$root/ck", "doc_stream_near_spec_1")
+    try q1.processAllAvailable() finally q1.stop()
+    val afterB = spark.read.parquet(s"$root/out")
+    val idsB = afterB.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(idsB == Set(1L, 2L, 105L),
+      s"expected the edited re-crawl (101) refused and junk (104) gated, got $idsB")
+
+    // kill/restart: fingerprint state must survive the checkpoint — an
+    // edited copy of doc 2 shipped AFTER restart must still be refused
+    ship("c", Seq(doc(201, long2 + " (rev)"), doc(202, long4)))
+    val q2 = graft.streaming.DocStream.pipelineNear(spark, srcDir,
+      s"$root/out", s"$root/ck", "doc_stream_near_spec_2")
+    try q2.processAllAvailable() finally q2.stop()
+    val idsC = spark.read.parquet(s"$root/out")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(idsC == Set(1L, 2L, 105L, 202L),
+      s"restart lost fingerprint state or refused the new doc: $idsC")
+  }
+
   test("streaming HLL distinct: bounded state tracks cardinality across batches") {
     implicit val sq = spark.sqlContext
     implicit val sp = spark
