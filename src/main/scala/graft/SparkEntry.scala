@@ -360,6 +360,9 @@ object SparkEntry {
     "ts_acf" -> ((s, d) => TimeSeries.acf(s, d)),
     // CUSUM level-shift alarms via the cumsum-minus-running-min identity
     "ts_cusum" -> ((s, d) => TimeSeries.cusum(s, d)),
+    // offline two-level binary-segmentation changepoints (cusum's
+    // retrospective twin; exact scaled-integer variance-reduction argmax)
+    "ts_changepoint" -> ((s, d) => TimeSeries.changepoints(s, d)),
     // metronome-gap bot detection (one user_id exchange)
     "ev_bot_regularity" -> ((s, d) => Events.botRegularity(s, d)),
     // daily new/returning growth accounting + cumulative users
@@ -3621,6 +3624,7 @@ object SparkEntry {
         |  CAST(CASE WHEN mad_c > 0 AND (cusum_up > 5 * mad_c OR cusum_dn > 5 * mad_c)
         |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
         |FROM f""".stripMargin,
+    "ts_changepoint" -> TimeSeries.changepointsOracle(),
     "cdc_watermark_impact" -> Events.watermarkImpactOracle,
     "ev_session_errors" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us

@@ -802,6 +802,171 @@ object TimeSeries {
           "AS adj_cents_e4")
   }
 
+  /** #413 `ts_changepoint` — OFFLINE multiple-changepoint detection via
+    * two-level binary segmentation (Scott & Knott '74 lineage; the
+    * standard first cut at "where did the level shift"): [[cusum]] is the
+    * ONLINE alarm that needs a reference level; this is the retrospective
+    * answer — given the whole series, the split that most reduces
+    * within-segment variance, then the best split INSIDE each half.
+    *
+    * Exactness contract: the between-segment sum of squares is evaluated
+    * through the shift-invariant single-fraction identity (see
+    * [[changepointsFromDaily]]'s relExpr) as ONE integer division whose
+    * quotient is an R²-style ×10⁶ share in [0, 10⁶] (squares are
+    * DECIMAL(38,0) / HUGEINT; numerator a square, divisor positive, so
+    * Spark's truncating DIV and DuckDB's flooring `//` agree); argmax
+    * ties break to the smallest position — bit-identical cross-engine.
+    * Segment SUMS and LENGTHS are reported instead of means so no signed
+    * division ever happens.
+    *
+    * Scale shape: ONE event aggregation to the calendar-bounded daily
+    * frame; every window after that is day×type-sized. The candidate
+    * gain is computed per ROW off the running prefix sum (no self-join —
+    * gain(s) needs only P(s), s and the per-type totals), and level 2
+    * reuses the SAME global prefix via segment-relative algebra after a
+    * broadcast of the per-type level-1 winner.
+    */
+  def changepoints(spark: SparkSession, dir: String, minSeg: Int = 2): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"(ts DIV 1000) DIV $DayUs").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    changepointsFromDaily(daily, minSeg)
+  }
+
+  private[graft] def changepointsFromDaily(daily0: DataFrame,
+      minSeg: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val wd = Window.partitionBy("event_type").orderBy("day")
+    val wp = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = daily0
+      .withColumn("pos", row_number().over(wd))
+      .withColumn("p", sum(col("cents")).over(wp))
+      .withColumn("q",
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).over(wp))
+      .localCheckpoint()
+    val tot = daily.groupBy("event_type")
+      .agg(max(col("pos")).as("n"), sum(col("cents")).cast("long").as("t"),
+        max(col("q")).as("sq"))
+    // Between-segment sum of squares for a split of segment (sum=ss,
+    // len=sl) at relative position u with relative prefix pu, via the
+    // shift-invariant single-fraction identity
+    //   between = D^2 / (u*(sl-u)*sl),  D = u*ss - sl*pu = u*(sl-u)*(muR-muL),
+    // reported RELATIVE to the segment's total sum of squares sqSeg
+    // (Sum x^2, >= the centered SS >= between), x10^6. ONE DIV whose
+    // quotient is mathematically in [0, 10^6] — Spark's DIV returns
+    // BIGINT, so the naive per-term Sum^2/n form overflows at cents^2
+    // scale; this form cannot. The numerator is a square (>= 0), the
+    // divisor positive: truncation == floor, so Spark DIV and DuckDB //
+    // agree bit-for-bit, and the per-type argmax of the quantized ratio
+    // (ties to the smallest position) is deterministic cross-engine.
+    def relExpr(u: String, pu: String, ss: String, sl: String, sqSeg: String) =
+      s"CASE WHEN ($sqSeg) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(" +
+        s"(CAST(($u) AS DECIMAL(38,0)) * ($ss) - CAST(($sl) AS DECIMAL(38,0)) * ($pu)) * " +
+        s"(CAST(($u) AS DECIMAL(38,0)) * ($ss) - CAST(($sl) AS DECIMAL(38,0)) * ($pu)) * 1000000 DIV " +
+        s"(CAST(($u) AS DECIMAL(38,0)) * (($sl) - ($u)) * ($sl) * ($sqSeg)) AS BIGINT) END"
+    val wG = Window.partitionBy("event_type").orderBy(col("gain").desc, col("pos"))
+    val cp1 = daily.join(broadcast(tot), "event_type")
+      .filter(col("pos") >= minSeg && col("pos") <= col("n") - minSeg)
+      .withColumn("gain", expr(relExpr("pos", "p", "t", "n", "sq")))
+      .withColumn("r", row_number().over(wG)).filter(col("r") === 1)
+      .select(col("event_type"), lit(1L).as("level"), lit("all").as("segment"),
+        col("pos").cast("long").as("cp_pos"), col("day").as("cp_day"),
+        col("gain").as("gain_rel_q6"),
+        col("p").as("sum_left_c"), col("pos").cast("long").as("len_left"),
+        (col("t") - col("p")).as("sum_right_c"),
+        (col("n") - col("pos")).cast("long").as("len_right"),
+        col("q").as("qs"))
+    // level 2: re-split each side of the level-1 winner, segment-relative
+    val s1 = cp1.select(col("event_type"), col("cp_pos").as("s"),
+      col("sum_left_c").as("ps"), col("qs"))
+    val withCp = daily.join(broadcast(tot), "event_type")
+      .join(broadcast(s1), "event_type")
+    val left = withCp
+      .filter(col("pos") >= minSeg && col("pos") <= col("s") - minSeg)
+      .withColumn("segment", lit("left"))
+      .withColumn("u", col("pos")).withColumn("pu", col("p"))
+      .withColumn("seg_sum", col("ps")).withColumn("seg_len", col("s"))
+      .withColumn("seg_sq", col("qs"))
+    val right = withCp
+      .filter(col("pos") >= col("s") + minSeg && col("pos") <= col("n") - minSeg)
+      .withColumn("segment", lit("right"))
+      .withColumn("u", col("pos") - col("s")).withColumn("pu", col("p") - col("ps"))
+      .withColumn("seg_sum", col("t") - col("ps"))
+      .withColumn("seg_len", col("n") - col("s"))
+      .withColumn("seg_sq", col("sq") - col("qs"))
+    val wG2 = Window.partitionBy("event_type", "segment")
+      .orderBy(col("gain").desc, col("pos"))
+    val cp2 = left.unionByName(right)
+      .withColumn("gain", expr(relExpr("u", "pu", "seg_sum", "seg_len", "seg_sq")))
+      .withColumn("r", row_number().over(wG2)).filter(col("r") === 1)
+      .select(col("event_type"), lit(2L).as("level"), col("segment"),
+        col("pos").cast("long").as("cp_pos"), col("day").as("cp_day"),
+        col("gain").as("gain_rel_q6"),
+        col("pu").as("sum_left_c"), col("u").cast("long").as("len_left"),
+        (col("seg_sum") - col("pu")).as("sum_right_c"),
+        (col("seg_len") - col("u")).cast("long").as("len_right"))
+    cp1.drop("qs").unionByName(cp2)
+  }
+
+  /** DuckDB oracle for [[changepoints]] — identical prefix-sum windows,
+    * HUGEINT squares, `//` floor division (every operand nonnegative so
+    * it matches Spark's truncating DIV), same (gain DESC, pos) tie-break.
+    */
+  def changepointsOracle(minSeg: Int = 2): String =
+    s"""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |d AS (SELECT event_type, day, cents,
+       |    row_number() OVER w AS pos, sum(cents) OVER w AS p,
+       |    sum(CAST(cents AS HUGEINT) * cents) OVER w AS q
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |tot AS (SELECT event_type, max(pos) AS n, sum(cents) AS t, max(q) AS sq
+       |  FROM d GROUP BY 1),
+       |c1 AS (SELECT d.event_type, day, pos, p, q, n, t, sq,
+       |    CASE WHEN sq = 0 THEN 0 ELSE
+       |      (CAST(pos AS HUGEINT) * t - CAST(n AS HUGEINT) * p) *
+       |      (CAST(pos AS HUGEINT) * t - CAST(n AS HUGEINT) * p) * 1000000 //
+       |      (CAST(pos AS HUGEINT) * (n - pos) * n * sq) END AS gain
+       |  FROM d JOIN tot USING (event_type)
+       |  WHERE pos >= $minSeg AND pos <= n - $minSeg),
+       |cp1 AS (SELECT * FROM (SELECT c1.*,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY gain DESC, pos) AS r FROM c1) WHERE r = 1),
+       |c2 AS (SELECT d.event_type, d.day, d.pos,
+       |    CASE WHEN d.pos <= cp1.pos THEN 'left' ELSE 'right' END AS segment,
+       |    CASE WHEN d.pos <= cp1.pos THEN d.pos ELSE d.pos - cp1.pos END AS u,
+       |    CASE WHEN d.pos <= cp1.pos THEN d.p ELSE d.p - cp1.p END AS pu,
+       |    CASE WHEN d.pos <= cp1.pos THEN cp1.p ELSE t.t - cp1.p END AS seg_sum,
+       |    CASE WHEN d.pos <= cp1.pos THEN cp1.pos ELSE t.n - cp1.pos END AS seg_len,
+       |    CASE WHEN d.pos <= cp1.pos THEN cp1.q ELSE t.sq - cp1.q END AS seg_sq
+       |  FROM d JOIN cp1 USING (event_type) JOIN tot t USING (event_type)
+       |  WHERE (d.pos >= $minSeg AND d.pos <= cp1.pos - $minSeg)
+       |     OR (d.pos >= cp1.pos + $minSeg AND d.pos <= t.n - $minSeg)),
+       |g2 AS (SELECT event_type, day, pos, segment, u, pu, seg_sum, seg_len,
+       |    CASE WHEN seg_sq = 0 THEN 0 ELSE
+       |      (CAST(u AS HUGEINT) * seg_sum - CAST(seg_len AS HUGEINT) * pu) *
+       |      (CAST(u AS HUGEINT) * seg_sum - CAST(seg_len AS HUGEINT) * pu) * 1000000 //
+       |      (CAST(u AS HUGEINT) * (seg_len - u) * seg_len * seg_sq) END AS gain
+       |  FROM c2),
+       |cp2 AS (SELECT * FROM (SELECT g2.*,
+       |    row_number() OVER (PARTITION BY event_type, segment
+       |      ORDER BY gain DESC, pos) AS r FROM g2) WHERE r = 1)
+       |SELECT event_type, CAST(1 AS BIGINT) AS level, 'all' AS segment,
+       |  pos AS cp_pos, day AS cp_day, CAST(gain AS BIGINT) AS gain_rel_q6,
+       |  CAST(p AS BIGINT) AS sum_left_c, CAST(pos AS BIGINT) AS len_left,
+       |  CAST(t - p AS BIGINT) AS sum_right_c, CAST(n - pos AS BIGINT) AS len_right
+       |FROM cp1
+       |UNION ALL
+       |SELECT event_type, CAST(2 AS BIGINT), segment, pos, day,
+       |  CAST(gain AS BIGINT),
+       |  CAST(pu AS BIGINT), CAST(u AS BIGINT),
+       |  CAST(seg_sum - pu AS BIGINT), CAST(seg_len - u AS BIGINT)
+       |FROM cp2""".stripMargin
+
   def backtestOracle: String =
     """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |    sum(CAST(round(value * 100) AS BIGINT)) AS cents

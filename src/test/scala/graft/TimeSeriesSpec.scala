@@ -6,6 +6,46 @@ import graft.operators.{Graph, Profile, TimeSeries}
 class TimeSeriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("changepoints: planted two-level shift is recovered exactly at both levels") {
+    // type A: 8 days at 100c, then 8 at 1000c, with the RIGHT half itself
+    // shifting to 2000c after 4 days — level 1 must split at the big jump
+    // (pos 8), level 2 right must split at pos 12; level 2 left has no
+    // structure (gain 0 on a constant segment).
+    val rows =
+      (1 to 8).map(d => ("A", d.toLong, 100L)) ++
+      (9 to 12).map(d => ("A", d.toLong, 1000L)) ++
+      (13 to 16).map(d => ("A", d.toLong, 2000L))
+    val daily = rows.toDF("event_type", "day", "cents")
+    val got = TimeSeries.changepointsFromDaily(daily, minSeg = 2)
+      .collect().map(r => (r.getAs[Long]("level"), r.getAs[String]("segment")) ->
+        ((r.getAs[Long]("cp_pos"), r.getAs[Long]("cp_day"),
+          r.getAs[Long]("sum_left_c"), r.getAs[Long]("len_left"),
+          r.getAs[Long]("sum_right_c"), r.getAs[Long]("len_right"),
+          r.getAs[Long]("gain_rel_q6")))).toMap
+    assert(got((1L, "all"))._1 == 8L, s"level-1 split not at the big jump: $got")
+    assert(got((1L, "all"))._2 == 8L) // cp_day = last day of the left piece
+    assert(got((1L, "all"))._3 == 800L && got((1L, "all"))._4 == 8L)
+    assert(got((1L, "all"))._5 == 12000L && got((1L, "all"))._6 == 8L)
+    assert(got((2L, "right"))._1 == 12L, s"level-2 right split missed: $got")
+    assert(got((2L, "left"))._7 == 0L, "constant left segment must have zero gain")
+    // both real splits carry positive relative gain
+    assert(got((1L, "all"))._7 > 0L && got((2L, "right"))._7 > 0L)
+  }
+
+  test("changepoints: short series emit nothing, ties break to the smallest position") {
+    // 3 days < 2*minSeg: no admissible split at all
+    val tiny = Seq(("T", 1L, 5L), ("T", 2L, 5L), ("T", 3L, 5L))
+      .toDF("event_type", "day", "cents")
+    assert(TimeSeries.changepointsFromDaily(tiny, minSeg = 2).count() == 0)
+    // perfectly symmetric step: pos 2..4 all tie on a constant series —
+    // the winner must be the smallest admissible position
+    val const = (1 to 6).map(d => ("C", d.toLong, 7L)).toDF("event_type", "day", "cents")
+    val l1 = TimeSeries.changepointsFromDaily(const, minSeg = 2)
+      .filter(col("level") === 1).collect()
+    assert(l1.length == 1 && l1.head.getAs[Long]("cp_pos") == 2L,
+      s"tie did not break to the smallest position: ${l1.mkString}")
+  }
+
   test("gapFill emits one contiguous day per user and conserves real days") {
     val daily = Tables.events(spark, sf)
       .select(col("user_id"), expr("(ts DIV 1000) DIV 86400000000").as("day"))
