@@ -476,12 +476,46 @@ object Dedup {
     * 160,000 uncapped); DedupSpec pins the accounting identities and the
     * superlinear pair growth under replica planting.
     */
+  /** The embedding-LSH funnel as a STANDING corpus-snapshot artifact
+    * (the [[dedupClusters]] pattern applied to the embedding side): the
+    * verified near-dup pair list and the funnel counts are computed once
+    * per (corpus snapshot, tau, planes, tables) and persisted; the dedup
+    * view and its accounting audit both read the artifact instead of
+    * re-running signature → banding → 15M-candidate verification. At
+    * 100 TB this IS the operating shape — the pair list is an index
+    * maintained per crawl, not a per-query recomputation (the
+    * incremental twin is [[buildDedupIndex]]).
+    */
+  private val lshFunnelMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Double, Int, Int), (String, String)]
+
+  private def lshFunnelArtifacts(spark: SparkSession, dir: String,
+      tau: Double, planes: Int, tables: Int): (String, String) =
+    lshFunnelMemo.getOrElseUpdate(
+      (dir, Tables.snapshotFingerprint(dir), tau, planes, tables), {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-lsh-funnel").toString
+        val (e, banded, cand0) = lshStages(
+          Tables.embeddings(spark, dir), planes, tables)
+        val cand = cand0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        verifyCosine(e, cand, tau)
+          .write.mode("overwrite").parquet(s"$root/pairs")
+        val nVec = e.count(); val nBanded = banded.count()
+        val nCand = cand.count()
+        cand.unpersist()
+        val nVerified = spark.read.parquet(s"$root/pairs").count()
+        import spark.implicits._
+        Seq((nVec, nBanded, nCand, nVerified))
+          .toDF("n_vectors", "n_banded", "n_candidates", "n_verified")
+          .write.mode("overwrite").parquet(s"$root/counts")
+        (s"$root/pairs", s"$root/counts")
+      })
+
   def embeddingNearDupLsh(spark: SparkSession, dir: String, tau: Double = 0.4,
-      planes: Int = 8, tables: Int = 8): DataFrame = {
-    val (e, _, cand) = lshStages(
-      Tables.embeddings(spark, dir), planes, tables)
-    verifyCosine(e, cand, tau)
-  }
+      planes: Int = 8, tables: Int = 8): DataFrame =
+    spark.read.parquet(
+      lshFunnelArtifacts(spark, dir, tau, planes, tables)._1)
 
   /** #406 `dedup_lsh_accounting` — the banding twin of `dedup_bucket_skew`:
     * ONE row auditing the LSH dedup's funnel — vectors in, banded rows
@@ -494,7 +528,13 @@ object Dedup {
     */
   def embeddingLshAccounting(spark: SparkSession, dir: String,
       tau: Double = 0.4, planes: Int = 8, tables: Int = 8): DataFrame =
-    embeddingLshAccountingFrom(Tables.embeddings(spark, dir), tau, planes, tables)
+    // same ratio expression text as the live path (hash-oracle-pinned);
+    // the counts come from the standing funnel artifact
+    spark.read.parquet(
+        lshFunnelArtifacts(spark, dir, tau, planes, tables)._2)
+      .selectExpr("n_vectors", "n_banded", "n_candidates", "n_verified",
+        "CASE WHEN n_vectors > 0 THEN n_candidates * 10000 DIV n_vectors END AS cand_per_vector_e4",
+        "CASE WHEN n_candidates > 0 THEN n_verified * 10000 DIV n_candidates END AS precision_e4")
 
   private[graft] def embeddingLshAccountingFrom(e0: DataFrame,
       tau: Double = 0.4, planes: Int = 8, tables: Int = 8): DataFrame = {
