@@ -117,6 +117,109 @@ object BenchStream {
   private case class BatchStat(batchId: Long, rows: Long, durMs: Long,
       endNanos: Long)
 
+  /** LATENCY mode (`SPARK_GRAFT_STREAM_MODE=latency`) — the reference's
+    * remaining envelope number is "87 ms average end-to-end latency"
+    * (COMPARISON.md:139-143), a RECORD-AT-A-TIME engine's clock. The
+    * honest micro-batch analog is produce-to-gold-VISIBLE wall time under
+    * a light load (latency is meaningless at saturation — queueing
+    * dominates): a metered producer stamps each produce chunk with its
+    * wall clock, and the gold foreachBatch — AFTER the SCD1 merge
+    * commits, i.e. when the data is actually queryable — drains every
+    * chunk whose last event id the batch has applied and samples
+    * (now − produceTime). Per-chunk sampling at small chunks (≤200
+    * events) bounds granularity error under the batch interval.
+    * Structured Streaming's floor here is the trigger cycle (get offsets
+    * → plan → run → commit), so the p50 lands in the hundreds of ms —
+    * reported as-is with this architectural note rather than tuned into
+    * a number that wouldn't survive a real cluster. Spark's continuous
+    * mode is NOT used: it forbids aggregations/foreachBatch, so the gold
+    * MERGE this pipeline exists for cannot run there.
+    */
+  def latencyMain(spark: SparkSession,
+      warmupSec: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_WARMUP", "15").toInt,
+      measureSec: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_SEC", "45").toInt,
+      keySpace: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_KEYS", "100000").toInt,
+      partitions: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8").toInt,
+      ratePerSec: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "2000").toInt,
+      outPath: String = "BENCH_STREAM_LATENCY.json"): (Long, Long, Long, Int) = {
+    val chunkN = math.max(1, math.min(200, ratePerSec / 10))
+
+    val root = Files.createTempDirectory("graft-benchstream-lat").toString
+    val (logRoot, topic) = (s"$root/log", "bench_cdc_lat")
+    val (gold, ckpt) = (s"$root/gold", s"$root/ckpt")
+
+    val stop = new AtomicBoolean(false)
+    // (last event id of the chunk, produce wall nanos)
+    val inFlight = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val samples = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val cutoff = new AtomicLong(Long.MaxValue)
+
+    EmbeddedTopicLog.produce(logRoot, topic, chunk(0L, chunkN, keySpace),
+      partitions)
+    val producer = new Thread(() => {
+      var id = chunkN.toLong
+      val sleepMs = math.max(1L, chunkN * 1000L / ratePerSec)
+      while (!stop.get()) {
+        EmbeddedTopicLog.produce(logRoot, topic,
+          chunk(id, chunkN, keySpace), partitions)
+        inFlight.add((id + chunkN - 1, System.nanoTime()))
+        id += chunkN
+        Thread.sleep(sleepMs)
+      }
+    }, "benchstream-latency-producer")
+    producer.setDaemon(true)
+
+    val raw = spark.readStream.format("kafkalog")
+      .option("path", logRoot).option("topic", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+    val q = silver(raw).writeStream
+      .queryName("bench_stream_latency_gold")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        CdcStreams.applyCdcBatch(spark, b, gold)
+        // gold is committed — everything in this batch is now queryable
+        val maxId = b.agg(org.apache.spark.sql.functions.max("event_id"))
+          .head().getLong(0)
+        b.unpersist()
+        val now = System.nanoTime()
+        var head = inFlight.peek()
+        while (head != null && head._1 <= maxId) {
+          inFlight.poll()
+          if (now >= cutoff.get()) samples.add(now - head._2)
+          head = inFlight.peek()
+        }
+      }
+      .start()
+    producer.start()
+    Thread.sleep(warmupSec * 1000L)
+    cutoff.set(System.nanoTime())
+    Thread.sleep(measureSec * 1000L)
+    stop.set(true)
+    producer.join(5000)
+    q.stop(); q.awaitTermination(30000)
+
+    val lats = samples.toArray(Array.empty[java.lang.Long])
+      .map(_.longValue() / 1000000L).sorted // ms
+    def pct(p: Double): Long =
+      if (lats.isEmpty) -1L
+      else lats(math.min(lats.length - 1, math.ceil(p * lats.length).toInt - 1))
+    val avg = if (lats.isEmpty) -1L else lats.sum / lats.length
+    val json =
+      s"""{"metric":"stream_e2e_latency_ms","p50":${pct(0.50)},""" +
+        s""""p95":${pct(0.95)},"avg":$avg,"n_samples":${lats.length},""" +
+        s""""rate_events_per_sec":$ratePerSec,"chunk_events":$chunkN,""" +
+        s""""measure_sec":$measureSec,"partitions":$partitions,""" +
+        s""""semantics":"produce wall-clock -> SCD1 gold COMMITTED (queryable), per-chunk sampling",""" +
+        s""""architecture_note":"micro-batch floor = trigger cycle (offsets+plan+run+commit); reference's 87ms is a record-at-a-time clock — see BenchStream.latencyMain scaladoc",""" +
+        s""""reference_envelope":"87ms avg end-to-end latency (COMPARISON.md:139-143)"}"""
+    Files.writeString(Paths.get(outPath), json)
+    println(json)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    (pct(0.50), pct(0.95), avg, lats.length)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmupSec = sys.env.getOrElse("SPARK_GRAFT_STREAM_WARMUP", "20").toInt
@@ -134,6 +237,11 @@ object BenchStream {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("latency")) {
+      try latencyMain(spark) finally spark.stop()
+      return
+    }
 
     val root = Files.createTempDirectory("graft-benchstream").toString
     val (logRoot, topic) = (s"$root/log", "bench_cdc")

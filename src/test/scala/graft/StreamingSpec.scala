@@ -962,6 +962,22 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("BenchStream latency mode: produce-to-gold-visible samples measured after warmup") {
+    val out = java.nio.file.Files
+      .createTempDirectory("lat_spec").resolve("lat.json").toString
+    // miniature run: 2s warmup + 6s measure at 500 ev/s — enough batches
+    // for several post-warmup chunk drains on this harness
+    val (p50, p95, avg, n) = graft.BenchStream.latencyMain(spark,
+      warmupSec = 2, measureSec = 6, keySpace = 1000, partitions = 2,
+      ratePerSec = 500, outPath = out)
+    assert(n > 0, "latency mode measured zero samples")
+    assert(p50 > 0 && avg > 0 && p95 >= p50,
+      s"nonsensical latency stats: p50=$p50 p95=$p95 avg=$avg")
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+    assert(json.contains("\"metric\":\"stream_e2e_latency_ms\"") &&
+      json.contains("\"n_samples\":" + n))
+  }
+
   test("BenchStream gold path: multi-batch SCD1 equals a one-shot replay") {
     // pins the throughput harness (#BENCH_STREAM.json): same producer
     // chunks, same silver projection, same admission-controlled gold
