@@ -119,6 +119,22 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rollingMinHash: appending a suffix never raises the fingerprint (admission-key robustness)") {
+    // every 16-char window fully inside s is also a window of s ++ t, so
+    // the unsigned min over s ++ t's windows is <= the min over s's — the
+    // formal statement behind doc_stream_curate_near's claim that a
+    // lightly-edited re-crawl usually KEEPS its fingerprint (the min can
+    // only move if a new window hashes strictly lower)
+    forAll2(text, text) { (s, t) =>
+      whenever(s.length >= 16) {
+        val base = TextHashes.rollingMinHash(u(s), 16)
+        val appended = TextHashes.rollingMinHash(u(s + t), 16)
+        assert(java.lang.Long.compareUnsigned(appended, base) <= 0,
+          s"suffix raised the fingerprint: s=${s.take(40)} t=${t.take(20)}")
+      }
+    }
+  }
+
   test("near-identical strings keep higher shingle jaccard than unrelated ones") {
     forAll(text) { s =>
       whenever(s.split(" ").count(_.nonEmpty) >= 6) {

@@ -32,6 +32,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got((1L, "all"))._7 > 0L && got((2L, "right"))._7 > 0L)
   }
 
+  test("changepoints: split positions are shift-invariant (the D identity in practice)") {
+    // between-segment SS depends only on mean DIFFERENCES, so adding a
+    // constant to every day must not move any split (the normalizer sq
+    // changes, but the per-type argmax ranks by a constant-denominator
+    // ratio). Planted well-separated shifts so 1e-6 quantization ties
+    // cannot flip the winner.
+    val rows =
+      (1 to 8).map(d => ("A", d.toLong, 100L)) ++
+      (9 to 12).map(d => ("A", d.toLong, 1000L)) ++
+      (13 to 16).map(d => ("A", d.toLong, 2000L))
+    def posOf(shift: Long) = TimeSeries.changepointsFromDaily(
+        rows.map { case (t, d, c) => (t, d, c + shift) }
+          .toDF("event_type", "day", "cents"), minSeg = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("level"), r.getAs[String]("segment")) ->
+        r.getAs[Long]("cp_pos")).toMap
+    val base = posOf(0L)
+    assert(posOf(5000L) === base, "positive shift moved a changepoint")
+    assert(posOf(-300L) === base, "negative shift moved a changepoint")
+  }
+
   test("changepoints: short series emit nothing, ties break to the smallest position") {
     // 3 days < 2*minSeg: no admissible split at all
     val tiny = Seq(("T", 1L, 5L), ("T", 2L, 5L), ("T", 3L, 5L))
