@@ -458,24 +458,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
-  /** Growth model (the sf1 8.3×-at-10×-data explanation, MEASURED by
-    * [[embeddingLshAccounting]]): the signature/banding stages are LINEAR
-    * in corpus size; candidate and verified-pair mass grow with the
-    * corpus's NEAR-DUP PAIR density, which is quadratic in family size —
-    * the scale sweep ([[graft.ScaleUp]]) shifts each replica k by a fixed
-    * direction 0.03·k, so a source vector's 10 replicas form a tight
-    * angular line and the planted pair mass grows ~quadratically per
-    * family while n grows linearly. The accounting row quantifies it:
-    * sf0.1 = 2,000 vectors → 327,856 candidates → 361 verified pairs;
-    * sf1 = 20,000 vectors → 15.6M candidates (47×) → 11,506,278 verified
-    * pairs (31,873× — the query's own RESULT explodes, precision rises
-    * 0.1%→74% because replicas truly are near-dups at tau=0.4). Wall
-    * grew 8.3× against a 31,873× output: output-bound work, strongly
-    * SUBLINEAR in its own result size — not a plan defect. The
-    * mega-bucket cap demonstrably engages at sf1 (n_banded 120,522 vs
-    * 160,000 uncapped); DedupSpec pins the accounting identities and the
-    * superlinear pair growth under replica planting.
-    */
   /** The embedding-LSH funnel as a STANDING corpus-snapshot artifact
     * (the [[dedupClusters]] pattern applied to the embedding side): the
     * verified near-dup pair list and the funnel counts are computed once
@@ -512,6 +494,24 @@ object Dedup {
         (s"$root/pairs", s"$root/counts")
       })
 
+  /** Growth model (the sf1 8.3×-at-10×-data explanation, MEASURED by
+    * [[embeddingLshAccounting]]): the signature/banding stages are LINEAR
+    * in corpus size; candidate and verified-pair mass grow with the
+    * corpus's NEAR-DUP PAIR density, which is quadratic in family size —
+    * the scale sweep ([[graft.ScaleUp]]) shifts each replica k by a fixed
+    * direction 0.03·k, so a source vector's 10 replicas form a tight
+    * angular line and the planted pair mass grows ~quadratically per
+    * family while n grows linearly. The accounting row quantifies it:
+    * sf0.1 = 2,000 vectors → 327,856 candidates → 361 verified pairs;
+    * sf1 = 20,000 vectors → 15.6M candidates (47×) → 11,506,278 verified
+    * pairs (31,873× — the query's own RESULT explodes, precision rises
+    * 0.1%→74% because replicas truly are near-dups at tau=0.4). Wall
+    * grew 8.3× against a 31,873× output: output-bound work, strongly
+    * SUBLINEAR in its own result size — not a plan defect. The
+    * mega-bucket cap demonstrably engages at sf1 (n_banded 120,522 vs
+    * 160,000 uncapped); DedupSpec pins the accounting identities and the
+    * superlinear pair growth under replica planting.
+    */
   def embeddingNearDupLsh(spark: SparkSession, dir: String, tau: Double = 0.4,
       planes: Int = 8, tables: Int = 8): DataFrame =
     spark.read.parquet(
