@@ -160,9 +160,14 @@ object BenchStream {
       var id = chunkN.toLong
       val sleepMs = math.max(1L, chunkN * 1000L / ratePerSec)
       while (!stop.get()) {
+        // enqueue BEFORE the append becomes visible: if a batch commits
+        // the chunk in the produce→enqueue window, the drain would miss
+        // it this batch and record the NEXT batch's clock — an inflated
+        // sample. Stamping first biases the other way by only the
+        // (sub-ms) produce call itself.
+        inFlight.add((id + chunkN - 1, System.nanoTime()))
         EmbeddedTopicLog.produce(logRoot, topic,
           chunk(id, chunkN, keySpace), partitions)
-        inFlight.add((id + chunkN - 1, System.nanoTime()))
         id += chunkN
         Thread.sleep(sleepMs)
       }
@@ -179,16 +184,21 @@ object BenchStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
         CdcStreams.applyCdcBatch(spark, b, gold)
-        // gold is committed — everything in this batch is now queryable
-        val maxId = b.agg(org.apache.spark.sql.functions.max("event_id"))
-          .head().getLong(0)
+        // gold is committed — everything in this batch is now queryable.
+        // max over an EMPTY micro-batch (legal between produce chunks) is
+        // NULL — getLong would NPE and kill the query; skip the drain.
+        val maxIdRow = b.agg(org.apache.spark.sql.functions.max("event_id"))
+          .head()
         b.unpersist()
-        val now = System.nanoTime()
-        var head = inFlight.peek()
-        while (head != null && head._1 <= maxId) {
-          inFlight.poll()
-          if (now >= cutoff.get()) samples.add(now - head._2)
-          head = inFlight.peek()
+        if (!maxIdRow.isNullAt(0)) {
+          val maxId = maxIdRow.getLong(0)
+          val now = System.nanoTime()
+          var head = inFlight.peek()
+          while (head != null && head._1 <= maxId) {
+            inFlight.poll()
+            if (now >= cutoff.get()) samples.add(now - head._2)
+            head = inFlight.peek()
+          }
         }
       }
       .start()

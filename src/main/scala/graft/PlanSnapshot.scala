@@ -36,7 +36,10 @@ object PlanSnapshot {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // planProbes override memoized-artifact reads with the un-memoized
+    // funnel builders so the snapshot pins the real plan structure
+    val rows = (SparkEntry.queries ++ SparkEntry.planProbes)
+      .toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         val m = graft.plans.PlanAudit.summarize(df).collect()

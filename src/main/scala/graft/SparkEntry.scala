@@ -1415,6 +1415,27 @@ object SparkEntry {
     sb.toString
   }
 
+  /** PLAN PROBES — un-memoized builders for the queries whose registered
+    * binding reads a per-snapshot parquet artifact (`Dedup`'s memoized
+    * pair/funnel indexes). The artifact read is the right EXECUTION shape
+    * (build once per snapshot, every consumer scans the index), but as a
+    * PLAN it is a bare parquet scan — gating it would leave the actual
+    * signature → banding → verify-join funnel structurally unaudited. The
+    * join-safety sweep (PlanAuditSpec) and the PLAN_BASELINE snapshot
+    * audit THESE frames for the keys below, and the registered binding
+    * everywhere else. `dedup_clusters`/`dedup_keep_best` stay on their
+    * registered plans: their upstream funnel is gated here via
+    * `dedup_minhash`, and the CC loop between is iterative (actions +
+    * localCheckpoint), not one auditable plan.
+    */
+  def planProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLshCompute(s, d, 0.5)),
+    "dedup_embedding_lsh" ->
+      ((s, d) => Dedup.embeddingNearDupLshFrom(Tables.embeddings(s, d))),
+    "dedup_lsh_accounting" ->
+      ((s, d) => Dedup.embeddingLshAccountingFrom(Tables.embeddings(s, d)))
+  )
+
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys (approx/LSH/hash-seeded ops) get the
     * driver's rows-only check.

@@ -112,26 +112,62 @@ object Dedup {
   private val pairsMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String, Double), String]
 
+  /** Temp roots created by the memo builders, deleted on JVM exit — a
+    * long test/REPL session no longer accumulates parquet artifacts in
+    * /tmp for the OS sweeper to find (which could ALSO reap them
+    * mid-session; [[validatedArtifact]] handles that). */
+  private val tmpArtifactRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  sys.addShutdownHook {
+    tmpArtifactRoots.forEach(r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r)))
+  }
+
+  private def newArtifactRoot(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    tmpArtifactRoots.add(p)
+    p
+  }
+
+  /** Memoized-artifact lookup that survives tmp reaping: a hit is only
+    * served if every expected parquet commit marker is still on disk —
+    * a long-lived JVM whose /tmp sweeper deleted the artifact drops the
+    * stale pointer and rebuilds instead of throwing on a vanished path.
+    */
+  private def validatedArtifact[K](
+      memo: scala.collection.concurrent.TrieMap[K, String], key: K,
+      subdirs: Seq[String])(build: => String): String = {
+    def ok(root: String): Boolean = subdirs.forall { s =>
+      val parts = (Seq(root) ++ Seq(s).filter(_.nonEmpty)) :+ "_SUCCESS"
+      java.nio.file.Files.exists(java.nio.file.Paths.get(parts.head, parts.tail: _*))
+    }
+    val p = memo.getOrElseUpdate(key, build)
+    if (ok(p)) p
+    else { memo.remove(key); memo.getOrElseUpdate(key, build) }
+  }
+
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val fp = Tables.snapshotFingerprint(dir)
-    val path = pairsMemo.getOrElseUpdate((dir, fp, threshold), {
-      val p = java.nio.file.Files.createTempDirectory("graft-minhash-pairs").toString
+    val path = validatedArtifact(pairsMemo, (dir, fp, threshold), Seq("")) {
+      val p = newArtifactRoot("graft-minhash-pairs")
       minhashLshCompute(spark, dir, threshold)
         .write.mode("overwrite").parquet(p)
       p
-    })
+    }
     spark.read.parquet(path)
   }
 
   /** Drop every in-process memoized artifact (tests / long-lived REPLs —
-    * the artifacts themselves are temp-dir parquet and are reclaimed by
-    * the OS tmp sweeper; this just forgets the pointers).
+    * the artifacts themselves are temp-dir parquet, deleted by the JVM
+    * shutdown hook; this just forgets the pointers).
     */
   private[graft] def clearMemos(): Unit = {
-    pairsMemo.clear(); clustersMemo.clear()
+    pairsMemo.clear(); clustersMemo.clear(); lshFunnelMemo.clear()
   }
 
-  private def minhashLshCompute(spark: SparkSession, dir: String,
+  // private[graft]: doubles as the PLAN PROBE for `dedup_minhash`
+  // (SparkEntry.planProbes) — the funnel plan the memoized read hides
+  private[graft] def minhashLshCompute(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     val k = 16; val bands = 4
     val corpus = corpusWithPlants(spark, dir)
@@ -324,8 +360,9 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val path = clustersMemo.getOrElseUpdate((dir, Tables.snapshotFingerprint(dir)), {
-      val p = java.nio.file.Files.createTempDirectory("graft-dedup-clusters").toString
+    val path = validatedArtifact(clustersMemo,
+        (dir, Tables.snapshotFingerprint(dir)), Seq("")) {
+      val p = newArtifactRoot("graft-dedup-clusters")
       // the memoized pair artifact is a plain parquet scan, so the CC
       // loop's repeated reads re-scan a tiny file instead of re-running
       // the minhash pipeline
@@ -335,7 +372,7 @@ object Dedup {
       cc.withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
         .write.mode("overwrite").parquet(p)
       p
-    })
+    }
     spark.read.parquet(path)
   }
 
@@ -469,30 +506,32 @@ object Dedup {
     * incremental twin is [[buildDedupIndex]]).
     */
   private val lshFunnelMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Double, Int, Int), (String, String)]
+    .empty[(String, String, Double, Int, Int), String]
 
   private def lshFunnelArtifacts(spark: SparkSession, dir: String,
-      tau: Double, planes: Int, tables: Int): (String, String) =
-    lshFunnelMemo.getOrElseUpdate(
-      (dir, Tables.snapshotFingerprint(dir), tau, planes, tables), {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-lsh-funnel").toString
-        val (e, banded, cand0) = lshStages(
-          Tables.embeddings(spark, dir), planes, tables)
-        val cand = cand0.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        verifyCosine(e, cand, tau)
-          .write.mode("overwrite").parquet(s"$root/pairs")
-        val nVec = e.count(); val nBanded = banded.count()
-        val nCand = cand.count()
-        cand.unpersist()
-        val nVerified = spark.read.parquet(s"$root/pairs").count()
-        import spark.implicits._
-        Seq((nVec, nBanded, nCand, nVerified))
-          .toDF("n_vectors", "n_banded", "n_candidates", "n_verified")
-          .write.mode("overwrite").parquet(s"$root/counts")
-        (s"$root/pairs", s"$root/counts")
-      })
+      tau: Double, planes: Int, tables: Int): (String, String) = {
+    val root = validatedArtifact(lshFunnelMemo,
+        (dir, Tables.snapshotFingerprint(dir), tau, planes, tables),
+        Seq("pairs", "counts")) {
+      val r = newArtifactRoot("graft-lsh-funnel")
+      val (e, banded, cand0) = lshStages(
+        Tables.embeddings(spark, dir), planes, tables)
+      val cand = cand0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      verifyCosine(e, cand, tau)
+        .write.mode("overwrite").parquet(s"$r/pairs")
+      val nVec = e.count(); val nBanded = banded.count()
+      val nCand = cand.count()
+      cand.unpersist()
+      val nVerified = spark.read.parquet(s"$r/pairs").count()
+      import spark.implicits._
+      Seq((nVec, nBanded, nCand, nVerified))
+        .toDF("n_vectors", "n_banded", "n_candidates", "n_verified")
+        .write.mode("overwrite").parquet(s"$r/counts")
+      r
+    }
+    (s"$root/pairs", s"$root/counts")
+  }
 
   /** Growth model (the sf1 8.3×-at-10×-data explanation, MEASURED by
     * [[embeddingLshAccounting]]): the signature/banding stages are LINEAR
@@ -516,6 +555,18 @@ object Dedup {
       planes: Int = 8, tables: Int = 8): DataFrame =
     spark.read.parquet(
       lshFunnelArtifacts(spark, dir, tau, planes, tables)._1)
+
+  /** The UN-memoized funnel plan (signature → banding → candidate join →
+    * exact-cosine verify) over a live embeddings frame — what
+    * [[embeddingNearDupLsh]] computes once per snapshot. Registered as the
+    * PLAN PROBE for `dedup_embedding_lsh` (SparkEntry.planProbes) so the
+    * join-safety sweep and PLAN_BASELINE gate the funnel's structure, not
+    * the bare parquet read of its artifact. */
+  private[graft] def embeddingNearDupLshFrom(e0: DataFrame,
+      tau: Double = 0.4, planes: Int = 8, tables: Int = 8): DataFrame = {
+    val (e, _, cand) = lshStages(e0, planes, tables)
+    verifyCosine(e, cand, tau)
+  }
 
   /** #406 `dedup_lsh_accounting` — the banding twin of `dedup_bucket_skew`:
     * ONE row auditing the LSH dedup's funnel — vectors in, banded rows

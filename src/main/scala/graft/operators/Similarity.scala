@@ -437,6 +437,13 @@ object Similarity {
     * corpus size, unlike the crossJoin+window shape (nClusters× row
     * amplification plus a corpus exchange). Ties keep the lowest cluster
     * id, matching the window shape's `orderBy(csim.desc, cluster)`.
+    * Degenerate vectors (zero-norm / NaN components) produce NaN cosine,
+    * which fails EVERY `>` comparison — left alone they would keep the
+    * init cluster −1 and land in a postings partition no search ever
+    * probes (silently vanishing from the index). NaN is therefore
+    * coalesced to −1.0 (below any real cosine, above the −2.0 init), so
+    * such vectors deterministically join cluster 0 — still searchable,
+    * matching the window shape where NaN sorts FIRST under desc.
     */
   private[graft] def assignRowLocal(df: DataFrame,
       cents: Array[Array[Double]]): DataFrame = {
@@ -445,8 +452,8 @@ object Similarity {
     df.withColumn("cluster",
       aggregate(sequence(lit(0), lit(cents.length - 1)), init,
         (acc, i) => {
-          val c = GraftFunctions.cosineSim(col("embedding"),
-            element_at(cl, i + lit(1)))
+          val c = nanvl(GraftFunctions.cosineSim(col("embedding"),
+            element_at(cl, i + lit(1))), lit(-1.0))
           when(c > acc.getField("best"),
             struct(c.as("best"), i.cast("int").as("cl"))).otherwise(acc)
         }).getField("cl"))

@@ -857,7 +857,14 @@ object TimeSeries {
     // (Sum x^2, >= the centered SS >= between), x10^6. ONE DIV whose
     // quotient is mathematically in [0, 10^6] — Spark's DIV returns
     // BIGINT, so the naive per-term Sum^2/n form overflows at cents^2
-    // scale; this form cannot. The numerator is a square (>= 0), the
+    // scale. This form's numerator D^2 * 10^6 is DECIMAL(38,0), so it is
+    // exact while |D| = |u*ss - sl*pu| <= ~1.26e16 (sqrt(10^38/10^6));
+    // D is a day-count times a cents sum, so the bound holds up to
+    // ~1.26e16/n cents of |segment mass| at n days — e.g. >3e13 cents
+    // ($300B) of daily skew on a year series. Beyond that Spark's decimal
+    // overflows to NULL while DuckDB's HUGEINT keeps computing — a
+    // documented engine-parity bound, not an impossibility. The numerator
+    // is a square (>= 0), the
     // divisor positive: truncation == floor, so Spark DIV and DuckDB //
     // agree bit-for-bit, and the per-type argmax of the quantized ratio
     // (ties to the smallest position) is deterministic cross-engine.

@@ -116,6 +116,12 @@ object PlanAudit {
           // a join can only multiply its inputs' bounds
           for (a <- boundShaped(j.children.head); b <- boundShaped(j.children.last))
             yield a * b
+        // Generate (explode) and Expand (rollup/cube/grouping-sets) MULTIPLY
+        // rows — passing the child's bound through would let an
+        // explode-over-limit build side masquerade as bounded and wave an
+        // unbounded broadcast through the CI sweep
+        case _: org.apache.spark.sql.execution.GenerateExec => None
+        case _: org.apache.spark.sql.execution.ExpandExec => None
         case _ if u.children.length == 1 => boundShaped(u.children.head)
         case _ => None
       }
