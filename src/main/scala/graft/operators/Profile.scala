@@ -215,7 +215,10 @@ object Profile {
     * carries duplicate keys) include the payload columns themselves in
     * the tiebreak — equal-key rows then have equal payloads and the run
     * count is well-defined. At 100 TB run it on a contiguous block
-    * sample per candidate instead of the full table.
+    * sample instead of the full table — the registered `tbl_sort_advisor`
+    * does exactly that (SparkEntry.SortAdvisorBlockKeyCap: a fixed,
+    * min/max-prunable key-range block, exact at oracle SFs; UtilSpec pins
+    * block-vs-exact ranking agreement).
     */
   def sortRunsAdvisor(df: DataFrame, candidates: Seq[Seq[String]],
       payloads: Seq[String], tiebreak: Seq[String]): DataFrame = {

@@ -112,6 +112,9 @@ object PlanAudit {
         case r: org.apache.spark.sql.execution.RangeExec => Some(r.numElements.longValue)
         case g: org.apache.spark.sql.execution.GlobalLimitExec => Some(g.limit.toLong)
         case c: org.apache.spark.sql.execution.CollectLimitExec => Some(c.limit.toLong)
+        // orderBy().limit(n) plans as TakeOrderedAndProject — provably ≤ n
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+          Some(t.limit.toLong)
         case j if j.children.length == 2 =>
           // a join can only multiply its inputs' bounds
           for (a <- boundShaped(j.children.head); b <- boundShaped(j.children.last))

@@ -261,7 +261,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("embKnnConsistency: bounded scores, full sample accounted") {
+  test("embKnnConsistency: bounded scores, full sample accounted, corpus-independent cap") {
     import org.apache.spark.sql.functions._
     val out = Similarity.embKnnConsistency(spark, sf).collect()
     assert(out.nonEmpty)
@@ -269,9 +269,21 @@ class ScaleSpec extends SparkSpec {
       val c = r.getLong(2)
       assert(c >= 0L && c <= 10000L, s"consistency out of range: $r")
     }
-    val nSample = Tables.embeddings(spark, sf)
-      .filter(col("vec_id") % 10 === 0).count()
+    val n = Tables.embeddings(spark, sf).count()
+    val nSample = math.min(n, Similarity.KnnAuditQueries.toLong)
     assert(out.map(_.getLong(1)).sum == nSample, "sample rows lost")
+    // the scale contract: the query count is min(n, cap) — a corpus 10x
+    // bigger runs the SAME number of queries (work = cap x n, linear),
+    // unlike the old vec_id % 10 sample (n^2/10). Doubling the corpus by
+    // id-shifted self-union must leave the sample size at the cap.
+    val e = Tables.embeddings(spark, sf)
+    val twox = e.unionByName(e.withColumn("vec_id", col("vec_id") + lit(1000000L)))
+    val q2 = twox
+      .withColumn("rk", md5(concat(lit("knnq:"), col("vec_id"))))
+      .orderBy(col("rk"), col("vec_id")).limit(Similarity.KnnAuditQueries)
+      .count()
+    assert(q2 == math.min(2 * n, Similarity.KnnAuditQueries.toLong),
+      s"sample must cap at ${Similarity.KnnAuditQueries}, got $q2")
   }
 
   test("embPca: projection preserves geometry, whitening equalizes scales") {

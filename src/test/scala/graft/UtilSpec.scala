@@ -1757,4 +1757,31 @@ class UtilSpec extends SparkSpec {
     assert(out("k") === ((6L, 4L, 150L)), s"k got ${out("k")}")
     assert(out("g") === ((6L, 5L, 120L)), s"g got ${out("g")}")
   }
+
+  test("sort advisor: contiguous block sample preserves the exact ranking") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // stationary layout: payload pa runs long under sort-by-ka (ka DIV 16
+    // groups), pb runs long under sort-by-kb — the block estimate must
+    // rank the candidates exactly as the full-table stats do, because
+    // runs-per-row is a locality RATIO a contiguous slice estimates
+    // without bias when the generating process doesn't drift
+    val df = spark.range(0, 4000)
+      .select(col("id"),
+        (col("id") % 97).as("ka"), ((col("id") * 31) % 89).as("kb"),
+        (col("id") % 97 / 16).cast("long").as("pa"),
+        ((col("id") * 31) % 89 / 8).cast("long").as("pb"))
+    def ranking(d: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      Profile.sortRunsAdvisor(d, Seq(Seq("ka"), Seq("kb")),
+        Seq("pa", "pb"), Seq("id")).collect()
+        .map(r => (r.getAs[String]("payload"), r.getAs[String]("sort_key"),
+          r.getAs[Long]("avg_run_e2")))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (p, rows) => (p, rows.maxBy(r => (r._3, r._2))._2) }
+    val exact = ranking(df)
+    val block = ranking(df.filter(col("id") < 1000)) // first contiguous 25%
+    assert(exact === Seq(("pa", "ka"), ("pb", "kb")),
+      s"exact ranking unexpected: $exact")
+    assert(block === exact, s"block ranking $block != exact $exact")
+  }
 }
