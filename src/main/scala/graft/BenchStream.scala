@@ -109,7 +109,11 @@ object BenchStream {
       .queryName("bench_stream_gold")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        CdcStreams.applyCdcBatch(spark, batch, goldPath)
+        // an EMPTY micro-batch (back-to-back trigger between produce
+        // chunks) must not rewrite gold: the merge would be an identity,
+        // but the parquet swap is a full table rewrite — measured as the
+        // dominant latency-floor term before this guard
+        if (!batch.isEmpty) CdcStreams.applyCdcBatch(spark, batch, goldPath)
       }
       .start()
   }
@@ -135,13 +139,17 @@ object BenchStream {
     * mode is NOT used: it forbids aggregations/foreachBatch, so the gold
     * MERGE this pipeline exists for cannot run there.
     */
-  def latencyMain(spark: SparkSession,
+  /** One metered latency measurement at a given trigger setting; returns
+    * (p50 ms, p95 ms, avg ms, n_samples). `triggerMs` < 0 = default
+    * trigger (back-to-back micro-batches); ≥ 0 = ProcessingTime(ms).
+    */
+  def latencyOnce(spark: SparkSession, triggerMs: Long,
       warmupSec: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_WARMUP", "15").toInt,
       measureSec: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_SEC", "45").toInt,
       keySpace: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_KEYS", "100000").toInt,
       partitions: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8").toInt,
-      ratePerSec: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "2000").toInt,
-      outPath: String = "BENCH_STREAM_LATENCY.json"): (Long, Long, Long, Int) = {
+      ratePerSec: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "2000").toInt)
+      : (Long, Long, Long, Int) = {
     val chunkN = math.max(1, math.min(200, ratePerSec / 10))
 
     val root = Files.createTempDirectory("graft-benchstream-lat").toString
@@ -178,19 +186,23 @@ object BenchStream {
       .option("path", logRoot).option("topic", topic)
       .option("startingOffsets", "earliest")
       .load()
-    val q = silver(raw).writeStream
+    val writer0 = silver(raw).writeStream
       .queryName("bench_stream_latency_gold")
       .option("checkpointLocation", ckpt)
+    val writer = if (triggerMs < 0) writer0
+      else writer0.trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(triggerMs))
+    val q = writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
-        CdcStreams.applyCdcBatch(spark, b, gold)
-        // gold is committed — everything in this batch is now queryable.
         // max over an EMPTY micro-batch (legal between produce chunks) is
-        // NULL — getLong would NPE and kill the query; skip the drain.
+        // NULL: skip BOTH the gold rewrite (identity merge, but a full
+        // parquet swap — the measured floor term) and the drain.
         val maxIdRow = b.agg(org.apache.spark.sql.functions.max("event_id"))
           .head()
-        b.unpersist()
         if (!maxIdRow.isNullAt(0)) {
+          CdcStreams.applyCdcBatch(spark, b, gold)
+          // gold is committed — everything in this batch is now queryable
           val maxId = maxIdRow.getLong(0)
           val now = System.nanoTime()
           var head = inFlight.peek()
@@ -200,6 +212,8 @@ object BenchStream {
             head = inFlight.peek()
           }
         }
+        b.unpersist()
+        ()
       }
       .start()
     producer.start()
@@ -216,18 +230,210 @@ object BenchStream {
       if (lats.isEmpty) -1L
       else lats(math.min(lats.length - 1, math.ceil(p * lats.length).toInt - 1))
     val avg = if (lats.isEmpty) -1L else lats.sum / lats.length
-    val json =
-      s"""{"metric":"stream_e2e_latency_ms","p50":${pct(0.50)},""" +
-        s""""p95":${pct(0.95)},"avg":$avg,"n_samples":${lats.length},""" +
-        s""""rate_events_per_sec":$ratePerSec,"chunk_events":$chunkN,""" +
-        s""""measure_sec":$measureSec,"partitions":$partitions,""" +
-        s""""semantics":"produce wall-clock -> SCD1 gold COMMITTED (queryable), per-chunk sampling",""" +
-        s""""architecture_note":"micro-batch floor = trigger cycle (offsets+plan+run+commit); reference's 87ms is a record-at-a-time clock — see BenchStream.latencyMain scaladoc",""" +
-        s""""reference_envelope":"87ms avg end-to-end latency (COMPARISON.md:139-143)"}"""
-    Files.writeString(Paths.get(outPath), json)
-    println(json)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     (pct(0.50), pct(0.95), avg, lats.length)
+  }
+
+  /** The LATENCY-FLOOR sweep: [[latencyOnce]] at three trigger settings —
+    * default (back-to-back: a new batch starts the instant the previous
+    * commits), ProcessingTime(100 ms) and ProcessingTime(500 ms) — so the
+    * floor DECOMPOSITION is measured, not asserted. Round-8 measurements
+    * (2K ev/s, local[32]): ~800 / ~707 / ~697 ms p50 — i.e. the floor is
+    * NOT the trigger interval, it is the BATCH COST: every non-empty
+    * batch's SCD1 apply rewrites the whole gold parquet (the swap in
+    * [[CdcStreams.applyCdcBatch]]), ~600-700 ms at a 100K-key gold, and
+    * an event waits for the in-flight batch plus its own. Two consequences
+    * implemented here: (1) empty micro-batches must SKIP the gold rewrite
+    * (an identity merge still paid the full swap — fixing that took the
+    * back-to-back arm from 944 to 800 ms p50); (2) sweeping the trigger
+    * is ~flat because batch cost exceeds every tested interval. The real
+    * lever toward the reference's 87 ms record-at-a-time clock is a
+    * key-partitioned or log-structured gold target (rewrite touched
+    * partitions only), not trigger tuning; Spark's async progress
+    * tracking is inapplicable (requires a stateless query with a Kafka
+    * sink — a foreachBatch MERGE commit is exactly what it excludes).
+    */
+  def latencyMain(spark: SparkSession,
+      outPath: String = "BENCH_STREAM_LATENCY.json"): Unit = {
+    val ratePerSec = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "2000").toInt
+    val measureSec = sys.env.getOrElse("SPARK_GRAFT_STREAM_SEC", "45").toInt
+    val sweep = Seq(-1L, 100L, 500L)
+    val arms = sweep.map { t =>
+      val (p50, p95, avg, n) = latencyOnce(spark, t)
+      val label = if (t < 0) "default (back-to-back)" else s"processing_time_${t}ms"
+      println(s"[latency-sweep] $label: p50=$p50 p95=$p95 avg=$avg n=$n")
+      s"""{"trigger":"$label","p50":$p50,"p95":$p95,"avg":$avg,"n_samples":$n}"""
+    }
+    val json =
+      s"""{"metric":"stream_e2e_latency_ms","sweep":[${arms.mkString(",")}],""" +
+        s""""rate_events_per_sec":$ratePerSec,"measure_sec_per_arm":$measureSec,""" +
+        s""""semantics":"produce wall-clock -> SCD1 gold COMMITTED (queryable), per-chunk sampling",""" +
+        s""""floor_decomposition":"floor = batch cost (gold parquet swap ~600-700ms at 100K keys), not trigger interval: sweep is ~flat, empty-batch gold rewrites skipped (944->800ms p50); reaching ~87ms needs a key-partitioned gold target; async progress tracking inapplicable to a foreachBatch MERGE sink",""" +
+        s""""reference_envelope":"87ms avg end-to-end latency, record-at-a-time clock (COMPARISON.md:139-143)"}"""
+    Files.writeString(Paths.get(outPath), json)
+    println(json)
+  }
+
+  /** RECOVERY mode (`SPARK_GRAFT_STREAM_MODE=recovery`) — the last
+    * published reference number with no analog here: the reference claims
+    * 30 s (custom datasource) / 45 s (Debezium arm) recovery-from-failure
+    * and 99.99% vs 100% consistency (reference: COMPARISON.md:147-150).
+    * Protocol: drive the same kafkalog → silver → SCD1-gold pipeline as
+    * the throughput bench (single producer so the event-id space stays a
+    * contiguous [0, produced) — the exactly-once audit recomputes the
+    * expected gold state from that range), then TWO kill/restart cycles
+    * against the SAME checkpoint:
+    *
+    *  - arm `mid_steady`: stop the query at an arbitrary steady-state
+    *    instant (whatever the trigger loop is doing);
+    *  - arm `mid_batch`: wait for a batch-commit event, sleep ~40% of the
+    *    median batch duration, then stop — the query dies with a batch in
+    *    flight, so the restart REPLAYS that batch from the checkpointed
+    *    offsets (the path [[CdcStreams.applyCdcBatch]]'s rename-retire
+    *    swap and idempotent merge exist for).
+    *
+    * The producer keeps producing through both outages (upstream never
+    * pauses for a consumer crash); per arm we report seconds from
+    * restart() to the first COMMITTED batch (the reference's
+    * "recovery time") plus the backlog at restart, then after the second
+    * recovery stop the producer and report seconds-to-backlog-drain.
+    * Exactly-once is ASSERTED, not assumed: the final gold parquet is
+    * anti-joined both ways against the expected SCD1 state recomputed
+    * from the full produced id range (latest-per-user by (ts_us,
+    * event_id), DELETE drops) — `state_mismatches` must print 0, i.e.
+    * the reference's 100%-consistency row, measured across two kills.
+    */
+  def recoveryMain(spark: SparkSession,
+      warmupSec: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_WARMUP", "12").toInt,
+      outageSec: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUTAGE", "5").toInt,
+      keySpace: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_KEYS", "100000").toInt,
+      partitions: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "16").toInt,
+      maxPerTrigger: Long = sys.env.getOrElse("SPARK_GRAFT_STREAM_TRIGGER", "250000").toLong,
+      outPath: String = "BENCH_STREAM_RECOVERY.json"): Unit = {
+    val produceChunk = 25000
+    val root = Files.createTempDirectory("graft-benchstream-rec").toString
+    val (logRoot, topic) = (s"$root/log", "bench_cdc_rec")
+    val (gold, ckpt) = (s"$root/gold", s"$root/ckpt")
+
+    val produced = new AtomicLong(0L)
+    val consumed = new AtomicLong(0L)
+    val stop = new AtomicBoolean(false)
+    val backlogCap = 4 * maxPerTrigger
+    val stats = new java.util.concurrent.ConcurrentLinkedQueue[BatchStat]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        consumed.addAndGet(p.numInputRows)
+        val dur = Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue()).getOrElse(0L)
+        stats.add(BatchStat(p.batchId, p.numInputRows, dur, System.nanoTime()))
+      }
+    }
+    spark.streams.addListener(listener)
+
+    // SINGLE producer: contiguous blocks -> ids form [0, produced) exactly
+    produced.addAndGet(EmbeddedTopicLog.produce(logRoot, topic,
+      chunk(0L, produceChunk, keySpace), partitions))
+    val producer = new Thread(() => {
+      var block = 1L
+      while (!stop.get()) {
+        if (produced.get() - consumed.get() > backlogCap) Thread.sleep(5)
+        else {
+          EmbeddedTopicLog.produce(logRoot, topic,
+            chunk(block * produceChunk, produceChunk, keySpace), partitions)
+          block += 1
+          produced.addAndGet(produceChunk)
+        }
+      }
+    }, "benchstream-recovery-producer")
+    producer.setDaemon(true)
+
+    def commitsAfter(t: Long): Seq[BatchStat] =
+      stats.toArray(Array.empty[BatchStat]).filter(s => s.endNanos >= t && s.rows > 0)
+
+    var q = startGoldQuery(spark, logRoot, topic, gold, ckpt, maxPerTrigger)
+    producer.start()
+    Thread.sleep(warmupSec * 1000L)
+
+    def killAndRecover(arm: String, midBatch: Boolean): String = {
+      if (midBatch) {
+        // align the stop inside a running batch: wait for a fresh commit,
+        // then sleep ~40% of the median batch wall before stopping
+        val before = stats.size()
+        val deadline = System.nanoTime() + 10000000000L
+        while (stats.size() == before && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        val durs = stats.toArray(Array.empty[BatchStat]).map(_.durMs).sorted
+        val med = if (durs.isEmpty) 500L else durs(durs.length / 2)
+        Thread.sleep(math.max(50L, (med * 2) / 5))
+      }
+      val tStop0 = System.nanoTime()
+      q.stop(); q.awaitTermination(30000)
+      val stopMs = (System.nanoTime() - tStop0) / 1000000L
+      Thread.sleep(outageSec * 1000L) // producer keeps running
+      val backlog = produced.get() - consumed.get()
+      val tRestart = System.nanoTime()
+      q = startGoldQuery(spark, logRoot, topic, gold, ckpt, maxPerTrigger)
+      val deadline = System.nanoTime() + 120000000000L
+      while (commitsAfter(tRestart).isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      val firstCommit = commitsAfter(tRestart).headOption
+      val recSec = firstCommit
+        .map(s => (s.endNanos - tRestart) / 1e9).getOrElse(-1.0)
+      s"""{"kill":"$arm","stop_ms":$stopMs,"outage_sec":$outageSec,""" +
+        s""""backlog_at_restart":$backlog,""" +
+        s""""first_commit_sec":${"%.2f".format(recSec)}}"""
+    }
+
+    val armSteady = killAndRecover("mid_steady", midBatch = false)
+    Thread.sleep(5000L) // re-enter steady state between arms
+    val armMid = killAndRecover("mid_batch", midBatch = true)
+
+    // drain: stop producing, measure catch-up from the second recovery
+    stop.set(true); producer.join(5000)
+    val producedTotal = produced.get()
+    val tDrain0 = System.nanoTime()
+    val drainDeadline = System.nanoTime() + 300000000000L
+    while (consumed.get() < producedTotal && System.nanoTime() < drainDeadline)
+      Thread.sleep(50)
+    val drainSec = (System.nanoTime() - tDrain0) / 1e9
+    q.stop(); q.awaitTermination(30000)
+
+    // exactly-once audit: expected SCD1 state from the produced id range
+    val expected = spark.range(0, producedTotal).selectExpr(
+        s"id % $keySpace AS user_id",
+        "CASE WHEN id % 20 = 0 THEN 'DELETE' WHEN id % 5 = 0 THEN 'INSERT' " +
+          "ELSE 'UPDATE' END AS operation",
+        "id * 1000 AS ts_us", "id AS event_id",
+        "CASE WHEN id % 20 = 0 THEN CAST(0 AS DOUBLE) " +
+          "ELSE CAST(id % 10000 AS DOUBLE) / 100.0 END AS value")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(org.apache.spark.sql.functions.col("ts_us").desc,
+            org.apache.spark.sql.functions.col("event_id").desc)))
+      .filter("rn = 1 AND operation <> 'DELETE'").drop("rn")
+    val actual = spark.read.parquet(gold)
+    val mismatches =
+      expected.exceptAll(actual).count() + actual.exceptAll(expected).count()
+
+    val json =
+      s"""{"metric":"stream_recovery","arms":[$armSteady,$armMid],""" +
+        s""""drain_sec":${"%.2f".format(drainSec)},""" +
+        s""""produced_total":$producedTotal,"gold_rows":${actual.count()},""" +
+        s""""state_mismatches":$mismatches,""" +
+        s""""pipeline":"kafkalog -> debezium silver parse -> SCD1 gold apply (checkpointed)",""" +
+        s""""semantics":"first_commit_sec = restart() -> first COMMITTED batch; state_mismatches = exactly-once audit vs recomputed SCD1 expectation",""" +
+        s""""reference_envelope":"30s custom / 45s debezium recovery, 99.99% vs 100% consistency (COMPARISON.md:147-150)"}"""
+    Files.writeString(Paths.get(outPath), json)
+    println(json)
+    spark.streams.removeListener(listener)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    if (mismatches != 0)
+      throw new IllegalStateException(
+        s"exactly-once violated across kill/restart: $mismatches mismatching rows")
   }
 
   def main(args: Array[String]): Unit = {
@@ -250,6 +456,10 @@ object BenchStream {
 
     if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("latency")) {
       try latencyMain(spark) finally spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("recovery")) {
+      try recoveryMain(spark) finally spark.stop()
       return
     }
 

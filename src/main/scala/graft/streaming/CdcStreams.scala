@@ -808,8 +808,18 @@ object CdcStreams {
 
   def applyCdcBatch(spark: SparkSession, batch: DataFrame, targetPath: String): Unit = {
     val incoming = batch.select("user_id", "operation", "ts_us", "event_id", "value")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(targetPath)
+    val bakPath = targetPath + "_bak"
+    val bak = new org.apache.hadoop.fs.Path(bakPath)
+    // crash recovery: if a previous apply died between its two renames
+    // (dst already moved to _bak, staging not yet promoted), the pre-batch
+    // state lives ONLY in _bak — read it as the existing state so the
+    // checkpointed replay re-merges against the right base instead of an
+    // empty target (which would truncate gold to the batch's keys).
+    val readPath = if (!fs.exists(dst) && fs.exists(bak)) bakPath else targetPath
     val existing =
-      try spark.read.parquet(targetPath)
+      try spark.read.parquet(readPath)
         .select("user_id", "operation", "ts_us", "event_id", "value")
       catch { case e: Exception if isMissingTarget(e) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
@@ -818,15 +828,21 @@ object CdcStreams {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("operation") =!= "DELETE")
       .drop("rn")
-    // write-then-swap: parquet has no txn log, so stage to a temp dir first
+    // write-then-swap: parquet has no txn log, so stage to a temp dir,
+    // then retire the old state via RENAME (not delete) — at every point
+    // between the renames the pre-batch state survives in dst or _bak, so
+    // a kill anywhere in the swap is recoverable (BenchStream.recoveryMain
+    // exercises exactly this path; StreamingSpec pins the replay).
     val tmp = targetPath + "_staging"
     merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(targetPath)
-    fs.delete(dst, true)
+    fs.delete(bak, true)
+    if (fs.exists(dst) && !fs.rename(dst, bak))
+      throw new java.io.IOException(
+        s"CDC merge swap failed: could not retire $targetPath to $bakPath")
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
       throw new java.io.IOException(
         s"CDC merge swap failed: could not rename $tmp to $targetPath")
+    fs.delete(bak, true)
   }
 
   /** Multi-table MERGE in ONE job: apply a micro-batch of UNIFIED-envelope

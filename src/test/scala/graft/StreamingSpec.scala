@@ -963,19 +963,19 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("BenchStream latency mode: produce-to-gold-visible samples measured after warmup") {
-    val out = java.nio.file.Files
-      .createTempDirectory("lat_spec").resolve("lat.json").toString
     // miniature run: 2s warmup + 6s measure at 500 ev/s — enough batches
-    // for several post-warmup chunk drains on this harness
-    val (p50, p95, avg, n) = graft.BenchStream.latencyMain(spark,
-      warmupSec = 2, measureSec = 6, keySpace = 1000, partitions = 2,
-      ratePerSec = 500, outPath = out)
+    // for several post-warmup chunk drains on this harness; exercises
+    // both the default trigger and a ProcessingTime trigger arm
+    val (p50, p95, avg, n) = graft.BenchStream.latencyOnce(spark,
+      triggerMs = -1L, warmupSec = 2, measureSec = 6, keySpace = 1000,
+      partitions = 2, ratePerSec = 500)
     assert(n > 0, "latency mode measured zero samples")
     assert(p50 > 0 && avg > 0 && p95 >= p50,
       s"nonsensical latency stats: p50=$p50 p95=$p95 avg=$avg")
-    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
-    assert(json.contains("\"metric\":\"stream_e2e_latency_ms\"") &&
-      json.contains("\"n_samples\":" + n))
+    val (p50t, _, _, nt) = graft.BenchStream.latencyOnce(spark,
+      triggerMs = 200L, warmupSec = 2, measureSec = 6, keySpace = 1000,
+      partitions = 2, ratePerSec = 500)
+    assert(nt > 0 && p50t > 0, "triggered latency arm measured nothing")
   }
 
   test("BenchStream gold path: multi-batch SCD1 equals a one-shot replay") {
@@ -1021,5 +1021,62 @@ class StreamingSpec extends SparkSpec {
       .select("user_id").collect().map(_.getLong(0)).toSet
     assert(deleted.nonEmpty, "op mix planted no final deletes — weak test")
     assert(got.forall(r => !deleted.contains(r.head.asInstanceOf[Long])))
+  }
+
+  test("gold recovery: kill, restart from checkpoint, mid-swap crash — exactly-once state") {
+    import graft.sources.EmbeddedTopicLog
+    val root = tmpDir("benchrec")
+    val (logRoot, topic) = (s"$root/log", "bench_cdc_rec")
+    val (gold, ckpt) = (s"$root/gold", s"$root/ckpt")
+    def expectedState(): Set[Seq[Any]] = {
+      val raw = spark.read.format("kafkalog")
+        .option("path", logRoot).option("topic", topic).load()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+      BenchStream.silver(raw)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("operation") =!= "DELETE").drop("rn")
+        .select("user_id", "operation", "ts_us", "event_id", "value")
+        .collect().map(_.toSeq).toSet
+    }
+    def goldState(): Set[Seq[Any]] = spark.read.parquet(gold)
+      .select("user_id", "operation", "ts_us", "event_id", "value")
+      .collect().map(_.toSeq).toSet
+    // phase 1: ingest two blocks, then KILL the query
+    (0 until 2).foreach { b =>
+      EmbeddedTopicLog.produce(logRoot, topic,
+        BenchStream.chunk(b * 1000L, 1000, keySpace = 97), partitions = 4)
+    }
+    val q1 = BenchStream.startGoldQuery(spark, logRoot, topic, gold, ckpt,
+      maxPerTrigger = 700L)
+    try q1.processAllAvailable() finally q1.stop() // kill mid-stream
+    // phase 2: upstream keeps producing through the outage
+    (2 until 4).foreach { b =>
+      EmbeddedTopicLog.produce(logRoot, topic,
+        BenchStream.chunk(b * 1000L, 1000, keySpace = 97), partitions = 4)
+    }
+    // phase 3: restart from the SAME checkpoint — resumes at the committed
+    // offsets, replays nothing already applied, loses nothing
+    val q2 = BenchStream.startGoldQuery(spark, logRoot, topic, gold, ckpt,
+      maxPerTrigger = 700L)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(goldState() === expectedState(),
+      "gold state diverged across kill/restart")
+    // phase 4: simulate a crash BETWEEN applyCdcBatch's two renames — the
+    // pre-batch state survives only in _bak; the next apply must read it
+    // as the existing state instead of merging against an empty target
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(gold),
+      new org.apache.hadoop.fs.Path(gold + "_bak")), "test setup rename failed")
+    EmbeddedTopicLog.produce(logRoot, topic,
+      BenchStream.chunk(4000L, 1000, keySpace = 97), partitions = 4)
+    val q3 = BenchStream.startGoldQuery(spark, logRoot, topic, gold, ckpt,
+      maxPerTrigger = 700L)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(goldState() === expectedState(),
+      "mid-swap crash recovery lost pre-batch state (falsely-empty target)")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(gold + "_bak")),
+      "recovery must retire the _bak staging state")
   }
 }
