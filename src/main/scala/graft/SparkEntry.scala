@@ -51,6 +51,9 @@ object SparkEntry {
     "cdc_before_after" -> ((s, d) => Cdc.beforeAfter(s, d)),
     "cdc_gap_check" -> ((s, d) => Cdc.gapCheck(s, d)),
     "cdc_debezium_parse" -> ((s, d) => Debezium.silverParsed(s, d)),
+    // Debezium schema-change topic: DDL envelope parse -> versioned table
+    // history (the registry replay lives in SchemaRegistry.registerDdlHistory)
+    "cdc_ddl_capture" -> ((s, d) => Debezium.ddlCapture(s, d)),
     // same silver projection via the Avro wire format — round-trip parity
     "cdc_avro_parse" -> ((s, d) => graft.sources.AvroEnvelope.avroSilverParsed(s, d)),
     // Burrow-style consumer-lag monitor over kafkalog segment metadata
@@ -5166,6 +5169,27 @@ object SparkEntry {
          |  CAST(sum_pos AS BIGINT) AS sum_pos_cos_e4,
          |  CAST(sum_neg AS BIGINT) AS sum_neg_cos_e4
          |FROM pag""".stripMargin,
+    "cdc_ddl_capture" ->
+      """WITH t AS (SELECT event_type, CAST(min(epoch_us(ts) // 1000) AS BIGINT) AS first_ms
+        |           FROM events GROUP BY 1),
+        |v AS (SELECT event_type, first_ms,
+        |        CAST(row_number() OVER (ORDER BY first_ms, event_type) AS BIGINT) AS version,
+        |        string_agg(event_type || '_total', ',')
+        |          OVER (ORDER BY first_ms, event_type ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT 'graftdb' AS database_name, first_ms AS change_ts_ms,
+        |  CASE WHEN version = 1 THEN 'CREATE' ELSE 'ALTER' END AS change_type,
+        |  '"graftdb"."events_gold"' AS table_id,
+        |  'user_id' AS pk_cols,
+        |  CAST(version + 2 AS BIGINT) AS n_columns,
+        |  'user_id,value,' || cum AS column_names,
+        |  'BIGINT,DOUBLE' || repeat(',BIGINT', CAST(version AS INT)) AS column_types,
+        |  TRUE AS nullable_outside_pk,
+        |  CASE WHEN version = 1
+        |    THEN 'CREATE TABLE events_gold (user_id BIGINT NOT NULL, value DOUBLE, ' || event_type || '_total BIGINT, PRIMARY KEY (user_id))'
+        |    ELSE 'ALTER TABLE events_gold ADD COLUMN ' || event_type || '_total BIGINT' END AS ddl,
+        |  version
+        |FROM v""".stripMargin,
     "emb_knn_consistency" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, label AS qlabel
         |           FROM embeddings

@@ -411,4 +411,111 @@ object Debezium {
       .select("event_id", "topic", "kafka_partition", "aggregate_id",
         "seq_us", "seq_in_partition")
   }
+
+  // ---- DDL capture (Debezium schema-change topic) ------------------------
+
+  /** Debezium's SCHEMA-CHANGE topic envelope (the DDL arm the reference's
+    * Debezium stack advertises as "automatic DDL capture",
+    * reference: debezium-approach/COMPARISON.md:152): alongside the data
+    * topics, the connector emits one message per captured DDL statement —
+    * the raw `ddl` text plus a structured `tableChanges` array carrying
+    * the POST-change table shape (column list with types/positions,
+    * primary-key names). Shape follows Debezium's public
+    * SchemaChangeValue format.
+    */
+  val ddlEnvelopeSchema: StructType = {
+    val column = StructType(Seq(
+      StructField("name", StringType),
+      StructField("typeName", StringType),
+      StructField("position", IntegerType),
+      StructField("optional", BooleanType)))
+    val table = StructType(Seq(
+      StructField("primaryKeyColumnNames", ArrayType(StringType)),
+      StructField("columns", ArrayType(column))))
+    val change = StructType(Seq(
+      StructField("type", StringType),
+      StructField("id", StringType),
+      StructField("table", table)))
+    StructType(Seq(
+      StructField("source", StructType(Seq(
+        StructField("version", StringType), StructField("connector", StringType),
+        StructField("name", StringType), StructField("ts_ms", LongType),
+        StructField("db", StringType), StructField("table", StringType)))),
+      StructField("databaseName", StringType),
+      StructField("ts_ms", LongType),
+      StructField("ddl", StringType),
+      StructField("tableChanges", ArrayType(change))))
+  }
+
+  /** Deterministic DDL history synthesized from the events table (the
+    * [[synthEnvelope]] idiom applied to the schema-change topic): the
+    * distinct event types, in first-event-time order, each contribute one
+    * schema generation of a `graftdb.events_gold` table — v1 CREATEs the
+    * base (user_id PK, value) plus the first type's rollup column, every
+    * later version ALTERs one `<type>_total BIGINT` in. ts_ms = the
+    * type's first event time, so the history replays chronologically.
+    */
+  def synthDdlEnvelope(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(expr("min(ts DIV 1000000)").as("first_ms"))
+      .selectExpr("event_type", "first_ms",
+        "row_number() OVER (ORDER BY first_ms, event_type) AS version",
+        "array_join(collect_list(event_type || '_total') OVER " +
+          "(ORDER BY first_ms, event_type ROWS UNBOUNDED PRECEDING), ',') AS cum_cols")
+      .selectExpr("version",
+        "'user_id,value,' || cum_cols AS all_cols",
+        "first_ms",
+        """CASE WHEN version = 1
+           THEN 'CREATE TABLE events_gold (user_id BIGINT NOT NULL, value DOUBLE, ' || event_type || '_total BIGINT, PRIMARY KEY (user_id))'
+           ELSE 'ALTER TABLE events_gold ADD COLUMN ' || event_type || '_total BIGINT' END AS ddl_text""")
+      .selectExpr("version",
+        """'{"source":{"version":"2.4.0","connector":"mysql","name":"graft","ts_ms":' || CAST(first_ms AS STRING) ||
+           ',"db":"graftdb","table":"events_gold"},"databaseName":"graftdb","ts_ms":' || CAST(first_ms AS STRING) ||
+           ',"ddl":"' || ddl_text ||
+           '","tableChanges":[{"type":"' || CASE WHEN version = 1 THEN 'CREATE' ELSE 'ALTER' END ||
+           '","id":"\\"graftdb\\".\\"events_gold\\"","table":{"primaryKeyColumnNames":["user_id"],"columns":[' ||
+           array_join(transform(split(all_cols, ','), (c, i) ->
+             '{"name":"' || c || '","typeName":"' ||
+             CASE WHEN c = 'value' THEN 'DOUBLE' ELSE 'BIGINT' END ||
+             '","position":' || CAST(i + 1 AS STRING) || ',"optional":' ||
+             CASE WHEN c = 'user_id' THEN 'false' ELSE 'true' END || '}'), ',') ||
+           ']}}]}' AS ddl_event""")
+
+  /** Parse schema-change envelopes: one output row per table change, with
+    * the post-change column census flattened to engine-comparable scalars.
+    */
+  def parseDdlEnvelope(df: DataFrame, eventCol: String): DataFrame =
+    df.withColumn("parsed", from_json(col(eventCol), ddlEnvelopeSchema))
+      .select(col("parsed.databaseName").as("database_name"),
+        col("parsed.ts_ms").as("change_ts_ms"),
+        col("parsed.ddl").as("ddl"),
+        explode(col("parsed.tableChanges")).as("chg"))
+      .select(col("database_name"), col("change_ts_ms"), col("ddl"),
+        col("chg.type").as("change_type"),
+        col("chg.id").as("table_id"),
+        expr("array_join(chg.table.primaryKeyColumnNames, ',')").as("pk_cols"),
+        expr("size(chg.table.columns)").cast("long").as("n_columns"),
+        expr("array_join(transform(chg.table.columns, c -> c.name), ',')")
+          .as("column_names"),
+        expr("array_join(transform(chg.table.columns, c -> c.typeName), ',')")
+          .as("column_types"),
+        expr("CAST(forall(chg.table.columns, c -> c.optional OR array_contains(chg.table.primaryKeyColumnNames, c.name)) AS BOOLEAN)")
+          .as("nullable_outside_pk"))
+
+  /** #cdc_ddl_capture — the registered query: synthesized schema-change
+    * topic → full DDL parse, versioned by change time. Closes the one
+    * Debezium-arm capability with no analog (automatic DDL capture,
+    * COMPARISON.md:152): the same parsed rows drive
+    * [[graft.sources.SchemaRegistry.registerDdlHistory]], which replays
+    * them into registered Avro generations (DebeziumSpec pins the version
+    * bump + replay idempotence), giving [[graft.streaming.CdcStreams
+    * .schemaMigration]] a REGISTERED column set instead of inferred drift.
+    */
+  def ddlCapture(spark: SparkSession, dir: String): DataFrame =
+    parseDdlEnvelope(synthDdlEnvelope(spark, dir), "ddl_event")
+      .selectExpr("database_name", "change_ts_ms", "change_type", "table_id",
+        "pk_cols", "n_columns", "column_names", "column_types",
+        "nullable_outside_pk", "ddl",
+        "CAST(row_number() OVER (PARTITION BY table_id ORDER BY change_ts_ms, n_columns) AS BIGINT) AS version")
 }

@@ -90,6 +90,58 @@ object SchemaRegistry {
       }
   }
 
+  // ---- DDL-capture replay ------------------------------------------------
+
+  /** Replay a PARSED schema-change history ([[graft.cdc.Debezium
+    * .parseDdlEnvelope]] / `ddlCapture` output) into registered Avro
+    * generations: each change's post-change column census becomes a record
+    * schema (BIGINT→long, DOUBLE→double, else string; non-PK columns
+    * nullable with a null default) registered under the change's
+    * `table_id` topic. [[register]] dedups identical schema text, so
+    * REPLAYING the same DDL stream is idempotent (no version bump), while
+    * a genuinely new generation bumps the topic's version — DebeziumSpec
+    * pins both. Driver-side by design: a DDL topic is schema-count-sized
+    * (the collect is bounded by generations, never data).
+    */
+  def registerDdlHistory(parsedDdl: DataFrame): Seq[Entry] = {
+    import org.apache.avro.SchemaBuilder
+    val changes = parsedDdl
+      .select("table_id", "change_ts_ms", "n_columns", "column_names",
+        "column_types", "pk_cols")
+      .collect()
+      .sortBy(r => (r.getAs[String]("table_id"), r.getAs[Long]("change_ts_ms"),
+        r.getAs[Long]("n_columns")))
+    changes.map { r =>
+      val pks = r.getAs[String]("pk_cols").split(",").toSet
+      val names = r.getAs[String]("column_names").split(",")
+      val types = r.getAs[String]("column_types").split(",")
+      var fields = SchemaBuilder.record("events_gold").namespace("graft.ddl")
+        .fields()
+      names.zip(types).foreach { case (n, t) =>
+        val b = fields.name(n)
+        (t, pks(n)) match {
+          case ("BIGINT", true)  => fields = b.`type`().longType().noDefault()
+          case ("BIGINT", false) => fields = b.`type`().optional().longType()
+          case ("DOUBLE", false) => fields = b.`type`().optional().doubleType()
+          case _                 => fields = b.`type`().optional().stringType()
+        }
+      }
+      register(r.getAs[String]("table_id"), fields.endRecord())
+    }.toSeq
+  }
+
+  /** The REGISTERED column set per table (latest generation), in the shape
+    * [[graft.streaming.CdcStreams.schemaMigration]] consumes — the DDL
+    * capture path replacing a hand-maintained registry map.
+    */
+  def registryColumns: Map[String, Seq[String]] = synchronized {
+    all.groupBy(_.topic).map { case (t, es) =>
+      val latest = es.maxBy(_.version)
+      val schema = new Schema.Parser().parse(latest.schemaJson)
+      t -> schema.getFields.asScala.map(_.name).toSeq
+    }
+  }
+
   // ---- Compatibility enforcement ---------------------------------------
 
   /** Confluent-style compatibility modes for [[registerChecked]]:

@@ -59,6 +59,34 @@ object Medallion {
       coalesce(get_json_object(col("after_image"), "$.value").cast("double"),
         lit(0.0)).as("value"))
 
+  /** #100 observe()-based parse-quality counters for the silver stage —
+    * the data-plane twin of [[CdcStreams.MetricsListener]] (which reads
+    * ENGINE progress: rows/durations). `observe` rides the silver frame
+    * through the writes the batch already runs, so the counters cost no
+    * extra action: rows that parsed, rows whose op code didn't map, and
+    * upsert rows missing their after image — the three "the connector is
+    * misbehaving" signals a medallion operator alerts on. Collected per
+    * (gold path, batch) and exposed as a frame like the listener's.
+    */
+  final case class SilverQuality(batch_id: Long, n_parsed: Long,
+      n_unknown_op: Long, n_missing_after: Long)
+
+  private val qualityLog =
+    new scala.collection.concurrent.TrieMap[(String, Long), SilverQuality]()
+
+  def clearQuality(goldPath: String): Unit =
+    qualityLog.keys.filter(_._1 == goldPath).foreach(qualityLog.remove)
+
+  def silverQuality(goldPath: String): Seq[SilverQuality] =
+    qualityLog.collect { case ((g, _), q) if g == goldPath => q }
+      .toSeq.sortBy(_.batch_id)
+
+  def silverQualityDF(spark: SparkSession, goldPath: String): DataFrame = {
+    import spark.implicits._
+    silverQuality(goldPath)
+      .toDF("batch_id", "n_parsed", "n_unknown_op", "n_missing_after")
+  }
+
   /** Batch-mode core of one micro-batch — also the replay/backfill path:
     * parse once, split three ways, idempotent writes keyed by `batchId`.
     */
@@ -69,13 +97,28 @@ object Medallion {
     // (and the envelope parse) runs once, not once per sink
     batch.persist()
     try {
-      val (silver, dlq) = Debezium.parseEnvelopeWithDlq(batch, "value")
+      val (silver0, dlq) = Debezium.parseEnvelopeWithDlq(batch, "value")
+      val obs = new org.apache.spark.sql.Observation(
+        s"silver_quality_${batchId}_${java.util.UUID.randomUUID()}")
+      val silver = silver0.observe(obs,
+        count(lit(1)).as("n_parsed"),
+        sum(when(col("operation") === "UNKNOWN", 1L).otherwise(0L))
+          .as("n_unknown_op"),
+        sum(when(col("after_image").isNull && col("operation") =!= "DELETE", 1L)
+          .otherwise(0L)).as("n_missing_after"))
       val (clean, quarantine) = Debezium.expectOrDrop(silver, rules)
       dlq.write.mode("overwrite").parquet(s"$dlqPath/batch_id=$batchId")
       quarantine.withColumn("failed_rules", concat_ws(",", col("failed_expectations")))
         .drop("failed_expectations")
         .write.mode("overwrite").parquet(s"$quarantinePath/batch_id=$batchId")
       CdcStreams.applyCdcBatch(spark, goldProjection(clean), goldPath)
+      // the quarantine/gold actions above flowed every silver row through
+      // the observe node; get() returns the already-collected metrics
+      val m = obs.get
+      qualityLog.put((goldPath, batchId), SilverQuality(batchId,
+        m("n_parsed").asInstanceOf[Long],
+        Option(m("n_unknown_op")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(m("n_missing_after")).map(_.asInstanceOf[Long]).getOrElse(0L)))
     } finally batch.unpersist()
   }
 

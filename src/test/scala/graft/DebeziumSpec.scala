@@ -99,6 +99,57 @@ class DebeziumSpec extends SparkSpec {
     assert(m("n_no_after").asInstanceOf[Long] > 0L) // DELETEs carry no after image
   }
 
+  test("DDL capture: envelope parse, registry version bump, replay idempotence") {
+    import graft.sources.SchemaRegistry
+    val parsed = Debezium.ddlCapture(spark, sf).collect()
+      .sortBy(_.getAs[Long]("version"))
+    assert(parsed.nonEmpty, "no DDL changes captured")
+    // v1 is the CREATE carrying the base columns; each later version adds
+    // exactly one column, with the raw DDL text preserved
+    assert(parsed.head.getAs[String]("change_type") == "CREATE")
+    assert(parsed.head.getAs[String]("ddl").startsWith("CREATE TABLE events_gold"))
+    parsed.tail.foreach { r =>
+      assert(r.getAs[String]("change_type") == "ALTER")
+      assert(r.getAs[String]("ddl").startsWith("ALTER TABLE events_gold ADD COLUMN"))
+    }
+    parsed.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("version") == i + 1)
+      assert(r.getAs[Long]("n_columns") == i + 3) // user_id, value + (i+1) rollups
+      assert(r.getAs[String]("pk_cols") == "user_id")
+      assert(r.getAs[Boolean]("nullable_outside_pk"))
+    }
+    // registry replay: each captured generation registers under the table
+    // topic with versions counting up...
+    SchemaRegistry.clear()
+    try {
+      val ddl = Debezium.ddlCapture(spark, sf)
+      val entries = SchemaRegistry.registerDdlHistory(ddl)
+      assert(entries.map(_.version) == (1 to parsed.length),
+        s"versions did not bump per generation: ${entries.map(_.version)}")
+      val topic = parsed.head.getAs[String]("table_id")
+      assert(SchemaRegistry.latest(topic).map(_.version).contains(parsed.length))
+      // ...REPLAYING the same DDL stream is idempotent: no new versions
+      val replayed = SchemaRegistry.registerDdlHistory(ddl)
+      assert(replayed.map(_.version) == entries.map(_.version),
+        "replaying the DDL topic must not mint new generations")
+      assert(SchemaRegistry.all.count(_.topic == topic) == parsed.length)
+      // the REGISTERED column set (latest generation) feeds schemaMigration:
+      // a payload matching the registered shape reports zero 'unregistered'
+      val cols = SchemaRegistry.registryColumns(topic)
+      assert(cols.take(2) == Seq("user_id", "value") &&
+        cols.length == parsed.length + 2, s"registered columns: $cols")
+      import spark.implicits._
+      val env = Seq(("events_gold",
+        cols.map(c => s""""$c":1""").mkString("{", ",", "}")))
+        .toDF("src_table", "payload")
+      val mig = graft.streaming.CdcStreams
+        .schemaMigration(env, Map("events_gold" -> cols))
+        .collect()
+      assert(mig.forall(_.getAs[String]("status") != "unregistered"),
+        s"registered history still reports unregistered columns: ${mig.mkString(";")}")
+    } finally SchemaRegistry.clear()
+  }
+
   test("metrics listener captures per-batch counts from engine progress") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -74,6 +74,18 @@ class MedallionSpec extends SparkSpec {
       assert(metrics.map(_.event_count).sum == 7,
         s"metrics row count: ${metrics.map(_.event_count).sum}")
 
+      // observe()-based silver quality (#100): the observed parse counters
+      // must reconcile EXACTLY with the DLQ split — parsed rows = bronze
+      // minus DLQ (7 - 1), and the imageless UPDATE counts as missing its
+      // after image (it is also the quarantine row)
+      val quality = Medallion.silverQuality(s"$root/gold")
+      assert(quality.nonEmpty, "no observed silver-quality rows")
+      assert(quality.map(_.n_parsed).sum == 7 - 1,
+        s"observed n_parsed != bronze - dlq: $quality")
+      assert(quality.map(_.n_unknown_op).sum == 0, s"unknown ops: $quality")
+      assert(quality.map(_.n_missing_after).sum == 1,
+        s"missing-after count != quarantined imageless update: $quality")
+
       // ---- crash-replay idempotence: re-applying a completed batch (the
       // crash-after-write-before-commit case) must not change any layer
       import spark.implicits._
