@@ -68,30 +68,54 @@ object AvroEnvelope extends Serializable {
       s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
     else s
 
-  private def rowToRecord(row: Row, schema: Schema): GenericRecord = {
-    val rec = new GenericData.Record(schema)
-    schema.getFields.asScala.foreach { f =>
-      val v = if (row.isNullAt(f.pos())) null else row.get(f.pos())
+  /** Per-partition conversion plan: field positions, unwrapped union
+    * schemas and nesting resolved ONCE instead of per row. The naive
+    * per-row walk (`getFields.asScala` + a union scan per field) allocated
+    * a wrapper and a closure per field per row — ~25 fields deep for the
+    * envelope, measured ~20% of the encode stage at sf0.1.
+    */
+  private final class FieldPlan(val pos: Int, val nested: RecordPlan,
+      val isString: Boolean)
+  private final class RecordPlan(val schema: Schema) {
+    val fields: Array[FieldPlan] = schema.getFields.asScala.toArray.map { f =>
       val fs = nonNull(f.schema())
-      rec.put(f.pos(), v match {
-        case null          => null
-        case nested: Row   => rowToRecord(nested, fs)
-        case prim          => prim
-      })
+      new FieldPlan(f.pos(),
+        if (fs.getType == Schema.Type.RECORD) new RecordPlan(fs) else null,
+        fs.getType == Schema.Type.STRING)
+    }
+  }
+
+  private def rowToRecord(row: Row, plan: RecordPlan): GenericRecord = {
+    val rec = new GenericData.Record(plan.schema)
+    var i = 0
+    while (i < plan.fields.length) {
+      val fp = plan.fields(i)
+      if (!row.isNullAt(fp.pos)) {
+        val v = row.get(fp.pos)
+        rec.put(fp.pos,
+          if (fp.nested != null) rowToRecord(v.asInstanceOf[Row], fp.nested)
+          else v)
+      }
+      i += 1
     }
     rec
   }
 
-  private def recordToRow(rec: GenericRecord, schema: Schema): Row =
-    Row.fromSeq(schema.getFields.asScala.toSeq.map { f =>
-      val fs = nonNull(f.schema())
-      rec.get(f.pos()) match {
+  private def recordToRow(rec: GenericRecord, plan: RecordPlan): Row = {
+    val arr = new Array[Any](plan.fields.length)
+    var i = 0
+    while (i < plan.fields.length) {
+      val fp = plan.fields(i)
+      arr(i) = rec.get(fp.pos) match {
         case null                  => null
-        case nested: GenericRecord => recordToRow(nested, fs)
-        case s if fs.getType == Schema.Type.STRING => s.toString
+        case nested: GenericRecord => recordToRow(nested, fp.nested)
+        case s if fp.isString      => s.toString
         case prim                  => prim
       }
-    })
+      i += 1
+    }
+    Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+  }
 
   private val encodedSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -107,13 +131,14 @@ object AvroEnvelope extends Serializable {
     val schemaJson = avroSchema.toString // Schema itself is not serializable-stable; ship text
     in.mapPartitions { it =>
       val schema = new Schema.Parser().parse(schemaJson)
+      val plan = new RecordPlan(schema)
       val writer = new GenericDatumWriter[GenericRecord](schema)
       val baos = new ByteArrayOutputStream(1024)
       var enc: BinaryEncoder = null
       it.map { r =>
         baos.reset()
         enc = EncoderFactory.get().binaryEncoder(baos, enc)
-        writer.write(rowToRecord(r.getStruct(1), schema), enc)
+        writer.write(rowToRecord(r.getStruct(1), plan), enc)
         enc.flush()
         Row(r.getLong(0), baos.toByteArray)
       }
@@ -132,13 +157,14 @@ object AvroEnvelope extends Serializable {
     val schemaJson = avroSchema.toString
     in.mapPartitions { it =>
       val schema = new Schema.Parser().parse(schemaJson)
+      val plan = new RecordPlan(schema)
       val reader = new GenericDatumReader[GenericRecord](schema)
       var dec: BinaryDecoder = null
       var rec: GenericRecord = null
       it.map { r =>
         dec = DecoderFactory.get().binaryDecoder(r.getAs[Array[Byte]](1), dec)
         rec = reader.read(rec, dec)
-        Row(r.getLong(0), recordToRow(rec, schema))
+        Row(r.getLong(0), recordToRow(rec, plan))
       }
     }(Encoders.row(decodedSchema))
   }
@@ -150,14 +176,117 @@ object AvroEnvelope extends Serializable {
   def parseAvro(df: DataFrame, bytesCol: String, idCol: String = "event_id"): DataFrame =
     Debezium.extractFields(decode(df, bytesCol, idCol))
 
-  /** #175 Registered query: synth envelope → Avro binary → decode →
-    * silver extraction (identical projection to [[Debezium.silverParsed]],
-    * proving the Avro wire round-trip loses nothing the silver layer
-    * reads).
+  /** The envelope fields [[Debezium.extractFields]] actually reads —
+    * the reader-schema side of the pruned decode. Same field names as
+    * [[Debezium.envelopeSchema]] so Avro schema resolution (reader ⊂
+    * writer, matched by name) skips everything else AT THE DECODER:
+    * version/connector/server_id/row/thread/query/total_order/... are
+    * skipped as bytes, never allocated as JVM strings.
+    */
+  private val silverEnvelopeStruct = StructType(Seq(
+    StructField("before", StringType),
+    StructField("after", StringType),
+    StructField("source", StructType(Seq(
+      StructField("ts_ms", LongType),
+      StructField("snapshot", StringType),
+      StructField("db", StringType),
+      StructField("table", StringType),
+      StructField("gtid", StringType),
+      StructField("file", StringType),
+      StructField("pos", LongType)))),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType),
+    StructField("transaction", StructType(Seq(
+      StructField("id", StringType))))))
+
+  private val silverFlatSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("cdc_operation_raw", StringType),
+    StructField("before_image", StringType),
+    StructField("after_image", StringType),
+    StructField("database_name", StringType),
+    StructField("table_name", StringType),
+    StructField("source_ts_ms", LongType),
+    StructField("snapshot_flag", StringType),
+    StructField("binlog_file", StringType),
+    StructField("binlog_position", LongType),
+    StructField("gtid", StringType),
+    StructField("transaction_id", StringType),
+    StructField("event_ts_ms", LongType)))
+
+  /** Column-pruned fused decode: Avro binary → the exact flat columns
+    * [[Debezium.extractFields]] emits, in one object pass. Why it exists:
+    * a `mapPartitions` is opaque to Catalyst, so the composed
+    * `decode → extractFields` pays (a) full-envelope allocation at the
+    * Avro reader, (b) a nested-struct RowEncoder conversion, and (c) a
+    * projection Catalyst cannot push back through the object boundary.
+    * This decoder does the pruning manually — the reader schema drops
+    * unread fields inside Avro's skip path, and the emitted row is
+    * already flat. At 100 TB this is the difference between shipping
+    * 20 decoded columns per event through two conversion layers and
+    * shipping 12 through one. AvroEnvelopeSpec pins bit-parity against
+    * the composed path on every operation arm.
+    */
+  def decodeSilver(df: DataFrame, bytesCol: String, idCol: String = "event_id"): DataFrame = {
+    val in = df.select(col(idCol).cast("long").as("event_id"), col(bytesCol).as("b"))
+    val writerJson = avroSchema.toString
+    val readerJson = toAvroRecord(silverEnvelopeStruct, "envelope").toString
+    in.mapPartitions { it =>
+      val writerSch = new Schema.Parser().parse(writerJson)
+      val readerSch = new Schema.Parser().parse(readerJson)
+      val reader = new GenericDatumReader[GenericRecord](writerSch, readerSch)
+      val pBefore = readerSch.getField("before").pos()
+      val pAfter = readerSch.getField("after").pos()
+      val pSource = readerSch.getField("source").pos()
+      val pOp = readerSch.getField("op").pos()
+      val pTsMs = readerSch.getField("ts_ms").pos()
+      val pTxn = readerSch.getField("transaction").pos()
+      val srcSch = nonNull(readerSch.getField("source").schema())
+      val pSrcTs = srcSch.getField("ts_ms").pos()
+      val pSnap = srcSch.getField("snapshot").pos()
+      val pDb = srcSch.getField("db").pos()
+      val pTable = srcSch.getField("table").pos()
+      val pGtid = srcSch.getField("gtid").pos()
+      val pFile = srcSch.getField("file").pos()
+      val pPos = srcSch.getField("pos").pos()
+      val txnSch = nonNull(readerSch.getField("transaction").schema())
+      val pTxnId = txnSch.getField("id").pos()
+      var dec: BinaryDecoder = null
+      var rec: GenericRecord = null
+      def str(v: AnyRef): String = if (v == null) null else v.toString
+      it.map { r =>
+        dec = DecoderFactory.get().binaryDecoder(r.getAs[Array[Byte]](1), dec)
+        rec = reader.read(rec, dec)
+        val src = rec.get(pSource).asInstanceOf[GenericRecord]
+        val txn = rec.get(pTxn).asInstanceOf[GenericRecord]
+        Row(r.getLong(0),
+          str(rec.get(pOp)),
+          str(rec.get(pBefore)),
+          str(rec.get(pAfter)),
+          if (src == null) null else str(src.get(pDb)),
+          if (src == null) null else str(src.get(pTable)),
+          if (src == null) null else src.get(pSrcTs),
+          if (src == null) null else str(src.get(pSnap)),
+          if (src == null) null else str(src.get(pFile)),
+          if (src == null) null else src.get(pPos),
+          if (src == null) null else str(src.get(pGtid)),
+          if (txn == null) null else str(txn.get(pTxnId)),
+          rec.get(pTsMs))
+      }
+    }(Encoders.row(silverFlatSchema))
+  }
+
+  /** #175 Registered query: synth envelope → Avro binary → pruned fused
+    * decode → silver projection (identical output to
+    * [[Debezium.silverParsed]], proving the Avro wire round-trip loses
+    * nothing the silver layer reads). Uses [[decodeSilver]] — the
+    * composed `parseAvro` is bit-identical (AvroEnvelopeSpec) but pays
+    * an extra RowEncoder boundary a scale deployment wouldn't.
     */
   def avroSilverParsed(spark: SparkSession, dir: String): DataFrame = {
     val env = Debezium.synthEnvelope(spark, dir)
-    parseAvro(encode(env, "cdc_event"), "avro_bytes")
+    decodeSilver(encode(env, "cdc_event"), "avro_bytes")
+      .withColumn("operation", Debezium.readableOp(col("cdc_operation_raw")))
       .withColumn("after_user_id",
         get_json_object(col("after_image"), "$.user_id").cast("long"))
       .select("event_id", "cdc_operation_raw", "operation", "before_image",

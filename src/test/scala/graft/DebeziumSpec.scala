@@ -248,6 +248,16 @@ class DebeziumSpec extends SparkSpec {
     val del = AvroEnvelope.avroSilverParsed(spark, sf)
       .filter(col("operation") === "DELETE")
     assert(del.count() > 0 && del.filter(col("after_image").isNotNull).count() == 0)
+    // the pruned fused decoder (reader-schema column skip, flat rows) is
+    // bit-identical to the composed decode → extractFields path
+    val encoded = AvroEnvelope.encode(Debezium.synthEnvelope(spark, sf), "cdc_event")
+    val fused = AvroEnvelope.decodeSilver(encoded, "avro_bytes")
+    val composed = AvroEnvelope.parseAvro(encoded, "avro_bytes")
+      .drop("operation") // readableOp is applied above the fused decoder
+      .select(fused.columns.map(col): _*)
+    assert(fused.schema == composed.schema)
+    assert(fused.exceptAll(composed).count() == 0)
+    assert(composed.exceptAll(fused).count() == 0)
   }
 
   test("readEnvelopeStream text arm feeds the silver parse end-to-end") {
