@@ -114,37 +114,82 @@ object Similarity {
     knnMemo.clear(); pqCbMemo.clear(); ivfPqMemo.clear(); pcaMemo.clear()
   }
 
-  /** [[knnGraph]] over any (vec_id, embedding) frame. */
+  /** [[knnGraph]] over any (vec_id, embedding) frame.
+    *
+    * Scale shape (rewritten after the sf10 sweep caught the old one): the
+    * first version materialized the bucket self-join as an id-pair list
+    * and then JOINED both embedding columns back onto every candidate
+    * pair — at 200K vectors that is ~155M pairs × 2 × 256-byte vectors
+    * through a sort-merge join (the embedding side outgrows the broadcast
+    * threshold), measured as a 31 GB sort spill that never finished.
+    * Pairing and scoring now happen INSIDE each (table, bucket) group:
+    * every vector ships once per table (n×tables rows, linear in the
+    * corpus), the all-pairs cosine runs over the ≤cap member array in
+    * memory, and only each member's k best (cos desc, dst asc — the
+    * same order the global stage uses, so local pruning cannot change
+    * the global top-k: a global top-k edge is top-k in every bucket
+    * containing both ends) leave the group. The global stage then sees
+    * ≤ n×tables×k edges instead of all candidate pairs.
+    */
   def knnGraphFrom(input: DataFrame, k: Int = 5,
       planes: Int = 4, tables: Int = 8): DataFrame = {
     val e = input.select(col("vec_id"), col("embedding"))
-    // hot buckets sampled to a cap before the self-join: one degenerate
-    // bucket (e.g. a mass of near-zero vectors all hashing alike) must not
-    // turn a task quadratic — Dedup.capBuckets is the shared guard. The cap
-    // here is higher than the text default because planes=4 means only
-    // 2^planes buckets per table and healthy buckets are deliberately big
-    // (recall knob); 4000² candidate pairs is still a bounded task, and a
-    // capped bucket degrades recall gracefully (sampled neighbours), never
-    // correctness of the top-k contract.
-    val banded = Dedup.capBuckets(e.select(col("vec_id"),
+    // hot buckets sampled to a cap before pairing: one degenerate bucket
+    // (e.g. a mass of near-zero vectors all hashing alike) must not turn
+    // a task quadratic — Dedup.capBuckets is the shared guard. The cap is
+    // higher than the text default because planes=4 means only 2^planes
+    // buckets per table and healthy buckets are deliberately big (recall
+    // knob); a 4000-member group is ~1 MB of floats and 8M local cosines,
+    // a bounded task. A capped bucket degrades recall gracefully (sampled
+    // neighbours), never correctness of the top-k contract.
+    val banded = Dedup.capBuckets(e.select(col("vec_id"), col("embedding"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
           GraftFunctions.hyperplaneBucket(col("embedding"), planes, t).as("bucket"))): _*)).as("bk"))
-      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket")),
+      .select(col("vec_id"), col("embedding"),
+        col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket")),
       Seq("tbl", "bucket"), "vec_id", cap = 4000)
-    val a = banded.select(col("tbl"), col("bucket"), col("vec_id").as("src"))
-    val b = banded.select(col("tbl"), col("bucket"), col("vec_id").as("dst"))
-    val cand = a.join(b, Seq("tbl", "bucket")).filter(col("src") < col("dst"))
-      .select("src", "dst").distinct()
-    val es = e.select(col("vec_id").as("src"), col("embedding").as("emb_s"))
-    val ed = e.select(col("vec_id").as("dst"), col("embedding").as("emb_d"))
-    val scored = cand.join(es, "src").join(ed, "dst")
-      .withColumn("cos", GraftFunctions.cosineSim(col("emb_s"), col("emb_d")))
-      .select("src", "dst", "cos")
-    // undirected candidates → directed adjacency: mirror, then top-k per node
-    val mirrored = scored.unionByName(
-      scored.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
-    graft.plans.TopK.topKPerGroup(mirrored, Seq("src"),
+    val sess = input.sparkSession
+    import sess.implicits._
+    val members = banded
+      .select(col("tbl").cast("int"), col("bucket"), col("vec_id"), col("embedding"))
+      .as[(Int, Int, Long, Array[Float])]
+    // per-bucket local scoring: all pairs once (i<j), each score pushed
+    // into BOTH endpoints' k-heaps — worst-kept at the heap head under
+    // the exact global order (cos desc, dst asc), so what survives per
+    // member is exactly its bucket-local top-k
+    val localEdges = members.groupByKey(m => (m._1, m._2))
+      .flatMapGroups[(Long, Long, Double)] {
+        (_: (Int, Int), it: Iterator[(Int, Int, Long, Array[Float])]) =>
+        val arr = it.toArray
+        val n = arr.length
+        type Edge = (Long, Long, Double) // (src, dst, cos)
+        val worstFirst: Ordering[Edge] = (a: Edge, b: Edge) => {
+          val c = java.lang.Double.compare(b._3, a._3) // smaller cos = worse
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2) // larger dst = worse
+        }
+        val heaps = Array.fill(n)(new scala.collection.mutable.PriorityQueue[Edge]()(worstFirst))
+        def offer(h: scala.collection.mutable.PriorityQueue[Edge], e: Edge): Unit = {
+          if (h.size < k) h.enqueue(e)
+          else if (worstFirst.compare(e, h.head) < 0) { h.dequeue(); h.enqueue(e) }
+        }
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val c = graft.functions.TextHashes.cosineF(arr(i)._4, arr(j)._4)
+            offer(heaps(i), (arr(i)._3, arr(j)._3, c))
+            offer(heaps(j), (arr(j)._3, arr(i)._3, c))
+            j += 1
+          }
+          i += 1
+        }
+        heaps.iterator.flatMap(_.iterator)
+      }.toDF("src", "dst", "cos")
+    // same undirected pair from several shared buckets carries an
+    // identical score (same kernel, same inputs) — one row survives
+    val deduped = localEdges.groupBy("src", "dst").agg(max("cos").as("cos"))
+    graft.plans.TopK.topKPerGroup(deduped, Seq("src"),
       Seq(("cos", true), ("dst", false)), k)
       .select(col("src"), col("dst"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
