@@ -312,6 +312,40 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(c01) < 0.05, s"PC1/PC2 correlated: $c01")
   }
 
+  test("knnGraph: bucket-local pruning is lossless vs scoring all candidate pairs") {
+    // the production path prunes to k edges per member INSIDE each
+    // (table, bucket) group before the global top-k; this re-derives the
+    // same candidate set the old join shape saw (band → pair join →
+    // exact cosine on EVERY pair → mirror → global top-k) and requires
+    // bit-identical output — a global top-k edge is local top-k in every
+    // bucket containing both ends, so pruning must never change results
+    import graft.operators.{Dedup, Similarity}
+    import graft.functions.GraftFunctions
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val got = Similarity.knnGraphFrom(e, k = 5)
+    val banded = Dedup.capBuckets(e.select(col("vec_id"),
+      explode(array((0 until 8).map(t => struct(lit(t).as("tbl"),
+        GraftFunctions.hyperplaneBucket(col("embedding"), 4, t).as("bucket"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket")),
+      Seq("tbl", "bucket"), "vec_id", cap = 4000)
+    val a = banded.select(col("tbl"), col("bucket"), col("vec_id").as("src"))
+    val b = banded.select(col("tbl"), col("bucket"), col("vec_id").as("dst"))
+    val cand = a.join(b, Seq("tbl", "bucket")).filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("es")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("ed")), "dst")
+      .withColumn("cos", GraftFunctions.cosineSim(col("es"), col("ed")))
+      .select("src", "dst", "cos")
+    val mirrored = scored.unionByName(
+      scored.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+    val ref = graft.plans.TopK.topKPerGroup(mirrored, Seq("src"),
+      Seq(("cos", true), ("dst", false)), 5)
+      .select(col("src"), col("dst"), round(col("cos"), 4).as("cos"), col("rnk"))
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+      "bucket-local pruning changed the graph")
+  }
+
   test("knnGraph: valid adjacency, recall@1 against the brute-force graph") {
     import graft.operators.Similarity
     val g = Similarity.knnGraph(spark, sf, k = 5).cache()
