@@ -817,12 +817,18 @@ object CdcStreams {
     // state lives ONLY in _bak — read it as the existing state so the
     // checkpointed replay re-merges against the right base instead of an
     // empty target (which would truncate gold to the batch's keys).
-    val readPath = if (!fs.exists(dst) && fs.exists(bak)) bakPath else targetPath
-    val existing =
-      try spark.read.parquet(readPath)
-        .select("user_id", "operation", "ts_us", "event_id", "value")
-      catch { case e: Exception if isMissingTarget(e) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
+    // Ordered TRY-READS, not exists()-then-read: an exists probe followed
+    // by the read is a TOCTOU window — if dst retires between the two
+    // (another applier mid-swap), the missing-path fallback would merge
+    // against a falsely-empty base and truncate gold even though _bak
+    // holds the full pre-batch state at every instant of the swap.
+    def tryRead(path: String): Option[DataFrame] =
+      try Some(spark.read.parquet(path)
+        .select("user_id", "operation", "ts_us", "event_id", "value"))
+      catch { case e: Exception if isMissingTarget(e) => None }
+    val existing = tryRead(targetPath).orElse(tryRead(bakPath)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema))
     val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
     val merged = existing.unionByName(incoming)
       .withColumn("rn", row_number().over(w))

@@ -911,6 +911,15 @@ class StreamingSpec extends SparkSpec {
     val q1 = startPipeline()
     try {
       q1.processAllAvailable()
+      // under full-suite load the first trigger can race the produce's
+      // offset visibility; the stream is still live (ASAP trigger), so
+      // gold appears on the next cycle — bounded wait, then the usual
+      // exact asserts (a genuinely missing gold still fails loudly)
+      val fsLocal = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      var waits = 0
+      while (!fsLocal.exists(new org.apache.hadoop.fs.Path(goldPath)) && waits < 50) {
+        Thread.sleep(200); q1.processAllAvailable(); waits += 1
+      }
       // batch 1 consumed through Kafka offset semantics
       val g1 = spark.read.parquet(goldPath)
       assert(g1.count() > 0)
