@@ -196,6 +196,9 @@ object SparkEntry {
     // corpus-wide approximate k-NN graph via LSH-blocked candidates
     // (rows-only: hash-seeded blocking; ScaleSpec pins recall vs brute)
     "ann_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    // k-NN-graph funnel accounting: bucket census + pair slots + local
+    // top-k keep rate — the audit row for the bucket-local builder
+    "graph_knn_accounting" -> ((s, d) => Similarity.knnGraphAccounting(s, d)),
     // Local Outlier Factor over that graph (rows-only; ScaleSpec plants
     // an off-manifold point and pins its rank)
     "emb_lof" -> ((s, d) => Similarity.embLof(s, d)),
@@ -1902,6 +1905,37 @@ object SparkEntry {
     "ann_knn_graph" ->
       s"""WITH $knnGraphCte
          |SELECT src, dst, cos, CAST(rnk AS INT) AS rnk FROM g""".stripMargin,
+    // knn funnel replay: same hyperplane weight table, per-bucket census +
+    // per-(bucket, src) top-k by (cos desc, dst) — bucket cap is a no-op
+    // at oracle SFs (max_bucket column in the row IS the proof)
+    "graph_knn_accounting" ->
+      s"""WITH $knnGraphCte,
+         |kcen AS (SELECT salt, bucket, count(*) AS m FROM bkt GROUP BY 1, 2),
+         |kprs AS MATERIALIZED (SELECT a.salt, a.bucket, a.vec_id AS src, b.vec_id AS dst,
+         |    list_cosine_similarity(ea.emb, eb.emb) AS cosr
+         |  FROM bkt a JOIN bkt b ON a.salt = b.salt AND a.bucket = b.bucket
+         |    AND a.vec_id <> b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
+         |kloc AS (SELECT salt, bucket, src, dst,
+         |    row_number() OVER (PARTITION BY salt, bucket, src ORDER BY cosr DESC, dst ASC) AS rn
+         |  FROM kprs),
+         |klk AS MATERIALIZED (SELECT src, dst FROM kloc WHERE rn <= 5),
+         |kacc AS (SELECT
+         |    (SELECT count(*) FROM e) AS n_vectors,
+         |    (SELECT CAST(sum(m) AS BIGINT) FROM kcen) AS n_banded,
+         |    (SELECT count(*) FROM kcen) AS n_buckets,
+         |    (SELECT CAST(max(m) AS BIGINT) FROM kcen) AS max_bucket,
+         |    (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) FROM kcen) AS n_pair_slots,
+         |    (SELECT count(*) FROM klk) AS n_local_edges,
+         |    (SELECT count(*) FROM (SELECT DISTINCT src, dst FROM klk)) AS n_candidate_edges,
+         |    (SELECT count(*) FROM g) AS n_final_edges)
+         |SELECT n_vectors, n_banded, n_buckets, max_bucket, n_pair_slots,
+         |  n_local_edges, n_candidate_edges, n_final_edges,
+         |  CASE WHEN n_vectors > 0
+         |    THEN n_pair_slots * 10000 // n_vectors END AS slots_per_vector_e4,
+         |  CASE WHEN n_pair_slots > 0
+         |    THEN n_local_edges * 10000 // n_pair_slots END AS local_keep_e4
+         |FROM kacc""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH ${lshCandCte(8, 8)},
          |sc AS (SELECT c.src AS id_a, c.dst AS id_b,

@@ -134,31 +134,47 @@ object Similarity {
   def knnGraphFrom(input: DataFrame, k: Int = 5,
       planes: Int = 4, tables: Int = 8): DataFrame = {
     val e = input.select(col("vec_id"), col("embedding"))
-    // hot buckets sampled to a cap before pairing: one degenerate bucket
-    // (e.g. a mass of near-zero vectors all hashing alike) must not turn
-    // a task quadratic — Dedup.capBuckets is the shared guard. The cap is
-    // higher than the text default because planes=4 means only 2^planes
-    // buckets per table and healthy buckets are deliberately big (recall
-    // knob); a 4000-member group is ~1 MB of floats and 8M local cosines,
-    // a bounded task. A capped bucket degrades recall gracefully (sampled
-    // neighbours), never correctness of the top-k contract.
-    val banded = Dedup.capBuckets(e.select(col("vec_id"), col("embedding"),
+    val banded = knnBanded(e, planes, tables)
+    val localEdges = knnLocalEdges(banded, k)
+    // same undirected pair from several shared buckets carries an
+    // identical score (same kernel, same inputs) — one row survives
+    val deduped = localEdges.groupBy("src", "dst").agg(max("cos").as("cos"))
+    graft.plans.TopK.topKPerGroup(deduped, Seq("src"),
+      Seq(("cos", true), ("dst", false)), k)
+      .select(col("src"), col("dst"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
+  /** Banding stage of the k-NN graph: (vec_id, embedding, tbl, bucket).
+    * Hot buckets sampled to a cap before pairing: one degenerate bucket
+    * (e.g. a mass of near-zero vectors all hashing alike) must not turn
+    * a task quadratic — Dedup.capBuckets is the shared guard. The cap is
+    * higher than the text default because planes=4 means only 2^planes
+    * buckets per table and healthy buckets are deliberately big (recall
+    * knob); a 4000-member group is ~1 MB of floats and 8M local cosines,
+    * a bounded task. A capped bucket degrades recall gracefully (sampled
+    * neighbours), never correctness of the top-k contract.
+    */
+  private def knnBanded(e: DataFrame, planes: Int, tables: Int): DataFrame =
+    Dedup.capBuckets(e.select(col("vec_id"), col("embedding"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
           GraftFunctions.hyperplaneBucket(col("embedding"), planes, t).as("bucket"))): _*)).as("bk"))
       .select(col("vec_id"), col("embedding"),
         col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket")),
       Seq("tbl", "bucket"), "vec_id", cap = 4000)
-    val sess = input.sparkSession
+
+  /** Bucket-local scoring stage: per-bucket all-pairs cosine, each score
+    * pushed into BOTH endpoints' k-heaps — worst-kept at the heap head
+    * under the exact global order (cos desc, dst asc), so what survives
+    * per member is exactly its bucket-local top-k.
+    */
+  private def knnLocalEdges(banded: DataFrame, k: Int): DataFrame = {
+    val sess = banded.sparkSession
     import sess.implicits._
     val members = banded
       .select(col("tbl").cast("int"), col("bucket"), col("vec_id"), col("embedding"))
       .as[(Int, Int, Long, Array[Float])]
-    // per-bucket local scoring: all pairs once (i<j), each score pushed
-    // into BOTH endpoints' k-heaps — worst-kept at the heap head under
-    // the exact global order (cos desc, dst asc), so what survives per
-    // member is exactly its bucket-local top-k
-    val localEdges = members.groupByKey(m => (m._1, m._2))
+    members.groupByKey(m => (m._1, m._2))
       .flatMapGroups[(Long, Long, Double)] {
         (_: (Int, Int), it: Iterator[(Int, Int, Long, Array[Float])]) =>
         val arr = it.toArray
@@ -186,12 +202,44 @@ object Similarity {
         }
         heaps.iterator.flatMap(_.iterator)
       }.toDF("src", "dst", "cos")
-    // same undirected pair from several shared buckets carries an
-    // identical score (same kernel, same inputs) — one row survives
-    val deduped = localEdges.groupBy("src", "dst").agg(max("cos").as("cos"))
-    graft.plans.TopK.topKPerGroup(deduped, Seq("src"),
-      Seq(("cos", true), ("dst", false)), k)
-      .select(col("src"), col("dst"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
+  /** #416 k-NN-graph funnel accounting — the banding twin of
+    * `dedup_lsh_accounting` for the graph substrate, added the round the
+    * sf10 sweep caught the pair-materializing builder: ONE row auditing
+    * vectors in → banded rows after the bucket cap → bucket census (count,
+    * max, raw within-bucket pair slots — the ALL-PAIRS work a join-based
+    * builder would have materialized) → local top-k edges out of the
+    * bucket groups → deduped candidate edges → final graph edges, plus
+    * the two ratios capacity planning reads: pair slots per vector ×10⁴
+    * (what the buckets cost) and local-keep ×10⁴ (how much the in-group
+    * top-k prunes before anything shuffles). Everything here is linear in
+    * the corpus — the census aggregates the banded frame, never the
+    * pairs. DuckDB replays the same funnel (hyperplane LCG weight table,
+    * per-bucket top-k by (cos desc, dst)) so the row is hash-gated.
+    */
+  def knnGraphAccounting(spark: SparkSession, dir: String, k: Int = 5,
+      tables: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val fp = Tables.snapshotFingerprint(dir)
+    val p = autoPlanes(corpusCountMemo.getOrElseUpdate((dir, fp), e.count()))
+    val banded = knnBanded(e, p, tables)
+    val census = banded.groupBy("tbl", "bucket").agg(count(lit(1)).as("m"))
+    val local = knnLocalEdges(banded, k)
+    val cand = local.select("src", "dst").distinct()
+    val g = knnGraph(spark, dir, k)
+    e.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(census.agg(
+        sum("m").as("n_banded"), count(lit(1)).as("n_buckets"),
+        max("m").as("max_bucket"),
+        sum(expr("m * (m - 1) DIV 2")).as("n_pair_slots"))))
+      .crossJoin(broadcast(local.agg(count(lit(1)).as("n_local_edges"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidate_edges"))))
+      .crossJoin(broadcast(g.agg(count(lit(1)).as("n_final_edges"))))
+      .selectExpr("n_vectors", "n_banded", "n_buckets", "max_bucket",
+        "n_pair_slots", "n_local_edges", "n_candidate_edges", "n_final_edges",
+        "CASE WHEN n_vectors > 0 THEN n_pair_slots * 10000 DIV n_vectors END AS slots_per_vector_e4",
+        "CASE WHEN n_pair_slots > 0 THEN n_local_edges * 10000 DIV n_pair_slots END AS local_keep_e4")
   }
 
   /** Local Outlier Factor (Breunig et al., SIGMOD'00) over a k-NN

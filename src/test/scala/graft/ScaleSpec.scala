@@ -346,6 +346,22 @@ class ScaleSpec extends SparkSpec {
       "bucket-local pruning changed the graph")
   }
 
+  test("knnGraphAccounting: funnel invariants tie out against the graph") {
+    import graft.operators.Similarity
+    val r = Similarity.knnGraphAccounting(spark, sf).head()
+    def l(c: String): Long = r.getLong(r.fieldIndex(c))
+    // cap not binding at test SFs: every vector lands in all 8 tables
+    assert(l("n_banded") == l("n_vectors") * 8)
+    assert(l("max_bucket") <= 4000)
+    // each (bucket, member) emits at most k local edges; the funnel only
+    // narrows from there (dedup across shared buckets, then global top-k)
+    assert(l("n_local_edges") <= l("n_banded") * 5)
+    assert(l("n_local_edges") <= 2 * l("n_pair_slots"))
+    assert(l("n_candidate_edges") <= l("n_local_edges"))
+    assert(l("n_final_edges") <= l("n_candidate_edges"))
+    assert(l("n_final_edges") == Similarity.knnGraph(spark, sf, k = 5).count())
+  }
+
   test("knnGraph: valid adjacency, recall@1 against the brute-force graph") {
     import graft.operators.Similarity
     val g = Similarity.knnGraph(spark, sf, k = 5).cache()
