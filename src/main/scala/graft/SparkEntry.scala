@@ -26,6 +26,10 @@ object SparkEntry {
     "cdc_log" -> ((s, d) => Cdc.log(s, d)),
     "cdc_parse_props" -> ((s, d) => Cdc.parseProps(s, d)),
     "cdc_current_scd1" -> ((s, d) => Cdc.currentScd1(s, d)),
+    // same state through the log-structured bucketed gold target: 8-batch
+    // replay, mid-way compaction, merge-on-read tail (round-9 latency fix)
+    "cdc_bucketed_gold" -> ((s, d) =>
+      graft.streaming.BucketedGold.goldStateDemo(s, d)),
     "cdc_scd2_history" -> ((s, d) => Cdc.scd2History(s, d)),
     "cdc_change_summary" -> ((s, d) => Cdc.changeSummary(s, d)),
     "cdc_quality_metrics" -> ((s, d) => Cdc.qualityMetrics(s, d)),
@@ -152,10 +156,15 @@ object SparkEntry {
     "q_lineage_audit" -> ((s, d) => graft.plans.Lineage.lineageDemo(s, d)),
     "ev_blast_radius" -> ((s, d) => graft.operators.Ranges.errorBlastRadius(s, d)),
     // sketch estimates not SQL-expressible → rows-only (deterministic seed)
-    "ev_heavy_hitters" -> ((s, d) => graft.operators.Sketches.heavyHitters(s, d)),
+    // gated shape: top-k set + exact counts + the CM bound flag (the
+    // estimate VALUE is Spark-sketch-internal; RangeSketchSpec pins it)
+    "ev_heavy_hitters" -> ((s, d) => graft.operators.Sketches.heavyHitters(s, d)
+      .select("user_id", "exact_cnt", "within_bound")),
     // mergeable HLL rollup (rows-only: sketch estimates; RangeSketchSpec
     // pins union==direct and the error window vs exact)
-    "q_hll_rollup" -> ((s, d) => graft.operators.Sketches.hllRollup(s, d)),
+    // gated shape: exact distincts + lossless-union + error-envelope flags
+    "q_hll_rollup" -> ((s, d) => graft.operators.Sketches.hllRollup(s, d)
+      .select("l_returnflag", "exact_distinct", "union_within_3pct")),
     "doc_top_terms" -> ((s, d) => Text.docTopTerms(s, d)),
     "doc_decontaminate" -> ((s, d) => Text.decontaminate(s, d)),
     "doc_repetition" -> ((s, d) => Text.docRepetition(s, d)),
@@ -427,7 +436,10 @@ object SparkEntry {
         .unionByName(Profile.fdAudit(Tables.documents(s, d), "documents",
           Seq("source" -> "lang", "text" -> "n_chars")))),
     // persisted mergeable-sketch index; range distinct without a fact rescan
-    "q_hll_range" -> ((s, d) => Sketches.hllRangeDemo(s, d)),
+    // gated shape: range accounting + exact distinct + error-envelope flag
+    "q_hll_range" -> ((s, d) => Sketches.hllRangeDemo(s, d)
+      .select("event_type", "n_days", "n_events", "exact_users",
+        "est_within_3pct")),
     // CRM / experimentation battery: RFM quintiles, drift alarms, A/B readout
     "ev_rfm_segments" -> ((s, d) => Events.rfmSegments(s, d)),
     "ev_drift_tv" -> ((s, d) => Events.driftTv(s, d)),
@@ -1108,8 +1120,15 @@ object SparkEntry {
     */
   private def knnGraphCte: String =
     s"""${lshCandCte(8, 4)},
+       |kbkt AS MATERIALIZED (SELECT vec_id, salt, bucket FROM (
+       |  SELECT vec_id, salt, bucket, row_number() OVER (PARTITION BY salt, bucket
+       |      ORDER BY md5(concat_ws(':', CAST(vec_id AS VARCHAR), CAST(salt AS VARCHAR), CAST(bucket AS VARCHAR))), vec_id) AS crn
+       |  FROM bkt) WHERE crn <= 4000),
+       |kcand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |        FROM kbkt a JOIN kbkt b ON a.salt = b.salt AND a.bucket = b.bucket
+       |          AND a.vec_id < b.vec_id),
        |knsc AS (SELECT c.src, c.dst, list_cosine_similarity(es.emb, ed.emb) AS cosr
-       |       FROM cand c JOIN e es ON es.vec_id = c.src JOIN e ed ON ed.vec_id = c.dst),
+       |       FROM kcand c JOIN e es ON es.vec_id = c.src JOIN e ed ON ed.vec_id = c.dst),
        |mir AS (SELECT src, dst, cosr FROM knsc UNION ALL SELECT dst, src, cosr FROM knsc),
        |knrk AS (SELECT src, dst, cosr,
        |        row_number() OVER (PARTITION BY src ORDER BY cosr DESC, dst) AS rnk
@@ -1905,15 +1924,17 @@ object SparkEntry {
     "ann_knn_graph" ->
       s"""WITH $knnGraphCte
          |SELECT src, dst, cos, CAST(rnk AS INT) AS rnk FROM g""".stripMargin,
-    // knn funnel replay: same hyperplane weight table, per-bucket census +
-    // per-(bucket, src) top-k by (cos desc, dst) — bucket cap is a no-op
-    // at oracle SFs (max_bucket column in the row IS the proof)
+    // knn funnel replay: same hyperplane weight table, same md5-rank
+    // bucket cap (kbkt — so the census stays faithful even when the 4000
+    // cap BINDS at a larger SF; a no-op at oracle SFs, max_bucket in the
+    // row IS the proof), per-bucket census + per-(bucket, src) top-k by
+    // (cos desc, dst)
     "graph_knn_accounting" ->
       s"""WITH $knnGraphCte,
-         |kcen AS (SELECT salt, bucket, count(*) AS m FROM bkt GROUP BY 1, 2),
+         |kcen AS (SELECT salt, bucket, count(*) AS m FROM kbkt GROUP BY 1, 2),
          |kprs AS MATERIALIZED (SELECT a.salt, a.bucket, a.vec_id AS src, b.vec_id AS dst,
          |    list_cosine_similarity(ea.emb, eb.emb) AS cosr
-         |  FROM bkt a JOIN bkt b ON a.salt = b.salt AND a.bucket = b.bucket
+         |  FROM kbkt a JOIN kbkt b ON a.salt = b.salt AND a.bucket = b.bucket
          |    AND a.vec_id <> b.vec_id
          |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
          |kloc AS (SELECT salt, bucket, src, dst,
@@ -2845,6 +2866,70 @@ object SparkEntry {
          |  CAST(json_extract(props, '$$.k') AS BIGINT) AS k
          |FROM log""".stripMargin,
     "cdc_current_scd1" ->
+      s"""$logCte,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq_us DESC, event_id DESC) AS rn FROM log)
+         |SELECT user_id, operation AS last_op, event_id AS last_event_id,
+         |  round(value, 2) AS last_value
+         |FROM r WHERE rn = 1 AND operation <> 'DELETE'""".stripMargin,
+    // ---- round-9 rows-only -> hash-oracle promotions ----
+    // sketch rows: the gated shape is exact counts + error-envelope flags
+    // (the oracle emits TRUE; a sketch drifting out of its envelope at any
+    // SF hash-fails the row). Estimate VALUES stay spec-pinned — no other
+    // engine reproduces Spark's CMS/HLL registers.
+    "ev_heavy_hitters" ->
+      s"""WITH t AS (SELECT user_id, count(*) AS exact_cnt FROM events
+         |           GROUP BY 1 ORDER BY exact_cnt DESC, user_id LIMIT 10)
+         |SELECT user_id, exact_cnt, TRUE AS within_bound FROM t""".stripMargin,
+    "q_hll_rollup" ->
+      s"""SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct,
+         |  TRUE AS union_within_3pct
+         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_hll_range" ->
+      s"""WITH dd AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+         |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM dd),
+         |rng AS (SELECT d0 + (d1 - d0) // 4 AS lo, d1 - (d1 - d0) // 4 AS hi FROM sp),
+         |f AS (SELECT dd.* FROM dd, rng WHERE dd.day BETWEEN rng.lo AND rng.hi)
+         |SELECT event_type, count(DISTINCT day) AS n_days, count(*) AS n_events,
+         |  count(DISTINCT user_id) AS exact_users, TRUE AS est_within_3pct
+         |FROM f GROUP BY 1""".stripMargin,
+    // full integer replay of the WAV synth -> decode -> silence profile:
+    // the synthesized PCM is a pure function of (doc_id, text bytes) and
+    // 16-bit PCM round-trips AudioSystem exactly, so every column is
+    // integer arithmetic both engines agree on (corpus is ASCII, so
+    // DuckDB's char indexing == the UTF-8 byte indexing Spark uses; a
+    // non-ASCII future corpus fails loud here, the safe direction)
+    "mm_audio_silence" ->
+      s"""WITH d AS (SELECT doc_id, text, CAST(64 + (doc_id % 129) AS BIGINT) AS n, length(text) AS len FROM documents),
+         |ix AS (SELECT doc_id, n, len, text, unnest(range(0, n)) AS idx FROM d),
+         |s AS (SELECT doc_id, n, idx,
+         |        CASE WHEN len = 0 THEN 0
+         |             ELSE (unicode(substr(text, CAST((idx * 5) % len AS INT) + 1, 1)) - 128) * 256 END AS smp
+         |      FROM ix),
+         |pk AS (SELECT doc_id, greatest(max(abs(smp)) // 20, 1) AS thr FROM s GROUP BY 1),
+         |fl AS (SELECT s.doc_id, s.n, s.idx, (abs(s.smp) < pk.thr) AS silent
+         |       FROM s JOIN pk USING (doc_id)),
+         |grp AS (SELECT doc_id, idx, silent,
+         |         idx - row_number() OVER (PARTITION BY doc_id, silent ORDER BY idx) AS g
+         |       FROM fl),
+         |runs AS (SELECT doc_id, silent, count(*) AS run_len
+         |         FROM grp GROUP BY doc_id, silent, g),
+         |agg AS (SELECT doc_id, max(n) AS n_samples,
+         |          sum(CASE WHEN silent THEN 1 ELSE 0 END) AS n_silent,
+         |          min(CASE WHEN NOT silent THEN idx END) AS first_loud,
+         |          max(CASE WHEN NOT silent THEN idx END) AS last_loud
+         |        FROM fl GROUP BY 1),
+         |lr AS (SELECT doc_id, coalesce(max(CASE WHEN silent THEN run_len END), 0) AS longest_run
+         |       FROM runs GROUP BY 1)
+         |SELECT a.doc_id, a.n_samples, CAST(a.n_silent AS BIGINT) AS n_silent,
+         |  CAST(CASE WHEN a.n_samples = 0 THEN 0 ELSE a.n_silent * 10000 // a.n_samples END AS BIGINT) AS silent_bp,
+         |  CAST(l.longest_run AS BIGINT) AS longest_run,
+         |  CAST(coalesce(a.first_loud, a.n_samples) AS BIGINT) AS lead_silence,
+         |  CAST(CASE WHEN a.last_loud IS NULL THEN a.n_samples ELSE a.n_samples - 1 - a.last_loud END AS BIGINT) AS trail_silence,
+         |  (a.n_silent * 2 > a.n_samples) AS mostly_silent
+         |FROM agg a JOIN lr l USING (doc_id)""".stripMargin,
+    // the bucketed-gold replay must land on the SAME current state —
+    // identical latest-per-key oracle
+    "cdc_bucketed_gold" ->
       s"""$logCte,
          |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq_us DESC, event_id DESC) AS rn FROM log)
          |SELECT user_id, operation AS last_op, event_id AS last_event_id,
@@ -4290,8 +4375,13 @@ object SparkEntry {
         |  CAST(floor((1.959964 + 0.841621) * sqrt(var_a / n_a + var_b / n_b) / mean_p * 10000 + 0.5) AS BIGINT) AS mde_rel_bp,
         |  CAST(ceil(2.0 * ((var_a * (n_a - 1) + var_b * (n_b - 1)) / (n_a + n_b - 2)) * (1.959964 + 0.841621) * (1.959964 + 0.841621) / (mean_p * 0.01 * mean_p * 0.01)) AS BIGINT) AS n_req_1pct
         |FROM st""".stripMargin,
+    // op replays the Spark side's basket cap (first 64 sorted part keys
+    // per order — a TPC-H no-op, faithful when the cap binds elsewhere)
     "q_copurchase_lift" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+      """WITH op0 AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |op AS (SELECT okey, pk FROM (
+        |  SELECT okey, pk, row_number() OVER (PARTITION BY okey ORDER BY pk) AS brn FROM op0)
+        |  WHERE brn <= 64),
         |n AS (SELECT count(DISTINCT okey) AS n_orders FROM op),
         |ps AS (SELECT pk, count(*) AS supp FROM op GROUP BY 1),
         |pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS supp_ab

@@ -57,6 +57,23 @@ object Dedup {
       .filter(col("__bkt_rn") <= cap).drop("__bkt_rn")
   }
 
+  /** [[capBuckets]] with a CROSS-ENGINE-replayable sampling rank: md5 over
+    * the ':'-joined decimal renderings of (id, key...) — bit-identical in
+    * DuckDB (`md5(concat_ws(':', CAST(… AS VARCHAR)…))`), unlike xxhash64.
+    * Used where a hash-gated oracle row must stay faithful even when the
+    * cap BINDS (graph_knn_accounting's funnel census), not just at the
+    * SFs where it is a no-op.
+    */
+  private[graft] def capBucketsReplayable(banded: DataFrame, keyCols: Seq[String],
+      idCol: String, cap: Int = DefaultBucketCap): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(md5(concat_ws(":", (idCol +: keyCols).map(c => col(c).cast("string")): _*)),
+        col(idCol))
+    banded.withColumn("__bkt_rn", row_number().over(w))
+      .filter(col("__bkt_rn") <= cap).drop("__bkt_rn")
+  }
+
   /** #345 Band-bucket skew census over the MinHash banding — the accounting
     * side of [[capBuckets]]: per band, the bucket count, the largest
     * bucket, and the hot-bucket/dropped-row mass the cap would sample away

@@ -155,7 +155,7 @@ object Similarity {
     * neighbours), never correctness of the top-k contract.
     */
   private def knnBanded(e: DataFrame, planes: Int, tables: Int): DataFrame =
-    Dedup.capBuckets(e.select(col("vec_id"), col("embedding"),
+    Dedup.capBucketsReplayable(e.select(col("vec_id"), col("embedding"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
           GraftFunctions.hyperplaneBucket(col("embedding"), planes, t).as("bucket"))): _*)).as("bk"))
@@ -218,14 +218,20 @@ object Similarity {
     * pairs. DuckDB replays the same funnel (hyperplane LCG weight table,
     * per-bucket top-k by (cos desc, dst)) so the row is hash-gated.
     */
-  def knnGraphAccounting(spark: SparkSession, dir: String, k: Int = 5,
-      tables: Int = 8): DataFrame = {
+  def knnGraphAccounting(spark: SparkSession, dir: String): DataFrame = {
+    // fixed k=5 / tables=8 / autoPlanes — the DuckDB oracle replays
+    // exactly this configuration (rn <= 5, 8-table banding); parameters
+    // here would silently diverge from the pinned SQL, so there are none
+    val (k, tables) = (5, 8)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val fp = Tables.snapshotFingerprint(dir)
     val p = autoPlanes(corpusCountMemo.getOrElseUpdate((dir, fp), e.count()))
-    val banded = knnBanded(e, p, tables)
+    // banded feeds census + local, local feeds two aggregates — pin both
+    // so the LSH banding and the all-pairs scoring run ONCE, not per
+    // downstream branch
+    val banded = knnBanded(e, p, tables).localCheckpoint(eager = true)
     val census = banded.groupBy("tbl", "bucket").agg(count(lit(1)).as("m"))
-    val local = knnLocalEdges(banded, k)
+    val local = knnLocalEdges(banded, k).localCheckpoint(eager = true)
     val cand = local.select("src", "dst").distinct()
     val g = knnGraph(spark, dir, k)
     e.agg(count(lit(1)).as("n_vectors"))

@@ -63,9 +63,13 @@ object Sketches {
     * re-scanning the fact table. The pattern a 100 TB deployment uses for
     * "distinct users per hour, rolled up to day/week": persist the fine
     * sketches once, merge upward forever. The audit emits the union
-    * estimate next to a direct per-returnflag sketch estimate (the two
-    * must agree exactly — HLL union is lossless over identical registers)
-    * plus the exact count for the error window.
+    * estimate next to a direct per-returnflag sketch estimate and the
+    * exact count. NOTE (measured at sf0.01): union and direct estimates
+    * do NOT always agree bit-exactly — the union path can promote the
+    * sketch's internal mode (sparse→dense) and change the estimator even
+    * at the same lgK — so the GUARANTEE gated by the oracle is the error
+    * envelope (`union_within_3pct`), and `union_matches_direct` is
+    * reported as an observation, not asserted.
     */
   def hllRollup(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -79,6 +83,14 @@ object Sketches {
     unioned.join(direct, "l_returnflag")
       .withColumn("union_matches_direct",
         col("union_estimate") === col("direct_estimate"))
+      // lgConfigK=14 → rse ≈ 0.8%; 3% ≈ >3σ. The flag (not the estimate)
+      // is what the DuckDB oracle replays — the driver gate pins the
+      // exact counts AND that the sketch stayed in its error envelope at
+      // every SF, while the estimate VALUES stay spec-pinned
+      // (RangeSketchSpec) because no other engine can reproduce them.
+      .withColumn("union_within_3pct",
+        abs(col("union_estimate").cast("double") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.03)
   }
 
   /** #232 Persisted HLL sketch INDEX — the incremental complement of
@@ -130,7 +142,21 @@ object Sketches {
       .head()
     val (d0, d1) = (span.getLong(0), span.getLong(1))
     val mid = (d1 - d0) / 4
+    // exact distinct over the same range — the audit cost that makes the
+    // row hash-gateable: the oracle replays n_days/n_events/exact_users
+    // and pins est_within_3pct TRUE (the estimate itself is Spark-HLL
+    // internal and stays spec-pinned, TimeSeriesSpec)
+    val exact = Tables.events(spark, dir)
+      .select(col("event_type"), expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        col("user_id"))
+      .filter(col("day").between(d0 + mid, d1 - mid))
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
     hllRangeQuery(spark, path, d0 + mid, d1 - mid)
+      .join(exact, "event_type")
+      .withColumn("est_within_3pct",
+        abs(col("est_users").cast("double") - col("exact_users")) <=
+          col("exact_users") * 0.03)
   }
 
   /** #321 Sketch-backed DISTINCT-COUNT MV refresh — the

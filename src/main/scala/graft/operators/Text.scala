@@ -351,6 +351,35 @@ object Text {
         md5(col("clean_text")).as("clean_digest"))
   }
 
+  /** Per-doc bigram postings (doc_id, g, tf, dl), built ROW-LOCALLY: all
+    * of a document's bigrams live in its own row, so term frequencies
+    * aggregate inside one flatMap — no explode, no corpus-scale
+    * (doc, term) shuffle — and the document length (bigram count) rides
+    * along for free. The downstream plan decides what little of this
+    * stream actually moves.
+    */
+  private def bigramPostings(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, toks) =>
+        val m = new java.util.HashMap[String, Long]()
+        val dl = (toks.length - 1).toLong
+        var i = 0
+        while (i < toks.length - 1) {
+          m.merge(toks(i) + " " + toks(i + 1), 1L, (a, b) => a + b)
+          i += 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)](m.size)
+        m.forEach((g, c) => out += ((id, g, c, dl)))
+        out
+      }
+      .toDF("doc_id", "g", "tf", "dl")
+  }
+
   /** BM25 retrieval over an inverted bigram index, in exact fixed-point
     * arithmetic so the ranking is bit-stable cross-engine: idf is the
     * integer bit-length of N/df (the same log₂ quantization as
@@ -360,28 +389,33 @@ object Text {
     * corpus (top-8 bigrams by df inside a mid-frequency band) so the demo
     * is self-contained and deterministic.
     *
-    * Shape: postings (doc, term, tf) are the only corpus-scale shuffle;
-    * df/avgdl aggregates are sublinear (vocab / doc counts); the 8-row
-    * query frame broadcasts into the postings scan; per-query top-k runs
-    * through the two-phase TopKPerGroupExec, so each map partition prunes
-    * to k candidates per query BEFORE the exchange — no low-cardinality
-    * ranking window (8 queries would otherwise funnel through 8 reducers).
+    * Shape (round 9 — the sf10 sweep showed the old plan recomputing the
+    * exploded (doc, term) aggregation for each of its three consumers,
+    * three corpus-scale shuffles): postings now build row-locally
+    * ([[bigramPostings]] — per-doc tf map inside one flatMap, dl in-row,
+    * NO corpus shuffle), so the only corpus-scale exchange left is the
+    * vocabulary df aggregate that query selection genuinely needs; the
+    * 8-row query frame broadcasts back into a second row-local postings
+    * pass that emits ONLY matching terms (candidates per query bounded
+    * by the df≤50 band). Classic WAND's per-term max-impact cut
+    * degenerates here — each demo query is a single term, so the
+    * candidate list is its ≤50-doc posting and the two-phase
+    * TopKPerGroupExec already prunes to k per partition BEFORE the
+    * exchange, which is exactly the bound WAND's running-floor skip
+    * would buy. TextOpsSpec pins this plan ≡ the direct formula.
     */
   def bm25TopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val bg = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))")).as("g"))
-    val tf = bg.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val dfq = tf.groupBy("g").agg(count(lit(1)).as("df"))
-    val nd = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    val postings = bigramPostings(spark, dir)
+    val dfq = postings.groupBy("g").agg(count(lit(1)).as("df"))
+    // doc count + total length: row-local off the corpus scan, one agg
+    val nd = Tables.documents(spark, dir)
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("long").as("dl"))
+      .filter(col("dl") >= 1)
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
     val queries = dfq.filter(col("df").between(5, 50))
       .orderBy(col("df").desc, col("g").asc).limit(8)
       .withColumnRenamed("g", "q_term")
-    val scored = tf.join(broadcast(queries), tf("g") === queries("q_term"))
-      .join(dl, "doc_id")
+    val scored = postings.join(broadcast(queries), postings("g") === queries("q_term"))
       .crossJoin(broadcast(nd))
       .selectExpr("q_term", "doc_id", "tf",
         "CAST(length(bin(n_docs DIV df)) - 1 AS BIGINT) AS idf_bits",

@@ -1,0 +1,293 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Log-structured, key-bucketed SCD1 gold target — the latency-floor fix
+  * for the CDC apply path.
+  *
+  * [[CdcStreams.applyCdcBatch]] commits a micro-batch by merging it
+  * against the FULL existing state and swapping the whole parquet table;
+  * at a 100K-key gold that swap costs ~600-700 ms per batch and is the
+  * measured end-to-end latency floor (BENCH_STREAM_LATENCY.json, round 8).
+  * The reference's gold is a Delta MERGE (unity_catalog_cdc_demo.py:
+  * 300-447) — and Delta itself never rewrites the table per commit: it
+  * appends data files and defers consolidation. This object re-expresses
+  * that commit model on plain parquet:
+  *
+  *   root/base/bucket=N/   hash-bucketed latest-per-key state, INCLUDING
+  *                         DELETE tombstones (so merge-on-read semantics
+  *                         do not depend on compaction timing)
+  *   root/delta/b<id>/     one directory per committed micro-batch — the
+  *                         raw normalized batch rows, renamed into place
+  *                         atomically
+  *
+  *  - '''Commit''' ([[appendBatch]]) = write the batch as one new delta
+  *    dir (write to a scratch dir, RENAME into place — atomic on
+  *    local/HDFS): no read of existing state, no shuffle, no rewrite.
+  *    Batch cost is O(batch), independent of state size — this is what
+  *    cuts the floor.
+  *  - '''Query''' ([[read]]) = merge-on-read: latest-per-key over
+  *    base ∪ deltas, tombstones drop. Identical window to
+  *    `applyCdcBatch` ((ts_us, event_id) desc), so the visible state is
+  *    the same SCD1 answer, just assembled at read time.
+  *  - '''Compaction''' ([[compact]]) = fold the accumulated deltas into
+  *    the base, rewriting ONLY the buckets the deltas touch (dynamic
+  *    partition overwrite); runs inline every `compactEvery` commits, so
+  *    its cost is amortized 1/K per batch and shows up honestly in p95.
+  *
+  * Exactly-once under checkpointed foreachBatch replay: the delta dir is
+  * named by batch id, so a replayed batch REPLACES its own delta instead
+  * of appending a duplicate; compaction is latest-per-key and keeps
+  * tombstones, so re-merging already-folded deltas after a crash between
+  * base-commit and delta-retirement is a no-op. A crash inside the delta
+  * write leaves only an invisible scratch dir (the rename never ran).
+  *
+  * Scale (100 TB): commit cost ∝ batch size only; compaction reads the
+  * touched buckets (partition-pruned directory scan) + bounded deltas and
+  * shuffles once on the key; bucket count is the parallelism/pruning knob
+  * (buckets ≈ executors × small constant; a batch touching few keys
+  * rewrites few buckets). On object stores without atomic rename the
+  * delta commit would ride a manifest file instead — same protocol Delta
+  * uses; rename stands in here exactly like parquet-overwrite stands in
+  * for the table format elsewhere in this library.
+  */
+object BucketedGold {
+
+  /** The normalized CDC state columns this target stores — the same frame
+    * [[CdcStreams.applyCdcBatch]] merges.
+    */
+  val stateCols: Seq[String] = Seq("user_id", "operation", "ts_us", "event_id", "value")
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def basePath(root: String) = s"$root/base"
+  private def deltaDir(root: String) = s"$root/delta"
+  private def deltaPath(root: String, batchId: Long) =
+    f"${deltaDir(root)}/b$batchId%012d"
+
+  /** Sorted committed delta dirs (oldest first). Driver-side listing,
+    * O(#deltas) ≤ compactEvery + in-flight.
+    */
+  private def listDeltas(spark: SparkSession, root: String): Seq[String] = {
+    val d = new Path(deltaDir(root))
+    val f = fs(spark)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
+  private def tryRead(spark: SparkSession, path: String): Option[DataFrame] =
+    // exists-precheck is safe here (no TOCTOU): base is only ever written
+    // by the single-threaded applier that is asking, and a dir that
+    // appears between probe and read would hold nothing to merge anyway
+    if (!fs(spark).exists(new Path(path))) None
+    else try {
+      val df = spark.read.parquet(path)
+      Some(df.select(stateCols.map(col): _*))
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getErrorClass == "PATH_NOT_FOUND" ||
+          // a base dir whose every bucket was GC'd away has no files left
+          // to infer a schema from — same thing as "no base yet"
+          e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" ||
+          Option(e.getMessage).exists(_.contains("Path does not exist")) => None
+      case _: java.io.FileNotFoundException => None
+    }
+
+  private def emptyState(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("operation", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+
+  // one compaction at a time per process; appends never wait on it. The
+  // queue is the driver-side seam only — every heavy step inside compact()
+  // is still a distributed Spark job.
+  private val compactPool = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "bucketed-gold-compactor"); t.setDaemon(true); t
+    })
+  private val compactInFlight =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Future[_]]()
+
+  /** Block until every async compaction scheduled so far has finished —
+    * call before reading at quiesce (bench audit) or before spark.stop().
+    */
+  def awaitCompactions(): Unit = {
+    compactInFlight.values().forEach { fut =>
+      try fut.get() catch { case _: Exception => () }
+    }
+    compactInFlight.clear()
+  }
+
+  /** Commit one micro-batch: atomic delta append, then compaction once
+    * `compactEvery` deltas have accumulated — inline by default, or on a
+    * background thread (`compactAsync`) so the commit path never stalls
+    * on the fold (the Hudi/Paimon async-compaction model; appends and
+    * compaction don't conflict — compact consumes a snapshot of delta
+    * dirs, appends only create new ones). Safe to call from a
+    * checkpointed foreachBatch with the engine's `batchId` — replays
+    * replace their own delta. An empty batch commits nothing.
+    */
+  def appendBatch(spark: SparkSession, batch: DataFrame, root: String,
+      batchId: Long, numBuckets: Int = 64, compactEvery: Int = 16,
+      compactAsync: Boolean = false): Unit = {
+    val t0 = System.nanoTime()
+    val f = fs(spark)
+    val scratch = new Path(s"$root/.scratch-b$batchId")
+    val dst = new Path(deltaPath(root, batchId))
+    f.mkdirs(dst.getParent)
+    f.delete(scratch, true)
+    val t1 = System.nanoTime()
+    batch.select(stateCols.map(col): _*)
+      .write.mode("overwrite").parquet(scratch.toString)
+    val t2 = System.nanoTime()
+    if (sys.env.contains("SPARK_GRAFT_GOLD_DEBUG"))
+      println(s"[bucketed-gold] b$batchId prep=${(t1 - t0) / 1000000}ms " +
+        s"writeJob=${(t2 - t1) / 1000000}ms")
+    // an empty micro-batch wrote only a _SUCCESS marker: nothing to commit
+    // (and an all-empty delta set would break schema inference downstream)
+    if (!f.listStatus(scratch).exists(_.getPath.getName.endsWith(".parquet"))) {
+      f.delete(scratch, true)
+      return
+    }
+    // the commit point: a single rename — readers see the whole delta or
+    // none of it. A replayed batch retires its previous (identical) delta.
+    f.delete(dst, true)
+    if (!f.rename(scratch, dst))
+      throw new java.io.IOException(s"BucketedGold commit failed: $scratch -> $dst")
+    if (listDeltas(spark, root).size >= compactEvery) {
+      if (!compactAsync) compact(spark, root, numBuckets)
+      else {
+        // skip if a compaction for this root is still running — the next
+        // threshold crossing re-triggers
+        val prev = compactInFlight.get(root)
+        if (prev == null || prev.isDone) {
+          compactInFlight.put(root, compactPool.submit(new Runnable {
+            override def run(): Unit =
+              try compact(spark, root, numBuckets)
+              catch { case e: Exception =>
+                System.err.println(s"[bucketed-gold] async compact failed: $e")
+              }
+          }))
+        }
+      }
+    }
+  }
+
+  /** Current SCD1 state: latest-per-key over base ∪ deltas, DELETEs drop —
+    * the same answer `applyCdcBatch` stores physically.
+    */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+    rawUnion(spark, root)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("operation") =!= "DELETE")
+      .drop("rn")
+  }
+
+  /** Base ∪ committed deltas, tombstones included (the full logical log
+    * tail) — compaction's input and [[read]]'s pre-filter frame.
+    */
+  private def rawUnion(spark: SparkSession, root: String): DataFrame = {
+    val deltas = listDeltas(spark, root)
+    val base = tryRead(spark, basePath(root))
+    val parts = base.toSeq ++
+      (if (deltas.isEmpty) Seq.empty
+       else Seq(spark.read.parquet(deltas: _*).select(stateCols.map(col): _*)))
+    if (parts.isEmpty) emptyState(spark)
+    else parts.reduce(_.unionByName(_))
+  }
+
+  /** Fold all committed deltas into the bucketed base, rewriting only the
+    * buckets the deltas touch; tombstones are RETAINED (a compaction must
+    * not change what [[read]] answers — late pre-delete events stay
+    * shadowed by the tombstone either way). `gcTombstonesBeforeUs` drops
+    * tombstones older than a watermark — the `cdc_tombstone_gc` policy —
+    * once every upstream replayer is past it.
+    */
+  def compact(spark: SparkSession, root: String, numBuckets: Int = 64,
+      gcTombstonesBeforeUs: Option[Long] = None): Unit = {
+    val deltas = listDeltas(spark, root)
+    if (deltas.isEmpty) return
+    val f = fs(spark)
+    val deltaRows = spark.read.parquet(deltas: _*).select(stateCols.map(col): _*)
+      .withColumn("bucket", pmod(xxhash64(col("user_id")), lit(numBuckets)))
+    // the buckets this compaction touches — bounded by numBuckets
+    val touched = deltaRows.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    val existing = tryRead(spark, basePath(root)) match {
+      case Some(_) =>
+        // re-read WITH the partition column so pruning hits the dirs
+        spark.read.parquet(basePath(root))
+          .filter(col("bucket").isInCollection(touched.toSeq))
+          .select((stateCols :+ "bucket").map(col): _*)
+      case None => emptyState(spark).withColumn("bucket", lit(0L)).limit(0)
+    }
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+    val merged0 = existing.unionByName(deltaRows)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val merged = gcTombstonesBeforeUs match {
+      case Some(cut) => merged0.filter(
+        col("operation") =!= "DELETE" || col("ts_us") >= cut)
+      case None => merged0
+    }
+    // pin before the overwrite (the write must not scan its own target),
+    // then rewrite exactly the touched bucket= partitions
+    val pinned = merged.localCheckpoint()
+    pinned.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(basePath(root))
+    // dynamic overwrite only replaces buckets PRESENT in the output: a
+    // touched bucket whose rows were all GC'd tombstones emits nothing and
+    // its stale partition would survive — delete those dirs explicitly
+    if (gcTombstonesBeforeUs.isDefined) {
+      val written = pinned.select("bucket").distinct().collect()
+        .map(_.getLong(0)).toSet
+      touched.filterNot(written).foreach { b =>
+        f.delete(new Path(s"${basePath(root)}/bucket=$b"), true)
+      }
+    }
+    // retire ONLY the deltas this compaction consumed; a crash before this
+    // line re-merges them onto the new base — a latest-per-key no-op
+    deltas.foreach(d => f.delete(new Path(d), true))
+  }
+
+  /** #417 registered demo (`cdc_bucketed_gold`): replay the normalized
+    * events log through this target as 8 deterministic micro-batches
+    * (split by event_id mod 8 — merge-on-read is append-order
+    * independent, so any disjoint split replays exactly), compacting
+    * after the 6th so the final answer exercises BOTH the compacted
+    * bucketed base AND live merge-on-read deltas. The visible state must
+    * equal `cdc_current_scd1` — that equality IS the oracle.
+    */
+  def goldStateDemo(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bucketed-gold")
+      .toString + "/gold"
+    // pin the normalized log once — the 8 batch filters below would each
+    // re-scan the events parquet otherwise
+    val log = graft.cdc.Cdc.log(spark, dir).select(
+      col("user_id"), col("operation"), col("seq_us").as("ts_us"),
+      col("event_id"), col("value")).localCheckpoint(eager = true)
+    (0 until 8).foreach { i =>
+      appendBatch(spark, log.filter(pmod(col("event_id"), lit(8)) === i),
+        root, i.toLong, numBuckets = 16, compactEvery = 1000)
+      if (i == 5) compact(spark, root, numBuckets = 16)
+    }
+    read(spark, root).select(
+      col("user_id"), col("operation").as("last_op"),
+      col("event_id").as("last_event_id"),
+      round(col("value"), 2).as("last_value"))
+  }
+}

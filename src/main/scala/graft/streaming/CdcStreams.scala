@@ -818,17 +818,23 @@ object CdcStreams {
     // checkpointed replay re-merges against the right base instead of an
     // empty target (which would truncate gold to the batch's keys).
     // Ordered TRY-READS, not exists()-then-read: an exists probe followed
-    // by the read is a TOCTOU window — if dst retires between the two
-    // (another applier mid-swap), the missing-path fallback would merge
-    // against a falsely-empty base and truncate gold even though _bak
-    // holds the full pre-batch state at every instant of the swap.
+    // by the read is a TOCTOU window for the crash-recovery case above.
+    // The contract is ONE applier per target (foreachBatch is serial and
+    // the checkpointed replay runs alone) — but a misconfigured second
+    // applier completing BOTH renames plus the trailing _bak delete
+    // between our dst probe and bak probe would still slip past two
+    // reads, so the probe sequence is dst -> _bak -> dst again: after a
+    // swap completes, dst holds full state at every instant, so the
+    // second dst read catches it. Only all-three-missing falls through
+    // to the first-batch empty base.
     def tryRead(path: String): Option[DataFrame] =
       try Some(spark.read.parquet(path)
         .select("user_id", "operation", "ts_us", "event_id", "value"))
       catch { case e: Exception if isMissingTarget(e) => None }
-    val existing = tryRead(targetPath).orElse(tryRead(bakPath)).getOrElse(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema))
+    val existing = tryRead(targetPath).orElse(tryRead(bakPath))
+      .orElse(tryRead(targetPath)).getOrElse(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema))
     val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
     val merged = existing.unionByName(incoming)
       .withColumn("rn", row_number().over(w))

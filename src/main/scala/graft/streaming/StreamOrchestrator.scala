@@ -132,6 +132,39 @@ final class StreamOrchestrator(spark: SparkSession, checkpointRoot: String,
   def processAllAvailable(): Unit =
     registry.values.filter(_.isActive).foreach(_.processAllAvailable())
 
+  // schema generation each running query was built against (tables started
+  // through startTable/startBatch without a version run as generation 1)
+  private val runningVersion = TrieMap.empty[String, Int]
+
+  /** Live-DDL reaction — closes the loop from `cdc_ddl_capture`: the
+    * schema-change topic parses into [[graft.sources.SchemaRegistry
+    * .registerDdlHistory]], which bumps a table's registered version; this
+    * pass compares every REGISTERED RUNNING table against the registry's
+    * latest generation and, on a bump, stops the table's query and
+    * restarts it from ITS OWN checkpoint with a stream built against the
+    * new schema (`mkStream(table, version)`). The checkpointed source
+    * offsets make the restart lossless — whatever the old-generation query
+    * had not committed is the first thing the new one reads (the
+    * restart-with-new-schema arm of the reference's Debezium DDL story;
+    * the quarantine-and-continue arm is [[Debezium.expectOrDrop]] inside
+    * the per-batch path). Driver-light: one registry scan, no data reads.
+    * Returns (table, from_version, to_version) per restart.
+    */
+  def reactToDdl(mkStream: (String, Int) => DataFrame): Seq[(String, Int, Int)] = {
+    val bumps = registry.keys.toSeq.sorted.flatMap { t =>
+      graft.sources.SchemaRegistry.latest(t).map(_.version)
+        .filter(_ > runningVersion.getOrElse(t, 1))
+        .map(v => (t, runningVersion.getOrElse(t, 1), v))
+    }
+    bumps.foreach { case (t, _, v) =>
+      stopTable(t)
+      registry.remove(t)
+      startTable(t, tt => mkStream(tt, v))
+      runningVersion.put(t, v)
+    }
+    bumps
+  }
+
   def activeTables: Seq[String] =
     registry.collect { case (t, q) if q.isActive => t }.toSeq.sorted
 

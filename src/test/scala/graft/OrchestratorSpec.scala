@@ -164,4 +164,65 @@ class OrchestratorSpec extends SparkSpec {
       assert(st.values.forall(_.getAs[String]("error_message") == null))
     } finally orch.stopAll()
   }
+
+  test("live DDL mid-stream: version bump restarts the table on the new schema, no lost batches") {
+    import org.apache.spark.sql.types._
+    import graft.sources.SchemaRegistry
+    val ck = Files.createTempDirectory("orch_ddl_ck").toString
+    val out = Files.createTempDirectory("orch_ddl_out").toString
+    val in = Files.createTempDirectory("orch_ddl_in").toString
+    val orch = new StreamOrchestrator(spark, ck, out)
+    SchemaRegistry.clear()
+
+    def schemaFor(v: Int): StructType =
+      if (v >= 2) StructType(Seq(StructField("a", LongType),
+        StructField("b", StringType)))
+      else StructType(Seq(StructField("a", LongType)))
+    def mk(table: String, v: Int): DataFrame =
+      spark.readStream.schema(schemaFor(v)).json(s"$in/$table")
+    def avro(v: Int): org.apache.avro.Schema = {
+      import org.apache.avro.SchemaBuilder
+      val f = SchemaBuilder.record("t").fields()
+        .name("a").`type`().longType().noDefault()
+      (if (v >= 2) f.name("b").`type`().optional().stringType() else f)
+        .endRecord()
+    }
+
+    try {
+      // generation 1 registered + streaming
+      SchemaRegistry.register("t_ddl", avro(1))
+      Files.createDirectories(java.nio.file.Paths.get(s"$in/t_ddl"))
+      Files.writeString(java.nio.file.Paths.get(s"$in/t_ddl/f1.json"),
+        """{"a":1}""" + "\n" + """{"a":2}""")
+      orch.startTable("t_ddl", t => mk(t, 1))
+      orch.processAllAvailable()
+      val run1 = orch.status.filter(col("table") === "t_ddl")
+        .head().getAs[String]("run_id")
+
+      // no bump registered -> reactToDdl is a no-op
+      assert(orch.reactToDdl(mk).isEmpty)
+
+      // DDL lands mid-stream: generation 2 adds column b
+      SchemaRegistry.register("t_ddl", avro(2))
+      val bumps = orch.reactToDdl(mk)
+      assert(bumps == Seq(("t_ddl", 1, 2)), s"got $bumps")
+      val run2 = orch.status.filter(col("table") === "t_ddl")
+        .head().getAs[String]("run_id")
+      assert(run2 != run1, "query must restart on the new schema")
+
+      // post-DDL data carries the new column; same checkpoint resumes
+      Files.writeString(java.nio.file.Paths.get(s"$in/t_ddl/f2.json"),
+        """{"a":3,"b":"x"}""" + "\n" + """{"a":4,"b":"y"}""")
+      orch.processAllAvailable()
+      val got = spark.read.option("mergeSchema", "true").parquet(s"$out/t_ddl")
+      // nothing lost across the restart, new column visible on new rows
+      assert(got.select("a").collect().map(_.getLong(0)).toSet ===
+        Set(1L, 2L, 3L, 4L))
+      assert(got.columns.contains("b"))
+      assert(got.filter(col("b").isNotNull).count() === 2)
+      // idempotent: replaying the same DDL stream bumps nothing
+      SchemaRegistry.register("t_ddl", avro(2))
+      assert(orch.reactToDdl(mk).isEmpty)
+    } finally { orch.stopAll(); SchemaRegistry.clear() }
+  }
 }

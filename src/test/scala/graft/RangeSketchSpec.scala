@@ -100,18 +100,21 @@ class RangeSketchSpec extends SparkSpec {
     assert(a.forall(_.getAs[Boolean]("within_bound")))
   }
 
-  test("HLL union of fine sketches equals the direct coarse sketch") {
+  test("HLL union of fine sketches stays inside the sketch error envelope") {
     val rows = Sketches.hllRollup(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Boolean]("union_matches_direct"),
-        s"${r.getAs[String]("l_returnflag")}: union ${r.getAs[Long]("union_estimate")} " +
-          s"!= direct ${r.getAs[Long]("direct_estimate")}")
+      // union==direct is NOT an invariant (mode promotion can change the
+      // estimator at identical lgK — observed at sf0.01); the guarantee is
+      // the error envelope on BOTH estimates.
       // lgConfigK=14 → relative error ~1.04/sqrt(2^14) ≈ 0.8%; allow 3σ
-      val (est, exact) = (r.getAs[Long]("union_estimate").toDouble,
-        r.getAs[Long]("exact_distinct").toDouble)
-      assert(math.abs(est - exact) / exact <= 0.025,
-        s"estimate $est vs exact $exact drifts past 2.5%")
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      Seq("union_estimate", "direct_estimate").foreach { c =>
+        val est = r.getAs[Long](c).toDouble
+        assert(math.abs(est - exact) / exact <= 0.025,
+          s"${r.getAs[String]("l_returnflag")} $c $est vs exact $exact drifts past 2.5%")
+      }
+      assert(r.getAs[Boolean]("union_within_3pct"))
     }
   }
 }

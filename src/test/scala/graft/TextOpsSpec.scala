@@ -655,6 +655,44 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK row-local postings plan equals the direct explode formula") {
+    // round-9 plan: per-doc tf built inside one flatMap (no corpus
+    // shuffle), dl in-row, ONE vocab-scale df exchange. This pins it
+    // bit-identical to the straightforward explode -> groupBy -> join
+    // evaluation of the same fixed-point BM25 formula.
+    val fast = Text.bm25TopK(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    val bg = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))")).as("g"))
+    val tf = bg.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfq = tf.groupBy("g").agg(count(lit(1)).as("df"))
+    val nd = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    val queries = dfq.filter(col("df").between(5, 50))
+      .orderBy(col("df").desc, col("g").asc).limit(8)
+      .withColumnRenamed("g", "q_term")
+    val scored = tf.join(broadcast(queries), tf("g") === queries("q_term"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nd))
+      .selectExpr("q_term", "doc_id", "tf",
+        "CAST(length(bin(n_docs DIV df)) - 1 AS BIGINT) AS idf_bits",
+        "(total_dl * 10000) DIV n_docs AS avgdl_e4", "dl")
+      .selectExpr("q_term", "doc_id", "tf", "idf_bits",
+        "2500 + (7500 * ((dl * 100000000) DIV avgdl_e4)) DIV 10000 AS norm_e4")
+      .selectExpr("q_term", "doc_id", "tf",
+        "CAST(idf_bits * ((tf * 22000 * 10000) DIV (tf * 10000 + (12000 * norm_e4) DIV 10000)) AS BIGINT) AS score_e4")
+    val slow = graft.plans.TopK.topKPerGroup(scored, Seq("q_term"),
+      Seq(("score_e4", true), ("doc_id", false)), 5)
+      .select("q_term", "doc_id", "tf", "score_e4", "rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    assert(fast === slow, s"plan divergence: ${fast.diff(slow).take(3)} vs ${slow.diff(fast).take(3)}")
+  }
+
   test("writeShards: docs packed whole, shards near target, files match the manifest") {
     val out = java.nio.file.Files.createTempDirectory("shardspec").toString + "/c"
     val docs = Tables.documents(spark, sf).select("doc_id", "text")

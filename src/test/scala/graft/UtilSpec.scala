@@ -1784,4 +1784,33 @@ class UtilSpec extends SparkSpec {
       s"exact ranking unexpected: $exact")
     assert(block === exact, s"block ranking $block != exact $exact")
   }
+
+  test("copurchase basket cap: hot basket truncated with exact accounting; small baskets untouched") {
+    import spark.implicits._
+    // one 100-item hot basket + two normal 3-item baskets
+    val li = ((1 to 100).map(pk => (900L, pk.toLong)) ++
+      Seq((901L, 1L), (901L, 2L), (901L, 3L),
+        (902L, 1L), (902L, 2L), (902L, 3L)))
+      .toDF("l_orderkey", "l_partkey")
+    val acct = graft.operators.Tpch.copurchaseCapAccounting(li, basketCap = 64)
+      .head()
+    assert(acct.getAs[Long]("n_baskets") === 3L)
+    assert(acct.getAs[Long]("n_truncated") === 1L)
+    assert(acct.getAs[Long]("max_basket") === 100L)
+    // dropped pair slots = C(100,2) - C(64,2) = 4950 - 2016
+    assert(acct.getAs[Long]("pair_slots_dropped") === 4950L - 2016L)
+    // capped run: the hot basket contributes C(64,2) pairs; the small
+    // baskets' pairs survive identically (supp>=2 via minSupport=2)
+    val pairs = graft.operators.Tpch.copurchaseLiftFrom(li, minSupport = 1,
+      basketCap = 64)
+    val hotPairs = pairs.filter($"supp_ab" === 1).count()
+    assert(hotPairs === 2016L - 3L, s"hot-basket pair count $hotPairs") // (1,2),(1,3),(2,3) have supp 3
+    val smalls = pairs.filter($"pa" <= 3 && $"pb" <= 3).collect()
+    assert(smalls.forall(_.getAs[Long]("supp_ab") === 3L)) // hot basket keeps 1..64, so +1
+    // uncapped equivalence on cap-free data: cap is a no-op
+    val small = li.filter($"l_orderkey" =!= 900L)
+    val a = graft.operators.Tpch.copurchaseLiftFrom(small, 1, 64).collect().map(_.toSeq).toSet
+    val b = graft.operators.Tpch.copurchaseLiftFrom(small, 1, 100000).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
 }

@@ -4,7 +4,7 @@
 Takes the subset bench JSON produced by `graft.Bench <subset>` against
 /tmp/sf10 (and optionally a same-subset sf0.1 re-run for a same-box
 denominator), joins per query against the committed full sf0.1 snapshot
-(BENCH_HISTORY/r08.json), computes sf10/sf0.1 growth ratios and
+(the newest BENCH_HISTORY/r*.json), computes sf10/sf0.1 growth ratios and
 per-family aggregates, and writes BENCH_SF10.json.
 
 Gate: zero rows over 150x (vs sf0.1). 100x data at 150x wall allows a
@@ -14,10 +14,22 @@ noise. Exit 1 lists the offenders.
 
 Usage: python3 tools/bench_sf10.py <sf10_subset.json> [<sf01_subset.json>]
 """
+import glob
 import json
+import re
 import sys
 
 GATE = 150.0
+
+
+def latest_history() -> str:
+    """Newest committed full-sweep snapshot (BENCH_HISTORY/r<N>.json) —
+    derived, not hardcoded, so this never silently goes stale next round."""
+    snaps = glob.glob("BENCH_HISTORY/r*.json")
+    if not snaps:
+        print("bench_sf10: FAIL — no BENCH_HISTORY/r*.json snapshot")
+        sys.exit(1)
+    return max(snaps, key=lambda p: int(re.sub(r"\D", "", p) or 0))
 
 FAMILIES = ["mm", "doc", "dedup", "graph", "cdc", "ann", "emb", "ev",
             "corpus", "tbl", "ts", "q"]
@@ -33,12 +45,15 @@ def main(sf10_path: str, sf01_path: str | None) -> None:
     if sf10.get("errors"):
         print(f"bench_sf10: FAIL — bench errors: {sf10['errors']}")
         sys.exit(1)
-    base = json.load(open("BENCH_HISTORY/r08.json"))["queries"]
-    # same-box subset re-run beats the committed full-sweep snapshot as a
-    # denominator when provided (isolates data growth from box drift)
+    base = json.load(open(latest_history()))["queries"]
+    # a same-box subset re-run REPLACES the committed full-sweep snapshot
+    # as the denominator when provided: both numerator and denominator
+    # then come from this box/run, so the ratio isolates data growth from
+    # box drift. (min() would keep whichever box was faster — on a slower
+    # box that inflates ratios and can fail the gate falsely.)
     if sf01_path:
         fresh = json.load(open(sf01_path))["queries"]
-        base = {**base, **{k: min(v, base.get(k, v)) for k, v in fresh.items()}}
+        base = {**base, **fresh}
 
     rows, fams, failures = {}, {}, []
     for name, t10 in sorted(sf10["queries"].items()):
