@@ -295,13 +295,26 @@ class PlanSpec extends SparkSpec {
     // the deliberate repartition fans the codec work across all cores
     // (single-file scans otherwise pin it on 1-2 tasks); beyond that one
     // tiny (id, text) exchange the decode chain must stay shuffle-free
-    for (q <- Seq("mm_image_decode", "mm_audio_decode")) {
-      val p = planOf(q)
-      assert("Exchange".r.findAllIn(p).size === 1,
-        s"$q should have exactly the spread exchange:\n$p")
-      assert(p.contains("RoundRobinPartitioning"),
-        s"$q spread should be round-robin:\n$p")
-    }
+    val p = planOf("mm_image_decode")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"mm_image_decode should have exactly the spread exchange:\n$p")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"mm_image_decode spread should be round-robin:\n$p")
+    // the audio rows derive from the shared decoded-PCM substrate
+    // (round 9): the registered plan reads the checkpointed RDD with NO
+    // exchange at all; the spread lives inside the one-time substrate
+    // build, asserted on the un-memoized builder below
+    val pa = planOf("mm_audio_decode")
+    assert(!pa.contains("Exchange"),
+      s"substrate-derived audio plan must be exchange-free:\n$pa")
+    assert(pa.contains("ExistingRDD"),
+      s"audio plan should read the checkpointed substrate:\n$pa")
+    val build = graft.operators.Multimodal.decodePcm(
+      graft.operators.Multimodal.audioPayloads(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(build).size === 1 &&
+      build.contains("RoundRobinPartitioning"),
+      s"substrate build should carry the one round-robin spread:\n$build")
   }
 
   test("peak concurrency: sweep rides range partitions, never a global window over events") {
