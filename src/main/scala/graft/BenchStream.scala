@@ -495,8 +495,12 @@ object BenchStream {
           .orderBy(org.apache.spark.sql.functions.col("ts_us").desc,
             org.apache.spark.sql.functions.col("event_id").desc)))
       .filter("rn = 1 AND operation <> 'DELETE'").drop("rn")
+    // pin the merged state once: the audit consumes `actual` three times
+    // (two exceptAll sides + count) and each bare evaluation would re-run
+    // the merge-on-read window over base ∪ deltas
     val actual = graft.streaming.BucketedGold.read(spark, gold)
       .select("user_id", "operation", "ts_us", "event_id", "value")
+      .localCheckpoint()
     val mismatches =
       expected.exceptAll(actual).count() + actual.exceptAll(expected).count()
 
@@ -533,9 +537,13 @@ object BenchStream {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // committer v2: task files move to the output dir at TASK commit —
-      // one fewer sequential rename pass per micro-batch commit. Safe
-      // here: every gold write lands in a scratch dir that only becomes
-      // visible via BucketedGold's own atomic rename.
+      // one fewer sequential rename pass per micro-batch commit. Safety
+      // here: delta writes land in a scratch dir that only becomes
+      // visible via BucketedGold's own atomic rename; the base rewrite
+      // (compaction's dynamic partition overwrite) relies on Spark's
+      // .spark-staging protocol instead, and a crash mid-compaction is
+      // recoverable regardless because the folded deltas are only
+      // retired a full cycle later (re-fold is a no-op).
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

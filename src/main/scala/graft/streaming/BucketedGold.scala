@@ -39,11 +39,14 @@ import org.apache.spark.sql.functions._
   *    its cost is amortized 1/K per batch and shows up honestly in p95.
   *
   * Exactly-once under checkpointed foreachBatch replay: the delta dir is
-  * named by batch id, so a replayed batch REPLACES its own delta instead
-  * of appending a duplicate; compaction is latest-per-key and keeps
-  * tombstones, so re-merging already-folded deltas after a crash between
-  * base-commit and delta-retirement is a no-op. A crash inside the delta
-  * write leaves only an invisible scratch dir (the rename never ran).
+  * named by (application, batch id), so a replayed batch REPLACES its own
+  * delta instead of appending a duplicate, and a DIFFERENT app whose
+  * batch ids collide (fresh checkpoint on an existing root, restarted
+  * JVM) can never clobber committed data; compaction is latest-per-key
+  * and keeps tombstones, so re-merging already-folded deltas after a
+  * crash between base-commit and delta-retirement is a no-op. A crash
+  * inside the delta write leaves only an invisible scratch dir (the
+  * rename never ran).
   *
   * Scale (100 TB): commit cost ∝ batch size only; compaction reads the
   * touched buckets (partition-pruned directory scan) + bounded deltas and
@@ -66,8 +69,19 @@ object BucketedGold {
 
   private def basePath(root: String) = s"$root/base"
   private def deltaDir(root: String) = s"$root/delta"
-  private def deltaPath(root: String, batchId: Long) =
-    f"${deltaDir(root)}/b$batchId%012d"
+
+  /** Delta identity is (application, batch): a REPLAY inside the same app
+    * (checkpointed foreachBatch re-running a batch id) replaces its own
+    * delta, while a DIFFERENT app writing batch ids that collide — a
+    * fresh checkpoint pointed at an existing gold root, or a restarted
+    * JVM replaying from the old checkpoint — gets its own name and can
+    * never delete another run's committed data. Cross-app duplicates of
+    * a genuinely replayed batch are byte-identical (same checkpointed
+    * offsets), so merge-on-read dedups them; this is the same reason
+    * Delta Lake keys idempotent writes by (appId, version).
+    */
+  private def deltaPath(root: String, appId: String, batchId: Long) =
+    f"${deltaDir(root)}/b${appId.replaceAll("[^A-Za-z0-9]", "")}%s-$batchId%012d"
 
   /** Sorted committed delta dirs (oldest first). Driver-side listing,
     * O(#deltas) ≤ compactEvery + in-flight.
@@ -89,13 +103,11 @@ object BucketedGold {
       val df = spark.read.parquet(path)
       Some(df.select(stateCols.map(col): _*))
     } catch {
+      // a base dir whose every bucket was GC'd away has no files left to
+      // infer a schema from — same thing as "no base yet"
       case e: org.apache.spark.sql.AnalysisException
-        if e.getErrorClass == "PATH_NOT_FOUND" ||
-          // a base dir whose every bucket was GC'd away has no files left
-          // to infer a schema from — same thing as "no base yet"
-          e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" ||
-          Option(e.getMessage).exists(_.contains("Path does not exist")) => None
-      case _: java.io.FileNotFoundException => None
+        if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" => None
+      case e: Exception if CdcStreams.isMissingTarget(e) => None
     }
 
   private def emptyState(spark: SparkSession): DataFrame =
@@ -143,7 +155,8 @@ object BucketedGold {
     val t0 = System.nanoTime()
     val f = fs(spark)
     val scratch = new Path(s"$root/.scratch-b$batchId")
-    val dst = new Path(deltaPath(root, batchId))
+    val dst = new Path(deltaPath(root,
+      spark.sparkContext.applicationId, batchId))
     f.mkdirs(dst.getParent)
     f.delete(scratch, true)
     val t1 = System.nanoTime()
@@ -153,9 +166,20 @@ object BucketedGold {
     if (sys.env.contains("SPARK_GRAFT_GOLD_DEBUG"))
       println(s"[bucketed-gold] b$batchId prep=${(t1 - t0) / 1000000}ms " +
         s"writeJob=${(t2 - t1) / 1000000}ms")
-    // an empty micro-batch wrote only a _SUCCESS marker: nothing to commit
-    // (and an all-empty delta set would break schema inference downstream)
-    if (!f.listStatus(scratch).exists(_.getPath.getName.endsWith(".parquet"))) {
+    // an EMPTY micro-batch commits nothing. Spark writes a schema-only
+    // part file even for zero rows, so "no .parquet files" is not the
+    // test — read the just-written footers' row counts (driver-side,
+    // O(files) ~1-2 ms each, page-cache warm) and drop the scratch if
+    // the batch carried no rows.
+    val scratchRows = f.listStatus(scratch)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+            st, spark.sparkContext.hadoopConfiguration))
+        try r.getRecordCount finally r.close()
+      }.sum
+    if (scratchRows == 0L) {
       f.delete(scratch, true)
       return
     }
@@ -164,7 +188,9 @@ object BucketedGold {
     f.delete(dst, true)
     if (!f.rename(scratch, dst))
       throw new java.io.IOException(s"BucketedGold commit failed: $scratch -> $dst")
-    if (listDeltas(spark, root).size >= compactEvery) {
+    val unfolded = listDeltas(spark, root).size -
+      retired.getOrDefault(root, java.util.Collections.emptySet[String]()).size
+    if (unfolded >= compactEvery) {
       if (!compactAsync) compact(spark, root, numBuckets)
       else {
         // skip if a compaction for this root is still running — the next
@@ -185,6 +211,13 @@ object BucketedGold {
 
   /** Current SCD1 state: latest-per-key over base ∪ deltas, DELETEs drop —
     * the same answer `applyCdcBatch` stores physically.
+    *
+    * Concurrency: folded deltas outlive their compaction by one full
+    * cycle (see `retired`), so a plan whose delta listing races ONE
+    * compaction still finds every file (re-read folded rows dedup in the
+    * window). A reader stalling across TWO compactions of the same root
+    * can still lose files mid-scan — read at quiesce
+    * ([[awaitCompactions]]) for audit-grade reads, as the benches do.
     */
   def read(spark: SparkSession, root: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
@@ -207,18 +240,37 @@ object BucketedGold {
     else parts.reduce(_.unionByName(_))
   }
 
+  // deltas folded into the base by the LAST compaction per root, still on
+  // disk: they are deleted at the START of the next compaction, not at the
+  // end of their own. The one-cycle grace keeps a concurrent reader's
+  // delta listing valid for a full compaction cycle (re-reading a folded
+  // delta is a latest-per-key no-op); a crash that loses this map merely
+  // re-folds them — also a no-op.
+  private val retired =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+
   /** Fold all committed deltas into the bucketed base, rewriting only the
     * buckets the deltas touch; tombstones are RETAINED (a compaction must
     * not change what [[read]] answers — late pre-delete events stay
     * shadowed by the tombstone either way). `gcTombstonesBeforeUs` drops
     * tombstones older than a watermark — the `cdc_tombstone_gc` policy —
     * once every upstream replayer is past it.
+    *
+    * Safe against a concurrent replayed append of a delta this compaction
+    * already snapshotted ONLY because a checkpointed replay is
+    * byte-identical (same offsets → same rows): if the replace races the
+    * fold's read, the fold fails harmlessly (deltas stay unretired,
+    * retried at the next threshold) — it can never fold wrong data.
     */
   def compact(spark: SparkSession, root: String, numBuckets: Int = 64,
       gcTombstonesBeforeUs: Option[Long] = None): Unit = {
+    val f = fs(spark)
+    // retire what the PREVIOUS compaction folded (grace period over)
+    Option(retired.remove(root)).foreach(_.forEach { d =>
+      f.delete(new Path(d), true); ()
+    })
     val deltas = listDeltas(spark, root)
     if (deltas.isEmpty) return
-    val f = fs(spark)
     val deltaRows = spark.read.parquet(deltas: _*).select(stateCols.map(col): _*)
       .withColumn("bucket", pmod(xxhash64(col("user_id")), lit(numBuckets)))
     // the buckets this compaction touches — bounded by numBuckets
@@ -259,9 +311,12 @@ object BucketedGold {
         f.delete(new Path(s"${basePath(root)}/bucket=$b"), true)
       }
     }
-    // retire ONLY the deltas this compaction consumed; a crash before this
-    // line re-merges them onto the new base — a latest-per-key no-op
-    deltas.foreach(d => f.delete(new Path(d), true))
+    // mark ONLY the deltas this compaction consumed for deletion at the
+    // NEXT compaction (grace period — see `retired`); a crash before the
+    // eventual delete re-merges them onto the new base, a no-op
+    val set = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    deltas.foreach(set.add)
+    retired.put(root, set)
   }
 
   /** #417 registered demo (`cdc_bucketed_gold`): replay the normalized

@@ -798,7 +798,7 @@ object CdcStreams {
     * propagate: swallowing it as "empty" would silently merge the batch
     * against nothing and TRUNCATE the target to the batch's keys.
     */
-  private def isMissingTarget(e: Throwable): Boolean = e match {
+  private[streaming] def isMissingTarget(e: Throwable): Boolean = e match {
     case a: org.apache.spark.sql.AnalysisException =>
       a.getErrorClass == "PATH_NOT_FOUND" ||
         Option(a.getMessage).exists(_.contains("Path does not exist"))

@@ -54,9 +54,15 @@ class BucketedGoldSpec extends SparkSpec {
     BucketedGold.compact(spark, gold, numBuckets = 8)
     val after = stateSet(BucketedGold.read(spark, gold))
     assert(before === after)
-    // deltas consumed; base partitioned by bucket
+    // folded deltas survive ONE grace cycle (so concurrent readers'
+    // listings stay valid), then the next compaction retires them
     val deltaDir = new java.io.File(s"$gold/delta")
+    assert(deltaDir.listFiles().exists(_.isDirectory),
+      "folded deltas should persist through the grace cycle")
+    assert(stateSet(BucketedGold.read(spark, gold)) === before) // dedup'd
+    BucketedGold.compact(spark, gold, numBuckets = 8)
     assert(!deltaDir.exists() || deltaDir.listFiles().forall(!_.isDirectory))
+    assert(stateSet(BucketedGold.read(spark, gold)) === before)
     assert(new java.io.File(s"$gold/base").listFiles()
       .exists(_.getName.startsWith("bucket=")))
   }
