@@ -307,7 +307,7 @@ object BenchStream {
       s"""{"metric":"stream_e2e_latency_ms","sweep":[${arms.mkString(",")}],""" +
         s""""rate_events_per_sec":$ratePerSec,"measure_sec_per_arm":$measureSec,""" +
         s""""semantics":"produce wall-clock -> SCD1 gold COMMITTED (queryable), per-chunk sampling",""" +
-        s""""floor_decomposition":"round-9 gold commit = BucketedGold delta append (O(batch), no state rewrite; async bucket compaction): p50 811 -> ~270-300ms vs round 8. Residual floor measured per-arm in batch_phase_medians_ms: ONE O(batch) commit job (addBatch ~120-130ms: segment read + from_json + single-file parquet write + atomic rename) + durable per-batch WAL (walCommit+commitOffsets ~65ms) + trigger machinery; an event waits for the in-flight cycle plus its own. The reference's 87ms is a record-at-a-time clock with no per-commit durability; matching it on micro-batch would need pipelined/async batch commit, which foreachBatch MERGE semantics exclude",""" +
+        s""""floor_decomposition":"round-9 gold commit = BucketedGold delta append (O(batch), no state rewrite; async bucket compaction): p50 811 -> ~250-300ms vs round 8. Residual floor measured per-arm in batch_phase_medians_ms: ONE O(batch) commit job (addBatch ~120-130ms: segment read + from_json + single-file parquet write + atomic rename) + durable per-batch WAL (walCommit+commitOffsets ~65ms) + trigger machinery; an event waits for the in-flight cycle plus its own. The reference's 87ms is a record-at-a-time clock with no per-commit durability; matching it on micro-batch would need pipelined/async batch commit, which foreachBatch MERGE semantics exclude",""" +
         s""""reference_envelope":"87ms avg end-to-end latency, record-at-a-time clock (COMPARISON.md:139-143)"}"""
     Files.writeString(Paths.get(outPath), json)
     println(json)
