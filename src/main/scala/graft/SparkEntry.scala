@@ -233,7 +233,10 @@ object SparkEntry {
     "q_cust_no_orders_anti" -> ((s, d) => Tpch.qCustNoOrdersAnti(s, d)),
     "q_order_priority" -> ((s, d) => Tpch.qOrderPriority(s, d)),
     "q_distinct_counts" -> ((s, d) => Tpch.qDistinctCounts(s, d)),
-    "q_approx_distinct" -> ((s, d) => Tpch.qApproxDistinct(s, d)),
+    // gated shape: exact distincts + HLL++ error-envelope flags
+    "q_approx_distinct" -> ((s, d) => Tpch.qApproxDistinct(s, d)
+      .select("l_returnflag", "exact_orders", "exact_parts",
+        "orders_within_4pct", "parts_within_4pct")),
     // deterministic-sample approximate aggregation with HT error bars;
     // content-addressed sample makes it SQL-oracle-exact
     "q_approx_agg_sample" -> ((s, d) => Tpch.qApproxAggSample(s, d)),
@@ -2876,6 +2879,12 @@ object SparkEntry {
     // (the oracle emits TRUE; a sketch drifting out of its envelope at any
     // SF hash-fails the row). Estimate VALUES stay spec-pinned — no other
     // engine reproduces Spark's CMS/HLL registers.
+    "q_approx_distinct" ->
+      s"""SELECT l_returnflag,
+         |  count(DISTINCT l_orderkey) AS exact_orders,
+         |  count(DISTINCT l_partkey) AS exact_parts,
+         |  TRUE AS orders_within_4pct, TRUE AS parts_within_4pct
+         |FROM lineitem GROUP BY 1""".stripMargin,
     "ev_heavy_hitters" ->
       s"""WITH t AS (SELECT user_id, count(*) AS exact_cnt FROM events
          |           GROUP BY 1 ORDER BY exact_cnt DESC, user_id LIMIT 10)

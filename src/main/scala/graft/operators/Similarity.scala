@@ -102,16 +102,39 @@ object Similarity {
     val fp = Tables.snapshotFingerprint(dir)
     val p = if (planes > 0) planes
       else autoPlanes(corpusCountMemo.getOrElseUpdate((dir, fp), e.count()))
-    knnMemo.getOrElseUpdate((dir, fp, k, p, tables),
-      knnGraphFrom(e, k, p, tables).localCheckpoint(eager = true))
+    knnMemo.getOrElseUpdate((dir, fp, k, p, tables), {
+      val local = knnLocalFor(spark, dir, e, fp, k, p, tables)
+      // same undirected pair from several shared buckets carries an
+      // identical score (same kernel, same inputs) — one row survives
+      val deduped = local.groupBy("src", "dst").agg(max("cos").as("cos"))
+      graft.plans.TopK.topKPerGroup(deduped, Seq("src"),
+        Seq(("cos", true), ("dst", false)), k)
+        .select(col("src"), col("dst"), round(col("cos"), 4).as("cos"), col("rnk"))
+        .localCheckpoint(eager = true)
+    })
   }
 
   private val corpusCountMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 
+  // bucket-local top-k edges per corpus snapshot — the expensive stage
+  // (banding + in-group all-pairs scoring) shared between the graph
+  // builder and the funnel accounting row, which round 9's widened sf10
+  // sweep flagged as the worst growth ratio precisely because it re-ran
+  // this stage. Edge-sized (n·tables·k rows), so the checkpoint is cheap
+  // to hold; the banded frame (which carries embeddings) is NOT memoized.
+  private val knnLocalMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, Int, Int), DataFrame]
+
+  private def knnLocalFor(spark: SparkSession, dir: String, e: DataFrame,
+      fp: String, k: Int, p: Int, tables: Int): DataFrame =
+    knnLocalMemo.getOrElseUpdate((dir, fp, k, p, tables),
+      knnLocalEdges(knnBanded(e, p, tables), k).localCheckpoint(eager = true))
+
   /** Forget memoized models/graphs (tests / long-lived REPLs). */
   private[graft] def clearMemos(): Unit = {
-    knnMemo.clear(); pqCbMemo.clear(); ivfPqMemo.clear(); pcaMemo.clear()
+    knnMemo.clear(); knnLocalMemo.clear(); pqCbMemo.clear(); ivfPqMemo.clear()
+    pcaMemo.clear()
   }
 
   /** [[knnGraph]] over any (vec_id, embedding) frame.
@@ -226,12 +249,13 @@ object Similarity {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val fp = Tables.snapshotFingerprint(dir)
     val p = autoPlanes(corpusCountMemo.getOrElseUpdate((dir, fp), e.count()))
-    // banded feeds census + local, local feeds two aggregates — pin both
-    // so the LSH banding and the all-pairs scoring run ONCE, not per
-    // downstream branch
-    val banded = knnBanded(e, p, tables).localCheckpoint(eager = true)
+    // the census re-runs only the (cheap) banding; the all-pairs scoring
+    // stage is the SHARED memoized local-edge frame — when the graph
+    // substrate is already built this row pays one banding pass + four
+    // edge-sized aggregates, not a second scoring pass
+    val banded = knnBanded(e, p, tables)
     val census = banded.groupBy("tbl", "bucket").agg(count(lit(1)).as("m"))
-    val local = knnLocalEdges(banded, k).localCheckpoint(eager = true)
+    val local = knnLocalFor(spark, dir, e, fp, k, p, tables)
     val cand = local.select("src", "dst").distinct()
     val g = knnGraph(spark, dir, k)
     e.agg(count(lit(1)).as("n_vectors"))

@@ -355,7 +355,19 @@ object Tpch {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      // rsd=0.01 → 4% is >3σ; the flags (not the estimates) are what the
+      // DuckDB oracle replays — the gate pins exact counts AND that the
+      // HLL++ estimate stayed in its envelope at every SF, while the
+      // estimate values themselves remain engine-internal
+      .withColumn("orders_within_4pct",
+        abs(col("approx_orders").cast("double") - col("exact_orders")) <=
+          col("exact_orders") * 0.04)
+      .withColumn("parts_within_4pct",
+        abs(col("approx_parts").cast("double") - col("exact_parts")) <=
+          col("exact_parts") * 0.04)
 
   /** TPC-H Q17 shape: revenue from below-average-quantity orders of one
     * brand — the classic CORRELATED SCALAR SUBQUERY (l_quantity < 0.2 ×
