@@ -620,9 +620,12 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     // arrays projected to a CSV digest: the driver's rows-only check sorts
     // the frame in pandas, and raw Array[Float] columns are unhashable there
+    // gated shape (hash-oracle since r9): the normalized float32 histogram
+    // is regated as exact integer COUNTS (x*n recovers the count to <0.001
+    // before rounding), so DuckDB replays the whole byte histogram
     "mm_decode_stub" -> ((s, d) => Multimodal.decodeStub(s, d).toDF()
       .selectExpr("doc_id", "n_bytes", "round(mean_byte, 4) AS mean_byte",
-        "concat_ws(',', transform(feat, x -> CAST(x AS STRING))) AS feat_csv")),
+        "concat_ws(',', transform(feat, x -> CAST(round(CAST(x AS DOUBLE) * greatest(n_bytes, 1)) AS BIGINT))) AS hist_counts_csv")),
     "mm_resize_stub" -> ((s, d) => Multimodal.resizeStub(s, d).toDF()
       .selectExpr("doc_id", "n_bytes", "out_w", "out_h",
         "concat_ws(',', transform(resized, x -> CAST(x AS STRING))) AS resized_csv")),
@@ -2879,6 +2882,59 @@ object SparkEntry {
     // (the oracle emits TRUE; a sketch drifting out of its envelope at any
     // SF hash-fails the row). Estimate VALUES stay spec-pinned — no other
     // engine reproduces Spark's CMS/HLL registers.
+    // full integer/exact-float replay of the video synth -> PNG round
+    // trip -> gray profile -> keyframe census: pixels are pure functions
+    // of (doc_id, text bytes, frame), PNG is lossless, every profile bin
+    // is an exact multiple of 1/16 (sums of <=255 ints over power-of-two
+    // divisors), so the only inexact ops are the final /255*1e4 — same
+    // order both engines, positive half-up rounding agrees
+    "mm_video_keyframes" ->
+      s"""WITH vd AS (SELECT doc_id, text, length(text) AS len,
+         |        CAST(4 + doc_id % 3 AS INT) AS n FROM documents),
+         |vfr AS (SELECT doc_id, text, len, n, CAST(unnest(range(0, n)) AS INT) AS f FROM vd),
+         |vpx AS (SELECT doc_id, n, f, len, text, CAST(unnest(range(0, 256)) AS INT) AS i FROM vfr),
+         |vv AS (SELECT doc_id, n, f, i // 16 AS r,
+         |        least(255,
+         |          CASE WHEN f >= 2 AND doc_id % 2 = 0 THEN
+         |            255 - (CASE WHEN len = 0 THEN 0
+         |                        ELSE unicode(substr(text, len - (i % len), 1)) END)
+         |          ELSE (CASE WHEN len = 0 THEN 0
+         |                     ELSE unicode(substr(text, (i % len) + 1, 1)) END)
+         |          END + f) AS v
+         |      FROM vpx),
+         |vprof AS (SELECT doc_id, n, f, r, sum(v) AS s16 FROM vv GROUP BY 1, 2, 3, 4),
+         |vdiff AS (SELECT a.doc_id, a.n, a.f,
+         |        sum(abs(a.s16 - b.s16)) AS m
+         |      FROM vprof a JOIN vprof b
+         |        ON a.doc_id = b.doc_id AND a.r = b.r AND b.f = a.f - 1
+         |      GROUP BY 1, 2, 3),
+         |vfeat AS (SELECT fr.doc_id, fr.n, fr.f,
+         |        CAST(coalesce(round(CAST(d.m AS DOUBLE) / 256.0 / 255.0 * 10000.0), 0) AS BIGINT) AS diff_e4,
+         |        (fr.f = 0 OR coalesce(round(CAST(d.m AS DOUBLE) / 256.0 / 255.0 * 10000.0), 0) > 1000) AS is_key
+         |      FROM vfr fr LEFT JOIN vdiff d ON d.doc_id = fr.doc_id AND d.f = fr.f)
+         |SELECT doc_id, max(n) AS n_frames,
+         |  CAST(sum(CASE WHEN is_key THEN 1 ELSE 0 END) AS BIGINT) AS n_keyframes,
+         |  max(diff_e4) AS max_diff_e4
+         |FROM vfeat GROUP BY 1""".stripMargin,
+    // byte-histogram replay of the decode stub (ASCII corpus: char
+    // indexing == UTF-8 byte indexing, like mm_audio_silence)
+    "mm_decode_stub" ->
+      s"""WITH db AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         |dch AS (SELECT doc_id, len,
+         |        unicode(substr(text, CAST(unnest(range(0, len)) AS INT) + 1, 1)) AS b
+         |      FROM db),
+         |dh AS (SELECT doc_id, b // 32 AS bkt, count(*) AS c FROM dch GROUP BY 1, 2),
+         |dfull AS (SELECT d.doc_id, CAST(g.range AS INT) AS bkt, coalesce(h.c, 0) AS c
+         |      FROM db d CROSS JOIN range(0, 8) g
+         |      LEFT JOIN dh h ON h.doc_id = d.doc_id AND h.bkt = g.range),
+         |dcsv AS (SELECT doc_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY bkt) AS hist_counts_csv
+         |      FROM dfull GROUP BY 1),
+         |dmb AS (SELECT d.doc_id, d.len, coalesce(sum(ch.b), 0) AS sm
+         |      FROM db d LEFT JOIN dch ch ON ch.doc_id = d.doc_id GROUP BY 1, 2)
+         |SELECT m.doc_id, CAST(m.len AS INT) AS n_bytes,
+         |  round(CAST(m.sm AS DOUBLE) / greatest(m.len, 1), 4) AS mean_byte,
+         |  c.hist_counts_csv
+         |FROM dmb m JOIN dcsv c USING (doc_id)""".stripMargin,
     "q_approx_distinct" ->
       s"""SELECT l_returnflag,
          |  count(DISTINCT l_orderkey) AS exact_orders,
