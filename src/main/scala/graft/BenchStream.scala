@@ -115,6 +115,7 @@ object BenchStream {
         // empty micro-batch commits nothing (appendBatch skips it)
         graft.streaming.BucketedGold.appendBatch(spark, batch, goldPath,
           batchId, compactAsync = true)
+        ()
       }
       .start()
   }
@@ -220,15 +221,18 @@ object BenchStream {
         // one per source partition — 8× fewer file creates on the commit
         // path (the throughput bench's 250K-row batches keep their full
         // write parallelism; this is the small-batch arm only)
-        graft.streaming.BucketedGold.appendBatch(spark,
+        val committed = graft.streaming.BucketedGold.appendBatch(spark,
           batch.observe(obs, org.apache.spark.sql.functions.max("event_id")
             .as("max_id")).coalesce(1),
           gold, batchId, compactAsync = true)
         // gold is committed — everything in this batch is now queryable
-        // (BucketedGold.read serves the merged SCD1 state). max over an
-        // EMPTY micro-batch (legal between produce chunks) is null: no
-        // drain.
-        Option(obs.get("max_id")).foreach { m =>
+        // (BucketedGold.read serves the merged SCD1 state). An EMPTY
+        // micro-batch (legal between produce chunks) short-circuits
+        // JOB-FREE inside appendBatch — the observe metric never fires
+        // then, so obs.get (which blocks for a completed job) must be
+        // gated on the commit flag. max can still be null on the
+        // partitions-but-no-rows edge: also no drain.
+        if (committed) Option(obs.get("max_id")).foreach { m =>
           val maxId = m.asInstanceOf[Long]
           val now = System.nanoTime()
           var head = inFlight.peek()

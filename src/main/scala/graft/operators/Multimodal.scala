@@ -680,19 +680,26 @@ object Multimodal {
     }
   }
 
-  // per-(session, corpus) decoded-PCM cache: the three registered audio
-  // rows run in one driver session over the same synthesized WAVs — the
-  // first materializes the substrate (localCheckpoint: PCM is ~400 B/doc,
-  // block-manager memory+disk), the rest derive. Keyed by applicationId
-  // so a stopped session's entry can never leak into a new one.
+  // per-(session, corpus-snapshot) decoded-PCM cache: the three
+  // registered audio rows run in one driver session over the same
+  // synthesized WAVs — the first materializes the substrate
+  // (localCheckpoint: PCM is ~400 B/doc, block-manager memory+disk),
+  // the rest derive. Keyed by applicationId so a stopped session's
+  // entry can never leak into a new one, and by the corpus snapshot
+  // fingerprint (same convention as knnMemo/shardMemo) so a corpus
+  // regenerated at the same path never serves stale PCM.
   private val pcmCache =
     new scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** Forget memoized substrates (tests / long-lived REPLs). */
+  private[graft] def clearMemos(): Unit = pcmCache.clear()
 
   /** Decode-once substrate for the registered corpus queries. */
   def sharedPcm(spark: SparkSession, dir: String): Dataset[AudioPcm] = {
     implicit val enc = Encoders.product[AudioPcm]
+    val fp = Tables.snapshotFingerprint(dir)
     pcmCache.getOrElseUpdate(
-      s"${spark.sparkContext.applicationId}:$dir",
+      s"${spark.sparkContext.applicationId}:$dir:$fp",
       decodePcm(audioPayloads(spark, dir)).toDF().localCheckpoint(eager = true)
     ).as[AudioPcm]
   }

@@ -70,6 +70,11 @@ object BucketedGold {
   private def basePath(root: String) = s"$root/base"
   private def deltaDir(root: String) = s"$root/delta"
 
+  /** Age after which a foreign app's orphaned scratch dir is sweepable —
+    * far above any sane micro-batch write duration.
+    */
+  private val ScratchGraceMs: Long = 15L * 60 * 1000
+
   /** Delta identity is (application, batch): a REPLAY inside the same app
     * (checkpointed foreachBatch re-running a batch id) replaces its own
     * delta, while a DIFFERENT app writing batch ids that collide — a
@@ -80,8 +85,19 @@ object BucketedGold {
     * offsets), so merge-on-read dedups them; this is the same reason
     * Delta Lake keys idempotent writes by (appId, version).
     */
+  private def sanitizeApp(appId: String): String =
+    appId.replaceAll("[^A-Za-z0-9]", "")
+
   private def deltaPath(root: String, appId: String, batchId: Long) =
-    f"${deltaDir(root)}/b${appId.replaceAll("[^A-Za-z0-9]", "")}%s-$batchId%012d"
+    f"${deltaDir(root)}/b${sanitizeApp(appId)}%s-$batchId%012d"
+
+  /** Scratch dirs carry the app id for the same reason deltas do: two
+    * appliers misconfigured onto one root must not clobber each other's
+    * in-flight writes. A crash mid-write leaves the scratch orphaned —
+    * [[compact]] sweeps foreign-app scratches past a modtime grace.
+    */
+  private def scratchPath(root: String, appId: String, batchId: Long) =
+    s"$root/.scratch-${sanitizeApp(appId)}-b$batchId"
 
   /** Sorted committed delta dirs (oldest first). Driver-side listing,
     * O(#deltas) ≤ compactEvery + in-flight.
@@ -148,15 +164,31 @@ object BucketedGold {
     * dirs, appends only create new ones). Safe to call from a
     * checkpointed foreachBatch with the engine's `batchId` — replays
     * replace their own delta. An empty batch commits nothing.
+    *
+    * Returns true iff a delta was committed. A statically-empty batch —
+    * empty LocalRelation, zero-partition RDD, or a streaming v2 scan over
+    * an equal start/end offset range (the engine's empty trigger cycle) —
+    * is detected driver-side from the ANALYZED plan's leaves
+    * ([[org.apache.spark.sql.GraftSqlBridge.isStaticallyEmpty]]): no
+    * optimization, no physical planning, no Spark job, ~zero cost on the
+    * hot non-empty commit path. When that probe fires, an `observe()`
+    * metric attached to `batch` never executes, so callers pairing this
+    * with `Observation.get` MUST gate the (blocking) get on the returned
+    * Boolean. A zero-row batch the probe can't prove empty still pays the
+    * write job and is caught by the footer row-count check — parquet
+    * writes a schema-only part file for zero rows, so "no .parquet
+    * files" is never the test.
     */
   def appendBatch(spark: SparkSession, batch: DataFrame, root: String,
       batchId: Long, numBuckets: Int = 64, compactEvery: Int = 16,
-      compactAsync: Boolean = false): Unit = {
+      compactAsync: Boolean = false): Boolean = {
     val t0 = System.nanoTime()
+    // job-free, plan-free emptiness probe (analysis-level leaves only)
+    if (org.apache.spark.sql.GraftSqlBridge.isStaticallyEmpty(batch)) return false
     val f = fs(spark)
-    val scratch = new Path(s"$root/.scratch-b$batchId")
-    val dst = new Path(deltaPath(root,
-      spark.sparkContext.applicationId, batchId))
+    val appId = spark.sparkContext.applicationId
+    val scratch = new Path(scratchPath(root, appId, batchId))
+    val dst = new Path(deltaPath(root, appId, batchId))
     f.mkdirs(dst.getParent)
     f.delete(scratch, true)
     val t1 = System.nanoTime()
@@ -166,11 +198,7 @@ object BucketedGold {
     if (sys.env.contains("SPARK_GRAFT_GOLD_DEBUG"))
       println(s"[bucketed-gold] b$batchId prep=${(t1 - t0) / 1000000}ms " +
         s"writeJob=${(t2 - t1) / 1000000}ms")
-    // an EMPTY micro-batch commits nothing. Spark writes a schema-only
-    // part file even for zero rows, so "no .parquet files" is not the
-    // test — read the just-written footers' row counts (driver-side,
-    // O(files) ~1-2 ms each, page-cache warm) and drop the scratch if
-    // the batch carried no rows.
+    // driver-side footer row counts: O(files) ~1-2 ms each, page-cache warm
     val scratchRows = f.listStatus(scratch)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map { st =>
@@ -181,7 +209,7 @@ object BucketedGold {
       }.sum
     if (scratchRows == 0L) {
       f.delete(scratch, true)
-      return
+      return false
     }
     // the commit point: a single rename — readers see the whole delta or
     // none of it. A replayed batch retires its previous (identical) delta.
@@ -207,6 +235,7 @@ object BucketedGold {
         }
       }
     }
+    true
   }
 
   /** Current SCD1 state: latest-per-key over base ∪ deltas, DELETEs drop —
@@ -269,6 +298,23 @@ object BucketedGold {
     Option(retired.remove(root)).foreach(_.forEach { d =>
       f.delete(new Path(d), true); ()
     })
+    // sweep crash-orphaned scratch dirs: a scratch from ANOTHER app id (a
+    // dead JVM's never-renamed in-flight write, incl. pre-app-scoping
+    // `.scratch-b*` names) is garbage once past a modtime grace. Our own
+    // app's scratches are never swept (appendBatch owns their lifecycle;
+    // a replay deletes+rewrites its own), and a LIVE foreign app's
+    // in-flight write is younger than the grace.
+    val rootPath = new Path(root)
+    if (f.exists(rootPath)) {
+      val ownPrefix =
+        s".scratch-${sanitizeApp(spark.sparkContext.applicationId)}-b"
+      val cutoff = System.currentTimeMillis() - ScratchGraceMs
+      f.listStatus(rootPath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".scratch-")
+          && !s.getPath.getName.startsWith(ownPrefix)
+          && s.getModificationTime < cutoff)
+        .foreach { s => f.delete(s.getPath, true); () }
+    }
     val deltas = listDeltas(spark, root)
     if (deltas.isEmpty) return
     val deltaRows = spark.read.parquet(deltas: _*).select(stateCols.map(col): _*)

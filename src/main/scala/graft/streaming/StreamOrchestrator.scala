@@ -34,6 +34,14 @@ final class StreamOrchestrator(spark: SparkSession, checkpointRoot: String,
     * already active). `mkStream` builds the table's source stream; the
     * orchestrator owns naming, checkpoint placement (one directory per
     * table → independent restart), and the output path.
+    *
+    * Contract with [[reactToDdl]]: `mkStream` is expected to build against
+    * the schema registry's CURRENT generation for the table (a fresh
+    * `mkStream` call naturally consults the latest registered schema), so
+    * every (re)start — first start, [[supervise]] restart, DDL restart —
+    * records that generation here. A table started directly against an
+    * already-registered v2 schema is therefore never spuriously restarted
+    * by the first `reactToDdl` pass.
     */
   def startTable(table: String, mkStream: String => DataFrame): StreamingQuery =
     registry.get(table).filter(_.isActive).getOrElse {
@@ -45,6 +53,7 @@ final class StreamOrchestrator(spark: SparkSession, checkpointRoot: String,
         .option("path", s"$outRoot/$table")
         .start()
       registry.put(table, q)
+      runningVersion.put(table, registeredVersion(table))
       q
     }
 
@@ -78,6 +87,7 @@ final class StreamOrchestrator(spark: SparkSession, checkpointRoot: String,
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       registry.put(table, q)
+      runningVersion.put(table, registeredVersion(table))
       q
     }
 
@@ -132,9 +142,15 @@ final class StreamOrchestrator(spark: SparkSession, checkpointRoot: String,
   def processAllAvailable(): Unit =
     registry.values.filter(_.isActive).foreach(_.processAllAvailable())
 
-  // schema generation each running query was built against (tables started
-  // through startTable/startBatch without a version run as generation 1)
+  // schema generation each running query was built against. Maintained at
+  // every (re)start — startTable, backfillTable, supervise, reactToDdl all
+  // record the registry's generation at start time — so the bookkeeping
+  // tracks the stream actually live, not a default-1 assumption. A table
+  // with no registered schema runs as generation 1.
   private val runningVersion = TrieMap.empty[String, Int]
+
+  private def registeredVersion(table: String): Int =
+    graft.sources.SchemaRegistry.latest(table).map(_.version).getOrElse(1)
 
   /** Live-DDL reaction — closes the loop from `cdc_ddl_capture`: the
     * schema-change topic parses into [[graft.sources.SchemaRegistry
@@ -160,6 +176,9 @@ final class StreamOrchestrator(spark: SparkSession, checkpointRoot: String,
       stopTable(t)
       registry.remove(t)
       startTable(t, tt => mkStream(tt, v))
+      // pin the generation the stream was BUILT against (startTable
+      // records the registry's latest, which could already be newer if a
+      // bump raced this restart — the next pass must then restart again)
       runningVersion.put(t, v)
     }
     bumps

@@ -117,6 +117,56 @@ class BucketedGoldSpec extends SparkSpec {
       !baseDir.listFiles().exists(_.getName.startsWith("bucket=")))
   }
 
+  test("empty micro-batch skips job-free and commits nothing") {
+    val root = Files.createTempDirectory("bg-empty").toString
+    val gold = s"$root/gold"
+    assert(BucketedGold.appendBatch(spark, batchDF((1L, "INSERT", 1L, 1L, 1.0)),
+      gold, 0L))
+    val deltaDir = new java.io.File(s"$gold/delta")
+    val deltasBefore = deltaDir.listFiles().map(_.getName).toSet
+    // zero-partition plan (the empty-trigger-cycle shape): probe fires
+    // before any job, no scratch dir is ever created, returns false
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      batchDF((1L, "INSERT", 1L, 1L, 1.0)).schema)
+    assert(!BucketedGold.appendBatch(spark, empty, gold, 1L))
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      === jobsBefore, "empty-plan probe must not launch a Spark job")
+    // zero ROWS behind a non-empty plan: caught post-write by the footer
+    // row counts, still no commit
+    assert(!BucketedGold.appendBatch(spark,
+      batchDF((1L, "INSERT", 1L, 1L, 1.0)).filter("user_id < 0"), gold, 2L))
+    assert(deltaDir.listFiles().map(_.getName).toSet === deltasBefore)
+    assert(!new java.io.File(root).listFiles()
+      .exists(_.getName.startsWith(".scratch")), "no scratch left behind")
+  }
+
+  test("compact sweeps stale foreign-app scratch dirs, keeps own and fresh ones") {
+    val root = Files.createTempDirectory("bg-scratch").toString
+    val gold = s"$root/gold"
+    BucketedGold.appendBatch(spark, batchDF((1L, "INSERT", 1L, 1L, 1.0)), gold, 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val appScr = sanitizedAppScratch(gold, 99L) // own app, crash leftover
+    val foreignOld = new org.apache.hadoop.fs.Path(s"$gold/.scratch-deadapp-b7")
+    val legacyOld = new org.apache.hadoop.fs.Path(s"$gold/.scratch-b3")
+    val foreignFresh = new org.apache.hadoop.fs.Path(s"$gold/.scratch-liveapp-b1")
+    Seq(appScr, foreignOld, legacyOld, foreignFresh).foreach(fs.mkdirs(_))
+    val old = System.currentTimeMillis() - 16L * 60 * 1000
+    Seq(appScr, foreignOld, legacyOld).foreach(fs.setTimes(_, old, -1))
+    BucketedGold.compact(spark, gold, numBuckets = 8)
+    assert(!fs.exists(foreignOld), "stale foreign scratch must be swept")
+    assert(!fs.exists(legacyOld), "stale legacy-name scratch must be swept")
+    assert(fs.exists(foreignFresh), "fresh foreign scratch must survive (grace)")
+    assert(fs.exists(appScr), "own-app scratch is owned by appendBatch, not swept")
+  }
+
+  private def sanitizedAppScratch(gold: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(s"$gold/.scratch-" +
+      spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "") +
+      s"-b$batchId")
+
   test("compaction rewrites only the buckets the deltas touch") {
     val root = Files.createTempDirectory("bg-prune").toString
     val gold = s"$root/gold"
