@@ -207,6 +207,84 @@ object Multimodal {
   case class ImageFeat(doc_id: Long, img_w: Int, img_h: Int, n_pixels: Long,
       mean_r: Double, mean_g: Double, mean_b: Double)
 
+  /** The decoded-IMAGE substrate row: the exact ARGB raster ONE ImageIO
+    * pass recovers from a PNG payload (lossless codec → the raster IS the
+    * image). The image family — feature means, bilinear resize, pHash —
+    * derives from this, so the synth+codec pass runs once per corpus
+    * snapshot instead of once per family member (the image/video twin of
+    * [[AudioPcm]]; round 9's sweep showed the re-decode as the two worst
+    * mm growth ratios).
+    */
+  case class ImageRaster(doc_id: Long, img_w: Int, img_h: Int,
+      argb: Array[Int])
+
+  /** REAL decode, once: ImageIO parses the PNG into the raster substrate.
+    * Unreadable payloads drop out (DLQ pattern).
+    */
+  def decodeRasters(payloads: Dataset[MediaIn]): Dataset[ImageRaster] = {
+    implicit val enc = Encoders.product[ImageRaster]
+    payloads.mapPartitions { it =>
+      useMemoryCache()
+      it.flatMap { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        if (img == null) None
+        else Some(ImageRaster(m.doc_id, img.getWidth, img.getHeight,
+          img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)))
+      }
+    }
+  }
+
+  // per-(session, corpus-snapshot) decoded-raster cache — same contract
+  // as pcmCache below: first consumer materializes (≤1 KB/doc), the rest
+  // derive; keyed by app id + snapshot fingerprint, cleared by clearMemos.
+  private val rasterCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** Decode-once raster substrate for the registered image queries. */
+  def sharedRasters(spark: SparkSession, dir: String): Dataset[ImageRaster] = {
+    implicit val enc = Encoders.product[ImageRaster]
+    val fp = Tables.snapshotFingerprint(dir)
+    rasterCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}:$dir:$fp",
+      decodeRasters(imagePayloads(spark, dir)).toDF()
+        .localCheckpoint(eager = true)
+    ).as[ImageRaster]
+  }
+
+  /** Rebuild the BufferedImage a raster row was decoded from —
+    * bit-identical to the ImageIO output (TYPE_INT_RGB, same ARGB words),
+    * so raster-derived resize/pHash match the payload-derived paths
+    * byte for byte.
+    */
+  private def imageOf(r: ImageRaster): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(r.img_w, r.img_h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, r.img_w, r.img_h, r.argb, 0, r.img_w)
+    img
+  }
+
+  /** Per-channel means from the raster substrate (the decode-output
+    * features of [[decodeImages]], minus the codec pass).
+    */
+  def featuresFromRasters(rasters: Dataset[ImageRaster]): Dataset[ImageFeat] = {
+    implicit val enc = Encoders.product[ImageFeat]
+    rasters.mapPartitions { it =>
+      it.map { r =>
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < r.argb.length) {
+          val px = r.argb(i)
+          sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+          i += 1
+        }
+        val n = r.argb.length.toDouble
+        ImageFeat(r.doc_id, r.img_w, r.img_h, r.img_w.toLong * r.img_h,
+          sr / n, sg / n, sb / n)
+      }
+    }
+  }
+
   /** REAL decode: ImageIO parses the PNG bytes back into pixels; features
     * are per-channel means over the decoded raster. One partition pass,
     * decoder state amortized; unreadable payloads yield None so callers
@@ -260,31 +338,45 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(m.payload))
         if (img == null) None
-        else {
-          val out = new java.awt.image.BufferedImage(outW, outH,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = out.createGraphics()
-          try {
-            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(img, 0, 0, outW, outH, null)
-          } finally g.dispose()
-          val px = new Array[Float](outW * outH * 3)
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var i = 0
-          while (i < outW * outH) {
-            val rgb = out.getRGB(i % outW, i / outW)
-            val r = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff; val b = rgb & 0xff
-            sr += r; sg += gg; sb += b
-            px(i * 3) = r / 255f; px(i * 3 + 1) = gg / 255f; px(i * 3 + 2) = b / 255f
-            i += 1
-          }
-          val n = (outW * outH).toDouble
-          Some(ImageResized(m.doc_id, img.getWidth, img.getHeight, outW, outH,
-            sr / n, sg / n, sb / n, px))
-        }
+        else Some(resizeKernel(m.doc_id, img, outW, outH))
       }
     }
+  }
+
+  /** [[resizeImages]] minus the codec pass: same bilinear kernel over the
+    * raster substrate. */
+  def resizeFromRasters(rasters: Dataset[ImageRaster], outW: Int,
+      outH: Int): Dataset[ImageResized] = {
+    implicit val enc = Encoders.product[ImageResized]
+    rasters.mapPartitions { it =>
+      useMemoryCache()
+      it.map(r => resizeKernel(r.doc_id, imageOf(r), outW, outH))
+    }
+  }
+
+  private def resizeKernel(docId: Long, img: java.awt.image.BufferedImage,
+      outW: Int, outH: Int): ImageResized = {
+    val out = new java.awt.image.BufferedImage(outW, outH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, outW, outH, null)
+    } finally g.dispose()
+    val px = new Array[Float](outW * outH * 3)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < outW * outH) {
+      val rgb = out.getRGB(i % outW, i / outW)
+      val r = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      sr += r; sg += gg; sb += b
+      px(i * 3) = r / 255f; px(i * 3 + 1) = gg / 255f; px(i * 3 + 2) = b / 255f
+      i += 1
+    }
+    val n = (outW * outH).toDouble
+    ImageResized(docId, img.getWidth, img.getHeight, outW, outH,
+      sr / n, sg / n, sb / n, px)
   }
 
   /** #194 Registered query: decode → bilinear resize; geometry is the
@@ -293,7 +385,7 @@ object Multimodal {
     */
   def imageResize(spark: SparkSession, dir: String, outW: Int = 4,
       outH: Int = 4): DataFrame =
-    resizeImages(imagePayloads(spark, dir), outW, outH)
+    resizeFromRasters(sharedRasters(spark, dir), outW, outH)
       .toDF()
       .select("doc_id", "src_w", "src_h", "out_w", "out_h")
 
@@ -304,7 +396,7 @@ object Multimodal {
     * rather than oracle-compared.
     */
   def imageDecode(spark: SparkSession, dir: String): DataFrame =
-    decodeImages(imagePayloads(spark, dir))
+    featuresFromRasters(sharedRasters(spark, dir))
       .toDF()
       .select("doc_id", "img_w", "img_h", "n_pixels")
 
@@ -343,8 +435,25 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(m.payload))
         if (img == null) None
-        else {
-          val out = new java.awt.image.BufferedImage(32, 32,
+        else Some(phashKernel(m.doc_id, img, dct))
+      }
+    }
+  }
+
+  /** [[phashImages]] minus the codec pass: same DCT kernel over the
+    * raster substrate. */
+  def phashFromRasters(rasters: Dataset[ImageRaster]): Dataset[ImagePHash] = {
+    implicit val enc = Encoders.product[ImagePHash]
+    rasters.mapPartitions { it =>
+      useMemoryCache()
+      val dct = dctTable(32, 8)
+      it.map(r => phashKernel(r.doc_id, imageOf(r), dct))
+    }
+  }
+
+  private def phashKernel(docId: Long, img: java.awt.image.BufferedImage,
+      dct: Array[Array[Double]]): ImagePHash = {
+    val out = new java.awt.image.BufferedImage(32, 32,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
           val g = out.createGraphics()
           try {
@@ -394,10 +503,7 @@ object Multimodal {
             if (block(j / 8)(j % 8) > mean) hash |= (1L << j)
             j += 1
           }
-          Some(ImagePHash(m.doc_id, hash))
-        }
-      }
-    }
+          ImagePHash(docId, hash)
   }
 
   /** Banded near-dup candidate join over pHash signatures — the SimHash
@@ -445,9 +551,10 @@ object Multimodal {
     */
   def phashDedup(spark: SparkSession, dir: String): DataFrame = {
     // materialize the hash frame (3 longs per doc) before fanning it into
-    // the self-join + degree join: without this the CODEC pass — the
-    // expensive part — re-runs once per plan branch (3× at the 10× sweep)
-    val hashes = phashImages(imagePayloads(spark, dir)).toDF()
+    // the self-join + degree join: without this the DCT pass re-runs once
+    // per plan branch (3× at the 10× sweep); the codec pass itself is
+    // already amortized into the shared raster substrate
+    val hashes = phashFromRasters(sharedRasters(spark, dir)).toDF()
       .localCheckpoint(eager = true)
     val pairs = phashPairs(hashes)
     val degree = pairs.select(col("doc_a").as("doc_id"))
@@ -530,8 +637,23 @@ object Multimodal {
     * cross executors; state is one profile, not the video.
     */
   def videoKeyframes(payloads: Dataset[MediaIn],
-      thresholdE4: Long = 1000L): Dataset[VideoFrameFeat] = {
-    implicit val enc = Encoders.product[VideoFrameFeat]
+      thresholdE4: Long = 1000L): Dataset[VideoFrameFeat] =
+    keyframesFromProfiles(videoProfiles(payloads), thresholdE4)
+
+  /** The decoded-VIDEO substrate row: ONE demux+decode pass reduced to
+    * per-frame 16-bin gray profiles (flattened frame-major, stride 16) —
+    * everything the keyframe detector needs, at 16 doubles/frame instead
+    * of the frame raster. Videos stay whole (one row per video), so the
+    * derivation is row-local with no cross-frame shuffle.
+    */
+  case class VideoProfiles(doc_id: Long, n_frames: Int,
+      profiles: Array[Double])
+
+  /** REAL decode, once: demux the container, ImageIO-decode every frame,
+    * reduce to the profile substrate. Truncated payloads drop out (DLQ).
+    */
+  def videoProfiles(payloads: Dataset[MediaIn]): Dataset[VideoProfiles] = {
+    implicit val enc = Encoders.product[VideoProfiles]
     payloads.mapPartitions { it =>
       useMemoryCache()
       it.flatMap { m =>
@@ -539,14 +661,14 @@ object Multimodal {
           new java.io.ByteArrayInputStream(m.payload))
         try {
           val n = in.readInt()
-          var prev: Array[Double] = null
-          (0 until n).iterator.map { f =>
+          val flat = new Array[Double](n * 16)
+          var f = 0
+          while (f < n) {
             val len = in.readInt()
             val buf = new Array[Byte](len)
             in.readFully(buf)
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(buf))
-            val prof = new Array[Double](16)
             if (img != null) {
               val (w, h) = (img.getWidth, img.getHeight)
               var i = 0
@@ -554,28 +676,68 @@ object Multimodal {
                 val px = img.getRGB(i % w, i / w)
                 val g = (((px >> 16) & 0xff) * 299 + ((px >> 8) & 0xff) * 587 +
                   (px & 0xff) * 114) / 1000.0
-                prof((i * 16 / (w * h)) % 16) += g / (w * h / 16.0)
+                flat(f * 16 + (i * 16 / (w * h)) % 16) += g / (w * h / 16.0)
                 i += 1
               }
             }
-            val diff =
-              if (prev == null) 0.0
-              else prof.zip(prev).map { case (a, b) => math.abs(a - b) }.sum / 16.0
-            val diffE4 = math.round(diff / 255.0 * 10000.0)
-            val key = prev == null || diffE4 > thresholdE4
-            prev = prof
-            VideoFrameFeat(m.doc_id, f, n, diffE4, key)
-          }.toList
+            f += 1
+          }
+          Some(VideoProfiles(m.doc_id, n, flat))
         } catch {
-          case _: java.io.IOException => Nil
+          case _: java.io.IOException => None
         }
       }
     }
   }
 
+  /** The shot-boundary detector over the profile substrate — pure
+    * arithmetic, bit-identical to the fused round-9 path (same profile
+    * bins, same |Δ| mean, same ×10⁴ rounding). Thresholds can be re-swept
+    * without touching a codec.
+    */
+  def keyframesFromProfiles(profiles: Dataset[VideoProfiles],
+      thresholdE4: Long = 1000L): Dataset[VideoFrameFeat] = {
+    implicit val enc = Encoders.product[VideoFrameFeat]
+    profiles.mapPartitions { it =>
+      it.flatMap { v =>
+        (0 until v.n_frames).iterator.map { f =>
+          var diff = 0.0
+          if (f > 0) {
+            var b = 0
+            while (b < 16) {
+              diff += math.abs(v.profiles(f * 16 + b) - v.profiles((f - 1) * 16 + b))
+              b += 1
+            }
+            diff /= 16.0
+          }
+          val diffE4 = math.round(diff / 255.0 * 10000.0)
+          VideoFrameFeat(v.doc_id, f, v.n_frames, diffE4,
+            f == 0 || diffE4 > thresholdE4)
+        }
+      }
+    }
+  }
+
+  // per-(session, corpus-snapshot) video-profile cache — same contract as
+  // rasterCache/pcmCache: decode once, derive many.
+  private val videoProfileCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** Decode-once profile substrate for the registered video queries. */
+  def sharedVideoProfiles(spark: SparkSession,
+      dir: String): Dataset[VideoProfiles] = {
+    implicit val enc = Encoders.product[VideoProfiles]
+    val fp = Tables.snapshotFingerprint(dir)
+    videoProfileCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}:$dir:$fp",
+      videoProfiles(videoPayloads(spark, dir)).toDF()
+        .localCheckpoint(eager = true)
+    ).as[VideoProfiles]
+  }
+
   /** #290 Registered query: per-video frame/keyframe census. */
   def videoKeyframeStats(spark: SparkSession, dir: String): DataFrame =
-    videoKeyframes(videoPayloads(spark, dir)).toDF()
+    keyframesFromProfiles(sharedVideoProfiles(spark, dir)).toDF()
       .groupBy("doc_id")
       .agg(max(col("n_frames")).as("n_frames"),
         sum(when(col("is_keyframe"), 1L).otherwise(0L)).as("n_keyframes"),
@@ -692,7 +854,9 @@ object Multimodal {
     new scala.collection.concurrent.TrieMap[String, DataFrame]()
 
   /** Forget memoized substrates (tests / long-lived REPLs). */
-  private[graft] def clearMemos(): Unit = pcmCache.clear()
+  private[graft] def clearMemos(): Unit = {
+    pcmCache.clear(); rasterCache.clear(); videoProfileCache.clear()
+  }
 
   /** Decode-once substrate for the registered corpus queries. */
   def sharedPcm(spark: SparkSession, dir: String): Dataset[AudioPcm] = {

@@ -136,9 +136,13 @@ object Sketches {
       buildHllIndex(spark, dir, p)
       p
     })
-    val span = Tables.events(spark, dir)
-      .agg(expr("min((ts DIV 1000) DIV 86400000000)").as("d0"),
-        expr("max((ts DIV 1000) DIV 86400000000)").as("d1"))
+    // observation-window span FROM THE INDEX (a few hundred rows), not a
+    // second full scan of the fact table — round 9 paid an events pass
+    // here just for min/max day, which the 1.46× sf0.1 regression traced
+    // to. The index's day domain is identical to the fact's by
+    // construction (buildHllIndex groups over every event).
+    val span = spark.read.parquet(path)
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .head()
     val (d0, d1) = (span.getLong(0), span.getLong(1))
     val mid = (d1 - d0) / 4

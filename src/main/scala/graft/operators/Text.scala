@@ -248,26 +248,44 @@ object Text {
     * appears more than once (duplicate-gram fraction). Ratios are exact
     * ×10⁴ fixed-point so both engines agree bit-for-bit.
     *
-    * Scale shape: grams explode map-side from one split() per row; the
-    * (doc_id, gram_n, gram) count partial-aggregates before its shuffle,
-    * and the per-document reduce then moves only one row per distinct gram.
-    * No windows, no driver state — safe at any corpus size.
+    * Scale shape (round-10 rewrite): the stats are PER-DOCUMENT, so the
+    * whole operator is row-local — one corpus scan, ZERO shuffles. Each
+    * document sorts its own gram array and folds run-lengths (total /
+    * longest run / occurrences in runs > 1) in a single `aggregate`
+    * higher-order function; only the two tiny (doc, n) result rows leave
+    * the map side. Round 9 exploded every gram occurrence into a
+    * (doc, n, gram) count shuffle and scanned the tokenized corpus twice
+    * (grams(2) ∪ grams(5)); an interleaved A/B at sf0.1/sf1/sf10 on this
+    * box measures all variants equal (page cache hides scan and local
+    * shuffle alike), but on a real cluster the exchange of ~2·Σtokens
+    * gram strings is network traffic this shape simply never creates.
+    * Growth model: O(t log t) sort per document, linear across documents
+    * — embarrassingly parallel at any corpus size.
     */
   def docRepetition(spark: SparkSession, dir: String): DataFrame = {
-    // tokenize once per row; see decontaminate for why the split is hoisted
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    def grams(n: Int): DataFrame = docs
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), lit(n.toLong).as("gram_n"),
-        explode(expr(
-          s"transform(sequence(1, size(toks) - ${n - 1})," +
-            s" i -> array_join(slice(toks, i, $n), ' '))")).as("g"))
-    grams(2).unionByName(grams(5))
-      .groupBy("doc_id", "gram_n", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "gram_n")
-      .agg(sum("c").as("n_grams"), max("c").as("top_gram_cnt"),
-        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_gram_occ"))
+    // run-length fold over the doc's sorted grams: on a repeat the run
+    // extends (dup gains 2 when a run first reaches length 2 — both
+    // occurrences become "duplicated" — then 1 per further repeat); on a
+    // new gram the run resets. NULL-safe <=> handles the first element.
+    def statsExpr(n: Int): String =
+      s"""CASE WHEN size(toks) >= $n THEN
+        aggregate(
+          array_sort(transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))),
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'maxrun', 0L, 'dup', 0L, 'total', 0L),
+          (s, x) -> IF(x <=> s.prev,
+            named_struct('prev', x, 'run', s.run + 1L, 'maxrun', GREATEST(s.maxrun, s.run + 1L), 'dup', s.dup + IF(s.run = 1L, 2L, 1L), 'total', s.total + 1L),
+            named_struct('prev', x, 'run', CAST(1 AS BIGINT), 'maxrun', GREATEST(s.maxrun, 1L), 'dup', s.dup, 'total', s.total + 1L)),
+          s -> named_struct('gram_n', CAST($n AS BIGINT), 'n_grams', s.total, 'top_gram_cnt', s.maxrun, 'dup_gram_occ', s.dup))
+      ELSE NULL END"""
+    docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        s"filter(array(${statsExpr(2)}, ${statsExpr(5)}), x -> x IS NOT NULL)")).as("st"))
+      .select(col("doc_id"), col("st.gram_n").as("gram_n"),
+        col("st.n_grams").as("n_grams"),
+        col("st.top_gram_cnt").as("top_gram_cnt"),
+        col("st.dup_gram_occ").as("dup_gram_occ"))
       .selectExpr("doc_id", "gram_n", "n_grams", "top_gram_cnt", "dup_gram_occ",
         "top_gram_cnt * 10000 DIV n_grams AS top_gram_frac_e4",
         "dup_gram_occ * 10000 DIV n_grams AS dup_gram_frac_e4")

@@ -292,29 +292,41 @@ class PlanSpec extends SparkSpec {
   }
 
   test("media codec paths: one round-robin spread, then row-local") {
-    // the deliberate repartition fans the codec work across all cores
-    // (single-file scans otherwise pin it on 1-2 tasks); beyond that one
-    // tiny (id, text) exchange the decode chain must stay shuffle-free
-    val p = planOf("mm_image_decode")
-    assert("Exchange".r.findAllIn(p).size === 1,
-      s"mm_image_decode should have exactly the spread exchange:\n$p")
-    assert(p.contains("RoundRobinPartitioning"),
-      s"mm_image_decode spread should be round-robin:\n$p")
-    // the audio rows derive from the shared decoded-PCM substrate
-    // (round 9): the registered plan reads the checkpointed RDD with NO
-    // exchange at all; the spread lives inside the one-time substrate
-    // build, asserted on the un-memoized builder below
-    val pa = planOf("mm_audio_decode")
-    assert(!pa.contains("Exchange"),
-      s"substrate-derived audio plan must be exchange-free:\n$pa")
-    assert(pa.contains("ExistingRDD"),
-      s"audio plan should read the checkpointed substrate:\n$pa")
-    val build = graft.operators.Multimodal.decodePcm(
-      graft.operators.Multimodal.audioPayloads(spark, sf))
-      .queryExecution.executedPlan.toString
-    assert("Exchange".r.findAllIn(build).size === 1 &&
-      build.contains("RoundRobinPartitioning"),
-      s"substrate build should carry the one round-robin spread:\n$build")
+    // every registered media row derives from its shared decoded
+    // substrate (PCM round 9; image rasters + video profiles round 10):
+    // the registered plan reads the checkpointed RDD with NO exchange at
+    // all. The deliberate round-robin spread — fanning codec work across
+    // all cores, since single-file scans otherwise pin it on 1-2 tasks —
+    // lives inside the one-time substrate build, asserted on the
+    // un-memoized builders below.
+    Seq("mm_image_decode", "mm_image_resize", "mm_audio_decode").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Exchange"),
+        s"substrate-derived $q plan must be exchange-free:\n$p")
+      assert(p.contains("ExistingRDD"),
+        s"$q should read the checkpointed substrate:\n$p")
+    }
+    // the keyframe census aggregates per video: one doc-keyed exchange of
+    // tiny stat rows on top of the substrate read, nothing else
+    val pv = planOf("mm_video_keyframes")
+    assert(pv.contains("ExistingRDD"),
+      s"mm_video_keyframes should read the checkpointed substrate:\n$pv")
+    assert("Exchange".r.findAllIn(pv).size === 1 &&
+      pv.contains("hashpartitioning(doc_id"),
+      s"keyframe census should carry exactly the doc-keyed agg exchange:\n$pv")
+    Seq(
+      graft.operators.Multimodal.decodePcm(
+        graft.operators.Multimodal.audioPayloads(spark, sf)).queryExecution,
+      graft.operators.Multimodal.decodeRasters(
+        graft.operators.Multimodal.imagePayloads(spark, sf)).queryExecution,
+      graft.operators.Multimodal.videoProfiles(
+        graft.operators.Multimodal.videoPayloads(spark, sf)).queryExecution
+    ).foreach { qe =>
+      val build = qe.executedPlan.toString
+      assert("Exchange".r.findAllIn(build).size === 1 &&
+        build.contains("RoundRobinPartitioning"),
+        s"substrate build should carry the one round-robin spread:\n$build")
+    }
   }
 
   test("peak concurrency: sweep rides range partitions, never a global window over events") {
