@@ -529,13 +529,15 @@ object Similarity {
     val centroids: Seq[(Int, Array[Float])] =
       cents.map(_.map(_.toFloat)).zipWithIndex.map(_.swap).toSeq
     val cdf = spark.createDataFrame(centroids).toDF("cluster", "centroid")
-    // one-pass distributed assignment: argmax centroid cosine per vector
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cluster"))
-    val assigned = e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cdf))
-      .withColumn("csim", GraftFunctions.cosineSim(col("embedding"), col("centroid")))
-      .withColumn("arnk", row_number().over(wAssign))
-      .filter(col("arnk") === 1)
+    // Round 10: corpus assignment through [[assignRowLocal]] — the
+    // zero-shuffle codegen'd argmax the index lifecycle already uses —
+    // instead of the crossJoin+window shape (nClusters× row
+    // amplification plus a corpus exchange per the before-plan,
+    // plans/r10/ann_ivf_tuning_before.txt). Identical assignments: same
+    // cosine inputs, same lowest-cluster tie/NaN rule (see the
+    // assignRowLocal scaladoc).
+    val assigned = assignRowLocal(
+        e.select(col("vec_id"), col("embedding")), cents)
       .select(col("vec_id"), col("embedding"), col("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cluster"))
@@ -561,7 +563,10 @@ object Similarity {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= k)
       val nCand = scanned.groupBy().agg(count(lit(1)).as("n_scanned"))
-      topk.join(brute, Seq("qid", "nid"), "left")
+      // brute is k·queries rows — broadcast it so the recall join never
+      // plans as a sort-merge over the probe side (5 SMJs in the
+      // before-plan, one per probe depth)
+      topk.join(broadcast(brute), Seq("qid", "nid"), "left")
         .agg(count(lit(1)).as("n_returned"),
           sum(coalesce(col("in_brute"), lit(0L))).as("n_hit"),
           countDistinct(col("qid")).as("n_queries"))
@@ -932,34 +937,50 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val qs = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    def topkAt(frac: Int): DataFrame = {
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-      e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
-        .crossJoin(broadcast(qs))
-        .filter(col("nid") =!= col("qid"))
-        .withColumn("d", expr(s"greatest(1, size(ne) DIV $frac)"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(slice(qe, 1, d), slice(ne, 1, d), " +
-            "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
-        .withColumn("nq", expr(
-          "sqrt(aggregate(slice(qe, 1, d), CAST(0.0 AS DOUBLE), " +
-            "(a, x) -> a + CAST(x AS DOUBLE) * x))"))
-        .withColumn("nn", expr(
-          "sqrt(aggregate(slice(ne, 1, d), CAST(0.0 AS DOUBLE), " +
-            "(a, x) -> a + CAST(x AS DOUBLE) * x))"))
-        .withColumn("cos", expr(
-          "CASE WHEN nq = 0.0 OR nn = 0.0 THEN 0.0 ELSE dot / (nq * nn) END"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select(col("qid"), col("nid"))
-    }
-    val truth = topkAt(1)
+    // Round 10 (guide §1.2 / §2.4): the old shape ran topkAt(frac) as an
+    // independent brute-force pass — and re-ran topkAt(1) as the truth
+    // side of every fraction — 8 full crossJoin+window scoring passes
+    // over the corpus (20 scans / 28 exchanges,
+    // plans/r10/emb_matryoshka_eval_before.txt). All four prefix cosines
+    // derive from the same (query, neighbor) row, so ONE pass explodes
+    // the fraction list into a `frac` column and scores every prefix in
+    // a single codegen'd projection — `d` is now data-dependent but the
+    // slice/fold expressions are the same, so every float matches the
+    // old per-pass values bit-for-bit — then one window over (frac, qid)
+    // ranks them all. The ≤ 4·k·queries-row top-k frame feeds the four
+    // recall readouts and the truth join; its five consumers share the
+    // scoring stage through AQE exchange reuse (an eager localCheckpoint
+    // here measured strictly slower — the extra materialization job costs
+    // more than the reuse saves).
+    val w = Window.partitionBy("frac", "qid").orderBy(col("cos").desc, col("nid"))
+    val topk = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("frac", explode(lit(Array(1, 2, 4, 8))))
+      .withColumn("d", expr("greatest(1, size(ne) DIV frac)"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(slice(qe, 1, d), slice(ne, 1, d), " +
+          "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+      .withColumn("nq", expr(
+        "sqrt(aggregate(slice(qe, 1, d), CAST(0.0 AS DOUBLE), " +
+          "(a, x) -> a + CAST(x AS DOUBLE) * x))"))
+      .withColumn("nn", expr(
+        "sqrt(aggregate(slice(ne, 1, d), CAST(0.0 AS DOUBLE), " +
+          "(a, x) -> a + CAST(x AS DOUBLE) * x))"))
+      .withColumn("cos", expr(
+        "CASE WHEN nq = 0.0 OR nn = 0.0 THEN 0.0 ELSE dot / (nq * nn) END"))
+      .select("frac", "qid", "nid", "cos") // narrow BEFORE the window exchange (guide §2.3)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("frac", "qid", "nid")
+    val truth = topk.filter(col("frac") === 1).select("qid", "nid")
     // recall denominator = ALL queries (the standard definition): counting
     // only hit-bearing queries both skews recall upward and divides by
     // zero under ANSI when a fraction scores no hits at all (seen at
     // sf0.1 for the narrowest prefixes)
     Seq(1, 2, 4, 8).map { f =>
-      val hits = topkAt(f).join(truth, Seq("qid", "nid"), "left_semi")
+      val hits = topk.filter(col("frac") === f).select("qid", "nid")
+        .join(truth, Seq("qid", "nid"), "left_semi")
         .groupBy("qid").agg(count(lit(1)).as("hits"))
       qs.select("qid").join(hits, Seq("qid"), "left")
         .agg(count(lit(1)).as("n_queries"),
