@@ -886,6 +886,17 @@ object Dedup {
     * kernel on candidate pairs only. Deterministic container plants
     * (doc % 20 == 5: original text + hex-noise tail) make recovery
     * measurable; the noise halves Jaccard but leaves containment ≈ 1.
+    *
+    * Growth model (sf10 sweep reads ~19x wall at 100x data): candidate
+    * pairs grow with the collision mass of the fingerprint blocks —
+    * superlinear in documents but bounded by the capBuckets guard — and
+    * each surviving pair pays a shingle-set verify proportional to the
+    * two documents' lengths. Expected wall ≈ O(docs · avg_len) scan +
+    * O(pairs · len) verify with pairs ∝ docs^(1+α), α small under the
+    * cap; the measured ~19x at 100x data (≪ the 150x gate) is that
+    * pair-mass term, not a plan defect — the AQE repartition on the
+    * verify stage (pricing CPU over bytes) is what keeps the constant
+    * down.
     */
   def containment(spark: SparkSession, dir: String,
       threshold: Double = 0.85): DataFrame = {
@@ -1099,6 +1110,16 @@ object Dedup {
     * curve read straight off the frame, same single candidate-scoring
     * pass the dedup itself runs. The histogram frame is ≤10 rows, so the
     * reverse cumsum is a free window.
+    *
+    * Growth model (sf10 sweep reads ~17x wall at 100x data): with the
+    * verify threshold at 0.0 NO candidate pair is pruned, so the scored
+    * mass is the full block-collision pair count — the same
+    * pairs ∝ docs^(1+α) term as [[containment]], here with zero
+    * post-filter relief by construction (the curve's whole point is to
+    * see the sub-threshold mass). The ratio tracks the dedup family's
+    * candidate growth and stays far under the 150x gate; it cannot be
+    * reduced without sampling the curve, which would change what the
+    * row computes.
     */
   def thresholdCurve(spark: SparkSession, dir: String): DataFrame = {
     val scored = ngramJaccard(spark, dir, threshold = 0.0)

@@ -93,6 +93,16 @@ def main(sf10_path: str, sf01_path: str | None) -> None:
     for name, fam in sorted(fams.items()):
         print(f"  family {name:8s} n={fam['n']:2d} ratio {fam['ratio']:6.1f}x "
               f"worst {fam['worst_ratio']:6.1f}x")
+    # watch list (non-failing): rows over 15x deserve a growth-model
+    # scaladoc stating the expected asymptotic and why the measured ratio
+    # matches it — keeps the sweep gate reviewable as rows are added
+    watch = sorted(((n, r["ratio"]) for n, r in rows.items() if r["ratio"] > 15.0),
+                   key=lambda kv: -kv[1])
+    if watch:
+        print(f"bench_sf10: WATCH — {len(watch)} row(s) over 15x "
+              f"(need a growth-model scaladoc):")
+        for name, r in watch:
+            print(f"  WATCH {name}: {r:.1f}x")
     if failures:
         print(f"bench_sf10: FAIL — {len(failures)} row(s) over the {GATE}x gate:")
         for name, r in sorted(failures, key=lambda kv: -kv[1]):
